@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Deterministic aggregation helpers.
+  *
+  * Double summation is order-dependent, and Spark's partition/merge order
+  * differs from any other engine's — so a raw `sum(double)` can disagree
+  * with an oracle in the last bits and fail a hash compare. We instead cast
+  * each addend to an exact decimal (rounding a double to 6 fractional
+  * digits is engine-independent: no double lies exactly on a decimal half
+  * boundary), sum exactly in decimal (associative ⇒ order-independent),
+  * and cast the final total back to double (IEEE-defined, deterministic).
+  * The same construction is used verbatim in the DuckDB oracle SQL.
+  *
+  * At scale this costs one decimal column per measure during the agg —
+  * still whole-stage-codegen'd, still map-side combinable.
+  */
+object Exact {
+
+  /** Exact sum of a double expression, order-independent: decimal(28,6)
+    * addends, decimal accumulator, final cast to double.
+    * Oracle equivalent: `CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Exact-sum average: dsum / count, deterministic double division.
+    * Oracle: `CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)`.
+    */
+  def davg(c: Column): Column =
+    dsum(c) / count(lit(1)).cast(DoubleType)
+
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** SQL fragment mirroring [[davg]]. */
+  def sqlDavg(expr: String): String =
+    s"${sqlDsum(expr)} / CAST(COUNT(*) AS DOUBLE)"
+}

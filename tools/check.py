@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+Reads outDir/<name>/ parquet (Spark result) + outDir/oracle_sql.json,
+runs each oracle against DuckDB views over the sfDir parquet tables,
+and compares row count, column names, and sorted values.
+"""
+import sys, json, glob, math
+import duckdb, pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try: df[c] = df[c].dt.tz_localize(None)
+            except Exception: pass
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        try:
+            got = pd.concat([pd.read_parquet(p) for p in sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))], ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}"); n_fail += 1; continue
+        if sorted(want.columns) != sorted(got.columns):
+            print(f"FAIL {name}: columns differ: oracle={sorted(want.columns)} spark={sorted(got.columns)}"); n_fail += 1; continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows differ: oracle={len(want)} spark={len(got)}"); n_fail += 1; continue
+        w, g = norm(want), norm(got)
+        bad = None
+        for c in w.columns:
+            wc, gc = w[c], g[c]
+            if wc.dtype == "float64":
+                eq = ((wc - gc).abs() < 1e-12) | (wc.isna() & gc.isna()) | (wc == gc)
+            else:
+                eq = (wc.astype(str) == gc.astype(str))
+            if not eq.all():
+                i = int((~eq).idxmax()); bad = (c, wc.iloc[i], gc.iloc[i]); break
+        if bad:
+            print(f"FAIL {name}: value mismatch col={bad[0]} oracle={bad[1]!r} spark={bad[2]!r}"); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(want)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
