@@ -7,7 +7,10 @@ object SparkEntry {
 
   /** Every registered capability, keyed as in SURVEY.md §2. */
   def registry: Map[String, QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++
+      operators.Cleaning.defs ++
+      operators.Dwh.defs ++
+      operators.Analytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

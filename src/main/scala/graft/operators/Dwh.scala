@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Star-schema DWH builders (§2.B) — the reference's Kimball schema
+  * (`check_DWH.py` table_creation_queries: publication_fact + 8 dims,
+  * `populate_DWH.py` insert DAG) re-expressed as declarative fact/dim
+  * builds over the lake.
+  *
+  * Scale notes: the fact build is a single fact-side scan joined to
+  * `orders` on its key (both sides huge → shuffle hash join on the join
+  * key, AQE-coalesced); every dimension is small relative to the fact and
+  * joined with an explicit `broadcast()` hint so the star join never
+  * shuffles the fact more than once.
+  */
+object Dwh {
+
+  /** Fact table at lineitem grain: FK surrogate/date keys + measures —
+    * reference `publication_fact` (check_DWH.py:18). Derived measures are
+    * raw IEEE products (deterministic, unrounded); rounding happens only
+    * at aggregate edges (see [[Exact]]).
+    */
+  def factSales(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        col("o_custkey").as("customer_key"),
+        col("l_partkey").as("part_key"),
+        col("l_suppkey").as("supplier_key"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("date_key"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("extended_price"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("charge"))
+  }
+
+  val factSalesOracle: String = """
+    SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+      o_custkey AS customer_key, l_partkey AS part_key, l_suppkey AS supplier_key,
+      CAST(STRFTIME(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key,
+      l_quantity AS quantity, l_extendedprice AS extended_price,
+      l_extendedprice * (1.0 - l_discount) AS net_price,
+      l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+
+  /** Denormalized customer dimension with stable surrogate key + SCD2
+    * bookkeeping columns — reference `dim_authors`/`dim_author_affiliation`
+    * (check_DWH.py:26-44). Geography snowflake collapsed via broadcast.
+    */
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        md5(col("c_custkey").cast("string")).as("customer_sk"),
+        col("c_custkey").as("customer_key"),
+        col("c_name").as("name"),
+        col("n_name").as("nation"),
+        col("r_name").as("region"),
+        col("c_mktsegment").as("mktsegment"),
+        lit(true).as("is_current"),
+        lit("1970-01-01").as("valid_from"),
+        lit("9999-12-31").as("valid_to"))
+  }
+
+  val dimCustomerOracle: String = """
+    SELECT MD5(CAST(c_custkey AS VARCHAR)) AS customer_sk,
+      c_custkey AS customer_key, c_name AS name, n_name AS nation,
+      r_name AS region, c_mktsegment AS mktsegment,
+      TRUE AS is_current, '1970-01-01' AS valid_from, '9999-12-31' AS valid_to
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey"""
+
+  /** Star join rollup: fact ⋈ broadcast dims → revenue by region ×
+    * mktsegment × order year — the reference's analytical DWH check.
+    * One fact shuffle (lineitem⋈orders), all dims broadcast.
+    */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(
+        col("r_name").as("region"),
+        col("c_mktsegment").as("mktsegment"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(
+        Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val starJoinOracle: String = s"""
+    SELECT r_name AS region, c_mktsegment AS mktsegment,
+      CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+      ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2, 3"""
+
+  /** Left-outer enrichment join with null-defaulting for misses — the
+    * reference's CrossRef/SemanticScholar DOI enrichment (api.py:5):
+    * external metadata exists only for a subset; unmatched rows keep
+    * flowing with 'Unknown' defaults (databases.py:137).
+    */
+  def enrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // "External API" source: metadata only available for a subset.
+    val meta = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    o.join(broadcast(meta), col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        coalesce(col("c_name"), lit("Unknown")).as("customer_name"),
+        coalesce(col("c_mktsegment"), lit("Unknown")).as("mktsegment"))
+  }
+
+  val enrichJoinOracle: String = """
+    SELECT o_orderkey, o_custkey,
+      COALESCE(c_name, 'Unknown') AS customer_name,
+      COALESCE(c_mktsegment, 'Unknown') AS mktsegment
+    FROM orders
+    LEFT JOIN (SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 0) c
+      ON o_custkey = c_custkey"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "dwh_fact_sales" -> QueryDef.sql(factSales, factSalesOracle),
+    "dwh_dim_customer" -> QueryDef.sql(dimCustomer, dimCustomerOracle),
+    "dwh_star_join" -> QueryDef.sql(starJoin, starJoinOracle),
+    "enrich_join" -> QueryDef.sql(enrichJoin, enrichJoinOracle)
+  )
+}

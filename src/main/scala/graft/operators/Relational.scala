@@ -22,28 +22,26 @@ object Relational {
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(Exact.dsum(col("l_quantity")), 2).as("sum_qty"),
-        round(Exact.dsum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(Exact.dsum(
-          col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2)
-          .as("sum_charge"),
-        round(Exact.davg(col("l_quantity")), 6).as("avg_qty"),
-        round(Exact.davg(col("l_extendedprice")), 6).as("avg_price"),
-        round(Exact.davg(col("l_discount")), 6).as("avg_disc"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Exact.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        Exact.davg(col("l_quantity")).as("avg_qty"),
+        Exact.davg(col("l_extendedprice")).as("avg_price"),
+        Exact.davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
   val q1AggOracle: String = s"""
     SELECT l_returnflag, l_linestatus,
-      ROUND(${Exact.sqlDsum("l_quantity")}, 2) AS sum_qty,
-      ROUND(${Exact.sqlDsum("l_extendedprice")}, 2) AS sum_base_price,
-      ROUND(${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")}, 2) AS sum_disc_price,
-      ROUND(${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}, 2) AS sum_charge,
-      ROUND(${Exact.sqlDavg("l_quantity")}, 6) AS avg_qty,
-      ROUND(${Exact.sqlDavg("l_extendedprice")}, 6) AS avg_price,
-      ROUND(${Exact.sqlDavg("l_discount")}, 6) AS avg_disc,
+      ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+      ${Exact.sqlDsum("l_extendedprice")} AS sum_base_price,
+      ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+      ${Exact.sqlDavg("l_quantity")} AS avg_qty,
+      ${Exact.sqlDavg("l_extendedprice")} AS avg_price,
+      ${Exact.sqlDavg("l_discount")} AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -51,7 +51,7 @@ def main(sf_dir, out_dir):
         for c in w.columns:
             wc, gc = w[c], g[c]
             if wc.dtype == "float64":
-                eq = ((wc - gc).abs() < 1e-12) | (wc.isna() & gc.isna()) | (wc == gc)
+                eq = (wc == gc) | (wc.isna() & gc.isna())
             else:
                 eq = (wc.astype(str) == gc.astype(str))
             if not eq.all():
