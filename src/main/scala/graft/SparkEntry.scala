@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.Cleaning.defs ++
       operators.Dwh.defs ++
-      operators.Analytics.defs
+      operators.Analytics.defs ++
+      operators.EventOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Event-log operators (§2.D, event-time family): JSON extraction,
+  * sessionization, as-of join, range join, and the batch-equivalent of the
+  * streaming window aggregation (the streaming implementation itself lives
+  * in [[graft.streaming.EventStreams]]).
+  *
+  * All event-time arithmetic is on epoch-nanos bigints (see
+  * [[Tables.events]]) — exact and identical across engines.
+  */
+object EventOps {
+
+  private val NsPerMinute = 60L * 1000 * 1000 * 1000
+  private val SessionGapNs = 30L * NsPerMinute
+  private val HourNs = 60L * NsPerMinute
+
+  /** JSON field extraction from the `props` payload column — the
+    * reference parses nested JSON metadata per row (api.py paper_info).
+    */
+  def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+
+  val eventsJsonExtractOracle: String = """
+    SELECT event_id, user_id,
+      CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+    FROM events"""
+
+  /** Gap-based sessionization: a new session starts after a >30 min gap.
+    * lag + running sum over a per-user window — one shuffle on user_id.
+    * The streaming twin uses mapGroupsWithState (see EventStreams).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || col("ts") - col("prev_ts") > SessionGapNs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_id"))
+  }
+
+  val sessionizeOracle: String = s"""
+    SELECT event_id, user_id,
+      SUM(new_session) OVER (PARTITION BY user_id
+        ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM (
+      SELECT event_id, user_id, t,
+        CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapNs} THEN 1 ELSE 0 END AS new_session
+      FROM (
+        SELECT event_id, user_id, EPOCH_NS(ts) AS t,
+          LAG(EPOCH_NS(ts)) OVER (PARTITION BY user_id
+            ORDER BY EPOCH_NS(ts) ASC, event_id ASC) AS prev_t
+        FROM events))"""
+
+  /** As-of join: each event picks the most recent order (same user ≘
+    * custkey) with order time ≤ event time; ties broken by max orderkey.
+    *
+    * Implemented the scale-safe way: tag + union both inputs, ONE shuffle
+    * on the user key, then `last(..., ignoreNulls)` over an ordered
+    * running window — no per-row range probe, no join blowup. This is the
+    * classic sort-merge as-of pattern; DuckDB's native ASOF JOIN is the
+    * same algorithm. The oracle mirrors it in portable window SQL so tie
+    * semantics are pinned down exactly.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("user_id").as("u"),
+      col("ts").as("t"),
+      lit(0).as("is_order"),
+      col("event_id"),
+      lit(null).cast("bigint").as("okey"),
+      lit(null).cast("bigint").as("odate_ns"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("u"),
+      (unix_micros(col("o_orderdate").cast(TimestampType)) * 1000L).as("t"),
+      lit(1).as("is_order"),
+      lit(null).cast("bigint").as("event_id"),
+      col("o_orderkey").as("okey"),
+      (unix_micros(col("o_orderdate").cast(TimestampType)) * 1000L).as("odate_ns"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t").asc, col("is_order").desc,
+        col("okey").asc_nulls_last, col("event_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("last_order_key", last(col("okey"), ignoreNulls = true).over(w))
+      .withColumn("last_order_date_ns", last(col("odate_ns"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(
+        col("event_id"),
+        col("u").as("user_id"),
+        col("last_order_key"),
+        col("last_order_date_ns"))
+  }
+
+  val asofJoinOracle: String = """
+    WITH u AS (
+      SELECT user_id AS u, EPOCH_NS(ts) AS t, 0 AS is_order, event_id,
+        CAST(NULL AS BIGINT) AS okey, CAST(NULL AS BIGINT) AS odate_ns
+      FROM events
+      UNION ALL
+      SELECT o_custkey, EPOCH_NS(o_orderdate), 1, CAST(NULL AS BIGINT),
+        o_orderkey, EPOCH_NS(o_orderdate)
+      FROM orders)
+    SELECT event_id, u AS user_id,
+      LAST_VALUE(okey IGNORE NULLS) OVER w AS last_order_key,
+      LAST_VALUE(odate_ns IGNORE NULLS) OVER w AS last_order_date_ns
+    FROM u
+    WINDOW w AS (PARTITION BY u
+      ORDER BY t ASC, is_order DESC, okey ASC NULLS LAST, event_id ASC NULLS LAST
+      ROWS UNBOUNDED PRECEDING)
+    QUALIFY is_order = 0"""
+
+  /** Range join: bucket each event's value into static tiers via a
+    * broadcast non-equi join ([lo, hi) semantics). With a tiny tier table
+    * this plans as a broadcast nested-loop join — no shuffle.
+    */
+  private val tiers = Seq((0.0, 50.0, "micro"), (50.0, 150.0, "small"),
+    (150.0, 300.0, "medium"), (300.0, 1000.0, "large"))
+
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = spark.createDataFrame(tiers).toDF("lo", "hi", "tier")
+    Tables.events(spark, dir)
+      .join(broadcast(t), col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("event_id"), col("value"), col("tier"))
+  }
+
+  val rangeJoinOracle: String = {
+    val values = tiers.map { case (lo, hi, n) => s"($lo, $hi, '$n')" }.mkString(", ")
+    s"""
+    SELECT event_id, value, tier
+    FROM events
+    JOIN (VALUES $values) AS t(lo, hi, tier)
+      ON value >= lo AND value < hi"""
+  }
+
+  /** Batch equivalent of the streaming tumbling-window aggregation:
+    * 1-hour windows × event_type, count + exact value sum. The streaming
+    * implementation (readStream + watermark + window) is in
+    * [[graft.streaming.EventStreams]]; this is the verifiable batch twin.
+    */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        (col("ts") - pmod(col("ts"), lit(HourNs))).as("window_start_ns"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.dsum(col("value")).as("total_value"))
+
+  val streamWindowAggOracle: String = s"""
+    SELECT EPOCH_NS(ts) - EPOCH_NS(ts) % ${HourNs} AS window_start_ns,
+      event_type,
+      COUNT(*) AS n_events,
+      ${Exact.sqlDsum("value")} AS total_value
+    FROM events
+    GROUP BY 1, 2"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "events_json_extract" -> QueryDef.sql(eventsJsonExtract, eventsJsonExtractOracle),
+    "sessionize" -> QueryDef.sql(sessionize, sessionizeOracle),
+    "asof_join" -> QueryDef.sql(asofJoin, asofJoinOracle),
+    "range_join" -> QueryDef.sql(rangeJoin, rangeJoinOracle),
+    "stream_window_agg" -> QueryDef.sql(streamWindowAgg, streamWindowAggOracle)
+  )
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.Exact
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational core: headline scan/join/agg workload (§2.D).
@@ -47,7 +47,198 @@ object Relational {
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus"""
 
+  /** TPC-H Q3-style: selective dim filter → two-join → agg → total-order
+    * top-k. Filters applied before joins (pushed to parquet scans).
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("l_orderkey").as("order_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority").as("priority"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("order_key").asc)
+      .limit(10)
+  }
+
+  val q3ShippingOracle: String = s"""
+    SELECT l_orderkey AS order_key,
+      STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+      o_orderpriority AS priority,
+      ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, order_key ASC LIMIT 10"""
+
+  /** TPC-H Q5-style: 6-way star join with a cross-dimension constraint
+    * (customer and supplier in the same nation), agg per nation.
+    */
+  def q5Local(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  val q5LocalOracle: String = s"""
+    SELECT n_name AS nation,
+      ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1"""
+
+  /** Window functions: top-3 orders per customer by value — partitioned
+    * row_number with unique tiebreak.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rank_in_customer", row_number().over(w))
+      .filter(col("rank_in_customer") <= 3)
+      .select(
+        col("o_custkey").as("customer_key"),
+        col("o_orderkey").as("order_key"),
+        col("o_totalprice").as("total_price"),
+        col("rank_in_customer"))
+  }
+
+  val windowRankOracle: String = """
+    SELECT customer_key, order_key, total_price, rank_in_customer FROM (
+      SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+        o_totalprice AS total_price,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_customer
+      FROM orders
+    ) WHERE rank_in_customer <= 3"""
+
+  /** Multi-level ROLLUP aggregate; NULL rollup keys coalesced to 'ALL'
+    * (engine-portable, and how the reference's DWH reports totals).
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("total_value"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"),
+        col("total_value"))
+
+  val rollupAggOracle: String = s"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COUNT(*) AS n_orders,
+      ${Exact.sqlDsum("o_totalprice")} AS total_value
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+
+  /** Pivot: event counts per user × event_type. Spark uses the native
+    * pivot operator (explicit value list ⇒ single pass, no extra job to
+    * discover values); oracle uses conditional aggregation.
+    */
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+
+  val pivotAggOracle: String = {
+    val cols = eventTypes.map(t =>
+      s"CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t").mkString(",\n      ")
+    s"""
+    SELECT user_id,
+      $cols
+    FROM events GROUP BY user_id"""
+  }
+
+  /** Exact interpolated quartiles per event type. Computed over
+    * floor(value): integer-valued inputs make quartile interpolation
+    * formula-independent (both (1-f)·a+f·b and a+(b-a)·f are exact in
+    * binary for f ∈ {.25,.5,.75}), so engines agree bit-for-bit.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(floor(col("value")), lit(0.25)).as("p25"),
+        percentile(floor(col("value")), lit(0.5)).as("p50"),
+        percentile(floor(col("value")), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+
+  val percentilesOracle: String = """
+    SELECT event_type,
+      QUANTILE_CONT(FLOOR(value), 0.25) AS p25,
+      QUANTILE_CONT(FLOOR(value), 0.50) AS p50,
+      QUANTILE_CONT(FLOOR(value), 0.75) AS p75,
+      COUNT(*) AS n
+    FROM events GROUP BY event_type"""
+
+  /** Skew-safe salted join: lineitem side gets a deterministic salt,
+    * orders side is replicated across all salt values, join on
+    * (key, salt) — spreads a hot orderkey over SALT_BUCKETS reducers.
+    * Result is provably identical to the plain join the oracle runs.
+    */
+  private val SaltBuckets = 8
+
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
+    val o = Tables.orders(spark, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Exact.dsum(col("l_extendedprice")).as("total_price"))
+  }
+
+  val skewSaltedJoinOracle: String = s"""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_items,
+      ${Exact.sqlDsum("l_extendedprice")} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
-    "q1_agg" -> QueryDef.sql(q1Agg, q1AggOracle)
+    "q1_agg" -> QueryDef.sql(q1Agg, q1AggOracle),
+    "q3_shipping" -> QueryDef.sql(q3Shipping, q3ShippingOracle),
+    "q5_local" -> QueryDef.sql(q5Local, q5LocalOracle),
+    "window_rank" -> QueryDef.sql(windowRank, windowRankOracle),
+    "rollup_agg" -> QueryDef.sql(rollupAgg, rollupAggOracle),
+    "pivot_agg" -> QueryDef.sql(pivotAgg, pivotAggOracle),
+    "percentiles" -> QueryDef.sql(percentiles, percentilesOracle),
+    "skew_salted_join" -> QueryDef.sql(skewSaltedJoin, skewSaltedJoinOracle)
   )
 }
