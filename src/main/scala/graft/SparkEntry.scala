@@ -11,7 +11,11 @@ object SparkEntry {
       operators.Cleaning.defs ++
       operators.Dwh.defs ++
       operators.Analytics.defs ++
-      operators.EventOps.defs
+      operators.EventOps.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Column
+  * expressions (codegen'd higher-order functions — no UDFs).
+  *
+  * Determinism: elements are cast float→double (exact), products are
+  * single IEEE ops, and sums are explicit LEFT FOLDS via `aggregate`, so
+  * the association order is pinned. The DuckDB mirrors use
+  * LIST_REDUCE(LIST_PREPEND(0.0, …)) — the same left fold — giving
+  * bit-identical doubles instead of "close" ones.
+  */
+object VectorOps {
+
+  /** Left-fold sum of an array<double> expression. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity: dot / (‖a‖·‖b‖). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB mirror of [[dot]]: index-based left fold, 1-based lists. */
+  def sqlDot(a: String, b: String): String =
+    s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
+      s"LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  def sqlNorm(a: String): String = s"SQRT(${sqlDot(a, a)})"
+
+  def sqlCosine(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (§2.E): media payloads as opaque `binary`
+  * columns with typed metadata, plus a batched decode/feature-extract
+  * stage.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic STUB ([[decodeStub]]); everything around
+  * it — binary column construction, schema, partition-preserving batched
+  * mapPartitions plumbing, feature array shape — is real and tested
+  * (MultimodalSpec). Swapping the stub for a JNI/codec call changes no
+  * plan shape.
+  */
+object Multimodal {
+
+  /** Typed record for the decoded-media stage. */
+  final case class MediaFeatures(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, features: Array[Float])
+
+  /** Metadata extraction over the binary payload column — the verifiable
+    * (SQL-expressible) slice of the multimodal pipeline: payload bytes,
+    * length, content hash, media type.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "utf-8").as("payload"))
+      .select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("image/png"))
+          .otherwise(lit("audio/wav")).as("media_type"),
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        md5(col("payload")).as("content_md5"))
+
+  val multimodalMetaOracle: String = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+      CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+      MD5(text) AS content_md5
+    FROM documents"""
+
+  /** Batched decode / feature extraction over binary payloads.
+    *
+    * Runs as `mapPartitions` so a real decoder would amortize codec init
+    * per partition (the Scala analogue of `mapInPandas` batching). The
+    * decode is STUBBED: deterministic pseudo-features derived from the
+    * payload bytes stand in for pixel/sample decoding, preserving the
+    * exact schema and batch shape a real codec would produce.
+    */
+  def decodeStub(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // Per-partition "codec init" would go here.
+        it.map { case (id, bytes) =>
+          // STUB decode: derive deterministic fake dimensions/features
+          // from the bytes. A real implementation calls the codec here.
+          val w = 16 + (bytes.length % 64)
+          val h = 16 + ((bytes.length / 64) % 64)
+          val feats = Array.tabulate(8) { i =>
+            bytes(i % bytes.length).toFloat / 127f
+          }
+          MediaFeatures(
+            doc_id = id,
+            media_type = if (id % 2 == 0) "image/png" else "audio/wav",
+            n_bytes = bytes.length.toLong,
+            width = w, height = h, features = feats)
+        }
+      }
+  }
+
+  /** Driver-contract wrapper: feature stage minus the float array (the
+    * array is exercised in MultimodalSpec; rows-only here would hide the
+    * metadata which IS portable, so we verify the scalar columns).
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeStub(spark, dir)
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("width"), col("height"))
+
+  val multimodalDecodeOracle: String = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+      CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+      CAST(16 + OCTET_LENGTH(ENCODE(text)) % 64 AS INTEGER) AS width,
+      CAST(16 + (OCTET_LENGTH(ENCODE(text)) // 64) % 64 AS INTEGER) AS height
+    FROM documents"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "multimodal_meta" -> QueryDef.sql(multimodalMeta, multimodalMetaOracle),
+    "multimodal_decode" -> QueryDef.sql(multimodalDecode, multimodalDecodeOracle)
+  )
+}

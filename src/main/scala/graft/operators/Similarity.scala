@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (§2.E).
+  *
+  * Scale design: the brute-force top-k baseline broadcasts the (small)
+  * query set against the full corpus — a map-side cross product, no
+  * shuffle of the corpus, then a per-query top-k window. The LSH variant
+  * buckets vectors by random-hyperplane sign bits so each query probes
+  * only its bucket — the 100 TB path (candidates shrink by ~2^planes).
+  * Embedding near-dup uses label blocking to bound the pair count.
+  */
+object Similarity {
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.3), blocked by
+    * label so the pair space is linear-ish per block.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+  }
+
+  val dedupEmbeddingOracle: String = s"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+      ${VectorOps.sqlCosine("a.embedding", "b.embedding")} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ${VectorOps.sqlCosine("a.embedding", "b.embedding")} >= 0.3"""
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 10), the
+    * 5 nearest neighbors over the whole corpus (excluding self), ranked
+    * with a deterministic tiebreak. The correctness baseline for ANN.
+    */
+  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(cand, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  val annTopkOracle: String = s"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${VectorOps.sqlCosine("q.embedding", "c.embedding")} AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${VectorOps.sqlCosine("q.embedding", "c.embedding")} DESC,
+            c.vec_id ASC) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      JOIN embeddings c ON q.vec_id <> c.vec_id)
+    WHERE rank <= 5"""
+
+  /** Random-hyperplane LSH ANN (rows-only oracle): 6 fixed pseudo-random
+    * hyperplanes → 6 sign bits → bucket id. Queries probe only their own
+    * bucket; top-3 within bucket by exact cosine. The scale path: bucket
+    * fan-out divides candidate volume by ~2^6 with high recall on near
+    * vectors (sign agreement probability 1 − θ/π per plane).
+    */
+  private val Dim = 64
+  private val NPlanes = 6
+
+  /** Deterministic "random" hyperplanes: component (p,d) derives from a
+    * fixed LCG — reproducible across runs and executors.
+    */
+  private def plane(p: Int): Array[Double] = {
+    var state = 0x9E3779B97F4A7C15L * (p + 1)
+    Array.fill(Dim) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+  }
+
+  private def planeCol(p: Int): Column =
+    array(plane(p).map(lit(_)): _*)
+
+  private def bucketOf(v: Column): Column =
+    (0 until NPlanes).map { p =>
+      when(VectorOps.dot(v, planeCol(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketOf(col("embedding")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(cand, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        VectorOps.cosine(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "dedup_embedding" -> QueryDef.sql(dedupEmbedding, dedupEmbeddingOracle),
+    "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),
+    "ann_lsh" -> QueryDef.rowsOnly(annLsh)
+  )
+}

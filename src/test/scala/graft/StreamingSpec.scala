@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Drives the Structured Streaming jobs end-to-end with a MemoryStream
+  * source and memory sink, and checks agreement with the batch twins.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private val sample = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(10), 1, "click", 2.0),
+    Event(3, ts(70), 1, "view", 3.0),    // >30 min gap → new session, next window
+    Event(4, ts(75), 2, "click", 4.0),
+    Event(5, ts(200), 1, "click", 5.0))  // third session for user 1
+
+  test("windowedAgg aggregates tumbling 1h windows per event_type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    val q = EventStreams.windowedAgg(input.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("win_agg").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").getTime / 60000L,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events")))
+      .toSet
+    assert(out == Set((0L, "click", 2L), (60L, "view", 1L), (60L, "click", 1L),
+      (180L, "click", 1L)))
+  }
+
+  test("sessionized assigns gap-based sessions with per-user state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    val q = EventStreams.sessionized(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("session_id"))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 3L))
+  }
+
+  test("streaming windowedAgg agrees with the batch stream_window_agg twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    val q = EventStreams.windowedAgg(input.toDF())
+      .writeStream.format("memory").queryName("win_agg_cmp")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("win_agg_cmp")
+      .select(
+        (col("window_start").cast("long") * 1000000000L).as("window_start_ns"),
+        col("event_type"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // Batch twin logic on the same rows (ns arithmetic, as in EventOps).
+    val hourNs = 3600L * 1000000000L
+    val batch = sample
+      .groupBy(e => (e.ts.getTime * 1000000L - (e.ts.getTime * 1000000L % hourNs), e.event_type))
+      .map { case ((w, t), es) => (w, t, es.size.toLong) }.toSet
+    assert(streamed == batch)
+  }
+}
