@@ -47,8 +47,42 @@ object TextOps {
     s"LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN($w)-1, 1)), " +
       s"i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]))"
 
-  /** Per-element 24-bit hashes of an array of strings. */
-  def hashes(arr: Column): Column = transform(arr, hash24 _)
+  /** Per-element 24-bit hashes of an array of strings, via the native
+    * one-pass [[org.apache.spark.sql.graft.Hash24Array]] (the interpreted
+    * `transform` + md5-per-element lambda dominates dedup cost at scale).
+    */
+  def hashes(arr: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.Hash24Array(
+        org.apache.spark.sql.GraftBridge.expression(arr)))
+
+  /** Reference fold-based hashes (interpreted) — for equivalence specs. */
+  def hashesFold(arr: Column): Column = transform(arr, hash24 _)
+
+  /** Compiled sorted-merge common-element count over two sorted distinct
+    * string arrays (exact array_intersect-count semantics).
+    */
+  def sortedCommonCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.SortedCommonCount(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Fused text → distinct 3-shingle 24-bit hash array, one compiled
+    * pass (≡ hashes ∘ shingles3 ∘ words, element order immaterial).
+    */
+  def shingleHash24(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.ShingleHash24(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Fused text → sorted distinct 3-shingle array, one compiled pass
+    * (≡ array_sort ∘ shingles3 ∘ words).
+    */
+  def sortedShingles3(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.SortedShingles3(
+        org.apache.spark.sql.GraftBridge.expression(text)))
 
   def sqlHashes(arr: String): String =
     s"LIST_TRANSFORM($arr, x -> CAST('0x' || SUBSTR(MD5(x),1,6) AS BIGINT))"
@@ -56,6 +90,18 @@ object TextOps {
   /** One MinHash value: min over hashed elements of (a·h + b) mod P. */
   def minhash(hs: Column, a: Long, b: Long): Column =
     array_min(transform(hs, h => (h * lit(a) + lit(b)) % lit(HashP)))
+
+  /** Full 12-permutation MinHash signature in ONE compiled pass (native
+    * codegen expression; identical values to 12 [[minhash]] columns).
+    */
+  def minhashSig(hs: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.MinHashSig(org.apache.spark.sql.GraftBridge.expression(hs)))
+
+  /** 16-bit SimHash over hashed elements (native codegen expression). */
+  def simhash16(hs: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.SimHash16(org.apache.spark.sql.GraftBridge.expression(hs)))
 
   def sqlMinhash(hs: String, a: Long, b: Long): String =
     s"LIST_MIN(LIST_TRANSFORM($hs, h -> (h * $a + $b) % $HashP))"

@@ -18,8 +18,20 @@ object VectorOps {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float-array columns, computed in double. */
+  /** Dot product of two float-array columns, computed in double via the
+    * native codegen'd [[org.apache.spark.sql.graft.FloatDot]] (higher-order
+    * function lambdas are interpreted per element — ~10× slower).
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.FloatDot(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Reference fold-based dot product (interpreted HOF path) — kept for
+    * spec-level equivalence checks against [[dot]].
+    */
+  def dotFold(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   /** L2 norm. */

@@ -51,16 +51,28 @@ object Dedup {
     * LSH on document size). Pairs at jaccard ≥ 0.5 are near-duplicates.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val s = shingled(spark, dir)
+    // Blocked pair join with a COMPILED sorted-merge intersection count:
+    // shingle sets are sorted once per doc (cached — both join sides read
+    // the same materialization), then each candidate pair costs one O(n)
+    // merge in generated code. |A∪B| = |A|+|B|−common, so jaccard matches
+    // the set-based oracle exactly. (An inverted-index variant was tried
+    // and rejected: the corpus' heavy shingle co-occurrence made the
+    // per-shingle pair expansion far larger than the blocked pair set.)
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.sortedShingles3(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist()
     val a = s.select(col("doc_id").as("doc_a"), col("source"),
-      col("n_chars").as("ca"), col("sh").as("sha"))
+      col("n_chars").as("ca"), col("sh").as("sha"), col("sz").as("sza"))
     val b = s.select(col("doc_id").as("doc_b"), col("source"),
-      col("n_chars").as("cb"), col("sh").as("shb"))
+      col("n_chars").as("cb"), col("sh").as("shb"), col("sz").as("szb"))
     a.join(b, Seq("source"))
-      .filter(col("doc_a") < col("doc_b")
-        && abs(col("ca") - col("cb")) <= 32)
+      .filter(col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 32)
+      .withColumn("common", TextOps.sortedCommonCount(col("sha"), col("shb")))
       .select(col("doc_a"), col("doc_b"),
-        TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+        (col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
 
@@ -79,10 +91,14 @@ object Dedup {
     * ≥ 0.5. Output: verified near-dup pairs found via LSH.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val s = shingled(spark, dir)
-      .withColumn("hs", TextOps.hashes(col("sh")))
-    val withSig = TextOps.Perms.zipWithIndex.foldLeft(s) {
-      case (df, ((a, b), i)) => df.withColumn(s"mh$i", TextOps.minhash(col("hs"), a, b))
+    // Fused compiled pipeline: text → distinct shingle hashes → full
+    // 12-permutation signature, one projection, no interpreted lambdas.
+    // Identical signature values to the per-perm fold formulation.
+    val withSig = TextOps.Perms.indices.foldLeft(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextOps.minhashSig(TextOps.shingleHash24(col("text"))).as("sig"))) {
+      case (df, i) => df.withColumn(s"mh$i", element_at(col("sig"), i + 1))
     }
     // Buckets carry only (doc_id, band_key): the candidate join shuffles
     // ids, never shingle payloads. Shingles are re-joined only for the
@@ -94,17 +110,25 @@ object Dedup {
           col(s"mh${2 * bnd}").cast("string"),
           col(s"mh${2 * bnd + 1}").cast("string"))): _*))
         .as("band_key"))
+      .persist()
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band_key") === col("b.band_key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val docs = shingled(spark, dir).select(col("doc_id"), col("sh"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        col("sz").as("sza")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("sz").as("szb")), Seq("doc_b"))
+      .withColumn("common", TextOps.sortedCommonCount(col("sha"), col("shb")))
       .select(col("doc_a"), col("doc_b"),
-        TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+        (col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
 
@@ -139,14 +163,14 @@ object Dedup {
     * bucket by the top byte, pairs verified by Hamming distance ≤ 3.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val s = shingled(spark, dir).withColumn("hs", TextOps.hashes(col("sh")))
-    val simhash = (0 until 16).map { j =>
-      val bitSum = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withFp = s.select(col("doc_id"), simhash.as("simhash"))
+    // Fused compiled pipeline: text → distinct shingle hashes → 16-bit
+    // SimHash, one projection (16 interpreted aggregate() folds → one
+    // compiled loop; see org.apache.spark.sql.graft.SimHash16).
+    val withFp = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.simhash16(TextOps.shingleHash24(col("text"))).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 8))
+      .persist()
     val a = withFp.select(col("doc_id").as("doc_a"),
       col("simhash").as("fa"), col("bucket"))
     val b = withFp.select(col("doc_id").as("doc_b"),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.Exact
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational core: headline scan/join/agg workload (§2.D).
@@ -189,14 +189,42 @@ object Relational {
     * formula-independent (both (1-f)·a+f·b and a+(b-a)·f are exact in
     * binary for f ∈ {.25,.5,.75}), so engines agree bit-for-bit.
     */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        percentile(floor(col("value")), lit(0.25)).as("p25"),
-        percentile(floor(col("value")), lit(0.5)).as("p50"),
-        percentile(floor(col("value")), lit(0.75)).as("p75"),
-        count(lit(1)).as("n"))
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    // Histogram-based exact quantiles: integer-valued inputs collapse to
+    // a few hundred (value, count) rows per group, so instead of Spark's
+    // sort-the-whole-group percentile we aggregate once, take running
+    // counts, and interpolate with Spark's own formula
+    // (lower + (higher − lower) · (pos − ⌊pos⌋)). Identical results, and
+    // the shuffle carries the histogram, not the data — the formulation
+    // that survives 100 TB.
+    import org.apache.spark.sql.expressions.Window
+    val byV = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val byType = Window.partitionBy(col("event_type"))
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value")).cast("double").as("v"))
+      .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("start", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(byType))
+    def pos(q: Double): Column = lit(q) * (col("n") - 1).cast("double")
+    def valAt(i: Column): Column =
+      max(when(col("start") <= i && i < col("cum"), col("v")))
+    val agg = hist.groupBy(col("event_type")).agg(
+      first(col("n")).as("n"),
+      valAt(floor(pos(0.25))).as("lo25"), valAt(ceil(pos(0.25))).as("hi25"),
+      valAt(floor(pos(0.50))).as("lo50"), valAt(ceil(pos(0.50))).as("hi50"),
+      valAt(floor(pos(0.75))).as("lo75"), valAt(ceil(pos(0.75))).as("hi75"))
+    def interp(q: Double, lo: String, hi: String): Column = {
+      val p = lit(q) * (col("n") - 1).cast("double")
+      col(lo) + (col(hi) - col(lo)) * (p - floor(p).cast("double"))
+    }
+    agg.select(
+      col("event_type"),
+      interp(0.25, "lo25", "hi25").as("p25"),
+      interp(0.50, "lo50", "hi50").as("p50"),
+      interp(0.75, "lo75", "hi75").as("p75"),
+      col("n"))
+  }
 
   val percentilesOracle: String = """
     SELECT event_type,

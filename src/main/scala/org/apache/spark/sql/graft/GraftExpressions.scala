@@ -1,0 +1,379 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with `doGenCode`) for the hot loops that
+  * Spark's higher-order functions (`transform`/`aggregate`) leave
+  * interpreted: per-element lambdas cost ~10× a compiled loop, which
+  * dominates the similarity/dedup operators at scale.
+  *
+  * Each expression computes EXACTLY the same arithmetic, in the same
+  * order, as the Column-fold formulation it replaces (and as the DuckDB
+  * oracle SQL) — swapping one in changes plan speed, never results.
+  */
+
+/** 16-bit SimHash over an array<long> of element hashes: bit j of the
+  * result is set iff Σ over elements of (bit j set ? +1 : −1) is > 0.
+  * Null on empty arrays (mirrors array_min/aggregate-on-empty semantics).
+  */
+case class SimHash16(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val counts = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 16) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var result = 0L
+    var j = 0
+    while (j < 16) { if (counts(j) > 0) result |= (1L << j); j += 1 }
+    result
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+        int $n = $arr.numElements();
+        if ($n == 0) { ${ev.isNull} = true; } else {
+          int[] $counts = new int[16];
+          for (int $i = 0; $i < $n; $i++) {
+            long $h = $arr.getLong($i);
+            for (int $j = 0; $j < 16; $j++) {
+              if ((($h >> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+            }
+          }
+          ${ev.value} = 0L;
+          for (int $j = 0; $j < 16; $j++) {
+            if ($counts[$j] > 0) ${ev.value} |= (1L << $j);
+          }
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+/** Full MinHash signature in one pass: for each of the fixed permutations
+  * (a_k, b_k), the min over elements of (a_k·h + b_k) mod P. Returns
+  * array<long> of length [[MinHashSig.Perms]].size; null on empty input
+  * (mirrors array_min-on-empty).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  import MinHashSig._
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < NumPerms) {
+        val v = (h * A(k) + B(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", A, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", B, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+        int $n = $arr.numElements();
+        if ($n == 0) { ${ev.isNull} = true; } else {
+          long[] $mins = new long[$NumPerms];
+          java.util.Arrays.fill($mins, Long.MAX_VALUE);
+          for (int $i = 0; $i < $n; $i++) {
+            long $h = $arr.getLong($i);
+            for (int $k = 0; $k < $NumPerms; $k++) {
+              long $v = ($h * $aRef[$k] + $bRef[$k]) % ${P}L;
+              if ($v < $mins[$k]) $mins[$k] = $v;
+            }
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Mirrors [[graft.functions.TextOps.Perms]] / the oracle SQL constants. */
+  val A: Array[Long] = Array(1000003L, 999983L, 876543L, 765431L, 654323L,
+    543217L, 432109L, 321017L, 234567L, 198491L, 162947L, 131071L)
+  val B: Array[Long] = Array(12345L, 54321L, 11111L, 99999L, 77777L, 33333L,
+    88888L, 22222L, 66666L, 44444L, 55555L, 13579L)
+  val P: Long = 16777259L
+  val NumPerms: Int = 12
+}
+
+/** Dot product of two array<float> columns, accumulated in double with a
+  * strict left fold — identical association order (and therefore bits) to
+  * `aggregate(zip_with(a,b,_*_), 0d, _+_)` and the oracle's LIST_REDUCE.
+  */
+case class FloatDot(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Thread-local md5 helper callable from generated code (static forwarder
+  * on the companion-less top-level object).
+  */
+object GraftHashUtil {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 24 bits (big-endian) of md5(bytes) — identical to parsing the
+    * first 6 hex chars of the md5 hex digest, i.e. to
+    * `conv(substring(md5(x),1,6),16,10)` and the oracle's
+    * `CAST('0x' || SUBSTR(MD5(x),1,6) AS BIGINT)`.
+    */
+  def hash24(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL))
+  }
+}
+
+/** Per-element 24-bit md5 hashes of an array<string>, in one compiled
+  * pass (replaces the interpreted `transform(arr, md5 ∘ conv)` lambda —
+  * the dominant cost of the dedup family at scale). Identical values to
+  * [[graft.functions.TextOps.hash24]].
+  */
+case class Hash24Array(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = GraftHashUtil.hash24(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $arr.numElements();
+        long[] $out = new long[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = org.apache.spark.sql.graft.GraftHashUtil.hash24($arr.getUTF8String($i));
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Hash24Array =
+    copy(child = newChild)
+}
+
+/** Count of common elements between two SORTED arrays of distinct
+  * strings — a compiled sorted-merge, replacing per-pair
+  * `size(array_intersect(a,b))` (interpreted, hash-set based). Exact set
+  * semantics: binary UTF8 comparison, the same ordering array_sort uses.
+  */
+case class SortedCommonCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      s"""
+        int $i = 0; int $j = 0; long $c = 0L;
+        while ($i < $x.numElements() && $j < $y.numElements()) {
+          int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+          if ($cmp == 0) { $c++; $i++; $j++; }
+          else if ($cmp < 0) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedCommonCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared compiled shingling helpers (callable from generated code). */
+object GraftShingleUtil {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def tokens(text: UTF8String): Array[String] =
+    text.toString.split("\\s+")
+
+  /** Distinct 3-word shingles, hashed to 24 bits — fused equivalent of
+    * hash24 ∘ array_distinct ∘ shingles3 ∘ words (element order differs,
+    * which no consumer observes: MinHash takes a min, SimHash sums over
+    * the distinct set).
+    */
+  def shingleHash24(text: UTF8String): ArrayData = {
+    val w = tokens(text)
+    if (w.length < 3) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < w.length) {
+      seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = GraftHashUtil.hash24(UTF8String.fromString(it.next()))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct 3-word shingles — fused equivalent of
+    * array_sort ∘ array_distinct ∘ shingles3 ∘ words (binary UTF8 order,
+    * the same ordering array_sort uses).
+    */
+  def sortedShingles3(text: UTF8String): ArrayData = {
+    val w = tokens(text)
+    if (w.length < 3) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i + 2 < w.length) {
+      set.add(UTF8String.fromString(w(i) + " " + w(i + 1) + " " + w(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** text → array<long>: distinct 3-shingle 24-bit hashes in one pass. */
+case class ShingleHash24(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    GraftShingleUtil.shingleHash24(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftShingleUtil.shingleHash24($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash24 =
+    copy(child = newChild)
+}
+
+/** text → array<string>: sorted distinct 3-shingles in one pass. */
+case class SortedShingles3(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    GraftShingleUtil.sortedShingles3(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftShingleUtil.sortedShingles3($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedShingles3 =
+    copy(child = newChild)
+}

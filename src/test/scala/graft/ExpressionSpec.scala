@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Native codegen expressions must be bit-identical to the interpreted
+  * Column-fold formulations they replaced (which are what the DuckDB
+  * oracles mirror).
+  */
+class ExpressionSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("Hash24Array ≡ transform(md5∘conv) fold") {
+    val d = docs.select(
+      TextOps.hashes(TextOps.words(col("text"))).as("fast"),
+      TextOps.hashesFold(TextOps.words(col("text"))).as("ref"))
+    assert(d.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("ShingleHash24 set ≡ hash24 of shingles3 set") {
+    val d = docs.select(
+      array_sort(TextOps.shingleHash24(col("text"))).as("fast"),
+      array_sort(array_distinct(
+        TextOps.hashesFold(TextOps.shingles3(TextOps.words(col("text")))))).as("ref"))
+    assert(d.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("SortedShingles3 ≡ array_sort ∘ shingles3") {
+    val d = docs.select(
+      TextOps.sortedShingles3(col("text")).as("fast"),
+      array_sort(TextOps.shingles3(TextOps.words(col("text")))).as("ref"))
+    assert(d.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("MinHashSig ≡ 12 array_min(transform) folds") {
+    val base = docs.select(TextOps.shingleHash24(col("text")).as("hs"))
+    val sig = base.select((col("hs") +: TextOps.Perms.zipWithIndex.map {
+      case ((a, b), i) => TextOps.minhash(col("hs"), a, b).as(s"ref$i")
+    }): _*).withColumn("sig", TextOps.minhashSig(col("hs")))
+    val bad = TextOps.Perms.indices.map(i =>
+      sig.filter(element_at(col("sig"), i + 1) =!= col(s"ref$i")).count()).sum
+    assert(bad == 0)
+  }
+
+  test("SortedCommonCount ≡ size(array_intersect) on sorted distinct arrays") {
+    val pairs = docs.select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+      .crossJoin(docs.select(col("doc_id").as("doc_b"),
+        TextOps.sortedShingles3(col("text")).as("shb")))
+      .filter(col("doc_id") < col("doc_b")).limit(500)
+    val d = pairs.select(
+      TextOps.sortedCommonCount(col("sh"), col("shb")).as("fast"),
+      size(array_intersect(col("sh"), col("shb"))).cast("long").as("ref"))
+    assert(d.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("FloatDot ≡ aggregate(zip_with) fold, bit-identical") {
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = e.select(col("embedding").as("a"))
+      .crossJoin(e.select(col("embedding").as("b"))).limit(1000)
+    val d = pairs.select(
+      VectorOps.dot(col("a"), col("b")).as("fast"),
+      VectorOps.dotFold(col("a"), col("b")).as("ref"))
+    assert(d.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("SQL functions registered via GraftExtensions work end-to-end") {
+    import org.apache.spark.sql.SparkSession
+    // Force a NEW session (same context) so withExtensions applies;
+    // getOrCreate would silently return the active extension-less one.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").first().getDouble(0)
+      assert(r == 11.0)
+      val sh = s2.sql("SELECT graft_simhash16(array(CAST(7 AS BIGINT))) AS s")
+        .first().getLong(0)
+      assert(sh == 7L)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}

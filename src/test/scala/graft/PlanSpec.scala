@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan assertions: the properties that matter at 100 TB must be
+  * visible in the optimized plan, not just hoped for — filter pushdown to
+  * the parquet scan, column pruning, broadcast joins for dims, and
+  * whole-stage codegen coverage.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: ship-date filter is pushed to the parquet scan") {
+    val p = plan(operators.Relational.q1Agg(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("q1: scan reads only the 7 referenced columns (pruning)") {
+    val p = plan(operators.Relational.q1Agg(spark, sfDir))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"unpruned scan: $read")
+    assert(read.contains("l_returnflag") && read.contains("l_extendedprice"))
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan(operators.Dwh.starJoin(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n$p")
+    // the fact-side join (lineitem ⋈ orders) must NOT broadcast at scale —
+    // it's hinted only on the dim side, so it plans as a shuffle join here.
+  }
+
+  test("q3: selective dim filter pushed; customer broadcast") {
+    val p = plan(operators.Relational.q3Shipping(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"), s"mktsegment not pushed:\n$p")
+  }
+
+  test("q1 aggregates inside whole-stage codegen") {
+    // Under AQE the codegen spans only appear in the FINAL adaptive plan,
+    // so execute first, then inspect.
+    val df = operators.Relational.q1Agg(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no whole-stage codegen spans:\n$p")
+  }
+
+  test("ann_topk broadcasts the query-vector side") {
+    val p = plan(operators.Similarity.annTopk(spark, sfDir))
+    assert(p.contains("Broadcast"), s"query set not broadcast:\n$p")
+  }
+}
