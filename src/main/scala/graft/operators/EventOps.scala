@@ -169,7 +169,35 @@ object EventOps {
     FROM events
     GROUP BY 1, 2"""
 
+  /** Exact distinct-user counts per event type (shuffle-heavy twin of
+    * [[approxDistinct]] — at 100 TB you run the approx variant first and
+    * the exact one only where it matters).
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val distinctUsersOracle: String = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY 1"""
+
+  /** HyperLogLog++ approximate distinct counts (rows-only oracle: HLL
+    * sketches are engine-specific). The scale path for cardinality:
+    * mergeable sketches, no distinct shuffle.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   def defs: Map[String, QueryDef] = Map(
+    "distinct_users" -> QueryDef.sql(distinctUsers, distinctUsersOracle),
+    "approx_distinct" -> QueryDef.rowsOnly(approxDistinct),
     "events_json_extract" -> QueryDef.sql(eventsJsonExtract, eventsJsonExtractOracle),
     "sessionize" -> QueryDef.sql(sessionize, sessionizeOracle),
     "asof_join" -> QueryDef.sql(asofJoin, asofJoinOracle),

@@ -259,8 +259,148 @@ object Relational {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1"""
 
+  /** Left-semi join: customers with ≥1 urgent order — EXISTS semantics
+    * without duplicating or carrying right-side columns (the shuffle
+    * carries only the key set).
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val joinSemiOracle: String = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""
+
+  /** Left-anti join: customers who never placed an urgent order (TPC-H
+    * Q22 flavor; the urgent filter keeps the result non-degenerate on
+    * this data — every customer has SOME order).
+    */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  val joinAntiOracle: String = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""
+
+  /** Set operators: nations with customers but no suppliers (EXCEPT) and
+    * nations with both (INTERSECT), tagged and unioned.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    // High-balance supplier nations only: keeps the EXCEPT branch
+    // non-empty (every nation has some supplier).
+    val cn = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = Tables.supplier(spark, dir).filter(col("s_acctbal") > 5000)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    cn.except(sn).withColumn("op", lit("customers_only"))
+      .unionByName(cn.intersect(sn).withColumn("op", lit("both")))
+      .select(col("op"), col("nationkey"))
+  }
+
+  val setOpsOracle: String = """
+    SELECT 'customers_only' AS op, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 5000)
+    UNION ALL
+    SELECT 'both' AS op, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 5000)"""
+
+  /** TPC-H Q7-style: bilateral shipping volume between two nations by
+    * ship year (cross-nation join constraint over two broadcast dims).
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY")
+        || (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+  }
+
+  val q7VolumeOracle: String = s"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+      ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+       OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+    GROUP BY 1, 2, 3"""
+
+  /** SCD2 dimension merge: apply an update set to the customer dimension,
+    * closing changed rows and inserting new versions — the Kimball
+    * slowly-changing-dimension pattern the reference's dims
+    * (is_current/start_date/end_date, check_DWH.py:26-64) are shaped for.
+    * Updates here: negative-balance customers move to segment 'DELINQUENT'.
+    */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit("1970-01-01").as("valid_from"), lit("9999-12-31").as("valid_to"),
+        lit(true).as("is_current"))
+    val changed = col("c_acctbal") < 0
+    val updates = Tables.customer(spark, dir).filter(changed)
+      .select(col("c_custkey"))
+    val asOf = "2024-01-01"
+    val unchanged = dim.join(updates, Seq("c_custkey"), "left_anti")
+    val closed = dim.join(updates, Seq("c_custkey"), "left_semi")
+      .withColumn("valid_to", lit(asOf))
+      .withColumn("is_current", lit(false))
+    val fresh = Tables.customer(spark, dir).filter(changed)
+      .select(col("c_custkey"), col("c_name"),
+        lit("DELINQUENT").as("c_mktsegment"),
+        lit(asOf).as("valid_from"), lit("9999-12-31").as("valid_to"),
+        lit(true).as("is_current"))
+    unchanged.unionByName(closed).unionByName(fresh)
+  }
+
+  val scd2MergeOracle: String = """
+    WITH dim AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+        '1970-01-01' AS valid_from, '9999-12-31' AS valid_to, TRUE AS is_current
+      FROM customer),
+    upd AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    SELECT * FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, valid_from, '2024-01-01', FALSE
+    FROM dim WHERE c_custkey IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_name, 'DELINQUENT', '2024-01-01', '9999-12-31', TRUE
+    FROM customer WHERE c_acctbal < 0"""
+
   def defs: Map[String, QueryDef] = Map(
     "q1_agg" -> QueryDef.sql(q1Agg, q1AggOracle),
+    "join_semi" -> QueryDef.sql(joinSemi, joinSemiOracle),
+    "join_anti" -> QueryDef.sql(joinAnti, joinAntiOracle),
+    "set_ops" -> QueryDef.sql(setOps, setOpsOracle),
+    "q7_volume" -> QueryDef.sql(q7Volume, q7VolumeOracle),
+    "scd2_merge" -> QueryDef.sql(scd2Merge, scd2MergeOracle),
     "q3_shipping" -> QueryDef.sql(q3Shipping, q3ShippingOracle),
     "q5_local" -> QueryDef.sql(q5Local, q5LocalOracle),
     "window_rank" -> QueryDef.sql(windowRank, windowRankOracle),

@@ -134,7 +134,64 @@ object TextAnalysis {
     FROM documents"""
   }
 
+  /** Corpus-wide n-gram frequency: top-20 word bigrams with counts —
+    * explode is linear, the aggregation is map-side-combinable, top-k is
+    * a total order with tiebreak.
+    */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), "\\s+")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val ngramFreqOracle: String = """
+    SELECT bigram, COUNT(*) AS freq FROM (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w), 1)),
+        i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM (SELECT STRING_SPLIT_REGEX(text, '\s+') AS w FROM documents))
+    GROUP BY 1
+    ORDER BY freq DESC, bigram ASC LIMIT 20"""
+
+  /** Stopword removal: filter stopword tokens (keeping duplicates and
+    * order — unlike array_except, which dedups) and rejoin.
+    */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def stopwordFilter(spark: SparkSession, dir: String): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    val w = split(col("text"), "\\s+")
+    val kept = filter(w, t => !array_contains(sw, t))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(w).cast("bigint").as("n_tokens"),
+        size(kept).cast("bigint").as("n_kept"),
+        array_join(kept, " ").as("text_filtered"))
+  }
+
+  val stopwordFilterOracle: String = {
+    val list = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w FROM documents),
+    f AS (SELECT doc_id, w, LIST_FILTER(w, x -> NOT LIST_CONTAINS([$list], x)) AS kept FROM t)
+    SELECT doc_id,
+      CAST(LEN(w) AS BIGINT) AS n_tokens,
+      CAST(LEN(kept) AS BIGINT) AS n_kept,
+      ARRAY_TO_STRING(kept, ' ') AS text_filtered
+    FROM f"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "ngram_freq" -> QueryDef.sql(ngramFreq, ngramFreqOracle),
+    "stopword_filter" -> QueryDef.sql(stopwordFilter, stopwordFilterOracle),
     "token_count" -> QueryDef.sql(tokenCount, tokenCountOracle),
     "quality_score" -> QueryDef.sql(qualityScore, qualityScoreOracle),
     "lang_id" -> QueryDef.sql(langId, langIdOracle),
