@@ -112,9 +112,46 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
+  /** IVF-style ANN (rows-only oracle): a deterministic coarse quantizer
+    * (every 50th vector serves as a centroid — at scale: k-means fitted
+    * offline and broadcast), vectors assigned to their nearest centroid
+    * (inverted lists), queries probe the 2 nearest lists only. The other
+    * 100 TB path besides LSH: probe cost scales with corpus/k · nprobe.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    def nearestCentroids(vecs: DataFrame, idCol: String, vecCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", VectorOps.cosine(col(vecCol), col("ce")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= n)
+        .drop("ce", "cent_cos", "cent_rank")
+    }
+    val assigned = nearestCentroids(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      "neighbor_id", "cv", 1)
+    val probes = nearestCentroids(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "query_id", "qe", 2)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cent_id"),
+        VectorOps.cosine(col("qe"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "dedup_embedding" -> QueryDef.sql(dedupEmbedding, dedupEmbeddingOracle),
     "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),
-    "ann_lsh" -> QueryDef.rowsOnly(annLsh)
+    "ann_lsh" -> QueryDef.rowsOnly(annLsh),
+    "ann_ivf" -> QueryDef.rowsOnly(annIvf)
   )
 }

@@ -72,6 +72,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming deduplication: drop repeated event_ids within the
+    * watermark horizon — exactly-once-ish semantics over an at-least-once
+    * source. State is one entry per id inside the watermark window,
+    * evicted as event time advances.
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-based streaming source over an events parquet directory —
     * production entry point (tests use MemoryStream instead).
     */

@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 3L))
   }
 
+  test("dedupedStream drops repeated event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // In-batch duplicates of events 1-2, then a second batch replaying
+    // event 5 — still inside the 2 h watermark horizon, so its dedup
+    // state is live. (Events older than the horizon are evicted and
+    // WOULD re-emit: that's the documented state-bound trade-off.)
+    // Times sit away from the epoch: an event at exactly the initial
+    // watermark (t=0) is treated as late and silently dropped.
+    val ev = (1 to 5).map(i => Event(i, ts(1000 + i * 10L), 1, "click", i.toDouble))
+    input.addData(ev ++ ev.take(2): _*)
+    input.addData(ev.last)
+    val q = EventStreams.dedupedStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L, 4L, 5L)), s"got: ${ids.mkString(",")}")
+  }
+
   test("streaming windowedAgg agrees with the batch stream_window_agg twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
