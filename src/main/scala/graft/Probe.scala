@@ -37,6 +37,11 @@ object Probe {
     val batch = operators.EventOps.streamWindowAgg(spark, "/root/testdata/sf0.001")
     println(s"BATCH_ROWS=${batch.count()}")
 
+    // Full pipeline run (the six-stage Airflow analog).
+    val manifest = pipeline.PublicationsPipeline.runAll(
+      spark, "/root/testdata/sf0.001", "/tmp/graft_pipeline_probe")
+    manifest.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"PIPE $k=$v") }
+
     // Streaming sessionization (flatMapGroupsWithState) vs batch
     // sessionize (lag + running sum): independent algorithms, must agree.
     import spark.implicits._

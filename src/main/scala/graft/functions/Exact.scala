@@ -37,6 +37,13 @@ object Exact {
   def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE)"
 
+  /** Wide variant for sums of squares (32 integer digits). */
+  def dsumWide(c: Column): Column =
+    sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+
+  def sqlDsumWide(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+
   /** SQL fragment mirroring [[davg]]. */
   def sqlDavg(expr: String): String =
     s"${sqlDsum(expr)} / CAST(COUNT(*) AS DOUBLE)"

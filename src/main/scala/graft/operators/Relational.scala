@@ -394,8 +394,126 @@ object Relational {
     SELECT c_custkey, c_name, 'DELINQUENT', '2024-01-01', '9999-12-31', TRUE
     FROM customer WHERE c_acctbal < 0"""
 
+  /** CUBE aggregate: all grouping-set combinations, NULL keys coalesced. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("total_value"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("order_year").cast("string"), lit("ALL")).as("order_year"),
+        col("n_orders"), col("total_value"))
+
+  val cubeAggOracle: String = s"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(CAST(oy AS VARCHAR), 'ALL') AS order_year,
+      COUNT(*) AS n_orders,
+      ${Exact.sqlDsum("o_totalprice")} AS total_value
+    FROM (SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS INTEGER) AS oy,
+            o_totalprice FROM orders)
+    GROUP BY CUBE(o_orderstatus, oy)"""
+
+  /** Statistical aggregates with engine-portable determinism: built-in
+    * stddev/corr use engine-specific accumulation (Welford vs naive ⇒
+    * different last bits), so variance and correlation are derived from
+    * exact decimal moment sums instead — identical doubles everywhere.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    // Integer-scaled moments: qty is integral, price has exactly 2
+    // decimals → work in (qty, price-cents) longs. Every product and sum
+    // is then EXACT (decimal accumulator where int64 could overflow), so
+    // both engines derive the final doubles from identical integers.
+    // Correlation is scale-invariant, so corr(qty, cents) = corr(qty, $).
+    // (Casting big-mantissa doubles like price² straight to decimal is
+    // NOT portable: Spark rounds the shortest decimal repr, DuckDB
+    // scales-and-rounds the binary value — last-bit divergence.)
+    val xi = floor(col("l_quantity"))
+    val yc = floor(col("l_extendedprice") * 100.0 + 0.5)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), xi.as("xi"), yc.as("yc"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("xi")).cast("double").as("sx"),
+        sum((col("xi") * col("xi")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double").as("sxx"),
+        sum(col("yc")).cast("double").as("sy"),
+        sum((col("yc") * col("yc")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double").as("syy"),
+        sum((col("xi") * col("yc")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("bigint").as("n"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0))
+          .as("var_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0))
+          .as("std_qty"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            * (col("syy") - col("sy") * col("sy") / col("n"))))
+          .as("corr_qty_price"))
+  }
+
+  val statsAggOracle: String = """
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      (sxx - sx * sx / n) / (n - 1.0) AS var_qty,
+      SQRT((sxx - sx * sx / n) / (n - 1.0)) AS std_qty,
+      (sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+        AS corr_qty_price
+    FROM (
+      SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(xi) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        CAST(SUM(yc) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(xi * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM (
+        SELECT l_returnflag,
+          CAST(FLOOR(l_quantity) AS BIGINT) AS xi,
+          CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yc
+        FROM lineitem)
+      GROUP BY 1)"""
+
+  /** Ordered string aggregation (LISTAGG): distinct priorities per
+    * status, sorted — collect_set order is nondeterministic, so sort
+    * before joining.
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+        .as("priorities"))
+
+  val stringAggOracle: String = """
+    SELECT o_orderstatus AS status,
+      STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+    FROM orders GROUP BY 1"""
+
+  /** Structured extraction via regex capture groups — the reference
+    * parses ids/names out of semi-structured strings (handle_id,
+    * utils.py:66).
+    */
+  def regexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "#(\\d+)", 1).cast("bigint").as("name_id"),
+        regexp_extract(col("c_name"), "^([A-Za-z]+)#", 1).as("name_prefix"))
+
+  val regexExtractOracle: String = """
+    SELECT c_custkey,
+      CAST(REGEXP_EXTRACT(c_name, '#(\d+)', 1) AS BIGINT) AS name_id,
+      REGEXP_EXTRACT(c_name, '^([A-Za-z]+)#', 1) AS name_prefix
+    FROM customer"""
+
   def defs: Map[String, QueryDef] = Map(
     "q1_agg" -> QueryDef.sql(q1Agg, q1AggOracle),
+    "cube_agg" -> QueryDef.sql(cubeAgg, cubeAggOracle),
+    "stats_agg" -> QueryDef.sql(statsAgg, statsAggOracle),
+    "string_agg" -> QueryDef.sql(stringAgg, stringAggOracle),
+    "regex_extract" -> QueryDef.sql(regexExtract, regexExtractOracle),
     "join_semi" -> QueryDef.sql(joinSemi, joinSemiOracle),
     "join_anti" -> QueryDef.sql(joinAnti, joinAntiOracle),
     "set_ops" -> QueryDef.sql(setOps, setOpsOracle),

