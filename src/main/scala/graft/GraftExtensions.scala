@@ -1,9 +1,32 @@
 package graft
 
-import org.apache.spark.sql.graft.{FloatDot, MinHashSig, SimHash16}
+import org.apache.spark.sql.graft.{CommonCount, FloatDot, MinHashSig, SimHash16}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, ExpressionInfo, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Optimizer rule: `size(array_intersect(a, b))` over string arrays →
+  * [[CommonCount]] — counts distinct common elements directly instead of
+  * materializing the intersection array then measuring it. Value-exact
+  * (RuleSpec proves equality), purely a physical-cost rewrite, applied
+  * automatically to any user query once the extensions are installed —
+  * the pattern shows up in every set-similarity computation (Jaccard).
+  */
+object RewriteIntersectCount extends Rule[LogicalPlan] {
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayIntersect(a, b), _) if isStringArray(a) && isStringArray(b) =>
+        CommonCount(a, b)
+    }
+}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a,b)")`
@@ -27,5 +50,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo("org.apache.spark.sql.graft.FloatDot", "graft_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteIntersectCount)
   }
 }

@@ -183,7 +183,61 @@ object Dedup {
         col("fb").as("simhash_b"), col("hamming"))
   }
 
+  /** Transitive near-dup clustering: connected components over the
+    * MinHash-LSH pair graph, canonical survivor = min doc_id per
+    * component — the step that turns pairwise similarity into an actual
+    * dedup decision (A~B, B~C ⇒ keep one of {A,B,C}).
+    *
+    * Spark side: iterative min-label propagation — each round joins
+    * labels across edges and takes the min (distributed; rounds ≤ graph
+    * diameter, which for near-dup clusters is tiny). Oracle: transitive
+    * closure via WITH RECURSIVE. Both yield min-reachable-id exactly.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbor = edges
+        .join(labels, col("doc_b") === col("node"))
+        .select(col("doc_a").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .unionByName(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(
+      col("node").as("doc_id"),
+      col("label").as("component"),
+      (col("node") === col("label")).as("is_canonical"))
+  }
+
+  val dedupComponentsOracle: String = s"""
+    WITH RECURSIVE pairs AS ($dedupMinhashLshOracle),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS doc_id, MIN(dst) AS component,
+      (src = MIN(dst)) AS is_canonical
+    FROM reach GROUP BY src"""
+
   def defs: Map[String, QueryDef] = Map(
+    "dedup_components" -> QueryDef.sql(dedupComponents, dedupComponentsOracle),
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),
     "dedup_minhash_lsh" -> QueryDef.sql(dedupMinhashLsh, dedupMinhashLshOracle),

@@ -377,3 +377,45 @@ case class SortedShingles3(child: Expression) extends UnaryExpression with Expec
   override protected def withNewChildInternal(newChild: Expression): SortedShingles3 =
     copy(child = newChild)
 }
+
+/** Distinct-common-element count helper (UTF8String arrays, order-free). */
+object GraftIntersectUtil {
+  import org.apache.spark.unsafe.types.UTF8String
+  def commonCount(a: ArrayData, b: ArrayData): Int = {
+    val bs = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < b.numElements()) { bs.add(b.getUTF8String(i)); i += 1 }
+    val seen = new java.util.HashSet[UTF8String]()
+    var c = 0
+    i = 0
+    while (i < a.numElements()) {
+      val v = a.getUTF8String(i)
+      if (bs.contains(v) && seen.add(v)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `size(array_intersect(a, b))` without materializing the intersection
+  * array — the target of [[graft.RewriteIntersectCount]], Catalyst's
+  * optimizer rewriting the composed form to this automatically.
+  * Exact same value: count of distinct elements of `a` present in `b`.
+  */
+case class CommonCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftIntersectUtil.commonCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftIntersectUtil.commonCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonCount =
+    copy(left = newLeft, right = newRight)
+}
