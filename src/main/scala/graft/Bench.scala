@@ -19,6 +19,10 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/file-source paths once so the first measured
+    // query doesn't absorb session startup cost.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    spark.range(1000).selectExpr("sum(id)").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -194,14 +194,23 @@ object Dedup {
     * closure via WITH RECURSIVE. Both yield min-reachable-id exactly.
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    // The pair graph is tiny relative to the corpus (near-dup clusters),
+    // so: materialize it ONCE (localCheckpoint truncates the LSH lineage
+    // — otherwise every iteration's plan re-embeds the whole LSH
+    // pipeline and planning cost grows per round), shrink to a few
+    // partitions (32-way shuffles on hundreds of rows are pure scheduler
+    // overhead), and checkpoint each round's labels to keep the lineage
+    // constant-depth.
     val pairs = dedupMinhashLsh(spark, dir)
-      .select(col("doc_a"), col("doc_b")).persist()
+      .select(col("doc_a"), col("doc_b"))
+      .repartition(4)
+      .localCheckpoint(true)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -211,7 +220,7 @@ object Dedup {
       val next = labels.select(col("node"), col("label"))
         .unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).count()
       labels = next

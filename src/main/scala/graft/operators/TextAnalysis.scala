@@ -139,11 +139,9 @@ object TextAnalysis {
     * a total order with tiebreak.
     */
   def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), "\\s+")
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.Bigrams(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
     Tables.documents(spark, dir)
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram"))

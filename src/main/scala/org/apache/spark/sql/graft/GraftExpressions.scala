@@ -419,3 +419,33 @@ case class CommonCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CommonCount =
     copy(left = newLeft, right = newRight)
 }
+
+/** text → array<string> of word bigrams (multiset, order preserved) in
+  * one compiled pass — ≡ transform(sequence(1, n-1), i -> w[i]||' '||w[i+1]).
+  */
+case class Bigrams(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split("\\s+")
+    if (w.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](w.length - 1)
+    var i = 0
+    while (i < w.length - 1) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(w(i) + " " + w(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("bigramsExpr", this, classOf[Bigrams].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
