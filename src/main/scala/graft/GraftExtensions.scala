@@ -51,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("org.apache.spark.sql.graft.FloatDot", "graft_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteIntersectCount)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
   }
 }

@@ -259,6 +259,54 @@ object Relational {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1"""
 
+  /** Per-key top-k via the custom physical operator
+    * [[org.apache.spark.sql.graft.TopKPerKeyExec]] (bounded heaps, no
+    * partition sort) — same results as [[windowRank]], same DuckDB
+    * oracle, different physical algorithm. The strategy self-registers
+    * through `spark.experimental.extraStrategies` so the operator works
+    * on any session; `GraftExtensions` also injects it.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.graft.{TopKPerKeyPlan, TopKStrategy}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val sortOrders = order.map(c => GraftBridge.catalystExpression(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    })
+    GraftBridge.ofRows(spark,
+      TopKPerKeyPlan(k, keys.map(GraftBridge.catalystExpression), sortOrders,
+        GraftBridge.logicalPlan(df)))
+  }
+
+  /** windowRank's twin on the custom operator: heap-select the top 3
+    * rows per customer (no full sort), then rank the tiny survivor set.
+    * Oracle: identical SQL to window_rank — two implementations, one
+    * answer.
+    */
+  def windowRankNative(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = topKPerKey(
+      Tables.orders(spark, dir),
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    top
+      .withColumn("rank_in_customer", row_number().over(w))
+      .select(
+        col("o_custkey").as("customer_key"),
+        col("o_orderkey").as("order_key"),
+        col("o_totalprice").as("total_price"),
+        col("rank_in_customer"))
+  }
+
   /** Left-semi join: customers with ≥1 urgent order — EXISTS semantics
     * without duplicating or carrying right-side columns (the shuffle
     * carries only the key set).
@@ -522,6 +570,7 @@ object Relational {
     "q3_shipping" -> QueryDef.sql(q3Shipping, q3ShippingOracle),
     "q5_local" -> QueryDef.sql(q5Local, q5LocalOracle),
     "window_rank" -> QueryDef.sql(windowRank, windowRankOracle),
+    "window_rank_native" -> QueryDef.sql(windowRankNative, windowRankOracle),
     "rollup_agg" -> QueryDef.sql(rollupAgg, rollupAggOracle),
     "pivot_agg" -> QueryDef.sql(pivotAgg, pivotAggOracle),
     "percentiles" -> QueryDef.sql(percentiles, percentilesOracle),
