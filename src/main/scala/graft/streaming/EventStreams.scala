@@ -89,4 +89,26 @@ object EventStreams {
     val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).parquet(path)
   }
+
+  /** Log ingestion — the reference's Logstash pipeline
+    * (src/logstash/pipeline/logstash.conf: tail the airflow log tree →
+    * daily Elasticsearch index). Spark-first: a text file stream over
+    * the log directory, parsed by regex into (ts, level, logger,
+    * message) + a date partition column; the caller lands it with
+    * `writeStream.partitionBy("log_date")` — date-partitioned columnar
+    * data gives the same per-day pruning the ES index provided.
+    */
+  def logIngest(spark: SparkSession, logDir: String): DataFrame = {
+    val line = "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}) \\[(\\w+)\\] (\\S+): (.*)$"
+    spark.readStream.text(logDir)
+      .select(
+        regexp_extract(col("value"), line, 1).as("ts_raw"),
+        regexp_extract(col("value"), line, 2).as("level"),
+        regexp_extract(col("value"), line, 3).as("logger"),
+        regexp_extract(col("value"), line, 4).as("message"))
+      .filter(col("ts_raw") =!= "")
+      .withColumn("ts", to_timestamp(col("ts_raw"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("log_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .drop("ts_raw")
+  }
 }

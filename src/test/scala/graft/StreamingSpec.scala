@@ -73,6 +73,30 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L, 4L, 5L)), s"got: ${ids.mkString(",")}")
   }
 
+  test("logIngest parses and date-partitions a streamed log directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_logs").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.log"),
+      """2024-03-01 10:00:01 [INFO] scheduler: run started
+        |garbage line without structure
+        |2024-03-02 11:30:00 [ERROR] worker: task failed
+        |""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("graft_logs_out").toString
+    val q = EventStreams.logIngest(spark, dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/logs").option("checkpointLocation", s"$out/ckpt")
+      .partitionBy("log_date")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(s"$out/logs")
+    val rows = back.collect()
+    assert(rows.length == 2) // the garbage line is rejected
+    assert(back.columns.toSet == Set("ts", "level", "logger", "message", "log_date"))
+    assert(new java.io.File(s"$out/logs/log_date=2024-03-01").isDirectory)
+    assert(new java.io.File(s"$out/logs/log_date=2024-03-02").isDirectory)
+    assert(rows.exists(r => r.getAs[String]("level") == "ERROR"
+      && r.getAs[String]("message") == "task failed"))
+  }
+
   test("streaming windowedAgg agrees with the batch stream_window_agg twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
