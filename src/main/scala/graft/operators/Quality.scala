@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks (§2.B adjunct) — the reference's `check_DWH.py`
+  * as a declarative rule evaluation: domain constraints, referential
+  * integrity, and key uniqueness, each reported as a violation count.
+  * Every rule is a scan-or-join aggregation — at 100 TB the whole suite
+  * is a handful of map-side-combinable passes, not row-by-row assertions.
+  */
+object Quality {
+
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+
+    def rule(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("rule"), count(lit(1)).as("n_violations"))
+
+    val qtyDomain = rule("quantity_in_1_50",
+      l.filter(col("l_quantity") < 1 || col("l_quantity") > 50))
+    val discDomain = rule("discount_in_0_0.1",
+      l.filter(col("l_discount") < 0 || col("l_discount") > 0.1))
+    val pricePositive = rule("extendedprice_positive",
+      l.filter(col("l_extendedprice") <= 0))
+    val orphans = rule("lineitem_orphans",
+      l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+    val dupKeys = rule("duplicate_line_keys",
+      l.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1))
+
+    qtyDomain
+      .unionByName(discDomain)
+      .unionByName(pricePositive)
+      .unionByName(orphans)
+      .unionByName(dupKeys)
+  }
+
+  val dqChecksOracle: String = """
+    SELECT 'quantity_in_1_50' AS rule, COUNT(*) AS n_violations
+    FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'discount_in_0_0.1', COUNT(*)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1
+    UNION ALL
+    SELECT 'extendedprice_positive', COUNT(*)
+    FROM lineitem WHERE l_extendedprice <= 0
+    UNION ALL
+    SELECT 'lineitem_orphans', COUNT(*)
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'duplicate_line_keys', COUNT(*)
+    FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY 1, 2 HAVING COUNT(*) > 1)"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle)
+  )
+}
