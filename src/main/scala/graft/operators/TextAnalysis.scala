@@ -187,7 +187,52 @@ object TextAnalysis {
     FROM f"""
   }
 
+  /** TF-IDF term weighting, linear-idf variant: score = tf · (N / df).
+    * All inputs are exact integers (term counts, doc frequencies, corpus
+    * size), so the single double division is engine-deterministic — the
+    * log-idf variant is NOT portable (libm log differs in last bits
+    * across engines). Top-5 terms per document with total-order tiebreak.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
+  val tfidfTopTermsOracle: String = """
+    WITH terms AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT tf.doc_id, tf.term,
+        CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+        CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf,
+        ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+          ORDER BY CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+            tf.term ASC) AS rank
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    WHERE rank <= 5"""
+
   def defs: Map[String, QueryDef] = Map(
+    "tfidf_top_terms" -> QueryDef.sql(tfidfTopTerms, tfidfTopTermsOracle),
     "ngram_freq" -> QueryDef.sql(ngramFreq, ngramFreqOracle),
     "stopword_filter" -> QueryDef.sql(stopwordFilter, stopwordFilterOracle),
     "token_count" -> QueryDef.sql(tokenCount, tokenCountOracle),
