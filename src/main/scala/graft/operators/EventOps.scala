@@ -195,7 +195,50 @@ object EventOps {
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** Purchase attribution: for each purchase, the clicks by the same
+    * user in the preceding 30 minutes (interval join). Batch twin of the
+    * stream-stream join in EventStreams.attribution — same predicate, an
+    * unbounded source just adds watermarks to bound the join state.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user")
+          && col("click_ts") <= col("purchase_ts")
+          && col("click_ts") > col("purchase_ts") - lit(30L * NsPerMinute),
+        "left")
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"), col("value"))
+      .agg(
+        count(col("click_ts")).as("n_clicks_30m"),
+        max(col("click_ts")).as("last_click_ts_ns"))
+      .select(col("purchase_id"), col("user_id"),
+        // Output µs, not ns: DuckDB truncates the ns parquet timestamps
+        // to µs at read, so raw ns values cannot cross-check.
+        expr("purchase_ts div 1000").as("purchase_ts_us"), col("value"),
+        col("n_clicks_30m"),
+        expr("last_click_ts_ns div 1000").as("last_click_ts_us"))
+  }
+
+  val purchaseAttributionOracle: String = s"""
+    SELECT p.event_id AS purchase_id, p.user_id,
+      EPOCH_US(p.ts) AS purchase_ts_us, p.value,
+      COUNT(EPOCH_NS(c.ts)) AS n_clicks_30m,
+      MAX(EPOCH_US(c.ts)) AS last_click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+      AND EPOCH_NS(c.ts) <= EPOCH_NS(p.ts)
+      AND EPOCH_NS(c.ts) > EPOCH_NS(p.ts) - ${30L * NsPerMinute}
+    GROUP BY 1, 2, 3, 4"""
+
   def defs: Map[String, QueryDef] = Map(
+    "purchase_attribution" -> QueryDef.sql(purchaseAttribution, purchaseAttributionOracle),
     "distinct_users" -> QueryDef.sql(distinctUsers, distinctUsersOracle),
     "approx_distinct" -> QueryDef.rowsOnly(approxDistinct),
     "events_json_extract" -> QueryDef.sql(eventsJsonExtract, eventsJsonExtractOracle),

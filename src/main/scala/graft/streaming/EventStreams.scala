@@ -90,6 +90,29 @@ object EventStreams {
     spark.readStream.schema(schema).parquet(path)
   }
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks in the preceding 30 minutes. Watermarks on BOTH sides
+    * bound the join state (clicks retire once no purchase can still
+    * reach back to them). Streaming twin of the batch
+    * `purchase_attribution` query.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("value"), col("click_id"), col("click_ts"))
+  }
+
   /** Log ingestion — the reference's Logstash pipeline
     * (src/logstash/pipeline/logstash.conf: tail the airflow log tree →
     * daily Elasticsearch index). Spark-first: a text file stream over

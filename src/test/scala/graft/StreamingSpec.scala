@@ -73,6 +73,25 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L, 4L, 5L)), s"got: ${ids.mkString(",")}")
   }
 
+  test("attribution stream-stream join links purchases to recent clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(100), 1, "click", 0),     // within 30 min of purchase 3
+      Event(2, ts(60), 1, "click", 0),      // too old (>30 min before)
+      Event(3, ts(120), 1, "purchase", 9.99),
+      Event(4, ts(110), 2, "click", 0),     // other user — must not match
+      Event(5, ts(125), 3, "purchase", 1.0)) // no clicks at all
+    val q = EventStreams.attribution(input.toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("attribution").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(out == Set((3L, 1L))) // inner join: only the attributable pair
+  }
+
   test("logIngest parses and date-partitions a streamed log directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_logs").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.log"),
