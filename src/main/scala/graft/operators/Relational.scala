@@ -259,6 +259,134 @@ object Relational {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1"""
 
+  /** TPC-H Q6-style: pure filter + aggregate, the scan-speed baseline —
+    * every predicate pushes to the parquet scan.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+        && col("l_discount").between(0.04, 0.06)
+        && col("l_quantity") < 24)
+      .agg(
+        Exact.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6ForecastOracle: String = s"""
+    SELECT ${Exact.sqlDsum("l_extendedprice * l_discount")} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24"""
+
+  /** TPC-H Q4-style: priority counts for orders with at least one
+    * late-shipped item (EXISTS over a correlated range predicate).
+    */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(spark, dir)
+    Tables.orders(spark, dir)
+      .join(late,
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q4LateOrdersOracle: String = """
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1"""
+
+  /** TPC-H Q13-style: customer distribution by order count, including
+    * zero-order customers (grouping BY an aggregate of a left join).
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  val q13CustdistOracle: String = """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY 1)
+    GROUP BY 1"""
+
+  /** TPC-H Q18-style: large-volume orders — HAVING over an aggregate
+    * subquery, then joined back to the order/customer context.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(Exact.dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey").as("customer_key"),
+        col("c_name").as("name"),
+        col("o_orderkey").as("order_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice").as("total_price"),
+        col("total_qty"))
+  }
+
+  val q18LargeOrdersOracle: String = s"""
+    SELECT c_custkey AS customer_key, c_name AS name,
+      o_orderkey AS order_key,
+      STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+      o_totalprice AS total_price, total_qty
+    FROM (
+      SELECT l_orderkey, ${Exact.sqlDsum("l_quantity")} AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING ${Exact.sqlDsum("l_quantity")} > 150)
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey"""
+
+  /** TPC-H Q22-style: "global sales opportunity" — customers with
+    * above-average balance (scalar subquery) and no urgent orders
+    * (anti join), rolled up by nation.
+    */
+  def q22Opportunity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(Exact.davg(col("c_acctbal")).as("avg_bal"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        Exact.dsum(col("c_acctbal")).as("total_balance"))
+  }
+
+  val q22OpportunityOracle: String = s"""
+    SELECT n_name AS nation, COUNT(*) AS n_customers,
+      ${Exact.sqlDsum("c_acctbal")} AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT ${Exact.sqlDavg("c_acctbal")} FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY 1"""
+
   /** Per-key top-k via the custom physical operator
     * [[org.apache.spark.sql.graft.TopKPerKeyExec]] (bounded heaps, no
     * partition sort) — same results as [[windowRank]], same DuckDB
@@ -566,6 +694,11 @@ object Relational {
     "join_anti" -> QueryDef.sql(joinAnti, joinAntiOracle),
     "set_ops" -> QueryDef.sql(setOps, setOpsOracle),
     "q7_volume" -> QueryDef.sql(q7Volume, q7VolumeOracle),
+    "q6_forecast" -> QueryDef.sql(q6Forecast, q6ForecastOracle),
+    "q4_late_orders" -> QueryDef.sql(q4LateOrders, q4LateOrdersOracle),
+    "q13_custdist" -> QueryDef.sql(q13Custdist, q13CustdistOracle),
+    "q18_large_orders" -> QueryDef.sql(q18LargeOrders, q18LargeOrdersOracle),
+    "q22_opportunity" -> QueryDef.sql(q22Opportunity, q22OpportunityOracle),
     "scd2_merge" -> QueryDef.sql(scd2Merge, scd2MergeOracle),
     "q3_shipping" -> QueryDef.sql(q3Shipping, q3ShippingOracle),
     "q5_local" -> QueryDef.sql(q5Local, q5LocalOracle),
