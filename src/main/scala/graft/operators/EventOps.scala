@@ -237,7 +237,51 @@ object EventOps {
       AND EPOCH_NS(c.ts) > EPOCH_NS(p.ts) - ${30L * NsPerMinute}
     GROUP BY 1, 2, 3, 4"""
 
+  /** Per-group z-score standardization (feature engineering): each
+    * event's value standardized against its event_type's mean/std,
+    * derived from exact integer-scaled moment sums (the same portability
+    * construction as stats_agg — built-in stddev accumulation differs
+    * across engines).
+    */
+  def zscoreNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100.0 + 0.5)
+    val stats = Tables.events(spark, dir)
+      .select(col("event_type"), cents.as("vc"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("vc")).cast("double").as("s"),
+        sum((col("vc") * col("vc")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double").as("ss"))
+      .select(col("event_type"),
+        (col("s") / col("n") / 100.0).as("mean"),
+        (sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1.0)) / 100.0)
+          .as("std"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean")) / col("std")).as("zscore"))
+  }
+
+  val zscoreNormalizeOracle: String = """
+    WITH stats AS (
+      SELECT event_type,
+        s / n / 100.0 AS mean,
+        SQRT((ss - s * s / n) / (n - 1.0)) / 100.0 AS std
+      FROM (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(vc) AS DOUBLE) AS s,
+          CAST(SUM(CAST(vc * vc AS DECIMAL(38,0))) AS DOUBLE) AS ss
+        FROM (SELECT event_type,
+                CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc FROM events)
+        GROUP BY 1))
+    SELECT event_id, e.event_type, value,
+      (value - mean) / std AS zscore
+    FROM events e JOIN stats ON e.event_type = stats.event_type"""
+
   def defs: Map[String, QueryDef] = Map(
+    "zscore_normalize" -> QueryDef.sql(zscoreNormalize, zscoreNormalizeOracle),
     "purchase_attribution" -> QueryDef.sql(purchaseAttribution, purchaseAttributionOracle),
     "distinct_users" -> QueryDef.sql(distinctUsers, distinctUsersOracle),
     "approx_distinct" -> QueryDef.rowsOnly(approxDistinct),

@@ -148,7 +148,43 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
+  /** Embedding int8 quantization quality: per-vector symmetric scale
+    * (max|x|/127), round-to-nearest quantize, and the reconstruction
+    * error a storage layer would accept. All arithmetic is explicit
+    * left folds over the vector (identical association order to the
+    * oracle's LIST_REDUCE) — deterministic doubles.
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val maxAbs = aggregate(e, lit(0.0), (acc, x) =>
+      greatest(acc, abs(x.cast("double"))))
+    val scale = maxAbs / lit(127.0)
+    def quant(x: org.apache.spark.sql.Column) =
+      floor(x.cast("double") / scale + lit(0.5))
+    val sqErr = aggregate(e, lit(0.0), (acc, x) =>
+      acc + pow(x.cast("double") - quant(x) * scale, 2))
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        scale.as("scale"),
+        (sqErr / size(e).cast("double")).as("mse"))
+  }
+
+  val embeddingQuantizeOracle: String = {
+    val maxAbs = "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
+      "LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))), (a, b) -> GREATEST(a, b))"
+    val scale = s"($maxAbs / 127.0)"
+    val sqErr = "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
+      s"LIST_TRANSFORM(embedding, x -> POW(CAST(x AS DOUBLE) - " +
+      s"FLOOR(CAST(x AS DOUBLE) / $scale + 0.5) * $scale, 2))), (a, b) -> a + b)"
+    s"""
+    SELECT vec_id, $scale AS scale,
+      $sqErr / CAST(LEN(embedding) AS DOUBLE) AS mse
+    FROM embeddings"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "embedding_quantize" -> QueryDef.sql(embeddingQuantize, embeddingQuantizeOracle),
     "dedup_embedding" -> QueryDef.sql(dedupEmbedding, dedupEmbeddingOracle),
     "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),
     "ann_lsh" -> QueryDef.rowsOnly(annLsh),
