@@ -245,7 +245,65 @@ object Dedup {
       (src = MIN(dst)) AS is_canonical
     FROM reach GROUP BY src"""
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * 3-shingle with a held-out benchmark set (here: docs 0-4 play the
+    * benchmark) — the contamination check every LLM data pipeline runs.
+    * Exact formulation: benchmark shingles are tiny → broadcast semi
+    * join against the exploded corpus; count of overlapping shingles
+    * per contaminated doc.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // Both branches (benchmark + corpus) read the same shingled frame.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+      .persist()
+    val benchShingles = docs.filter(col("doc_id") < 5)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    docs.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .filter(col("n_overlaps") >= 3)
+  }
+
+  val decontaminateOracle: String = s"""
+    WITH s AS ($sqlShingled),
+    bench AS (
+      SELECT DISTINCT UNNEST(sh) AS shingle FROM s WHERE doc_id < 5),
+    corpus AS (
+      SELECT doc_id, UNNEST(sh) AS shingle FROM s WHERE doc_id >= 5)
+    SELECT doc_id, COUNT(*) AS n_overlaps
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY 1
+    HAVING COUNT(*) >= 3"""
+
+  /** Bloom-filter decontamination (rows-only: the sketch is
+    * engine-specific) — the 100 TB path: the benchmark shingle set
+    * compresses to a few MB of bloom bits broadcast to every executor;
+    * each doc probes locally, no shuffle of the corpus. False positives
+    * only (never misses contamination); positives re-check exactly.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+      .persist()
+    val bloom = docs.filter(col("doc_id") < 5)
+      .select(explode(col("sh")).as("shingle"))
+      .stat.bloomFilter("shingle", 2000L, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bloomBc.value.mightContainString(s))
+    docs.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .filter(mightContain(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_probable_overlaps"))
+      .filter(col("n_probable_overlaps") >= 3)
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "decontaminate" -> QueryDef.sql(decontaminate, decontaminateOracle),
+    "decontaminate_bloom" -> QueryDef.rowsOnly(decontaminateBloom),
     "dedup_components" -> QueryDef.sql(dedupComponents, dedupComponentsOracle),
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),
