@@ -144,7 +144,48 @@ object Analytics {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1"""
 
+  /** Weighted PageRank over the supplier collaboration graph (rows-only:
+    * iterative FP accumulation is partition-order dependent, so scores
+    * are rounded for stability and checked structurally in specs) — the
+    * principled version of "most influential" (neo4j_analytical_ideas.md
+    * §2/§5): influence flows through collaboration strength rather than
+    * raw degree.
+    *
+    * Same iteration discipline as dedup_components: tiny graph state,
+    * repartitioned small, lineage truncated per round.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val d = 0.85
+    val pairs = collabPairs(spark, dir).repartition(4).localCheckpoint(true)
+    val edges = pairs.select(col("supp_a").as("src"), col("supp_b").as("dst"),
+        col("collab_count").cast("double").as("w"))
+      .unionByName(pairs.select(col("supp_b").as("src"), col("supp_a").as("dst"),
+        col("collab_count").cast("double").as("w")))
+      .localCheckpoint(true)
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val n = nodes.count().toDouble
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to 10) {
+      val contrib = edges
+        .join(outW, Seq("src"))
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("pr") * col("w") / col("out_w")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      pr = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - d) / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node").as("supp_key"), round(col("pr"), 8).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("supp_key").asc)
+      .limit(20)
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "pagerank" -> QueryDef.rowsOnly(pagerank),
     "collab_pairs" -> QueryDef.sql(collabPairs, collabPairsOracle),
     "top_influential" -> QueryDef.sql(topInfluential, topInfluentialOracle),
     "trends_over_time" -> QueryDef.sql(trendsOverTime, trendsOverTimeOracle),

@@ -63,6 +63,16 @@ class OperatorSpec extends SparkSpec {
     assert(joined.filter(col("last_order_date_ns") > col("ts")).count() == 0)
   }
 
+  test("pagerank: probability-like scores, deterministic top-20") {
+    val pr = operators.Analytics.pagerank(spark, sfDir).collect()
+    assert(pr.length <= 20 && pr.nonEmpty)
+    pr.foreach(r => assert(r.getAs[Double]("pagerank") > 0
+      && r.getAs[Double]("pagerank") < 1))
+    // descending with tiebreak
+    val scores = pr.map(r => (-r.getAs[Double]("pagerank"), r.getAs[Long]("supp_key")))
+    assert(scores.sameElements(scores.sorted))
+  }
+
   test("dedup: jaccard bounded in [0,1]; minhash finds the near-dup pairs") {
     val mh = operators.Dedup.dedupMinhashLsh(spark, sfDir)
     assert(mh.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
