@@ -387,6 +387,84 @@ object Relational {
         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY 1"""
 
+  /** TPC-H Q10-style: top customers by revenue from returned items in a
+    * date window, with geography context.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey").as("customer_key"), col("c_name").as("name"),
+        col("n_name").as("nation"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("returned_revenue"))
+      .orderBy(col("returned_revenue").desc, col("customer_key").asc)
+      .limit(20)
+  }
+
+  val q10ReturnsOracle: String = s"""
+    SELECT c_custkey AS customer_key, c_name AS name, n_name AS nation,
+      ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS returned_revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY returned_revenue DESC, customer_key ASC LIMIT 20"""
+
+  /** TPC-H Q12-style: conditional classification counts — urgent-class
+    * vs other orders per ship year (CASE aggregation).
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+
+  val q12PriorityClassOracle: String = """
+    SELECT CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1"""
+
+  /** TPC-H Q14-style: revenue share of one product class in a window —
+    * a ratio of two exact sums, one deterministic division.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * Exact.dsum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0.0)))
+          / Exact.dsum(rev)).as("economy_share_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14PromoShareOracle: String = s"""
+    SELECT 100.0 * ${Exact.sqlDsum(
+      "CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+      / ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS economy_share_pct,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'"""
+
   /** Per-key top-k via the custom physical operator
     * [[org.apache.spark.sql.graft.TopKPerKeyExec]] (bounded heaps, no
     * partition sort) — same results as [[windowRank]], same DuckDB
@@ -699,6 +777,9 @@ object Relational {
     "q13_custdist" -> QueryDef.sql(q13Custdist, q13CustdistOracle),
     "q18_large_orders" -> QueryDef.sql(q18LargeOrders, q18LargeOrdersOracle),
     "q22_opportunity" -> QueryDef.sql(q22Opportunity, q22OpportunityOracle),
+    "q10_returns" -> QueryDef.sql(q10Returns, q10ReturnsOracle),
+    "q12_priority_class" -> QueryDef.sql(q12PriorityClass, q12PriorityClassOracle),
+    "q14_promo_share" -> QueryDef.sql(q14PromoShare, q14PromoShareOracle),
     "scd2_merge" -> QueryDef.sql(scd2Merge, scd2MergeOracle),
     "q3_shipping" -> QueryDef.sql(q3Shipping, q3ShippingOracle),
     "q5_local" -> QueryDef.sql(q5Local, q5LocalOracle),
