@@ -14,10 +14,16 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * (RuleSpec proves equality), purely a physical-cost rewrite, applied
   * automatically to any user query once the extensions are installed —
   * the pattern shows up in every set-similarity computation (Jaccard).
+  *
+  * The rewrite requires `containsNull = false` on BOTH inputs:
+  * array_intersect treats a shared null element as common, while
+  * CommonCount's UTF8String scan does not (and getUTF8String on a null
+  * slot is undefined for UnsafeArrayData) — nullable-element arrays keep
+  * the built-in form.
   */
 object RewriteIntersectCount extends Rule[LogicalPlan] {
   private def isStringArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(StringType, _) => true
+    case ArrayType(StringType, containsNull) => !containsNull
     case _ => false
   }
 

@@ -16,7 +16,9 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
-      operators.Quality.defs
+      operators.Quality.defs ++
+      sources.Ingest.defs ++
+      sources.ApiEnrich.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -22,11 +22,16 @@ object Tables {
     * Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it
     * as an epoch-nanos long (`nanosAsLong`) and do all time arithmetic on
     * bigints — exact, engine-portable, and cheaper than timestamp ops.
+    *
+    * The `spark.sql.legacy.parquet.nanosAsLong` conf is set once at
+    * session build time (Verify / Bench / SparkSpec own their builders) —
+    * a loader must not mutate session-global conf as a side effect of
+    * planning (racy under concurrent sessions, and it would leak to every
+    * later parquet read). Sessions built elsewhere must set it themselves;
+    * the error message on a miss names the conf explicitly.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

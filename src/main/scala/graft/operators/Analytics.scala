@@ -144,15 +144,103 @@ object Analytics {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1"""
 
-  /** Weighted PageRank over the supplier collaboration graph (rows-only:
-    * iterative FP accumulation is partition-order dependent, so scores
-    * are rounded for stability and checked structurally in specs) — the
+  /** Author specializations — neo4j_analytical_ideas.md §3: each author's
+    * dominant general_category with its share of their output. Author =
+    * supplier, category = part type; dominant category by count with a
+    * deterministic tiebreak, share from the same single aggregation (two
+    * windows over the SAME partition key — one shuffle).
+    */
+  def authorSpecialization(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey").as("author_key"), col("p_type").as("category"))
+      .agg(count(lit(1)).as("n_pubs"))
+    val total = Window.partitionBy(col("author_key"))
+    val rank = Window.partitionBy(col("author_key"))
+      .orderBy(col("n_pubs").desc, col("category").asc)
+    counts
+      .withColumn("share",
+        col("n_pubs").cast("double") / sum(col("n_pubs")).over(total).cast("double"))
+      .withColumn("rk", row_number().over(rank))
+      .filter(col("rk") === 1)
+      .select(col("author_key"), col("category").as("specialization"),
+        col("n_pubs"), col("share"))
+  }
+
+  val authorSpecializationOracle: String = """
+    SELECT author_key, category AS specialization, n_pubs, share FROM (
+      SELECT author_key, category, n_pubs,
+        CAST(n_pubs AS DOUBLE)
+          / CAST(SUM(n_pubs) OVER (PARTITION BY author_key) AS DOUBLE) AS share,
+        ROW_NUMBER() OVER (PARTITION BY author_key
+          ORDER BY n_pubs DESC, category ASC) AS rk
+      FROM (
+        SELECT l_suppkey AS author_key, p_type AS category, COUNT(*) AS n_pubs
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2))
+    WHERE rk = 1"""
+
+  /** Institutional collaboration — neo4j_analytical_ideas.md §1: the
+    * collaboration graph rolled up to institutions (nations standing in
+    * for affiliations), unordered institution pairs, weights summed.
+    * Supplier→nation dims broadcast; the only shuffle is the final
+    * institution-pair groupBy.
+    */
+  def institutionCollab(spark: SparkSession, dir: String): DataFrame = {
+    def instOf(side: String) =
+      Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as(s"supp_$side"), col("n_name").as(s"inst_$side"))
+    collabPairs(spark, dir)
+      .join(broadcast(instOf("a")), Seq("supp_a"))
+      .join(broadcast(instOf("b")), Seq("supp_b"))
+      .groupBy(
+        least(col("inst_a"), col("inst_b")).as("institution_a"),
+        greatest(col("inst_a"), col("inst_b")).as("institution_b"))
+      .agg(
+        sum(col("collab_count")).as("collab_count"),
+        count(lit(1)).as("n_author_pairs"))
+  }
+
+  val institutionCollabOracle: String = """
+    WITH edges AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS c
+      FROM edges a JOIN edges b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    named AS (
+      SELECT LEAST(na.n_name, nb.n_name) AS institution_a,
+        GREATEST(na.n_name, nb.n_name) AS institution_b, c
+      FROM pairs
+      JOIN supplier s1 ON sa = s1.s_suppkey
+      JOIN nation na ON s1.s_nationkey = na.n_nationkey
+      JOIN supplier s2 ON sb = s2.s_suppkey
+      JOIN nation nb ON s2.s_nationkey = nb.n_nationkey)
+    SELECT institution_a, institution_b,
+      CAST(SUM(c) AS BIGINT) AS collab_count, COUNT(*) AS n_author_pairs
+    FROM named GROUP BY 1, 2"""
+
+  /** Weighted PageRank over the supplier collaboration graph — the
     * principled version of "most influential" (neo4j_analytical_ideas.md
     * §2/§5): influence flows through collaboration strength rather than
     * raw degree.
     *
     * Same iteration discipline as dedup_components: tiny graph state,
-    * repartitioned small, lineage truncated per round.
+    * repartitioned small, lineage truncated every other round. The
+    * normalized edge weights (w / out-weight) are loop-INVARIANT, so they
+    * are joined once before the loop, not once per iteration.
+    *
+    * Determinism (this is oracle-hash-checked): edge weights are
+    * integer-valued doubles (exact sums in any order); per-node inflow is
+    * summed in 1e-14 fixed point — each contribution quantized to a
+    * BIGINT via floor(x·1e14 + 0.5), summed exactly (integer addition is
+    * associative ⇒ partition-order independent), divided back. Everything
+    * else is single IEEE ops, so every iteration is bit-identical to the
+    * DuckDB oracle, which unrolls the same 10 iterations as CTEs with the
+    * same fixed-point sums. Output is quantized to 8dp the same way.
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val d = 0.85
@@ -161,37 +249,83 @@ object Analytics {
         col("collab_count").cast("double").as("w"))
       .unionByName(pairs.select(col("supp_b").as("src"), col("supp_a").as("dst"),
         col("collab_count").cast("double").as("w")))
-      .localCheckpoint(true)
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val norm = edges.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("out_w")).as("nw"))
       .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val nodes = norm.select(col("src").as("node")).distinct().localCheckpoint(true)
     val n = nodes.count().toDouble
     var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
-    for (_ <- 1 to 10) {
-      val contrib = edges
-        .join(outW, Seq("src"))
+    for (i <- 1 to 10) {
+      val contrib = norm
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), (col("pr") * col("w") / col("out_w")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+        .select(col("dst").as("node"),
+          floor(col("pr") * col("nw") * lit(1.0e14) + lit(0.5))
+            .cast("bigint").as("c"))
+        .groupBy(col("node"))
+        .agg((sum(col("c")).cast("double") / lit(1.0e14)).as("inflow"))
       pr = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - d) / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+          (lit(0.15 / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+      if (i % 2 == 0) pr = pr.localCheckpoint(true)
     }
-    pr.select(col("node").as("supp_key"), round(col("pr"), 8).as("pagerank"))
+    pr.select(col("node").as("supp_key"),
+        (floor(col("pr") * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8))
+          .as("pagerank"))
       .orderBy(col("pagerank").desc, col("supp_key").asc)
       .limit(20)
   }
 
+  val pagerankOracle: String = {
+    val iters = (1 to 10).map { i =>
+      s"""pr$i AS (
+      SELECT nd.node,
+        CAST(0.15 AS DOUBLE) / nn.n
+          + CAST(0.85 AS DOUBLE) * COALESCE(s.inflow, CAST(0 AS DOUBLE)) AS pr
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT dst AS node,
+          CAST(SUM(CAST(FLOOR(pr * nw * 1.0e14 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1.0e14 AS inflow
+        FROM norm JOIN pr${i - 1} p ON norm.src = p.node
+        GROUP BY 1) s ON nd.node = s.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH pairs AS (
+      WITH edges0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS collab_count
+      FROM edges0 a JOIN edges0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT supp_a AS src, supp_b AS dst, CAST(collab_count AS DOUBLE) AS w FROM pairs
+      UNION ALL
+      SELECT supp_b, supp_a, CAST(collab_count AS DOUBLE) FROM pairs),
+    outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY 1),
+    norm AS (
+      SELECT e.src, e.dst, e.w / o.out_w AS nw
+      FROM edges e JOIN outw o ON e.src = o.src),
+    nodes AS (SELECT DISTINCT src AS node FROM norm),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+    $iters
+    SELECT node AS supp_key,
+      CAST(FLOOR(pr * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8 AS pagerank
+    FROM pr10
+    ORDER BY pagerank DESC, supp_key ASC LIMIT 20"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
-    "pagerank" -> QueryDef.rowsOnly(pagerank),
+    "pagerank" -> QueryDef.sql(pagerank, pagerankOracle),
     "collab_pairs" -> QueryDef.sql(collabPairs, collabPairsOracle),
     "top_influential" -> QueryDef.sql(topInfluential, topInfluentialOracle),
     "trends_over_time" -> QueryDef.sql(trendsOverTime, trendsOverTimeOracle),
     "prolific_authors" -> QueryDef.sql(prolificAuthors, prolificAuthorsOracle),
     "topic_popularity" -> QueryDef.sql(topicPopularity, topicPopularityOracle),
     "topic_evolution" -> QueryDef.sql(topicEvolution, topicEvolutionOracle),
-    "graph_degree" -> QueryDef.sql(graphDegree, graphDegreeOracle)
+    "graph_degree" -> QueryDef.sql(graphDegree, graphDegreeOracle),
+    "author_specialization" -> QueryDef.sql(authorSpecialization, authorSpecializationOracle),
+    "institution_collab" -> QueryDef.sql(institutionCollab, institutionCollabOracle)
   )
 }

@@ -88,13 +88,20 @@ object Cleaning {
     FROM documents"""
 
   /** Dictionary mapping with identity fallback via broadcast join —
-    * reference `map_category` (utils.py:53): mapping.get(cat, cat).
-    * At 100 TB the mapping is a few KB — broadcast, no shuffle.
+    * reference `map_category` (utils.py:53): mapping.get(cat, cat),
+    * loaded from a packaged JSON resource exactly as the reference loads
+    * src/resources/category_mapping.json (utils.py:49
+    * load_category_mapping). At 100 TB the mapping is a few KB —
+    * broadcast, no shuffle; parsed once on the driver.
     */
-  private val langFamily: Seq[(String, String)] = Seq(
-    "en" -> "germanic", "de" -> "germanic",
-    "es" -> "romance", "fr" -> "romance", "it" -> "romance", "pt" -> "romance",
-    "zh" -> "sino-tibetan", "ja" -> "japonic", "ru" -> "slavic")
+  private lazy val langFamily: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/category_mapping.json")
+    require(in != null, "category_mapping.json missing from classpath resources")
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    import scala.jdk.CollectionConverters._
+    node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+  }
 
   def mapCategory(spark: SparkSession, dir: String): DataFrame = {
     val mapping = spark.createDataFrame(langFamily).toDF("code", "family")
@@ -129,6 +136,49 @@ object Cleaning {
       FROM part
     ) WHERE author_name <> ''"""
 
+  /** Typed author parsing — reference `handle_authors` /
+    * `transform_author_field` (utils.py:74-88): a comma-delimited author
+    * string becomes `array<struct<name:string>>` (trim each token, drop
+    * empties), i.e. the reference's actual stage-2 data shape, then a
+    * typed posexplode to one (publication, position, author) row. The
+    * struct construction is pure Column code (`transform` + `struct`);
+    * AuthorStructSpec pins the intermediate schema. The driver-checked
+    * output is the flattened projection (structs don't hash portably
+    * across engines).
+    */
+  def authorsStructTyped(spark: SparkSession, dir: String): DataFrame = {
+    // The lake has no comma-delimited column; derive the reference's
+    // input shape ("Name A,Name B") from the part name, then apply the
+    // reference's parse exactly: split ',' → trim → drop '' → struct.
+    val authorString = regexp_replace(col("p_name"), " ", ",")
+    val authors = filter(
+      transform(split(authorString, ","), s => struct(trim(s).as("name"))),
+      a => a("name") =!= "")
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), authors.as("authors"))
+  }
+
+  def explodeAuthorsStruct(spark: SparkSession, dir: String): DataFrame =
+    authorsStructTyped(spark, dir)
+      .select(col("p_partkey"),
+        posexplode(col("authors")).as(Seq("author_pos", "author")))
+      .select(col("p_partkey"),
+        col("author_pos").cast("bigint").as("author_pos"),
+        col("author.name").as("author_name"))
+
+  val explodeAuthorsStructOracle: String = """
+    WITH base AS (
+      SELECT p_partkey,
+        LIST_FILTER(
+          LIST_TRANSFORM(STRING_SPLIT(REPLACE(p_name, ' ', ','), ','),
+            s -> {'name': TRIM(s)}),
+          a -> a.name <> '') AS authors
+      FROM part)
+    SELECT p_partkey,
+      UNNEST(RANGE(LEN(authors))) AS author_pos,
+      UNNEST(LIST_TRANSFORM(authors, a -> a.name)) AS author_name
+    FROM base"""
+
   /** Deterministic surrogate keys — reference `handle_id` (utils.py:66)
     * mints uuid4 per row; uuid4 is non-reproducible and breaks retries /
     * exactly-once at scale, so we derive the surrogate from the natural
@@ -155,6 +205,7 @@ object Cleaning {
     "dedup_tokens" -> QueryDef.sql(dedupTokens, dedupTokensOracle),
     "map_category" -> QueryDef.sql(mapCategory, mapCategoryOracle),
     "explode_authors" -> QueryDef.sql(explodeAuthors, explodeAuthorsOracle),
+    "explode_authors_struct" -> QueryDef.sql(explodeAuthorsStruct, explodeAuthorsStructOracle),
     "surrogate_id" -> QueryDef.sql(surrogateId, surrogateIdOracle)
   )
 }

@@ -58,16 +58,28 @@ object Dedup {
     // the set-based oracle exactly. (An inverted-index variant was tried
     // and rejected: the corpus' heavy shingle co-occurrence made the
     // per-shingle pair expansion far larger than the blocked pair set.)
+    //
+    // The length block is IN the join key, not a post-join filter: `source`
+    // alone is low-cardinality, so joining on it makes each source block a
+    // near-cartesian expansion (quadratic per source — fatal at 100 TB and
+    // one straggler task per source). Bucketing n_chars by 33 and exploding
+    // the left side to adjacent buckets is a superset of |Δn_chars| ≤ 32,
+    // so the exact filter keeps identical results while the candidate count
+    // stays linear-ish in docs-per-(source, length-band).
     val s = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
         TextOps.sortedShingles3(col("text")).as("sh"))
       .withColumn("sz", size(col("sh")))
+      .withColumn("bucket", floor(col("n_chars") / 33))
       .persist()
     val a = s.select(col("doc_id").as("doc_a"), col("source"),
-      col("n_chars").as("ca"), col("sh").as("sha"), col("sz").as("sza"))
+        col("n_chars").as("ca"), col("sh").as("sha"), col("sz").as("sza"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+          .as("bucket"))
     val b = s.select(col("doc_id").as("doc_b"), col("source"),
-      col("n_chars").as("cb"), col("sh").as("shb"), col("sz").as("szb"))
-    a.join(b, Seq("source"))
+      col("n_chars").as("cb"), col("sh").as("shb"), col("sz").as("szb"),
+      col("bucket"))
+    a.join(b, Seq("source", "bucket"))
       .filter(col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 32)
       .withColumn("common", TextOps.sortedCommonCount(col("sha"), col("shb")))
       .select(col("doc_a"), col("doc_b"),
@@ -157,10 +169,11 @@ object Dedup {
     WHERE ${TextOps.sqlJaccard("sa.sh", "sb.sh")} >= 0.5"""
   }
 
-  /** SimHash near-dup detection (rows-only oracle: the 64-bit bitwise
-    * pipeline is not reasonably SQL-portable). 16-bit SimHash from
-    * per-shingle hashes: each bit is the sign of Σ±1 over shingles; docs
-    * bucket by the top byte, pairs verified by Hamming distance ≤ 3.
+  /** SimHash near-dup detection. 16-bit SimHash from per-shingle hashes:
+    * each bit is the sign of Σ±1 over shingles; docs bucket by the top
+    * byte, pairs verified by Hamming distance ≤ 3. Oracle-checked: the
+    * bit pipeline is pure integer arithmetic, mirrored in SQL as per-bit
+    * Σ±1 sums (UNNEST × bit index) recomposed with shifts.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     // Fused compiled pipeline: text → distinct shingle hashes → 16-bit
@@ -182,6 +195,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("fa").as("simhash_a"),
         col("fb").as("simhash_b"), col("hamming"))
   }
+
+  val dedupSimhashOracle: String = s"""
+    WITH s AS ($sqlShingled),
+    hashed AS (SELECT doc_id, ${TextOps.sqlHashes("sh")} AS hs FROM s),
+    el AS (SELECT doc_id, UNNEST(hs) AS h FROM hashed),
+    bits AS (
+      SELECT doc_id, j,
+        SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      FROM el CROSS JOIN (SELECT UNNEST(RANGE(16)) AS j) js
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+          AS simhash
+      FROM bits GROUP BY 1),
+    fp AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM sig)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      a.simhash AS simhash_a, b.simhash AS simhash_b,
+      BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3"""
 
   /** Transitive near-dup clustering: connected components over the
     * MinHash-LSH pair graph, canonical survivor = min doc_id per
@@ -308,6 +342,6 @@ object Dedup {
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),
     "dedup_minhash_lsh" -> QueryDef.sql(dedupMinhashLsh, dedupMinhashLshOracle),
-    "dedup_simhash" -> QueryDef.rowsOnly(dedupSimhash)
+    "dedup_simhash" -> QueryDef.sql(dedupSimhash, dedupSimhashOracle)
   )
 }

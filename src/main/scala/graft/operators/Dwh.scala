@@ -143,10 +143,63 @@ object Dwh {
     LEFT JOIN (SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 0) c
       ON o_custkey = c_custkey"""
 
+  /** Fact↔dim many-to-many bridge table with Kimball allocation weights —
+    * reference fact↔dim_authors via the exploded authors array
+    * (check_DWH.py:37-44 dim_authors, populated per publication author).
+    * Here: publication (order) ↔ author (supplier) via lineitem, one
+    * bridge row per distinct pair, weight = 1/#authors so weighted
+    * rollups through the bridge don't double-count.
+    *
+    * Scale: distinct + one window over the SAME partitioning key — the
+    * distinct's shuffle already clusters by publication, so the window
+    * adds no second exchange.
+    */
+  def bridgeAuthor(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("publication_key"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("publication_key"), col("l_suppkey").as("author_key"))
+      .distinct()
+      .withColumn("allocation_weight",
+        lit(1.0) / count(lit(1)).over(w).cast("double"))
+  }
+
+  val bridgeAuthorOracle: String = """
+    SELECT publication_key, author_key,
+      CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY publication_key) AS DOUBLE)
+        AS allocation_weight
+    FROM (SELECT DISTINCT l_orderkey AS publication_key, l_suppkey AS author_key
+          FROM lineitem)"""
+
+  /** References edge dimension — reference `dim_references`
+    * (check_DWH.py:92-99: pid ⋈ cited doi, PK (pid, doi)). Publication
+    * (order) cites part (doi surrogate via md5); first citing line mints
+    * the reference key, multiplicity kept as a measure.
+    */
+  def dimReferences(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("pid"),
+        md5(col("l_partkey").cast("string")).as("doi"),
+        col("l_linenumber"))
+      .groupBy(col("pid"), col("doi"))
+      .agg(min(col("l_linenumber")).as("first_line"),
+        count(lit(1)).as("n_mentions"))
+      .select(col("pid"), col("doi"),
+        concat(lit("ref-"), col("first_line").cast("string")).as("ref_key"),
+        col("n_mentions"))
+
+  val dimReferencesOracle: String = """
+    SELECT pid, doi, 'ref-' || CAST(first_line AS VARCHAR) AS ref_key, n_mentions
+    FROM (
+      SELECT l_orderkey AS pid, MD5(CAST(l_partkey AS VARCHAR)) AS doi,
+        MIN(l_linenumber) AS first_line, COUNT(*) AS n_mentions
+      FROM lineitem GROUP BY 1, 2)"""
+
   def defs: Map[String, QueryDef] = Map(
     "dwh_fact_sales" -> QueryDef.sql(factSales, factSalesOracle),
     "dwh_dim_customer" -> QueryDef.sql(dimCustomer, dimCustomerOracle),
     "dwh_star_join" -> QueryDef.sql(starJoin, starJoinOracle),
+    "dwh_bridge_author" -> QueryDef.sql(bridgeAuthor, bridgeAuthorOracle),
+    "dwh_dim_references" -> QueryDef.sql(dimReferences, dimReferencesOracle),
     "enrich_join" -> QueryDef.sql(enrichJoin, enrichJoinOracle)
   )
 }

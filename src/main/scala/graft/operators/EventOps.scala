@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.TimestampType
 object EventOps {
 
   private val NsPerMinute = 60L * 1000 * 1000 * 1000
-  private val SessionGapNs = 30L * NsPerMinute
+  private val SessionGapUs = 30L * 60L * 1000 * 1000
   private val HourNs = 60L * NsPerMinute
 
   /** JSON field extraction from the `props` payload column — the
@@ -39,15 +39,21 @@ object EventOps {
   /** Gap-based sessionization: a new session starts after a >30 min gap.
     * lag + running sum over a per-user window — one shuffle on user_id.
     * The streaming twin uses mapGroupsWithState (see EventStreams).
+    *
+    * Gap arithmetic and ordering run on µs-truncated event time (ts div
+    * 1000): the parquet timestamps carry sub-µs ns components that DuckDB
+    * drops at read, so comparing raw ns against the oracle's µs values
+    * flips gap comparisons near the 30-min boundary and tie ordering.
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(col("t_us").asc, col("event_id").asc)
     Tables.events(spark, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(order))
+      .withColumn("t_us", expr("ts div 1000"))
+      .withColumn("prev_t", lag(col("t_us"), 1).over(order))
       .withColumn("new_session",
-        when(col("prev_ts").isNull
-          || col("ts") - col("prev_ts") > SessionGapNs, 1L).otherwise(0L))
+        when(col("prev_t").isNull
+          || col("t_us") - col("prev_t") > SessionGapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("event_id"), col("user_id"), col("session_id"))
@@ -59,11 +65,11 @@ object EventOps {
         ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_id
     FROM (
       SELECT event_id, user_id, t,
-        CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapNs} THEN 1 ELSE 0 END AS new_session
+        CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapUs} THEN 1 ELSE 0 END AS new_session
       FROM (
-        SELECT event_id, user_id, EPOCH_NS(ts) AS t,
-          LAG(EPOCH_NS(ts)) OVER (PARTITION BY user_id
-            ORDER BY EPOCH_NS(ts) ASC, event_id ASC) AS prev_t
+        SELECT event_id, user_id, EPOCH_US(ts) AS t,
+          LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+            ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS prev_t
         FROM events))"""
 
   /** As-of join: each event picks the most recent order (same user ≘

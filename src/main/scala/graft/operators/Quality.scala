@@ -30,12 +30,29 @@ object Quality {
     val dupKeys = rule("duplicate_line_keys",
       l.groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(count(lit(1)).as("n")).filter(col("n") > 1))
+    // Referential rules over the DWH bridge/edge dims (check_DWH.py FK
+    // constraints, evaluated as violation scans instead of per-row FKs).
+    val bridgeOrphans = rule("bridge_orphan_publications",
+      Dwh.bridgeAuthor(spark, dir)
+        .join(o, col("publication_key") === col("o_orderkey"), "left_anti"))
+    val bridgeWeights = rule("bridge_weight_not_1",
+      Dwh.bridgeAuthor(spark, dir)
+        .groupBy(col("publication_key"))
+        .agg(sum(col("allocation_weight")).as("wsum"))
+        .filter(abs(col("wsum") - 1.0) > 1e-6))
+    val refDupPk = rule("references_duplicate_pk",
+      Dwh.dimReferences(spark, dir)
+        .groupBy(col("pid"), col("doi"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1))
 
     qtyDomain
       .unionByName(discDomain)
       .unionByName(pricePositive)
       .unionByName(orphans)
       .unionByName(dupKeys)
+      .unionByName(bridgeOrphans)
+      .unionByName(bridgeWeights)
+      .unionByName(refDupPk)
   }
 
   val dqChecksOracle: String = """
@@ -54,7 +71,27 @@ object Quality {
     UNION ALL
     SELECT 'duplicate_line_keys', COUNT(*)
     FROM (SELECT l_orderkey, l_linenumber FROM lineitem
-          GROUP BY 1, 2 HAVING COUNT(*) > 1)"""
+          GROUP BY 1, 2 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'bridge_orphan_publications', COUNT(*)
+    FROM (SELECT DISTINCT l_orderkey AS publication_key FROM lineitem) b
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = b.publication_key)
+    UNION ALL
+    SELECT 'bridge_weight_not_1', COUNT(*)
+    FROM (
+      SELECT publication_key, SUM(w) AS wsum
+      FROM (
+        SELECT publication_key,
+          CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY publication_key) AS DOUBLE) AS w
+        FROM (SELECT DISTINCT l_orderkey AS publication_key, l_suppkey FROM lineitem))
+      GROUP BY 1 HAVING ABS(SUM(w) - 1.0) > 1e-6)
+    UNION ALL
+    SELECT 'references_duplicate_pk', COUNT(*)
+    FROM (
+      SELECT pid, doi FROM (
+        SELECT l_orderkey AS pid, MD5(CAST(l_partkey AS VARCHAR)) AS doi
+        FROM lineitem GROUP BY 1, 2)
+      GROUP BY 1, 2 HAVING COUNT(*) > 1)"""
 
   def defs: Map[String, QueryDef] = Map(
     "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle)

@@ -17,26 +17,86 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Embedding-cosine near-duplicate pairs (threshold 0.3), blocked by
-    * label so the pair space is linear-ish per block.
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH —
+    * the same candidate-generation discipline as dedup_minhash_lsh:
+    * 16 sign bits per vector (4 bands × 4 planes), candidates are pairs
+    * sharing a label AND at least one band bucket, verified with exact
+    * cosine ≥ 0.3. The bucketing is part of the declared semantics and
+    * is mirrored bit-for-bit in the DuckDB oracle (the planes are
+    * deterministic LCG constants, emitted as SQL literals), so the whole
+    * LSH pipeline — not just the verify step — is hash-checked.
+    *
+    * Scale: the banded self-join shuffles only (vec_id, label, bucket)
+    * tuples; embeddings are re-joined for the (small) candidate set only.
+    * Recall is the standard OR-amplified banding curve: ≈95% at cosine
+    * 0.9, dropping toward the 0.3 boundary — the knob is bands × bits,
+    * same trade a 100 TB near-dup pass tunes. A full all-pairs-per-label
+    * formulation is quadratic per label and was rejected (labels are
+    * few, so each block grows linearly with the corpus).
     */
+  private val DedupBands = 4
+  private val DedupBandBits = 4
+
+  private def bandBucket(v: Column, band: Int): Column =
+    (0 until DedupBandBits).map { i =>
+      when(VectorOps.dot(v, planeCol(band * DedupBandBits + i)) > 0,
+        lit((1L << i))).otherwise(lit(0L))
+    }.reduce(_ + _) + lit(band * 16L)
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("eb"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+    val bands = e.select(col("vec_id"), col("label"),
+        explode(array((0 until DedupBands).map(b =>
+          bandBucket(col("embedding"), b)): _*)).as("bucket"))
+      .persist()
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("label"),
         VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= 0.3)
   }
 
-  val dedupEmbeddingOracle: String = s"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-      ${VectorOps.sqlCosine("a.embedding", "b.embedding")} AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ${VectorOps.sqlCosine("a.embedding", "b.embedding")} >= 0.3"""
+  // lazy: references plane()/Dim declared further down the object body —
+  // a strict val would capture Dim while still 0 (init order) and emit
+  // empty plane literals.
+  lazy val dedupEmbeddingOracle: String = {
+    val planeRows = (0 until DedupBands * DedupBandBits).map { p =>
+      val vals = plane(p).map(d => s"CAST($d AS DOUBLE)").mkString(", ")
+      s"($p, [$vals])"
+    }.mkString(",\n      ")
+    s"""
+    WITH planes AS (
+      SELECT * FROM (VALUES
+      $planeRows) AS t(p, pv)),
+    bits AS (
+      SELECT e.vec_id, e.label, pl.p,
+        CASE WHEN ${VectorOps.sqlDot("e.embedding", "pl.pv")} > 0
+          THEN 1 ELSE 0 END AS bit
+      FROM embeddings e CROSS JOIN planes pl),
+    bands AS (
+      SELECT vec_id, label,
+        CAST((p // $DedupBandBits) * 16
+          + SUM(bit * (1 << (p % $DedupBandBits))) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, label, p // $DedupBandBits),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+      FROM bands a JOIN bands b
+        ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, c.label,
+      ${VectorOps.sqlCosine("ea.embedding", "eb.embedding")} AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = vec_a
+    JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE ${VectorOps.sqlCosine("ea.embedding", "eb.embedding")} >= 0.3"""
+  }
 
   /** Brute-force cosine top-k: for each query vector (vec_id < 10), the
     * 5 nearest neighbors over the whole corpus (excluding self), ranked

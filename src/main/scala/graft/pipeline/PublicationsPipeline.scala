@@ -76,9 +76,12 @@ object PublicationsPipeline {
     // Stage 3: enrichment join (external metadata analog).
     stage("stage3_enriched_orders", enrich(spark, dataDir))
 
-    // Stage 4: DWH fact + dimension build.
+    // Stage 4: DWH fact + dimension build, incl. the many-to-many
+    // author bridge and the references edge dim (check_DWH.py schema).
     stage("stage4_fact_sales", Dwh.factSales(spark, dataDir))
     stage("stage4_dim_customer", Dwh.dimCustomer(spark, dataDir))
+    stage("stage4_bridge_author", Dwh.bridgeAuthor(spark, dataDir))
+    stage("stage4_dim_references", Dwh.dimReferences(spark, dataDir))
 
     // Stage 5/6: graph + analytical marts (the Neo4j views).
     stage("stage5_collab_graph", Analytics.collabPairs(spark, dataDir))

@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** External-API enrichment semantics — the reference's CrossRef consumer
+  * (api.py:5-64 consume_crossref): per-DOI HTTP GET with rate limiting and
+  * Retry-After backoff. Spark-first, the call pattern becomes ONE client
+  * per partition inside `mapPartitions` (connection reuse), a token-bucket
+  * rate limit per task, and bounded retry with backoff per record — the
+  * shape every distributed API-enrichment stage needs so a 1000-executor
+  * job doesn't stampede the remote service.
+  *
+  * The transport is a deterministic STUB (this container has no network):
+  * [[StubMetadataClient]] answers from a pure hash of the DOI and fails
+  * transiently on first contact for a deterministic subset of keys, so the
+  * retry path is actually exercised. The Spark-side plumbing — partition
+  * client lifecycle, limiter, retry, schema — is real and oracle-checked
+  * (the stub's responses are md5-derived, so SQL reproduces them).
+  */
+object ApiEnrich {
+
+  /** Client contract (api.py consume_crossref): fetch metadata for a DOI;
+    * None = permanent miss (404); throws = transient failure (429/5xx).
+    */
+  trait MetadataClient {
+    def fetch(doi: String): Option[String]
+    def close(): Unit = ()
+  }
+
+  /** Deterministic fake transport. Misses every 10th work (by key hash
+    * parity with the oracle: o_orderkey % 10 == 0), and throws once per
+    * instance for keys with % 7 == 0 to exercise retry (a fresh client —
+    * i.e. a retried task — succeeds, like a real 429).
+    */
+  final class StubMetadataClient extends MetadataClient {
+    private val failedOnce = new java.util.HashSet[String]()
+    override def fetch(doi: String): Option[String] = {
+      val key = java.lang.Long.parseLong(doi.takeRight(6), 16)
+      if (key % 7 == 0 && !failedOnce.contains(doi)) {
+        failedOnce.add(doi)
+        throw new java.io.IOException(s"simulated 429 for $doi")
+      }
+      if (key % 10 == 0) None else Some("T-" + doi.take(8))
+    }
+  }
+
+  /** Simple token-interval rate limiter: at most `perSecond` acquisitions
+    * per second within one task (api.py sleeps on Retry-After; production
+    * pacing belongs client-side, before the request).
+    */
+  final class RateLimiter(perSecond: Int) extends Serializable {
+    private val intervalNanos = 1000000000L / math.max(perSecond, 1)
+    private var nextFree = 0L
+    def acquire(): Unit = {
+      val now = System.nanoTime()
+      if (now < nextFree) Thread.sleep((nextFree - now) / 1000000L + 1)
+      nextFree = math.max(now, nextFree) + intervalNanos
+    }
+  }
+
+  private def retrying[T](maxAttempts: Int, backoffMs: Long)(op: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: Exception if attempt < maxAttempts =>
+          Thread.sleep(backoffMs * attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  case class Enriched(o_orderkey: Long, doi: String, title: String)
+
+  /** Enrich each order's DOI via the (stub) client: one client per
+    * partition, rate-limited, retried; misses default to 'Unknown'
+    * (databases.py:137). `newClient` is a factory so executors build
+    * their own connections — a client is not serializable state.
+    */
+  def enrichViaApi(
+      spark: SparkSession, dir: String,
+      newClient: () => MetadataClient = () => new StubMetadataClient,
+      perSecond: Int = 1000000, maxAttempts: Int = 3): DataFrame = {
+    import spark.implicits._
+    val withDoi = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        md5(col("o_orderkey").cast("string")).as("doi"))
+      .as[(Long, String)]
+    withDoi.mapPartitions { rows =>
+      val client = newClient()
+      val limiter = new RateLimiter(perSecond)
+      val mapped = rows.map { case (key, doi) =>
+        limiter.acquire()
+        val meta = retrying(maxAttempts, backoffMs = 1L)(client.fetch(doi))
+        Enriched(key, doi, meta.getOrElse("Unknown"))
+      }
+      new Iterator[Enriched] {
+        def hasNext: Boolean = { val h = mapped.hasNext; if (!h) client.close(); h }
+        def next(): Enriched = mapped.next()
+      }
+    }.toDF()
+  }
+
+  /** The stub's key derivation in SQL: last 6 hex chars of the md5 DOI,
+    * parsed base-16 — so the oracle reproduces hits, misses and titles.
+    */
+  val enrichViaApiOracle: String = """
+    SELECT o_orderkey, doi,
+      CASE WHEN CAST('0x' || SUBSTR(doi, 27, 6) AS BIGINT) % 10 = 0
+        THEN 'Unknown' ELSE 'T-' || SUBSTR(doi, 1, 8) END AS title
+    FROM (SELECT o_orderkey, MD5(CAST(o_orderkey AS VARCHAR)) AS doi FROM orders)"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "enrich_api" -> QueryDef.sql(enrichViaApi(_, _), enrichViaApiOracle)
+  )
+}

@@ -150,18 +150,24 @@ object MinHashSig {
 /** Dot product of two array<float> columns, accumulated in double with a
   * strict left fold — identical association order (and therefore bits) to
   * `aggregate(zip_with(a,b,_*_), 0d, _+_)` and the oracle's LIST_REDUCE.
+  * Null semantics match the fold form exactly: mismatched lengths
+  * (zip_with pads with nulls) or any null element make the result NULL —
+  * never a plausible-looking partial dot product.
   */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -174,12 +180,15 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+        if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; } else {
+          int $n = $x.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -19,6 +19,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * (Spark has TakeOrderedAndProjectExec for GLOBAL top-k, but nothing
   * per-key — this is the canonical missing-operator case for a custom
   * LogicalPlan + Strategy + SparkPlan, wired via SparkSessionExtensions.)
+  *
+  * Memory bound: the per-partition heap map holds O(distinct keys in the
+  * partition × k) UnsafeRows and does NOT spill. That is the right trade
+  * while keys-per-partition × k × rowSize ≪ executor memory (the
+  * ClusteredDistribution means each key lives in exactly one partition);
+  * for key cardinalities approaching row counts, fall back to the window
+  * plan (which sort-spills) — at that shape the heap plan's advantage is
+  * gone anyway (k ≈ rows per key).
   */
 case class TopKPerKeyPlan(
     k: Int,

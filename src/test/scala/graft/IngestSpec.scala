@@ -1,0 +1,37 @@
+package graft
+
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+
+/** JSONL ingestion: schema'd read, corrupt-record routing, and lossless
+  * round-trip against the parquet path (the full-value check is the
+  * ingest_jsonl oracle row in Verify).
+  */
+class IngestSpec extends SparkSpec {
+
+  test("ingest_jsonl round-trips the documents table losslessly") {
+    val viaJsonl = Ingest.ingestJsonl(spark, sfDir)
+    val viaParquet = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(viaJsonl.count() == viaParquet.count())
+    assert(viaJsonl.exceptAll(viaParquet).count() == 0)
+    assert(viaParquet.exceptAll(viaJsonl).count() == 0)
+  }
+
+  test("malformed JSONL lines route to _corrupt_record, clean rows survive") {
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_jsonl_corrupt")
+    val f = dirPath.resolve("part-0.json")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}
+        |this is not json at all
+        |{"doc_id": "NOT_A_NUMBER", "text": "bad type", "lang": "en", "source": "s", "n_chars": 8}
+        |{"doc_id": 2, "text": "also ok", "lang": "de", "source": "s", "n_chars": 7}
+        |""".stripMargin)
+    val df = Ingest.readDocumentsJsonl(spark, dirPath.toString).cache()
+    val clean = df.filter(col("_corrupt_record").isNull)
+    val corrupt = df.filter(col("_corrupt_record").isNotNull)
+    assert(clean.count() == 2)
+    assert(corrupt.count() == 2)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+}

@@ -90,4 +90,48 @@ class OperatorSpec extends SparkSpec {
     val lsh = operators.Similarity.annLsh(spark, sfDir)
     assert(lsh.filter(col("rank") > 3).count() == 0)
   }
+
+  test("dedup_embedding: LSH pairs are a subset of the exact label-blocked pairs, decent recall") {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("eb"))
+    val exact = a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(graft.functions.VectorOps.cosine(col("ea"), col("eb")) >= 0.3)
+      .select("vec_a", "vec_b")
+    val lsh = operators.Similarity.dedupEmbedding(spark, sfDir).select("vec_a", "vec_b")
+    assert(lsh.join(exact, Seq("vec_a", "vec_b"), "left_anti").count() == 0,
+      "LSH must never invent a pair the exact formulation lacks")
+    val recall = lsh.count().toDouble / exact.count().toDouble
+    assert(recall > 0.2, s"banded-LSH recall collapsed: $recall")
+  }
+
+  test("explode_authors_struct: typed array<struct<name>> intermediate, positions dense") {
+    val typed = operators.Cleaning.authorsStructTyped(spark, sfDir)
+    val authorsField = typed.schema("authors").dataType
+    authorsField match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(fields), _) =>
+        assert(fields.map(_.name).toSeq == Seq("name"))
+        assert(fields.head.dataType == org.apache.spark.sql.types.StringType)
+      case other => fail(s"authors should be array<struct<name:string>>, was $other")
+    }
+    val exploded = operators.Cleaning.explodeAuthorsStruct(spark, sfDir)
+    assert(exploded.agg(min("author_pos")).first().getLong(0) == 0L)
+    assert(exploded.filter(col("author_name") === "").count() == 0)
+  }
+
+  test("dwh_bridge_author: weights sum to 1 per publication") {
+    val bad = operators.Dwh.bridgeAuthor(spark, sfDir)
+      .groupBy("publication_key")
+      .agg(sum("allocation_weight").as("w"))
+      .filter(abs(col("w") - 1.0) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("dwh_dim_references: (pid, doi) is a primary key") {
+    val dups = operators.Dwh.dimReferences(spark, sfDir)
+      .groupBy("pid", "doi").count().filter(col("count") > 1)
+    assert(dups.count() == 0)
+  }
 }
