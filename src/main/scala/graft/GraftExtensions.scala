@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CommonCount, FloatDot, MinHashSig, SimHash16}
+import org.apache.spark.sql.graft.{CommonCount, CosineSim, FloatDot, MinHashSig, SimHash16}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, ExpressionInfo, Size}
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo("org.apache.spark.sql.graft.FloatDot", "graft_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo("org.apache.spark.sql.graft.CosineSim", "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteIntersectCount)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
   }

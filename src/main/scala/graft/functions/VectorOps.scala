@@ -37,8 +37,22 @@ object VectorOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity: dot / (‖a‖·‖b‖). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity: dot / (‖a‖·‖b‖), fused into one array pass via
+    * the native [[org.apache.spark.sql.graft.CosineSim]] — three separate
+    * FloatDot walks (dot + both norms) become one loop with bit-identical
+    * per-accumulator folds.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.CosineSim(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Reference three-pass cosine (dot/norm composition) — kept for
+    * spec-level equivalence checks against [[cosine]].
+    */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** DuckDB mirror of [[dot]]: index-based left fold, 1-based lists. */
   def sqlDot(a: String, b: String): String =

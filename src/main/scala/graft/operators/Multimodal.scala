@@ -77,23 +77,35 @@ object Multimodal {
       }
   }
 
-  /** Driver-contract wrapper: feature stage minus the float array (the
-    * array is exercised in MultimodalSpec; rows-only here would hide the
-    * metadata which IS portable, so we verify the scalar columns).
+  /** Driver-contract wrapper: the feature stage INCLUDING the decoded
+    * feature values, flattened to scalar columns f0..f7 (struct/array
+    * columns don't hash portably across engines; scalars do). The stub's
+    * features are bytes/127 in float32 — the corpus is ASCII, so the
+    * oracle reproduces byte i as the codepoint of character i, and
+    * k/127f is double-rounding-safe for every byte value (checked
+    * exhaustively), making the float32 values bit-identical.
     */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     decodeStub(spark, dir)
       .toDF()
-      .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        col("width"), col("height"))
+      .select(Seq(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("width"), col("height")) ++
+        (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
 
-  val multimodalDecodeOracle: String = """
+  val multimodalDecodeOracle: String = {
+    val feats = (0 until 8).map { i =>
+      s"CAST(UNICODE(SUBSTR(text, ($i % OCTET_LENGTH(ENCODE(text))) + 1, 1)) AS FLOAT)" +
+        s" / CAST(127 AS FLOAT) AS f$i"
+    }.mkString(",\n      ")
+    s"""
     SELECT doc_id,
       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
       CAST(16 + OCTET_LENGTH(ENCODE(text)) % 64 AS INTEGER) AS width,
-      CAST(16 + (OCTET_LENGTH(ENCODE(text)) // 64) % 64 AS INTEGER) AS height
+      CAST(16 + (OCTET_LENGTH(ENCODE(text)) // 64) % 64 AS INTEGER) AS height,
+      $feats
     FROM documents"""
+  }
 
   def defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> QueryDef.sql(multimodalMeta, multimodalMetaOracle),

@@ -127,11 +127,12 @@ object Similarity {
       JOIN embeddings c ON q.vec_id <> c.vec_id)
     WHERE rank <= 5"""
 
-  /** Random-hyperplane LSH ANN (rows-only oracle): 6 fixed pseudo-random
-    * hyperplanes → 6 sign bits → bucket id. Queries probe only their own
-    * bucket; top-3 within bucket by exact cosine. The scale path: bucket
-    * fan-out divides candidate volume by ~2^6 with high recall on near
-    * vectors (sign agreement probability 1 − θ/π per plane).
+  /** Random-hyperplane LSH ANN: 6 fixed pseudo-random hyperplanes → 6
+    * sign bits → bucket id. Queries probe only their own bucket; top-3
+    * within bucket by exact cosine. The scale path: bucket fan-out
+    * divides candidate volume by ~2^6 with high recall on near vectors
+    * (sign agreement probability 1 − θ/π per plane). Hash-checked: the
+    * bucketing is mirrored in SQL via plane literals.
     */
   private val Dim = 64
   private val NPlanes = 6
@@ -155,6 +156,18 @@ object Similarity {
       when(VectorOps.dot(v, planeCol(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** SQL mirror of [[bucketOf]]: the 6 sign bits recomposed as a bigint,
+    * planes emitted as literals (same technique as the dedup_embedding
+    * oracle) — so the bucketed ANN path is hash-checked end to end.
+    */
+  private def sqlBucketOf(vec: String): String = {
+    val terms = (0 until NPlanes).map { p =>
+      val vals = plane(p).map(d => s"CAST($d AS DOUBLE)").mkString(", ")
+      s"(CASE WHEN ${VectorOps.sqlDot(vec, s"[$vals]")} > 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketOf(col("embedding")))
@@ -172,11 +185,26 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
-  /** IVF-style ANN (rows-only oracle): a deterministic coarse quantizer
+  lazy val annLshOracle: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${sqlBucketOf("embedding")} AS bucket
+      FROM embeddings)
+    SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+        ${VectorOps.sqlCosine("q.embedding", "c.embedding")} AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${VectorOps.sqlCosine("q.embedding", "c.embedding")} DESC,
+            c.vec_id ASC) AS rank
+      FROM (SELECT * FROM e WHERE vec_id < 10) q
+      JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+    WHERE rank <= 3"""
+
+  /** IVF-style ANN: a deterministic coarse quantizer
     * (every 50th vector serves as a centroid — at scale: k-means fitted
     * offline and broadcast), vectors assigned to their nearest centroid
     * (inverted lists), queries probe the 2 nearest lists only. The other
     * 100 TB path besides LSH: probe cost scales with corpus/k · nprobe.
+    * Hash-checked end to end (assignment + probing mirrored in SQL).
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -206,6 +234,32 @@ object Similarity {
         VectorOps.cosine(col("qe"), col("cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
+  }
+
+  lazy val annIvfOracle: String = {
+    def nearest(src: String, idAlias: String, vecAlias: String, n: Int) = s"""
+      SELECT $idAlias, $vecAlias, cent_id FROM (
+        SELECT v.vec_id AS $idAlias, v.embedding AS $vecAlias, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY ${VectorOps.sqlCosine("v.embedding", "c.ce")} DESC,
+              c.cent_id ASC) AS cent_rank
+        FROM ($src) v CROSS JOIN cents c)
+      WHERE cent_rank <= $n"""
+    s"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 50 = 0),
+    assigned AS (${nearest("SELECT * FROM embeddings", "neighbor_id", "cv", 1)}),
+    probes AS (${nearest("SELECT * FROM embeddings WHERE vec_id < 10", "query_id", "qe", 2)})
+    SELECT query_id, neighbor_id, cent_id, cosine, rank FROM (
+      SELECT p.query_id, a.neighbor_id, p.cent_id,
+        ${VectorOps.sqlCosine("p.qe", "a.cv")} AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY p.query_id
+          ORDER BY ${VectorOps.sqlCosine("p.qe", "a.cv")} DESC,
+            a.neighbor_id ASC) AS rank
+      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      WHERE p.query_id <> a.neighbor_id)
+    WHERE rank <= 3"""
   }
 
   /** Embedding int8 quantization quality: per-vector symmetric scale
@@ -247,7 +301,7 @@ object Similarity {
     "embedding_quantize" -> QueryDef.sql(embeddingQuantize, embeddingQuantizeOracle),
     "dedup_embedding" -> QueryDef.sql(dedupEmbedding, dedupEmbeddingOracle),
     "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),
-    "ann_lsh" -> QueryDef.rowsOnly(annLsh),
-    "ann_ivf" -> QueryDef.rowsOnly(annIvf)
+    "ann_lsh" -> QueryDef.sql(annLsh, annLshOracle),
+    "ann_ivf" -> QueryDef.sql(annIvf, annIvfOracle)
   )
 }

@@ -29,16 +29,18 @@ object ApiEnrich {
     def close(): Unit = ()
   }
 
-  /** Deterministic fake transport. Misses every 10th work (by key hash
-    * parity with the oracle: o_orderkey % 10 == 0), and throws once per
-    * instance for keys with % 7 == 0 to exercise retry (a fresh client —
-    * i.e. a retried task — succeeds, like a real 429).
+  /** Deterministic fake transport. Misses ~10% of lookups (by key hash,
+    * in parity with the oracle: last-6-hex of the DOI % 10 == 0), and
+    * throws once per instance for a sparse key subset (% 211 == 0,
+    * ~0.5% — realistic 429 rates; a dense failure set would spend the
+    * whole run in backoff sleeps) so the retry path is exercised. A
+    * fresh client — i.e. a retried task — succeeds, like a real 429.
     */
   final class StubMetadataClient extends MetadataClient {
     private val failedOnce = new java.util.HashSet[String]()
     override def fetch(doi: String): Option[String] = {
       val key = java.lang.Long.parseLong(doi.takeRight(6), 16)
-      if (key % 7 == 0 && !failedOnce.contains(doi)) {
+      if (key % 211 == 0 && !failedOnce.contains(doi)) {
         failedOnce.add(doi)
         throw new java.io.IOException(s"simulated 429 for $doi")
       }
@@ -48,12 +50,16 @@ object ApiEnrich {
 
   /** Simple token-interval rate limiter: at most `perSecond` acquisitions
     * per second within one task (api.py sleeps on Retry-After; production
-    * pacing belongs client-side, before the request).
+    * pacing belongs client-side, before the request). `perSecond <= 0`
+    * disables pacing entirely (the unthrottled stub path — Thread.sleep
+    * has ~1 ms floor, so sub-ms pacing would dominate wall time).
     */
   final class RateLimiter(perSecond: Int) extends Serializable {
-    private val intervalNanos = 1000000000L / math.max(perSecond, 1)
+    private val intervalNanos =
+      if (perSecond <= 0) 0L else 1000000000L / perSecond
     private var nextFree = 0L
     def acquire(): Unit = {
+      if (intervalNanos == 0L) return
       val now = System.nanoTime()
       if (now < nextFree) Thread.sleep((nextFree - now) / 1000000L + 1)
       nextFree = math.max(now, nextFree) + intervalNanos
@@ -83,7 +89,7 @@ object ApiEnrich {
   def enrichViaApi(
       spark: SparkSession, dir: String,
       newClient: () => MetadataClient = () => new StubMetadataClient,
-      perSecond: Int = 1000000, maxAttempts: Int = 3): DataFrame = {
+      perSecond: Int = 0, maxAttempts: Int = 3): DataFrame = {
     import spark.implicits._
     val withDoi = Tables.orders(spark, dir)
       .select(col("o_orderkey"),

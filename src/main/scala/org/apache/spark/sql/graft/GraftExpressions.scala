@@ -197,6 +197,72 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity of two array<float> columns in ONE pass: the three
+  * accumulators (x·y, x·x, y·y) advance together per element, each as its
+  * own strict left fold — so every sum is bit-identical to the separate
+  * FloatDot/norm formulation (dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b)))
+  * and the oracle's LIST_REDUCE mirrors), while the arrays are walked once
+  * instead of three times (the inner loop of every brute-force similarity
+  * scan). Null semantics match FloatDot: mismatched lengths or null
+  * elements → NULL.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var xy = 0.0
+    var xx = 0.0
+    var yy = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      xy += xi * yi
+      xx += xi * xi
+      yy += yi * yi
+      i += 1
+    }
+    xy / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val xy = ctx.freshName("xy")
+      val xx = ctx.freshName("xx")
+      val yy = ctx.freshName("yy")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; } else {
+          int $n = $x.numElements();
+          double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $xi = (double) $x.getFloat($i);
+            double $yi = (double) $y.getFloat($i);
+            $xy += $xi * $yi; $xx += $xi * $xi; $yy += $yi * $yi;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+          }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Thread-local md5 helper callable from generated code (static forwarder
   * on the companion-less top-level object).
   */

@@ -64,6 +64,30 @@ class ExpressionSpec extends SparkSpec {
     assert(d.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("CosineSim ≡ dot/(norm·norm) composition, bit-identical") {
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = e.select(col("embedding").as("a"))
+      .crossJoin(e.select(col("embedding").as("b"))).limit(1000)
+    val d = pairs.select(
+      VectorOps.cosine(col("a"), col("b")).as("fast"),
+      VectorOps.cosineComposed(col("a"), col("b")).as("ref"))
+    assert(d.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("FloatDot/CosineSim null semantics: length mismatch and null elements → NULL") {
+    val d = spark.sql(
+      """SELECT
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS a2,
+        |  array(CAST(3.0 AS FLOAT)) AS b1,
+        |  array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS an
+        |""".stripMargin)
+    val r = d.select(
+      VectorOps.dot(col("a2"), col("b1")).as("mismatch"),
+      VectorOps.dot(col("a2"), col("an")).as("nullelem"),
+      VectorOps.cosine(col("a2"), col("b1")).as("cmismatch")).first()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("SQL functions registered via GraftExtensions work end-to-end") {
     import org.apache.spark.sql.SparkSession
     // Force a NEW session (same context) so withExtensions applies;

@@ -51,4 +51,21 @@ class PlanSpec extends SparkSpec {
     val p = plan(operators.Similarity.annTopk(spark, sfDir))
     assert(p.contains("Broadcast"), s"query set not broadcast:\n$p")
   }
+
+  test("ngram_jaccard joins on (source, length-bucket), not source alone") {
+    val p = plan(operators.Dedup.ngramJaccard(spark, sfDir))
+    // The equi-join key set must include the bucket column — a join keyed
+    // on low-cardinality `source` alone is quadratic per source.
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("source")).getOrElse("")
+    assert(joinLine.contains("bucket"), s"length bucket missing from join key: $joinLine")
+  }
+
+  test("dedup_embedding generates candidates from a bucket equi-join (no per-label cartesian)") {
+    val p = plan(operators.Similarity.dedupEmbedding(spark, sfDir))
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("label")).getOrElse("")
+    assert(joinLine.contains("bucket"), s"bucket missing from candidate join: $joinLine")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
 }
