@@ -244,7 +244,7 @@ object Analytics {
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val d = 0.85
-    val pairs = collabPairs(spark, dir).repartition(4).localCheckpoint(true)
+    val pairs = collabPairs(spark, dir).repartition(4).transform(graft.functions.Iterate.checkpoint)
     val edges = pairs.select(col("supp_a").as("src"), col("supp_b").as("dst"),
         col("collab_count").cast("double").as("w"))
       .unionByName(pairs.select(col("supp_b").as("src"), col("supp_a").as("dst"),
@@ -252,10 +252,10 @@ object Analytics {
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val norm = edges.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("out_w")).as("nw"))
-      .localCheckpoint(true)
-    val nodes = norm.select(col("src").as("node")).distinct().localCheckpoint(true)
+      .transform(graft.functions.Iterate.checkpoint)
+    val nodes = norm.select(col("src").as("node")).distinct().transform(graft.functions.Iterate.checkpoint)
     val n = nodes.count().toDouble
-    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).transform(graft.functions.Iterate.checkpoint)
     for (i <- 1 to 10) {
       val contrib = norm
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
@@ -268,7 +268,7 @@ object Analytics {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(0.15 / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-      if (i % 2 == 0) pr = pr.localCheckpoint(true)
+      if (i % 2 == 0) pr = pr.transform(graft.functions.Iterate.checkpoint)
     }
     pr.select(col("node").as("supp_key"),
         (floor(col("pr") * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8))

@@ -238,13 +238,13 @@ object Dedup {
     val pairs = dedupMinhashLsh(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .repartition(4)
-      .localCheckpoint(true)
+      .transform(graft.functions.Iterate.checkpoint)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
+      .transform(graft.functions.Iterate.checkpoint)
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .transform(graft.functions.Iterate.checkpoint)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -254,7 +254,7 @@ object Dedup {
       val next = labels.select(col("node"), col("label"))
         .unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .transform(graft.functions.Iterate.checkpoint)
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).count()
       labels = next

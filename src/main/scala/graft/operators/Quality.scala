@@ -32,11 +32,12 @@ object Quality {
         .agg(count(lit(1)).as("n")).filter(col("n") > 1))
     // Referential rules over the DWH bridge/edge dims (check_DWH.py FK
     // constraints, evaluated as violation scans instead of per-row FKs).
+    // The bridge feeds two rules — materialize it once.
+    val bridge = Dwh.bridgeAuthor(spark, dir).persist()
     val bridgeOrphans = rule("bridge_orphan_publications",
-      Dwh.bridgeAuthor(spark, dir)
-        .join(o, col("publication_key") === col("o_orderkey"), "left_anti"))
+      bridge.join(o, col("publication_key") === col("o_orderkey"), "left_anti"))
     val bridgeWeights = rule("bridge_weight_not_1",
-      Dwh.bridgeAuthor(spark, dir)
+      bridge
         .groupBy(col("publication_key"))
         .agg(sum(col("allocation_weight")).as("wsum"))
         .filter(abs(col("wsum") - 1.0) > 1e-6))

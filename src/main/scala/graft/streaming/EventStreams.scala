@@ -113,6 +113,19 @@ object EventStreams {
         col("value"), col("click_id"), col("click_ts"))
   }
 
+  /** Streaming JSONL ingestion — the streaming twin of
+    * [[graft.sources.Ingest.readDocumentsJsonl]] (the reference's
+    * line-by-line loader as an unbounded source): new JSONL files landing
+    * in a directory stream through the same pinned schema with
+    * DROPMALFORMED routing; bad lines never stall the stream. Pair with
+    * `writeStream` to parquet for a continuously-materializing corpus.
+    */
+  def documentsJsonlStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(graft.sources.Ingest.documentsSchema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+
   /** Log ingestion — the reference's Logstash pipeline
     * (src/logstash/pipeline/logstash.conf: tail the airflow log tree →
     * daily Elasticsearch index). Spark-first: a text file stream over

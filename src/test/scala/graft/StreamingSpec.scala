@@ -116,6 +116,24 @@ class StreamingSpec extends SparkSpec {
       && r.getAs[String]("message") == "task failed"))
   }
 
+  test("documentsJsonlStream streams schema'd JSONL, dropping malformed lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/batch0.json"),
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}
+        |not json
+        |{"doc_id": 2, "text": "fine", "lang": "de", "source": "s", "n_chars": 4}
+        |""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl_stream_out").toString
+    val q = EventStreams.documentsJsonlStream(spark, dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/docs").option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(s"$out/docs")
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
   test("streaming windowedAgg agrees with the batch stream_window_agg twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
