@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       operators.Quality.defs ++
+      operators.Sampling.defs ++
       sources.Ingest.defs ++
       sources.ApiEnrich.defs
 

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling & dataset splitting (§2.E adjunct) — the two
+  * selection operators every training-data pipeline runs before training.
+  *
+  * Both derive the decision from a salted md5 of the row's natural key
+  * instead of `rand()`: reproducible across runs, retries and engines
+  * (a re-run of a 100 TB sample yields the SAME rows — rand() cannot),
+  * shardable (no RNG state coordination across executors), and
+  * oracle-checkable. `TABLESAMPLE` / `rand() < p` are the
+  * non-reproducible alternatives; hash-mod sampling is the production
+  * idiom (same trick as A/B bucketing).
+  */
+object Sampling {
+
+  /** hash-mod bucket in [0, 100): first 6 md5 hex chars of salt|key. */
+  private def pctBucket(salt: String, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 100
+
+  private def sqlPctBucket(salt: String, key: String) =
+    s"CAST('0x' || SUBSTR(MD5('$salt' || '|' || CAST($key AS VARCHAR)), 1, 6) AS BIGINT) % 100"
+
+  /** Stratified sample: per-language sampling rates (the "rebalance the
+    * corpus mix" step — downsample the dominant language, keep the rest).
+    * Rates ride a broadcast map; selection is the hash-mod test.
+    */
+  private val strataRates: Seq[(String, Int)] =
+    Seq("en" -> 10, "de" -> 25, "fr" -> 25)
+  private val defaultRate = 50
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rates = spark.createDataFrame(strataRates).toDF("rate_lang", "rate_pct")
+    Tables.documents(spark, dir)
+      .join(broadcast(rates), col("lang") === col("rate_lang"), "left")
+      .withColumn("rate", coalesce(col("rate_pct"), lit(defaultRate)))
+      .filter(pctBucket("sample", col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("lang"), col("rate"))
+  }
+
+  val sampleStratifiedOracle: String = {
+    val values = strataRates.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    s"""
+    SELECT doc_id, lang, rate FROM (
+      SELECT doc_id, lang, COALESCE(r.rate_pct, $defaultRate) AS rate
+      FROM documents
+      LEFT JOIN (VALUES $values) AS r(rate_lang, rate_pct) ON lang = rate_lang)
+    WHERE ${sqlPctBucket("sample", "doc_id")} < rate"""
+  }
+
+  /** Train/val/test split: 80/10/10 by a differently-salted hash (the
+    * salt decorrelates the split from any sampling decision). Every row
+    * gets exactly one deterministic assignment — re-running a backfill
+    * cannot move a document across splits.
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pctBucket("split", col("doc_id")))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+
+  val datasetSplitOracle: String = s"""
+    SELECT doc_id,
+      CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id, ${sqlPctBucket("split", "doc_id")} AS b FROM documents)"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
+    "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle)
+  )
+}

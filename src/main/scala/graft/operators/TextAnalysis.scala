@@ -158,6 +158,49 @@ object TextAnalysis {
     GROUP BY 1
     ORDER BY freq DESC, bigram ASC LIMIT 20"""
 
+  /** Within-document repetition score — the Gopher/C4-style repetition
+    * filter: 1 − distinct bigrams / total bigrams. Boilerplate-heavy and
+    * template-generated documents (the classic low-quality training-data
+    * signature) score high. Per-row arithmetic only — scan speed at
+    * scale; repetitive = score > 0.2 here.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.Bigrams(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bigrams.as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("bg")).cast("bigint").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("bigint").as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct").cast("double")
+            / col("n_bigrams").cast("double")).as("repetition"))
+      .withColumn("is_repetitive", col("repetition") > 0.2)
+  }
+
+  val repetitionScoreOracle: String = """
+    SELECT doc_id, n_bigrams, n_distinct,
+      CASE WHEN n_bigrams = 0 THEN CAST(0 AS DOUBLE)
+           ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+      END AS repetition,
+      (CASE WHEN n_bigrams = 0 THEN CAST(0 AS DOUBLE)
+            ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       END) > 0.2 AS is_repetitive
+    FROM (
+      SELECT doc_id,
+        CAST(LEN(bg) AS BIGINT) AS n_bigrams,
+        CAST(LEN(LIST_DISTINCT(bg)) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT doc_id,
+          LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w), 1)),
+            i -> w[i] || ' ' || w[i+1]) AS bg
+        FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS w
+              FROM documents)))"""
+
   /** Stopword removal: filter stopword tokens (keeping duplicates and
     * order — unlike array_except, which dedups) and rejoin.
     */
@@ -238,6 +281,7 @@ object TextAnalysis {
     "token_count" -> QueryDef.sql(tokenCount, tokenCountOracle),
     "quality_score" -> QueryDef.sql(qualityScore, qualityScoreOracle),
     "lang_id" -> QueryDef.sql(langId, langIdOracle),
-    "doc_fingerprint" -> QueryDef.sql(docFingerprint, docFingerprintOracle)
+    "doc_fingerprint" -> QueryDef.sql(docFingerprint, docFingerprintOracle),
+    "repetition_score" -> QueryDef.sql(repetitionScore, repetitionScoreOracle)
   )
 }

@@ -129,6 +129,41 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("dataset_split: every doc gets exactly one split, ratios near 80/10/10") {
+    val df = operators.Sampling.datasetSplit(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(df.count() == total)
+    val byShare = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    assert(math.abs(byShare("train") - 0.8) < 0.1, s"train share: $byShare")
+    assert(byShare.keySet == Set("train", "val", "test"))
+  }
+
+  test("sample_stratified: deterministic across runs, en downsampled below default strata") {
+    val a = operators.Sampling.sampleStratified(spark, sfDir)
+    val b = operators.Sampling.sampleStratified(spark, sfDir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val docs = Tables.documents(spark, sfDir)
+    val enRate = a.filter(col("lang") === "en").count().toDouble /
+      docs.filter(col("lang") === "en").count()
+    assert(enRate < 0.25, s"en sampled at $enRate, expected ~0.10")
+  }
+
+  test("repetition_score: bounded in [0,1), repeated text scores near 1") {
+    val df = operators.TextAnalysis.repetitionScore(spark, sfDir)
+    assert(df.filter(col("repetition") < 0 || col("repetition") >= 1).count() == 0)
+    import spark.implicits._
+    val loop = Seq((1L, ("spam ham " * 50).trim)).toDF("doc_id", "text")
+      .createOrReplaceTempView("rep_probe")
+    val bg = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.Bigrams(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    val rep = spark.table("rep_probe")
+      .select((lit(1.0) - size(array_distinct(bg)).cast("double")
+        / size(bg).cast("double")).as("r")).first().getDouble(0)
+    assert(rep > 0.9, s"looped text should be highly repetitive: $rep")
+  }
+
   test("dwh_dim_references: (pid, doi) is a primary key") {
     val dups = operators.Dwh.dimReferences(spark, sfDir)
       .groupBy("pid", "doi").count().filter(col("count") > 1)
