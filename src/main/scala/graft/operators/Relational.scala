@@ -234,6 +234,22 @@ object Relational {
       COUNT(*) AS n
     FROM events GROUP BY event_type"""
 
+  /** Approximate quantiles (rows-only: the sketch is engine-specific) —
+    * the 100 TB twin of [[percentiles]]: Spark's percentile_approx is a
+    * mergeable KLL-style sketch, so the shuffle carries fixed-size
+    * sketches instead of per-group histograms, at bounded rank error.
+    * ApproxSpec asserts agreement with the exact path on integer data.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value")).cast("double").as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("v"), lit(0.25), lit(10000)).as("ap25"),
+        percentile_approx(col("v"), lit(0.50), lit(10000)).as("ap50"),
+        percentile_approx(col("v"), lit(0.75), lit(10000)).as("ap75"),
+        count(lit(1)).as("n"))
+
   /** Skew-safe salted join: lineitem side gets a deterministic salt,
     * orders side is replicated across all salt values, join on
     * (key, salt) — spreads a hot orderkey over SALT_BUCKETS reducers.
@@ -788,6 +804,7 @@ object Relational {
     "rollup_agg" -> QueryDef.sql(rollupAgg, rollupAggOracle),
     "pivot_agg" -> QueryDef.sql(pivotAgg, pivotAggOracle),
     "percentiles" -> QueryDef.sql(percentiles, percentilesOracle),
+    "approx_percentiles" -> QueryDef.rowsOnly(approxPercentiles),
     "skew_salted_join" -> QueryDef.sql(skewSaltedJoin, skewSaltedJoinOracle)
   )
 }

@@ -201,6 +201,64 @@ object TextAnalysis {
         FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS w
               FROM documents)))"""
 
+  /** PII scrubbing — redact emails and URLs before training (the
+    * compliance pass every corpus gets). The lake text is synthetic and
+    * clean, so the operator first derives a PII-bearing column the way
+    * a crawl would carry one (deterministic contact+link suffix), then
+    * applies the redaction rules; the rules are the operator. Simple
+    * character-class regexes keep Java and RE2 semantics aligned.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com via https://ex.io/p/"), col("doc_id").cast("string"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("dirty"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+          "https?://[^ ]+", "[URL]").as("scrubbed"))
+  }
+
+  val piiScrubOracle: String = """
+    SELECT doc_id,
+      REGEXP_REPLACE(
+        REGEXP_REPLACE(
+          text || ' contact: user' || CAST(doc_id AS VARCHAR)
+               || '@example.com via https://ex.io/p/' || CAST(doc_id AS VARCHAR),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        'https?://[^ ]+', '[URL]', 'g') AS scrubbed
+    FROM documents"""
+
+  /** Fixed-window document chunking with overlap — the step that turns
+    * documents into training/embedding units: 64-word windows every 48
+    * words (16-word overlap), one output row per chunk. Explode is
+    * linear in words; no shuffle.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), "\\s+")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(48))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / 48).cast("bigint").as("chunk_id"),
+        array_join(slice(col("w"), col("start") + 1, lit(64)), " ").as("chunk_text"),
+        size(slice(col("w"), col("start") + 1, lit(64))).cast("bigint").as("n_tokens"))
+  }
+
+  val docChunkOracle: String = """
+    SELECT doc_id,
+      CAST(start // 48 AS BIGINT) AS chunk_id,
+      ARRAY_TO_STRING(w[start + 1 : start + 64], ' ') AS chunk_text,
+      CAST(LEN(w[start + 1 : start + 64]) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, w, UNNEST(RANGE(0, LEN(w), 48)) AS start
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS w FROM documents))"""
+
   /** Stopword removal: filter stopword tokens (keeping duplicates and
     * order — unlike array_except, which dedups) and rejoin.
     */
@@ -282,6 +340,8 @@ object TextAnalysis {
     "quality_score" -> QueryDef.sql(qualityScore, qualityScoreOracle),
     "lang_id" -> QueryDef.sql(langId, langIdOracle),
     "doc_fingerprint" -> QueryDef.sql(docFingerprint, docFingerprintOracle),
-    "repetition_score" -> QueryDef.sql(repetitionScore, repetitionScoreOracle)
+    "repetition_score" -> QueryDef.sql(repetitionScore, repetitionScoreOracle),
+    "pii_scrub" -> QueryDef.sql(piiScrub, piiScrubOracle),
+    "doc_chunk" -> QueryDef.sql(docChunk, docChunkOracle)
   )
 }

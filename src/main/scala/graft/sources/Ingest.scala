@@ -66,7 +66,30 @@ object Ingest {
   val ingestJsonlOracle: String = """
     SELECT doc_id, text, lang, source, n_chars FROM documents"""
 
+  /** CSV round-trip ingest: the interchange-format twin of
+    * [[ingestJsonl]] — headered CSV staged through the sink, read back
+    * with the pinned schema (no inference pass) and DROPMALFORMED.
+    * Quoting protects embedded delimiters/newlines; the hash check
+    * proves the cycle is lossless.
+    */
+  def ingestCsv(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_csv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    Sinks.writeCsv(Tables.documents(spark, dir), stage)
+    spark.read
+      .schema(documentsSchema)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(stage)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val ingestCsvOracle: String = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents"""
+
   def defs: Map[String, QueryDef] = Map(
-    "ingest_jsonl" -> QueryDef.sql(ingestJsonl, ingestJsonlOracle)
+    "ingest_jsonl" -> QueryDef.sql(ingestJsonl, ingestJsonlOracle),
+    "ingest_csv" -> QueryDef.sql(ingestCsv, ingestCsvOracle)
   )
 }

@@ -164,6 +164,36 @@ class OperatorSpec extends SparkSpec {
     assert(rep > 0.9, s"looped text should be highly repetitive: $rep")
   }
 
+  test("approx_percentiles agree with the exact histogram path on integer data") {
+    val exact = operators.Relational.percentiles(spark, sfDir)
+      .select(col("event_type"), col("p50"))
+    val approx = operators.Relational.approxPercentiles(spark, sfDir)
+      .select(col("event_type"), col("ap50"))
+    val joined = exact.join(approx, "event_type")
+    // percentile_approx returns an observed value; exact p50 interpolates —
+    // on integer-valued data they differ by at most one value step.
+    assert(joined.filter(abs(col("p50") - col("ap50")) > 1.0).count() == 0)
+  }
+
+  test("doc_chunk: chunks cover every word with 16-word overlap") {
+    val df = operators.TextAnalysis.docChunk(spark, sfDir).cache()
+    assert(df.filter(col("n_tokens") < 1 || col("n_tokens") > 64).count() == 0)
+    // sum of tokens ≥ total words (overlap duplicates), and every doc appears
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n_words"))
+    val perDoc = df.groupBy("doc_id").agg(sum("n_tokens").as("chunked"))
+      .join(docs, "doc_id")
+    assert(perDoc.filter(col("chunked") < col("n_words")).count() == 0)
+    assert(perDoc.count() == docs.count())
+  }
+
+  test("pii_scrub: no emails or URLs survive") {
+    val df = operators.TextAnalysis.piiScrub(spark, sfDir)
+    assert(df.filter(col("scrubbed").rlike("@")).count() == 0)
+    assert(df.filter(col("scrubbed").rlike("https?://")).count() == 0)
+    assert(df.filter(col("scrubbed").contains("[EMAIL]")).count() == df.count())
+  }
+
   test("dwh_dim_references: (pid, doi) is a primary key") {
     val dups = operators.Dwh.dimReferences(spark, sfDir)
       .groupBy("pid", "doi").count().filter(col("count") > 1)
