@@ -778,7 +778,182 @@ object Relational {
       REGEXP_EXTRACT(c_name, '^([A-Za-z]+)#', 1) AS name_prefix
     FROM customer"""
 
+  /** TPC-H Q8-style: a nation's market share inside its region, per
+    * order year — conditional share of an exact revenue sum. Both sums
+    * come from ONE aggregation (no double scan); dims broadcast.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custRegion = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .filter(col("r_name") === "AMERICA")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        Exact.dsum(when(col("supp_nation") === "BRAZIL", rev).otherwise(lit(0.0)))
+          .as("nation_rev"),
+        Exact.dsum(rev).as("total_rev"))
+      .select(col("o_year"),
+        (col("nation_rev") / col("total_rev")).as("mkt_share"))
+  }
+
+  val q8MarketShareOracle: String = s"""
+    SELECT o_year,
+      nation_rev / total_rev AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+        ${Exact.sqlDsum("CASE WHEN n2.n_name = 'BRAZIL' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS nation_rev,
+        ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+      GROUP BY 1)"""
+
+  /** TPC-H Q15-style: supplier(s) with the maximum quarterly revenue —
+    * a reused CTE compared against its own scalar max. Double equality
+    * is safe because both sides derive from the same exact decimal sum.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_rev"))
+    val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
+    revenue.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("supp_key"), col("s_name").as("name"),
+        col("total_rev"))
+  }
+
+  val q15TopSupplierOracle: String = s"""
+    WITH revenue AS (
+      SELECT l_suppkey, ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT l_suppkey AS supp_key, s_name AS name, total_rev
+    FROM revenue
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)"""
+
+  /** TPC-H Q17-style: revenue locked in small-quantity orders of a
+    * brand — the correlated average reframed as a per-part aggregate
+    * join (the scale-correct decorrelation Catalyst would also pick).
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val partAvg = l.groupBy(col("l_partkey").as("avg_partkey"))
+      .agg((Exact.dsum(col("l_quantity"))
+        / count(lit(1)).cast("double")).as("avg_qty"))
+    l.join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")),
+        col("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("avg_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((Exact.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  val q17SmallQuantityOracle: String = s"""
+    SELECT ${Exact.sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+    JOIN (
+      SELECT l_partkey AS avg_partkey,
+        ${Exact.sqlDsum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      FROM lineitem GROUP BY 1) a ON l_partkey = avg_partkey
+    WHERE l_quantity < 0.5 * avg_qty"""
+
+  /** TPC-H Q19-style: disjunctive predicate revenue — OR-of-ANDs over
+    * part attributes and quantity bands, the pattern that tests
+    * OR-predicate pushdown through a join.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)
+            && col("l_quantity").between(20, 30)))
+      .agg(Exact.dsum(rev).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q19DisjunctiveOracle: String = s"""
+    SELECT ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
+
+  /** TPC-H Q21-style: suppliers who were the sole late shipper in
+    * multi-supplier orders (EXISTS for another supplier's line,
+    * NOT EXISTS for another LATE supplier's line; "late" = shipped >90
+    * days after order date, the lake's l_receiptdate analog). Two
+    * semi/anti joins against the same keyed frame — both shuffle on
+    * l_orderkey, so AQE plans them off one exchange.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val l1 = l.filter(col("is_late"))
+      .select(col("l_orderkey").as("k"), col("l_suppkey").as("s"))
+    val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"),
+      col("is_late").as("late2"))
+    l1
+      .join(others, col("k") === col("k2") && col("s") =!= col("s2"), "left_semi")
+      .join(others.filter(col("late2")),
+        col("k") === col("k2") && col("s") =!= col("s2"), "left_anti")
+      .groupBy(col("s").as("supp_key"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  val q21WaitingSupplierOracle: String = """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+        (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT l1.l_suppkey AS supp_key, COUNT(*) AS numwait
+    FROM l l1
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM l l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.is_late)
+    GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "q8_market_share" -> QueryDef.sql(q8MarketShare, q8MarketShareOracle),
+    "q15_top_supplier" -> QueryDef.sql(q15TopSupplier, q15TopSupplierOracle),
+    "q17_small_quantity" -> QueryDef.sql(q17SmallQuantity, q17SmallQuantityOracle),
+    "q19_disjunctive" -> QueryDef.sql(q19Disjunctive, q19DisjunctiveOracle),
+    "q21_waiting_supplier" -> QueryDef.sql(q21WaitingSupplier, q21WaitingSupplierOracle),
     "q1_agg" -> QueryDef.sql(q1Agg, q1AggOracle),
     "cube_agg" -> QueryDef.sql(cubeAgg, cubeAggOracle),
     "stats_agg" -> QueryDef.sql(statsAgg, statsAggOracle),
