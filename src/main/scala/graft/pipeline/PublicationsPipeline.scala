@@ -88,6 +88,8 @@ object PublicationsPipeline {
     stage("stage6_trends", Analytics.trendsOverTime(spark, dataDir))
     stage("stage6_topic_popularity", Analytics.topicPopularity(spark, dataDir))
     stage("stage6_graph_degree", Analytics.graphDegree(spark, dataDir))
+    stage("stage6_author_specialization", Analytics.authorSpecialization(spark, dataDir))
+    stage("stage6_institution_collab", Analytics.institutionCollab(spark, dataDir))
 
     // check_DWH analog: referential sanity between fact and dim.
     val fact = spark.read.parquet(s"$outDir/stage4_fact_sales")

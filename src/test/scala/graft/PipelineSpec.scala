@@ -15,8 +15,10 @@ class PipelineSpec extends SparkSpec {
     val expectedStages = Seq(
       "stage1_documents", "stage1_orders", "stage2_cleaned_documents",
       "stage3_enriched_orders", "stage4_fact_sales", "stage4_dim_customer",
+      "stage4_bridge_author", "stage4_dim_references",
       "stage5_collab_graph", "stage6_trends", "stage6_topic_popularity",
-      "stage6_graph_degree")
+      "stage6_graph_degree", "stage6_author_specialization",
+      "stage6_institution_collab")
     expectedStages.foreach { s =>
       assert(manifest.contains(s), s"missing stage $s")
       assert(manifest(s) > 0, s"stage $s is empty")
