@@ -23,15 +23,21 @@ object Tables {
     * as an epoch-nanos long (`nanosAsLong`) and do all time arithmetic on
     * bigints — exact, engine-portable, and cheaper than timestamp ops.
     *
-    * The `spark.sql.legacy.parquet.nanosAsLong` conf is set once at
-    * session build time (Verify / Bench / SparkSpec own their builders) —
-    * a loader must not mutate session-global conf as a side effect of
-    * planning (racy under concurrent sessions, and it would leak to every
-    * later parquet read). Sessions built elsewhere must set it themselves;
-    * the error message on a miss names the conf explicitly.
+    * The `spark.sql.legacy.parquet.nanosAsLong` conf is set at session
+    * build time by every in-repo builder (Verify / Bench / SparkSpec /
+    * Probe / PlanDump) — a loader should not unconditionally mutate
+    * session-global conf as a side effect of planning. For sessions
+    * built OUTSIDE this library (a user's spark-shell driving the
+    * operators), a defensive set-if-unset keeps events readable instead
+    * of failing with PARQUET_TYPE_ILLEGAL; it writes the conf at most
+    * once per session.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(key).forall(_ != "true"))
+      spark.conf.set(key, "true")
     load(spark, dir, "events")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -32,19 +32,25 @@ object Quality {
         .agg(count(lit(1)).as("n")).filter(col("n") > 1))
     // Referential rules over the DWH bridge/edge dims (check_DWH.py FK
     // constraints, evaluated as violation scans instead of per-row FKs).
-    // The bridge feeds two rules — materialize it once.
+    // The bridge feeds two rules — materialize it once. Orphan rules
+    // count DISTINCT violating keys (not violating rows) so a
+    // three-author orphaned publication is one violation, not three.
     val bridge = Dwh.bridgeAuthor(spark, dir).persist()
     val bridgeOrphans = rule("bridge_orphan_publications",
-      bridge.join(o, col("publication_key") === col("o_orderkey"), "left_anti"))
+      bridge.select(col("publication_key")).distinct()
+        .join(o, col("publication_key") === col("o_orderkey"), "left_anti"))
     val bridgeWeights = rule("bridge_weight_not_1",
       bridge
         .groupBy(col("publication_key"))
         .agg(sum(col("allocation_weight")).as("wsum"))
         .filter(abs(col("wsum") - 1.0) > 1e-6))
-    val refDupPk = rule("references_duplicate_pk",
+    // dimReferences ends in a groupBy(pid, doi), so a duplicate-PK check
+    // on its output would be a tautology; the meaningful FK rule is that
+    // every reference's publication exists.
+    val refOrphans = rule("references_orphan_pids",
       Dwh.dimReferences(spark, dir)
-        .groupBy(col("pid"), col("doi"))
-        .agg(count(lit(1)).as("n")).filter(col("n") > 1))
+        .select(col("pid")).distinct()
+        .join(o, col("pid") === col("o_orderkey"), "left_anti"))
 
     qtyDomain
       .unionByName(discDomain)
@@ -53,7 +59,7 @@ object Quality {
       .unionByName(dupKeys)
       .unionByName(bridgeOrphans)
       .unionByName(bridgeWeights)
-      .unionByName(refDupPk)
+      .unionByName(refOrphans)
   }
 
   val dqChecksOracle: String = """
@@ -87,12 +93,9 @@ object Quality {
         FROM (SELECT DISTINCT l_orderkey AS publication_key, l_suppkey FROM lineitem))
       GROUP BY 1 HAVING ABS(SUM(w) - 1.0) > 1e-6)
     UNION ALL
-    SELECT 'references_duplicate_pk', COUNT(*)
-    FROM (
-      SELECT pid, doi FROM (
-        SELECT l_orderkey AS pid, MD5(CAST(l_partkey AS VARCHAR)) AS doi
-        FROM lineitem GROUP BY 1, 2)
-      GROUP BY 1, 2 HAVING COUNT(*) > 1)"""
+    SELECT 'references_orphan_pids', COUNT(*)
+    FROM (SELECT DISTINCT l_orderkey AS pid FROM lineitem) r
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = r.pid)"""
 
   def defs: Map[String, QueryDef] = Map(
     "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle)

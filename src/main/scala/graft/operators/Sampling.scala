@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** hash-mod bucket in [0, 100): first 6 md5 hex chars of salt|key. */
+  /** hash-mod bucket in [0, 100): the portable 24-bit hash
+    * ([[graft.functions.TextOps.hash24]]) of salt|key, mod 100.
+    */
   private def pctBucket(salt: String, key: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))), 1, 6), 16, 10)
-      .cast("long") % 100
+    graft.functions.TextOps.hash24(
+      concat(lit(salt), lit("|"), key.cast("string"))) % 100
 
   private def sqlPctBucket(salt: String, key: String) =
     s"CAST('0x' || SUBSTR(MD5('$salt' || '|' || CAST($key AS VARCHAR)), 1, 6) AS BIGINT) % 100"

@@ -139,12 +139,20 @@ object Similarity {
 
   /** Deterministic "random" hyperplanes: component (p,d) derives from a
     * fixed LCG — reproducible across runs and executors.
+    *
+    * Components are rounded to FLOAT precision (then widened back):
+    * FloatDot implicit-casts its array<double> plane literal operand to
+    * array<float>, so a full-mantissa double component would lose bits
+    * on the Spark side while the DuckDB oracle kept them — flipping the
+    * sign of near-zero dots and desyncing buckets. Float-representable
+    * components make the cast exact, so both engines multiply the SAME
+    * doubles and the sign bits agree bit-for-bit.
     */
   private def plane(p: Int): Array[Double] = {
     var state = 0x9E3779B97F4A7C15L * (p + 1)
     Array.fill(Dim) {
       state = state * 6364136223846793005L + 1442695040888963407L
-      ((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      (((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5).toFloat.toDouble
     }
   }
 

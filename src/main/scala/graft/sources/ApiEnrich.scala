@@ -97,15 +97,17 @@ object ApiEnrich {
       .as[(Long, String)]
     withDoi.mapPartitions { rows =>
       val client = newClient()
+      // Close exactly once when the TASK finishes — covers early
+      // termination (limit/take), task failure, and full drain alike;
+      // an iterator-exhaustion hook would leak the connection on the
+      // first two and double-close on repeated hasNext.
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => client.close()))
       val limiter = new RateLimiter(perSecond)
-      val mapped = rows.map { case (key, doi) =>
+      rows.map { case (key, doi) =>
         limiter.acquire()
         val meta = retrying(maxAttempts, backoffMs = 1L)(client.fetch(doi))
         Enriched(key, doi, meta.getOrElse("Unknown"))
-      }
-      new Iterator[Enriched] {
-        def hasNext: Boolean = { val h = mapped.hasNext; if (!h) client.close(); h }
-        def next(): Enriched = mapped.next()
       }
     }.toDF()
   }

@@ -44,17 +44,26 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** Staging dir for round-trip ingests: unique per JVM so a Bench run
+    * and a Verify run on the same data dir never overwrite each other's
+    * staging mid-read (SaveMode.Overwrite deletes the target first).
+    */
+  private def stagingDir(kind: String, dir: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_${kind}_${java.lang.ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
   /** Round-trip ingest: stage the documents table as JSONL through the
     * sink, read it back through the schema'd JSONL source, keep only
     * clean rows (DROPMALFORMED — single streamed pass, no cache; the
     * routing variant above is for corpus triage). Hash-checked against
     * the parquet path — proving the JSONL write→read cycle is lossless
-    * for every column.
+    * for every column. NOTE the staging write runs eagerly when the
+    * DataFrame is built — ingest is I/O by nature.
     */
   def ingestJsonl(spark: SparkSession, dir: String): DataFrame = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    val stage = stagingDir("jsonl", dir)
     Sinks.writeJsonLines(Tables.documents(spark, dir), stage)
     spark.read
       .schema(documentsSchema)
@@ -69,17 +78,21 @@ object Ingest {
   /** CSV round-trip ingest: the interchange-format twin of
     * [[ingestJsonl]] — headered CSV staged through the sink, read back
     * with the pinned schema (no inference pass) and DROPMALFORMED.
-    * Quoting protects embedded delimiters/newlines; the hash check
-    * proves the cycle is lossless.
+    * multiLine=true is REQUIRED for losslessness: the writer quotes
+    * embedded newlines, but the default line-splitting reader would
+    * shear a quoted multi-line field into malformed fragments that
+    * DROPMALFORMED silently discards. The cost is per-file (not
+    * per-split) parallelism — which is why JSONL, whose records are
+    * newline-free by construction, is the preferred bulk format and CSV
+    * is the interchange path.
     */
   def ingestCsv(spark: SparkSession, dir: String): DataFrame = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_csv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    val stage = stagingDir("csv", dir)
     Sinks.writeCsv(Tables.documents(spark, dir), stage)
     spark.read
       .schema(documentsSchema)
       .option("header", "true")
+      .option("multiLine", "true")
       .option("mode", "DROPMALFORMED")
       .csv(stage)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))

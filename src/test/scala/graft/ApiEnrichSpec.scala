@@ -20,8 +20,9 @@ class ApiEnrichSpec extends SparkSpec {
   }
 
   test("transient failures are retried, not surfaced (deterministic subset throws once)") {
-    // A fresh client throws once for keys % 7 == 0; the retry loop must
-    // absorb those. Run on a single partition to pin one client instance.
+    // The stub throws once per client instance for keys % 211 == 0; the
+    // per-row retry loop must absorb those within the same task, so the
+    // row count survives intact across however many partitions run.
     val df = ApiEnrich.enrichViaApi(spark, sfDir)
     assert(df.count() == Tables.orders(spark, sfDir).count())
   }
