@@ -279,6 +279,29 @@ object Dedup {
       (src = MIN(dst)) AS is_canonical
     FROM reach GROUP BY src"""
 
+  /** Dedup applied: the surviving corpus after near-dup clustering —
+    * every cluster keeps only its canonical (min-id) document, plus all
+    * unclustered documents untouched. This is the step that turns pair
+    * detection into an output corpus a training run reads. One anti-join
+    * against the (tiny) set of non-canonical ids.
+    */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val losers = dedupComponents(spark, dir)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
+  lazy val dedupApplyOracle: String = s"""
+    WITH comp AS ($dedupComponentsOracle)
+    SELECT doc_id, source, lang, n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comp
+      WHERE comp.doc_id = d.doc_id AND NOT comp.is_canonical)"""
+
   /** Benchmark decontamination: flag training documents sharing any
     * 3-shingle with a held-out benchmark set (here: docs 0-4 play the
     * benchmark) — the contamination check every LLM data pipeline runs.
@@ -342,6 +365,7 @@ object Dedup {
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),
     "dedup_minhash_lsh" -> QueryDef.sql(dedupMinhashLsh, dedupMinhashLshOracle),
-    "dedup_simhash" -> QueryDef.sql(dedupSimhash, dedupSimhashOracle)
+    "dedup_simhash" -> QueryDef.sql(dedupSimhash, dedupSimhashOracle),
+    "dedup_apply" -> QueryDef.sql(dedupApply, dedupApplyOracle)
   )
 }

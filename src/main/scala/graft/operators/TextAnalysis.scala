@@ -332,7 +332,36 @@ object TextAnalysis {
       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
     WHERE rank <= 5"""
 
+  /** Corpus composition report per source — the summary every pipeline
+    * run logs: document count, token volume, language mix, size profile.
+    * One map-side-combinable aggregation.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (sum(col("n_chars")).cast("double")
+          / count(lit(1)).cast("double")).as("mean_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val corpusStatsOracle: String = """
+    SELECT source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(LEN(STRING_SPLIT_REGEX(text, '\s+'))) AS BIGINT) AS total_tokens,
+      COUNT(DISTINCT lang) AS n_langs,
+      CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+      MIN(n_chars) AS min_chars,
+      MAX(n_chars) AS max_chars
+    FROM documents GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "corpus_stats" -> QueryDef.sql(corpusStats, corpusStatsOracle),
     "tfidf_top_terms" -> QueryDef.sql(tfidfTopTerms, tfidfTopTermsOracle),
     "ngram_freq" -> QueryDef.sql(ngramFreq, ngramFreqOracle),
     "stopword_filter" -> QueryDef.sql(stopwordFilter, stopwordFilterOracle),
