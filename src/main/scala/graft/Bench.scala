@@ -33,7 +33,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Some(name)
       }
-      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Release per-operator persisted frames between queries (cache
+      // accumulation would skew later queries' memory headroom).
+      spark.catalog.clearCache()
+      (name, if (err.isEmpty) elapsed else -1.0, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

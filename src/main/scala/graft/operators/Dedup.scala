@@ -34,13 +34,10 @@ object Dedup {
       COUNT(*) AS n_copies
     FROM documents GROUP BY 1"""
 
-  /** Shingled document prep shared by the similarity dedups. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"), col("source"), col("n_chars"),
-        TextOps.shingles3(TextOps.words(col("text"))).as("sh"))
-
+  /** SQL twin of the shingled-document prep (the live Spark path is the
+    * compiled sortedShingles3/shingleHash24 expressions — fixes to the
+    * shingling go in GraftShingleUtil, and this mirror must follow).
+    */
   private val sqlShingled =
     s"""SELECT doc_id, source, n_chars,
       ${TextOps.sqlShingles3("STRING_SPLIT_REGEX(text, '\\s+')")} AS sh
@@ -114,8 +111,12 @@ object Dedup {
     }
     // Buckets carry only (doc_id, band_key): the candidate join shuffles
     // ids, never shingle payloads. Shingles are re-joined only for the
-    // (small) verified candidate set.
-    val bands = withSig.select(
+    // (small) verified candidate set. Null signatures (docs under 3
+    // words) are dropped BEFORE banding: concat_ws would otherwise
+    // collapse every short doc into the same 6 degenerate band keys — a
+    // quadratic self-join whose pairs all die at the verify filter
+    // anyway (empty shingle sets have NULL jaccard on both engines).
+    val bands = withSig.filter(col("sig").isNotNull).select(
       col("doc_id"),
       explode(array((0 until 6).map(bnd =>
         concat_ws(":", lit(bnd.toString),
@@ -247,7 +248,8 @@ object Dedup {
       .transform(graft.functions.Iterate.checkpoint)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = edges
         .join(labels, col("doc_b") === col("node"))
         .select(col("doc_a").as("node"), col("label"))
@@ -260,6 +262,12 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // Fail LOUD on non-convergence: a silently-truncated propagation
+    // would emit wrong component labels (and wrong dedup_apply output)
+    // for any near-dup chain longer than the round cap.
+    require(changed == 0,
+      s"connected components did not converge in $maxRounds rounds — " +
+        "graph eccentricity exceeds the cap; raise maxRounds")
     labels.select(
       col("node").as("doc_id"),
       col("label").as("component"),

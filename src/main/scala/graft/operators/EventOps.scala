@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.TimestampType
 object EventOps {
 
   private val NsPerMinute = 60L * 1000 * 1000 * 1000
-  private val SessionGapUs = 30L * 60L * 1000 * 1000
+  private val UsPerMinute = 60L * 1000 * 1000
+  private val SessionGapUs = 30L * UsPerMinute
   private val HourNs = 60L * NsPerMinute
 
   /** JSON field extraction from the `props` payload column — the
@@ -205,42 +206,45 @@ object EventOps {
     * user in the preceding 30 minutes (interval join). Batch twin of the
     * stream-stream join in EventStreams.attribution — same predicate, an
     * unbounded source just adds watermarks to bound the join state.
+    *
+    * ALL event-time comparisons run on µs-truncated values (ts div 1000)
+    * — not just the outputs: DuckDB reads the ns parquet timestamps
+    * µs-truncated, so a raw-ns boundary comparison (click in the same
+    * microsecond as the purchase, or exactly at the 30-minute edge)
+    * would flip between engines. Same rule that fixed sessionize.
     */
   def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("purchase_ts"), col("value"))
+        expr("ts div 1000").as("purchase_ts_us"), col("value"))
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .select(col("user_id").as("c_user"), expr("ts div 1000").as("click_ts_us"))
     purchases
       .join(clicks,
         col("user_id") === col("c_user")
-          && col("click_ts") <= col("purchase_ts")
-          && col("click_ts") > col("purchase_ts") - lit(30L * NsPerMinute),
+          && col("click_ts_us") <= col("purchase_ts_us")
+          && col("click_ts_us") > col("purchase_ts_us") - lit(30L * UsPerMinute),
         "left")
-      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"), col("value"))
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts_us"), col("value"))
       .agg(
-        count(col("click_ts")).as("n_clicks_30m"),
-        max(col("click_ts")).as("last_click_ts_ns"))
+        count(col("click_ts_us")).as("n_clicks_30m"),
+        max(col("click_ts_us")).as("last_click_ts_us"))
       .select(col("purchase_id"), col("user_id"),
-        // Output µs, not ns: DuckDB truncates the ns parquet timestamps
-        // to µs at read, so raw ns values cannot cross-check.
-        expr("purchase_ts div 1000").as("purchase_ts_us"), col("value"),
-        col("n_clicks_30m"),
-        expr("last_click_ts_ns div 1000").as("last_click_ts_us"))
+        col("purchase_ts_us"), col("value"),
+        col("n_clicks_30m"), col("last_click_ts_us"))
   }
 
   val purchaseAttributionOracle: String = s"""
     SELECT p.event_id AS purchase_id, p.user_id,
       EPOCH_US(p.ts) AS purchase_ts_us, p.value,
-      COUNT(EPOCH_NS(c.ts)) AS n_clicks_30m,
+      COUNT(EPOCH_US(c.ts)) AS n_clicks_30m,
       MAX(EPOCH_US(c.ts)) AS last_click_ts_us
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id
-      AND EPOCH_NS(c.ts) <= EPOCH_NS(p.ts)
-      AND EPOCH_NS(c.ts) > EPOCH_NS(p.ts) - ${30L * NsPerMinute}
+      AND EPOCH_US(c.ts) <= EPOCH_US(p.ts)
+      AND EPOCH_US(c.ts) > EPOCH_US(p.ts) - ${30L * UsPerMinute}
     GROUP BY 1, 2, 3, 4"""
 
   /** Per-group z-score standardization (feature engineering): each

@@ -63,11 +63,13 @@ object Multimodal {
         it.map { case (id, bytes) =>
           // STUB decode: derive deterministic fake dimensions/features
           // from the bytes. A real implementation calls the codec here.
+          // Empty payloads (a codec would reject them) decode to zero
+          // features instead of crashing the task on modulo-by-zero.
           val w = 16 + (bytes.length % 64)
           val h = 16 + ((bytes.length / 64) % 64)
-          val feats = Array.tabulate(8) { i =>
-            bytes(i % bytes.length).toFloat / 127f
-          }
+          val feats =
+            if (bytes.isEmpty) Array.fill(8)(0f)
+            else Array.tabulate(8) { i => bytes(i % bytes.length).toFloat / 127f }
           MediaFeatures(
             doc_id = id,
             media_type = if (id % 2 == 0) "image/png" else "audio/wav",
@@ -94,8 +96,9 @@ object Multimodal {
 
   val multimodalDecodeOracle: String = {
     val feats = (0 until 8).map { i =>
-      s"CAST(UNICODE(SUBSTR(text, ($i % OCTET_LENGTH(ENCODE(text))) + 1, 1)) AS FLOAT)" +
-        s" / CAST(127 AS FLOAT) AS f$i"
+      s"CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN CAST(0 AS FLOAT) ELSE " +
+        s"CAST(UNICODE(SUBSTR(text, ($i % GREATEST(OCTET_LENGTH(ENCODE(text)), 1)) + 1, 1)) AS FLOAT)" +
+        s" / CAST(127 AS FLOAT) END AS f$i"
     }.mkString(",\n      ")
     s"""
     SELECT doc_id,

@@ -95,8 +95,10 @@ object TextAnalysis {
   }
 
   val langIdOracle: String = {
+    // Marker patterns pass through verbatim: DuckDB string literals do
+    // not process backslash escapes, so '\b' reaches RE2 as-is.
     def h(p: String) = s"CAST(LEN(REGEXP_EXTRACT_ALL(text, '$p')) AS BIGINT)"
-    val hs = markers.map { case (l, p) => l -> h(p.replace("\\b", "\\b")) }
+    val hs = markers.map { case (l, p) => l -> h(p) }
     // Fold ties exactly as the Scala side: strictly-greater replaces.
     val (langExpr, hitExpr) = hs.foldLeft(("'und'", "CAST(0 AS BIGINT)")) {
       case ((bl, bh), (l, hc)) =>
@@ -265,6 +267,25 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   def stopwordFilter(spark: SparkSession, dir: String): DataFrame = {
+    // One compiled pass (StopwordStats) instead of an interpreted
+    // filter()/array_contains lambda per token; identical values — the
+    // fold formulation is kept in ExpressionSpec as the reference.
+    val st = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.StopwordStats(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), stopwords))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), st.as("s"))
+      .select(
+        col("doc_id"),
+        col("s.n_tokens").as("n_tokens"),
+        col("s.n_kept").as("n_kept"),
+        col("s.text_filtered").as("text_filtered"))
+  }
+
+  /** Reference interpreted formulation of [[stopwordFilter]] — for
+    * ExpressionSpec equivalence only.
+    */
+  def stopwordFilterFold(spark: SparkSession, dir: String): DataFrame = {
     val sw = array(stopwords.map(lit): _*)
     val w = split(col("text"), "\\s+")
     val kept = filter(w, t => !array_contains(sw, t))

@@ -377,8 +377,13 @@ case class SortedCommonCount(left: Expression, right: Expression)
 object GraftShingleUtil {
   import org.apache.spark.unsafe.types.UTF8String
 
+  /** Whitespace tokens with limit -1: Java's default split DROPS trailing
+    * empty tokens, but Spark's `split(col, "\\s+")` and DuckDB's
+    * STRING_SPLIT_REGEX both KEEP them — text ending in whitespace would
+    * otherwise shingle differently here than in the oracle.
+    */
   private def tokens(text: UTF8String): Array[String] =
-    text.toString.split("\\s+")
+    text.toString.split("\\s+", -1)
 
   /** Distinct 3-word shingles, hashed to 24 bits — fused equivalent of
     * hash24 ∘ array_distinct ∘ shingles3 ∘ words (element order differs,
@@ -495,6 +500,42 @@ case class CommonCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** text → struct(n_tokens, n_kept, text_filtered): whitespace-split,
+  * stopword-filter (order/duplicates preserved), rejoin — one pass,
+  * replacing an interpreted `filter(w, ¬array_contains(sw, t))` lambda
+  * that costs O(tokens × stopwords) per row at the scan. Split uses
+  * limit -1 (keep trailing empties) to mirror Spark's `split` and the
+  * oracle's STRING_SPLIT_REGEX exactly.
+  */
+case class StopwordStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("text_filtered", StringType, nullable = false)))
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  @transient private lazy val stopSet: Set[String] = stopwords.toSet
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split("\\s+", -1)
+    val kept = w.filterNot(stopSet.contains)
+    InternalRow(
+      w.length.toLong, kept.length.toLong,
+      org.apache.spark.unsafe.types.UTF8String.fromString(kept.mkString(" ")))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("stopwordStats", this, classOf[StopwordStats].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $expr.nullSafeEval($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordStats =
+    copy(child = newChild)
+}
+
 /** text → array<string> of word bigrams (multiset, order preserved) in
   * one compiled pass — ≡ transform(sequence(1, n-1), i -> w[i]||' '||w[i+1]).
   */
@@ -503,8 +544,10 @@ case class Bigrams(child: Expression) extends UnaryExpression with ExpectsInputT
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any = {
+    // limit -1: keep trailing empty tokens, matching Spark split / the
+    // oracle's STRING_SPLIT_REGEX (see GraftShingleUtil.tokens).
     val w = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.split("\\s+")
+      .toString.split("\\s+", -1)
     if (w.length < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[AnyRef](w.length - 1)
     var i = 0

@@ -88,6 +88,12 @@ class ExpressionSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("StopwordStats ≡ interpreted filter/array_contains formulation") {
+    val fast = graft.operators.TextAnalysis.stopwordFilter(spark, sfDir)
+    val ref = graft.operators.TextAnalysis.stopwordFilterFold(spark, sfDir)
+    assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0)
+  }
+
   test("SQL functions registered via GraftExtensions work end-to-end") {
     import org.apache.spark.sql.SparkSession
     // Force a NEW session (same context) so withExtensions applies;
