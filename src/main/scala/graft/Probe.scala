@@ -23,7 +23,7 @@ object Probe {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val stream = streaming.EventStreams.fromParquetDir(spark, dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = streaming.EventStreams.windowedAgg(stream)
       .writeStream.format("memory").queryName("probe_win")
       .outputMode("complete").start()
@@ -46,7 +46,7 @@ object Probe {
     // sessionize (lag + running sum): independent algorithms, must agree.
     import spark.implicits._
     val evStream = streaming.EventStreams.fromParquetDir(spark, dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[streaming.EventStreams.Event]
     val sq = streaming.EventStreams.sessionized(evStream)

@@ -57,10 +57,13 @@ object ApiEnrich {
   final class RateLimiter(perSecond: Int) extends Serializable {
     private val intervalNanos =
       if (perSecond <= 0) 0L else 1000000000L / perSecond
-    private var nextFree = 0L
+    // nanoTime has an arbitrary (possibly negative) origin — a fixed 0
+    // sentinel could make the very first acquire sleep for "years".
+    private var nextFree = Long.MinValue
     def acquire(): Unit = {
       if (intervalNanos == 0L) return
       val now = System.nanoTime()
+      if (nextFree == Long.MinValue) nextFree = now
       if (now < nextFree) Thread.sleep((nextFree - now) / 1000000L + 1)
       nextFree = math.max(now, nextFree) + intervalNanos
     }
@@ -71,6 +74,10 @@ object ApiEnrich {
     while (true) {
       try return op
       catch {
+        // Never swallow an interrupt: a Spark task kill must terminate
+        // the task, not trigger a backoff-and-retry cycle.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
         case e: Exception if attempt < maxAttempts =>
           Thread.sleep(backoffMs * attempt)
           attempt += 1

@@ -44,14 +44,19 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** Staging dir for round-trip ingests: unique per JVM so a Bench run
-    * and a Verify run on the same data dir never overwrite each other's
-    * staging mid-read (SaveMode.Overwrite deletes the target first).
+  /** Staging dir for round-trip ingests: unique per PROCESS and per
+    * CALL (pid + nonce), so concurrent runs — across JVMs or within one
+    * — never overwrite each other's staging mid-read
+    * (SaveMode.Overwrite deletes the target first), and two data dirs
+    * whose sanitized names collide cannot alias.
     */
+  private val stagingNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def stagingDir(kind: String, dir: String): String =
     new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_${kind}_${java.lang.ProcessHandle.current().pid()}_" +
+        s"${stagingNonce.incrementAndGet()}_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
 
   /** Round-trip ingest: stage the documents table as JSONL through the

@@ -25,10 +25,13 @@ object EventStreams {
 
   final case class SessionAssignment(event_id: Long, user_id: Long, session_id: Long)
 
-  final case class SessionState(sessionId: Long, lastTsMs: Long)
+  final case class SessionState(sessionId: Long, lastTsUs: Long)
 
   /** Tumbling 1-hour window × event_type counts + value sums, late data
-    * bounded by a 2-hour watermark. Streaming twin of `stream_window_agg`.
+    * bounded by a 2-hour watermark. Streaming twin of `stream_window_agg`
+    * — including the exact decimal sum: a raw sum(double) accumulates in
+    * nondeterministic partition/merge order and could never bit-match
+    * the batch twin.
     */
   def windowedAgg(events: DataFrame): DataFrame =
     events
@@ -36,16 +39,26 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        graft.functions.Exact.dsum(col("value")).as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
-  private val SessionGapMs = 30L * 60 * 1000
+  private val SessionGapUs = 30L * 60 * 1000 * 1000
+
+  /** Epoch-microseconds of a Timestamp — getTime() alone truncates to
+    * ms, and the batch twin (EventOps.sessionize) computes gaps and tie
+    * order at µs precision, so ms-truncated state would flip session
+    * assignments near the 30-min boundary (the round-1 sessionize
+    * failure class, in streaming form).
+    */
+  private def epochMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
 
   /** Gap-based sessionization with explicit state: per-user session
-    * counter + last-seen event time; a >30 min gap opens a new session.
-    * Streaming twin of the batch `sessionize` (lag + running sum).
+    * counter + last-seen event time (µs); a >30 min gap opens a new
+    * session. Streaming twin of the batch `sessionize` (lag + running
+    * sum) — same µs gap arithmetic and (time, event_id) tie order.
     */
   def sessionized(events: Dataset[Event]): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
@@ -59,11 +72,11 @@ object EventStreams {
           // timeout to evict idle users' state (ProcessingTimeTimeout makes
           // the engine schedule perpetual empty batches, which stalls
           // processAllAvailable-style draining).
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
           val out = sorted.map { e =>
-            val t = e.ts.getTime
-            val newSession = st.lastTsMs == Long.MinValue || t - st.lastTsMs > SessionGapMs
+            val t = epochMicros(e.ts)
+            val newSession = st.lastTsUs == Long.MinValue || t - st.lastTsUs > SessionGapUs
             st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, t)
             SessionAssignment(e.event_id, userId, st.sessionId)
           }

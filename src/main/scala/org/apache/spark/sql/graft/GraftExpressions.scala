@@ -288,38 +288,63 @@ object GraftHashUtil {
 /** Per-element 24-bit md5 hashes of an array<string>, in one compiled
   * pass (replaces the interpreted `transform(arr, md5 ∘ conv)` lambda —
   * the dominant cost of the dedup family at scale). Identical values to
-  * [[graft.functions.TextOps.hash24]].
+  * [[graft.functions.TextOps.hash24]], INCLUDING null elements: a null
+  * slot hashes to a null slot (as the transform-fold does), and the
+  * output's containsNull mirrors the input's. The hot path (non-null
+  * element type, which is what the shingle pipeline produces) keeps the
+  * primitive long[] loop.
   */
 case class Hash24Array(child: Expression) extends UnaryExpression with ExpectsInputTypes {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = elementsNullable)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      out(i) = GraftHashUtil.hash24(arr.getUTF8String(i))
-      i += 1
+    if (!elementsNullable) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = GraftHashUtil.hash24(arr.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i))
+          out(i) = java.lang.Long.valueOf(GraftHashUtil.hash24(arr.getUTF8String(i)))
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, arr => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val out = ctx.freshName("out")
-      s"""
-        int $n = $arr.numElements();
-        long[] $out = new long[$n];
-        for (int $i = 0; $i < $n; $i++) {
-          $out[$i] = org.apache.spark.sql.graft.GraftHashUtil.hash24($arr.getUTF8String($i));
-        }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-      """
-    })
+    if (!elementsNullable) {
+      nullSafeCodeGen(ctx, ev, arr => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+          int $n = $arr.numElements();
+          long[] $out = new long[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            $out[$i] = org.apache.spark.sql.graft.GraftHashUtil.hash24($arr.getUTF8String($i));
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
+    } else {
+      val expr = ctx.addReferenceObj("hash24Array", this, classOf[Hash24Array].getName)
+      nullSafeCodeGen(ctx, ev, arr =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($arr);")
+    }
 
   override protected def withNewChildInternal(newChild: Expression): Hash24Array =
     copy(child = newChild)
@@ -343,10 +368,16 @@ case class SortedCommonCount(left: Expression, right: Expression)
     var j = 0
     var c = 0L
     while (i < x.numElements() && j < y.numElements()) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      // Null slots (array_sort places them last) are skipped, never
+      // dereferenced — only non-null common elements count.
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -360,9 +391,13 @@ case class SortedCommonCount(left: Expression, right: Expression)
       s"""
         int $i = 0; int $j = 0; long $c = 0L;
         while ($i < $x.numElements() && $j < $y.numElements()) {
-          int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
-          if ($cmp == 0) { $c++; $i++; $j++; }
-          else if ($cmp < 0) { $i++; } else { $j++; }
+          if ($x.isNullAt($i)) { $i++; }
+          else if ($y.isNullAt($j)) { $j++; }
+          else {
+            int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+            if ($cmp == 0) { $c++; $i++; $j++; }
+            else if ($cmp < 0) { $i++; } else { $j++; }
+          }
         }
         ${ev.value} = $c;
       """

@@ -33,6 +33,10 @@ case class TopKPerKeyPlan(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     child: LogicalPlan) extends UnaryNode {
+  // k=0 would dereference an empty heap's peek() inside the generated
+  // comparator (NPE per task) instead of returning zero rows; fail at
+  // plan construction with a real message.
+  require(k > 0, s"topKPerKey requires k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
