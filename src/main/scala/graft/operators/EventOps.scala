@@ -62,8 +62,8 @@ object EventOps {
 
   val sessionizeOracle: String = s"""
     SELECT event_id, user_id,
-      SUM(new_session) OVER (PARTITION BY user_id
-        ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_id
+      CAST(SUM(new_session) OVER (PARTITION BY user_id
+        ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM (
       SELECT event_id, user_id, t,
         CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapUs} THEN 1 ELSE 0 END AS new_session

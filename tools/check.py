@@ -48,6 +48,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows differ: oracle={len(want)} spark={len(got)}"); n_fail += 1; continue
         w, g = norm(want), norm(got)
         bad = None
+        # The driver hashes stringified values, so int64 1 vs float64 1.0 is a
+        # hash FAIL even though pandas == says equal. Mirror that strictness.
+        kind_bad = [c for c in w.columns if w[c].dtype.kind != g[c].dtype.kind]
+        if kind_bad:
+            c = kind_bad[0]
+            print(f"FAIL {name}: dtype kind differs col={c} oracle={w[c].dtype} spark={g[c].dtype}"); n_fail += 1; continue
         for c in w.columns:
             wc, gc = w[c], g[c]
             if wc.dtype == "float64":
