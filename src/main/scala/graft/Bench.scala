@@ -26,7 +26,11 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").count()
     // A query that throws must not masquerade as a fast success: failures
     // are recorded as -1 in the queries map AND listed in "errors".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>

@@ -18,23 +18,24 @@ object Analytics {
     * order, with collaboration counts — create_collaboration_graph.cql:1-6
     * (authors co-authoring a publication, COLLABORATED_WITH.count).
     *
-    * Scale: distinct (order, supplier) FIRST (collapses multi-lineitem
-    * pairs, bounds the per-order set), then a self-equi-join on orderkey —
-    * both sides hash-partitioned on the same key, so the pair expansion is
-    * local within each partition. Pair blowup is C(k,2) per order, k small.
+    * Scale: ONE shuffle on orderkey collects each order's distinct
+    * supplier set (collect_set partial-aggregates map-side), pairs are
+    * generated locally from the sorted set (C(k,2) per order, k small),
+    * then one shuffle counts pairs. No self-join: the older
+    * distinct + self-equi-join formulation shuffled the edge list twice
+    * more and paid a sort-merge join for an expansion that is purely
+    * per-order-local.
     */
-  def collabPairs(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val a = edges.as("a")
-    val b = edges.as("b")
-    a.join(b, col("a.l_orderkey") === col("b.l_orderkey")
-        && col("a.l_suppkey") < col("b.l_suppkey"))
-      .groupBy(
-        col("a.l_suppkey").as("supp_a"),
-        col("b.l_suppkey").as("supp_b"))
+  def collabPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), y ->
+          |    struct(x AS supp_a, y AS supp_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.supp_a").as("supp_a"), col("p.supp_b").as("supp_b"))
       .agg(count(lit(1)).as("collab_count"))
-  }
 
   val collabPairsOracle: String = """
     WITH edges AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
@@ -253,19 +254,25 @@ object Analytics {
     val norm = edges.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("out_w")).as("nw"))
       .transform(graft.functions.Iterate.checkpoint)
-    val nodes = norm.select(col("src").as("node")).distinct().transform(graft.functions.Iterate.checkpoint)
+    val nodes = norm.select(col("src").as("node")).distinct()
+      .transform(graft.functions.Iterate.checkpoint)
     val n = nodes.count().toDouble
     var pr = nodes.withColumn("pr", lit(1.0 / n)).transform(graft.functions.Iterate.checkpoint)
+    // The rank vector is one row per NODE (the supplier dimension) while
+    // the edge list is one row per collaboration pair — the state is
+    // orders of magnitude smaller than the edges at any scale, so each
+    // iteration broadcasts the vector and streams the edges: no edge
+    // shuffle per round, only the ~|nodes|-row inflow groupBy moves.
     for (i <- 1 to 10) {
       val contrib = norm
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(broadcast(pr.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"),
           floor(col("pr") * col("nw") * lit(1.0e14) + lit(0.5))
             .cast("bigint").as("c"))
         .groupBy(col("node"))
         .agg((sum(col("c")).cast("double") / lit(1.0e14)).as("inflow"))
       pr = nodes
-        .join(contrib, Seq("node"), "left")
+        .join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(0.15 / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
       if (i % 2 == 0) pr = pr.transform(graft.functions.Iterate.checkpoint)
