@@ -8,6 +8,7 @@ object SparkEntry {
   /** Every registered capability, keyed as in SURVEY.md §2. */
   def registry: Map[String, QueryDef] =
     operators.Relational.defs ++
+      operators.RelationalExt.defs ++
       operators.Cleaning.defs ++
       operators.Dwh.defs ++
       operators.Analytics.defs ++

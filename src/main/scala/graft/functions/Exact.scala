@@ -33,6 +33,13 @@ object Exact {
   def davg(c: Column): Column =
     dsum(c) / count(lit(1)).cast(DoubleType)
 
+  /** Exact decimal sum kept IN decimal — for threshold comparisons that
+    * must stay FP-free (compare scaled decimals, cast to double only on
+    * output). Oracle: `SUM(CAST(x AS DECIMAL(28,6)))`.
+    */
+  def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6)))
+
   /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
   def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE)"

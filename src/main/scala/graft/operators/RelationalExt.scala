@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core, continued: the remaining TPC-H query patterns
+  * (Q2/Q9/Q11/Q16/Q20 shapes), adapted to the available star schema —
+  * there is no partsupp table, so supply-cost semantics are derived from
+  * observed lineitem trades instead.
+  *
+  * With these, every one of the 22 TPC-H query patterns has a
+  * representative in the engine (§2.D).
+  *
+  * Determinism notes (hash-checked against DuckDB): threshold
+  * comparisons run in DECIMAL against integer-scaled decimal sums
+  * (never `double > 0.3 * double`), and per-group argmin rows are picked
+  * through a totally-ordered window so ties resolve identically in both
+  * engines.
+  */
+object RelationalExt {
+
+  /** TPC-H Q2 pattern: per-part minimum-cost supplier within a region,
+    * via a correlated-min decorrelated to a windowed argmin. Supply cost
+    * is the observed unit price (extendedprice / quantity — one IEEE
+    * division, bit-identical cross-engine).
+    *
+    * Scale: dims (part slice, supplier⋈nation⋈region) broadcast; the one
+    * shuffle is the per-part window. A 100 TB lineitem never self-joins.
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_type"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("unit_cost").asc, col("s_suppkey").asc)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("unit_cost", col("l_extendedprice") / col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey").as("part_key"), col("p_type"),
+        col("s_suppkey").as("supp_key"), col("s_name"),
+        col("n_name").as("nation"), col("unit_cost"))
+  }
+
+  val q2MinCostOracle: String = """
+    SELECT part_key, p_type, supp_key, s_name, nation, unit_cost FROM (
+      SELECT p.p_partkey AS part_key, p.p_type,
+        s.s_suppkey AS supp_key, s.s_name, n.n_name AS nation,
+        l.l_extendedprice / l.l_quantity AS unit_cost,
+        ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+          ORDER BY l.l_extendedprice / l.l_quantity ASC, s.s_suppkey ASC) AS rn
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 15
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA')
+    WHERE rn = 1"""
+
+  /** TPC-H Q9 pattern: product-line profit by supplier nation × order
+    * year. Cost side uses the part's retail price (no partsupp table).
+    * One big-side shuffle (lineitem ⋈ orders on orderkey); everything
+    * else broadcasts.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(Exact.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity")).as("profit"))
+  }
+
+  val q9ProfitOracle: String = s"""
+    SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+      ${Exact.sqlDsum(
+        "l.l_extendedprice * (1.0 - l.l_discount) - p.p_retailprice * l.l_quantity")} AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2"""
+
+  /** TPC-H Q11 pattern: per-part traded value for one nation's suppliers,
+    * kept when above a fixed fraction of that nation's total — a scalar
+    * subquery HAVING. The threshold compare runs entirely in DECIMAL
+    * (value*1000 > total), never in doubles.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("part_key"))
+      .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("value_dec"))
+    val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_dec") * lit(1000) > col("total_dec"))
+      .select(col("part_key"), col("value_dec").cast("double").as("value"))
+  }
+
+  val q11ImportantStockOracle: String = """
+    WITH per_part AS (
+      SELECT l_partkey AS part_key,
+        SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(28,6))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+      GROUP BY 1)
+    SELECT part_key, CAST(value_dec AS DOUBLE) AS value
+    FROM per_part
+    WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM per_part)"""
+
+  /** TPC-H Q16 pattern: supplier variety per (brand, type, size) slice,
+    * excluding one brand, one type prefix, and "complaint" suppliers
+    * (negative balance stand-in) via an anti join on a broadcast list.
+    * Pure integer counts — no FP anywhere.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#15"
+        && !col("p_type").like("PROMO%")
+        && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16SupplierCntOracle: String = """
+    SELECT p_brand, p_type, p_size,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#15'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND NOT EXISTS (
+        SELECT 1 FROM supplier s
+        WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+    GROUP BY 1, 2, 3"""
+
+  /** TPC-H Q20 pattern: suppliers in one nation whose PROMO-part volume
+    * exceeds 18% of their total shipped quantity in 1997 — a correlated
+    * threshold decorrelated to one conditional aggregate per supplier.
+    * The 18% compare is integer-exact: promo*100 > total*18 in DECIMAL
+    * (quantities are integer-valued).
+    */
+  def q20PartPromo(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val promoKeys = Tables.part(spark, dir)
+      .filter(col("p_type").like("PROMO%")).select(col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(promoKeys), col("l_partkey") === col("p_partkey"), "left_outer")
+      .withColumn("is_promo", col("p_partkey").isNotNull)
+      .groupBy(col("s_suppkey").as("supp_key"), col("s_name"))
+      .agg(
+        Exact.decSum(when(col("is_promo"), col("l_quantity")).otherwise(lit(0.0)))
+          .as("promo_qty_dec"),
+        Exact.decSum(col("l_quantity")).as("total_qty_dec"))
+      .filter(col("promo_qty_dec") * lit(100) > col("total_qty_dec") * lit(18))
+      .select(col("supp_key"), col("s_name"),
+        col("promo_qty_dec").cast("double").as("promo_qty"),
+        col("total_qty_dec").cast("double").as("total_qty"))
+  }
+
+  val q20PartPromoOracle: String = """
+    SELECT supp_key, s_name,
+      CAST(promo_qty_dec AS DOUBLE) AS promo_qty,
+      CAST(total_qty_dec AS DOUBLE) AS total_qty
+    FROM (
+      SELECT s.s_suppkey AS supp_key, s.s_name,
+        SUM(CAST((CASE WHEN p.p_partkey IS NOT NULL THEN l.l_quantity ELSE 0.0 END)
+          AS DECIMAL(28,6))) AS promo_qty_dec,
+        SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS total_qty_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+      LEFT JOIN (SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%') p
+        ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2)
+    WHERE promo_qty_dec * 100 > total_qty_dec * 18"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "q2_min_cost" -> QueryDef.sql(q2MinCost, q2MinCostOracle),
+    "q9_profit" -> QueryDef.sql(q9Profit, q9ProfitOracle),
+    "q11_important_stock" -> QueryDef.sql(q11ImportantStock, q11ImportantStockOracle),
+    "q16_supplier_cnt" -> QueryDef.sql(q16SupplierCnt, q16SupplierCntOracle),
+    "q20_part_promo" -> QueryDef.sql(q20PartPromo, q20PartPromoOracle)
+  )
+}
