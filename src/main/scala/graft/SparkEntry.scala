@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Clustering.defs ++
       operators.Multimodal.defs ++
       operators.Quality.defs ++
       operators.Sampling.defs ++

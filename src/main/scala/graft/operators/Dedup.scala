@@ -366,7 +366,52 @@ object Dedup {
       .filter(col("n_probable_overlaps") >= 3)
   }
 
+  /** Cross-source contamination matrix: shingle-set overlap between every
+    * pair of sources — the corpus-curation view of "how much does source
+    * A duplicate source B" (drives source selection / down-weighting).
+    *
+    * Scale: the join key is the SHINGLE, and each shingle contributes at
+    * most C(|sources|, 2) pairs — sources are few (tens), so candidates
+    * grow linearly with distinct shingles, never quadratically with
+    * docs. Source sizes broadcast onto the pair counts.
+    */
+  def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.sortedShingles3(col("text"))).as("shingle"))
+      .distinct()
+      .persist()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("common"),
+        (col("common").cast("double")
+          / (col("n_a") + col("n_b") - col("common")).cast("double"))
+          .as("jaccard"))
+  }
+
+  val crossSourceOverlapOracle: String = s"""
+    WITH s AS ($sqlShingled),
+    sh AS (SELECT DISTINCT source, UNNEST(sh) AS shingle FROM s),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, common,
+      CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.source_a = sa.source
+    JOIN sizes sb ON pairs.source_b = sb.source"""
+
   def defs: Map[String, QueryDef] = Map(
+    "cross_source_overlap" -> QueryDef.sql(crossSourceOverlap, crossSourceOverlapOracle),
     "decontaminate" -> QueryDef.sql(decontaminate, decontaminateOracle),
     "decontaminate_bloom" -> QueryDef.rowsOnly(decontaminateBloom),
     "dedup_components" -> QueryDef.sql(dedupComponents, dedupComponentsOracle),

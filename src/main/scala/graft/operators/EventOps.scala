@@ -290,7 +290,102 @@ object EventOps {
       (value - mean) / std AS zscore
     FROM events e JOIN stats ON e.event_type = stats.event_type"""
 
+  /** Cohort retention: users grouped by first-activity day (their
+    * cohort), counted per activity day — the classic retention matrix,
+    * at daily grain (the events table spans ~30 days). Days are
+    * formatted strings (UTC session ≡ DuckDB naive timestamps), so MIN
+    * and grouping are engine-portable; the grain comes from the
+    * µs-truncated event time like all event-time logic here.
+    *
+    * Scale: one user-keyed shuffle builds (user, day) distinct + the
+    * per-user MIN; the final matrix is |cohorts|×|days| — tiny. The
+    * cohort join is user-keyed, co-partitioned with the distinct.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val cohort = monthly.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    monthly.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), col("day").as("activity_day"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  val retentionCohortsOracle: String = """
+    WITH m AS (
+      SELECT DISTINCT user_id, STRFTIME(ts, '%Y-%m-%d') AS day FROM events),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM m GROUP BY 1)
+    SELECT c.cohort_day, m.day AS activity_day, COUNT(*) AS users
+    FROM m JOIN c USING (user_id)
+    GROUP BY 1, 2"""
+
+  private val FunnelWindowUs = 7L * 24 * 3600 * 1000 * 1000
+
+  /** Conversion funnel: earliest view → first click after it → first
+    * purchase after that, within 7 days of the view. The correlated
+    * "first step-k event after step-k−1" is decorrelated into three
+    * user-keyed conditional MIN aggregations — each step is one shuffle
+    * on user_id, all integer-µs arithmetic.
+    */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("t") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("t")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("t") > col("t_click")
+        && col("t") <= col("t_view") + lit(FunnelWindowUs))
+      .groupBy(col("user_id"))
+      .agg(min(col("t")).as("t_purchase"))
+    ev.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).as("funnel_level"))
+  }
+
+  val windowFunnelOracle: String = s"""
+    WITH ev AS (
+      SELECT user_id, event_type, EPOCH_US(ts) AS t FROM events),
+    v AS (
+      SELECT user_id, MIN(t) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT ev.user_id, MIN(t) AS t_click
+      FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND t > t_view
+      GROUP BY 1),
+    p AS (
+      SELECT ev.user_id, MIN(t) AS t_purchase
+      FROM ev JOIN c USING (user_id) JOIN v USING (user_id)
+      WHERE event_type = 'purchase' AND t > t_click
+        AND t <= t_view + ${FunnelWindowUs}
+      GROUP BY 1)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+      CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+           WHEN c.t_click IS NOT NULL THEN 2
+           WHEN v.t_view IS NOT NULL THEN 1
+           ELSE 0 END AS INT) AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)"""
+
   def defs: Map[String, QueryDef] = Map(
+    "retention_cohorts" -> QueryDef.sql(retentionCohorts, retentionCohortsOracle),
+    "window_funnel" -> QueryDef.sql(windowFunnel, windowFunnelOracle),
     "zscore_normalize" -> QueryDef.sql(zscoreNormalize, zscoreNormalizeOracle),
     "purchase_attribution" -> QueryDef.sql(purchaseAttribution, purchaseAttributionOracle),
     "distinct_users" -> QueryDef.sql(distinctUsers, distinctUsersOracle),
