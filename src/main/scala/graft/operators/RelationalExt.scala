@@ -108,7 +108,7 @@ object RelationalExt {
     */
   def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_7")),
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_19")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val perPart = Tables.lineitem(spark, dir)
@@ -128,7 +128,7 @@ object RelationalExt {
         SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(28,6))) AS value_dec
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+      JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_19'
       GROUP BY 1)
     SELECT part_key, CAST(value_dec AS DOUBLE) AS value
     FROM per_part

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-3 additions: TPC-H completion patterns,
+  * event cohort/funnel analytics, source-overlap matrix, and k-means.
+  * (Value-level correctness is the DuckDB oracle gate's job.)
+  */
+class AnalyticsExtSpec extends SparkSpec {
+
+  test("q2_min_cost: one row per part, cost positive") {
+    val rows = operators.RelationalExt.q2MinCost(spark, sfDir).collect()
+    val parts = rows.map(_.getAs[Long]("part_key"))
+    assert(parts.distinct.length === parts.length)
+    rows.foreach(r => assert(r.getAs[Double]("unit_cost") > 0))
+  }
+
+  test("q11_important_stock: every kept part exceeds 1/1000 of the total") {
+    val df = operators.RelationalExt.q11ImportantStock(spark, sfDir)
+    val values = df.collect().map(_.getAs[Double]("value"))
+    assert(values.nonEmpty)
+    // recompute the nation total independently from raw lineitem
+    val total = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir)
+          .join(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_19"),
+            col("s_nationkey") === col("n_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .collect()(0).getDouble(0)
+    values.foreach(v => assert(v * 1000 > total * (1 - 1e-9)))
+  }
+
+  test("q16_supplier_cnt: counts bounded by total suppliers, filters hold") {
+    val rows = operators.RelationalExt.q16SupplierCnt(spark, sfDir).collect()
+    val nSupp = Tables.supplier(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("supplier_cnt") <= nSupp)
+      assert(r.getAs[String]("p_brand") != "Brand#15")
+      assert(!r.getAs[String]("p_type").startsWith("PROMO"))
+    }
+  }
+
+  test("q20_part_promo: promo share exceeds 18% for every kept supplier") {
+    operators.RelationalExt.q20PartPromo(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Double]("promo_qty") * 100 > r.getAs[Double]("total_qty") * 18)
+    }
+  }
+
+  test("retention_cohorts: activity day never precedes cohort day") {
+    val rows = operators.EventOps.retentionCohorts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("activity_day") >= r.getAs[String]("cohort_day"))
+      assert(r.getAs[Long]("users") > 0)
+    }
+  }
+
+  test("window_funnel: step times are ordered and levels consistent") {
+    val rows = operators.EventOps.windowFunnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val level = r.getAs[Int]("funnel_level")
+      val tv = Option(r.getAs[java.lang.Long]("t_view"))
+      val tc = Option(r.getAs[java.lang.Long]("t_click"))
+      val tp = Option(r.getAs[java.lang.Long]("t_purchase"))
+      assert((level >= 1) === tv.isDefined)
+      assert((level >= 2) === tc.isDefined)
+      assert((level >= 3) === tp.isDefined)
+      for (v <- tv; c <- tc) assert(c > v)
+      for (c <- tc; p <- tp) { assert(p > c); assert(p <= tv.get + 7L * 24 * 3600 * 1000000L) }
+    }
+  }
+
+  test("cross_source_overlap: jaccard in (0,1], pairs ordered and unique") {
+    val rows = operators.Dedup.crossSourceOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+    assert(pairs.distinct.length === pairs.length)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0)
+      assert(r.getAs[Long]("common") > 0)
+    }
+  }
+
+  test("cluster_kmeans: every vector assigned once, clusters within k") {
+    val rows = operators.Clustering.clusterKmeans(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length === n)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === ids.length)
+    val clusters = rows.map(_.getAs[Int]("cluster")).distinct
+    assert(clusters.forall(c => c >= 0 && c < 8))
+    assert(clusters.length > 1, "k-means degenerated to one cluster")
+    rows.foreach(r => assert(r.getAs[Double]("d2") >= -1e-9))
+  }
+
+  test("cluster_kmeans: iterations reduce total within-cluster distance") {
+    // Lloyd's algorithm is monotone: the final assignment's total d2 must
+    // not exceed the init-assignment total (computed against the k seed
+    // vectors, which is iteration 0).
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val cents0 = e.orderBy(col("vec_id")).limit(8)
+      .withColumn("cid", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val init = e.crossJoin(broadcast(cents0))
+      .withColumn("d2",
+        functions.VectorOps.dot(col("embedding"), col("embedding"))
+          - lit(2.0) * functions.VectorOps.dot(col("embedding"), col("cv"))
+          + functions.VectorOps.dot(col("cv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .agg(sum(col("d2"))).collect()(0).getDouble(0)
+    val fin = operators.Clustering.clusterKmeans(spark, sfDir)
+      .agg(sum(col("d2"))).collect()(0).getDouble(0)
+    assert(fin <= init + 1e-6)
+  }
+}
