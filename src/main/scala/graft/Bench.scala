@@ -27,7 +27,7 @@ object Bench {
     // A query that throws must not masquerade as a fast success: failures
     // are recorded as -1 in the queries map AND listed in "errors".
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = QueryDef.subsetFilter(SparkEntry.queries.keySet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -43,8 +43,11 @@ object Clustering {
     s"${VectorOps.sqlDot(v, v)} - CAST(2 AS DOUBLE) * ${VectorOps.sqlDot(v, c)}" +
       s" + ${VectorOps.sqlDot(c, c)}"
 
-  /** Assign each vector to its nearest centroid (ties → smaller cid). */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+  /** Assign each vector to its nearest centroid (ties → smaller cid).
+    * Package-private so specs exercise the operator's own assignment
+    * rather than re-implementing it.
+    */
+  private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)
     e.crossJoin(broadcast(cents))
@@ -69,13 +72,16 @@ object Clustering {
         array_sort(collect_list(struct(col("pos"), col("mean")))),
         s => s.getField("mean")).as("cv"))
 
-  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    var cents = e.orderBy(col("vec_id")).limit(K)
+  /** The k seed centroids: the K smallest vec_ids, cid 0..K−1. */
+  private[graft] def seedCentroids(e: DataFrame): DataFrame =
+    e.orderBy(col("vec_id")).limit(K)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("cid"), col("embedding").as("cv"))
-      .transform(graft.functions.Iterate.checkpoint)
+
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    var cents = seedCentroids(e).transform(graft.functions.Iterate.checkpoint)
     for (_ <- 1 until Iters)
       cents = update(assign(e, cents)).transform(graft.functions.Iterate.checkpoint)
     assign(e, cents)

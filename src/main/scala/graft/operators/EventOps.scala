@@ -302,13 +302,13 @@ object EventOps {
     * cohort join is user-keyed, co-partitioned with the distinct.
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables.events(spark, dir)
+    val daily = Tables.events(spark, dir)
       .select(col("user_id"),
         date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd").as("day"))
       .distinct()
-    val cohort = monthly.groupBy(col("user_id"))
+    val cohort = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
-    monthly.join(cohort, Seq("user_id"))
+    daily.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_day"), col("day").as("activity_day"))
       .agg(count(lit(1)).as("users"))
   }

@@ -40,10 +40,30 @@ class AnalyticsExtSpec extends SparkSpec {
     }
   }
 
-  test("q20_part_promo: promo share exceeds 18% for every kept supplier") {
-    operators.RelationalExt.q20PartPromo(spark, sfDir).collect().foreach { r =>
-      assert(r.getAs[Double]("promo_qty") * 100 > r.getAs[Double]("total_qty") * 18)
-    }
+  test("q20_part_promo: kept set equals an independent recomputation") {
+    // Recompute the kept-supplier set from raw tables with plain double
+    // sums (quantities are integer-valued, so sums < 2^53 are exact) — a
+    // flipped comparison or swapped factors in the operator would make
+    // the sets diverge even when the operator returns 0 rows here.
+    val got = operators.RelationalExt.q20PartPromo(spark, sfDir)
+      .collect().map(_.getAs[Long]("supp_key")).toSet
+    val promoParts = Tables.part(spark, sfDir)
+      .filter(col("p_type").like("PROMO%")).select(col("p_partkey"))
+    val want = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.supplier(spark, sfDir)
+          .join(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(promoParts, col("l_partkey") === col("p_partkey"), "left")
+      .groupBy(col("s_suppkey"))
+      .agg(
+        sum(when(col("p_partkey").isNotNull, col("l_quantity")).otherwise(0.0)).as("promo"),
+        sum(col("l_quantity")).as("tot"))
+      .filter(col("promo") * 100 > col("tot") * 18)
+      .collect().map(_.getAs[Long]("s_suppkey")).toSet
+    assert(got === want)
   }
 
   test("retention_cohorts: activity day never precedes cohort day") {
@@ -98,20 +118,10 @@ class AnalyticsExtSpec extends SparkSpec {
 
   test("cluster_kmeans: iterations reduce total within-cluster distance") {
     // Lloyd's algorithm is monotone: the final assignment's total d2 must
-    // not exceed the init-assignment total (computed against the k seed
-    // vectors, which is iteration 0).
-    import org.apache.spark.sql.expressions.Window
+    // not exceed the init-assignment total (iteration 0 = the operator's
+    // own seed centroids + assignment, reused rather than re-implemented).
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val cents0 = e.orderBy(col("vec_id")).limit(8)
-      .withColumn("cid", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-      .select(col("cid"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
-    val init = e.crossJoin(broadcast(cents0))
-      .withColumn("d2",
-        functions.VectorOps.dot(col("embedding"), col("embedding"))
-          - lit(2.0) * functions.VectorOps.dot(col("embedding"), col("cv"))
-          + functions.VectorOps.dot(col("cv"), col("cv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val init = operators.Clustering.assign(e, operators.Clustering.seedCentroids(e))
       .agg(sum(col("d2"))).collect()(0).getDouble(0)
     val fin = operators.Clustering.clusterKmeans(spark, sfDir)
       .agg(sum(col("d2"))).collect()(0).getDouble(0)
