@@ -323,7 +323,53 @@ object Analytics {
     ORDER BY pagerank DESC, supp_key ASC LIMIT 20"""
   }
 
+  /** Per-node triangle counts over the STRONG collaboration graph
+    * (collab_count ≥ 5 — the raw co-occurrence graph is near-complete, so
+    * thresholding is what makes triangle counting meaningful AND sparse).
+    * Classic ordered-wedge algorithm: edges are kept as (lo, hi) pairs,
+    * wedges join on the shared middle node, a semi join closes them —
+    * each triangle (a<b<c) is found exactly once, then credited to all
+    * three corners.
+    *
+    * Scale: wedge count is Σ C(deg, 2) — bounded by the threshold, and
+    * the standard mitigation (degree-ordered orientation) is exactly the
+    * a<b<c ordering used here. No all-pairs anywhere.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = collabPairs(spark, dir)
+      .filter(col("collab_count") >= 5)
+      .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
+      .persist()
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.hi") === col("e2.lo"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+    val tris = wedges.join(edges,
+        col("a") === col("lo") && col("c") === col("hi"), "left_semi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("supp_key"))
+      .groupBy(col("supp_key"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  val triangleCountOracle: String = """
+    WITH pairs AS (
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS c
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    edges AS (SELECT supp_a AS lo, supp_b AS hi FROM pairs WHERE c >= 5),
+    tris AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM edges e1 JOIN edges e2 ON e1.hi = e2.lo
+      WHERE EXISTS (SELECT 1 FROM edges e3
+                    WHERE e3.lo = e1.lo AND e3.hi = e2.hi)),
+    corners AS (
+      SELECT UNNEST([a, b, c]) AS supp_key FROM tris)
+    SELECT supp_key, COUNT(*) AS triangles
+    FROM corners GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "triangle_count" -> QueryDef.sql(triangleCount, triangleCountOracle),
     "pagerank" -> QueryDef.sql(pagerank, pagerankOracle),
     "collab_pairs" -> QueryDef.sql(collabPairs, collabPairsOracle),
     "top_influential" -> QueryDef.sql(topInfluential, topInfluentialOracle),

@@ -321,6 +321,50 @@ object EventOps {
     FROM m JOIN c USING (user_id)
     GROUP BY 1, 2"""
 
+  /** Per-session summary built ON TOP of [[sessionize]] (operator
+    * composition: the session assignment and its consumer share one
+    * user-keyed shuffle): events per session, span in µs, and the
+    * session's event-value total (exact decimal sum).
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("t_us", expr("ts div 1000"))
+      .withColumn("prev_t", lag(col("t_us"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_t").isNull
+          || col("t_us") - col("prev_t") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("t_us")) - min(col("t_us"))).as("span_us"),
+        Exact.dsum(col("value")).as("total_value"))
+  }
+
+  val sessionStatsOracle: String = s"""
+    SELECT user_id, session_id,
+      COUNT(*) AS n_events,
+      MAX(t) - MIN(t) AS span_us,
+      ${Exact.sqlDsum("value")} AS total_value
+    FROM (
+      SELECT user_id, event_id, value, t,
+        CAST(SUM(new_session) OVER (PARTITION BY user_id
+          ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS session_id
+      FROM (
+        SELECT user_id, event_id, value, t,
+          CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapUs}
+            THEN 1 ELSE 0 END AS new_session
+        FROM (
+          SELECT user_id, event_id, value, EPOCH_US(ts) AS t,
+            LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+              ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS prev_t
+          FROM events)))
+    GROUP BY 1, 2"""
+
   private val FunnelWindowUs = 7L * 24 * 3600 * 1000 * 1000
 
   /** Conversion funnel: earliest view → first click after it → first
@@ -384,6 +428,7 @@ object EventOps {
     LEFT JOIN p USING (user_id)"""
 
   def defs: Map[String, QueryDef] = Map(
+    "session_stats" -> QueryDef.sql(sessionStats, sessionStatsOracle),
     "retention_cohorts" -> QueryDef.sql(retentionCohorts, retentionCohortsOracle),
     "window_funnel" -> QueryDef.sql(windowFunnel, windowFunnelOracle),
     "zscore_normalize" -> QueryDef.sql(zscoreNormalize, zscoreNormalizeOracle),

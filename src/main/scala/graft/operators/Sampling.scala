@@ -72,8 +72,55 @@ object Sampling {
       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
     FROM (SELECT doc_id, ${sqlPctBucket("split", "doc_id")} AS b FROM documents)"""
 
+  /** Deterministic source interleave: a global training-read order that
+    * round-robins across sources while shuffling WITHIN each source by
+    * salted hash — the "mix the corpus so no batch is single-source"
+    * step, without rand(). Each doc's position is
+    * `(per-source hash rank − 1) · n_sources + source index`: collision
+    * free, reproducible, and resumable from any offset.
+    *
+    * Scale: two window ranks (one per-source shuffle, one tiny
+    * source-index rank over a broadcastable distinct-source list) — no
+    * global sort of the corpus is ever materialized; a reader sorts by
+    * position lazily/range-partitioned.
+    */
+  def datasetInterleave(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcIdx = Tables.documents(spark, dir)
+      .select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))) - 1)
+    val nSrc = srcIdx.count()
+    val perSource = Window.partitionBy(col("source"))
+      .orderBy(graft.functions.TextOps.hash24(
+        concat(lit("interleave|"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(perSource))
+      .join(broadcast(srcIdx), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        ((col("rk") - 1) * lit(nSrc) + col("src_idx")).cast("bigint").as("position"))
+  }
+
+  val datasetInterleaveOracle: String = s"""
+    WITH src AS (
+      SELECT source,
+        ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+      FROM (SELECT DISTINCT source FROM documents)),
+    n AS (SELECT COUNT(*) AS n_src FROM src),
+    ranked AS (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+          CAST('0x' || SUBSTR(MD5('interleave|' || CAST(doc_id AS VARCHAR)), 1, 6)
+            AS BIGINT) ASC, doc_id ASC) AS rk
+      FROM documents)
+    SELECT doc_id, ranked.source,
+      CAST((rk - 1) * n.n_src + src.src_idx AS BIGINT) AS position
+    FROM ranked JOIN src ON ranked.source = src.source CROSS JOIN n"""
+
   def defs: Map[String, QueryDef] = Map(
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
-    "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle)
+    "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle),
+    "dataset_interleave" -> QueryDef.sql(datasetInterleave, datasetInterleaveOracle)
   )
 }

@@ -116,6 +116,46 @@ class AnalyticsExtSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("d2") >= -1e-9))
   }
 
+  test("triangle_count: counts are consistent (sum divisible by 3)") {
+    val rows = operators.Analytics.triangleCount(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // each triangle credits exactly 3 corners
+    val total = rows.map(_.getAs[Long]("triangles")).sum
+    assert(total % 3 === 0)
+    // sf0.001's strong graph is complete on 10 suppliers: every node sits
+    // in C(9,2) = 36 triangles
+    assert(rows.forall(_.getAs[Long]("triangles") === 36L))
+  }
+
+  test("session_stats: totals reconcile with raw events") {
+    val stats = operators.EventOps.sessionStats(spark, sfDir).collect()
+    assert(stats.nonEmpty)
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(stats.map(_.getAs[Long]("n_events")).sum === nEvents)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("span_us") >= 0)
+      // a session's span cannot exceed (n−1) gaps of ≤ 30 min each
+      assert(r.getAs[Long]("span_us")
+        <= (r.getAs[Long]("n_events") - 1) * 30L * 60 * 1000000)
+    }
+  }
+
+  test("dataset_interleave: positions are a permutation of 0..n-1 and round-robin") {
+    val rows = operators.Sampling.datasetInterleave(spark, sfDir).collect()
+    val n = rows.length
+    val pos = rows.map(_.getAs[Long]("position")).sorted
+    assert(pos.head === 0L)
+    // positions are collision-free and round-robin: position mod n_sources
+    // identifies the source
+    assert(pos.distinct.length === n)
+    val nSrc = rows.map(_.getAs[String]("source")).distinct.length
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.values.foreach { rs =>
+      val mods = rs.map(r => r.getAs[Long]("position") % nSrc).distinct
+      assert(mods.length === 1)
+    }
+  }
+
   test("cluster_kmeans: iterations reduce total within-cluster distance") {
     // Lloyd's algorithm is monotone: the final assignment's total d2 must
     // not exceed the init-assignment total (iteration 0 = the operator's
