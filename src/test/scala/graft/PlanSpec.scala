@@ -47,6 +47,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"no whole-stage codegen spans:\n$p")
   }
 
+  test("q9: part/supplier dims broadcast; only orders joins by shuffle") {
+    val p = plan(operators.RelationalExt.q9Profit(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"dims not broadcast:\n$p")
+    assert(p.contains("PushedFilters"), s"p_name filter not pushed:\n$p")
+  }
+
+  test("q2: region-filtered supplier dim broadcasts, no cartesian") {
+    val p = plan(operators.RelationalExt.q2MinCost(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), s"cartesian in q2:\n$p")
+  }
+
+  test("pagerank iteration joins broadcast the rank vector (no edge shuffle)") {
+    val df = operators.Analytics.pagerank(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), s"rank vector not broadcast:\n$p")
+  }
+
+  test("cluster_kmeans: centroids ride a broadcast nested loop, corpus never shuffles for assignment") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = plan(operators.Clustering.assign(e, operators.Clustering.seedCentroids(e)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids not broadcast:\n$p")
+  }
+
   test("ann_topk broadcasts the query-vector side") {
     val p = plan(operators.Similarity.annTopk(spark, sfDir))
     assert(p.contains("Broadcast"), s"query set not broadcast:\n$p")
