@@ -1,0 +1,39 @@
+package graft
+
+/** Shuffle-budget assertions: the number of shuffle exchanges in the
+  * FINAL adaptive plan is the property that decides 100 TB behavior —
+  * a regression that adds an exchange to a hot query should fail CI,
+  * not surface as a mystery slowdown at scale.
+  *
+  * Counts are UPPER BOUNDS on `Exchange hashpartitioning` /
+  * `Exchange rangepartitioning` / `Exchange SinglePartition` occurrences
+  * after execution (AQE may reuse or elide, never add).
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    // AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    // "== Initial Plan ==" — count only the final section or every
+    // exchange is double-counted.
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    "Exchange (hash|range|SinglePartition)".r.findAllIn(p).size
+  }
+
+  private def check(name: String, budget: Int)(
+      mk: => org.apache.spark.sql.DataFrame): Unit =
+    test(s"$name stays within its shuffle budget of $budget") {
+      val n = shuffles(mk)
+      assert(n <= budget, s"$name now has $n shuffles (budget $budget)")
+    }
+
+  check("q1_agg", 1)(operators.Relational.q1Agg(spark, sfDir))
+  check("q6_forecast", 1)(operators.Relational.q6Forecast(spark, sfDir))
+  check("sessionize", 1)(operators.EventOps.sessionize(spark, sfDir))
+  check("collab_pairs", 2)(operators.Analytics.collabPairs(spark, sfDir))
+  check("dedup_exact", 1)(operators.Dedup.dedupExact(spark, sfDir))
+  check("retention_cohorts", 3)(operators.EventOps.retentionCohorts(spark, sfDir))
+  check("q9_profit", 2)(operators.RelationalExt.q9Profit(spark, sfDir))
+  check("q16_supplier_cnt", 2)(operators.RelationalExt.q16SupplierCnt(spark, sfDir))
+}
