@@ -126,6 +126,65 @@ object EventStreams {
         col("value"), col("click_id"), col("click_ts"))
   }
 
+  private val FunnelWindowUs = 7L * 24 * 3600 * 1000 * 1000
+
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  final case class FunnelProgress(
+      user_id: Long, t_view: Option[Long], t_click: Option[Long],
+      t_purchase: Option[Long], funnel_level: Int)
+
+  /** Streaming conversion funnel — the stateful twin of the batch
+    * `window_funnel` (view → first later click → first later purchase
+    * within 7 days of the view): one FunnelState per user advanced by a
+    * mapGroupsWithState state machine, the CURRENT per-user progress
+    * emitted every batch (Update output mode).
+    *
+    * Equivalence with the batch twin holds under in-event-time-order
+    * delivery (the watermark assumption every funnel product makes): the
+    * first view seen IS the minimum view time, so each step latches
+    * exactly the value the batch conditional-MIN formulation selects.
+    * Within a micro-batch events are sorted by (time, event_id) first,
+    * like [[sessionized]].
+    *
+    * Scale: state is three longs per user — O(users), the same bound as
+    * sessionization; add an event-time timeout to retire completed or
+    * stale funnels in production.
+    */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MinValue
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          sorted.foreach { e =>
+            val t = epochMicros(e.ts)
+            e.event_type match {
+              case "view" if st.tView == Unset =>
+                st = st.copy(tView = t)
+              case "click" if st.tView != Unset && st.tClick == Unset
+                  && t > st.tView =>
+                st = st.copy(tClick = t)
+              case "purchase" if st.tClick != Unset && st.tPurchase == Unset
+                  && t > st.tClick && t <= st.tView + FunnelWindowUs =>
+                st = st.copy(tPurchase = t)
+              case _ =>
+            }
+          }
+          state.update(st)
+          def opt(v: Long): Option[Long] = if (v == Unset) None else Some(v)
+          val level =
+            if (st.tPurchase != Unset) 3
+            else if (st.tClick != Unset) 2
+            else if (st.tView != Unset) 1
+            else 0
+          FunnelProgress(userId, opt(st.tView), opt(st.tClick), opt(st.tPurchase), level)
+      }
+  }
+
   /** Streaming JSONL ingestion — the streaming twin of
     * [[graft.sources.Ingest.readDocumentsJsonl]] (the reference's
     * line-by-line loader as an unbounded source): new JSONL files landing

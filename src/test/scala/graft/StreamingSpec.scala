@@ -73,6 +73,66 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L, 4L, 5L)), s"got: ${ids.mkString(",")}")
   }
 
+  test("funnelStream latches steps in order and ignores out-of-order/duplicate steps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(5), 1, "purchase", 0), // before any view/click: ignored
+      Event(2, ts(10), 1, "view", 0),
+      Event(3, ts(12), 1, "view", 0),    // later view: not re-latched
+      Event(4, ts(20), 1, "click", 0),
+      Event(5, ts(25), 1, "click", 0),   // later click: not re-latched
+      Event(6, ts(30), 1, "purchase", 0),
+      Event(7, ts(11), 2, "click", 0),   // user 2: click without view → level 0
+      Event(8, ts(40), 3, "view", 0))    // user 3: view only → level 1
+    val q = EventStreams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("funnel_stream").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("funnel_level"),
+          Option(r.getAs[java.lang.Long]("t_view")).map(_.toLong / 60000000L),
+          Option(r.getAs[java.lang.Long]("t_click")).map(_.toLong / 60000000L),
+          Option(r.getAs[java.lang.Long]("t_purchase")).map(_.toLong / 60000000L))))
+      .toMap
+    assert(out(1L) === ((3, Some(10L), Some(20L), Some(30L))))
+    assert(out(2L) === ((0, None, None, None)))
+    assert(out(3L) === ((1, Some(40L), None, None)))
+  }
+
+  test("funnelStream agrees with the batch window_funnel on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Feed sf0.001's events in event-time order (the delivery assumption
+    // the streaming funnel documents) and drain; the final per-user state
+    // must equal the batch conditional-MIN formulation exactly.
+    val events = Tables.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = EventStreams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_equiv")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("funnel_equiv").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("funnel_level"),
+          Option(r.getAs[java.lang.Long]("t_view")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t_click")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t_purchase")).map(_.toLong)))).toMap
+    val want = operators.EventOps.windowFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("funnel_level"),
+          Option(r.getAs[java.lang.Long]("t_view")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t_click")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t_purchase")).map(_.toLong)))).toMap
+    assert(got === want)
+  }
+
   test("attribution stream-stream join links purchases to recent clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
