@@ -368,7 +368,64 @@ object Analytics {
     SELECT supp_key, COUNT(*) AS triangles
     FROM corners GROUP BY 1"""
 
+  /** Neighbor-set Jaccard similarity for node pairs sharing at least one
+    * neighbor in the strong collab graph — the Neo4j GDS nodeSimilarity
+    * analog ("authors with similar collaborator circles"). Common
+    * neighbors come from a wedge join on the CENTER node (a<b generates
+    * each unordered pair once); degrees join in broadcast. All-integer
+    * counts, one IEEE division.
+    *
+    * Scale: pair candidates = Σ C(deg_x, 2) over centers, the same bound
+    * as triangle_count and tunable by the same edge threshold; the
+    * degree table is |nodes| — broadcastable at any corpus size.
+    */
+  def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = collabPairs(spark, dir)
+      .filter(col("collab_count") >= 5)
+      .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
+    val und = edges.select(col("lo").as("u"), col("hi").as("v"))
+      .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      .persist()
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    und.as("l").join(und.as("r"),
+        col("l.v") === col("r.v") && col("l.u") < col("r.u"))
+      .groupBy(col("l.u").as("node_a"), col("r.u").as("node_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(deg.select(col("u").as("node_a"), col("deg").as("deg_a"))),
+        Seq("node_a"))
+      .join(broadcast(deg.select(col("u").as("node_b"), col("deg").as("deg_b"))),
+        Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("common"),
+        (col("common").cast("double")
+          / (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+          .as("jaccard"))
+  }
+
+  val nodeSimilarityOracle: String = """
+    WITH pairs AS (
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS c
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    und AS (
+      SELECT supp_a AS u, supp_b AS v FROM pairs WHERE c >= 5
+      UNION ALL
+      SELECT supp_b, supp_a FROM pairs WHERE c >= 5),
+    deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+    common AS (
+      SELECT l.u AS node_a, r.u AS node_b, COUNT(*) AS common
+      FROM und l JOIN und r ON l.v = r.v AND l.u < r.u
+      GROUP BY 1, 2)
+    SELECT node_a, node_b, common,
+      CAST(common AS DOUBLE)
+        / CAST(da.deg + db.deg - common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN deg da ON common.node_a = da.u
+    JOIN deg db ON common.node_b = db.u"""
+
   def defs: Map[String, QueryDef] = Map(
+    "node_similarity" -> QueryDef.sql(nodeSimilarity, nodeSimilarityOracle),
     "triangle_count" -> QueryDef.sql(triangleCount, triangleCountOracle),
     "pagerank" -> QueryDef.sql(pagerank, pagerankOracle),
     "collab_pairs" -> QueryDef.sql(collabPairs, collabPairsOracle),

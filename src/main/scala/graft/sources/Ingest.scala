@@ -106,8 +106,55 @@ object Ingest {
   val ingestCsvOracle: String = """
     SELECT doc_id, text, lang, source, n_chars FROM documents"""
 
+  /** ORC round-trip ingest: the columnar-interchange twin of
+    * [[ingestJsonl]] — Spark bundles native ORC, the other columnar
+    * format a lakehouse ingests from. Schema rides in the file (no
+    * pinned-schema read needed); losslessness for every column is
+    * hash-checked against the parquet path.
+    */
+  def ingestOrc(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagingDir("orc", dir)
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").orc(stage)
+    spark.read.orc(stage)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val ingestOrcOracle: String = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents"""
+
+  /** Partitioned-lake layout: events written `partitionBy(event_type)`
+    * (the lakehouse layout the reference's date-partitioned log sink
+    * gestures at), then read back with a partition filter — the filter
+    * prunes DIRECTORIES, so a 100 TB lake scans only the selected
+    * partition's files (PartitionFilters in the plan; asserted in
+    * IngestSpec). The query aggregates the pruned read; the oracle runs
+    * the same filter+aggregate on the unpartitioned table.
+    */
+  def partitionedLake(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagingDir("lake", dir)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    spark.read.parquet(stage)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        graft.functions.Exact.dsum(col("value")).as("total_value"))
+  }
+
+  val partitionedLakeOracle: String = s"""
+    SELECT user_id, COUNT(*) AS n_purchases,
+      ${graft.functions.Exact.sqlDsum("value")} AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
     "ingest_jsonl" -> QueryDef.sql(ingestJsonl, ingestJsonlOracle),
-    "ingest_csv" -> QueryDef.sql(ingestCsv, ingestCsvOracle)
+    "ingest_csv" -> QueryDef.sql(ingestCsv, ingestCsvOracle),
+    "ingest_orc" -> QueryDef.sql(ingestOrc, ingestOrcOracle),
+    "partitioned_lake" -> QueryDef.sql(partitionedLake, partitionedLakeOracle)
   )
 }

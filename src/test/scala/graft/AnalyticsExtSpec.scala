@@ -104,6 +104,21 @@ class AnalyticsExtSpec extends SparkSpec {
     }
   }
 
+  test("node_similarity: jaccard bounded, consistent with shared-edge pairs") {
+    val rows = operators.Analytics.nodeSimilarity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("node_a") < r.getAs[Long]("node_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0)
+      assert(r.getAs[Long]("common") >= 1)
+    }
+    // sf0.001's strong graph is complete on 10 nodes: every pair shares
+    // the other 8 nodes, deg = 9, jaccard = 8/10
+    assert(rows.length === 45)
+    rows.foreach(r => assert(r.getAs[Double]("jaccard") === 0.8))
+  }
+
   test("cluster_kmeans: every vector assigned once, clusters within k") {
     val rows = operators.Clustering.clusterKmeans(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()

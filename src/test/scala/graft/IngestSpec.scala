@@ -18,6 +18,25 @@ class IngestSpec extends SparkSpec {
     assert(viaParquet.exceptAll(viaJsonl).count() == 0)
   }
 
+  test("ORC round-trip is lossless against the parquet path") {
+    val viaParquet = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val viaOrc = Ingest.ingestOrc(spark, sfDir)
+    assert(viaOrc.count() == viaParquet.count())
+    assert(viaParquet.exceptAll(viaOrc).count() == 0)
+  }
+
+  test("partitioned lake read prunes to the filtered partition") {
+    val df = Ingest.partitionedLake(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the event_type filter must act as a PartitionFilter on the scan,
+    // not a post-scan data filter
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("event_type")),
+      s"no partition pruning:\n$p")
+  }
+
   test("malformed JSONL lines route to _corrupt_record, clean rows survive") {
     val dirPath = java.nio.file.Files.createTempDirectory("graft_jsonl_corrupt")
     val f = dirPath.resolve("part-0.json")
