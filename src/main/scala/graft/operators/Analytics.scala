@@ -380,12 +380,15 @@ object Analytics {
     * degree table is |nodes| — broadcastable at any corpus size.
     */
   def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    // persist BEFORE the union: both union branches read `edges`, and an
+    // unpersisted frame would evaluate the whole collabPairs pipeline
+    // twice inside one job.
     val edges = collabPairs(spark, dir)
       .filter(col("collab_count") >= 5)
       .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
+      .persist()
     val und = edges.select(col("lo").as("u"), col("hi").as("v"))
       .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
-      .persist()
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     und.as("l").join(und.as("r"),
         col("l.v") === col("r.v") && col("l.u") < col("r.u"))

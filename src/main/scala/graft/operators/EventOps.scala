@@ -365,6 +365,37 @@ object EventOps {
           FROM events)))
     GROUP BY 1, 2"""
 
+  /** 7-day rolling distinct active users per day — the DAU/WAU-style
+    * metric. Rolling DISTINCT doesn't decompose into a frame-sum, so
+    * each (user, active-day) pair CONTRIBUTES itself to the 7 window
+    * days it can appear in (a bounded explode), and the count is a
+    * distinct aggregation per window day — the standard scale-out
+    * formulation (state per (user, day), never a per-day rescan).
+    */
+  def rollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val contrib = ev.select(col("user_id"),
+      explode(sequence(col("day"), col("day") + 6)).as("wday"))
+    ev.select(col("day")).distinct()
+      .join(contrib, col("day") === col("wday"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+  }
+
+  val rollingActivesOracle: String = """
+    WITH ev AS (
+      SELECT DISTINCT user_id, EPOCH_US(ts) // 86400000000 AS day
+      FROM events),
+    contrib AS (
+      SELECT user_id, UNNEST(RANGE(day, day + 7)) AS wday FROM ev)
+    SELECT d.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_7d
+    FROM (SELECT DISTINCT day FROM ev) d
+    JOIN contrib c ON c.wday = d.day
+    GROUP BY 1"""
+
   private val FunnelWindowUs = 7L * 24 * 3600 * 1000 * 1000
 
   /** Conversion funnel: earliest view → first click after it → first
@@ -429,6 +460,7 @@ object EventOps {
 
   def defs: Map[String, QueryDef] = Map(
     "session_stats" -> QueryDef.sql(sessionStats, sessionStatsOracle),
+    "rolling_actives" -> QueryDef.sql(rollingActives, rollingActivesOracle),
     "retention_cohorts" -> QueryDef.sql(retentionCohorts, retentionCohortsOracle),
     "window_funnel" -> QueryDef.sql(windowFunnel, windowFunnelOracle),
     "zscore_normalize" -> QueryDef.sql(zscoreNormalize, zscoreNormalizeOracle),
