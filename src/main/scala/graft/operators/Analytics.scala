@@ -427,7 +427,55 @@ object Analytics {
     JOIN deg da ON common.node_a = da.u
     JOIN deg db ON common.node_b = db.u"""
 
+  /** Item-item co-purchase affinity — the bipartite (order × part)
+    * graph projected to part-part edges with cosine normalization:
+    * cofreq / √(freq_a · freq_b), the classic item-item collaborative
+    * filter ("parts bought together", "papers cited together").
+    *
+    * Scale: pair generation is the same per-order-local collect_set
+    * explode as collab_pairs (C(k,2) per order, k small ⇒ linear);
+    * per-part frequencies broadcast onto the pair counts. Integer
+    * counts; √ and ÷ are single IEEE ops — cross-engine exact.
+    */
+  def itemCofreq(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("cofreq"))
+    val freq = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("freq"))
+    pairs
+      .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("freq").as("freq_a"))),
+        Seq("part_a"))
+      .join(broadcast(freq.select(col("l_partkey").as("part_b"), col("freq").as("freq_b"))),
+        Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("cofreq"),
+        (col("cofreq").cast("double")
+          / sqrt((col("freq_a") * col("freq_b")).cast("double"))).as("affinity"))
+  }
+
+  val itemCofreqOracle: String = """
+    WITH e0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS cofreq
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    freq AS (SELECT l_partkey, COUNT(*) AS freq FROM e0 GROUP BY 1)
+    SELECT part_a, part_b, cofreq,
+      CAST(cofreq AS DOUBLE) / SQRT(CAST(fa.freq * fb.freq AS DOUBLE)) AS affinity
+    FROM pairs
+    JOIN freq fa ON pairs.part_a = fa.l_partkey
+    JOIN freq fb ON pairs.part_b = fb.l_partkey"""
+
   def defs: Map[String, QueryDef] = Map(
+    "item_cofreq" -> QueryDef.sql(itemCofreq, itemCofreqOracle),
     "node_similarity" -> QueryDef.sql(nodeSimilarity, nodeSimilarityOracle),
     "triangle_count" -> QueryDef.sql(triangleCount, triangleCountOracle),
     "pagerank" -> QueryDef.sql(pagerank, pagerankOracle),

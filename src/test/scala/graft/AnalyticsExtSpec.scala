@@ -104,6 +104,22 @@ class AnalyticsExtSpec extends SparkSpec {
     }
   }
 
+  test("item_cofreq: affinity bounded by cosine, reconciles with raw co-occurrence") {
+    val rows = operators.Analytics.itemCofreq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      val a = r.getAs[Double]("affinity")
+      assert(a > 0 && a <= 1.0 + 1e-12)
+    }
+    // total pair-occurrences equals sum over orders of C(k,2)
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey")).count()
+      .collect().map { r => val k = r.getAs[Long]("count"); k * (k - 1) / 2 }.sum
+    assert(rows.map(_.getAs[Long]("cofreq")).sum === want)
+  }
+
   test("node_similarity: jaccard bounded, consistent with shared-edge pairs") {
     val rows = operators.Analytics.nodeSimilarity(spark, sfDir).collect()
     assert(rows.nonEmpty)
