@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** All unordered pairs (a < b) from a SORTED array column, generated
+    * locally — the C(k,2) per-group expansion shared by collabPairs and
+    * itemCofreq. 1-based `slice(arr, i + 2, …)` pairs element i with
+    * every LATER element (element_at is 1-based in SQL).
+    */
+  private def localPairs(arrCol: String, aName: String, bName: String) =
+    explode(expr(
+      s"""flatten(transform($arrCol, (x, i) ->
+         |  transform(slice($arrCol, i + 2, size($arrCol)), y ->
+         |    struct(x AS $aName, y AS $bName))))""".stripMargin))
+
   /** Collaboration graph: pairs of suppliers co-occurring in the same
     * order, with collaboration counts — create_collaboration_graph.cql:1-6
     * (authors co-authoring a publication, COLLABORATED_WITH.count).
@@ -30,10 +41,7 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-      .select(explode(expr(
-        """flatten(transform(ss, (x, i) ->
-          |  transform(slice(ss, i + 2, size(ss)), y ->
-          |    struct(x AS supp_a, y AS supp_b))))""".stripMargin)).as("p"))
+      .select(localPairs("ss", "supp_a", "supp_b").as("p"))
       .groupBy(col("p.supp_a").as("supp_a"), col("p.supp_b").as("supp_b"))
       .agg(count(lit(1)).as("collab_count"))
 
@@ -323,23 +331,46 @@ object Analytics {
     ORDER BY pagerank DESC, supp_key ASC LIMIT 20"""
   }
 
+  /** Edge-weight cut defining the STRONG collaboration graph — the scale
+    * knob bounding wedge volume for triangle_count / node_similarity
+    * (raise it and Σ C(deg,2) shrinks). Interpolated into the oracles so
+    * Spark and DuckDB can never disagree on the graph.
+    */
+  private[graft] val StrongEdgeThreshold = 5
+
+  /** Strong-graph edges as (lo < hi) pairs, persisted (both graph
+    * operators read the edge list from several branches of one job).
+    */
+  private def strongEdges(spark: SparkSession, dir: String): DataFrame =
+    collabPairs(spark, dir)
+      .filter(col("collab_count") >= StrongEdgeThreshold)
+      .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
+      .persist()
+
+  /** Shared oracle CTE text for [[strongEdges]] (relation: edges(lo, hi)). */
+  private val sqlStrongEdges: String = s"""
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      p0 AS (
+        SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS c
+        FROM e0 a JOIN e0 b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2)
+      SELECT supp_a AS lo, supp_b AS hi FROM p0 WHERE c >= $StrongEdgeThreshold"""
+
   /** Per-node triangle counts over the STRONG collaboration graph
-    * (collab_count ≥ 5 — the raw co-occurrence graph is near-complete, so
-    * thresholding is what makes triangle counting meaningful AND sparse).
-    * Classic ordered-wedge algorithm: edges are kept as (lo, hi) pairs,
-    * wedges join on the shared middle node, a semi join closes them —
-    * each triangle (a<b<c) is found exactly once, then credited to all
-    * three corners.
+    * ([[StrongEdgeThreshold]] — the raw co-occurrence graph is
+    * near-complete, so thresholding is what makes triangle counting
+    * meaningful AND sparse). Classic ordered-wedge algorithm: edges are
+    * kept as (lo, hi) pairs, wedges join on the shared middle node, a
+    * semi join closes them — each triangle (a<b<c) is found exactly
+    * once, then credited to all three corners.
     *
     * Scale: wedge count is Σ C(deg, 2) — bounded by the threshold, and
     * the standard mitigation (degree-ordered orientation) is exactly the
     * a<b<c ordering used here. No all-pairs anywhere.
     */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val edges = collabPairs(spark, dir)
-      .filter(col("collab_count") >= 5)
-      .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
-      .persist()
+    val edges = strongEdges(spark, dir)
     val wedges = edges.as("e1")
       .join(edges.as("e2"), col("e1.hi") === col("e2.lo"))
       .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
@@ -350,14 +381,8 @@ object Analytics {
       .agg(count(lit(1)).as("triangles"))
   }
 
-  val triangleCountOracle: String = """
-    WITH pairs AS (
-      WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
-      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS c
-      FROM e0 a JOIN e0 b
-        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      GROUP BY 1, 2),
-    edges AS (SELECT supp_a AS lo, supp_b AS hi FROM pairs WHERE c >= 5),
+  lazy val triangleCountOracle: String = s"""
+    WITH edges AS ($sqlStrongEdges),
     tris AS (
       SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
       FROM edges e1 JOIN edges e2 ON e1.hi = e2.lo
@@ -380,13 +405,10 @@ object Analytics {
     * degree table is |nodes| — broadcastable at any corpus size.
     */
   def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    // persist BEFORE the union: both union branches read `edges`, and an
+    // strongEdges is persisted: both union branches read it, and an
     // unpersisted frame would evaluate the whole collabPairs pipeline
     // twice inside one job.
-    val edges = collabPairs(spark, dir)
-      .filter(col("collab_count") >= 5)
-      .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
-      .persist()
+    val edges = strongEdges(spark, dir)
     val und = edges.select(col("lo").as("u"), col("hi").as("v"))
       .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -404,17 +426,12 @@ object Analytics {
           .as("jaccard"))
   }
 
-  val nodeSimilarityOracle: String = """
-    WITH pairs AS (
-      WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
-      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS c
-      FROM e0 a JOIN e0 b
-        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      GROUP BY 1, 2),
+  lazy val nodeSimilarityOracle: String = s"""
+    WITH edges AS ($sqlStrongEdges),
     und AS (
-      SELECT supp_a AS u, supp_b AS v FROM pairs WHERE c >= 5
+      SELECT lo AS u, hi AS v FROM edges
       UNION ALL
-      SELECT supp_b, supp_a FROM pairs WHERE c >= 5),
+      SELECT hi, lo FROM edges),
     deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
     common AS (
       SELECT l.u AS node_a, r.u AS node_b, COUNT(*) AS common
@@ -441,10 +458,7 @@ object Analytics {
     val pairs = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y ->
-          |    struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .select(localPairs("ps", "part_a", "part_b").as("p"))
       .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("cofreq"))
     val freq = Tables.lineitem(spark, dir)

@@ -46,7 +46,12 @@ object EventOps {
     * drops at read, so comparing raw ns against the oracle's µs values
     * flips gap comparisons near the 30-min boundary and tie ordering.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Events with their session assignment — the ONE place the gap rule
+    * lives: µs-truncated time, (t, event_id) tie order, 30-min gap, lag +
+    * running sum. Both sessionize and sessionStats derive from this
+    * frame (columns: events ∪ {t_us, session_id}).
+    */
+  private def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy(col("user_id"))
       .orderBy(col("t_us").asc, col("event_id").asc)
     Tables.events(spark, dir)
@@ -57,21 +62,33 @@ object EventOps {
           || col("t_us") - col("prev_t") > SessionGapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("event_id"), col("user_id"), col("session_id"))
   }
 
-  val sessionizeOracle: String = s"""
-    SELECT event_id, user_id,
-      CAST(SUM(new_session) OVER (PARTITION BY user_id
-        ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-    FROM (
-      SELECT event_id, user_id, t,
-        CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapUs} THEN 1 ELSE 0 END AS new_session
+  /** SQL twin of [[sessionAssigned]] (relation:
+    * s(user_id, event_id, value, t, session_id)).
+    */
+  private val sqlSessionAssigned: String = s"""
+      SELECT user_id, event_id, value, t,
+        CAST(SUM(new_session) OVER (PARTITION BY user_id
+          ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS session_id
       FROM (
-        SELECT event_id, user_id, EPOCH_US(ts) AS t,
-          LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
-            ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS prev_t
-        FROM events))"""
+        SELECT user_id, event_id, value, t,
+          CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapUs}
+            THEN 1 ELSE 0 END AS new_session
+        FROM (
+          SELECT user_id, event_id, value, EPOCH_US(ts) AS t,
+            LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+              ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS prev_t
+          FROM events))"""
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionAssigned(spark, dir)
+      .select(col("event_id"), col("user_id"), col("session_id"))
+
+  val sessionizeOracle: String = s"""
+    SELECT event_id, user_id, session_id
+    FROM ($sqlSessionAssigned)"""
 
   /** As-of join: each event picks the most recent order (same user ≘
     * custkey) with order time ≤ event time; ties broken by max orderkey.
@@ -326,43 +343,20 @@ object EventOps {
     * user-keyed shuffle): events per session, span in µs, and the
     * session's event-value total (exact decimal sum).
     */
-  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
-    val order = Window.partitionBy(col("user_id"))
-      .orderBy(col("t_us").asc, col("event_id").asc)
-    Tables.events(spark, dir)
-      .withColumn("t_us", expr("ts div 1000"))
-      .withColumn("prev_t", lag(col("t_us"), 1).over(order))
-      .withColumn("new_session",
-        when(col("prev_t").isNull
-          || col("t_us") - col("prev_t") > SessionGapUs, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(
-        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionAssigned(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
         (max(col("t_us")) - min(col("t_us"))).as("span_us"),
         Exact.dsum(col("value")).as("total_value"))
-  }
 
   val sessionStatsOracle: String = s"""
     SELECT user_id, session_id,
       COUNT(*) AS n_events,
       MAX(t) - MIN(t) AS span_us,
       ${Exact.sqlDsum("value")} AS total_value
-    FROM (
-      SELECT user_id, event_id, value, t,
-        CAST(SUM(new_session) OVER (PARTITION BY user_id
-          ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
-          AS session_id
-      FROM (
-        SELECT user_id, event_id, value, t,
-          CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapUs}
-            THEN 1 ELSE 0 END AS new_session
-        FROM (
-          SELECT user_id, event_id, value, EPOCH_US(ts) AS t,
-            LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
-              ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS prev_t
-          FROM events)))
+    FROM ($sqlSessionAssigned)
     GROUP BY 1, 2"""
 
   /** 7-day rolling distinct active users per day — the DAU/WAU-style
@@ -396,7 +390,11 @@ object EventOps {
     JOIN contrib c ON c.wday = d.day
     GROUP BY 1"""
 
-  private val FunnelWindowUs = 7L * 24 * 3600 * 1000 * 1000
+  /** Funnel completion window (view → purchase), µs. Shared with the
+    * streaming twin ([[graft.streaming.EventStreams.funnelStream]]) —
+    * the proven batch/stream equivalence requires one constant.
+    */
+  private[graft] val FunnelWindowUs = 7L * 24 * 3600 * 1000 * 1000
 
   /** Conversion funnel: earliest view → first click after it → first
     * purchase after that, within 7 days of the view. The correlated

@@ -86,11 +86,16 @@ object Sampling {
     */
   def datasetInterleave(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: read by the index join AND the source-count aggregate —
+    // and the count stays IN the plan (a driver-side .count() here would
+    // run an eager job at DataFrame-construction time and scan documents
+    // twice).
     val srcIdx = Tables.documents(spark, dir)
       .select(col("source")).distinct()
       .withColumn("src_idx",
         row_number().over(Window.orderBy(col("source"))) - 1)
-    val nSrc = srcIdx.count()
+      .persist()
+    val nSrc = srcIdx.agg(count(lit(1)).cast("bigint").as("n_src"))
     val perSource = Window.partitionBy(col("source"))
       .orderBy(graft.functions.TextOps.hash24(
         concat(lit("interleave|"), col("doc_id").cast("string"))).asc,
@@ -98,8 +103,9 @@ object Sampling {
     Tables.documents(spark, dir)
       .withColumn("rk", row_number().over(perSource))
       .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
       .select(col("doc_id"), col("source"),
-        ((col("rk") - 1) * lit(nSrc) + col("src_idx")).cast("bigint").as("position"))
+        ((col("rk") - 1) * col("n_src") + col("src_idx")).cast("bigint").as("position"))
   }
 
   val datasetInterleaveOracle: String = s"""

@@ -126,7 +126,8 @@ object EventStreams {
         col("value"), col("click_id"), col("click_ts"))
   }
 
-  private val FunnelWindowUs = 7L * 24 * 3600 * 1000 * 1000
+  /** Shared with the batch twin — equivalence requires one constant. */
+  private val FunnelWindowUs = graft.operators.EventOps.FunnelWindowUs
 
   final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
 

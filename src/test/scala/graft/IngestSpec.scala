@@ -31,9 +31,11 @@ class IngestSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // the event_type filter must act as a PartitionFilter on the scan,
-    // not a post-scan data filter
-    assert(p.contains("PartitionFilters") &&
-      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("event_type")),
+    // not a post-scan data filter. FileScan prints all metadata on ONE
+    // line, so the filter must appear INSIDE the PartitionFilters
+    // brackets — substring checks alone are vacuous (ReadSchema also
+    // mentions event_type).
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
       s"no partition pruning:\n$p")
   }
 

@@ -18,7 +18,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // exchange is double-counted.
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    "Exchange (hash|range|SinglePartition)".r.findAllIn(p).size
+    // count EVERY shuffle exchange (hash, range, single-partition, AND
+    // round-robin repartitions) — only broadcast and reused exchanges
+    // are not data shuffles.
+    p.linesIterator.count(l =>
+      l.contains("Exchange")
+        && !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
   }
 
   private def check(name: String, budget: Int)(
