@@ -390,6 +390,74 @@ object EventOps {
     JOIN contrib c ON c.wday = d.day
     GROUP BY 1"""
 
+  /** 2× the exact median of an integer column per group, via the same
+    * histogram formulation as Relational.percentiles: the doubled median
+    * (lo + hi at the two straddling positions) stays an INTEGER, so
+    * downstream threshold comparisons never touch floating point.
+    */
+  private def groupMedian2(df: DataFrame, key: String, x: String, out: String): DataFrame = {
+    val byV = Window.partitionBy(col(key)).orderBy(col(x))
+    val byK = Window.partitionBy(col(key))
+    val hist = df.groupBy(col(key), col(x)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("start", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(byK))
+    val p = lit(0.5) * (col("n") - 1).cast("double")
+    def valAt(i: org.apache.spark.sql.Column) =
+      max(when(col("start") <= i && i < col("cum"), col(x)))
+    hist.groupBy(col(key))
+      .agg((valAt(floor(p)) + valAt(ceil(p))).as(out))
+  }
+
+  /** Robust anomaly detection: events whose value deviates from their
+    * type's median by more than 3× the median absolute deviation — the
+    * outlier rule that survives skewed distributions where z-scores
+    * don't. EXACT arithmetic throughout: values quantize to integer
+    * cents, medians use the ×2 doubling trick (2·median of ints is an
+    * int), MAD the ×4, and the 3×MAD cut compares integers
+    * (2·dc2 > 3·mad4). FP appears only in the output projections.
+    *
+    * Scale: two histogram medians (shuffles carry (type, value, count)
+    * histograms, not events) + two broadcast joins of per-type scalars.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+    val med = groupMedian2(ev.select(col("event_type"), col("vc")),
+      "event_type", "vc", "medc2")
+    val d = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dc2", abs(lit(2) * col("vc") - col("medc2")))
+      .persist()
+    val mad = groupMedian2(d.select(col("event_type"), col("dc2")),
+      "event_type", "dc2", "mad4")
+    d.join(broadcast(mad), Seq("event_type"))
+      .filter(lit(2) * col("dc2") > lit(3) * col("mad4"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("dc2").cast("double") / lit(200.0)).as("deviation"),
+        (col("mad4").cast("double") / lit(400.0)).as("mad"))
+  }
+
+  val anomalyMadOracle: String = """
+    WITH h AS (
+      SELECT event_id, event_type, value,
+        CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    med AS (
+      SELECT event_type, CAST(QUANTILE_CONT(vc, 0.5) * 2 AS BIGINT) AS medc2
+      FROM h GROUP BY 1),
+    d AS (
+      SELECT h.*, ABS(2 * vc - medc2) AS dc2
+      FROM h JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, CAST(QUANTILE_CONT(dc2, 0.5) * 2 AS BIGINT) AS mad4
+      FROM d GROUP BY 1)
+    SELECT event_id, d.event_type, value,
+      CAST(dc2 AS DOUBLE) / 200.0 AS deviation,
+      CAST(mad4 AS DOUBLE) / 400.0 AS mad
+    FROM d JOIN mad USING (event_type)
+    WHERE 2 * dc2 > 3 * mad4"""
+
   /** Funnel completion window (view → purchase), µs. Shared with the
     * streaming twin ([[graft.streaming.EventStreams.funnelStream]]) —
     * the proven batch/stream equivalence requires one constant.
@@ -459,6 +527,7 @@ object EventOps {
   def defs: Map[String, QueryDef] = Map(
     "session_stats" -> QueryDef.sql(sessionStats, sessionStatsOracle),
     "rolling_actives" -> QueryDef.sql(rollingActives, rollingActivesOracle),
+    "anomaly_mad" -> QueryDef.sql(anomalyMad, anomalyMadOracle),
     "retention_cohorts" -> QueryDef.sql(retentionCohorts, retentionCohortsOracle),
     "window_funnel" -> QueryDef.sql(windowFunnel, windowFunnelOracle),
     "zscore_normalize" -> QueryDef.sql(zscoreNormalize, zscoreNormalizeOracle),

@@ -104,6 +104,18 @@ class AnalyticsExtSpec extends SparkSpec {
     }
   }
 
+  test("anomaly_mad: flagged deviations exceed 3x the reported MAD") {
+    val rows = operators.EventOps.anomalyMad(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.events(spark, sfDir).count()
+    // robust cut: outliers exist but are a minority
+    assert(rows.length < n / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("deviation") > 3 * r.getAs[Double]("mad"))
+      assert(r.getAs[Double]("mad") >= 0)
+    }
+  }
+
   test("item_cofreq: affinity bounded by cosine, reconciles with raw co-occurrence") {
     val rows = operators.Analytics.itemCofreq(spark, sfDir).collect()
     assert(rows.nonEmpty)
