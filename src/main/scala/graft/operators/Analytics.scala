@@ -283,7 +283,12 @@ object Analytics {
         .join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(0.15 / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-      if (i % 2 == 0) pr = pr.transform(graft.functions.Iterate.checkpoint)
+      // Truncate lineage every other round, but NOT after the final
+      // iteration: a trailing checkpoint would materialize `pr` to an RDD
+      // and the returned plan would be a bare `Scan ExistingRDD` — hiding
+      // the iteration joins from plan inspection (PlanSpec's broadcast
+      // gate) while buying nothing, since the result is consumed once.
+      if (i % 2 == 0 && i < 10) pr = pr.transform(graft.functions.Iterate.checkpoint)
     }
     pr.select(col("node").as("supp_key"),
         (floor(col("pr") * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8))
@@ -338,13 +343,41 @@ object Analytics {
     */
   private[graft] val StrongEdgeThreshold = 5
 
-  /** Strong-graph edges as (lo < hi) pairs, persisted (both graph
-    * operators read the edge list from several branches of one job).
+  /** Degree cap for the wedge-join family: nodes whose STRONG-graph degree
+    * exceeds this are excluded before wedge generation. Wedge volume is
+    * Σ C(deg, 2), so one un-capped hub (deg 10⁶) alone creates a 5·10¹¹-row
+    * straggler task at corpus scale; with the cap every node contributes
+    * ≤ C(cap, 2) ≈ 8k wedges. Part of the declared graph semantics —
+    * interpolated into both oracles, so Spark and DuckDB always agree on
+    * which nodes are dropped. 128 keeps every node at the test SFs (the
+    * sf0.01 strong graph is ~100 near-fully-connected suppliers).
+    */
+  private[graft] val MaxWedgeDegree = 128
+
+  /** Drop every edge touching a node with degree > cap. The hub set is
+    * tiny by construction (heavy hitters), so both classification joins
+    * broadcast — the edge list is never shuffled just to be capped.
+    */
+  private[graft] def dropHubs(edges: DataFrame, cap: Int): DataFrame = {
+    val hubs = broadcast(
+      edges.select(explode(array(col("lo"), col("hi"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") > cap)
+        .select(col("node")))
+    edges.join(hubs, col("lo") === col("node"), "left_anti")
+      .join(hubs, col("hi") === col("node"), "left_anti")
+  }
+
+  /** Strong-graph edges as (lo < hi) pairs, hub-capped
+    * ([[MaxWedgeDegree]]) and persisted (both graph operators read the
+    * edge list from several branches of one job).
     */
   private def strongEdges(spark: SparkSession, dir: String): DataFrame =
-    collabPairs(spark, dir)
-      .filter(col("collab_count") >= StrongEdgeThreshold)
-      .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
+    dropHubs(
+      collabPairs(spark, dir)
+        .filter(col("collab_count") >= StrongEdgeThreshold)
+        .select(col("supp_a").as("lo"), col("supp_b").as("hi")),
+      MaxWedgeDegree)
       .persist()
 
   /** Shared oracle CTE text for [[strongEdges]] (relation: edges(lo, hi)). */
@@ -354,8 +387,16 @@ object Analytics {
         SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS c
         FROM e0 a JOIN e0 b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        GROUP BY 1, 2)
-      SELECT supp_a AS lo, supp_b AS hi FROM p0 WHERE c >= $StrongEdgeThreshold"""
+        GROUP BY 1, 2),
+      s AS (SELECT supp_a AS lo, supp_b AS hi FROM p0 WHERE c >= $StrongEdgeThreshold),
+      sdeg AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT lo AS node FROM s UNION ALL SELECT hi FROM s)
+        GROUP BY 1),
+      hubs AS (SELECT node FROM sdeg WHERE deg > $MaxWedgeDegree)
+      SELECT lo, hi FROM s
+      WHERE lo NOT IN (SELECT node FROM hubs)
+        AND hi NOT IN (SELECT node FROM hubs)"""
 
   /** Per-node triangle counts over the STRONG collaboration graph
     * ([[StrongEdgeThreshold]] — the raw co-occurrence graph is

@@ -250,23 +250,62 @@ object Relational {
         percentile_approx(col("v"), lit(0.75), lit(10000)).as("ap75"),
         count(lit(1)).as("n"))
 
-  /** Skew-safe salted join: lineitem side gets a deterministic salt,
-    * orders side is replicated across all salt values, join on
-    * (key, salt) — spreads a hot orderkey over SALT_BUCKETS reducers.
-    * Result is provably identical to the plain join the oracle runs.
+  /** Skew-safe salted join, hot keys only. Blanket salting replicates the
+    * entire build side SaltBuckets× — at 100 TB that is 8× extra shuffle
+    * for the 99% of keys that are not hot. Instead:
+    *
+    *  1. Detect heavy keys from a deterministic 1-in-16 hash sample of the
+    *     probe side (one cheap pass; at scale this is a sampled scan, the
+    *     same statistic AQE's skew join reads from shuffle files). A key is
+    *     "hot" when its SAMPLED count reaches `hotSampleThreshold`
+    *     (default 64 ≈ ≥1024 true rows).
+    *  2. Broadcast the hot-key set (heavy hitters are few by definition),
+    *     split both sides map-side with a broadcast semi/anti tag.
+    *  3. Salt ONLY the hot branch (probe keyed by a deterministic salt,
+    *     build exploded SaltBuckets×); the cold branch joins plainly.
+    *  4. Union the branches pre-aggregation.
+    *
+    * Result is provably identical to the plain join the oracle runs: every
+    * (l,o) pair appears exactly once in exactly one branch, and the final
+    * aggregate is order-independent (exact decimal sum). AQE's runtime
+    * skew-join split is the zero-config alternative; this operator is the
+    * explicit form with a tunable threshold.
     */
   private val SaltBuckets = 8
+  private val HotSampleRate = 16L  // 1-in-16 deterministic hash sample
+  private val HotSampleThreshold = 64L
 
-  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-      .withColumn("salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
-    val o = Tables.orders(spark, dir)
-      .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
-    l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      HotSampleThreshold)
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(
         count(lit(1)).as("n_items"),
         Exact.dsum(col("l_extendedprice")).as("total_price"))
+
+  /** The joined (pre-aggregation) frame; `hotSampleThreshold` is exposed
+    * so tests can force every key hot (0) or none (Long.MaxValue) and
+    * prove all three regimes agree.
+    */
+  private[graft] def saltedJoin(l: DataFrame, o: DataFrame,
+      hotSampleThreshold: Long): DataFrame = {
+    val hot = broadcast(
+      l.filter(pmod(xxhash64(col("l_orderkey")), lit(HotSampleRate)) === 0)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= hotSampleThreshold)
+        .select(col("l_orderkey").as("hot_key")))
+    val lHot = l.join(hot, col("l_orderkey") === col("hot_key"), "left_semi")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
+    val oHot = o.join(hot, col("o_orderkey") === col("hot_key"), "left_semi")
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    val lCold = l.join(hot, col("l_orderkey") === col("hot_key"), "left_anti")
+    val oCold = o.join(hot, col("o_orderkey") === col("hot_key"), "left_anti")
+    val out = Seq(col("o_orderpriority"), col("l_extendedprice"))
+    lHot.join(oHot,
+        col("l_orderkey") === col("o_orderkey") && lHot("salt") === oHot("salt"))
+      .select(out: _*)
+      .unionByName(
+        lCold.join(oCold, col("l_orderkey") === col("o_orderkey")).select(out: _*))
   }
 
   val skewSaltedJoinOracle: String = s"""

@@ -132,19 +132,46 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("cofreq")).sum === want)
   }
 
-  test("node_similarity: jaccard bounded, consistent with shared-edge pairs") {
+  /** Independent recomputation of the strong collaboration graph
+    * (threshold + hub cap) as an adjacency map — driver-side Scala over
+    * the raw sf0.001 lineitem, no Spark operators under test involved.
+    */
+  private lazy val strongAdjacency: Map[Long, Set[Long]] = {
+    val pairCounts = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { g =>
+        val ss = g.map(_._2).distinct.sorted
+        for (i <- ss.indices; j <- (i + 1) until ss.length) yield (ss(i), ss(j))
+      }.groupBy(identity).map { case (k, v) => (k, v.size) }
+    // NB: .iterator first — .collect on a Map yielding (Long, Long) tuples
+    // would rebuild a Map and silently collapse edges sharing a supp_a
+    val strong = pairCounts.iterator.collect {
+      case (e, c) if c >= operators.Analytics.StrongEdgeThreshold => e
+    }.toSeq
+    val adj0 = (strong.map { case (a, b) => (a, b) } ++ strong.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (n, es) => (n, es.map(_._2).toSet) }
+    val hubs = adj0.collect {
+      case (n, nbrs) if nbrs.size > operators.Analytics.MaxWedgeDegree => n
+    }.toSet
+    adj0.collect { case (n, nbrs) if !hubs(n) => (n, nbrs -- hubs) }
+      .filter(_._2.nonEmpty)
+  }
+
+  test("node_similarity: exactly matches an independent adjacency recomputation") {
     val rows = operators.Analytics.nodeSimilarity(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getAs[Long]("node_a") < r.getAs[Long]("node_b"))
-      val j = r.getAs[Double]("jaccard")
-      assert(j > 0 && j <= 1.0)
-      assert(r.getAs[Long]("common") >= 1)
-    }
-    // sf0.001's strong graph is complete on 10 nodes: every pair shares
-    // the other 8 nodes, deg = 9, jaccard = 8/10
-    assert(rows.length === 45)
-    rows.foreach(r => assert(r.getAs[Double]("jaccard") === 0.8))
+    val got = rows.map(r => ((r.getAs[Long]("node_a"), r.getAs[Long]("node_b")),
+      (r.getAs[Long]("common"), r.getAs[Double]("jaccard")))).toMap
+    assert(got.keys.forall { case (a, b) => a < b })
+    val adj = strongAdjacency
+    val want = (for {
+      a <- adj.keys; b <- adj.keys if a < b
+      common = (adj(a) intersect adj(b)).size if common >= 1
+    } yield ((a, b),
+      (common.toLong,
+        common.toDouble / (adj(a).size + adj(b).size - common)))).toMap
+    assert(got === want)
   }
 
   test("cluster_kmeans: every vector assigned once, clusters within k") {
@@ -159,15 +186,33 @@ class AnalyticsExtSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("d2") >= -1e-9))
   }
 
-  test("triangle_count: counts are consistent (sum divisible by 3)") {
+  test("triangle_count: exactly matches an independent adjacency recomputation") {
     val rows = operators.Analytics.triangleCount(spark, sfDir).collect()
     assert(rows.nonEmpty)
     // each triangle credits exactly 3 corners
     val total = rows.map(_.getAs[Long]("triangles")).sum
     assert(total % 3 === 0)
-    // sf0.001's strong graph is complete on 10 suppliers: every node sits
-    // in C(9,2) = 36 triangles
-    assert(rows.forall(_.getAs[Long]("triangles") === 36L))
+    val adj = strongAdjacency
+    val want = adj.map { case (n, nbrs) =>
+      val ns = nbrs.toSeq.sorted
+      (n, (for (i <- ns.indices; j <- (i + 1) until ns.length
+                if adj(ns(i)).contains(ns(j))) yield 1).size.toLong)
+    }.filter(_._2 > 0)
+    val got = rows.map(r => (r.getAs[Long]("supp_key"), r.getAs[Long]("triangles"))).toMap
+    assert(got === want)
+  }
+
+  test("dropHubs: edges touching an over-cap hub vanish, the rest survive") {
+    import spark.implicits._
+    // node 1 has degree 4; nodes 2..5 have degree ≤ 2
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+      .toDF("lo", "hi")
+    val capped = operators.Analytics.dropHubs(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((2L, 3L)))
+    // a cap at/above the max degree keeps everything
+    val all = operators.Analytics.dropHubs(edges, 4).count()
+    assert(all === 5L)
   }
 
   test("session_stats: totals reconcile with raw events") {

@@ -73,6 +73,26 @@ class OperatorSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted))
   }
 
+  test("salted join: all-hot, none-hot, and sampled regimes agree with the plain join") {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    def total(threshold: Long): (Long, java.math.BigDecimal) = {
+      val r = operators.Relational.saltedJoin(l, o, threshold)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(28,6)")).as("s"))
+        .first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val plain = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(28,6)")).as("s"))
+      .first()
+    val expected = (plain.getLong(0), plain.getDecimal(1))
+    assert(total(0L) === expected)             // every key salted
+    assert(total(Long.MaxValue) === expected)  // no key salted
+    assert(total(64L) === expected)            // production sampled threshold
+  }
+
   test("dedup: jaccard bounded in [0,1]; minhash finds the near-dup pairs") {
     val mh = operators.Dedup.dedupMinhashLsh(spark, sfDir)
     assert(mh.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)

@@ -66,6 +66,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"rank vector not broadcast:\n$p")
   }
 
+  test("skew_salted_join: hot/cold two-branch union, hot set broadcast to split map-side") {
+    val df = operators.Relational.skewSaltedJoin(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Union"), s"no hot/cold union branch:\n$p")
+    // the semi/anti split against the hot-key set must be a broadcast join
+    // (map-side tag), never a shuffle of the fact table just to classify it
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"hot-key set not broadcast:\n$p")
+  }
+
   test("cluster_kmeans: centroids ride a broadcast nested loop, corpus never shuffles for assignment") {
     val e = Tables.embeddings(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("vec_id"),
