@@ -208,16 +208,30 @@ object EventOps {
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
     FROM events GROUP BY 1"""
 
-  /** HyperLogLog++ approximate distinct counts (rows-only oracle: HLL
-    * sketches are engine-specific). The scale path for cardinality:
-    * mergeable sketches, no distinct shuffle.
+  /** HyperLogLog++ approximate distinct counts. The scale path for
+    * cardinality: mergeable sketches, no distinct shuffle. The sketch
+    * value itself is engine-specific, so it can't be hash-compared;
+    * instead the output carries the exact count plus `within_bounds` —
+    * the sketch's relative error checked against 5× its configured rsd
+    * (0.01) — and the oracle recomputes the exact columns expecting
+    * `within_bounds = true`. The exact twin exists only for this gate;
+    * the production path at corpus scale is the sketch alone.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"),
+        countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (abs(col("approx") - col("n_users")).cast("double")
+          <= col("n_users").cast("double") * lit(0.05)).as("within_bounds"))
+
+  val approxDistinctOracle: String = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      COUNT(*) AS n_events, TRUE AS within_bounds
+    FROM events GROUP BY 1"""
 
   /** Purchase attribution: for each purchase, the clicks by the same
     * user in the preceding 30 minutes (interval join). Batch twin of the
@@ -533,7 +547,7 @@ object EventOps {
     "zscore_normalize" -> QueryDef.sql(zscoreNormalize, zscoreNormalizeOracle),
     "purchase_attribution" -> QueryDef.sql(purchaseAttribution, purchaseAttributionOracle),
     "distinct_users" -> QueryDef.sql(distinctUsers, distinctUsersOracle),
-    "approx_distinct" -> QueryDef.rowsOnly(approxDistinct),
+    "approx_distinct" -> QueryDef.sql(approxDistinct, approxDistinctOracle),
     "events_json_extract" -> QueryDef.sql(eventsJsonExtract, eventsJsonExtractOracle),
     "sessionize" -> QueryDef.sql(sessionize, sessionizeOracle),
     "asof_join" -> QueryDef.sql(asofJoin, asofJoinOracle),

@@ -234,13 +234,21 @@ object Relational {
       COUNT(*) AS n
     FROM events GROUP BY event_type"""
 
-  /** Approximate quantiles (rows-only: the sketch is engine-specific) —
-    * the 100 TB twin of [[percentiles]]: Spark's percentile_approx is a
-    * mergeable KLL-style sketch, so the shuffle carries fixed-size
-    * sketches instead of per-group histograms, at bounded rank error.
-    * ApproxSpec asserts agreement with the exact path on integer data.
+  /** Approximate quantiles — the 100 TB twin of [[percentiles]]: Spark's
+    * percentile_approx is a mergeable KLL-style sketch, so the shuffle
+    * carries fixed-size sketches instead of per-group histograms, at
+    * bounded rank error. Sketch values are engine-specific, so the output
+    * carries the exact quantiles (hash-checked against QUANTILE_CONT —
+    * integer-valued inputs make the interpolation formula-independent)
+    * plus `within_bounds`: each sketch value inside the exact quantile
+    * band q ± 0.01, 100× the sketch's configured rank error (1/10000).
+    * The exact twin exists only for this gate; at corpus scale you run
+    * the sketch alone.
     */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    def exact(q: Double): Column = expr(s"percentile(v, ${q})")
+    def banded(q: Double, ap: String): Column =
+      col(ap) >= exact(q - 0.01) && col(ap) <= exact(q + 0.01)
     Tables.events(spark, dir)
       .select(col("event_type"), floor(col("value")).cast("double").as("v"))
       .groupBy(col("event_type"))
@@ -248,7 +256,21 @@ object Relational {
         percentile_approx(col("v"), lit(0.25), lit(10000)).as("ap25"),
         percentile_approx(col("v"), lit(0.50), lit(10000)).as("ap50"),
         percentile_approx(col("v"), lit(0.75), lit(10000)).as("ap75"),
+        exact(0.25).as("p25"), exact(0.50).as("p50"), exact(0.75).as("p75"),
+        banded(0.25, "ap25").as("b25"), banded(0.50, "ap50").as("b50"),
+        banded(0.75, "ap75").as("b75"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("p25"), col("p50"), col("p75"), col("n"),
+        (col("b25") && col("b50") && col("b75")).as("within_bounds"))
+  }
+
+  val approxPercentilesOracle: String = """
+    SELECT event_type,
+      QUANTILE_CONT(FLOOR(value), 0.25) AS p25,
+      QUANTILE_CONT(FLOOR(value), 0.50) AS p50,
+      QUANTILE_CONT(FLOOR(value), 0.75) AS p75,
+      COUNT(*) AS n, TRUE AS within_bounds
+    FROM events GROUP BY event_type"""
 
   /** Skew-safe salted join, hot keys only. Blanket salting replicates the
     * entire build side SaltBuckets× — at 100 TB that is 8× extra shuffle
