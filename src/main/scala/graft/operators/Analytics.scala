@@ -370,15 +370,19 @@ object Analytics {
 
   /** Strong-graph edges as (lo < hi) pairs, hub-capped
     * ([[MaxWedgeDegree]]) and persisted (both graph operators read the
-    * edge list from several branches of one job).
+    * edge list from several branches of one job). The PRE-cap edges are
+    * persisted too: the hub set is a broadcast subtree over the same
+    * edges the anti-joins probe, and without the persist the whole
+    * collabPairs pipeline (the expensive wedge groupBy) would run once
+    * for the broadcast and again for the probe side.
     */
-  private def strongEdges(spark: SparkSession, dir: String): DataFrame =
-    dropHubs(
-      collabPairs(spark, dir)
-        .filter(col("collab_count") >= StrongEdgeThreshold)
-        .select(col("supp_a").as("lo"), col("supp_b").as("hi")),
-      MaxWedgeDegree)
+  private def strongEdges(spark: SparkSession, dir: String): DataFrame = {
+    val raw = collabPairs(spark, dir)
+      .filter(col("collab_count") >= StrongEdgeThreshold)
+      .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
       .persist()
+    dropHubs(raw, MaxWedgeDegree).persist()
+  }
 
   /** Shared oracle CTE text for [[strongEdges]] (relation: edges(lo, hi)). */
   private val sqlStrongEdges: String = s"""
