@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Lineage control for iterative DataFrame algorithms (pagerank,
   * connected components): each round's plan would otherwise re-embed the
@@ -22,4 +22,17 @@ object Iterate {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** Partition count for per-round loop STATE (edge lists, label/rank
+    * vectors) — derived from the session's shuffle parallelism, never a
+    * literal. Rule: state frames are much smaller than the corpus, so a
+    * full-width shuffle is pure scheduler overhead locally, but a small
+    * constant would serialize every iteration on a real cluster (a
+    * 1000-executor session sets shuffle.partitions in the thousands and
+    * its "small" graph state is still billions of rows). 1/4 of the
+    * session width scales with the deployment in both directions; the
+    * floor keeps tiny local sessions from collapsing to 1 partition.
+    */
+  def statePartitions(spark: SparkSession): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions / 4, 8)
 }

@@ -253,7 +253,9 @@ object Analytics {
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val d = 0.85
-    val pairs = collabPairs(spark, dir).repartition(4).transform(graft.functions.Iterate.checkpoint)
+    val pairs = collabPairs(spark, dir)
+      .repartition(graft.functions.Iterate.statePartitions(spark))
+      .transform(graft.functions.Iterate.checkpoint)
     val edges = pairs.select(col("supp_a").as("src"), col("supp_b").as("dst"),
         col("collab_count").cast("double").as("w"))
       .unionByName(pairs.select(col("supp_b").as("src"), col("supp_a").as("dst"),
@@ -374,14 +376,21 @@ object Analytics {
     * persisted too: the hub set is a broadcast subtree over the same
     * edges the anti-joins probe, and without the persist the whole
     * collabPairs pipeline (the expensive wedge groupBy) would run once
-    * for the broadcast and again for the probe side.
+    * for the broadcast and again for the probe side. The raw cache is
+    * only needed during that single capping pass, so the capped frame is
+    * materialized eagerly (count) and the raw edges unpersisted — the
+    * two caches are near-identical in size and keeping both would double
+    * the strong graph's cached footprint for the whole downstream job.
     */
   private def strongEdges(spark: SparkSession, dir: String): DataFrame = {
     val raw = collabPairs(spark, dir)
       .filter(col("collab_count") >= StrongEdgeThreshold)
       .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
       .persist()
-    dropHubs(raw, MaxWedgeDegree).persist()
+    val capped = dropHubs(raw, MaxWedgeDegree).persist()
+    capped.count()
+    raw.unpersist()
+    capped
   }
 
   /** Shared oracle CTE text for [[strongEdges]] (relation: edges(lo, hi)). */

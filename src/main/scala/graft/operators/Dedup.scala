@@ -232,13 +232,14 @@ object Dedup {
     // The pair graph is tiny relative to the corpus (near-dup clusters),
     // so: materialize it ONCE (localCheckpoint truncates the LSH lineage
     // — otherwise every iteration's plan re-embeds the whole LSH
-    // pipeline and planning cost grows per round), shrink to a few
-    // partitions (32-way shuffles on hundreds of rows are pure scheduler
-    // overhead), and checkpoint each round's labels to keep the lineage
-    // constant-depth.
+    // pipeline and planning cost grows per round), shrink to a fraction
+    // of session width (Iterate.statePartitions — full-width shuffles on
+    // the small pair graph are scheduler overhead locally, yet the count
+    // still scales with the cluster), and checkpoint each round's labels
+    // to keep the lineage constant-depth.
     val pairs = dedupMinhashLsh(spark, dir)
       .select(col("doc_a"), col("doc_b"))
-      .repartition(4)
+      .repartition(graft.functions.Iterate.statePartitions(spark))
       .transform(graft.functions.Iterate.checkpoint)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -343,11 +344,20 @@ object Dedup {
     GROUP BY 1
     HAVING COUNT(*) >= 3"""
 
-  /** Bloom-filter decontamination (rows-only: the sketch is
-    * engine-specific) — the 100 TB path: the benchmark shingle set
-    * compresses to a few MB of bloom bits broadcast to every executor;
-    * each doc probes locally, no shuffle of the corpus. False positives
-    * only (never misses contamination); positives re-check exactly.
+  /** Bloom-filter decontamination — the 100 TB path, in two stages:
+    *
+    *  1. PROBE (the pass that touches the whole corpus): the benchmark
+    *     shingle set compresses to a few KB of bloom bits riding the
+    *     task binary to every executor; each shingle probes locally via
+    *     the codegen [[org.apache.spark.sql.graft.BloomMightContain]]
+    *     expression — no shuffle, no UDF. Bloom errors are false
+    *     positives ONLY, so a doc's probable-overlap count ≥ its true
+    *     count: every truly contaminated doc survives the candidate cut.
+    *  2. RECHECK (tiny candidate set): candidates' shingles join the
+    *     exact benchmark set to trim the false positives — so the
+    *     output is deterministic and hash-checks against the SAME exact
+    *     oracle as [[decontaminate]], while the corpus-wide pass stays
+    *     sketch-cheap.
     */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -356,14 +366,25 @@ object Dedup {
     val bloom = docs.filter(col("doc_id") < 5)
       .select(explode(col("sh")).as("shingle"))
       .stat.bloomFilter("shingle", 2000L, 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bloomBc.value.mightContainString(s))
-    docs.filter(col("doc_id") >= 5)
+    val mightContain = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.BloomMightContain(
+        org.apache.spark.sql.GraftBridge.expression(col("shingle")), bloom))
+    val candidates = docs.filter(col("doc_id") >= 5)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .filter(mightContain(col("shingle")))
+      .filter(mightContain)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_probable_overlaps"))
       .filter(col("n_probable_overlaps") >= 3)
+      .select(col("doc_id"))
+    val benchShingles = docs.filter(col("doc_id") < 5)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    docs.filter(col("doc_id") >= 5)
+      .join(broadcast(candidates), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .filter(col("n_overlaps") >= 3)
   }
 
   /** Cross-source contamination matrix: shingle-set overlap between every
@@ -413,7 +434,10 @@ object Dedup {
   def defs: Map[String, QueryDef] = Map(
     "cross_source_overlap" -> QueryDef.sql(crossSourceOverlap, crossSourceOverlapOracle),
     "decontaminate" -> QueryDef.sql(decontaminate, decontaminateOracle),
-    "decontaminate_bloom" -> QueryDef.rowsOnly(decontaminateBloom),
+    // Hash-checked against the exact oracle: the bloom pass only
+    // prefilters (false positives trimmed by the exact recheck), so the
+    // final rows are deterministic and identical to `decontaminate`'s.
+    "decontaminate_bloom" -> QueryDef.sql(decontaminateBloom, decontaminateOracle),
     "dedup_components" -> QueryDef.sql(dedupComponents, dedupComponentsOracle),
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),

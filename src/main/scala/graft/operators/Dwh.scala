@@ -194,12 +194,160 @@ object Dwh {
         MIN(l_linenumber) AS first_line, COUNT(*) AS n_mentions
       FROM lineitem GROUP BY 1, 2)"""
 
+  /** Affiliation dimension — reference `dim_author_affiliation`
+    * (check_DWH.py:26-33: aff_id, affiliation, is_current, start/end).
+    * Affiliations = the nations suppliers ("authors") belong to; one row
+    * per affiliation with a deterministic md5 surrogate (SERIAL keys are
+    * insert-order-dependent — useless on a distributed build) and SCD2
+    * bookkeeping columns. Member count kept as a degenerate measure.
+    * Snowflake collapse is a broadcast join; the groupBy key space is
+    * the nation count, so the shuffle is trivially small at any SF.
+    */
+  def dimAuthorAffiliation(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("affiliation"))
+      .agg(count(lit(1)).as("n_authors"))
+      .select(
+        md5(col("affiliation")).as("aff_sk"),
+        col("affiliation"),
+        col("n_authors"),
+        lit(true).as("is_current"),
+        lit("1970-01-01").as("valid_from"),
+        lit("9999-12-31").as("valid_to"))
+  }
+
+  val dimAuthorAffiliationOracle: String = """
+    SELECT MD5(n_name) AS aff_sk, n_name AS affiliation,
+      COUNT(*) AS n_authors, TRUE AS is_current,
+      '1970-01-01' AS valid_from, '9999-12-31' AS valid_to
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name"""
+
+  /** Serial-number dimension — reference `dim_publish_sn`
+    * (check_DWH.py:67-74: pid, issn_number, issn_type, PK (pid, issn)).
+    * The "journal" identity is the ordering customer; its ISSN is an
+    * md5-derived 9-char code (deterministic, format-shaped), the type
+    * splits print/electronic on order status. Pure per-row projection —
+    * no shuffle at all.
+    */
+  def dimPublishSn(spark: SparkSession, dir: String): DataFrame = {
+    val issnMd5 = md5(col("o_custkey").cast("string"))
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("pid"),
+      concat(substring(issnMd5, 1, 4), lit("-"), substring(issnMd5, 5, 4))
+        .as("issn_number"),
+      when(col("o_orderstatus") === "F", lit("print"))
+        .otherwise(lit("electronic")).as("issn_type"))
+  }
+
+  val dimPublishSnOracle: String = """
+    SELECT o_orderkey AS pid,
+      SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 4) || '-' ||
+        SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 5, 4) AS issn_number,
+      CASE WHEN o_orderstatus = 'F' THEN 'print' ELSE 'electronic' END
+        AS issn_type
+    FROM orders"""
+
+  /** License dimension — reference `dim_license` (check_DWH.py:76-84:
+    * lid, license_start, license_url, license_content_version,
+    * license_delay). License classes = order priorities; license_start =
+    * earliest order under that class (a min-aggregate dim build),
+    * license_delay derived from the class ordinal. Five-row dim; the
+    * aggregation is map-side-combined to nothing.
+    */
+  def dimLicense(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("license_key"))
+      .agg(date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("license_start"))
+      .select(
+        md5(col("license_key")).as("lid"),
+        col("license_start"),
+        concat(lit("https://licenses.example.org/"),
+          lower(regexp_replace(col("license_key"), "[^A-Za-z0-9]+", "-")))
+          .as("license_url"),
+        lit("vor").as("license_content_version"),
+        (substring(col("license_key"), 1, 1).cast("int") * 30).as("license_delay"))
+
+  val dimLicenseOracle: String = """
+    SELECT MD5(license_key) AS lid, license_start,
+      'https://licenses.example.org/' ||
+        LOWER(REGEXP_REPLACE(license_key, '[^A-Za-z0-9]+', '-', 'g'))
+        AS license_url,
+      'vor' AS license_content_version,
+      CAST(SUBSTR(license_key, 1, 1) AS INTEGER) * 30 AS license_delay
+    FROM (
+      SELECT o_orderpriority AS license_key,
+        STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS license_start
+      FROM orders GROUP BY 1)"""
+
+  /** Publisher dimension — reference `dim_publisher` (check_DWH.py:86-90:
+    * pub_id, publisher_name). Publishers = part brands; md5 surrogate
+    * (see [[dimAuthorAffiliation]] on why not SERIAL). distinct on a
+    * low-cardinality column → partial-aggregated scan.
+    */
+  def dimPublisher(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_brand").as("publisher_name")).distinct()
+      .select(md5(col("publisher_name")).as("pub_id"), col("publisher_name"))
+
+  val dimPublisherOracle: String = """
+    SELECT MD5(publisher_name) AS pub_id, publisher_name
+    FROM (SELECT DISTINCT p_brand AS publisher_name FROM part)"""
+
+  /** Version dimension — reference `dim_pub_version` (check_DWH.py:102-109:
+    * pid, vid, created_time, PK (pid, vid)) — built as an SCD2 history:
+    * versions = a publication's lines ordered by event time, each
+    * version's validity window closed by the NEXT version's
+    * created_time (lead window), open-ended for the latest (is_current).
+    * This is the scd2_merge pattern applied at dim-build time.
+    *
+    * Scale: one window over the publication key — a single shuffle by
+    * pid, no self-join. Ordering ties broken by line number so the
+    * window is a total order (deterministic lead).
+    */
+  def dimPubVersion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("created_time"), col("line"))
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey").as("pid"),
+        col("l_linenumber").as("line"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("created_time"))
+      .withColumn("vid", concat(lit("v"), col("line").cast("string")))
+      .withColumn("valid_to",
+        coalesce(lead(col("created_time"), 1).over(w), lit("9999-12-31 00:00:00")))
+      .select(col("pid"), col("vid"), col("created_time"), col("valid_to"),
+        (col("valid_to") === "9999-12-31 00:00:00").as("is_current"))
+  }
+
+  val dimPubVersionOracle: String = """
+    SELECT pid, vid, created_time,
+      COALESCE(
+        LEAD(created_time) OVER (PARTITION BY pid ORDER BY created_time, line),
+        '9999-12-31 00:00:00') AS valid_to,
+      COALESCE(
+        LEAD(created_time) OVER (PARTITION BY pid ORDER BY created_time, line),
+        '9999-12-31 00:00:00') = '9999-12-31 00:00:00' AS is_current
+    FROM (
+      SELECT l_orderkey AS pid, l_linenumber AS line,
+        'v' || CAST(l_linenumber AS VARCHAR) AS vid,
+        STRFTIME(l_shipdate, '%Y-%m-%d %H:%M:%S') AS created_time
+      FROM lineitem)"""
+
   def defs: Map[String, QueryDef] = Map(
     "dwh_fact_sales" -> QueryDef.sql(factSales, factSalesOracle),
     "dwh_dim_customer" -> QueryDef.sql(dimCustomer, dimCustomerOracle),
     "dwh_star_join" -> QueryDef.sql(starJoin, starJoinOracle),
     "dwh_bridge_author" -> QueryDef.sql(bridgeAuthor, bridgeAuthorOracle),
     "dwh_dim_references" -> QueryDef.sql(dimReferences, dimReferencesOracle),
+    "dwh_dim_author_affiliation" ->
+      QueryDef.sql(dimAuthorAffiliation, dimAuthorAffiliationOracle),
+    "dwh_dim_publish_sn" -> QueryDef.sql(dimPublishSn, dimPublishSnOracle),
+    "dwh_dim_license" -> QueryDef.sql(dimLicense, dimLicenseOracle),
+    "dwh_dim_publisher" -> QueryDef.sql(dimPublisher, dimPublisherOracle),
+    "dwh_dim_pub_version" -> QueryDef.sql(dimPubVersion, dimPubVersionOracle),
     "enrich_join" -> QueryDef.sql(enrichJoin, enrichJoinOracle)
   )
 }

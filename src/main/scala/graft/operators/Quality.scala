@@ -51,6 +51,27 @@ object Quality {
       Dwh.dimReferences(spark, dir)
         .select(col("pid")).distinct()
         .join(o, col("pid") === col("o_orderkey"), "left_anti"))
+    // check_DWH.py:67-109 PK/FK constraints on the remaining dims,
+    // evaluated the same way: PRIMARY KEY → duplicate-key scan, FK →
+    // distinct-orphan anti join, CHECK-style domain rules inline.
+    val snDupKeys = rule("publish_sn_duplicate_keys",
+      Dwh.dimPublishSn(spark, dir)
+        .groupBy(col("pid"), col("issn_number"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1))
+    val versionDupKeys = rule("pub_version_duplicate_keys",
+      Dwh.dimPubVersion(spark, dir)
+        .groupBy(col("pid"), col("vid"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1))
+    val versionOrphans = rule("pub_version_orphan_pids",
+      Dwh.dimPubVersion(spark, dir)
+        .select(col("pid")).distinct()
+        .join(o, col("pid") === col("o_orderkey"), "left_anti"))
+    val licenseDelayDomain = rule("license_delay_nonnegative",
+      Dwh.dimLicense(spark, dir).filter(col("license_delay") < 0))
+    val publisherDupNames = rule("publisher_duplicate_names",
+      Dwh.dimPublisher(spark, dir)
+        .groupBy(col("publisher_name"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1))
 
     qtyDomain
       .unionByName(discDomain)
@@ -60,9 +81,14 @@ object Quality {
       .unionByName(bridgeOrphans)
       .unionByName(bridgeWeights)
       .unionByName(refOrphans)
+      .unionByName(snDupKeys)
+      .unionByName(versionDupKeys)
+      .unionByName(versionOrphans)
+      .unionByName(licenseDelayDomain)
+      .unionByName(publisherDupNames)
   }
 
-  val dqChecksOracle: String = """
+  lazy val dqChecksOracle: String = s"""
     SELECT 'quantity_in_1_50' AS rule, COUNT(*) AS n_violations
     FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
     UNION ALL
@@ -95,7 +121,26 @@ object Quality {
     UNION ALL
     SELECT 'references_orphan_pids', COUNT(*)
     FROM (SELECT DISTINCT l_orderkey AS pid FROM lineitem) r
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = r.pid)"""
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = r.pid)
+    UNION ALL
+    SELECT 'publish_sn_duplicate_keys', COUNT(*)
+    FROM (SELECT pid, issn_number FROM (${Dwh.dimPublishSnOracle})
+          GROUP BY 1, 2 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'pub_version_duplicate_keys', COUNT(*)
+    FROM (SELECT pid, vid FROM (${Dwh.dimPubVersionOracle})
+          GROUP BY 1, 2 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'pub_version_orphan_pids', COUNT(*)
+    FROM (SELECT DISTINCT pid FROM (${Dwh.dimPubVersionOracle})) v
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = v.pid)
+    UNION ALL
+    SELECT 'license_delay_nonnegative', COUNT(*)
+    FROM (${Dwh.dimLicenseOracle}) WHERE license_delay < 0
+    UNION ALL
+    SELECT 'publisher_duplicate_names', COUNT(*)
+    FROM (SELECT publisher_name FROM (${Dwh.dimPublisherOracle})
+          GROUP BY 1 HAVING COUNT(*) > 1)"""
 
   def defs: Map[String, QueryDef] = Map(
     "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle)

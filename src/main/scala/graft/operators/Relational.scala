@@ -1040,7 +1040,7 @@ object Relational {
     "rollup_agg" -> QueryDef.sql(rollupAgg, rollupAggOracle),
     "pivot_agg" -> QueryDef.sql(pivotAgg, pivotAggOracle),
     "percentiles" -> QueryDef.sql(percentiles, percentilesOracle),
-    "approx_percentiles" -> QueryDef.rowsOnly(approxPercentiles),
+    "approx_percentiles" -> QueryDef.sql(approxPercentiles, approxPercentilesOracle),
     "skew_salted_join" -> QueryDef.sql(skewSaltedJoin, skewSaltedJoinOracle)
   )
 }

@@ -602,3 +602,38 @@ case class Bigrams(child: Expression) extends UnaryExpression with ExpectsInputT
   override protected def withNewChildInternal(newChild: Expression): Bigrams =
     copy(child = newChild)
 }
+
+/** Bloom-filter membership probe over a pre-built sketch, in codegen —
+  * the native replacement for `udf(bloom.mightContainString)`: the UDF
+  * breaks whole-stage codegen around the probe (boxing + catalyst⇄scala
+  * conversion per row), which matters when the probe runs once per
+  * shingle over the whole corpus. The sketch rides along with the
+  * expression, so it ships to executors once per stage via the task
+  * binary broadcast, like Spark's own BloomFilterMightContain.
+  *
+  * Probes with the UTF-8 bytes directly (`mightContainBinary`), which is
+  * exactly what `mightContainString` hashes — no String allocation per
+  * row.
+  */
+case class BloomMightContain(
+    child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.mightContainBinary(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloomFilter", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $bloomRef.mightContainBinary($s.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

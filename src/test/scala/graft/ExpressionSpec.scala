@@ -94,6 +94,24 @@ class ExpressionSpec extends SparkSpec {
     assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0)
   }
 
+  test("BloomMightContain ≡ bloom.mightContainString, no false negatives") {
+    import org.apache.spark.sql.{GraftBridge, graft => gx}
+    val sh = docs.select(explode(TextOps.sortedShingles3(col("text"))).as("s"))
+    val bloom = sh.filter(length(col("s")) % 2 === 0).stat.bloomFilter("s", 2000L, 0.01)
+    val probe = GraftBridge.column(
+      gx.BloomMightContain(GraftBridge.expression(col("s")), bloom))
+    // Reference: the sketch's own driver-side probe on the same strings.
+    val rows = sh.limit(2000).collect().map(_.getString(0))
+    val expected = rows.map(s => s -> bloom.mightContainString(s)).toMap
+    val got = sh.limit(2000).select(col("s"), probe.as("p")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1))
+    got.foreach { case (s, p) => assert(p == expected(s), s"probe mismatch on '$s'") }
+    // Every inserted element must probe true (bloom has no false negatives).
+    val inserted = sh.filter(length(col("s")) % 2 === 0)
+      .select(probe.as("p")).filter(!col("p")).count()
+    assert(inserted == 0)
+  }
+
   test("SQL functions registered via GraftExtensions work end-to-end") {
     import org.apache.spark.sql.SparkSession
     // Force a NEW session (same context) so withExtensions applies;
