@@ -5,6 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Driver benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Queries run in sorted key
   * order (stable run-to-run), timed individually via count().
+  *
+  * Noise control (this box is shared, and three rounds of driver benches
+  * have contained 10-27x phantom "regressions" that never reproduced on
+  * an idle box):
+  *   - every query runs TWICE and reports the MIN — a contention spike
+  *     must hit the same query in both passes to survive into the JSON;
+  *   - a fixed calibration probe (pure-CPU aggregate over spark.range,
+  *     no I/O, constant work) runs before, between, and after the two
+  *     passes; its three timings are published as "calibration" so a
+  *     reader can detect a contention window mechanically (idle box:
+  *     all three within ~20% of each other).
+  * Pass structure is two full sweeps (A B C ... A B C ...), not
+  * back-to-back repeats, so pass 2 never reuses pass 1's OS page cache
+  * residue more than the driver's own sequential runs would.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,30 +38,52 @@ object Bench {
     // query doesn't absorb session startup cost.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     spark.range(1000).selectExpr("sum(id)").count()
+
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200L * 1000 * 1000)
+        .selectExpr("sum(id * 3 % 7)").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // A query that throws must not masquerade as a fast success: failures
     // are recorded as -1 in the queries map AND listed in "errors".
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query).
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(name)
-      }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Release per-operator persisted frames between queries (cache
-      // accumulation would skew later queries' memory headroom).
-      spark.catalog.clearCache()
-      (name, if (err.isEmpty) elapsed else -1.0, err)
+
+    def sweep(): Seq[(String, Double, Option[String])] = selected.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Some(name)
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Release per-operator persisted frames between queries (cache
+        // accumulation would skew later queries' memory headroom).
+        spark.catalog.clearCache()
+        (name, if (err.isEmpty) elapsed else -1.0, err)
+    }
+
+    val cal0 = calibrate()
+    val pass1 = sweep()
+    val cal1 = calibrate()
+    val pass2 = sweep()
+    val cal2 = calibrate()
+
+    val results = pass1.zip(pass2).map { case ((name, t1, e1), (_, t2, e2)) =>
+      val best = (if (e1.isEmpty) Seq(t1) else Nil) ++ (if (e2.isEmpty) Seq(t2) else Nil)
+      (name, if (best.isEmpty) -1.0 else best.min, if (best.isEmpty) e1.orElse(e2) else None)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.flatMap(_._3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val cal = s"[$cal0,$cal1,$cal2]"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,4 +99,32 @@ object PublicationsPipeline {
 
     manifest.toMap
   }
+
+  /** Incremental warehouse landing — MERGE semantics instead of
+    * overwrite, matching the reference's re-runnable loaders
+    * (create_collaboration_graph.cql:3 `MERGE (a)-[:COLLABORATED]-(b)`;
+    * the Postgres stages re-run without a dedup guard). Each table
+    * upserts on its primary key via [[Sinks.upsertParquet]], so:
+    *   - a re-run of the same batch is a no-op (idempotent resume),
+    *   - a backfill batch updates matched keys and inserts new ones
+    *     without touching the rest of the table — the overwrite path
+    *     above would clobber everything not in the batch.
+    * `batchFilter` scopes the run to a slice (the Airflow backfill
+    * window analog); identity = full refresh.
+    */
+  def upsertWarehouse(spark: SparkSession, dataDir: String, outDir: String,
+      batchFilter: DataFrame => DataFrame = identity): Map[String, Long] = {
+    val tables = Seq(
+      ("wh_dim_customer", Dwh.dimCustomer(spark, dataDir), Seq("customer_key")),
+      ("wh_dim_publisher", Dwh.dimPublisher(spark, dataDir), Seq("pub_id")),
+      ("wh_fact_sales", Dwh.factSales(spark, dataDir),
+        Seq("order_key", "line_number")),
+      ("wh_collab_edges", Analytics.collabPairs(spark, dataDir),
+        Seq("supp_a", "supp_b")))
+    tables.map { case (name, df, keys) =>
+      val path = s"$outDir/$name"
+      Sinks.upsertParquet(batchFilter(df), path, keys)
+      name -> spark.read.parquet(path).count()
+    }.toMap
+  }
 }

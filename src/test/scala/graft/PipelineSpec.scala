@@ -38,4 +38,23 @@ class PipelineSpec extends SparkSpec {
     assert(cleaned.count() > 0)
     assert(cleaned.columns.contains("surrogate_id"))
   }
+
+  test("upsertWarehouse: re-run is a no-op, backfill slice merges without clobbering") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_wh").toString
+    val full = PublicationsPipeline.upsertWarehouse(spark, sfDir, out)
+    assert(full.values.forall(_ > 0), s"empty warehouse table in $full")
+
+    // Re-running the identical load must not grow any table (the
+    // reference's Postgres loader would double every row here).
+    val rerun = PublicationsPipeline.upsertWarehouse(spark, sfDir, out)
+    assert(rerun == full, s"re-run changed counts: $full -> $rerun")
+
+    // A backfill batch restricted to a key slice only merges that slice;
+    // every row outside the slice survives untouched.
+    val slice = PublicationsPipeline.upsertWarehouse(spark, sfDir, out,
+      df => if (df.columns.contains("customer_key"))
+        df.filter(col("customer_key") % 10 === 0) else df.limit(5))
+    assert(slice == full, s"backfill slice changed counts: $full -> $slice")
+  }
 }
