@@ -103,6 +103,23 @@ object EventStreams {
     spark.readStream.schema(schema).parquet(path)
   }
 
+  /** Streaming MERGE sink: every micro-batch upserts into the parquet
+    * target by key ([[graft.sources.Sinks.upsertParquet]] under
+    * foreachBatch). This is what turns Structured Streaming's
+    * at-least-once file-sink delivery into an effectively-exactly-once
+    * TABLE: a replayed batch (restart without checkpoint, source retry,
+    * reprocessed backfill) re-merges rows it already wrote — a no-op —
+    * where the stock parquet sink would append duplicates. The streaming
+    * twin of the warehouse loader's idempotence contract
+    * (create_collaboration_graph.cql:3 MERGE).
+    */
+  def upsertSink(df: DataFrame, path: String, keys: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.upsertParquet(batch.toDF(), path, keys)
+    }
+
   /** Stream-stream interval join: attribute each purchase to the same
     * user's clicks in the preceding 30 minutes. Watermarks on BOTH sides
     * bound the join state (clicks retire once no purchase can still

@@ -107,4 +107,46 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("bucket"), s"bucket missing from candidate join: $joinLine")
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
+
+  test("decontaminate_bloom: probe is native (no UDF), recheck joins broadcast") {
+    val df = operators.Dedup.decontaminateBloom(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The corpus-wide probe must be the codegen BloomMightContain
+    // expression, never a Scala UDF (boxed per-row escape from codegen).
+    assert(!p.contains("UDF"), s"Scala UDF in bloom probe plan:\n$p")
+    assert(p.toLowerCase.contains("bloommightcontain"),
+      s"native bloom probe missing from plan:\n$p")
+    // Candidate set + benchmark shingles are tiny — both recheck joins
+    // must broadcast, so the corpus is never shuffled.
+    assert(p.contains("BroadcastHashJoin"), s"recheck joins not broadcast:\n$p")
+  }
+
+  test("dwh_dim_author_affiliation: nation snowflake collapses via broadcast") {
+    val p = plan(operators.Dwh.dimAuthorAffiliation(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p")
+  }
+
+  test("bucketed_join: co-located tables join with zero exchanges before the final agg") {
+    // Disable broadcast so the join can't dodge the question — the point
+    // is that BUCKETING removes the shuffle, which is what survives when
+    // neither side fits in an executor at 100 TB.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = sources.Ingest.bucketedJoin(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), s"expected merge join over buckets:\n$p")
+      // Exactly ONE data exchange is allowed: the final tiny groupBy on
+      // o_orderpriority. The join itself must read co-located buckets.
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")
+          && !l.contains("ReusedExchange"))
+      assert(exchanges <= 1, s"bucketed join still shuffles ($exchanges exchanges):\n$p")
+      // Bucket-sorted layout also kills the pre-merge sort step.
+      assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }

@@ -41,4 +41,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("retention_cohorts", 3)(operators.EventOps.retentionCohorts(spark, sfDir))
   check("q9_profit", 2)(operators.RelationalExt.q9Profit(spark, sfDir))
   check("q16_supplier_cnt", 2)(operators.RelationalExt.q16SupplierCnt(spark, sfDir))
+  // The check_DWH dim builders: publish_sn is a pure per-row projection
+  // (ZERO shuffles — a scan-project pipeline at any SF); pub_version is
+  // one window shuffle by pid; affiliation/license collapse to one tiny
+  // aggregation after broadcast joins.
+  check("dwh_dim_publish_sn", 0)(operators.Dwh.dimPublishSn(spark, sfDir))
+  check("dwh_dim_pub_version", 1)(operators.Dwh.dimPubVersion(spark, sfDir))
+  check("dwh_dim_author_affiliation", 1)(operators.Dwh.dimAuthorAffiliation(spark, sfDir))
+  check("dwh_dim_license", 1)(operators.Dwh.dimLicense(spark, sfDir))
 }
