@@ -99,31 +99,39 @@ object Dedup {
     * r=2 → band-bucket self-join for candidates → exact Jaccard verify at
     * ≥ 0.5. Output: verified near-dup pairs found via LSH.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // Fused compiled pipeline: text → distinct shingle hashes → full
-    // 12-permutation signature, one projection, no interpreted lambdas.
-    // Identical signature values to the per-perm fold formulation.
+  /** The LSH index: (doc_id, band_key) rows, 6 per doc — the shared
+    * front half of [[dedupMinhashLsh]] (full self-dedup) and
+    * [[dedupIncremental]] (batch-probes-index).
+    *
+    * Fused compiled pipeline: text → distinct shingle hashes → full
+    * 12-permutation signature, one projection, no interpreted lambdas.
+    * Identical signature values to the per-perm fold formulation.
+    * Buckets carry only (doc_id, band_key): candidate joins shuffle
+    * ids, never shingle payloads. Shingles are re-joined only for the
+    * (small) verified candidate set. Null signatures (docs under 3
+    * words) are dropped BEFORE banding: concat_ws would otherwise
+    * collapse every short doc into the same 6 degenerate band keys — a
+    * quadratic self-join whose pairs all die at the verify filter
+    * anyway (empty shingle sets have NULL jaccard on both engines).
+    */
+  private def lshBands(spark: SparkSession, dir: String): DataFrame = {
     val withSig = TextOps.Perms.indices.foldLeft(
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           TextOps.minhashSig(TextOps.shingleHash24(col("text"))).as("sig"))) {
       case (df, i) => df.withColumn(s"mh$i", element_at(col("sig"), i + 1))
     }
-    // Buckets carry only (doc_id, band_key): the candidate join shuffles
-    // ids, never shingle payloads. Shingles are re-joined only for the
-    // (small) verified candidate set. Null signatures (docs under 3
-    // words) are dropped BEFORE banding: concat_ws would otherwise
-    // collapse every short doc into the same 6 degenerate band keys — a
-    // quadratic self-join whose pairs all die at the verify filter
-    // anyway (empty shingle sets have NULL jaccard on both engines).
-    val bands = withSig.filter(col("sig").isNotNull).select(
+    withSig.filter(col("sig").isNotNull).select(
       col("doc_id"),
       explode(array((0 until 6).map(bnd =>
         concat_ws(":", lit(bnd.toString),
           col(s"mh${2 * bnd}").cast("string"),
           col(s"mh${2 * bnd + 1}").cast("string"))): _*))
         .as("band_key"))
-      .persist()
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(spark, dir).persist()
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band_key") === col("b.band_key")
         && col("a.doc_id") < col("b.doc_id"))
@@ -145,20 +153,27 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
-  val dedupMinhashLshOracle: String = {
+  /** Shared oracle CTE text for the LSH index — SQL twin of [[lshBands]]
+    * (relations: `s(doc_id, source, n_chars, sh)`,
+    * `bands(doc_id, band_key)`).
+    */
+  private val sqlLshCtes: String = {
     val sigCols = TextOps.Perms.zipWithIndex.map { case ((a, b), i) =>
       s"${TextOps.sqlMinhash("hs", a, b)} AS mh$i"
     }.mkString(",\n        ")
     val bandKeys = (0 until 6).map(bnd =>
       s"CONCAT($bnd, ':', mh${2 * bnd}, ':', mh${2 * bnd + 1})").mkString(", ")
-    s"""
-    WITH s AS ($sqlShingled),
+    s"""WITH s AS ($sqlShingled),
     sig AS (
       SELECT doc_id, sh,
         $sigCols
       FROM (SELECT doc_id, sh, ${TextOps.sqlHashes("sh")} AS hs FROM s)),
     bands AS (
-      SELECT doc_id, UNNEST([$bandKeys]) AS band_key FROM sig),
+      SELECT doc_id, UNNEST([$bandKeys]) AS band_key FROM sig)"""
+  }
+
+  val dedupMinhashLshOracle: String = s"""
+    $sqlLshCtes,
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -168,7 +183,58 @@ object Dedup {
     JOIN s sa ON sa.doc_id = doc_a
     JOIN s sb ON sb.doc_id = doc_b
     WHERE ${TextOps.sqlJaccard("sa.sh", "sb.sh")} >= 0.5"""
+
+  /** Incremental near-dup dedup — the operational mode at 100 TB: the
+    * corpus is already indexed (its (doc_id, band_key) rows are a
+    * materialized table in production; recomputed here from the same
+    * pipeline), and each arriving BATCH probes that index instead of
+    * re-deduping the world. Batch membership is a deterministic hash
+    * slice (doc_id % 10 = 7 ≈ 10% of docs) so the query is
+    * SF-independent and oracle-mirrorable.
+    *
+    * Scale shape: the batch's band keys BROADCAST to the index scan —
+    * the corpus-side index is filtered map-side and never shuffles; only
+    * candidate (indexed_doc, new_doc) id pairs and the candidate docs'
+    * shingle arrays move. Per-batch cost is O(batch × bucket hit rate),
+    * independent of corpus size. In-batch duplicates are the NEXT
+    * index build's problem (exactly how a rolling dedup service works).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(spark, dir).persist()
+    val index = bands.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id").as("indexed_doc"), col("band_key"))
+    val batch = bands.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("new_doc"), col("band_key"))
+    val cand = index.join(broadcast(batch), Seq("band_key"))
+      .select(col("indexed_doc"), col("new_doc")).distinct()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    cand
+      .join(docs.select(col("doc_id").as("indexed_doc"), col("sh").as("sha"),
+        col("sz").as("sza")), Seq("indexed_doc"))
+      .join(docs.select(col("doc_id").as("new_doc"), col("sh").as("shb"),
+        col("sz").as("szb")), Seq("new_doc"))
+      .withColumn("common", TextOps.sortedCommonCount(col("sha"), col("shb")))
+      .select(col("indexed_doc"), col("new_doc"),
+        (col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
   }
+
+  val dedupIncrementalOracle: String = s"""
+    $sqlLshCtes,
+    cand AS (
+      SELECT DISTINCT ia.doc_id AS indexed_doc, nb.doc_id AS new_doc
+      FROM bands ia JOIN bands nb
+        ON ia.band_key = nb.band_key
+        AND ia.doc_id % 10 <> 7 AND nb.doc_id % 10 = 7)
+    SELECT indexed_doc, new_doc,
+      ${TextOps.sqlJaccard("sa.sh", "sb.sh")} AS jaccard
+    FROM cand
+    JOIN s sa ON sa.doc_id = indexed_doc
+    JOIN s sb ON sb.doc_id = new_doc
+    WHERE ${TextOps.sqlJaccard("sa.sh", "sb.sh")} >= 0.5"""
 
   /** SimHash near-dup detection. 16-bit SimHash from per-shingle hashes:
     * each bit is the sign of Σ±1 over shingles; docs bucket by the top
@@ -439,6 +505,7 @@ object Dedup {
     // final rows are deterministic and identical to `decontaminate`'s.
     "decontaminate_bloom" -> QueryDef.sql(decontaminateBloom, decontaminateOracle),
     "dedup_components" -> QueryDef.sql(dedupComponents, dedupComponentsOracle),
+    "dedup_incremental" -> QueryDef.sql(dedupIncremental, dedupIncrementalOracle),
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),
     "dedup_minhash_lsh" -> QueryDef.sql(dedupMinhashLsh, dedupMinhashLshOracle),

@@ -538,7 +538,62 @@ object EventOps {
     LEFT JOIN c USING (user_id)
     LEFT JOIN p USING (user_id)"""
 
+  /** Heavy hitters via count-min sketch + exact recheck — the frequency
+    * sketch's canonical job (finding the hot keys BEFORE deciding how to
+    * handle them: skew salting, cache admission, abuse cutoffs). Two
+    * stages, same discipline as the bloom decontamination path:
+    *
+    *  1. SKETCH (one corpus pass, no per-key state): a CMS of the
+    *    user_id stream collapses to a few hundred KB of counters merged
+    *    driver-side; each DISTINCT key then probes it locally via the
+    *    codegen [[org.apache.spark.sql.graft.CmsEstimate]] expression.
+    *    CMS errors are over-estimates only, so `estimate >= threshold`
+    *    retains every true heavy hitter.
+    *  2. RECHECK (candidate rows only): exact counts for the surviving
+    *    keys via a broadcast semi join — output is deterministic and
+    *    hash-checks against the plain GROUP BY oracle.
+    *
+    * Threshold is relative (1.1× the mean events-per-user) so the query
+    * is SF-independent. At 100 TB the win is stage 2's shuffle shrinking
+    * from all keys to candidates; with billions of cold keys that is the
+    * difference between a full-corpus aggregation and a near-free one.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir).select(col("user_id"))
+    // eps=1e-3 keeps the sketch ~50 KB on the task binary; a looser
+    // sketch only admits more candidates for the recheck to trim —
+    // correctness never depends on eps, only stage-2's input size does.
+    val cms = events.stat.countMinSketch("user_id", 0.001, 0.99, 42)
+    val thr = events.agg(
+      (count(lit(1)).cast("double") / countDistinct(col("user_id")) * lit(1.1))
+        .as("thr"))
+    val est = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.CmsEstimate(
+        org.apache.spark.sql.GraftBridge.expression(col("user_id")), cms))
+    val candidates = events.distinct()
+      .crossJoin(broadcast(thr))
+      .filter(est.cast("double") >= col("thr"))
+      .select(col("user_id"))
+    events
+      .join(broadcast(candidates), Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(thr))
+      .filter(col("n_events").cast("double") >= col("thr"))
+      .select(col("user_id"), col("n_events"))
+  }
+
+  val heavyHittersOracle: String = """
+    WITH t AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id) * 1.1 AS thr
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING CAST(COUNT(*) AS DOUBLE) >= (SELECT thr FROM t)"""
+
   def defs: Map[String, QueryDef] = Map(
+    "heavy_hitters" -> QueryDef.sql(heavyHitters, heavyHittersOracle),
     "session_stats" -> QueryDef.sql(sessionStats, sessionStatsOracle),
     "rolling_actives" -> QueryDef.sql(rollingActives, rollingActivesOracle),
     "anomaly_mad" -> QueryDef.sql(anomalyMad, anomalyMadOracle),

@@ -637,3 +637,35 @@ case class BloomMightContain(
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }
+
+/** Count-min-sketch frequency probe over a pre-built sketch, in codegen —
+  * completes the sketch family next to [[BloomMightContain]] (membership)
+  * and the HLL/percentile sketches (built-ins): per-key frequency
+  * ESTIMATES without carrying per-key state. CMS never under-estimates
+  * (hash collisions only ADD), so `estimate >= threshold` keeps a
+  * superset of the true heavy hitters — the exact-recheck pass that
+  * follows trims the collisions, same two-stage discipline as the bloom
+  * decontamination path. The sketch ships to executors once per stage
+  * via the task-binary reference, never per row.
+  */
+case class CmsEstimate(
+    child: Expression,
+    cms: org.apache.spark.util.sketch.CountMinSketch)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+
+  override def nullSafeEval(input: Any): Any =
+    cms.estimateCount(input.asInstanceOf[java.lang.Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmsRef = ctx.addReferenceObj("cmSketch", cms,
+      classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $cmsRef.estimateCount((Object) java.lang.Long.valueOf($s));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+}

@@ -112,6 +112,23 @@ class ExpressionSpec extends SparkSpec {
     assert(inserted == 0)
   }
 
+  test("CmsEstimate matches the driver-side probe and never under-estimates") {
+    import org.apache.spark.sql.{GraftBridge, graft => gx}
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    val cms = ev.stat.countMinSketch("user_id", 0.0001, 0.99, 42)
+    val probe = GraftBridge.column(
+      gx.CmsEstimate(GraftBridge.expression(col("user_id")), cms))
+    val rows = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"), probe.as("est")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, n, est) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(est == cms.estimateCount(k), s"codegen vs driver probe mismatch for key $k")
+      // The CMS one-sided error bound: collisions only inflate counts.
+      assert(est >= n, s"CMS under-estimated key $k: $est < $n")
+    }
+  }
+
   test("SQL functions registered via GraftExtensions work end-to-end") {
     import org.apache.spark.sql.SparkSession
     // Force a NEW session (same context) so withExtensions applies;

@@ -127,6 +127,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p")
   }
 
+  test("dedup_incremental: batch bands broadcast to the corpus index probe") {
+    val p = plan(operators.Dedup.dedupIncremental(spark, sfDir))
+    // The index side must be probed map-side: the (small) batch band set
+    // broadcasts, the corpus band index never shuffles for the candidate
+    // join. A shuffle here would re-pay the whole-corpus cost per batch.
+    assert(p.contains("BroadcastHashJoin"), s"batch bands not broadcast:\n$p")
+  }
+
   test("bucketed_join: co-located tables join with zero exchanges before the final agg") {
     // Disable broadcast so the join can't dodge the question — the point
     // is that BUCKETING removes the shuffle, which is what survives when
