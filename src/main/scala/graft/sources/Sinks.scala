@@ -80,11 +80,20 @@ object Sinks {
         spark.read.parquet(path).join(batch, keys, "left_anti")
           .unionByName(batch)
       else batch
+    commitSwap(merged, path)
+  }
+
+  /** Stage `merged` beside `path`, then swap it in with filesystem
+    * renames: the old table vanishes only after the new one is fully on
+    * disk, readers never observe a half-written table, and Spark's
+    * cannot-overwrite-a-path-being-read restriction never triggers. (On
+    * HDFS/S3 this is the same two-rename commit pattern
+    * FileOutputCommitter v1 uses.)
+    */
+  private def commitSwap(merged: DataFrame, path: String): Unit = {
+    val target = new java.io.File(path)
     val staging = path + ".staging"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    // Atomic swap: the old table vanishes only after the new one is
-    // fully on disk. (On HDFS/S3 this is the same two-rename commit
-    // pattern FileOutputCommitter v1 uses.)
     val old = new java.io.File(path + ".old")
     deleteRecursively(old)
     if (target.exists() && !target.renameTo(old))
@@ -97,6 +106,75 @@ object Sinks {
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     if (f.exists()) f.delete(): Unit
+  }
+
+  /** SCD2 MERGE into a parquet dimension — the versioned twin of
+    * [[upsertParquet]] (which overwrites matched rows, losing history).
+    * This is the writer behind the reference's `is_current`/`valid_*`
+    * dims (check_DWH.py:26-33 dim_author_affiliation,
+    * :102-109 dim_pub_version) and the batch `scd2_merge` operator's
+    * semantics applied AT THE SINK:
+    *
+    *  - a key whose tracked attributes CHANGED closes its current
+    *    version (`valid_to = batchTs`, `is_current = false`) and inserts
+    *    a new current version valid from `batchTs`;
+    *  - an UNCHANGED row is a no-op — re-running the same batch never
+    *    creates phantom versions (null-safe struct comparison, so
+    *    null attrs compare stably);
+    *  - a NEW key inserts as current; closed history is never touched.
+    *
+    * `df` carries keys + attributes only; the writer owns the
+    * bookkeeping columns. Scale shape: one anti/inner join of the batch
+    * against the CURRENT slice on the key (AQE broadcasts the batch when
+    * small) — closed history rows stream through untouched; the rewrite
+    * is the same staged commitSwap as upsertParquet. (Format-native MERGE
+    * — Delta/Iceberg — replaces the rewrite with a row-level commit.)
+    */
+  def upsertScd2(df: DataFrame, path: String, keys: Seq[String],
+      batchTs: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, struct}
+    val spark = df.sparkSession
+    val attrs = df.columns.filterNot(keys.contains)
+    require(attrs.nonEmpty, "SCD2 needs at least one tracked attribute")
+    // Collapse in-batch duplicate keys deterministically (see upsertParquet).
+    val batch = df
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(attrs.map(col): _*)).as("_r"))
+      .select(keys.map(col) ++ attrs.map(c => col(s"_r.$c").as(c)): _*)
+    val openEnd = "9999-12-31 00:00:00"
+    val fresh = batch.select(
+      (keys ++ attrs).map(col) :+
+        lit(batchTs).as("valid_from") :+
+        lit(openEnd).as("valid_to") :+
+        lit(true).as("is_current"): _*)
+    if (!new java.io.File(path).exists()) { commitSwap(fresh, path); return }
+
+    val target = spark.read.parquet(path)
+    val current = target.filter(col("is_current"))
+    val history = target.filter(!col("is_current"))
+    val batchKeyed = batch.select(
+      keys.map(col) :+ struct(attrs.map(col): _*).as("_new"): _*)
+    // Null-safe attr comparison: <=> makes (null, null) equal, so rows
+    // with null attributes don't churn a version every run.
+    val joined = current
+      .join(batchKeyed, keys, "left")
+      .withColumn("_changed",
+        col("_new").isNotNull && !(struct(attrs.map(col): _*) <=> col("_new")))
+    val untouchedCurrent = joined.filter(!col("_changed"))
+      .select(current.columns.map(col): _*)
+    val closed = joined.filter(col("_changed"))
+      .select(current.columns.map(col): _*)
+      .withColumn("valid_to", lit(batchTs))
+      .withColumn("is_current", lit(false))
+    val newKeys = batch.join(current, keys, "left_anti")
+    val changedKeys = joined.filter(col("_changed")).select(keys.map(col): _*)
+    val newVersions = fresh
+      .join(changedKeys.unionByName(newKeys.select(keys.map(col): _*)),
+        keys, "left_semi")
+    commitSwap(
+      history.unionByName(untouchedCurrent).unionByName(closed)
+        .unionByName(newVersions),
+      path)
   }
 
   /** Idempotent warehouse upsert — the JDBC MERGE the reference's

@@ -61,6 +61,37 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(path + ".old").exists())
   }
 
+  test("upsertScd2: changed attrs version, unchanged rows never churn, history survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("graft_scd2").toString + "/dim"
+    val v1 = Seq((1, "a"), (2, "b")).toDF("k", "name")
+    Sinks.upsertScd2(v1, path, Seq("k"), "2024-01-01 00:00:00")
+    val t1 = spark.read.parquet(path)
+    assert(t1.count() == 2 && t1.filter(col("is_current")).count() == 2)
+
+    // Re-running the same batch later must NOT mint phantom versions.
+    Sinks.upsertScd2(v1, path, Seq("k"), "2024-02-01 00:00:00")
+    val t2 = spark.read.parquet(path)
+    assert(t2.count() == 2, "unchanged batch minted versions")
+    assert(t2.filter(col("valid_from") === "2024-01-01 00:00:00").count() == 2,
+      "unchanged rows must keep their original valid_from")
+
+    // k=1 changes, k=3 is new, k=2 is absent (stays current untouched).
+    val v2 = Seq((1, "a2"), (3, "c")).toDF("k", "name")
+    Sinks.upsertScd2(v2, path, Seq("k"), "2024-03-01 00:00:00")
+    val t3 = spark.read.parquet(path)
+    assert(t3.count() == 4, s"expected 4 versions, got:\n${t3.collect().mkString("\n")}")
+    assert(t3.filter(col("is_current")).count() == 3)
+    val k1 = t3.filter(col("k") === 1)
+      .orderBy("valid_from")
+      .select("name", "valid_to", "is_current")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(k1 == Seq(
+      ("a", "2024-03-01 00:00:00", false),
+      ("a2", "9999-12-31 00:00:00", true)), s"k=1 history wrong: $k1")
+  }
+
   test("upsertStatement: Postgres MERGE spelling with EXCLUDED updates") {
     val sql = Sinks.upsertStatement("dim_publisher",
       Seq("pub_id", "publisher_name", "n"), Seq("pub_id"))
