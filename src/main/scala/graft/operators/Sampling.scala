@@ -124,7 +124,41 @@ object Sampling {
       CAST((rk - 1) * n.n_src + src.src_idx AS BIGINT) AS position
     FROM ranked JOIN src ON ranked.source = src.source CROSS JOIN n"""
 
+  /** Weighted sample without replacement, top-k by hash priority: each
+    * row's priority is `hash24(salt|id) / weight` (weight = n_chars —
+    * longer docs proportionally likelier), smallest k win. This is the
+    * deterministic analog of Efraimidis-Spirakis exponential keys
+    * (u^(1/w)) kept inside plain IEEE division — `pow`/`log` would make
+    * selection hinge on libm rounding, which differs across engines and
+    * platforms; a division-only priority is bit-identical everywhere,
+    * so the same 100 TB sample reproduces on any cluster AND
+    * hash-checks against the oracle.
+    *
+    * Scale: top-k over a total order with a unique tiebreak plans as
+    * TakeOrderedAndProject — per-partition bounded heaps, k rows per
+    * partition to the driver, never a global sort.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        (graft.functions.TextOps.hash24(
+          concat(lit("weighted|"), col("doc_id").cast("string"))).cast("double")
+          / col("n_chars")).as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(50)
+
+  val sampleWeightedOracle: String = """
+    SELECT doc_id, n_chars,
+      CAST(CAST('0x' || SUBSTR(MD5('weighted|' || CAST(doc_id AS VARCHAR)), 1, 6)
+        AS BIGINT) AS DOUBLE) / n_chars AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority ASC, doc_id ASC
+    LIMIT 50"""
+
   def defs: Map[String, QueryDef] = Map(
+    "sample_weighted" -> QueryDef.sql(sampleWeighted, sampleWeightedOracle),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
     "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle),
     "dataset_interleave" -> QueryDef.sql(datasetInterleave, datasetInterleaveOracle)

@@ -177,6 +177,30 @@ object Sinks {
       path)
   }
 
+  /** Small-file compaction — the lake-maintenance pass every streaming /
+    * incremental sink needs ([[upsertParquet]] rewrites and
+    * micro-batch appends both fragment over time; a scan of a
+    * million 100 KB files spends more time opening footers than reading
+    * data). Rewrites the table into `ceil(bytes / targetBytes)` files
+    * via `coalesce` — a shuffle-FREE merge of read partitions (falls
+    * back to `repartition` only if the table needs to grow files, which
+    * real compaction never does) — then commits with the same staged
+    * atomic swap as the upsert writers. Returns the output file count.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val merged =
+      if (parts < df.rdd.getNumPartitions) df.coalesce(parts)
+      else df.repartition(parts)
+    commitSwap(merged, path)
+    parts
+  }
+
   /** Idempotent warehouse upsert — the JDBC MERGE the reference's
     * populate_DWH.py lacks (its PostgresOperator re-runs duplicate
     * rows). The statement is `INSERT ... ON CONFLICT (keys) DO UPDATE`

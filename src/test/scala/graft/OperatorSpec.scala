@@ -169,6 +169,21 @@ class OperatorSpec extends SparkSpec {
     assert(enRate < 0.25, s"en sampled at $enRate, expected ~0.10")
   }
 
+  test("sample_weighted: favors heavier docs, plans as bounded top-k") {
+    // sf0.01: at sf0.001 the corpus (~50 docs) is no larger than k=50,
+    // so every doc is selected and the weighting is unobservable.
+    val dir = "/root/testdata/sf0.01"
+    val s = operators.Sampling.sampleWeighted(spark, dir)
+    val selAvg = s.agg(avg(col("n_chars"))).head.getDouble(0)
+    val allAvg = Tables.documents(spark, dir).filter(col("n_chars") > 0)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(selAvg > allAvg,
+      s"weighted sample mean $selAvg should exceed corpus mean $allAvg")
+    // Bounded per-partition heaps, never a global sort of the corpus.
+    assert(s.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-k should plan as TakeOrderedAndProject")
+  }
+
   test("repetition_score: bounded in [0,1), repeated text scores near 1") {
     val df = operators.TextAnalysis.repetitionScore(spark, sfDir)
     assert(df.filter(col("repetition") < 0 || col("repetition") >= 1).count() == 0)

@@ -92,6 +92,28 @@ class SinksSpec extends SparkSpec {
       ("a2", "9999-12-31 00:00:00", true)), s"k=1 history wrong: $k1")
   }
 
+  test("compact: merges small files shuffle-free, data identical") {
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    docs.repartition(24).write.parquet(path)
+    def dataFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles >= 20, s"fixture should be fragmented, got $dataFiles files")
+
+    val parts = Sinks.compact(spark, path, targetBytes = 1L << 30)
+    assert(parts == 1)
+    assert(dataFiles == 1, s"expected 1 compacted file, got $dataFiles")
+    val back = spark.read.parquet(path)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0,
+      "compaction must not change the data")
+    // Compacting an already-compact table is a cheap no-op shape. (Fresh
+    // read afterwards: a pre-swap DataFrame holds the OLD file listing —
+    // the documented plain-parquet caveat of swap-based rewrites.)
+    assert(Sinks.compact(spark, path, targetBytes = 1L << 30) == 1)
+    assert(spark.read.parquet(path).count() == docs.count())
+  }
+
   test("upsertStatement: Postgres MERGE spelling with EXCLUDED updates") {
     val sql = Sinks.upsertStatement("dim_publisher",
       Seq("pub_id", "publisher_name", "n"), Seq("pub_id"))
