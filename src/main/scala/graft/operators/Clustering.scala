@@ -79,17 +79,25 @@ object Clustering {
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("cid"), col("embedding").as("cv"))
 
-  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+  /** Centroids after [[Iters]] Lloyd rounds — the shared back end of
+    * [[clusterKmeans]] and [[semdedup]] (and the same artifact an IVF
+    * index trains).
+    */
+  private[graft] def finalCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     var cents = seedCentroids(e).transform(graft.functions.Iterate.checkpoint)
     for (_ <- 1 until Iters)
       cents = update(assign(e, cents)).transform(graft.functions.Iterate.checkpoint)
-    assign(e, cents)
+    cents
+  }
+
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    assign(e, finalCentroids(spark, dir))
       .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
   }
 
-  lazy val clusterKmeansOracle: String = {
-    def assignSql(cent: String): String = s"""
+  private def assignSql(cent: String): String = s"""
       SELECT vec_id, embedding, cid, d2 FROM (
         SELECT e.vec_id, e.embedding, c.cid,
           ${sqlD2("e.embedding", "c.cv")} AS d2,
@@ -97,7 +105,8 @@ object Clustering {
             ORDER BY ${sqlD2("e.embedding", "c.cv")} ASC, c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN $cent c)
       WHERE rn = 1"""
-    def centSql(assignRel: String): String = s"""
+
+  private def centSql(assignRel: String): String = s"""
       SELECT cid,
         ARRAY_AGG(CAST((CAST(sfx AS DOUBLE) / 1.0e7) / CAST(n AS DOUBLE) AS FLOAT)
           ORDER BY pos) AS cv
@@ -110,21 +119,131 @@ object Clustering {
           FROM $assignRel)
         GROUP BY 1, 2)
       GROUP BY 1"""
+
+  /** The unrolled Lloyd iteration as a WITH-clause body ending at
+    * `cent{Iters−1}` — shared by the kmeans and semdedup oracles.
+    */
+  private def kmeansCtes: String = {
     val iterCtes = (1 until Iters).map { i =>
       s"""assign$i AS (${assignSql(s"cent${i - 1}")}),
     cent$i AS (${centSql(s"assign$i")})"""
     }.mkString(",\n    ")
-    s"""
-    WITH cent0 AS (
+    s"""cent0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
         embedding AS cv
       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $K)),
-    $iterCtes
-    SELECT vec_id, cid AS cluster, d2
-    FROM (${assignSql(s"cent${Iters - 1}")})"""
+    $iterCtes"""
   }
 
+  lazy val clusterKmeansOracle: String = s"""
+    WITH $kmeansCtes
+    SELECT vec_id, cid AS cluster, d2
+    FROM (${assignSql(s"cent${Iters - 1}")})"""
+
+  /** SemDeDup-style semantic deduplication: cluster the embedding space
+    * (the [[finalCentroids]] Lloyd rounds), then mark a vector as a
+    * semantic duplicate when a LOWER-id vector in the SAME cluster has
+    * cosine ≥ [[SemTau]] — the keep-one-per-neighborhood rule, anchored
+    * on the minimum id so survivorship is deterministic. Emits every
+    * vector with its cluster and verdict (the training run reads
+    * `is_dup = false`).
+    *
+    * Scale: clustering is what makes this tractable — candidate pairs
+    * exist only WITHIN a cluster, and k grows with the corpus (fixed
+    * target cluster size), so per-cluster pair counts stay bounded while
+    * the total stays ~linear. The banded-LSH alternative for the same
+    * job is dedup_embedding; this one trades a trained partition for
+    * exact in-cluster recall. The pair join shuffles (cid, id, vector)
+    * once on cid; the verdict join is on vec_id.
+    */
+  private val SemTau = 0.3
+
+  def semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val assigned = assign(e, finalCentroids(spark, dir)).persist()
+    val dominated = assigned.select(col("cid"), col("vec_id").as("keep_id"),
+        col("embedding").as("ea"))
+      .join(assigned.select(col("cid"), col("vec_id"), col("embedding").as("eb")),
+        Seq("cid"))
+      .filter(col("keep_id") < col("vec_id"))
+      .filter(VectorOps.cosine(col("ea"), col("eb")) >= SemTau)
+      .select(col("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cid").as("cluster"))
+      .join(dominated.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
+  lazy val semdedupOracle: String = s"""
+    WITH $kmeansCtes,
+    assigned AS (${assignSql(s"cent${Iters - 1}")}),
+    dominated AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE ${VectorOps.sqlCosine("a.embedding", "b.embedding")} >= $SemTau)
+    SELECT s.vec_id, s.cid AS cluster, (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned s LEFT JOIN dominated d ON s.vec_id = d.vec_id"""
+
+  /** Per-cluster topic keywords: top-3 terms per kmeans cluster by
+    * linear TF-IDF, treating each CLUSTER as one pseudo-document (tf =
+    * term count inside the cluster, idf = n_clusters / clusters-
+    * containing-term — linear, like tfidf_top_terms, because libm log is
+    * not FP-portable). Embeddings join their source documents on
+    * `vec_id = doc_id` — the embedded subset of the corpus — which is
+    * what turns an unlabeled geometric clustering into a human-readable
+    * topic report (the "name the clusters" step after semdedup/IVF
+    * bucketing).
+    *
+    * Scale: terms explode linearly; both aggregates are map-side
+    * combinable; the per-cluster top-3 is a bounded window over k·|vocab|
+    * rows at most. The n_clusters scalar broadcasts.
+    */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = clusterKmeans(spark, dir).select(col("vec_id"), col("cluster"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("text"))
+    val terms = assigned.join(docs, Seq("vec_id"))
+      .select(col("cluster"), explode(split(col("text"), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf"))
+    val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cluster_df"))
+    val n = tf.select(countDistinct(col("cluster")).as("n_clusters"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(cdf, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double")
+        * (col("n_clusters").cast("double") / col("cluster_df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("cluster"), col("term"), col("tf"), col("cluster_df"),
+        col("score"), col("rank"))
+  }
+
+  lazy val clusterTopicsOracle: String = s"""
+    WITH $kmeansCtes,
+    assigned AS (${assignSql(s"cent${Iters - 1}")}),
+    terms AS (
+      SELECT a.cid AS cluster, UNNEST(STRING_SPLIT_REGEX(d.text, '\\s+')) AS term
+      FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
+    tf AS (SELECT cluster, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    cdf AS (SELECT term, COUNT(*) AS cluster_df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT cluster) AS n_clusters FROM tf)
+    SELECT cluster, term, tf, cluster_df, score, rank FROM (
+      SELECT tf.cluster, tf.term,
+        CAST(tf.tf AS BIGINT) AS tf, CAST(cdf.cluster_df AS BIGINT) AS cluster_df,
+        CAST(tf.tf AS DOUBLE)
+          * (CAST(n.n_clusters AS DOUBLE) / CAST(cdf.cluster_df AS DOUBLE)) AS score,
+        ROW_NUMBER() OVER (PARTITION BY tf.cluster
+          ORDER BY CAST(tf.tf AS DOUBLE)
+            * (CAST(n.n_clusters AS DOUBLE) / CAST(cdf.cluster_df AS DOUBLE)) DESC,
+            tf.term ASC) AS rank
+      FROM tf JOIN cdf ON tf.term = cdf.term CROSS JOIN n)
+    WHERE rank <= 3"""
+
   def defs: Map[String, QueryDef] = Map(
-    "cluster_kmeans" -> QueryDef.sql(clusterKmeans, clusterKmeansOracle)
+    "cluster_kmeans" -> QueryDef.sql(clusterKmeans, clusterKmeansOracle),
+    "semdedup" -> QueryDef.sql(semdedup, semdedupOracle),
+    "cluster_topics" -> QueryDef.sql(clusterTopics, clusterTopicsOracle)
   )
 }

@@ -453,6 +453,81 @@ object Dedup {
       .filter(col("n_overlaps") >= 3)
   }
 
+  /** Line-granularity for [[dedupLines]]: the lake text carries no
+    * newlines, so the "line" unit is a fixed 8-word window (the same
+    * windowing family as doc_chunk, stride = width ⇒ no overlap).
+    */
+  private val LineWords = 8
+
+  /** A line is corpus boilerplate when it appears in at least this many
+    * DISTINCT documents (headers, navigation, license blurbs — the
+    * CCNet/RefinedWeb line-dedup signature).
+    */
+  private val BoilerplateDocFreq = 2
+
+  /** Corpus-level boilerplate line removal (the line-dedup pass crawl
+    * pipelines run before document-level dedup): split each document
+    * into [[LineWords]]-word lines, count each line's document frequency
+    * across the corpus, drop lines shared by ≥ [[BoilerplateDocFreq]]
+    * distinct documents, and reassemble the surviving text in original
+    * order. Documents reduced to nothing survive with empty text — the
+    * caller's length filter (gopher_rules) is the right place to drop
+    * them.
+    *
+    * Scale: the explode is linear in words; the document-frequency
+    * aggregate is map-side-combinable on the line itself (at 100 TB the
+    * key would be md5(line) to keep the shuffle narrow — same plan
+    * shape); the boilerplate set joins back by line key. No all-pairs
+    * step anywhere, and reassembly is a per-document sort of its own
+    * lines only.
+    */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), "\\s+")
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(LineWords))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / LineWords).cast("bigint").as("line_no"),
+        array_join(slice(col("w"), col("start") + 1, lit(LineWords)), " ").as("line"))
+    val boiler = lines
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= BoilerplateDocFreq)
+      .select(col("line"), lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("is_boiler")).as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull, struct(col("line_no"), col("line"))))),
+            s => s.getField("line")),
+          " ").as("text_clean"))
+  }
+
+  val dedupLinesOracle: String = s"""
+    WITH lines AS (
+      SELECT doc_id,
+        CAST(start // $LineWords AS BIGINT) AS line_no,
+        ARRAY_TO_STRING(w[start + 1 : start + $LineWords], ' ') AS line
+      FROM (
+        SELECT doc_id, w, UNNEST(RANGE(0, LEN(w), $LineWords)) AS start
+        FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w FROM documents))),
+    boiler AS (
+      SELECT line FROM lines
+      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= $BoilerplateDocFreq)
+    SELECT l.doc_id,
+      COUNT(*) AS n_lines,
+      CAST(COUNT(b.line) AS BIGINT) AS n_boiler,
+      COALESCE(STRING_AGG(CASE WHEN b.line IS NULL THEN l.line END, ' '
+        ORDER BY l.line_no), '') AS text_clean
+    FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    GROUP BY l.doc_id"""
+
   /** Cross-source contamination matrix: shingle-set overlap between every
     * pair of sources — the corpus-curation view of "how much does source
     * A duplicate source B" (drives source selection / down-weighting).
@@ -510,6 +585,7 @@ object Dedup {
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),
     "dedup_minhash_lsh" -> QueryDef.sql(dedupMinhashLsh, dedupMinhashLshOracle),
     "dedup_simhash" -> QueryDef.sql(dedupSimhash, dedupSimhashOracle),
+    "dedup_lines" -> QueryDef.sql(dedupLines, dedupLinesOracle),
     "dedup_apply" -> QueryDef.sql(dedupApply, dedupApplyOracle)
   )
 }

@@ -592,7 +592,47 @@ object EventOps {
     GROUP BY user_id
     HAVING CAST(COUNT(*) AS DOUBLE) >= (SELECT thr FROM t)"""
 
+  /** Trailing 1 hour in µs for the RANGE-frame window. */
+  private val RangeFrameUs = 3_600_000_000L
+
+  /** Time-RANGE-frame windowed aggregation: per event, the count and
+    * exact sum of the SAME USER's events in the trailing hour — frame
+    * bounds are VALUE offsets on event time (`RANGE BETWEEN 1h PRECEDING
+    * AND CURRENT ROW`), not row counts, so sparse and bursty users get
+    * the same time semantics (the ROWS-frame cousins are rolling_actives
+    * and sessionize). Sum rides [[graft.functions.Exact.dsum]] — decimal
+    * accumulation is associative, so the frame's evaluation order can't
+    * drift from the oracle.
+    *
+    * Scale: one shuffle on user_id, then a linear two-pointer pass per
+    * partition (Spark's RangeFrame slides monotonically) — no per-row
+    * range join, no explode.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-RangeFrameUs, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"),
+        col("value"))
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        // Exact.dsum's construction, windowed: .over must attach to the
+        // aggregate itself, so the decimal sum + final double cast are
+        // spelled out here.
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .over(w).cast("double").as("value_trailing_1h"))
+  }
+
+  val windowRangeFrameOracle: String = s"""
+    SELECT event_id, user_id, EPOCH_US(ts) AS t_us,
+      COUNT(*) OVER w AS n_trailing_1h,
+      CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+      RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)"""
+
   def defs: Map[String, QueryDef] = Map(
+    "window_range_frame" -> QueryDef.sql(windowRangeFrame, windowRangeFrameOracle),
     "heavy_hitters" -> QueryDef.sql(heavyHitters, heavyHittersOracle),
     "session_stats" -> QueryDef.sql(sessionStats, sessionStatsOracle),
     "rolling_actives" -> QueryDef.sql(rollingActives, rollingActivesOracle),

@@ -745,6 +745,41 @@ object Relational {
             o_totalprice FROM orders)
     GROUP BY CUBE(o_orderstatus, oy)"""
 
+  /** Explicit GROUPING SETS — the general form rollup_agg/cube_agg
+    * specialize: exactly the (status, year), (status) and grand-total
+    * layers, with `grouping_id()` distinguishing a real NULL dimension
+    * from an aggregated-away one (the COALESCE('ALL') trick the
+    * rollup/cube twins use can't tell those apart — gid can). One
+    * shuffle; Spark expands the sets map-side, so each input row feeds
+    * all three layers in the same partial aggregate.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"),
+        col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("order_year")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("order_year"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("total_value"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("order_year").cast("string"), lit("ALL")).as("order_year"),
+        col("gid"), col("n_orders"), col("total_value"))
+
+  val groupingSetsAggOracle: String = s"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(CAST(oy AS VARCHAR), 'ALL') AS order_year,
+      CAST(GROUPING(o_orderstatus, oy) AS BIGINT) AS gid,
+      COUNT(*) AS n_orders,
+      ${Exact.sqlDsum("o_totalprice")} AS total_value
+    FROM (SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS INTEGER) AS oy,
+            o_totalprice FROM orders)
+    GROUP BY GROUPING SETS ((o_orderstatus, oy), (o_orderstatus), ())"""
+
   /** Statistical aggregates with engine-portable determinism: built-in
     * stddev/corr use engine-specific accumulation (Welford vs naive ⇒
     * different last bits), so variance and correlation are derived from
@@ -1017,6 +1052,7 @@ object Relational {
     "q21_waiting_supplier" -> QueryDef.sql(q21WaitingSupplier, q21WaitingSupplierOracle),
     "q1_agg" -> QueryDef.sql(q1Agg, q1AggOracle),
     "cube_agg" -> QueryDef.sql(cubeAgg, cubeAggOracle),
+    "grouping_sets_agg" -> QueryDef.sql(groupingSetsAgg, groupingSetsAggOracle),
     "stats_agg" -> QueryDef.sql(statsAgg, statsAggOracle),
     "string_agg" -> QueryDef.sql(stringAgg, stringAggOracle),
     "regex_extract" -> QueryDef.sql(regexExtract, regexExtractOracle),

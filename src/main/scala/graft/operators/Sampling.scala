@@ -124,6 +124,63 @@ object Sampling {
       CAST((rk - 1) * n.n_src + src.src_idx AS BIGINT) AS position
     FROM ranked JOIN src ON ranked.source = src.source CROSS JOIN n"""
 
+  /** Target corpus mixture, as percent of the TOTAL corpus each source
+    * should contribute after rebalancing (unlisted sources share
+    * [[mixDefaultPct]]). src0/src1 are deliberately over-allocated and
+    * the rest squeezed — the "re-weight the web crawl against curated
+    * sources" step.
+    */
+  private val mixTargetPct: Seq[(String, Long)] = Seq("src0" -> 4L, "src1" -> 3L)
+  private val mixDefaultPct = 1L
+
+  /** Corpus-mixture rebalancing: deterministically downsample each
+    * source so its share of the surviving corpus approaches a declared
+    * target mix. A document survives iff
+    * `bucket · n_source < target_pct · n_total` with bucket ∈ [0,100) —
+    * P(keep) = min(1, target_pct·n_total / (100·n_source)), i.e. each
+    * source lands ≈ target_pct% of the ORIGINAL corpus volume (capped at
+    * its own size). The decision is ALL-INTEGER — no rate division ever
+    * happens, so there is no float rounding to disagree across engines,
+    * retries, or partitionings; the same 100 TB rebalance reproduces
+    * bit-for-bit anywhere (same discipline as [[sampleStratified]], but
+    * with the rate derived from observed counts instead of declared
+    * per-stratum constants).
+    *
+    * Scale: one map-side-combinable count per source (tiny — broadcast
+    * back), then a scan-speed filter. Nothing shuffles the corpus.
+    */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val targets = spark.createDataFrame(mixTargetPct).toDF("t_source", "t_pct")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      .join(broadcast(targets), col("source") === col("t_source"), "left")
+      .select(col("source"), col("n_source"),
+        coalesce(col("t_pct"), lit(mixDefaultPct)).as("target_pct"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(total))
+      .filter(pctBucket("mix", col("doc_id")) * col("n_source")
+        < col("target_pct") * col("n_total"))
+      .select(col("doc_id"), col("source"), col("target_pct"))
+  }
+
+  val mixRebalanceOracle: String = {
+    val values = mixTargetPct.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+    s"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_source,
+        COALESCE(t.t_pct, $mixDefaultPct) AS target_pct
+      FROM documents
+      LEFT JOIN (VALUES $values) AS t(t_source, t_pct) ON source = t_source
+      GROUP BY source, t.t_pct),
+    total AS (SELECT COUNT(*) AS n_total FROM documents)
+    SELECT doc_id, d.source, CAST(target_pct AS BIGINT) AS target_pct
+    FROM documents d
+    JOIN counts c ON d.source = c.source
+    CROSS JOIN total
+    WHERE ${sqlPctBucket("mix", "doc_id")} * n_source < target_pct * n_total"""
+  }
+
   /** Weighted sample without replacement, top-k by hash priority: each
     * row's priority is `hash24(salt|id) / weight` (weight = n_chars —
     * longer docs proportionally likelier), smallest k win. This is the
@@ -159,6 +216,7 @@ object Sampling {
 
   def defs: Map[String, QueryDef] = Map(
     "sample_weighted" -> QueryDef.sql(sampleWeighted, sampleWeightedOracle),
+    "mix_rebalance" -> QueryDef.sql(mixRebalance, mixRebalanceOracle),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
     "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle),
     "dataset_interleave" -> QueryDef.sql(datasetInterleave, datasetInterleaveOracle)

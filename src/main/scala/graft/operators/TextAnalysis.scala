@@ -353,6 +353,69 @@ object TextAnalysis {
       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
     WHERE rank <= 5"""
 
+  /** Gopher-style multi-rule quality filter — the per-document rule suite
+    * crawl pipelines apply before training (word-count band, mean-word-
+    * length band, symbol ratio, stopword presence, vocabulary diversity),
+    * emitted as one flag PER RULE plus the conjunction, so curation can
+    * report per-rule rejection rates — a single opaque score (the
+    * quality_score operator) can't drive that report.
+    *
+    * All rule arithmetic is exact-integer comparisons or single IEEE
+    * divisions of exact integers — engine-portable, hash-checkable.
+    * Per-row, shuffle-free: scan speed at 100 TB.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), "\\s+")
+    val nWords = size(w).cast("bigint")
+    val nDistinct = size(array_distinct(w)).cast("bigint")
+    val nChars = length(col("text")).cast("bigint")
+    val nAlnumSp = regexp_count(col("text"), lit("[a-z0-9 ]")).cast("bigint")
+    val nStop = regexp_count(col("text"), lit(stopPattern)).cast("bigint")
+    // mean word length ∈ [3, 10] ⟺ 3·n_words ≤ letter_chars ≤ 10·n_words
+    val letterChars = length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
+    val rWordCount = nWords.between(50, 10000)
+    val rMeanWordLen =
+      letterChars >= nWords * 3 && letterChars <= nWords * 10
+    // symbol ratio < 10% ⟺ 10·symbols < chars (integer-exact)
+    val rSymbolRatio = (nChars - nAlnumSp) * 10 < nChars
+    val rStopwords = nStop >= 2
+    // vocabulary diversity: 5·distinct > n_words (> 20% distinct)
+    val rDiversity = nDistinct * 5 > nWords
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), nWords.as("n_words"),
+        rWordCount.as("r_word_count"),
+        rMeanWordLen.as("r_mean_word_len"),
+        rSymbolRatio.as("r_symbol_ratio"),
+        rStopwords.as("r_stopwords"),
+        rDiversity.as("r_diversity"),
+        (rWordCount && rMeanWordLen && rSymbolRatio && rStopwords && rDiversity)
+          .as("pass"))
+  }
+
+  val gopherRulesOracle: String = {
+    val nWords = """CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)"""
+    val nDistinct = """CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(text, '\s+'))) AS BIGINT)"""
+    val nChars = "CAST(LENGTH(text) AS BIGINT)"
+    val nAlnumSp = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9 ]')) AS BIGINT)"""
+    val nStop = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT)"""
+    val letters = """CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS BIGINT)"""
+    val rWc = s"($nWords BETWEEN 50 AND 10000)"
+    val rMwl = s"($letters >= $nWords * 3 AND $letters <= $nWords * 10)"
+    val rSym = s"(($nChars - $nAlnumSp) * 10 < $nChars)"
+    val rStop = s"($nStop >= 2)"
+    val rDiv = s"($nDistinct * 5 > $nWords)"
+    s"""
+    SELECT doc_id, $nWords AS n_words,
+      $rWc AS r_word_count,
+      $rMwl AS r_mean_word_len,
+      $rSym AS r_symbol_ratio,
+      $rStop AS r_stopwords,
+      $rDiv AS r_diversity,
+      ($rWc AND $rMwl AND $rSym AND $rStop AND $rDiv) AS pass
+    FROM documents"""
+  }
+
   /** Corpus composition report per source — the summary every pipeline
     * run logs: document count, token volume, language mix, size profile.
     * One map-side-combinable aggregation.
@@ -388,6 +451,7 @@ object TextAnalysis {
     "stopword_filter" -> QueryDef.sql(stopwordFilter, stopwordFilterOracle),
     "token_count" -> QueryDef.sql(tokenCount, tokenCountOracle),
     "quality_score" -> QueryDef.sql(qualityScore, qualityScoreOracle),
+    "gopher_rules" -> QueryDef.sql(gopherRules, gopherRulesOracle),
     "lang_id" -> QueryDef.sql(langId, langIdOracle),
     "doc_fingerprint" -> QueryDef.sql(docFingerprint, docFingerprintOracle),
     "repetition_score" -> QueryDef.sql(repetitionScore, repetitionScoreOracle),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -195,7 +195,81 @@ object Ingest {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1"""
 
+  /** Bits per z-order dimension (two 8-bit dims → 16-bit z values). */
+  private[graft] val ZBits = 8
+
+  /** Morton/z-value: interleave the low [[ZBits]] bits of x (even
+    * positions) and y (odd positions) — pure integer shifts, identical
+    * on any engine.
+    */
+  private[graft] def zValue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def sqlZValue(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-order clustered lake layout — the multi-dimensional data-skipping
+    * lever (Delta's OPTIMIZE ZORDER analog): events land range-
+    * partitioned AND sorted by the Morton interleave of (user bucket,
+    * day-of-epoch bucket), so every file/row-group covers a small
+    * rectangle of the (user, day) plane and a predicate on EITHER
+    * dimension — not just a lexicographic prefix — skips most of the
+    * lake via parquet min/max stats. Single-column sorts only help the
+    * leading column; the interleave is what makes BOTH selective.
+    * IngestSpec pins the mechanism (disjoint per-file z ranges); the
+    * query here then answers a (user-band × day-band) box probe off the
+    * clustered layout, hash-checked against the unclustered table —
+    * layout must never change results.
+    *
+    * Scale: `repartitionByRange` samples the z distribution (one range
+    * shuffle — the pay-once landing cost, same budget as bucketed_join)
+    * and the within-partition sort is linear-ish; no stage is ever
+    * all-pairs. At 100 TB the partition count derives from the session's
+    * shuffle width, not a literal.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagingDir("zorder", dir)
+    val nParts = spark.sessionState.conf.numShufflePartitions.min(8)
+    val ub = pmod(col("user_id"), lit(1L << ZBits))
+    val db = pmod(expr("ts div 86400000000000"), lit(1L << ZBits))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        ub.as("user_bucket"), db.as("day_bucket"),
+        zValue(ub, db).as("z"))
+      .repartitionByRange(nParts, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage)
+      .filter(col("user_bucket") < 64 && col("day_bucket").between(16, 31))
+      .groupBy(col("user_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.Exact.dsum(col("value")).as("total_value"),
+        min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"))
+  }
+
+  val zorderLayoutOracle: String = {
+    val ub = s"(user_id % ${1L << ZBits})"
+    val db = s"((EPOCH_NS(ts) // 86400000000000) % ${1L << ZBits})"
+    s"""
+    SELECT $ub AS user_bucket,
+      COUNT(*) AS n_events,
+      ${graft.functions.Exact.sqlDsum("value")} AS total_value,
+      MIN(${sqlZValue(ub, db)}) AS z_min,
+      MAX(${sqlZValue(ub, db)}) AS z_max
+    FROM events
+    WHERE $ub < 64 AND $db BETWEEN 16 AND 31
+    GROUP BY 1"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "zorder_layout" -> QueryDef.sql(zorderLayout, zorderLayoutOracle),
     "ingest_jsonl" -> QueryDef.sql(ingestJsonl, ingestJsonlOracle),
     "ingest_csv" -> QueryDef.sql(ingestCsv, ingestCsvOracle),
     "ingest_orc" -> QueryDef.sql(ingestOrc, ingestOrcOracle),

@@ -39,6 +39,33 @@ class IngestSpec extends SparkSpec {
       s"no partition pruning:\n$p")
   }
 
+  test("zorder layout lands files with disjoint z ranges (skippable rectangles)") {
+    val ub = pmod(col("user_id"), lit(256L))
+    val db = pmod(expr("ts div 86400000000000"), lit(256L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zspec").toString
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), Ingest.zValue(ub, db).as("z"))
+      .repartitionByRange(4, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(dir)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      .orderBy(col("zmin"))
+      .collect()
+    assert(ranges.length > 1, "range partitioning produced a single file; nothing to skip")
+    // 16-bit z domain
+    assert(ranges.forall(r => r.getAs[Long]("zmin") >= 0 && r.getAs[Long]("zmax") < 65536))
+    // Equal z values land in one range partition, so file intervals must
+    // be strictly disjoint — the property parquet min/max skipping needs.
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("zmin") > a.getAs[Long]("zmax"),
+          s"overlapping z ranges: ${a} vs ${b}")
+      case _ =>
+    }
+  }
+
   test("malformed JSONL lines route to _corrupt_record, clean rows survive") {
     val dirPath = java.nio.file.Files.createTempDirectory("graft_jsonl_corrupt")
     val f = dirPath.resolve("part-0.json")

@@ -98,6 +98,120 @@ class OperatorSpec extends SparkSpec {
     assert(mh.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
   }
 
+  test("dedup_lines: one row per doc, clean docs round-trip, boilerplate found and removed") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = operators.Dedup.dedupLines(spark, sfDir).persist()
+    assert(out.count() == docs.count(), "line dedup must keep every document row")
+    assert(out.filter(col("n_boiler") > col("n_lines")).count() == 0)
+    assert(out.agg(sum(col("n_boiler"))).first().getLong(0) > 0,
+      "the corpus has repeated 8-word lines; none flagged means the doc-freq count broke")
+    // Untouched docs reassemble to the whitespace-normalized original.
+    val roundTrip = out.filter(col("n_boiler") === 0)
+      .join(docs, Seq("doc_id"))
+      .filter(col("text_clean") =!= regexp_replace(trim(col("text")), "\\s+", " "))
+    assert(roundTrip.count() == 0, "reassembly must preserve original line order and content")
+    // Scrubbed docs lost exactly their boilerplate lines' words: each
+    // boiler line is 8 words, except at most one trailing partial line
+    // of 1..7 words — so kept ∈ [orig − 8·n_boiler, orig − 8·n_boiler + 7].
+    val offBudget = out.filter(col("n_boiler") > 0)
+      .join(docs, Seq("doc_id"))
+      .select(
+        size(split(col("text"), "\\s+")).cast("long").as("orig"),
+        when(col("text_clean") === "", lit(0L))
+          .otherwise(size(split(col("text_clean"), " ")).cast("long")).as("kept"),
+        col("n_boiler"))
+      .filter(col("kept") < col("orig") - col("n_boiler") * 8 ||
+        col("kept") > col("orig") - col("n_boiler") * 8 + 7)
+    assert(offBudget.count() == 0, "removed word volume must match flagged boilerplate lines")
+    out.unpersist()
+  }
+
+  test("gopher_rules: pass is exactly the conjunction; the suite actually filters") {
+    val df = operators.TextAnalysis.gopherRules(spark, sfDir).persist()
+    val mismatch = df.filter(col("pass") =!=
+      (col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio")
+        && col("r_stopwords") && col("r_diversity")))
+    assert(mismatch.count() == 0)
+    assert(df.filter(col("pass")).count() > 0, "a suite rejecting everything is miscalibrated")
+    assert(df.filter(!col("pass")).count() > 0, "a suite passing everything filters nothing")
+    df.unpersist()
+  }
+
+  test("mix_rebalance: kept rows are a subset; over-allocated sources keep more than squeezed ones") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = operators.Sampling.mixRebalance(spark, sfDir).persist()
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    val bySource = kept.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0 = bySource.getOrElse("src0", 0L)
+    val maxDefault = bySource.collect {
+      case (s, n) if s != "src0" && s != "src1" => n
+    }.foldLeft(0L)(math.max)
+    assert(src0 > maxDefault,
+      s"src0 (target 4%) kept $src0 docs, but a default-rate source kept $maxDefault")
+    kept.unpersist()
+  }
+
+  test("semdedup: one verdict per vector; cluster minima survive; both classes present") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = operators.Clustering.semdedup(spark, sfDir).persist()
+    assert(out.count() == e.count(), "every vector needs a verdict")
+    // Domination anchors on the minimum id, so a cluster's lowest vec_id
+    // can never itself be a duplicate.
+    val minima = out.groupBy(col("cluster")).agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id")
+    assert(out.join(minima, Seq("vec_id")).filter(col("is_dup")).count() == 0)
+    assert(out.filter(col("is_dup")).count() > 0, "tau miscalibrated: nothing deduped")
+    assert(out.filter(!col("is_dup")).count() > 0, "tau miscalibrated: everything deduped")
+    out.unpersist()
+  }
+
+  test("window_range_frame: trailing-hour counts match a brute-force range self-join") {
+    val out = operators.EventOps.windowRangeFrame(spark, sfDir).persist()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
+    assert(out.count() == ev.count())
+    assert(out.filter(col("n_trailing_1h") < 1).count() == 0,
+      "the current row is always inside its own trailing frame")
+    val brute = ev.as("a")
+      .join(ev.as("b"), col("a.user_id") === col("b.user_id")
+        && col("b.t_us") >= col("a.t_us") - 3600000000L
+        && col("b.t_us") <= col("a.t_us"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_brute"))
+    val diff = out.join(brute, Seq("event_id"))
+      .filter(col("n_trailing_1h") =!= col("n_brute"))
+    assert(diff.count() == 0, "RANGE frame population must equal the brute-force window")
+    out.unpersist()
+  }
+
+  test("grouping_sets_agg: layer totals reconcile and gid separates the layers") {
+    val df = operators.Relational.groupingSetsAgg(spark, sfDir).persist()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(df.select(col("gid")).distinct().collect().map(_.getLong(0)).toSet
+      == Set(0L, 1L, 3L))
+    Seq(0L, 1L).foreach { gid =>
+      val layer = df.filter(col("gid") === gid)
+        .agg(sum(col("n_orders"))).first().getLong(0)
+      assert(layer == total, s"gid=$gid layer must partition all orders, saw $layer/$total")
+    }
+    val grand = df.filter(col("gid") === 3L)
+    assert(grand.count() == 1 && grand.first().getAs[Long]("n_orders") == total)
+    df.unpersist()
+  }
+
+  test("cluster_topics: every kmeans cluster gets 1..3 ranked keywords") {
+    val perCluster = operators.Clustering.clusterTopics(spark, sfDir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"), max(col("rank")).as("maxr"))
+      .persist()
+    val clusters = operators.Clustering.clusterKmeans(spark, sfDir)
+      .select(col("cluster")).distinct().count()
+    assert(perCluster.count() == clusters, "every populated cluster needs keywords")
+    assert(perCluster.filter(col("n") < 1 || col("n") > 3).count() == 0)
+    assert(perCluster.filter(col("maxr") > 3).count() == 0)
+    perCluster.unpersist()
+  }
+
   test("ann_topk: 5 neighbors per query, self excluded, cosine in [-1,1]") {
     val df = operators.Similarity.annTopk(spark, sfDir)
     assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)

@@ -49,4 +49,15 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("dwh_dim_pub_version", 1)(operators.Dwh.dimPubVersion(spark, sfDir))
   check("dwh_dim_author_affiliation", 1)(operators.Dwh.dimAuthorAffiliation(spark, sfDir))
   check("dwh_dim_license", 1)(operators.Dwh.dimLicense(spark, sfDir))
+  // gopher_rules is a pure per-row rule projection — scan speed, ZERO
+  // shuffles at any SF.
+  check("gopher_rules", 0)(operators.TextAnalysis.gopherRules(spark, sfDir))
+  // mix_rebalance: the corpus never shuffles — one tiny per-source count
+  // aggregate (+ its total twin) broadcasts back onto a scan-speed
+  // filter. Budget covers the two small aggregates only.
+  check("mix_rebalance", 3)(operators.Sampling.mixRebalance(spark, sfDir))
+  // dedup_lines: line doc-freq aggregate + boiler join-back + per-doc
+  // reassembly — three key shuffles (lines are narrow (doc_id, line)
+  // tuples, never whole documents).
+  check("dedup_lines", 4)(operators.Dedup.dedupLines(spark, sfDir))
 }
