@@ -214,7 +214,51 @@ object Sampling {
     ORDER BY priority ASC, doc_id ASC
     LIMIT 50"""
 
+  /** Token budget per packed training sequence. */
+  private val SeqTokens = 1024L
+
+  /** Sequence packing: concatenate each source's documents in
+    * deterministic doc_id order and cut the token stream every
+    * [[SeqTokens]] tokens — a document belongs to the sequence its START
+    * offset falls in (the concat-then-chunk packing every pretraining
+    * run does between curation and the trainer; sequences end once a
+    * document starts past the boundary, so they vary around the budget
+    * rather than splitting documents). Output: one row per document with
+    * its source, token count, stream offset and assigned sequence.
+    *
+    * Scale: the running offset is a window cumsum PARTITIONED BY SOURCE
+    * — sources pack independently (as separate corpus shards do in a
+    * real run), so no global single-partition window exists and each
+    * partition does one linear pass. All arithmetic is bigint.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+      // "offset" is a reserved word in DuckDB — stream_offset keeps the
+      // schema oracle-portable.
+      .withColumn("stream_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("stream_offset"),
+        expr(s"stream_offset div $SeqTokens").as("seq_id"))
+  }
+
+  val sequencePackOracle: String = s"""
+    SELECT source, doc_id, n_tokens,
+      CAST(so AS BIGINT) AS stream_offset,
+      CAST(so // $SeqTokens AS BIGINT) AS seq_id
+    FROM (
+      SELECT source, doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+      FROM (SELECT source, doc_id,
+              CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents))"""
+
   def defs: Map[String, QueryDef] = Map(
+    "sequence_pack" -> QueryDef.sql(sequencePack, sequencePackOracle),
     "sample_weighted" -> QueryDef.sql(sampleWeighted, sampleWeightedOracle),
     "mix_rebalance" -> QueryDef.sql(mixRebalance, mixRebalanceOracle),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),

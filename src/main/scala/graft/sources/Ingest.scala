@@ -234,7 +234,10 @@ object Ingest {
     */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val stage = stagingDir("zorder", dir)
-    val nParts = spark.sessionState.conf.numShufflePartitions.min(8)
+    // Partition count rides the session's shuffle width — at cluster
+    // scale that is the landing parallelism; never a literal (each range
+    // partition is one z-contiguous file).
+    val nParts = spark.sessionState.conf.numShufflePartitions
     val ub = pmod(col("user_id"), lit(1L << ZBits))
     val db = pmod(expr("ts div 86400000000000"), lit(1L << ZBits))
     Tables.events(spark, dir)

@@ -126,6 +126,28 @@ class OperatorSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sequence_pack: offsets are exact prefix sums and sequences respect the boundary rule") {
+    val out = operators.Sampling.sequencePack(spark, sfDir).persist()
+    // Prefix consistency: per source, the last doc's offset + tokens
+    // equals the source's total token volume.
+    val byLast = out.groupBy(col("source"))
+      .agg(max(col("stream_offset") + col("n_tokens")).as("stream_end"),
+        sum(col("n_tokens")).as("total"))
+      .filter(col("stream_end") =!= col("total"))
+    assert(byLast.count() == 0, "running offset must be the exact per-source prefix sum")
+    // Boundary rule: a sequence accumulates whole docs until one STARTS
+    // past the cut, so its token total stays under budget + its own
+    // largest member.
+    val bySeq = out.groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("seq_tokens"), max(col("n_tokens")).as("biggest"))
+      .filter(col("seq_tokens") >= lit(1024L) + col("biggest"))
+    assert(bySeq.count() == 0, "a packed sequence overflowed the concat-then-chunk rule")
+    assert(out.select(col("source"), col("seq_id")).distinct().count() >
+      out.select(col("source")).distinct().count(),
+      "packing should produce multiple sequences per source at this corpus size")
+    out.unpersist()
+  }
+
   test("gopher_rules: pass is exactly the conjunction; the suite actually filters") {
     val df = operators.TextAnalysis.gopherRules(spark, sfDir).persist()
     val mismatch = df.filter(col("pass") =!=
