@@ -135,6 +135,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"batch bands not broadcast:\n$p")
   }
 
+  test("mix_rebalance: rate joins broadcast, the corpus never shuffles") {
+    val df = operators.Sampling.mixRebalance(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The per-source counts and the total are tiny — both must reach the
+    // corpus scan as broadcasts; a shuffle join here would move the whole
+    // corpus to apply a 20-row rate table.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1
+      && p.contains("BroadcastNestedLoopJoin"), s"rates not broadcast:\n$p")
+    val corpusShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id"))
+    assert(corpusShuffles == 0, s"corpus shuffled on doc_id:\n$p")
+  }
+
+  test("semdedup: centroid assignment broadcasts; pair join shuffles only cluster tuples") {
+    val df = operators.Clustering.semdedup(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The k-centroid table rides a broadcast nested loop into the argmin
+    // (same property PlanSpec pins for cluster_kmeans); the within-
+    // cluster pair join reads the persisted assignment from cache on
+    // both sides rather than recomputing the Lloyd rounds.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"assignment not persisted for reuse:\n$p")
+  }
+
   test("bucketed_join: co-located tables join with zero exchanges before the final agg") {
     // Disable broadcast so the join can't dodge the question — the point
     // is that BUCKETING removes the shuffle, which is what survives when

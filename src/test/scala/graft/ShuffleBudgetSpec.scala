@@ -60,4 +60,9 @@ class ShuffleBudgetSpec extends SparkSpec {
   // reassembly — three key shuffles (lines are narrow (doc_id, line)
   // tuples, never whole documents).
   check("dedup_lines", 4)(operators.Dedup.dedupLines(spark, sfDir))
+  // Single-window ops: exactly the one partition-key shuffle.
+  check("window_range_frame", 1)(operators.EventOps.windowRangeFrame(spark, sfDir))
+  check("sequence_pack", 1)(operators.Sampling.sequencePack(spark, sfDir))
+  // grouping_sets expands layers map-side into ONE partial aggregate.
+  check("grouping_sets_agg", 1)(operators.Relational.groupingSetsAgg(spark, sfDir))
 }
