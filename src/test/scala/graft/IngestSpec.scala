@@ -66,6 +66,24 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("zValue is an exact, invertible Morton interleave on 8-bit pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(500)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Ingest.zValue(col("x"), col("y")).as("z"))
+      .collect()
+      .foreach { r =>
+        val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(z == ref(x, y), s"interleave mismatch for ($x, $y)")
+        val xi = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        val yi = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        assert(xi == x && yi == y, s"Morton code not invertible at ($x, $y) -> $z")
+      }
+  }
+
   test("malformed JSONL lines route to _corrupt_record, clean rows survive") {
     val dirPath = java.nio.file.Files.createTempDirectory("graft_jsonl_corrupt")
     val f = dirPath.resolve("part-0.json")
