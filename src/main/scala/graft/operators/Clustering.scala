@@ -205,7 +205,11 @@ object Clustering {
       .select(col("doc_id").as("vec_id"), col("text"))
     val terms = assigned.join(docs, Seq("vec_id"))
       .select(col("cluster"), explode(split(col("text"), "\\s+")).as("term"))
+    // persisted: three branches (cdf, n_clusters, the score join) read
+    // tf — without it each re-runs the kmeans assignment + doc join +
+    // term explode, the costliest subtree of the query.
     val tf = terms.groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cluster_df"))
     val n = tf.select(countDistinct(col("cluster")).as("n_clusters"))
     val w = Window.partitionBy(col("cluster"))

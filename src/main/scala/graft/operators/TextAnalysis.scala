@@ -369,8 +369,12 @@ object TextAnalysis {
     val nWords = size(w).cast("bigint")
     val nDistinct = size(array_distinct(w)).cast("bigint")
     val nChars = length(col("text")).cast("bigint")
-    val nAlnumSp = regexp_count(col("text"), lit("[a-z0-9 ]")).cast("bigint")
-    val nStop = regexp_count(col("text"), lit(stopPattern)).cast("bigint")
+    // Case-insensitive classes: capitalized text must not count as
+    // symbols, and sentence-initial stopwords must still match (the
+    // other text ops keep lowercase classes because this corpus is
+    // lowercase; a QUALITY gate has to be robust to real casing).
+    val nAlnumSp = regexp_count(col("text"), lit("[a-zA-Z0-9 ]")).cast("bigint")
+    val nStop = regexp_count(col("text"), lit("(?i)" + stopPattern)).cast("bigint")
     // mean word length ∈ [3, 10] ⟺ 3·n_words ≤ letter_chars ≤ 10·n_words
     val letterChars = length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
     val rWordCount = nWords.between(50, 10000)
@@ -397,8 +401,8 @@ object TextAnalysis {
     val nWords = """CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)"""
     val nDistinct = """CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(text, '\s+'))) AS BIGINT)"""
     val nChars = "CAST(LENGTH(text) AS BIGINT)"
-    val nAlnumSp = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9 ]')) AS BIGINT)"""
-    val nStop = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT)"""
+    val nAlnumSp = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9 ]')) AS BIGINT)"""
+    val nStop = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT)"""
     val letters = """CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS BIGINT)"""
     val rWc = s"($nWords BETWEEN 50 AND 10000)"
     val rMwl = s"($letters >= $nWords * 3 AND $letters <= $nWords * 10)"

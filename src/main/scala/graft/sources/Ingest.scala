@@ -52,12 +52,32 @@ object Ingest {
     */
   private val stagingNonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def stagingDir(kind: String, dir: String): String =
-    new java.io.File(
+  /** Staging paths created this JVM — deleted recursively at exit.
+    * Deletion can't happen any earlier: the returned DataFrames read the
+    * staged files LAZILY, so the data must outlive the query. Without
+    * the hook every Verify/Bench sweep leaves full table copies (events
+    * is the largest) orphaned in tmpdir until the disk fills.
+    */
+  private val stagedPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    stagedPaths.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+  }
+
+  private def stagingDir(kind: String, dir: String): String = {
+    val p = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_${kind}_${java.lang.ProcessHandle.current().pid()}_" +
         s"${stagingNonce.incrementAndGet()}_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    stagedPaths.add(p)
+    p
+  }
 
   /** Round-trip ingest: stage the documents table as JSONL through the
     * sink, read it back through the schema'd JSONL source, keep only

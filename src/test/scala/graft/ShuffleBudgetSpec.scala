@@ -53,13 +53,14 @@ class ShuffleBudgetSpec extends SparkSpec {
   // shuffles at any SF.
   check("gopher_rules", 0)(operators.TextAnalysis.gopherRules(spark, sfDir))
   // mix_rebalance: the corpus never shuffles — one tiny per-source count
-  // aggregate (+ its total twin) broadcasts back onto a scan-speed
-  // filter. Budget covers the two small aggregates only.
-  check("mix_rebalance", 3)(operators.Sampling.mixRebalance(spark, sfDir))
-  // dedup_lines: line doc-freq aggregate + boiler join-back + per-doc
-  // reassembly — three key shuffles (lines are narrow (doc_id, line)
-  // tuples, never whole documents).
-  check("dedup_lines", 4)(operators.Dedup.dedupLines(spark, sfDir))
+  // aggregate and its single-row total twin broadcast back onto a
+  // scan-speed filter. Budget = exactly those two small aggregates.
+  check("mix_rebalance", 2)(operators.Sampling.mixRebalance(spark, sfDir))
+  // dedup_lines: the two-phase distinct-doc-freq aggregate (2 exchanges)
+  // + the per-doc reassembly aggregate — the boiler set joins back as a
+  // BROADCAST, and lines are narrow (doc_id, line) tuples, never whole
+  // documents.
+  check("dedup_lines", 3)(operators.Dedup.dedupLines(spark, sfDir))
   // Single-window ops: exactly the one partition-key shuffle.
   check("window_range_frame", 1)(operators.EventOps.windowRangeFrame(spark, sfDir))
   check("sequence_pack", 1)(operators.Sampling.sequencePack(spark, sfDir))
