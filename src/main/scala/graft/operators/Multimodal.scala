@@ -110,8 +110,96 @@ object Multimodal {
     FROM documents"""
   }
 
+  /** Stub frame geometry: bytes per frame and the sampling stride (take
+    * every 4th frame — the standard "don't embed every frame" curation
+    * step for video).
+    */
+  private val FrameBytes = 32
+  private val FrameStride = 4
+
+  /** Frame sampling over binary payloads: treat each payload as a frame
+    * sequence ([[FrameBytes]] bytes per frame — a real container would
+    * read frame boundaries from the codec), emit every
+    * [[FrameStride]]-th frame with its content hash and a stub feature.
+    * One output row per SAMPLED frame; documents too short for one full
+    * frame drop out (a codec would reject them).
+    *
+    * Scale: explode is linear in sampled frames (1/stride of the
+    * payload volume), per-row only — no shuffle at any SF; the frame
+    * payload never leaves the scan projection.
+    */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (length(encode(col("text"), "utf-8")) / FrameBytes).cast("bigint")
+          .as("n_frames"))
+      .filter(col("n_frames") >= 1)
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(FrameStride.toLong)))
+          .as("frame_idx"))
+      .select(
+        col("doc_id"), col("frame_idx"), col("n_frames"),
+        md5(substr(col("text"), (col("frame_idx") * FrameBytes + 1).cast("int"),
+          lit(FrameBytes)).cast("binary")).as("frame_md5"),
+        // Spark promotes float/float division to double — round the
+        // quotient back to float32 to match the oracle's FLOAT division
+        // (k/127 is double-rounding-safe for every byte value, same
+        // argument as multimodalDecode's features).
+        (ascii(substr(col("text"), (col("frame_idx") * FrameBytes + 1).cast("int"), lit(1)))
+          .cast("double") / lit(127.0)).cast("float").as("f0"))
+
+  val multimodalFrameSampleOracle: String = s"""
+    SELECT doc_id, frame_idx, n_frames,
+      MD5(SUBSTR(text, CAST(frame_idx * $FrameBytes + 1 AS INTEGER), $FrameBytes))
+        AS frame_md5,
+      CAST(UNICODE(SUBSTR(text, CAST(frame_idx * $FrameBytes + 1 AS INTEGER), 1)) AS FLOAT)
+        / CAST(127 AS FLOAT) AS f0
+    FROM (
+      SELECT doc_id, text,
+        CAST(OCTET_LENGTH(ENCODE(text)) // $FrameBytes AS BIGINT) AS n_frames
+      FROM documents),
+      UNNEST(RANGE(0, n_frames, $FrameStride)) AS t(frame_idx)
+    WHERE n_frames >= 1"""
+
+  /** Target bounding box for the stub resize. */
+  private val ResizeBox = 64L
+
+  /** Resize planning over the decoded dimensions: fit each media item
+    * into a [[ResizeBox]]² box preserving aspect ratio — output dims are
+    * pure integer arithmetic (`dim · box div max(w, h)`, floored at 1),
+    * so the plan is engine-exact; only the pixel resampling itself is
+    * codec work (stubbed out, like the decode). This is the geometry
+    * half every real resize stage computes before touching pixels.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    // the decodeStub dimensions, recomputed as Columns (same formula)
+    val w = lit(16L) + pmod(col("n_bytes"), lit(64L))
+    val h = lit(16L) + pmod(expr("n_bytes div 64"), lit(64L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("bigint").as("n_bytes"))
+      .select(col("doc_id"), w.as("width"), h.as("height"))
+      .select(col("doc_id"), col("width"), col("height"),
+        greatest(lit(1L), expr(s"(width * $ResizeBox) div greatest(width, height)"))
+          .as("out_width"),
+        greatest(lit(1L), expr(s"(height * $ResizeBox) div greatest(width, height)"))
+          .as("out_height"))
+  }
+
+  val multimodalResizeOracle: String = s"""
+    SELECT doc_id, width, height,
+      GREATEST(1, (width * $ResizeBox) // GREATEST(width, height)) AS out_width,
+      GREATEST(1, (height * $ResizeBox) // GREATEST(width, height)) AS out_height
+    FROM (
+      SELECT doc_id,
+        CAST(16 + OCTET_LENGTH(ENCODE(text)) % 64 AS BIGINT) AS width,
+        CAST(16 + (OCTET_LENGTH(ENCODE(text)) // 64) % 64 AS BIGINT) AS height
+      FROM documents)"""
+
   def defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> QueryDef.sql(multimodalMeta, multimodalMetaOracle),
-    "multimodal_decode" -> QueryDef.sql(multimodalDecode, multimodalDecodeOracle)
+    "multimodal_decode" -> QueryDef.sql(multimodalDecode, multimodalDecodeOracle),
+    "multimodal_frame_sample" -> QueryDef.sql(multimodalFrameSample, multimodalFrameSampleOracle),
+    "multimodal_resize" -> QueryDef.sql(multimodalResize, multimodalResizeOracle)
   )
 }

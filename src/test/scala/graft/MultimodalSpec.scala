@@ -28,4 +28,31 @@ class MultimodalSpec extends SparkSpec {
       .map(m => (m.doc_id, m.width, m.height, m.features.toSeq)).sortBy(_._1)
     assert(a.sameElements(b))
   }
+
+  test("frame sampling takes exactly every 4th frame, features normalized") {
+    import org.apache.spark.sql.functions._
+    val df = Multimodal.multimodalFrameSample(spark, sfDir).persist()
+    assert(df.filter(pmod(col("frame_idx"), lit(4)) =!= 0).count() == 0,
+      "only stride-aligned frames may be sampled")
+    // per doc: sampled count == ceil(n_frames / stride)
+    val bad = df.groupBy(col("doc_id"), col("n_frames"))
+      .agg(count(lit(1)).as("sampled"))
+      .filter(col("sampled") =!= expr("(n_frames + 3) div 4"))
+    assert(bad.count() == 0, "sampled-frame count must be ceil(n_frames/4)")
+    assert(df.filter(col("f0") < 0 || col("f0") > 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("resize plan fits the 64-box, preserves orientation, floors at 1") {
+    import org.apache.spark.sql.functions._
+    val df = Multimodal.multimodalResize(spark, sfDir).persist()
+    assert(df.filter(greatest(col("out_width"), col("out_height")) =!= 64).count() == 0,
+      "the larger dimension must map exactly onto the box edge")
+    assert(df.filter(col("out_width") < 1 || col("out_height") < 1).count() == 0)
+    val flipped = df.filter(
+      (col("width") > col("height") && col("out_width") < col("out_height")) ||
+        (col("width") < col("height") && col("out_width") > col("out_height")))
+    assert(flipped.count() == 0, "resize must not flip the aspect orientation")
+    df.unpersist()
+  }
 }

@@ -66,4 +66,7 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("sequence_pack", 1)(operators.Sampling.sequencePack(spark, sfDir))
   // grouping_sets expands layers map-side into ONE partial aggregate.
   check("grouping_sets_agg", 1)(operators.Relational.groupingSetsAgg(spark, sfDir))
+  // Per-row multimodal stages: scan-speed, ZERO shuffles at any SF.
+  check("multimodal_frame_sample", 0)(operators.Multimodal.multimodalFrameSample(spark, sfDir))
+  check("multimodal_resize", 0)(operators.Multimodal.multimodalResize(spark, sfDir))
 }
