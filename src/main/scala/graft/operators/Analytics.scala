@@ -545,7 +545,89 @@ object Analytics {
     JOIN freq fa ON pairs.part_a = fa.l_partkey
     JOIN freq fb ON pairs.part_b = fb.l_partkey"""
 
+  /** k-core degree threshold, the co-purchase edge weight floor, and the
+    * FIXED number of peeling rounds. Fixed rounds make the result
+    * deterministic and SQL-unrollable (pagerank's 10-iteration
+    * discipline — the declared semantics is "[[KCoreRounds]] rounds of
+    * peeling", which converges toward the true core as rounds grow).
+    * The substrate is the part co-purchase graph (cofreq ≥
+    * [[KCoreMinCofreq]]), whose degrees genuinely vary — the strong
+    * COLLAB graph is near-complete, so every node trivially survives
+    * there and peeling would be vacuous.
+    */
+  private[graft] val KCoreK = 3
+  private[graft] val KCoreRounds = 5
+  private[graft] val KCoreMinCofreq = 2
+
+  /** Iterative k-core peeling over the part co-purchase graph: drop
+    * nodes with degree < [[KCoreK]] for [[KCoreRounds]] rounds (removing
+    * a weak node lowers its neighbors' degrees, hence iterating), then
+    * report each surviving node with its in-core degree — the "dense
+    * co-purchase core" view that raw degree overstates (a degree-3 part
+    * whose partners all peel away is not core).
+    *
+    * Scale: pair generation is the linear per-order collect_set explode
+    * (itemCofreq's prep); each round is then one map-side-combinable
+    * degree count plus two semi joins against the BROADCAST
+    * surviving-node set (nodes ≪ edges, pagerank's small-state shape) —
+    * the edge list is never shuffled per round, and lineage truncates
+    * through `Iterate.checkpoint`.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    def degrees(edges: DataFrame): DataFrame =
+      edges.select(explode(array(col("lo"), col("hi"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var edges = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(localPairs("ps", "lo", "hi").as("p"))
+      .groupBy(col("p.lo").as("lo"), col("p.hi").as("hi"))
+      .agg(count(lit(1)).as("cofreq"))
+      .filter(col("cofreq") >= KCoreMinCofreq)
+      .select(col("lo"), col("hi"))
+      .transform(graft.functions.Iterate.checkpoint)
+    for (_ <- 1 to KCoreRounds) {
+      val keep = broadcast(degrees(edges).filter(col("deg") >= KCoreK)
+        .select(col("node")))
+      edges = edges
+        .join(keep, col("lo") === col("node"), "left_semi")
+        .join(keep, col("hi") === col("node"), "left_semi")
+        .transform(graft.functions.Iterate.checkpoint)
+    }
+    degrees(edges)
+  }
+
+  lazy val kcoreOracle: String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // edge set twice, and without it DuckDB re-inlines the whole chain
+    // (2^rounds re-evaluations of the pair join).
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT lo AS node FROM g${i - 1} UNION ALL SELECT hi FROM g${i - 1})
+        GROUP BY 1),
+      k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KCoreK),
+      g$i AS MATERIALIZED (
+        SELECT lo, hi FROM g${i - 1}
+        WHERE lo IN (SELECT node FROM k$i) AND hi IN (SELECT node FROM k$i))"""
+    }.mkString(",\n      ")
+    s"""
+    WITH ee AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      g0 AS MATERIALIZED (
+        SELECT lo, hi FROM (
+          SELECT a.l_partkey AS lo, b.l_partkey AS hi, COUNT(*) AS cofreq
+          FROM ee a JOIN ee b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)
+        WHERE cofreq >= $KCoreMinCofreq),
+      $rounds
+    SELECT node, COUNT(*) AS deg
+    FROM (SELECT lo AS node FROM g$KCoreRounds UNION ALL SELECT hi FROM g$KCoreRounds)
+    GROUP BY 1"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "kcore" -> QueryDef.sql(kcore, kcoreOracle),
     "item_cofreq" -> QueryDef.sql(itemCofreq, itemCofreqOracle),
     "node_similarity" -> QueryDef.sql(nodeSimilarity, nodeSimilarityOracle),
     "triangle_count" -> QueryDef.sql(triangleCount, triangleCountOracle),

@@ -475,11 +475,10 @@ object Dedup {
     * them.
     *
     * Scale: the explode is linear in words; the document-frequency
-    * aggregate is map-side-combinable on the line itself (at 100 TB the
-    * key would be md5(line) to keep the shuffle narrow — same plan
-    * shape); the boilerplate set joins back by line key. No all-pairs
-    * step anywhere, and reassembly is a per-document sort of its own
-    * lines only.
+    * aggregate and the join back key on md5(line) — the shuffle carries
+    * a fixed 32-char digest instead of arbitrary-width line text. No
+    * all-pairs step anywhere, and reassembly is a per-document sort of
+    * its own lines only.
     */
   def dedupLines(spark: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), "\\s+")
@@ -491,12 +490,13 @@ object Dedup {
         col("doc_id"),
         (col("start") / LineWords).cast("bigint").as("line_no"),
         array_join(slice(col("w"), col("start") + 1, lit(LineWords)), " ").as("line"))
+      .withColumn("line_h", md5(col("line")))
     val boiler = lines
-      .groupBy(col("line"))
+      .groupBy(col("line_h"))
       .agg(countDistinct(col("doc_id")).as("doc_freq"))
       .filter(col("doc_freq") >= BoilerplateDocFreq)
-      .select(col("line"), lit(true).as("is_boiler"))
-    lines.join(boiler, Seq("line"), "left")
+      .select(col("line_h"), lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("line_h"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
@@ -518,14 +518,14 @@ object Dedup {
         SELECT doc_id, w, UNNEST(RANGE(0, LEN(w), $LineWords)) AS start
         FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w FROM documents))),
     boiler AS (
-      SELECT line FROM lines
-      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= $BoilerplateDocFreq)
+      SELECT MD5(line) AS line_h FROM lines
+      GROUP BY MD5(line) HAVING COUNT(DISTINCT doc_id) >= $BoilerplateDocFreq)
     SELECT l.doc_id,
       COUNT(*) AS n_lines,
-      CAST(COUNT(b.line) AS BIGINT) AS n_boiler,
-      COALESCE(STRING_AGG(CASE WHEN b.line IS NULL THEN l.line END, ' '
+      CAST(COUNT(b.line_h) AS BIGINT) AS n_boiler,
+      COALESCE(STRING_AGG(CASE WHEN b.line_h IS NULL THEN l.line END, ' '
         ORDER BY l.line_no), '') AS text_clean
-    FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    FROM lines l LEFT JOIN boiler b ON MD5(l.line) = b.line_h
     GROUP BY l.doc_id"""
 
   /** Cross-source contamination matrix: shingle-set overlap between every

@@ -132,6 +132,43 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("cofreq")).sum === want)
   }
 
+  test("kcore: peeling agrees with a driver-side reference on the co-purchase graph") {
+    // Independent reference: build the cofreq>=2 graph in plain Scala
+    // and peel it the same fixed number of rounds.
+    val cofreq = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.foreach { g =>
+        val ps = g.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) {
+          val p = (ps(i), ps(j))
+          cofreq(p) = cofreq.getOrElse(p, 0) + 1
+        }
+      }
+    // NB: Map#collect with a tuple-valued function would rebuild a MAP
+    // (collapsing pairs by their first element) — filter + keys keeps
+    // the edge set an actual set of pairs.
+    val pairs: Set[(Long, Long)] = cofreq.filter(_._2 >= 2).keys.toSet
+    var edges = pairs
+    for (_ <- 1 to operators.Analytics.KCoreRounds) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.collect { case (n, d) if d >= operators.Analytics.KCoreK => n }.toSet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val wantDeg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got = operators.Analytics.kcore(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    assert(got == wantDeg, "kcore must equal the reference peeling exactly")
+    // At sf0.001 the cofreq>=2 graph is min-degree 5, so nothing peels
+    // here (identity case); the sf0.01 oracle run is where peeling
+    // bites (1880 -> 965 nodes). This spec pins the mechanism, the
+    // oracle pins the non-trivial instance.
+    assert(got.nonEmpty)
+  }
+
   /** Independent recomputation of the strong collaboration graph
     * (threshold + hub cap) as an adjacency map — driver-side Scala over
     * the raw sf0.001 lineitem, no Spark operators under test involved.
