@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling (§2.E): media payloads as opaque `binary`
@@ -110,19 +110,23 @@ object Multimodal {
     FROM documents"""
   }
 
-  /** Stub frame geometry: bytes per frame and the sampling stride (take
-    * every 4th frame — the standard "don't embed every frame" curation
-    * step for video).
+  /** Stub frame geometry: characters per frame and the sampling stride
+    * (take every 4th frame — the standard "don't embed every frame"
+    * curation step for video). Frames are CHARACTER units because the
+    * stub payload is text-backed: byte-based frame counting combined
+    * with character-based slicing would misalign on multi-byte text
+    * (a real container reads byte frame boundaries from the codec).
     */
-  private val FrameBytes = 32
+  private val FrameChars = 32
   private val FrameStride = 4
 
-  /** Frame sampling over binary payloads: treat each payload as a frame
-    * sequence ([[FrameBytes]] bytes per frame — a real container would
-    * read frame boundaries from the codec), emit every
-    * [[FrameStride]]-th frame with its content hash and a stub feature.
-    * One output row per SAMPLED frame; documents too short for one full
-    * frame drop out (a codec would reject them).
+  /** Frame sampling over stub payloads: treat each payload as a frame
+    * sequence ([[FrameChars]] characters per frame), emit every
+    * [[FrameStride]]-th frame with its content hash and a stub feature
+    * derived from that hash (hash-derived, so it is engine-portable for
+    * ANY unicode text — `ascii`/`UNICODE` disagree on empty and astral
+    * inputs). One output row per SAMPLED frame; documents too short for
+    * one full frame drop out (a codec would reject them).
     *
     * Scale: explode is linear in sampled frames (1/stride of the
     * payload volume), per-row only — no shuffle at any SF; the frame
@@ -131,38 +135,52 @@ object Multimodal {
   def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        (length(encode(col("text"), "utf-8")) / FrameBytes).cast("bigint")
-          .as("n_frames"))
+        (length(col("text")) / FrameChars).cast("bigint").as("n_frames"))
       .filter(col("n_frames") >= 1)
       .select(col("doc_id"), col("text"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(FrameStride.toLong)))
           .as("frame_idx"))
       .select(
         col("doc_id"), col("frame_idx"), col("n_frames"),
-        md5(substr(col("text"), (col("frame_idx") * FrameBytes + 1).cast("int"),
-          lit(FrameBytes)).cast("binary")).as("frame_md5"),
-        // Spark promotes float/float division to double — round the
-        // quotient back to float32 to match the oracle's FLOAT division
-        // (k/127 is double-rounding-safe for every byte value, same
-        // argument as multimodalDecode's features).
-        (ascii(substr(col("text"), (col("frame_idx") * FrameBytes + 1).cast("int"), lit(1)))
-          .cast("double") / lit(127.0)).cast("float").as("f0"))
+        md5(substr(col("text"), (col("frame_idx") * FrameChars + 1).cast("int"),
+          lit(FrameChars)).cast("binary")).as("frame_md5"))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("frame_md5"),
+        (conv(substring(col("frame_md5"), 1, 2), 16, 10).cast("long").cast("double")
+          / lit(255.0)).as("f0"))
 
   val multimodalFrameSampleOracle: String = s"""
-    SELECT doc_id, frame_idx, n_frames,
-      MD5(SUBSTR(text, CAST(frame_idx * $FrameBytes + 1 AS INTEGER), $FrameBytes))
-        AS frame_md5,
-      CAST(UNICODE(SUBSTR(text, CAST(frame_idx * $FrameBytes + 1 AS INTEGER), 1)) AS FLOAT)
-        / CAST(127 AS FLOAT) AS f0
+    SELECT doc_id, frame_idx, n_frames, frame_md5,
+      CAST(CAST('0x' || SUBSTR(frame_md5, 1, 2) AS BIGINT) AS DOUBLE)
+        / CAST(255 AS DOUBLE) AS f0
     FROM (
-      SELECT doc_id, text,
-        CAST(OCTET_LENGTH(ENCODE(text)) // $FrameBytes AS BIGINT) AS n_frames
-      FROM documents),
-      UNNEST(RANGE(0, n_frames, $FrameStride)) AS t(frame_idx)
-    WHERE n_frames >= 1"""
+      SELECT doc_id, frame_idx, n_frames,
+        MD5(SUBSTR(text, CAST(frame_idx * $FrameChars + 1 AS INTEGER), $FrameChars))
+          AS frame_md5
+      FROM (
+        SELECT doc_id, text,
+          CAST(LENGTH(text) // $FrameChars AS BIGINT) AS n_frames
+        FROM documents),
+        UNNEST(RANGE(0, n_frames, $FrameStride)) AS t(frame_idx)
+      WHERE n_frames >= 1)"""
 
   /** Target bounding box for the stub resize. */
   private val ResizeBox = 64L
+
+  /** [[decodeStub]]'s dimension formula as Column expressions over the
+    * payload byte count — the ONE shared source for every SQL-side view
+    * of the stub geometry (MultimodalSpec pins that these agree with
+    * decodeStub's JVM ints per document, so the stub and the plans
+    * cannot drift apart silently).
+    */
+  private[graft] def stubWidth(nBytes: Column): Column =
+    lit(16L) + pmod(nBytes, lit(64L))
+  private[graft] def stubHeight(nBytes: Column): Column =
+    lit(16L) + pmod(shiftright(nBytes, 6), lit(64L)) // n div 64 ≡ n >> 6, n ≥ 0
+
+  private def sqlStubWidth(nb: String): String =
+    s"CAST(16 + $nb % 64 AS BIGINT)"
+  private def sqlStubHeight(nb: String): String =
+    s"CAST(16 + ($nb // 64) % 64 AS BIGINT)"
 
   /** Resize planning over the decoded dimensions: fit each media item
     * into a [[ResizeBox]]² box preserving aspect ratio — output dims are
@@ -172,13 +190,12 @@ object Multimodal {
     * half every real resize stage computes before touching pixels.
     */
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
-    // the decodeStub dimensions, recomputed as Columns (same formula)
-    val w = lit(16L) + pmod(col("n_bytes"), lit(64L))
-    val h = lit(16L) + pmod(expr("n_bytes div 64"), lit(64L))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         length(encode(col("text"), "utf-8")).cast("bigint").as("n_bytes"))
-      .select(col("doc_id"), w.as("width"), h.as("height"))
+      .select(col("doc_id"),
+        stubWidth(col("n_bytes")).as("width"),
+        stubHeight(col("n_bytes")).as("height"))
       .select(col("doc_id"), col("width"), col("height"),
         greatest(lit(1L), expr(s"(width * $ResizeBox) div greatest(width, height)"))
           .as("out_width"),
@@ -186,14 +203,14 @@ object Multimodal {
           .as("out_height"))
   }
 
-  val multimodalResizeOracle: String = s"""
+  lazy val multimodalResizeOracle: String = s"""
     SELECT doc_id, width, height,
       GREATEST(1, (width * $ResizeBox) // GREATEST(width, height)) AS out_width,
       GREATEST(1, (height * $ResizeBox) // GREATEST(width, height)) AS out_height
     FROM (
       SELECT doc_id,
-        CAST(16 + OCTET_LENGTH(ENCODE(text)) % 64 AS BIGINT) AS width,
-        CAST(16 + (OCTET_LENGTH(ENCODE(text)) // 64) % 64 AS BIGINT) AS height
+        ${sqlStubWidth("OCTET_LENGTH(ENCODE(text))")} AS width,
+        ${sqlStubHeight("OCTET_LENGTH(ENCODE(text))")} AS height
       FROM documents)"""
 
   def defs: Map[String, QueryDef] = Map(

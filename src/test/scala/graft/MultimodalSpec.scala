@@ -43,6 +43,17 @@ class MultimodalSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("resize dims agree with decodeStub's JVM dims per document (no geometry drift)") {
+    import org.apache.spark.sql.functions._
+    val jvm = Multimodal.decodeStub(spark, sfDir)
+      .collect().map(m => m.doc_id -> (m.width.toLong, m.height.toLong)).toMap
+    val sqlSide = Multimodal.multimodalResize(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> (r.getAs[Long]("width"), r.getAs[Long]("height"))).toMap
+    assert(sqlSide == jvm,
+      "stubWidth/stubHeight Columns must reproduce decodeStub's dimensions exactly")
+  }
+
   test("resize plan fits the 64-box, preserves orientation, floors at 1") {
     import org.apache.spark.sql.functions._
     val df = Multimodal.multimodalResize(spark, sfDir).persist()

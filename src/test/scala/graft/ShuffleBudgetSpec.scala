@@ -57,10 +57,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // scan-speed filter. Budget = exactly those two small aggregates.
   check("mix_rebalance", 2)(operators.Sampling.mixRebalance(spark, sfDir))
   // dedup_lines: the two-phase distinct-doc-freq aggregate (2 exchanges)
-  // + the per-doc reassembly aggregate — the boiler set joins back as a
-  // BROADCAST, and lines are narrow (doc_id, line) tuples, never whole
-  // documents.
-  check("dedup_lines", 3)(operators.Dedup.dedupLines(spark, sfDir))
+  // + the per-doc reassembly aggregate + the boiler join-back. AQE
+  // auto-broadcasts the boiler side at test scale (3 exchanges), but the
+  // boiler set is corpus-derived and NOT hinted — at 100 TB the join-back
+  // is a legitimate shuffle join, so the budget covers that form rather
+  // than pinning a size-threshold runtime decision.
+  check("dedup_lines", 4)(operators.Dedup.dedupLines(spark, sfDir))
   // Single-window ops: exactly the one partition-key shuffle.
   check("window_range_frame", 1)(operators.EventOps.windowRangeFrame(spark, sfDir))
   check("sequence_pack", 1)(operators.Sampling.sequencePack(spark, sfDir))
