@@ -631,7 +631,64 @@ object EventOps {
     WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
       RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)"""
 
+  /** One hour in epoch-nanos, the gap-fill grain. */
+  private val HourNsFill = 3_600_000_000_000L
+
+  /** Time-series gap filling with LOCF: per event type, an hourly value
+    * series over the GLOBAL [min, max] hour span — missing hours appear
+    * with n_events = 0 and carry the last observed hourly total forward
+    * (last-observation-carried-forward, the standard dashboard/feature
+    * prep for sparse series; leading gaps before a type's first
+    * observation stay NULL, which is LOCF's definition).
+    *
+    * Scale: the spine is |types| × |hours| rows generated from a
+    * broadcast 2-value scalar frame — never from the events table
+    * itself; observed totals partial-aggregate before the spine join,
+    * and the LOCF window partitions by type. Nothing re-scans events
+    * per hour.
+    */
+  def timeseriesFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"ts div $HourNsFill").as("hour"), col("value"))
+    val observed = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.dsum(col("value")).as("hour_value"))
+    val span = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(observed, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("hour_value"))
+      .withColumn("value_locf", last(col("hour_value"), ignoreNulls = true).over(w))
+  }
+
+  val timeseriesFillOracle: String = s"""
+    WITH ev AS (
+      SELECT event_type, EPOCH_NS(ts) // $HourNsFill AS hour, value FROM events),
+    observed AS (
+      SELECT event_type, hour,
+        COUNT(*) AS n_events,
+        ${graft.functions.Exact.sqlDsum("value")} AS hour_value
+      FROM ev GROUP BY 1, 2),
+    span AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+    spine AS (
+      SELECT t.event_type, UNNEST(RANGE(h0, h1 + 1)) AS hour
+      FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN span)
+    SELECT s.event_type, s.hour,
+      COALESCE(o.n_events, 0) AS n_events,
+      o.hour_value,
+      LAST_VALUE(o.hour_value IGNORE NULLS) OVER (
+        PARTITION BY s.event_type ORDER BY s.hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM spine s
+    LEFT JOIN observed o ON s.event_type = o.event_type AND s.hour = o.hour"""
+
   def defs: Map[String, QueryDef] = Map(
+    "timeseries_fill" -> QueryDef.sql(timeseriesFill, timeseriesFillOracle),
     "window_range_frame" -> QueryDef.sql(windowRangeFrame, windowRangeFrameOracle),
     "heavy_hitters" -> QueryDef.sql(heavyHitters, heavyHittersOracle),
     "session_stats" -> QueryDef.sql(sessionStats, sessionStatsOracle),

@@ -184,6 +184,33 @@ object Relational {
     FROM events GROUP BY user_id"""
   }
 
+  /** The inverse of [[pivotAgg]]: melt the wide per-user counts back to
+    * long (user_id, event_type, n) rows — Spark's `unpivot`/`melt`
+    * relational operator (Dataset.unpivot plans as an Expand, one output
+    * row per value column, no shuffle). NULL cells are dropped by
+    * unpivot's definition; the pivot zero-fills first, so the melt is
+    * total and the round trip is exactly the plain long GROUP BY —
+    * which is what the oracle states.
+    */
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame =
+    pivotAgg(spark, dir)
+      .unpivot(
+        Array(col("user_id")),
+        eventTypes.map(col).toArray,
+        "event_type", "n")
+
+  val unpivotMeltOracle: String = {
+    val types = eventTypes.map(t => s"('$t')").mkString(", ")
+    s"""
+    SELECT u.user_id, t.event_type,
+      CAST(COUNT(e.event_id) AS BIGINT) AS n
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (VALUES $types) AS t(event_type)
+    LEFT JOIN events e
+      ON e.user_id = u.user_id AND e.event_type = t.event_type
+    GROUP BY 1, 2"""
+  }
+
   /** Exact interpolated quartiles per event type. Computed over
     * floor(value): integer-valued inputs make quartile interpolation
     * formula-independent (both (1-f)·a+f·b and a+(b-a)·f are exact in
@@ -1075,6 +1102,7 @@ object Relational {
     "window_rank_native" -> QueryDef.sql(windowRankNative, windowRankOracle),
     "rollup_agg" -> QueryDef.sql(rollupAgg, rollupAggOracle),
     "pivot_agg" -> QueryDef.sql(pivotAgg, pivotAggOracle),
+    "unpivot_melt" -> QueryDef.sql(unpivotMelt, unpivotMeltOracle),
     "percentiles" -> QueryDef.sql(percentiles, percentilesOracle),
     "approx_percentiles" -> QueryDef.sql(approxPercentiles, approxPercentilesOracle),
     "skew_salted_join" -> QueryDef.sql(skewSaltedJoin, skewSaltedJoinOracle)

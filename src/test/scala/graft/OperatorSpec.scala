@@ -148,6 +148,38 @@ class OperatorSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("unpivot_melt: melting the pivot reproduces the plain long aggregation") {
+    val melted = operators.Relational.unpivotMelt(spark, sfDir)
+    val long = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // pivot zero-fills, so the melt is the long agg plus explicit zeros
+    assert(melted.filter(col("n") > 0).exceptAll(long).count() == 0)
+    assert(long.exceptAll(melted).count() == 0)
+    val users = Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    assert(melted.count() == users * 5, "one melted row per (user, type) cell")
+  }
+
+  test("timeseries_fill: dense spine, zeros on gaps, LOCF carries observed values") {
+    val df = operators.EventOps.timeseriesFill(spark, sfDir).persist()
+    val perType = df.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+      (max(col("hour")) - min(col("hour")) + 1).as("span"))
+    assert(perType.filter(col("n") =!= col("span")).count() == 0,
+      "every type must cover every hour of the global span exactly once")
+    assert(df.filter(col("n_events") === 0).count() > 0,
+      "this sparse series has gaps; none found means the spine join broke")
+    assert(df.filter(col("n_events") > 0 && col("value_locf") =!= col("hour_value"))
+      .count() == 0, "observed hours must carry their own value")
+    assert(df.filter(col("n_events") === 0 && col("value_locf").isNull
+      && col("hour") > 0).join(
+        df.filter(col("n_events") > 0)
+          .groupBy(col("event_type")).agg(min(col("hour")).as("first_obs")),
+        Seq("event_type"))
+      .filter(col("hour") > col("first_obs")).count() == 0,
+      "a gap after a type's first observation must carry a value forward")
+    df.unpersist()
+  }
+
   test("gopher_rules: pass is exactly the conjunction; the suite actually filters") {
     val df = operators.TextAnalysis.gopherRules(spark, sfDir).persist()
     val mismatch = df.filter(col("pass") =!=
