@@ -631,9 +631,6 @@ object EventOps {
     WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
       RANGE BETWEEN $RangeFrameUs PRECEDING AND CURRENT ROW)"""
 
-  /** One hour in epoch-nanos, the gap-fill grain. */
-  private val HourNsFill = 3_600_000_000_000L
-
   /** Time-series gap filling with LOCF: per event type, an hourly value
     * series over the GLOBAL [min, max] hour span — missing hours appear
     * with n_events = 0 and carry the last observed hourly total forward
@@ -641,15 +638,15 @@ object EventOps {
     * prep for sparse series; leading gaps before a type's first
     * observation stay NULL, which is LOCF's definition).
     *
-    * Scale: the spine is |types| × |hours| rows generated from a
-    * broadcast 2-value scalar frame — never from the events table
-    * itself; observed totals partial-aggregate before the spine join,
-    * and the LOCF window partitions by type. Nothing re-scans events
-    * per hour.
+    * Scale: the spine's HOURS explode from a broadcast 2-value scalar
+    * frame, not from per-event rows — the span and distinct-type
+    * aggregates are two cheap extra scans of (event_type, ts) only;
+    * observed totals partial-aggregate before the spine join, and the
+    * LOCF window partitions by type. Nothing re-scans events per hour.
     */
   def timeseriesFill(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("event_type"), expr(s"ts div $HourNsFill").as("hour"), col("value"))
+      .select(col("event_type"), expr(s"ts div $HourNs").as("hour"), col("value"))
     val observed = ev.groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Exact.dsum(col("value")).as("hour_value"))
@@ -668,7 +665,7 @@ object EventOps {
 
   val timeseriesFillOracle: String = s"""
     WITH ev AS (
-      SELECT event_type, EPOCH_NS(ts) // $HourNsFill AS hour, value FROM events),
+      SELECT event_type, EPOCH_NS(ts) // $HourNs AS hour, value FROM events),
     observed AS (
       SELECT event_type, hour,
         COUNT(*) AS n_events,

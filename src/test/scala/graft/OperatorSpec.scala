@@ -170,8 +170,7 @@ class OperatorSpec extends SparkSpec {
       "this sparse series has gaps; none found means the spine join broke")
     assert(df.filter(col("n_events") > 0 && col("value_locf") =!= col("hour_value"))
       .count() == 0, "observed hours must carry their own value")
-    assert(df.filter(col("n_events") === 0 && col("value_locf").isNull
-      && col("hour") > 0).join(
+    assert(df.filter(col("n_events") === 0 && col("value_locf").isNull).join(
         df.filter(col("n_events") > 0)
           .groupBy(col("event_type")).agg(min(col("hour")).as("first_obs")),
         Seq("event_type"))
