@@ -217,6 +217,12 @@ object Sampling {
   /** Token budget per packed training sequence. */
   private val SeqTokens = 1024L
 
+  /** Documents per offset chunk: the two-level cumsum's parallel grain.
+    * Chunk count grows with the corpus (ids are dense), so a source is
+    * never one window task; the serial step is only the per-chunk totals.
+    */
+  private val ChunkDocs = 128L
+
   /** Sequence packing: concatenate each source's documents in
     * deterministic doc_id order and cut the token stream every
     * [[SeqTokens]] tokens — a document belongs to the sequence its START
@@ -226,21 +232,42 @@ object Sampling {
     * rather than splitting documents). Output: one row per document with
     * its source, token count, stream offset and assigned sequence.
     *
-    * Scale: the running offset is a window cumsum PARTITIONED BY SOURCE
-    * — sources pack independently (as separate corpus shards do in a
-    * real run), so no global single-partition window exists and each
-    * partition does one linear pass. All arithmetic is bigint.
+    * Scale: the running offset is a TWO-LEVEL cumsum. A single window
+    * `PARTITION BY source` would serialize each source's entire token
+    * stream through one task — with a handful of sources at 100 TB,
+    * that's a straggler/OOM. Instead: (1) the doc_id space is cut into
+    * [[ChunkDocs]]-wide chunks; (2) within-(source, chunk) cumsum runs
+    * with parallelism = chunk count; (3) per-chunk token totals (tiny —
+    * one row per chunk) get a per-source running base via a window over
+    * the AGGREGATED rows only; (4) final offset = chunk base + local
+    * cumsum, broadcast-joined back. Identical rows to the global cumsum
+    * — partition boundaries cannot change a prefix sum — so the oracle
+    * stays the direct one-window form. All arithmetic is bigint.
     */
   def sequencePack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"),
+        expr(s"doc_id div $ChunkDocs").as("chunk"))
+    // Level 1: chunk token totals (map-side combinable), then the serial
+    // per-source running base — over chunk-count rows, not corpus rows.
+    val wBase = Window.partitionBy(col("source")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = toks.groupBy(col("source"), col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+      .withColumn("base", coalesce(sum(col("chunk_tokens")).over(wBase), lit(0L)))
+      .select(col("source"), col("chunk"), col("base"))
+    // Level 2: within-chunk cumsum — parallelism scales with the corpus.
+    val wLocal = Window.partitionBy(col("source"), col("chunk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("local_off", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(bases), Seq("source", "chunk"))
       // "offset" is a reserved word in DuckDB — stream_offset keeps the
       // schema oracle-portable.
-      .withColumn("stream_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("stream_offset", col("base") + col("local_off"))
       .select(col("source"), col("doc_id"), col("n_tokens"), col("stream_offset"),
         expr(s"stream_offset div $SeqTokens").as("seq_id"))
   }

@@ -163,6 +163,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"assignment not persisted for reuse:\n$p")
   }
 
+  test("sequence_pack: corpus cumsum window is chunked (never one task per source); bases broadcast") {
+    val df = operators.Sampling.sequencePack(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The window that runs over CORPUS rows (producing local_off) must
+    // partition by (source, chunk) — a spec of source alone would
+    // serialize each source's whole token stream through one task.
+    // (that window is the one ORDERED BY doc_id; the tiny base window
+    // orders by chunk over aggregated rows only)
+    val localLine = p.linesIterator.find(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).getOrElse("")
+    assert(localLine.contains("chunk"),
+      s"corpus cumsum window not chunked: $localLine\n$p")
+    // The per-chunk base offsets are tiny — they must come back as a
+    // broadcast, never a shuffle of the corpus on (source, chunk).
+    assert(p.contains("BroadcastHashJoin"), s"chunk bases not broadcast:\n$p")
+  }
+
   test("bucketed_join: co-located tables join with zero exchanges before the final agg") {
     // Disable broadcast so the join can't dodge the question — the point
     // is that BUCKETING removes the shuffle, which is what survives when
