@@ -31,8 +31,29 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  private val K = 8
+  /** Floor on k (tiny corpora still get a non-degenerate codebook). */
+  private val KMin = 8L
+  /** Target vectors per cluster: k grows with the corpus at fixed
+    * cluster size, which is exactly what keeps [[semdedup]]'s
+    * within-cluster pair stage bounded — with k frozen, per-cluster
+    * populations (and the pair join) would grow quadratically with the
+    * corpus. Same discipline as [[graft.functions.Iterate.statePartitions]],
+    * applied to model size.
+    */
+  private val TargetClusterSize = 100L
   private val Iters = 3
+
+  /** k for a given embeddings table: max(KMin, ceil(n / TargetClusterSize)),
+    * all-integer. One cheap count parameterizes the plan — the same way an
+    * IVF trainer sizes its coarse codebook from the corpus it indexes.
+    * The oracle derives the identical k in SQL (see [[kmeansCtes]]), so
+    * the parameterization is live: different SFs produce different k and
+    * still hash-match.
+    */
+  private[graft] def deriveK(e: DataFrame): Int = {
+    val n = e.count()
+    math.max(KMin, (n + TargetClusterSize - 1L) / TargetClusterSize).toInt
+  }
   /** Fixed-point grid for centroid means: 1e-7 (embeddings are O(1)). */
   private val Fp = 1.0e7
 
@@ -72,20 +93,22 @@ object Clustering {
         array_sort(collect_list(struct(col("pos"), col("mean")))),
         s => s.getField("mean")).as("cv"))
 
-  /** The k seed centroids: the K smallest vec_ids, cid 0..K−1. */
-  private[graft] def seedCentroids(e: DataFrame): DataFrame =
-    e.orderBy(col("vec_id")).limit(K)
+  /** The k seed centroids: the k smallest vec_ids, cid 0..k−1 (plans as
+    * TakeOrderedAndProject — bounded heaps, never a global sort).
+    */
+  private[graft] def seedCentroids(e: DataFrame, k: Int): DataFrame =
+    e.orderBy(col("vec_id")).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("cid"), col("embedding").as("cv"))
 
-  /** Centroids after [[Iters]] Lloyd rounds — the shared back end of
-    * [[clusterKmeans]] and [[semdedup]] (and the same artifact an IVF
-    * index trains).
+  /** Centroids after [[Iters]] Lloyd rounds with corpus-derived k — the
+    * shared back end of [[clusterKmeans]] and [[semdedup]] (and the same
+    * artifact an IVF index trains).
     */
   private[graft] def finalCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    var cents = seedCentroids(e).transform(graft.functions.Iterate.checkpoint)
+    var cents = seedCentroids(e, deriveK(e)).transform(graft.functions.Iterate.checkpoint)
     for (_ <- 1 until Iters)
       cents = update(assign(e, cents)).transform(graft.functions.Iterate.checkpoint)
     cents
@@ -128,10 +151,16 @@ object Clustering {
       s"""assign$i AS (${assignSql(s"cent${i - 1}")}),
     cent$i AS (${centSql(s"assign$i")})"""
     }.mkString(",\n    ")
-    s"""cent0 AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-        embedding AS cv
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $K)),
+    // kp mirrors deriveK: GREATEST(KMin, ceil-div by TargetClusterSize),
+    // all-integer, so the oracle adapts its k to the same corpus count.
+    s"""kp AS (
+      SELECT GREATEST($KMin, (COUNT(*) + ${TargetClusterSize - 1}) // $TargetClusterSize) AS k
+      FROM embeddings),
+    cent0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cid, embedding AS cv
+      FROM (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM embeddings)
+      WHERE rn <= (SELECT k FROM kp)),
     $iterCtes"""
   }
 

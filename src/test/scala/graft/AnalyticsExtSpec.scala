@@ -221,7 +221,9 @@ class AnalyticsExtSpec extends SparkSpec {
     val ids = rows.map(_.getAs[Long]("vec_id"))
     assert(ids.distinct.length === ids.length)
     val clusters = rows.map(_.getAs[Int]("cluster")).distinct
-    assert(clusters.forall(c => c >= 0 && c < 8))
+    val k = operators.Clustering.deriveK(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+    assert(clusters.forall(c => c >= 0 && c < k))
     assert(clusters.length > 1, "k-means degenerated to one cluster")
     rows.foreach(r => assert(r.getAs[Double]("d2") >= -1e-9))
   }
@@ -289,7 +291,8 @@ class AnalyticsExtSpec extends SparkSpec {
     // not exceed the init-assignment total (iteration 0 = the operator's
     // own seed centroids + assignment, reused rather than re-implemented).
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val init = operators.Clustering.assign(e, operators.Clustering.seedCentroids(e))
+    val init = operators.Clustering.assign(e,
+      operators.Clustering.seedCentroids(e, operators.Clustering.deriveK(e)))
       .agg(sum(col("d2"))).collect()(0).getDouble(0)
     val fin = operators.Clustering.clusterKmeans(spark, sfDir)
       .agg(sum(col("d2"))).collect()(0).getDouble(0)

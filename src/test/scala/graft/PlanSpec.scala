@@ -81,7 +81,8 @@ class PlanSpec extends SparkSpec {
     val e = Tables.embeddings(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("embedding"))
-    val p = plan(operators.Clustering.assign(e, operators.Clustering.seedCentroids(e)))
+    val p = plan(operators.Clustering.assign(e,
+      operators.Clustering.seedCentroids(e, operators.Clustering.deriveK(e))))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"centroids not broadcast:\n$p")
   }
