@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CommonCount, CosineSim, FloatDot, MinHashSig, SimHash16}
+import org.apache.spark.sql.graft.{CommonCount, CosineSim, FloatDot, MinHashSig, SimHash16, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, ExpressionInfo, Size}
@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo("org.apache.spark.sql.graft.SimHash16", "graft_simhash16"),
       (children: Seq[Expression]) => SimHash16(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo("org.apache.spark.sql.graft.SimHash64", "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo("org.apache.spark.sql.graft.MinHashSig", "graft_minhash_sig"),

@@ -76,6 +76,14 @@ object TextOps {
       org.apache.spark.sql.graft.ShingleHash24(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** Fused text → distinct 3-shingle 60-bit hash array, one compiled
+    * pass — the element hashes behind the 64-bit SimHash fingerprint.
+    */
+  def shingleHash60(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.ShingleHash60(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Fused text → sorted distinct 3-shingle array, one compiled pass
     * (≡ array_sort ∘ shingles3 ∘ words).
     */
@@ -86,6 +94,12 @@ object TextOps {
 
   def sqlHashes(arr: String): String =
     s"LIST_TRANSFORM($arr, x -> CAST('0x' || SUBSTR(MD5(x),1,6) AS BIGINT))"
+
+  /** 60-bit element hashes (15 md5 hex chars — 16 would overflow the
+    * positive signed range); mirrors [[shingleHash60]]'s hash.
+    */
+  def sqlHashes60(arr: String): String =
+    s"LIST_TRANSFORM($arr, x -> CAST('0x' || SUBSTR(MD5(x),1,15) AS BIGINT))"
 
   /** One MinHash value: min over hashed elements of (a·h + b) mod P. */
   def minhash(hs: Column, a: Long, b: Long): Column =
@@ -102,6 +116,11 @@ object TextOps {
   def simhash16(hs: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.graft.SimHash16(org.apache.spark.sql.GraftBridge.expression(hs)))
+
+  /** 64-bit SimHash over hashed elements (native codegen expression). */
+  def simhash64(hs: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.SimHash64(org.apache.spark.sql.GraftBridge.expression(hs)))
 
   def sqlMinhash(hs: String, a: Long, b: Long): String =
     s"LIST_MIN(LIST_TRANSFORM($hs, h -> (h * $a + $b) % $HashP))"

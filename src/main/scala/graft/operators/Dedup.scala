@@ -236,53 +236,80 @@ object Dedup {
     JOIN s sb ON sb.doc_id = new_doc
     WHERE ${TextOps.sqlJaccard("sa.sh", "sb.sh")} >= 0.5"""
 
-  /** SimHash near-dup detection. 16-bit SimHash from per-shingle hashes:
-    * each bit is the sign of Σ±1 over shingles; docs bucket by the top
-    * byte, pairs verified by Hamming distance ≤ 3. Oracle-checked: the
-    * bit pipeline is pure integer arithmetic, mirrored in SQL as per-bit
-    * Σ±1 sums (UNNEST × bit index) recomposed with shifts.
+  /** SimHash bands: [[SimBands]] × [[SimBandBits]] covers the 64-bit
+    * fingerprint; ≤ [[SimMaxHamming]] differing bits can touch at most
+    * [[SimMaxHamming]] bands, so every qualifying pair shares at least
+    * one intact band (pigeonhole) — banded candidate generation has
+    * recall 1.0, it is not an approximation.
+    */
+  private val SimBands = 4
+  private val SimBandBits = 16
+  private val SimMaxHamming = 3
+
+  /** SimHash near-dup detection. 64-bit SimHash from per-shingle 60-bit
+    * hashes: each bit is the sign of Σ±1 over shingles; candidate pairs
+    * come from a [[SimBands]]×[[SimBandBits]] band equi-join (same
+    * multi-band probing as dedup_embedding), verified by Hamming
+    * distance ≤ [[SimMaxHamming]]. By the pigeonhole bound above the
+    * banding loses nothing, so the oracle is the BRUTE-FORCE Hamming
+    * join — hash-matching it proves the recall argument, not just the
+    * arithmetic. Scale: bucket population is ~n/2^16 per band key (and
+    * shrinks as corpora diversify), vs the old top-byte scheme's fixed
+    * 256 buckets whose within-bucket pair join went quadratic. Oracle-
+    * checked: the bit pipeline is pure integer arithmetic, mirrored in
+    * SQL as per-bit Σ±1 sums (UNNEST × bit index) recomposed with
+    * shifts.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // Fused compiled pipeline: text → distinct shingle hashes → 16-bit
-    // SimHash, one projection (16 interpreted aggregate() folds → one
-    // compiled loop; see org.apache.spark.sql.graft.SimHash16).
+    // Fused compiled pipeline: text → distinct shingle hashes → 64-bit
+    // SimHash, one projection (64 interpreted aggregate() folds → one
+    // compiled loop; see org.apache.spark.sql.graft.SimHash64).
     val withFp = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        TextOps.simhash16(TextOps.shingleHash24(col("text"))).as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 8))
+        TextOps.simhash64(TextOps.shingleHash60(col("text"))).as("simhash"))
       .persist()
-    val a = withFp.select(col("doc_id").as("doc_a"),
-      col("simhash").as("fa"), col("bucket"))
-    val b = withFp.select(col("doc_id").as("doc_b"),
-      col("simhash").as("fb"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val bandCols = (0 until SimBands).map { i =>
+      struct(lit(i).as("band_id"),
+        expr(s"(simhash >> ${i * SimBandBits}) & 65535").as("band_key"))
+    }
+    val banded = withFp
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band_id").as("band_id"), col("b.band_key").as("band_key"))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("fa"), col("band_id"), col("band_key"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("fb"), col("band_id"), col("band_key"))
+    a.join(b, Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      // a close pair can share several bands — dedup before the verify
+      // (fa/fb are functions of the ids, so they ride the distinct)
+      .select(col("doc_a"), col("doc_b"), col("fa"), col("fb")).distinct()
       .withColumn("hamming", bit_count(expr("fa ^ fb")))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= SimMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("fa").as("simhash_a"),
         col("fb").as("simhash_b"), col("hamming"))
   }
 
   val dedupSimhashOracle: String = s"""
     WITH s AS ($sqlShingled),
-    hashed AS (SELECT doc_id, ${TextOps.sqlHashes("sh")} AS hs FROM s),
+    hashed AS (SELECT doc_id, ${TextOps.sqlHashes60("sh")} AS hs FROM s),
     el AS (SELECT doc_id, UNNEST(hs) AS h FROM hashed),
     bits AS (
       SELECT doc_id, j,
         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
-      FROM el CROSS JOIN (SELECT UNNEST(RANGE(16)) AS j) js
+      FROM el CROSS JOIN (SELECT UNNEST(RANGE(64)) AS j) js
       GROUP BY 1, 2),
     sig AS (
       SELECT doc_id,
         CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
           AS simhash
-      FROM bits GROUP BY 1),
-    fp AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM sig)
+      FROM bits GROUP BY 1)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       a.simhash AS simhash_a, b.simhash AS simhash_b,
       BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
-    FROM fp a JOIN fp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3"""
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= $SimMaxHamming"""
 
   /** Transitive near-dup clustering: connected components over the
     * MinHash-LSH pair graph, canonical survivor = min doc_id per
@@ -488,7 +515,9 @@ object Dedup {
         explode(sequence(lit(0), size(col("w")) - 1, lit(LineWords))).as("start"))
       .select(
         col("doc_id"),
-        (col("start") / LineWords).cast("bigint").as("line_no"),
+        // integer `div`, matching the oracle's `//` — a float division
+        // here is exact only while start stays under 2^53
+        expr(s"start div $LineWords").cast("bigint").as("line_no"),
         array_join(slice(col("w"), col("start") + 1, lit(LineWords)), " ").as("line"))
       .withColumn("line_h", md5(col("line")))
     val boiler = lines

@@ -75,6 +75,56 @@ case class SimHash16(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** Shared 64-bit SimHash loop (callable from generated code). */
+object GraftSimHashUtil {
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var result = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) result |= (1L << j); j += 1 }
+    result
+  }
+}
+
+/** 64-bit SimHash over an array<long> of element hashes — the scale-path
+  * fingerprint ([[SimHash16]] is the compact variant; the Σ±1
+  * construction is identical at any width): bit j of the result is set
+  * iff Σ over elements of (bit j set ? +1 : −1) is > 0. With w-bit
+  * element hashes only the low w bits carry signal (the rest count to
+  * −n and stay 0), which keeps the value non-negative for w < 64.
+  * Null on empty arrays (mirrors aggregate-on-empty semantics).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else GraftSimHashUtil.simhash64(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => s"""
+        if ($arr.numElements() == 0) { ${ev.isNull} = true; }
+        else { ${ev.value} = org.apache.spark.sql.graft.GraftSimHashUtil.simhash64($arr); }
+      """)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Full MinHash signature in one pass: for each of the fixed permutations
   * (a_k, b_k), the min over elements of (a_k·h + b_k) mod P. Returns
   * array<long> of length [[MinHashSig.Perms]].size; null on empty input
@@ -283,6 +333,21 @@ object GraftHashUtil {
     val d = md.digest(s.getBytes)
     (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL))
   }
+
+  /** First 60 bits (big-endian) of md5(bytes) — identical to parsing the
+    * first 15 hex chars of the md5 hex digest, i.e. to the oracle's
+    * `CAST('0x' || SUBSTR(MD5(x),1,15) AS BIGINT)`. 15 chars, not 16:
+    * a full 64-bit parse would overflow the positive signed range.
+    */
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var r = 0L
+    var i = 0
+    while (i < 7) { r = (r << 8) | (d(i) & 0xffL); i += 1 }
+    (r << 4) | ((d(7) >> 4) & 0xfL)
+  }
 }
 
 /** Per-element 24-bit md5 hashes of an array<string>, in one compiled
@@ -420,12 +485,12 @@ object GraftShingleUtil {
   private def tokens(text: UTF8String): Array[String] =
     text.toString.split("\\s+", -1)
 
-  /** Distinct 3-word shingles, hashed to 24 bits — fused equivalent of
-    * hash24 ∘ array_distinct ∘ shingles3 ∘ words (element order differs,
+  /** Distinct 3-word shingles hashed by `f` — fused equivalent of
+    * f ∘ array_distinct ∘ shingles3 ∘ words (element order differs,
     * which no consumer observes: MinHash takes a min, SimHash sums over
     * the distinct set).
     */
-  def shingleHash24(text: UTF8String): ArrayData = {
+  private def shingleHashes(text: UTF8String, f: UTF8String => Long): ArrayData = {
     val w = tokens(text)
     if (w.length < 3) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[String]()
@@ -438,11 +503,21 @@ object GraftShingleUtil {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) {
-      out(k) = GraftHashUtil.hash24(UTF8String.fromString(it.next()))
+      out(k) = f(UTF8String.fromString(it.next()))
       k += 1
     }
     new GenericArrayData(out)
   }
+
+  /** Distinct 3-word shingles at 24 bits (MinHash/Jaccard pipelines). */
+  def shingleHash24(text: UTF8String): ArrayData =
+    shingleHashes(text, GraftHashUtil.hash24)
+
+  /** Distinct 3-word shingles at 60 bits (the SimHash64 fingerprint —
+    * 24-bit element hashes would leave fingerprint bits 24..63 dead).
+    */
+  def shingleHash60(text: UTF8String): ArrayData =
+    shingleHashes(text, GraftHashUtil.hash60)
 
   /** Sorted distinct 3-word shingles — fused equivalent of
     * array_sort ∘ array_distinct ∘ shingles3 ∘ words (binary UTF8 order,
@@ -474,6 +549,22 @@ case class ShingleHash24(child: Expression) extends UnaryExpression with Expects
       s"${ev.value} = org.apache.spark.sql.graft.GraftShingleUtil.shingleHash24($t);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash24 =
+    copy(child = newChild)
+}
+
+/** text → array<long>: distinct 3-shingle 60-bit hashes in one pass. */
+case class ShingleHash60(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    GraftShingleUtil.shingleHash60(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftShingleUtil.shingleHash60($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
     copy(child = newChild)
 }
 

@@ -148,6 +148,9 @@ class ExpressionSpec extends SparkSpec {
       val sh = s2.sql("SELECT graft_simhash16(array(CAST(7 AS BIGINT))) AS s")
         .first().getLong(0)
       assert(sh == 7L)
+      val sh64 = s2.sql("SELECT graft_simhash64(array(CAST(7 AS BIGINT))) AS s")
+        .first().getLong(0)
+      assert(sh64 == 7L)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
