@@ -55,7 +55,8 @@ object TextAnalysis {
 
   val qualityScoreOracle: String = {
     val nWords = """CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS DOUBLE)"""
-    val nStop = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)"""
+    // interpolated from stopPattern so query and oracle can't desync
+    val nStop = s"CAST(LEN(REGEXP_EXTRACT_ALL(text, '$stopPattern')) AS DOUBLE)"
     val avgLen = s"""CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE) / $nWords"""
     s"""
     SELECT doc_id,
@@ -402,7 +403,8 @@ object TextAnalysis {
     val nDistinct = """CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(text, '\s+'))) AS BIGINT)"""
     val nChars = "CAST(LENGTH(text) AS BIGINT)"
     val nAlnumSp = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9 ]')) AS BIGINT)"""
-    val nStop = """CAST(LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT)"""
+    // interpolated from stopPattern so query and oracle can't desync
+    val nStop = s"CAST(LEN(REGEXP_EXTRACT_ALL(text, '(?i)$stopPattern')) AS BIGINT)"
     val letters = """CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS BIGINT)"""
     val rWc = s"($nWords BETWEEN 50 AND 10000)"
     val rMwl = s"($letters >= $nWords * 3 AND $letters <= $nWords * 10)"
