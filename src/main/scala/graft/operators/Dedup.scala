@@ -22,7 +22,11 @@ object Dedup {
     * canonical representative (deterministic survivorship).
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    dedupExactDf(Tables.documents(spark, dir))
+
+  /** [[dedupExact]] over an arbitrary documents frame (staged-data form). */
+  def dedupExactDf(documents: DataFrame): DataFrame =
+    documents
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(
         min(col("doc_id")).as("keeper_doc_id"),
@@ -114,9 +118,16 @@ object Dedup {
     * quadratic self-join whose pairs all die at the verify filter
     * anyway (empty shingle sets have NULL jaccard on both engines).
     */
-  private def lshBands(spark: SparkSession, dir: String): DataFrame = {
+  private def lshBands(spark: SparkSession, dir: String): DataFrame =
+    lshBandsDf(Tables.documents(spark, dir))
+
+  /** The LSH band index over an arbitrary documents frame — also the
+    * table a materialized index run writes to disk (see
+    * CurationPipeline: the index-is-a-table production shape).
+    */
+  private[graft] def lshBandsDf(documents: DataFrame): DataFrame = {
     val withSig = TextOps.Perms.indices.foldLeft(
-      Tables.documents(spark, dir)
+      documents
         .select(col("doc_id"),
           TextOps.minhashSig(TextOps.shingleHash24(col("text"))).as("sig"))) {
       case (df, i) => df.withColumn(s"mh$i", element_at(col("sig"), i + 1))
@@ -130,14 +141,20 @@ object Dedup {
         .as("band_key"))
   }
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir).persist()
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsDf(Tables.documents(spark, dir))
+
+  /** [[dedupMinhashLsh]] over an arbitrary documents frame (staged-data
+    * form; same band→candidate→verify shape).
+    */
+  private[graft] def minhashPairsDf(documents: DataFrame): DataFrame = {
+    val bands = lshBandsDf(documents).persist()
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band_key") === col("b.band_key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
       .withColumn("sz", size(col("sh")))
       .persist()
@@ -416,9 +433,22 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
       .persist()
-    val benchShingles = docs.filter(col("doc_id") < 5)
+    decontaminateDf(
+      docs.filter(col("doc_id") >= 5),
+      docs.filter(col("doc_id") < 5))
+  }
+
+  /** Contamination flags for an arbitrary (pre-shingled or raw) corpus
+    * frame against an arbitrary benchmark frame — the staged-data form.
+    * Frames may carry either a `sh` shingle column or raw `text`.
+    */
+  private[graft] def decontaminateDf(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    def shingled(df: DataFrame): DataFrame =
+      if (df.columns.contains("sh")) df
+      else df.select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+    val benchShingles = shingled(bench)
       .select(explode(col("sh")).as("shingle")).distinct()
-    docs.filter(col("doc_id") >= 5)
+    shingled(corpus)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .join(broadcast(benchShingles), Seq("shingle"))
       .groupBy(col("doc_id"))

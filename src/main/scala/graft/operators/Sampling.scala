@@ -149,8 +149,14 @@ object Sampling {
     * Scale: one map-side-combinable count per source (tiny — broadcast
     * back), then a scan-speed filter. Nothing shuffles the corpus.
     */
-  def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame =
+    mixRebalanceDf(spark, Tables.documents(spark, dir))
+
+  /** [[mixRebalance]] over an arbitrary documents frame (staged-data
+    * form — the pipeline rebalances the corpus that SURVIVED earlier
+    * stages, so the observed counts are post-filter).
+    */
+  def mixRebalanceDf(spark: SparkSession, docs: DataFrame): DataFrame = {
     val targets = spark.createDataFrame(mixTargetPct).toDF("t_source", "t_pct")
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
       .join(broadcast(targets), col("source") === col("t_source"), "left")
@@ -244,9 +250,15 @@ object Sampling {
     * — partition boundaries cannot change a prefix sum — so the oracle
     * stays the direct one-window form. All arithmetic is bigint.
     */
-  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePackDf(Tables.documents(spark, dir))
+
+  /** [[sequencePack]] over an arbitrary documents frame (staged-data
+    * form — the last stage of the curation pipeline).
+    */
+  def sequencePackDf(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
+    val toks = documents
       .select(col("source"), col("doc_id"),
         size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"),
         expr(s"doc_id div $ChunkDocs").as("chunk"))

@@ -365,7 +365,13 @@ object TextAnalysis {
     * divisions of exact integers — engine-portable, hash-checkable.
     * Per-row, shuffle-free: scan speed at 100 TB.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesDf(Tables.documents(spark, dir))
+
+  /** [[gopherRules]] over an arbitrary documents frame — the form the
+    * curation pipeline applies to STAGED data.
+    */
+  def gopherRulesDf(documents: DataFrame): DataFrame = {
     val w = split(col("text"), "\\s+")
     val nWords = size(w).cast("bigint")
     val nDistinct = size(array_distinct(w)).cast("bigint")
@@ -386,7 +392,7 @@ object TextAnalysis {
     val rStopwords = nStop >= 2
     // vocabulary diversity: 5·distinct > n_words (> 20% distinct)
     val rDiversity = nDistinct * 5 > nWords
-    Tables.documents(spark, dir)
+    documents
       .select(
         col("doc_id"), nWords.as("n_words"),
         rWordCount.as("r_word_count"),

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation pipeline — the LLM-data analog of
+  * [[PublicationsPipeline]]'s six Airflow stages, chaining the
+  * registered curation operators over STAGED parquet handoffs:
+  *
+  * | stage | operator core | decision |
+  * | 1 quality      | TextAnalysis.gopherRulesDf   | keep `pass` docs      |
+  * | 2 exact dedup  | Dedup.dedupExactDf           | keep min-id per hash  |
+  * | 3 near dedup   | Dedup.minhashPairsDf         | drop id dominated by a lower-id near-dup |
+  * | 4 decontam     | Dedup.decontaminateDf        | drop benchmark-overlapping docs |
+  * | 5 mix          | Sampling.mixRebalanceDf      | hash-mod downsample to target mix |
+  * | 6 pack         | Sampling.sequencePackDf      | assign packed sequences |
+  *
+  * Every stage writes parquet and the next stage reads the STAGED
+  * output, so any stage re-runs/backfills independently and a failure
+  * resumes from the last staged table, exactly like
+  * [[PublicationsPipeline.runAll]]. Each decision is deterministic
+  * (hash-mod sampling, min-id survivorship), so a resumed run emits
+  * bit-identical stages.
+  *
+  * Stage 3 drops any document dominated by a LOWER-id near-duplicate
+  * (the semdedup min-anchor rule, applied to MinHash pairs). That is
+  * deliberately the pairwise rule, not connected components: the
+  * pipeline's contract is "no surviving pair is near-identical", and
+  * the pairwise anti-join needs no iteration. The transitive variant
+  * is the registered dedup_components/dedup_apply pair.
+  */
+object CurationPipeline {
+
+  /** Benchmark = the first [[BenchDocs]] doc_ids (mirrors the registered
+    * decontaminate operator's held-out split).
+    */
+  private val BenchDocs = 5
+
+  def runAll(spark: SparkSession, dataDir: String, outDir: String): Map[String, Long] = {
+    val manifest = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val path = s"$outDir/$name"
+      df.write.mode("overwrite").parquet(path)
+      val staged = spark.read.parquet(path)
+      manifest += name -> staged.count()
+      staged
+    }
+
+    // Stage 0: land the raw corpus in the staging area.
+    val raw = stage("stage0_documents", Tables.documents(spark, dataDir))
+
+    // Stage 1: quality gate — gopher rules, keep passing docs.
+    val passing = TextAnalysis.gopherRulesDf(raw)
+      .filter(col("pass")).select(col("doc_id"))
+    val quality = stage("stage1_quality",
+      raw.join(passing, Seq("doc_id"), "left_semi"))
+
+    // Stage 2: exact dedup — keep the canonical (min-id) copy per
+    // content hash.
+    val keepers = Dedup.dedupExactDf(quality)
+      .select(col("keeper_doc_id").as("doc_id"))
+    val exact = stage("stage2_exact_dedup",
+      quality.join(keepers, Seq("doc_id"), "left_semi"))
+
+    // Stage 3: near dedup — drop any doc dominated by a lower-id
+    // MinHash near-duplicate (pair losers are the higher ids).
+    val losers = Dedup.minhashPairsDf(exact)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val near = stage("stage3_near_dedup",
+      exact.join(losers, Seq("doc_id"), "left_anti"))
+
+    // Stage 4: decontamination — drop docs sharing >= 3 shingles with
+    // the held-out benchmark slice (and the benchmark docs themselves:
+    // they are eval data, never training data).
+    val corpus = near.filter(col("doc_id") >= BenchDocs)
+    val contaminated = Dedup.decontaminateDf(corpus,
+      raw.filter(col("doc_id") < BenchDocs)).select(col("doc_id"))
+    val clean = stage("stage4_decontaminated",
+      corpus.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // Stage 5: mixture rebalance — hash-mod downsample each source
+    // toward the declared target mix (counts observed POST-filtering).
+    val mixed = stage("stage5_mixed",
+      clean.join(Sampling.mixRebalanceDf(spark, clean).select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
+
+    // Stage 6: sequence packing — the trainer-facing manifest.
+    val packed = stage("stage6_packed", Sampling.sequencePackDf(mixed))
+
+    // Reconciliation: packing assigns every surviving doc exactly once,
+    // and the packed token stream must account for every token.
+    manifest += "check_packed_rows_match" ->
+      (if (manifest("stage6_packed") == manifest("stage5_mixed")) 0L else 1L)
+    val tokensIn = mixed
+      .select(size(split(col("text"), "\\s+")).cast("bigint").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val tokensPacked = packed.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    manifest += "check_token_reconciliation" ->
+      (if (tokensIn == tokensPacked) 0L else 1L)
+
+    manifest.toMap
+  }
+
+  /** The "index is a table" production shape for the MinHash-LSH band
+    * index: build once from the indexed slice of the corpus and write it
+    * through the given path (the [[Dedup.dedupIncremental]] rolling-mode
+    * index, materialized). Later batches probe the table FROM DISK —
+    * per-batch cost never re-pays the corpus scan.
+    */
+  def materializeLshIndex(spark: SparkSession, documents: DataFrame,
+      path: String): Unit =
+    Dedup.lshBandsDf(documents).write.mode("overwrite").parquet(path)
+
+  /** Probe a new batch of documents against a materialized band index:
+    * returns verified (indexed_doc, new_doc, jaccard) near-dup links,
+    * the same verify contract as the registered dedup operators.
+    * `corpusDocs` supplies the indexed docs' shingles for the verify
+    * step (candidate ids only — the join is against the tiny candidate
+    * set, never the whole corpus).
+    */
+  def probeLshIndex(spark: SparkSession, indexPath: String,
+      corpusDocs: DataFrame, batch: DataFrame): DataFrame = {
+    import graft.functions.TextOps
+    val index = spark.read.parquet(indexPath)
+      .select(col("doc_id").as("indexed_doc"), col("band_key"))
+    val batchBands = Dedup.lshBandsDf(batch)
+      .select(col("doc_id").as("new_doc"), col("band_key"))
+    val cand = index.join(broadcast(batchBands), Seq("band_key"))
+      .select(col("indexed_doc"), col("new_doc")).distinct()
+    def shingles(df: DataFrame) = df
+      .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    cand
+      .join(shingles(corpusDocs).select(col("doc_id").as("indexed_doc"),
+        col("sh").as("sha"), col("sz").as("sza")), Seq("indexed_doc"))
+      .join(shingles(batch).select(col("doc_id").as("new_doc"),
+        col("sh").as("shb"), col("sz").as("szb")), Seq("new_doc"))
+      .withColumn("common", TextOps.sortedCommonCount(col("sha"), col("shb")))
+      .select(col("indexed_doc"), col("new_doc"),
+        (col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+}

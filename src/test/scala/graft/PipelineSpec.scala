@@ -39,6 +39,57 @@ class PipelineSpec extends SparkSpec {
     assert(cleaned.columns.contains("surrogate_id"))
   }
 
+  test("curation pipeline: staged stages, monotone filtering, reconciliation checks pass") {
+    import graft.pipeline.CurationPipeline
+    val out = Files.createTempDirectory("graft_curation").toString
+    val m = CurationPipeline.runAll(spark, sfDir, out)
+
+    val stages = Seq("stage0_documents", "stage1_quality", "stage2_exact_dedup",
+      "stage3_near_dedup", "stage4_decontaminated", "stage5_mixed", "stage6_packed")
+    stages.foreach { s =>
+      assert(m.contains(s) && m(s) > 0, s"stage $s missing or empty: $m")
+      assert(new java.io.File(s"$out/$s").isDirectory, s"stage $s not staged")
+    }
+    // every stage 1..5 filters — counts can only shrink
+    val order = stages.take(6).map(m)
+    assert(order.zip(order.tail).forall { case (a, b) => b <= a },
+      s"stage counts grew: $m")
+    assert(m("check_packed_rows_match") == 0, "packing dropped or invented docs")
+    assert(m("check_token_reconciliation") == 0, "packed token stream lost tokens")
+  }
+
+  test("curation stage 6 is resumable from staged output alone") {
+    import graft.pipeline.CurationPipeline
+    val out = Files.createTempDirectory("graft_curation").toString
+    CurationPipeline.runAll(spark, sfDir, out)
+    // Re-running the LAST stage from its staged upstream (no earlier
+    // stage recomputed) reproduces the staged stage-6 rows exactly —
+    // deterministic decisions make resume bit-stable.
+    val mixed = spark.read.parquet(s"$out/stage5_mixed")
+    val repacked = operators.Sampling.sequencePackDf(mixed)
+    val staged = spark.read.parquet(s"$out/stage6_packed")
+    assert(repacked.exceptAll(staged).isEmpty && staged.exceptAll(repacked).isEmpty,
+      "stage-6 resume diverged from the staged output")
+  }
+
+  test("materialized LSH index: probe-from-disk equals probe-from-recompute") {
+    import graft.pipeline.CurationPipeline
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_lshidx").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    CurationPipeline.materializeLshIndex(spark, corpus, s"$out/lsh_index")
+    val fromDisk = CurationPipeline
+      .probeLshIndex(spark, s"$out/lsh_index", corpus, batch)
+    // dedup_incremental IS the probe-from-recompute path over the same
+    // 90/10 split — the materialized variant must agree exactly.
+    val recompute = operators.Dedup.dedupIncremental(spark, sfDir)
+    assert(fromDisk.exceptAll(recompute).isEmpty
+      && recompute.exceptAll(fromDisk).isEmpty,
+      "disk-probed index diverged from recompute")
+  }
+
   test("upsertWarehouse: re-run is a no-op, backfill slice merges without clobbering") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft_wh").toString
