@@ -48,8 +48,10 @@ object Bench {
 
     // A query that throws must not masquerade as a fast success: failures
     // are recorded as -1 in the queries map AND listed in "errors".
-    // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query).
-    val only = QueryDef.subsetFilter(SparkEntry.queries.keySet)
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query);
+    // the bench-only streaming entries are addressable there too.
+    val streamNames = Set("stream_bench_window_agg", "stream_bench_funnel")
+    val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ streamNames)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
@@ -68,10 +70,52 @@ object Bench {
         (name, if (err.isEmpty) elapsed else -1.0, err)
     }
 
+    // Streaming-backed timed entries (batch parity is spec-proven in
+    // StreamingSpec; these exist so a regression in the streaming path
+    // shows up in BENCH_r0N): each drives a real Structured Streaming
+    // job over the SF dir's events files to completion. Memory sink —
+    // the timing covers source listing, state updates and output, not
+    // a disk sink. queryName is per-invocation (memory sinks are
+    // session-global tables).
+    var streamRun = 0
+    def streamBench(name: String,
+        start: String => org.apache.spark.sql.streaming.StreamingQuery)
+        : (String, Double, Option[String]) = {
+      streamRun += 1
+      val t0 = System.nanoTime()
+      val err = try {
+        val q = start(s"${name}_$streamRun")
+        try q.processAllAvailable() finally q.stop()
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Some(name)
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (name, if (err.isEmpty) elapsed else -1.0, err)
+    }
+    val streamEntries: Seq[(String, String => org.apache.spark.sql.streaming.StreamingQuery)] = Seq(
+      ("stream_bench_window_agg", (qn: String) =>
+        streaming.EventStreams.windowedAgg(
+            streaming.EventStreams.eventsStream(spark, sfDir))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()),
+      ("stream_bench_funnel", { (qn: String) =>
+        import spark.implicits._
+        streaming.EventStreams.funnelStream(
+            streaming.EventStreams.eventsStream(spark, sfDir)
+              .as[streaming.EventStreams.Event])
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").start()
+      })).filter { case (name, _) => only.forall(_.contains(name)) }
+    def streamSweep(): Seq[(String, Double, Option[String])] =
+      streamEntries.map { case (n, s) => streamBench(n, s) }
+
     val cal0 = calibrate()
-    val pass1 = sweep()
+    val pass1 = sweep() ++ streamSweep()
     val cal1 = calibrate()
-    val pass2 = sweep()
+    val pass2 = sweep() ++ streamSweep()
     val cal2 = calibrate()
 
     val results = pass1.zip(pass2).map { case ((name, t1, e1), (_, t2, e2)) =>

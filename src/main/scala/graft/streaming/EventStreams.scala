@@ -103,6 +103,24 @@ object EventStreams {
     spark.readStream.schema(schema).parquet(path)
   }
 
+  /** [[Event]]-shaped stream from an SF dir's events table (the stored
+    * ns-long `ts` becomes a µs timestamp — the grain every streaming op
+    * here states its semantics in). The bench entry point: feeds the
+    * windowed-agg and funnel jobs with the same rows their batch twins
+    * read.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // the SF layout stores each table as one FILE — the file-stream
+    // source wants a directory, so stream the dir with a glob filter
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
   /** Streaming MERGE sink: every micro-batch upserts into the parquet
     * target by key ([[graft.sources.Sinks.upsertParquet]] under
     * foreachBatch). This is what turns Structured Streaming's
