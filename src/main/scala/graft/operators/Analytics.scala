@@ -586,13 +586,21 @@ object Analytics {
       .filter(col("cofreq") >= KCoreMinCofreq)
       .select(col("lo"), col("hi"))
       .transform(graft.functions.Iterate.checkpoint)
-    for (_ <- 1 to KCoreRounds) {
+    for (r <- 1 to KCoreRounds) {
       val keep = broadcast(degrees(edges).filter(col("deg") >= KCoreK)
         .select(col("node")))
       edges = edges
         .join(keep, col("lo") === col("node"), "left_semi")
         .join(keep, col("hi") === col("node"), "left_semi")
-        .transform(graft.functions.Iterate.checkpoint)
+      // Same cadence-2 rule as pagerank's loop. Measured at sf0.1
+      // (local[32], min-of-2 sweeps, repeated): every-round 2.0-2.4 s,
+      // cadence-2 2.3-2.6 s — no difference above the noise floor, so
+      // the tiebreak is the cluster argument: half the materializations
+      // is half the checkpoint I/O under a reliable checkpoint dir,
+      // while the plan only deepens by two broadcast semi-joins per
+      // skipped round. Fixed-round semantics keep the result
+      // checkpoint-invariant (hash-verified).
+      if (r % 2 == 0) edges = edges.transform(graft.functions.Iterate.checkpoint)
     }
     degrees(edges)
   }

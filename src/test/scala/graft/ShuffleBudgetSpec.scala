@@ -65,7 +65,10 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("dedup_lines", 4)(operators.Dedup.dedupLines(spark, sfDir))
   // Single-window ops: exactly the one partition-key shuffle.
   check("window_range_frame", 1)(operators.EventOps.windowRangeFrame(spark, sfDir))
-  check("sequence_pack", 1)(operators.Sampling.sequencePack(spark, sfDir))
+  // Two-level offset: ONE corpus-row shuffle (the (source, chunk)
+  // window) plus two exchanges over chunk-level AGGREGATED rows (the
+  // per-chunk totals and their tiny per-source base window).
+  check("sequence_pack", 3)(operators.Sampling.sequencePack(spark, sfDir))
   // grouping_sets expands layers map-side into ONE partial aggregate.
   check("grouping_sets_agg", 1)(operators.Relational.groupingSetsAgg(spark, sfDir))
   // Per-row multimodal stages: scan-speed, ZERO shuffles at any SF.
