@@ -558,12 +558,28 @@ object EventOps {
     * from all keys to candidates; with billions of cold keys that is the
     * difference between a full-corpus aggregation and a near-free one.
     */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersWithCms(spark, dir, eventUserCms(spark, dir))
+
+  /** The user_id frequency sketch — built inline by [[heavyHitters]],
+    * or ONCE by an index run and persisted through
+    * [[graft.sources.SketchStore]] (the sketch-is-a-table production
+    * shape; later probes read it from disk instead of re-scanning).
+    * eps=1e-3 keeps the sketch ~50 KB on the task binary; a looser
+    * sketch only admits more candidates for the recheck to trim —
+    * correctness never depends on eps, only stage-2's input size does.
+    */
+  private[graft] def eventUserCms(spark: SparkSession, dir: String)
+      : org.apache.spark.util.sketch.CountMinSketch =
+    Tables.events(spark, dir).select(col("user_id"))
+      .stat.countMinSketch("user_id", 0.001, 0.99, 42)
+
+  /** [[heavyHitters]] against a PRE-BUILT sketch (possibly read from
+    * disk) — the probe never depends on where the sketch came from.
+    */
+  private[graft] def heavyHittersWithCms(spark: SparkSession, dir: String,
+      cms: org.apache.spark.util.sketch.CountMinSketch): DataFrame = {
     val events = Tables.events(spark, dir).select(col("user_id"))
-    // eps=1e-3 keeps the sketch ~50 KB on the task binary; a looser
-    // sketch only admits more candidates for the recheck to trim —
-    // correctness never depends on eps, only stage-2's input size does.
-    val cms = events.stat.countMinSketch("user_id", 0.001, 0.99, 42)
     val thr = events.agg(
       (count(lit(1)).cast("double") / countDistinct(col("user_id")) * lit(1.1))
         .as("thr"))

@@ -129,6 +129,17 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("hash60 equals parsing the first 15 md5 hex chars (bit layout pinned)") {
+    for (s <- Seq("the quick brown fox", "", "a b c", "κείμενο")) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.getBytes).map("%02x".format(_)).mkString
+      assert(org.apache.spark.sql.graft.GraftHashUtil.hash60(u)
+        === java.lang.Long.parseLong(md5hex.take(15), 16),
+        s"hash60 bit layout drifted for input '$s'")
+    }
+  }
+
   test("SQL functions registered via GraftExtensions work end-to-end") {
     import org.apache.spark.sql.SparkSession
     // Force a NEW session (same context) so withExtensions applies;

@@ -90,6 +90,18 @@ class PipelineSpec extends SparkSpec {
       "disk-probed index diverged from recompute")
   }
 
+  test("materialized CMS sketch: heavy-hitter probe from disk equals probe-from-recompute") {
+    val out = Files.createTempDirectory("graft_cms").toString
+    val cms = operators.EventOps.eventUserCms(spark, sfDir)
+    sources.SketchStore.writeCms(spark, cms, s"$out/user_cms")
+    val fromDisk = operators.EventOps.heavyHittersWithCms(spark, sfDir,
+      sources.SketchStore.readCms(spark, s"$out/user_cms"))
+    val recompute = operators.EventOps.heavyHitters(spark, sfDir)
+    assert(fromDisk.exceptAll(recompute).isEmpty
+      && recompute.exceptAll(fromDisk).isEmpty,
+      "disk-probed CMS diverged from recompute")
+  }
+
   test("upsertWarehouse: re-run is a no-op, backfill slice merges without clobbering") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft_wh").toString

@@ -109,6 +109,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
 
+  test("dedup_simhash: candidates come from a multi-band equi-join, never one fixed bucket") {
+    val p = plan(operators.Dedup.dedupSimhash(spark, sfDir))
+    // The candidate join must key on (band_id, band_key) — the 4×16
+    // banding whose bucket count scales with the fingerprint space, not
+    // the old fixed-256-bucket top-byte scheme.
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("band_key")).getOrElse("")
+    assert(joinLine.contains("band_id"),
+      s"band id missing from candidate join key: $joinLine\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("decontaminate_bloom: probe is native (no UDF), recheck joins broadcast") {
     val df = operators.Dedup.decontaminateBloom(spark, sfDir)
     df.collect()
