@@ -482,13 +482,28 @@ object Dedup {
     *     oracle as [[decontaminate]], while the corpus-wide pass stays
     *     sketch-cheap.
     */
-  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloomWithFilter(spark, dir, benchBloom(spark, dir))
+
+  /** The benchmark shingle bloom — built inline by [[decontaminateBloom]],
+    * or once by an index run and persisted through
+    * [[graft.sources.SketchStore]] (probe-from-disk ≡ probe-from-
+    * recompute, PipelineSpec-pinned).
+    */
+  private[graft] def benchBloom(spark: SparkSession, dir: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    Tables.documents(spark, dir).filter(col("doc_id") < 5)
+      .select(explode(TextOps.sortedShingles3(col("text"))).as("shingle"))
+      .stat.bloomFilter("shingle", 2000L, 0.01)
+
+  /** [[decontaminateBloom]] against a PRE-BUILT bloom (possibly read
+    * from disk) — the probe never depends on where the sketch came from.
+    */
+  private[graft] def decontaminateBloomWithFilter(spark: SparkSession, dir: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
       .persist()
-    val bloom = docs.filter(col("doc_id") < 5)
-      .select(explode(col("sh")).as("shingle"))
-      .stat.bloomFilter("shingle", 2000L, 0.01)
     val mightContain = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.graft.BloomMightContain(
         org.apache.spark.sql.GraftBridge.expression(col("shingle")), bloom))

@@ -102,6 +102,18 @@ class PipelineSpec extends SparkSpec {
       "disk-probed CMS diverged from recompute")
   }
 
+  test("materialized bloom sketch: decontamination probe from disk equals probe-from-recompute") {
+    val out = Files.createTempDirectory("graft_bloom").toString
+    sources.SketchStore.writeBloom(spark,
+      operators.Dedup.benchBloom(spark, sfDir), s"$out/bench_bloom")
+    val fromDisk = operators.Dedup.decontaminateBloomWithFilter(spark, sfDir,
+      sources.SketchStore.readBloom(spark, s"$out/bench_bloom"))
+    val recompute = operators.Dedup.decontaminateBloom(spark, sfDir)
+    assert(fromDisk.exceptAll(recompute).isEmpty
+      && recompute.exceptAll(fromDisk).isEmpty,
+      "disk-probed bloom diverged from recompute")
+  }
+
   test("upsertWarehouse: re-run is a no-op, backfill slice merges without clobbering") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft_wh").toString
