@@ -133,6 +133,15 @@ object Similarity {
     * divides candidate volume by ~2^6 with high recall on near vectors
     * (sign agreement probability 1 − θ/π per plane). Hash-checked: the
     * bucketing is mirrored in SQL via plane literals.
+    *
+    * Sizing note: the plane COUNT tracks the corpus at fixed target
+    * bucket population (p ≈ log2(n / bucket_size)) — unlike kmeans' k,
+    * it is not derived at runtime here, because each plane is an
+    * expression TERM (the oracle's structure would have to vary, not
+    * just a value) and because p only moves logarithmically: one added
+    * plane absorbs a 2× corpus. A probe query's candidate set is a
+    * single bucket either way, so a conservative p degrades cost, never
+    * recall.
     */
   private val Dim = 64
   private val NPlanes = 6
@@ -283,8 +292,13 @@ object Similarity {
     val scale = maxAbs / lit(127.0)
     def quant(x: org.apache.spark.sql.Column) =
       floor(x.cast("double") / scale + lit(0.5))
+    // err·err, never pow(err, 2): libm pow is not FP-portable (it cost a
+    // 1-ulp oracle drift at sf0.1); a plain IEEE multiply is exact-same
+    // everywhere.
+    def err(x: org.apache.spark.sql.Column) =
+      x.cast("double") - quant(x) * scale
     val sqErr = aggregate(e, lit(0.0), (acc, x) =>
-      acc + pow(x.cast("double") - quant(x) * scale, 2))
+      acc + err(x) * err(x))
     Tables.embeddings(spark, dir)
       .select(
         col("vec_id"),
@@ -296,9 +310,9 @@ object Similarity {
     val maxAbs = "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
       "LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))), (a, b) -> GREATEST(a, b))"
     val scale = s"($maxAbs / 127.0)"
+    val err = s"(CAST(x AS DOUBLE) - FLOOR(CAST(x AS DOUBLE) / $scale + 0.5) * $scale)"
     val sqErr = "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), " +
-      s"LIST_TRANSFORM(embedding, x -> POW(CAST(x AS DOUBLE) - " +
-      s"FLOOR(CAST(x AS DOUBLE) / $scale + 0.5) * $scale, 2))), (a, b) -> a + b)"
+      s"LIST_TRANSFORM(embedding, x -> $err * $err)), (a, b) -> a + b)"
     s"""
     SELECT vec_id, $scale AS scale,
       $sqErr / CAST(LEN(embedding) AS DOUBLE) AS mse
