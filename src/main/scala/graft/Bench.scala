@@ -50,8 +50,9 @@ object Bench {
     // are recorded as -1 in the queries map AND listed in "errors".
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query);
     // the bench-only streaming entries are addressable there too.
-    val streamNames = Set("stream_bench_window_agg", "stream_bench_funnel")
-    val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ streamNames)
+    val extraNames = Set("stream_bench_window_agg", "stream_bench_funnel",
+      "curation_pipeline_e2e")
+    val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
@@ -70,24 +71,21 @@ object Bench {
         (name, if (err.isEmpty) elapsed else -1.0, err)
     }
 
-    // Streaming-backed timed entries (batch parity is spec-proven in
-    // StreamingSpec; these exist so a regression in the streaming path
-    // shows up in BENCH_r0N): each drives a real Structured Streaming
-    // job over the SF dir's events files to completion. Memory sink —
-    // the timing covers source listing, state updates and output, not
-    // a disk sink. queryName is per-invocation (memory sinks are
-    // session-global tables).
-    var streamRun = 0
-    def streamBench(name: String,
-        start: String => org.apache.spark.sql.streaming.StreamingQuery)
+    // Extra timed entries beyond SparkEntry.queries: streaming jobs
+    // (batch parity is spec-proven in StreamingSpec; timed so a
+    // regression in the streaming path shows up in BENCH_r0N) and the
+    // end-to-end curation pipeline (the headline "curate the whole
+    // corpus" number: quality → dedup → decontaminate → mix → pack
+    // with real staged parquet handoffs). Each entry is a thunk run to
+    // completion; uniq disambiguates per-invocation names (memory
+    // sinks are session-global tables).
+    var extraRun = 0
+    def extraBench(name: String, run: String => Unit)
         : (String, Double, Option[String]) = {
-      streamRun += 1
+      extraRun += 1
       val t0 = System.nanoTime()
-      val err = try {
-        val q = start(s"${name}_$streamRun")
-        try q.processAllAvailable() finally q.stop()
-        None
-      } catch { case e: Throwable =>
+      val err = try { run(s"${name}_$extraRun"); None }
+      catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         Some(name)
       }
@@ -95,27 +93,39 @@ object Bench {
       spark.catalog.clearCache()
       (name, if (err.isEmpty) elapsed else -1.0, err)
     }
-    val streamEntries: Seq[(String, String => org.apache.spark.sql.streaming.StreamingQuery)] = Seq(
-      ("stream_bench_window_agg", (qn: String) =>
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try q.processAllAvailable() finally q.stop()
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val extraEntries: Seq[(String, String => Unit)] = Seq(
+      ("stream_bench_window_agg", (uniq: String) => drain(
         streaming.EventStreams.windowedAgg(
             streaming.EventStreams.eventsStream(spark, sfDir))
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("complete").start()),
-      ("stream_bench_funnel", { (qn: String) =>
+          .writeStream.format("memory").queryName(uniq)
+          .outputMode("complete").start())),
+      ("stream_bench_funnel", { (uniq: String) =>
         import spark.implicits._
-        streaming.EventStreams.funnelStream(
+        drain(streaming.EventStreams.funnelStream(
             streaming.EventStreams.eventsStream(spark, sfDir)
               .as[streaming.EventStreams.Event])
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("update").start()
+          .writeStream.format("memory").queryName(uniq)
+          .outputMode("update").start())
+      }),
+      ("curation_pipeline_e2e", { (_: String) =>
+        val out = java.nio.file.Files.createTempDirectory("graft_bench_curation")
+        try { pipeline.CurationPipeline.runAll(spark, sfDir, out.toString); () }
+        finally rmTree(out)
       })).filter { case (name, _) => only.forall(_.contains(name)) }
-    def streamSweep(): Seq[(String, Double, Option[String])] =
-      streamEntries.map { case (n, s) => streamBench(n, s) }
+    def extraSweep(): Seq[(String, Double, Option[String])] =
+      extraEntries.map { case (n, r) => extraBench(n, r) }
 
     val cal0 = calibrate()
-    val pass1 = sweep() ++ streamSweep()
+    val pass1 = sweep() ++ extraSweep()
     val cal1 = calibrate()
-    val pass2 = sweep() ++ streamSweep()
+    val pass2 = sweep() ++ extraSweep()
     val cal2 = calibrate()
 
     val results = pass1.zip(pass2).map { case ((name, t1, e1), (_, t2, e2)) =>
