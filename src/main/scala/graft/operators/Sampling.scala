@@ -296,7 +296,73 @@ object Sampling {
               CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS n_tokens
             FROM documents))"""
 
+  /** The "high-quality target" source whose unigram distribution the
+    * importance weights aim at (the curated-slice-as-target pattern).
+    */
+  private val TargetSource = "src0"
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the hashed-ngram
+    * importance-weight idea, linearized): each document scores the MEAN
+    * over its token instances of the target/raw unigram probability
+    * ratio, `(ct·Nr) / (cr·Nt)` — above 1 means the doc's vocabulary
+    * leans toward the target distribution. Linear ratios instead of the
+    * paper's log-likelihood ratios: libm log is not FP-portable (the
+    * tfidf/pow lessons), while each ratio here is one integer-exact
+    * bigint product per side and ONE IEEE division, and the per-doc sum
+    * rides [[graft.functions.Exact.dsum]] — bit-identical to the oracle.
+    * The downstream use is identical (rank/threshold, then hash-mod
+    * resample with [[sampleStratified]]'s machinery).
+    *
+    * Scale: unigram stats are one map-side-combinable groupBy; the
+    * scalar totals broadcast; the token→stats join shuffles (term,
+    * doc_id) tuples only — same shape as tfidf_top_terms. Counts stay
+    * under 2^53 through any local SF; a 100 TB run would keep the
+    * products in DECIMAL or pre-normalize the two distributions.
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "\\s+")).as("term"))
+    val stats = toks.groupBy(col("term")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("source") === TargetSource, 1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).as("nr"),
+      count(when(col("source") === TargetSource, 1)).as("nt"))
+    toks.join(stats, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        ((col("ct") * col("nr")).cast("double")
+          / (col("cr") * col("nt")).cast("double")).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.Exact.dsum(col("r")).as("sum_r"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_r") / col("n_tokens").cast("double")).as("importance"))
+  }
+
+  val importanceWeightsOracle: String = s"""
+    WITH toks AS (
+      SELECT doc_id, source, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term
+      FROM documents),
+    stats AS (
+      SELECT term, COUNT(*) AS cr,
+        COUNT(*) FILTER (WHERE source = '$TargetSource') AS ct
+      FROM toks GROUP BY 1),
+    totals AS (
+      SELECT COUNT(*) AS nr,
+        COUNT(*) FILTER (WHERE source = '$TargetSource') AS nt
+      FROM toks)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      ${graft.functions.Exact.sqlDsum(
+        "CAST(ct * nr AS DOUBLE) / CAST(cr * nt AS DOUBLE)")}
+        / CAST(COUNT(*) AS DOUBLE) AS importance
+    FROM toks JOIN stats USING (term) CROSS JOIN totals
+    GROUP BY doc_id"""
+
   def defs: Map[String, QueryDef] = Map(
+    "importance_weights" -> QueryDef.sql(importanceWeights, importanceWeightsOracle),
     "sequence_pack" -> QueryDef.sql(sequencePack, sequencePackOracle),
     "sample_weighted" -> QueryDef.sql(sampleWeighted, sampleWeightedOracle),
     "mix_rebalance" -> QueryDef.sql(mixRebalance, mixRebalanceOracle),

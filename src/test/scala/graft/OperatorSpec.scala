@@ -190,6 +190,24 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("importance_weights: one score per doc, and the target source scores highest on average") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = operators.Sampling.importanceWeights(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .persist()
+    assert(out.count() == docs.count(), "every document needs a score")
+    assert(out.filter(col("importance") <= 0).count() == 0,
+      "every doc shares at least its own tokens with the raw distribution")
+    // The ratio distribution must actually separate the target: src0's
+    // own documents lean toward src0's unigram distribution by
+    // construction, so their mean importance exceeds the others'.
+    val Seq(tgt, rest) = Seq(col("source") === "src0", col("source") =!= "src0")
+      .map(p => out.filter(p).agg(avg(col("importance"))).collect()(0).getDouble(0))
+    assert(tgt > rest,
+      s"target-source mean importance $tgt not above non-target mean $rest")
+    out.unpersist()
+  }
+
   test("mix_rebalance: kept rows are a subset; over-allocated sources keep more than squeezed ones") {
     val docs = Tables.documents(spark, sfDir)
     val kept = operators.Sampling.mixRebalance(spark, sfDir).persist()
