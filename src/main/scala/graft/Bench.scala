@@ -93,26 +93,34 @@ object Bench {
       spark.catalog.clearCache()
       (name, if (err.isEmpty) elapsed else -1.0, err)
     }
-    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    // After draining, the memory-sink temp view is dropped: clearCache()
+    // does not release memory-sink tables, so without the drop every
+    // complete-mode result would stay pinned in the driver for the rest
+    // of the run.
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery, view: String): Unit = {
       try q.processAllAvailable() finally q.stop()
+      spark.catalog.dropTempView(view)
+    }
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
     val extraEntries: Seq[(String, String => Unit)] = Seq(
       ("stream_bench_window_agg", (uniq: String) => drain(
         streaming.EventStreams.windowedAgg(
             streaming.EventStreams.eventsStream(spark, sfDir))
           .writeStream.format("memory").queryName(uniq)
-          .outputMode("complete").start())),
+          .outputMode("complete").start(), uniq)),
       ("stream_bench_funnel", { (uniq: String) =>
         import spark.implicits._
         drain(streaming.EventStreams.funnelStream(
             streaming.EventStreams.eventsStream(spark, sfDir)
               .as[streaming.EventStreams.Event])
           .writeStream.format("memory").queryName(uniq)
-          .outputMode("update").start())
+          .outputMode("update").start(), uniq)
       }),
       ("curation_pipeline_e2e", { (_: String) =>
         val out = java.nio.file.Files.createTempDirectory("graft_bench_curation")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
 
 /** Schema-typed loaders for the driver-generated testdata tables.
   *
@@ -43,4 +44,32 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Size-guarded broadcast hint for SF-PROPORTIONAL dimensions
+    * (part / customer / supplier — tables that grow linearly with the
+    * corpus, unlike the fixed 25-row nation / 5-row region dims).
+    *
+    * A hard `broadcast()` on such a table is right at every local SF but
+    * becomes OOM fuel at 100 TB: part is ~10⁹ rows there, and a hard
+    * hint FORCES Spark to build it as a broadcast relation regardless of
+    * size. This helper applies the hint only while the optimizer's own
+    * size estimate (post-filter, so selective dim filters count) stays
+    * under `spark.sql.autoBroadcastJoinThreshold`; past that it returns
+    * the plain frame and lets AQE pick the join strategy from RUNTIME
+    * sizes — a sort-merge join instead of an executor OOM.
+    *
+    * Fixed-size dims keep their hard hints; this guard is only for the
+    * dims whose row count rides the scale factor.
+    */
+  def dimHint(df: DataFrame): DataFrame = {
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val threshold =
+      if (raw.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    if (threshold > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      broadcast(df)
+    else df
+  }
 }

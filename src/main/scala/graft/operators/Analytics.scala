@@ -92,7 +92,7 @@ object Analytics {
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("o_custkey").asc)
       .limit(20)
-    counts.join(broadcast(Tables.customer(spark, dir)),
+    counts.join(Tables.dimHint(Tables.customer(spark, dir)),
         col("o_custkey") === col("c_custkey"))
       .select(
         col("o_custkey").as("customer_key"),
@@ -108,11 +108,12 @@ object Analytics {
     FROM top JOIN customer ON o_custkey = c_custkey"""
 
   /** Topic popularity: usage-weighted category counts — "Popular Research
-    * Topics" (neo4j_analytical_ideas.md §4). Part dim broadcast.
+    * Topics" (neo4j_analytical_ideas.md §4). Part dim is SF-proportional,
+    * so the broadcast rides the [[Tables.dimHint]] size guard.
     */
   def topicPopularity(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type").as("topic"))
       .agg(count(lit(1)).as("popularity"))
 
@@ -126,7 +127,7 @@ object Analytics {
     */
   def topicEvolution(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(
         col("p_type").as("topic"),
         year(col("l_shipdate")).as("ship_year"))
@@ -162,7 +163,7 @@ object Analytics {
   def authorSpecialization(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey").as("author_key"), col("p_type").as("category"))
       .agg(count(lit(1)).as("n_pubs"))
     val total = Window.partitionBy(col("author_key"))
@@ -251,6 +252,26 @@ object Analytics {
     * DuckDB oracle, which unrolls the same 10 iterations as CTEs with the
     * same fixed-point sums. Output is quantized to 8dp the same way.
     */
+  /** Broadcast hint for per-round GRAPH STATE (rank vectors, k-core
+    * keep-sets): state is one row per NODE while the edge list is one
+    * row per PAIR, so state ≪ edges and broadcasting it keeps every
+    * iteration edge-shuffle-free. The bound, explicitly: a state row
+    * packs to ~32 B (long key + one numeric + UnsafeRow overhead), so
+    * the broadcast build costs ~32 B × |nodes| on EVERY executor —
+    * ~320 MB at 10⁷ nodes, ~3.2 GB at 10⁸: the practical ceiling for a
+    * default-sized executor sits near 10⁸ nodes. The supplier/part
+    * graphs here are ~10³-10⁶ nodes at any SF, far inside it; a
+    * billion-node graph must flip to shuffle semi-joins instead — set
+    * `spark.graft.graph.broadcastState=false` and each round plans the
+    * identical join as a hash exchange of the state side while the
+    * edge side stays put on its [[graft.functions.Iterate.statePartitions]]
+    * layout.
+    */
+  private def stateHint(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.graph.broadcastState", "true").toBoolean)
+      broadcast(df)
+    else df
+
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val d = 0.85
     val pairs = collabPairs(spark, dir)
@@ -273,16 +294,17 @@ object Analytics {
     // orders of magnitude smaller than the edges at any scale, so each
     // iteration broadcasts the vector and streams the edges: no edge
     // shuffle per round, only the ~|nodes|-row inflow groupBy moves.
+    // (broadcast viability bound + the shuffle fallback: [[stateHint]])
     for (i <- 1 to 10) {
       val contrib = norm
-        .join(broadcast(pr.withColumnRenamed("node", "src")), Seq("src"))
+        .join(stateHint(pr.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"),
           floor(col("pr") * col("nw") * lit(1.0e14) + lit(0.5))
             .cast("bigint").as("c"))
         .groupBy(col("node"))
         .agg((sum(col("c")).cast("double") / lit(1.0e14)).as("inflow"))
       pr = nodes
-        .join(broadcast(contrib), Seq("node"), "left")
+        .join(stateHint(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(0.15 / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
       // Truncate lineage every other round, but NOT after the final
@@ -587,7 +609,8 @@ object Analytics {
       .select(col("lo"), col("hi"))
       .transform(graft.functions.Iterate.checkpoint)
     for (r <- 1 to KCoreRounds) {
-      val keep = broadcast(degrees(edges).filter(col("deg") >= KCoreK)
+      // keep-set = state: broadcast under the [[stateHint]] node bound.
+      val keep = stateHint(degrees(edges).filter(col("deg") >= KCoreK)
         .select(col("node")))
       edges = edges
         .join(keep, col("lo") === col("node"), "left_semi")

@@ -189,7 +189,15 @@ object Clustering {
 
   def semdedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val assigned = assign(e, finalCentroids(spark, dir)).persist()
+    // Checkpointed, not persist()ed: three branches read the assignment
+    // (both pair-join sides + the verdict spine), so it must materialize
+    // once — but a persist() registers a session-lifetime CacheManager
+    // entry nothing here could release (the caller runs the returned
+    // lazy frame long after this function returns). The eager checkpoint
+    // materializes the same blocks WITHOUT a cache entry; they free via
+    // GC when the frame is dropped, so a long-lived session doesn't leak.
+    val assigned = graft.functions.Iterate.checkpoint(
+      assign(e, finalCentroids(spark, dir)))
     val dominated = assigned.select(col("cid"), col("vec_id").as("keep_id"),
         col("embedding").as("ea"))
       .join(assigned.select(col("cid"), col("vec_id"), col("embedding").as("eb")),
@@ -234,21 +242,29 @@ object Clustering {
       .select(col("doc_id").as("vec_id"), col("text"))
     val terms = assigned.join(docs, Seq("vec_id"))
       .select(col("cluster"), explode(split(col("text"), "\\s+")).as("term"))
-    // persisted: three branches (cdf, n_clusters, the score join) read
-    // tf — without it each re-runs the kmeans assignment + doc join +
-    // term explode, the costliest subtree of the query.
-    val tf = terms.groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
+    // Checkpointed (same discipline as semdedup's assignment): three
+    // branches (cdf, n_clusters, the score join) read tf — without
+    // materialization each re-runs the kmeans assignment + doc join +
+    // term explode, the costliest subtree of the query; checkpoint
+    // blocks release via GC instead of leaking a CacheManager entry.
+    val tf = graft.functions.Iterate.checkpoint(
+      terms.groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf")))
     val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cluster_df"))
     val n = tf.select(countDistinct(col("cluster")).as("n_clusters"))
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("score").desc, col("term").asc)
-    tf.join(cdf, Seq("term"))
+    val scored = tf.join(cdf, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf").cast("double")
         * (col("n_clusters").cast("double") / col("cluster_df").cast("double")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    // Per-cluster top-3 via the heap operator (same routing as
+    // tfidf_top_terms): no partition sort over the k·|vocab| scored
+    // rows; the rank window runs over ≤3 survivors per cluster.
+    val top = Relational.topKPerKey(scored,
+      keys = Seq(col("cluster")),
+      order = Seq(col("score").desc, col("term").asc),
+      k = 3)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("term").asc)
+    top.withColumn("rank", row_number().over(w))
       .select(col("cluster"), col("term"), col("tf"), col("cluster_df"),
         col("score"), col("rank"))
   }

@@ -437,7 +437,7 @@ object Relational {
       .agg(Exact.dsum(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 150)
     big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dimHint(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .select(
         col("c_custkey").as("customer_key"),
         col("c_name").as("name"),
@@ -500,7 +500,7 @@ object Relational {
         && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dimHint(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey").as("customer_key"), col("c_name").as("name"),
         col("n_name").as("nation"))
@@ -553,7 +553,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
         && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * Exact.dsum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0.0)))
           / Exact.dsum(rev)).as("economy_share_pct"),
@@ -686,8 +686,8 @@ object Relational {
       .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dimHint(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
       .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY")
@@ -960,7 +960,7 @@ object Relational {
         .as("total_rev"))
     val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
     revenue.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_suppkey").as("supp_key"), col("s_name").as("name"),
         col("total_rev"))
   }
@@ -986,7 +986,7 @@ object Relational {
     val partAvg = l.groupBy(col("l_partkey").as("avg_partkey"))
       .agg((Exact.dsum(col("l_quantity"))
         / count(lit(1)).cast("double")).as("avg_qty"))
-    l.join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")),
+    l.join(Tables.dimHint(Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")),
         col("l_partkey") === col("p_partkey"))
       .join(partAvg, col("l_partkey") === col("avg_partkey"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
@@ -1010,7 +1010,7 @@ object Relational {
   def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
           && col("l_quantity").between(1, 11))

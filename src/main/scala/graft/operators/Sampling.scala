@@ -301,68 +301,183 @@ object Sampling {
     */
   private val TargetSource = "src0"
 
-  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
-    * Language Models via Importance Resampling" — the hashed-ngram
-    * importance-weight idea, linearized): each document scores the MEAN
-    * over its token instances of the target/raw unigram probability
-    * ratio, `(ct·Nr) / (cr·Nt)` — above 1 means the doc's vocabulary
-    * leans toward the target distribution. Linear ratios instead of the
-    * paper's log-likelihood ratios: libm log is not FP-portable (the
-    * tfidf/pow lessons), while each ratio here is one integer-exact
-    * bigint product per side and ONE IEEE division, and the per-doc sum
-    * rides [[graft.functions.Exact.dsum]] — bit-identical to the oracle.
-    * The downstream use is identical (rank/threshold, then hash-mod
-    * resample with [[sampleStratified]]'s machinery).
-    *
-    * Scale: unigram stats are one map-side-combinable groupBy; the
-    * scalar totals broadcast; the token→stats join shuffles (term,
-    * doc_id) tuples only — same shape as tfidf_top_terms. Counts stay
-    * under 2^53 through any local SF; a 100 TB run would keep the
-    * products in DECIMAL or pre-normalize the two distributions.
+  /** Fixed hashed-feature space for the DSIR stats (the paper's own
+    * trick: hash features into a CONSTANT-size bucket space so the
+    * per-feature count table is bounded by this constant, not by the
+    * corpus vocabulary — which is what lets it broadcast at any SF).
     */
-  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  private val DsirBuckets = 8192L
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — hashed-ngram
+    * importance weights, linearized): each document scores the
+    * token-weighted MEAN of the target/raw probability ratio of its
+    * hashed unigram features, `((ct+α)·(Nr+1)) / ((cr+α)·(Nt+1))` with
+    * Laplace α = 1/B — above 1 means the doc's vocabulary leans toward
+    * the target distribution. The smoothing keeps every ratio strictly
+    * positive (an unsmoothed bucket the target never hits would zero
+    * out, and at 100 TB unseen buckets are guaranteed) while α·B = 1
+    * keeps it feather-light: α = 1 would deflate every ratio ~B/Nt-fold
+    * whenever the target slice is smaller than the bucket count, which
+    * is exactly the test-SF regime. α = 2^−13 is exactly representable,
+    * so the smoothed factors are deterministic doubles in both engines.
+    * Linear ratios instead of the paper's log-likelihood ratios: libm
+    * log is not FP-portable (the tfidf/pow lessons); each factor is
+    * cast to double BEFORE multiplying (a bigint product of two ~2^40
+    * counts would silently wrap long arithmetic at cluster scale —
+    * per-factor casts keep both engines in the same per-factor double
+    * regime), and the per-doc sum rides
+    * [[graft.functions.Exact.dsum]] — bit-identical to the oracle.
+    *
+    * Scale (the round-7 re-plan): terms hash into [[DsirBuckets]]
+    * buckets, so the stats table is CONSTANT-size and BROADCASTS — the
+    * corpus is never shuffled on a Zipf-skewed term key (the previous
+    * plan joined one row per token INSTANCE against per-term stats;
+    * "the" alone is ~5% of all instances, a guaranteed mega-partition).
+    * The corpus-row path is now: explode → map-side partial count →
+    * ONE shuffle of per-(doc, bucket) tf rows (≤ docs × B, no skew:
+    * doc_id spreads every hot bucket) → broadcast stats join → per-doc
+    * rollup of pre-aggregated rows.
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame =
+    importanceWeightsDf(Tables.documents(spark, dir))
+
+  /** [[importanceWeights]] over an arbitrary documents frame (staged
+    * form for pipeline composition).
+    */
+  def importanceWeightsDf(documents: DataFrame): DataFrame = {
+    val toks = documents
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), "\\s+")).as("term"))
-    val stats = toks.groupBy(col("term")).agg(
+      .select(col("doc_id"), col("source"),
+        (graft.functions.TextOps.hash24(concat(lit("dsir|"), col("term")))
+          % DsirBuckets).as("bucket"))
+    // Three STREAMING passes over the corpus, nothing corpus-sized ever
+    // materializes and only the tf pass shuffles corpus-derived rows:
+    // stats folds token instances map-side into the B fixed buckets
+    // (its shuffle is ≤ partitions × B tiny rows), totals folds to two
+    // scalars the same way, tf is the one real corpus shuffle
+    // (per-(doc, bucket) rows). Each aggregate deliberately reads
+    // `toks` directly — chaining them (totals from stats, stats from
+    // tf) re-evaluates the shared subtree per consumer anyway (exchange
+    // reuse does not fire across these aggregates), and an extra
+    // scan-speed fold is far cheaper at 100 TB than materializing a
+    // corpus-sized tf just to share it.
+    val tf = toks.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks.groupBy(col("bucket")).agg(
       count(lit(1)).as("cr"),
       count(when(col("source") === TargetSource, 1)).as("ct"))
     val totals = toks.agg(
       count(lit(1)).as("nr"),
       count(when(col("source") === TargetSource, 1)).as("nt"))
-    toks.join(stats, Seq("term"))
+    // α = 1/B = 2^−13: exact in double, so ct + α is one deterministic
+    // IEEE add in both engines.
+    val alpha = lit(1.0 / DsirBuckets)
+    val r = (((col("ct").cast("double") + alpha)
+        * (col("nr") + lit(1L)).cast("double"))
+      / ((col("cr").cast("double") + alpha)
+        * (col("nt") + lit(1L)).cast("double")))
+    tf.join(broadcast(stats), Seq("bucket"))
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"),
-        ((col("ct") * col("nr")).cast("double")
-          / (col("cr") * col("nt")).cast("double")).as("r"))
+      .select(col("doc_id"), col("tf"),
+        (col("tf").cast("double") * r).as("wr"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        graft.functions.Exact.dsum(col("r")).as("sum_r"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        graft.functions.Exact.dsum(col("wr")).as("sum_r"))
       .select(col("doc_id"), col("n_tokens"),
         (col("sum_r") / col("n_tokens").cast("double")).as("importance"))
   }
 
-  val importanceWeightsOracle: String = s"""
-    WITH toks AS (
-      SELECT doc_id, source, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term
-      FROM documents),
+  /** Shared oracle CTE chain ending at `w(doc_id, n_tokens, importance)`
+    * — the DSIR weight computation, reused by the selection oracle.
+    */
+  private val importanceCtes: String = s"""
+    toks AS MATERIALIZED (
+      SELECT doc_id, source,
+        CAST('0x' || SUBSTR(MD5('dsir|' || term), 1, 6) AS BIGINT)
+          % $DsirBuckets AS bucket
+      FROM (SELECT doc_id, source,
+              UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term
+            FROM documents)),
+    tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
     stats AS (
-      SELECT term, COUNT(*) AS cr,
+      SELECT bucket, COUNT(*) AS cr,
         COUNT(*) FILTER (WHERE source = '$TargetSource') AS ct
       FROM toks GROUP BY 1),
     totals AS (
       SELECT COUNT(*) AS nr,
         COUNT(*) FILTER (WHERE source = '$TargetSource') AS nt
-      FROM toks)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      ${graft.functions.Exact.sqlDsum(
-        "CAST(ct * nr AS DOUBLE) / CAST(cr * nt AS DOUBLE)")}
-        / CAST(COUNT(*) AS DOUBLE) AS importance
-    FROM toks JOIN stats USING (term) CROSS JOIN totals
-    GROUP BY doc_id"""
+      FROM toks),
+    w AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        ${graft.functions.Exact.sqlDsum(
+          "CAST(tf AS DOUBLE) * (((CAST(ct AS DOUBLE)"
+            + s" + CAST(1 AS DOUBLE) / $DsirBuckets) * CAST(nr + 1 AS DOUBLE))"
+            + s" / ((CAST(cr AS DOUBLE) + CAST(1 AS DOUBLE) / $DsirBuckets)"
+            + s" * CAST(nt + 1 AS DOUBLE)))")}
+          / CAST(SUM(tf) AS DOUBLE) AS importance
+      FROM tf JOIN stats USING (bucket) CROSS JOIN totals
+      GROUP BY doc_id)"""
+
+  val importanceWeightsOracle: String = s"""
+    WITH $importanceCtes
+    SELECT doc_id, n_tokens, importance FROM w"""
+
+  /** Token share of the WHOLE corpus the DSIR selection keeps. */
+  private val SelectTokenPct = 25L
+
+  /** DSIR selection (the paper's actual resampling step, consuming
+    * [[importanceWeights]]): documents whose vocabulary leans toward
+    * the target (importance > 1) form the candidate pool; the pool is
+    * then hash-mod resampled down to a declared token budget —
+    * [[SelectTokenPct]]% of the ORIGINAL corpus's tokens. A document
+    * survives iff `bucket · pool_tokens < pct · total_tokens` with
+    * bucket ∈ [0,100): P(keep) = min(1, budget/pool), so the surviving
+    * token mass lands ≈ the budget. The decision is ALL-INTEGER after
+    * the (engine-identical) importance threshold — the same
+    * derived-rate discipline as [[mixRebalance]], so a 100 TB selection
+    * reproduces bit-for-bit and needs no global sort: the paper's
+    * top-k-by-weight becomes threshold + hash-mod, which selects in one
+    * scan-speed filter instead of ranking the corpus.
+    *
+    * Scale: the weights frame is checkpointed once (three branches read
+    * it: pool, corpus total, pool total — recomputing the DSIR pass per
+    * branch would triple the corpus cost; checkpoint blocks release via
+    * GC, leaving no session-lifetime cache entry); the two token totals
+    * are single-row broadcasts; nothing else moves.
+    */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame =
+    sampleImportanceDf(Tables.documents(spark, dir))
+
+  /** [[sampleImportance]] over an arbitrary documents frame (staged
+    * form — the pipeline selects from the corpus that survived earlier
+    * stages).
+    */
+  def sampleImportanceDf(documents: DataFrame): DataFrame = {
+    val w = graft.functions.Iterate.checkpoint(importanceWeightsDf(documents))
+    val pool = w.filter(col("importance") > 1.0)
+    val total = w.agg(sum(col("n_tokens")).as("n_total"))
+    val poolTotal = pool.agg(sum(col("n_tokens")).as("n_pool"))
+    pool.crossJoin(broadcast(total)).crossJoin(broadcast(poolTotal))
+      .filter(pctBucket("dsir_select", col("doc_id")) * col("n_pool")
+        < lit(SelectTokenPct) * col("n_total"))
+      .select(col("doc_id"), col("n_tokens"), col("importance"))
+  }
+
+  val sampleImportanceOracle: String = s"""
+    WITH $importanceCtes,
+    pool AS MATERIALIZED (SELECT * FROM w WHERE importance > 1.0),
+    tot AS (SELECT SUM(n_tokens) AS n_total FROM w),
+    pt AS (SELECT SUM(n_tokens) AS n_pool FROM pool)
+    SELECT doc_id, n_tokens, importance
+    FROM pool CROSS JOIN tot CROSS JOIN pt
+    WHERE ${sqlPctBucket("dsir_select", "doc_id")} * n_pool
+      < $SelectTokenPct * n_total"""
 
   def defs: Map[String, QueryDef] = Map(
     "importance_weights" -> QueryDef.sql(importanceWeights, importanceWeightsOracle),
+    "sample_importance" -> QueryDef.sql(sampleImportance, sampleImportanceOracle),
     "sequence_pack" -> QueryDef.sql(sequencePack, sequencePackOracle),
     "sample_weighted" -> QueryDef.sql(sampleWeighted, sampleWeightedOracle),
     "mix_rebalance" -> QueryDef.sql(mixRebalance, mixRebalanceOracle),

@@ -326,14 +326,23 @@ object TextAnalysis {
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(df, Seq("term"))
+    val scored = tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    // Per-doc top-5 rides the custom heap operator — the window form
+    // SORTS every partition by (doc_id, score) over ALL doc×term rows;
+    // the bounded heap is O(n log k) with no partition sort
+    // (window_rank_native measures the heap plan ~2× the window plan).
+    // The rank window then runs over ≤5 survivors per doc, already
+    // clustered by doc_id — no further exchange.
+    val top = Relational.topKPerKey(scored,
+      keys = Seq(col("doc_id")),
+      order = Seq(col("tfidf").desc, col("term").asc),
+      k = 5)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    top.withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rank"))
   }

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * | 2 exact dedup  | Dedup.dedupExactDf           | keep min-id per hash  |
   * | 3 near dedup   | Dedup.minhashPairsDf         | drop id dominated by a lower-id near-dup |
   * | 4 decontam     | Dedup.decontaminateDf        | drop benchmark-overlapping docs |
-  * | 5 mix          | Sampling.mixRebalanceDf      | hash-mod downsample to target mix |
-  * | 6 pack         | Sampling.sequencePackDf      | assign packed sequences |
+  * | 5 select       | Sampling.sampleImportanceDf  | DSIR: keep target-leaning docs to a token budget |
+  * | 6 mix          | Sampling.mixRebalanceDf      | hash-mod downsample to target mix |
+  * | 7 pack         | Sampling.sequencePackDf      | assign packed sequences |
   *
   * Every stage writes parquet and the next stage reads the STAGED
   * output, so any stage re-runs/backfills independently and a failure
@@ -23,6 +24,12 @@ import org.apache.spark.sql.functions._
   * [[PublicationsPipeline.runAll]]. Each decision is deterministic
   * (hash-mod sampling, min-id survivorship), so a resumed run emits
   * bit-identical stages.
+  *
+  * Manifest counts (and the token-reconciliation sums) ride `observe()`
+  * metrics collected DURING each stage's write job — a count() re-scan
+  * per staged table would double the pipeline's read volume. The
+  * reconciliation sums are coalesced to 0, so a corpus that filters to
+  * empty yields a comparable manifest instead of a crash.
   *
   * Stage 3 drops any document dominated by a LOWER-id near-duplicate
   * (the semdedup min-anchor rule, applied to MinHash pairs). That is
@@ -40,13 +47,26 @@ object CurationPipeline {
 
   def runAll(spark: SparkSession, dataDir: String, outDir: String): Map[String, Long] = {
     val manifest = scala.collection.mutable.LinkedHashMap[String, Long]()
-    def stage(name: String, df: DataFrame): DataFrame = {
+    // The row count (plus any stage-specific sums) is observed on the
+    // write job itself; the staged read-back stays lazy for the next
+    // stage. Sums coalesce to 0 so an empty stage yields metrics, not
+    // nulls (ADVICE r7: an all-filtered corpus must produce a manifest
+    // with failing checks, never an NPE).
+    def stageWith(name: String, df: DataFrame,
+        extras: Seq[(String, org.apache.spark.sql.Column)])
+        : (DataFrame, Map[String, Any]) = {
       val path = s"$outDir/$name"
-      df.write.mode("overwrite").parquet(path)
-      val staged = spark.read.parquet(path)
-      manifest += name -> staged.count()
-      staged
+      val obs = org.apache.spark.sql.Observation(s"graft_$name")
+      val cols = count(lit(1)).cast("long").as("rows") +:
+        extras.map { case (n, c) => coalesce(c, lit(0L)).as(n) }
+      df.observe(obs, cols.head, cols.tail: _*)
+        .write.mode("overwrite").parquet(path)
+      val metrics = obs.get
+      manifest += name -> metrics("rows").asInstanceOf[Long]
+      (spark.read.parquet(path), metrics)
     }
+    def stage(name: String, df: DataFrame): DataFrame =
+      stageWith(name, df, Nil)._1
 
     // Stage 0: land the raw corpus in the staging area.
     val raw = stage("stage0_documents", Tables.documents(spark, dataDir))
@@ -80,25 +100,31 @@ object CurationPipeline {
     val clean = stage("stage4_decontaminated",
       corpus.join(contaminated, Seq("doc_id"), "left_anti"))
 
-    // Stage 5: mixture rebalance — hash-mod downsample each source
-    // toward the declared target mix (counts observed POST-filtering).
-    val mixed = stage("stage5_mixed",
-      clean.join(Sampling.mixRebalanceDf(spark, clean).select(col("doc_id")),
+    // Stage 5: DSIR selection — keep documents whose vocabulary leans
+    // toward the target source, hash-mod resampled to the declared
+    // token budget (weights derive from the SURVIVING corpus).
+    val selected = stage("stage5_selected",
+      clean.join(Sampling.sampleImportanceDf(clean).select(col("doc_id")),
         Seq("doc_id"), "left_semi"))
 
-    // Stage 6: sequence packing — the trainer-facing manifest.
-    val packed = stage("stage6_packed", Sampling.sequencePackDf(mixed))
+    // Stage 6: mixture rebalance — hash-mod downsample each source
+    // toward the declared target mix (counts observed POST-filtering).
+    val (mixed, mixedM) = stageWith("stage6_mixed",
+      selected.join(Sampling.mixRebalanceDf(spark, selected).select(col("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      Seq("tokens" -> sum(size(split(col("text"), "\\s+")).cast("bigint"))))
+
+    // Stage 7: sequence packing — the trainer-facing manifest.
+    val (_, packedM) = stageWith("stage7_packed", Sampling.sequencePackDf(mixed),
+      Seq("tokens" -> sum(col("n_tokens"))))
 
     // Reconciliation: packing assigns every surviving doc exactly once,
-    // and the packed token stream must account for every token.
+    // and the packed token stream must account for every token — both
+    // sides read from the observed write metrics, zero extra scans.
     manifest += "check_packed_rows_match" ->
-      (if (manifest("stage6_packed") == manifest("stage5_mixed")) 0L else 1L)
-    val tokensIn = mixed
-      .select(size(split(col("text"), "\\s+")).cast("bigint").as("n"))
-      .agg(sum(col("n"))).collect()(0).getLong(0)
-    val tokensPacked = packed.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      (if (manifest("stage7_packed") == manifest("stage6_mixed")) 0L else 1L)
     manifest += "check_token_reconciliation" ->
-      (if (tokensIn == tokensPacked) 0L else 1L)
+      (if (mixedM("tokens") == packedM("tokens")) 0L else 1L)
 
     manifest.toMap
   }

@@ -27,6 +27,40 @@ import org.apache.spark.sql.functions._
   */
 object PublicationsPipeline {
 
+  /** Stage-1 fetch analog (download_dataset_stage_1.py:29-46: Kaggle
+    * download → unzip → delete archive → trigger stage 2): fetch a
+    * dataset archive from a URI into the landing area, unpack it, drop
+    * the archive, and return the unpacked file for ingest.
+    *
+    * Transport: only `file:`/plain-path URIs are implemented — the
+    * container has zero egress, so the HTTP/Kaggle transport is a
+    * declared swap-in (same stub discipline as
+    * [[graft.sources.ApiEnrich]]), while everything the reference DAG
+    * actually sequences — land the archive, unpack, delete the archive,
+    * hand off to ingest — is real and spec-covered. The archive codec
+    * is gzip (JDK-native): unpack streams, never buffers the dataset
+    * in memory, so a 100 GB arxiv-snapshot analog streams through the
+    * same code path.
+    */
+  def fetchAndUnpack(uri: String, landingDir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(!uri.contains("://") || uri.startsWith("file:"),
+      s"only file: transport is implemented (zero-egress container); got $uri")
+    val src = Paths.get(uri.stripPrefix("file:"))
+    val landing = Files.createDirectories(Paths.get(landingDir))
+    // "download": land the archive byte-for-byte in the staging area.
+    val archive = landing.resolve(src.getFileName.toString)
+    Files.copy(src, archive, StandardCopyOption.REPLACE_EXISTING)
+    // "unzip": stream-decompress next to the archive.
+    val out = landing.resolve(archive.getFileName.toString.stripSuffix(".gz"))
+    val in = new java.util.zip.GZIPInputStream(Files.newInputStream(archive))
+    try Files.copy(in, out, StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    // "delete_zip_file": the archive never outlives its extraction.
+    Files.delete(archive)
+    out
+  }
+
   /** Stage 2 analog: the full cleaning recipe composed into one
     * projection over documents (each rule is the registered operator's
     * expression — see operators.Cleaning for the per-op contract).
@@ -55,7 +89,8 @@ object PublicationsPipeline {
     * stage reads its upstream's STAGED output. Returns row counts per
     * staged table (the pipeline's run manifest).
     */
-  def runAll(spark: SparkSession, dataDir: String, outDir: String): Map[String, Long] = {
+  def runAll(spark: SparkSession, dataDir: String, outDir: String,
+      fetchUri: Option[String] = None): Map[String, Long] = {
     val manifest = scala.collection.mutable.LinkedHashMap[String, Long]()
     def stage(name: String, df: DataFrame): DataFrame = {
       val path = s"$outDir/$name"
@@ -65,8 +100,17 @@ object PublicationsPipeline {
       staged
     }
 
-    // Stage 1: ingest raw sources into the staging area.
-    val rawDocs = stage("stage1_documents", Tables.documents(spark, dataDir))
+    // Stage 1: ingest raw sources into the staging area. With a
+    // fetchUri, the documents source arrives through the stage-1 fetch
+    // analog (download → unpack → delete archive) and ingests from the
+    // landed JSONL instead of the pre-landed parquet.
+    val docsSource = fetchUri match {
+      case Some(uri) =>
+        spark.read.json(
+          fetchAndUnpack(uri, s"$outDir/stage0_landing").toString)
+      case None => Tables.documents(spark, dataDir)
+    }
+    val rawDocs = stage("stage1_documents", docsSource)
     stage("stage1_orders", Tables.orders(spark, dataDir))
 
     // Stage 2: clean + validate (reads stage 1 output, like the

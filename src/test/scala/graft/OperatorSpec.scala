@@ -283,6 +283,18 @@ class OperatorSpec extends SparkSpec {
     perCluster.unpersist()
   }
 
+  test("clustering sweep leaves no session-lifetime cache entries") {
+    // The shared Lloyd assignment / tf frames ride eager checkpoints,
+    // whose blocks release via GC — a persist() here would pin a
+    // CacheManager entry for the rest of the session (the round-7 leak).
+    spark.catalog.clearCache()
+    operators.Clustering.clusterKmeans(spark, sfDir).count()
+    operators.Clustering.semdedup(spark, sfDir).count()
+    operators.Clustering.clusterTopics(spark, sfDir).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a clustering query registered a CacheManager entry it never released")
+  }
+
   test("ann_topk: 5 neighbors per query, self excluded, cosine in [-1,1]") {
     val df = operators.Similarity.annTopk(spark, sfDir)
     assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)

@@ -30,6 +30,30 @@ class PipelineSpec extends SparkSpec {
     assert(manifest("check_orphan_fact_rows") == 0)
   }
 
+  test("stage-1 fetch analog: archive lands, unpacks, is deleted; pipeline ingests the landing") {
+    import java.nio.file.Paths
+    // A tiny "remote" dataset: 20 documents as gzipped JSONL (the
+    // arxiv-snapshot shape; transport is file: per the declared stub).
+    val tmp = Files.createTempDirectory("graft_fetch")
+    val rows = Tables.documents(spark, sfDir).limit(20).toJSON.collect()
+    val gz = tmp.resolve("arxiv_docs.jsonl.gz")
+    val os = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    try os.write(rows.mkString("\n").getBytes("UTF-8")) finally os.close()
+
+    val out = Files.createTempDirectory("graft_fetch_out").toString
+    val m = PublicationsPipeline.runAll(spark, sfDir, out, Some(gz.toString))
+    // ingest read the fetched landing, not the parquet source
+    assert(m("stage1_documents") == 20, s"fetched ingest wrong count: $m")
+    // unpacked file staged; archive deleted after extraction
+    assert(Paths.get(s"$out/stage0_landing/arxiv_docs.jsonl").toFile.exists,
+      "unpacked landing file missing")
+    assert(!Paths.get(s"$out/stage0_landing/arxiv_docs.jsonl.gz").toFile.exists,
+      "archive survived extraction")
+    // downstream stages resume from the STAGED fetch output
+    assert(m("stage2_cleaned_documents") > 0
+      && m("stage2_cleaned_documents") <= 20, s"stage 2 not fed by fetch: $m")
+  }
+
   test("stage 2 is resumable from staged output alone") {
     val out = Files.createTempDirectory("graft_pipeline").toString
     Tables.documents(spark, sfDir).write.parquet(s"$out/stage1_documents")
@@ -45,31 +69,52 @@ class PipelineSpec extends SparkSpec {
     val m = CurationPipeline.runAll(spark, sfDir, out)
 
     val stages = Seq("stage0_documents", "stage1_quality", "stage2_exact_dedup",
-      "stage3_near_dedup", "stage4_decontaminated", "stage5_mixed", "stage6_packed")
+      "stage3_near_dedup", "stage4_decontaminated", "stage5_selected",
+      "stage6_mixed", "stage7_packed")
     stages.foreach { s =>
       assert(m.contains(s) && m(s) > 0, s"stage $s missing or empty: $m")
       assert(new java.io.File(s"$out/$s").isDirectory, s"stage $s not staged")
     }
-    // every stage 1..5 filters — counts can only shrink
-    val order = stages.take(6).map(m)
+    // every stage 1..6 filters — counts can only shrink
+    val order = stages.take(7).map(m)
     assert(order.zip(order.tail).forall { case (a, b) => b <= a },
       s"stage counts grew: $m")
     assert(m("check_packed_rows_match") == 0, "packing dropped or invented docs")
     assert(m("check_token_reconciliation") == 0, "packed token stream lost tokens")
   }
 
-  test("curation stage 6 is resumable from staged output alone") {
+  test("curation pack stage is resumable from staged output alone") {
     import graft.pipeline.CurationPipeline
     val out = Files.createTempDirectory("graft_curation").toString
     CurationPipeline.runAll(spark, sfDir, out)
     // Re-running the LAST stage from its staged upstream (no earlier
-    // stage recomputed) reproduces the staged stage-6 rows exactly —
+    // stage recomputed) reproduces the staged stage-7 rows exactly —
     // deterministic decisions make resume bit-stable.
-    val mixed = spark.read.parquet(s"$out/stage5_mixed")
+    val mixed = spark.read.parquet(s"$out/stage6_mixed")
     val repacked = operators.Sampling.sequencePackDf(mixed)
-    val staged = spark.read.parquet(s"$out/stage6_packed")
+    val staged = spark.read.parquet(s"$out/stage7_packed")
     assert(repacked.exceptAll(staged).isEmpty && staged.exceptAll(repacked).isEmpty,
-      "stage-6 resume diverged from the staged output")
+      "pack-stage resume diverged from the staged output")
+  }
+
+  test("curation DSIR stage: sample_importance composes with mix_rebalance") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val selected = docs.join(
+      operators.Sampling.sampleImportanceDf(docs).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nSel = selected.count()
+    assert(nSel > 0 && nSel < docs.count(),
+      "DSIR selection must keep a non-empty strict subset")
+    // The downstream mix stage consumes the selected slice directly —
+    // its hash-mod decisions are doc_id-keyed, so composition yields a
+    // subset of the selected ids with every kept source represented.
+    val mixed = docs.join(
+      operators.Sampling.mixRebalanceDf(spark, selected).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    assert(mixed.count() > 0, "rebalance over the selected slice is empty")
+    assert(mixed.select("doc_id").exceptAll(selected.select("doc_id")).isEmpty,
+      "mix stage emitted ids outside the selected slice")
   }
 
   test("materialized LSH index: probe-from-disk equals probe-from-recompute") {

@@ -163,17 +163,19 @@ class PlanSpec extends SparkSpec {
     assert(corpusShuffles == 0, s"corpus shuffled on doc_id:\n$p")
   }
 
-  test("semdedup: centroid assignment broadcasts; pair join shuffles only cluster tuples") {
+  test("semdedup: pair join reads the materialized assignment, never re-runs Lloyd rounds") {
     val df = operators.Clustering.semdedup(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // The k-centroid table rides a broadcast nested loop into the argmin
-    // (same property PlanSpec pins for cluster_kmeans); the within-
-    // cluster pair join reads the persisted assignment from cache on
-    // both sides rather than recomputing the Lloyd rounds.
-    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$p")
-    assert(p.contains("InMemoryTableScan"), s"assignment not persisted for reuse:\n$p")
+    // The Lloyd assignment is eagerly checkpointed ONCE (the centroid
+    // broadcast property itself is pinned by the cluster_kmeans test on
+    // assign()); the dedup plan must read that materialized RDD on both
+    // pair-join sides — a plan that still contains the centroid
+    // nested-loop would be recomputing the assignment per branch.
+    assert(p.contains("Scan ExistingRDD"), s"assignment not checkpointed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"assignment recomputed inside the dedup plan:\n$p")
   }
 
   test("sequence_pack: corpus cumsum window is chunked (never one task per source); bases broadcast") {
@@ -193,6 +195,56 @@ class PlanSpec extends SparkSpec {
     // The per-chunk base offsets are tiny — they must come back as a
     // broadcast, never a shuffle of the corpus on (source, chunk).
     assert(p.contains("BroadcastHashJoin"), s"chunk bases not broadcast:\n$p")
+  }
+
+  test("tfidf_top_terms and cluster_topics route per-key top-k through TopKPerKeyExec") {
+    // Both pay a per-key top-k over doc×term / cluster×term rows — the
+    // custom heap operator replaces the full partition sort the window
+    // plan needs (window_rank_native measures it ~2×).
+    val pt = plan(operators.TextAnalysis.tfidfTopTerms(spark, sfDir))
+    assert(pt.contains("TopKPerKey"), s"tfidf top-k not heap-planned:\n$pt")
+    val pc = plan(operators.Clustering.clusterTopics(spark, sfDir))
+    assert(pc.contains("TopKPerKey"), s"cluster_topics top-k not heap-planned:\n$pc")
+  }
+
+  test("importance_weights: hashed stats join broadcasts; no term-keyed shuffle anywhere") {
+    val df = operators.Sampling.importanceWeights(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The constant-B stats table must reach the tf rows as a broadcast;
+    // and no exchange may partition by the raw term — Zipf skew makes a
+    // term-keyed corpus shuffle a guaranteed mega-partition at scale.
+    assert(p.contains("BroadcastHashJoin"), s"DSIR stats not broadcast:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("term")),
+      s"corpus shuffled on raw term key:\n$p")
+  }
+
+  test("dimHint: SF-proportional dims still broadcast while they fit locally") {
+    // part fits comfortably under the default 10MB threshold at test SFs,
+    // so the size guard must leave the broadcast in place — the guard
+    // exists to drop it at 100 TB, not to pessimize local plans.
+    val p = plan(operators.Analytics.topicPopularity(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"guarded dim not broadcast:\n$p")
+  }
+
+  test("dimHint: past the threshold the join degrades to a shuffle join, never a forced broadcast") {
+    // Forcing the threshold to 0 simulates the 100 TB case where part is
+    // ~10⁹ rows: a hard broadcast() hint would still build the broadcast
+    // relation and OOM; the size guard must instead hand AQE a plain join.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+    try {
+      val df = operators.Analytics.topicPopularity(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"dim still force-broadcast past the threshold:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join fallback:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("bucketed_join: co-located tables join with zero exchanges before the final agg") {

@@ -69,6 +69,13 @@ class ShuffleBudgetSpec extends SparkSpec {
   // window) plus two exchanges over chunk-level AGGREGATED rows (the
   // per-chunk totals and their tiny per-source base window).
   check("sequence_pack", 3)(operators.Sampling.sequencePack(spark, sfDir))
+  // importance_weights: the DSIR stats live in a constant-size hashed
+  // bucket space and BROADCAST — the corpus is never shuffled on the
+  // Zipf-skewed raw term key (a token-instance join on "term" puts ~5%
+  // of 100 TB in one partition). Budget = the tiny per-bucket stats
+  // aggregate + its single-row totals twin + ONE corpus shuffle of
+  // per-(doc, bucket) tf rows + the per-doc rollup of those rows.
+  check("importance_weights", 4)(operators.Sampling.importanceWeights(spark, sfDir))
   // grouping_sets expands layers map-side into ONE partial aggregate.
   check("grouping_sets_agg", 1)(operators.Relational.groupingSetsAgg(spark, sfDir))
   // Per-row multimodal stages: scan-speed, ZERO shuffles at any SF.
