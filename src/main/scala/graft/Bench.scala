@@ -45,6 +45,11 @@ object Bench {
         .selectExpr("sum(id * 3 % 7)").count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Warm the probe itself: every prior round's cal0 ran 1.5-1.8× above
+    // cal1/cal2 purely from first-execution JIT of this exact plan,
+    // which made the calibration array read as contention on idle boxes.
+    // One discarded run makes the three PUBLISHED probes comparable.
+    calibrate()
 
     // A query that throws must not masquerade as a fast success: failures
     // are recorded as -1 in the queries map AND listed in "errors".
