@@ -61,6 +61,27 @@ object Tables {
     * Fixed-size dims keep their hard hints; this guard is only for the
     * dims whose row count rides the scale factor.
     */
+  /** Broadcast hint for DERIVED STATE frames — per-node rank vectors and
+    * keep-sets, per-chunk offset bases, candidate key sets: frames whose
+    * row count is bounded by a DIMENSION of the data (nodes, chunks,
+    * users), orders of magnitude under the corpus they join against.
+    * Broadcasting them is what keeps the corpus/edge side shuffle-free,
+    * and unlike [[dimHint]] the decision cannot ride the optimizer's
+    * size estimate: state frames often sit on checkpointed RDDs or deep
+    * aggregates where the estimate degenerates to "unknown/huge", which
+    * would silently drop every broadcast. So the hint is CONF-driven:
+    * default on, with `spark.graft.broadcastState=false` as the
+    * documented escape once the bound is approached. The bound, made
+    * explicit: a state row packs to ~32 B (key + one numeric +
+    * UnsafeRow overhead) ⇒ ~3.2 GB of executor build memory at 10⁸
+    * rows — the practical ceiling for default executors. The graphs and
+    * chunk tables here sit at 10³-10⁶ rows at any local SF.
+    */
+  def stateHint(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.broadcastState", "true").toBoolean)
+      broadcast(df)
+    else df
+
   def dimHint(df: DataFrame): DataFrame = {
     val raw = df.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim

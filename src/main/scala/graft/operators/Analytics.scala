@@ -204,8 +204,8 @@ object Analytics {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey").as(s"supp_$side"), col("n_name").as(s"inst_$side"))
     collabPairs(spark, dir)
-      .join(broadcast(instOf("a")), Seq("supp_a"))
-      .join(broadcast(instOf("b")), Seq("supp_b"))
+      .join(Tables.dimHint(instOf("a")), Seq("supp_a"))
+      .join(Tables.dimHint(instOf("b")), Seq("supp_b"))
       .groupBy(
         least(col("inst_a"), col("inst_b")).as("institution_a"),
         greatest(col("inst_a"), col("inst_b")).as("institution_b"))
@@ -252,25 +252,15 @@ object Analytics {
     * DuckDB oracle, which unrolls the same 10 iterations as CTEs with the
     * same fixed-point sums. Output is quantized to 8dp the same way.
     */
-  /** Broadcast hint for per-round GRAPH STATE (rank vectors, k-core
-    * keep-sets): state is one row per NODE while the edge list is one
-    * row per PAIR, so state ≪ edges and broadcasting it keeps every
-    * iteration edge-shuffle-free. The bound, explicitly: a state row
-    * packs to ~32 B (long key + one numeric + UnsafeRow overhead), so
-    * the broadcast build costs ~32 B × |nodes| on EVERY executor —
-    * ~320 MB at 10⁷ nodes, ~3.2 GB at 10⁸: the practical ceiling for a
-    * default-sized executor sits near 10⁸ nodes. The supplier/part
-    * graphs here are ~10³-10⁶ nodes at any SF, far inside it; a
-    * billion-node graph must flip to shuffle semi-joins instead — set
-    * `spark.graft.graph.broadcastState=false` and each round plans the
-    * identical join as a hash exchange of the state side while the
-    * edge side stays put on its [[graft.functions.Iterate.statePartitions]]
-    * layout.
+  /** Per-round GRAPH STATE (rank vectors, keep-sets, degree/frequency
+    * tables, hub sets) is one row per NODE while the edge list is one
+    * row per PAIR — broadcasting it keeps every iteration
+    * edge-shuffle-free. Bound and escape hatch: [[Tables.stateHint]]
+    * (~10⁸-node ceiling; `spark.graft.broadcastState=false` flips each
+    * round to a shuffle semi-join with the edge side staying on its
+    * [[graft.functions.Iterate.statePartitions]] layout).
     */
-  private def stateHint(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.get("spark.graft.graph.broadcastState", "true").toBoolean)
-      broadcast(df)
-    else df
+  private def stateHint(df: DataFrame): DataFrame = Tables.stateHint(df)
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val d = 0.85
@@ -386,7 +376,8 @@ object Analytics {
     * broadcast — the edge list is never shuffled just to be capped.
     */
   private[graft] def dropHubs(edges: DataFrame, cap: Int): DataFrame = {
-    val hubs = broadcast(
+    // hub set = node-sized graph state: stateHint bound applies.
+    val hubs = stateHint(
       edges.select(explode(array(col("lo"), col("hi"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") > cap)
@@ -495,9 +486,9 @@ object Analytics {
         col("l.v") === col("r.v") && col("l.u") < col("r.u"))
       .groupBy(col("l.u").as("node_a"), col("r.u").as("node_b"))
       .agg(count(lit(1)).as("common"))
-      .join(broadcast(deg.select(col("u").as("node_a"), col("deg").as("deg_a"))),
+      .join(stateHint(deg.select(col("u").as("node_a"), col("deg").as("deg_a"))),
         Seq("node_a"))
-      .join(broadcast(deg.select(col("u").as("node_b"), col("deg").as("deg_b"))),
+      .join(stateHint(deg.select(col("u").as("node_b"), col("deg").as("deg_b"))),
         Seq("node_b"))
       .select(col("node_a"), col("node_b"), col("common"),
         (col("common").cast("double")
@@ -544,9 +535,9 @@ object Analytics {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("freq"))
     pairs
-      .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("freq").as("freq_a"))),
+      .join(stateHint(freq.select(col("l_partkey").as("part_a"), col("freq").as("freq_a"))),
         Seq("part_a"))
-      .join(broadcast(freq.select(col("l_partkey").as("part_b"), col("freq").as("freq_b"))),
+      .join(stateHint(freq.select(col("l_partkey").as("part_b"), col("freq").as("freq_b"))),
         Seq("part_b"))
       .select(col("part_a"), col("part_b"), col("cofreq"),
         (col("cofreq").cast("double")

@@ -83,7 +83,9 @@ object Dwh {
 
   /** Star join rollup: fact ⋈ broadcast dims → revenue by region ×
     * mktsegment × order year — the reference's analytical DWH check.
-    * One fact shuffle (lineitem⋈orders), all dims broadcast.
+    * One fact shuffle (lineitem⋈orders); nation/region broadcast hard
+    * (fixed-size), customer under the [[Tables.dimHint]] size guard
+    * (SF-proportional).
     */
   def starJoin(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
@@ -92,7 +94,7 @@ object Dwh {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dimHint(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(
@@ -127,7 +129,7 @@ object Dwh {
     val meta = Tables.customer(spark, dir)
       .filter(col("c_acctbal") > 0)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-    o.join(broadcast(meta), col("o_custkey") === col("c_custkey"), "left")
+    o.join(Tables.dimHint(meta), col("o_custkey") === col("c_custkey"), "left")
       .select(
         col("o_orderkey"),
         col("o_custkey"),

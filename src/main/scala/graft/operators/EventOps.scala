@@ -591,7 +591,9 @@ object EventOps {
       .filter(est.cast("double") >= col("thr"))
       .select(col("user_id"))
     events
-      .join(broadcast(candidates), Seq("user_id"), "left_semi")
+      // candidate set = user-dimension state (all users above ~mean
+      // activity in the worst case): Tables.stateHint bound applies.
+      .join(graft.Tables.stateHint(candidates), Seq("user_id"), "left_semi")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .crossJoin(broadcast(thr))

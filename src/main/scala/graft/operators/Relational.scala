@@ -56,7 +56,7 @@ object Relational {
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dimHint(c), col("o_custkey") === col("c_custkey"))
       .groupBy(
         col("l_orderkey").as("order_key"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
@@ -91,8 +91,8 @@ object Relational {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c),
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(c),
         col("o_custkey") === col("c_custkey")
           && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -919,9 +919,9 @@ object Relational {
       .select(col("c_custkey"), col("r_name"))
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dimHint(custRegion), col("o_custkey") === col("c_custkey"))
       .filter(col("r_name") === "AMERICA")
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         Exact.dsum(when(col("supp_nation") === "BRAZIL", rev).otherwise(lit(0.0)))

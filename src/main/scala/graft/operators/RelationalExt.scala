@@ -42,8 +42,8 @@ object RelationalExt {
     val w = Window.partitionBy(col("p_partkey"))
       .orderBy(col("unit_cost").asc, col("s_suppkey").asc)
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
       .withColumn("unit_cost", col("l_extendedprice") / col("l_quantity"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -79,8 +79,8 @@ object RelationalExt {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
@@ -112,7 +112,7 @@ object RelationalExt {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val perPart = Tables.lineitem(spark, dir)
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("part_key"))
       .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("value_dec"))
@@ -147,8 +147,8 @@ object RelationalExt {
         && !col("p_type").like("PROMO%")
         && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
     Tables.lineitem(spark, dir)
-      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.dimHint(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -182,8 +182,8 @@ object RelationalExt {
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
         && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(promoKeys), col("l_partkey") === col("p_partkey"), "left_outer")
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(promoKeys), col("l_partkey") === col("p_partkey"), "left_outer")
       .withColumn("is_promo", col("p_partkey").isNotNull)
       .groupBy(col("s_suppkey").as("supp_key"), col("s_name"))
       .agg(

@@ -276,7 +276,9 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
       .withColumn("local_off", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-      .join(broadcast(bases), Seq("source", "chunk"))
+      // bases = chunk-level state (corpus/ChunkDocs rows): broadcast
+      // under the Tables.stateHint bound, never by size estimate.
+      .join(Tables.stateHint(bases), Seq("source", "chunk"))
       // "offset" is a reserved word in DuckDB — stream_offset keeps the
       // schema oracle-portable.
       .withColumn("stream_offset", col("base") + col("local_off"))

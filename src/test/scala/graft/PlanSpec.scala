@@ -247,6 +247,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("stateHint: the shuffle fallback is live and result-identical") {
+    // spark.graft.broadcastState=false is the documented escape for
+    // graphs past the ~10⁸-node broadcast bound: every round's
+    // keep-set/rank/degree join must plan WITHOUT the forced broadcast
+    // and still produce identical rows (AQE is then free to pick the
+    // strategy from runtime sizes).
+    val on = operators.Analytics.kcore(spark, sfDir)
+    spark.conf.set("spark.graft.broadcastState", "false")
+    try {
+      val off = operators.Analytics.kcore(spark, sfDir)
+      assert(off.exceptAll(on).isEmpty && on.exceptAll(off).isEmpty,
+        "state-broadcast fallback changed the k-core result")
+    } finally spark.conf.set("spark.graft.broadcastState", "true")
+  }
+
   test("bucketed_join: co-located tables join with zero exchanges before the final agg") {
     // Disable broadcast so the join can't dodge the question — the point
     // is that BUCKETING removes the shuffle, which is what survives when
