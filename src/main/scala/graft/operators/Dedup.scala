@@ -467,6 +467,66 @@ object Dedup {
     GROUP BY 1
     HAVING COUNT(*) >= 3"""
 
+  /** Contamination AUDIT — the report every eval-integrity review wants
+    * alongside the [[decontaminate]] filter: per BENCHMARK document, how
+    * exposed is it in the training corpus? Emits, for every benchmark
+    * doc (zero-hit docs included — "this eval item is clean" is the
+    * point of the report): `n_candidates` corpus docs sharing ≥1
+    * 3-shingle, `n_contaminated` sharing ≥3 (the decontaminate
+    * threshold), and `max_shared` with any single corpus doc.
+    *
+    * Scale: same shape as [[decontaminate]] transposed — the benchmark
+    * shingle set is tiny and broadcasts; the corpus explodes its
+    * shingles once and map-side joins. The per-(bench, corpus-doc)
+    * aggregation is bounded by actually-overlapping pairs (the join
+    * output), never |bench|×|corpus|; the final rollup is |bench|-sized.
+    */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+      .persist()
+    val bench = docs.filter(col("doc_id") < 5)
+    val benchSh = bench
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
+    val pairs = docs.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+    val perBench = pairs.groupBy(col("bench_id"))
+      .agg(
+        count(lit(1)).as("hits"),
+        count(when(col("shared") >= 3, 1)).as("contaminated"),
+        max(col("shared")).as("mx"))
+    bench.select(col("doc_id").as("bench_id"))
+      .join(perBench, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("hits"), lit(0L)).as("n_candidates"),
+        coalesce(col("contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("mx"), lit(0L)).as("max_shared"))
+  }
+
+  val contaminationReportOracle: String = s"""
+    WITH s AS ($sqlShingled),
+    bsh AS (SELECT doc_id AS bench_id, UNNEST(sh) AS shingle
+            FROM s WHERE doc_id < 5),
+    csh AS (SELECT doc_id, UNNEST(sh) AS shingle FROM s WHERE doc_id >= 5),
+    pairs AS (
+      SELECT bench_id, doc_id, COUNT(*) AS shared
+      FROM csh JOIN bsh USING (shingle)
+      GROUP BY 1, 2),
+    per_bench AS (
+      SELECT bench_id, COUNT(*) AS hits,
+        COUNT(*) FILTER (WHERE shared >= 3) AS contaminated,
+        MAX(shared) AS mx
+      FROM pairs GROUP BY 1)
+    SELECT b.doc_id AS bench_id,
+      COALESCE(hits, 0) AS n_candidates,
+      COALESCE(contaminated, 0) AS n_contaminated,
+      COALESCE(mx, 0) AS max_shared
+    FROM (SELECT doc_id FROM s WHERE doc_id < 5) b
+    LEFT JOIN per_bench ON b.doc_id = per_bench.bench_id"""
+
   /** Bloom-filter decontamination — the 100 TB path, in two stages:
     *
     *  1. PROBE (the pass that touches the whole corpus): the benchmark
@@ -649,6 +709,8 @@ object Dedup {
   def defs: Map[String, QueryDef] = Map(
     "cross_source_overlap" -> QueryDef.sql(crossSourceOverlap, crossSourceOverlapOracle),
     "decontaminate" -> QueryDef.sql(decontaminate, decontaminateOracle),
+    "contamination_report" ->
+      QueryDef.sql(contaminationReport, contaminationReportOracle),
     // Hash-checked against the exact oracle: the bloom pass only
     // prefilters (false positives trimmed by the exact recheck), so the
     // final rows are deterministic and identical to `decontaminate`'s.

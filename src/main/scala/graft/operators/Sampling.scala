@@ -124,6 +124,60 @@ object Sampling {
       CAST((rk - 1) * n.n_src + src.src_idx AS BIGINT) AS position
     FROM ranked JOIN src ON ranked.source = src.source CROSS JOIN n"""
 
+  /** Temperature-scaled language mixing (the mT5/multilingual-corpus
+    * recipe, Xue et al. 2021 §3.1): resample so each stratum's share of
+    * the surviving corpus follows p_s ∝ n_s^α with α = 1/2, boosting
+    * low-resource languages against the dominant one. With no
+    * upsampling (a batch engine cannot mint rows), the exact
+    * without-replacement form is: the SMALLEST stratum keeps everything
+    * and stratum s keeps rate √(n_min/n_s) — the surviving counts are
+    * then √(n_min)·√(n_s) ∝ n_s^α, the temperature distribution
+    * exactly. Strata here are `lang` (the only skewed stratum in the
+    * corpus — `source` is uniform, and uniform strata make temperature
+    * a no-op by construction).
+    *
+    * FP discipline: α = 1/2 specifically because IEEE-754 `sqrt` is
+    * correctly rounded in BOTH engines (JVM Math.sqrt and DuckDB's
+    * libm) — unlike `pow`/`log`, which already cost this repo a 1-ulp
+    * oracle drift. The keep test multiplies each side once —
+    * `h·√n_s < 2²⁴·√n_min` — same operand order both engines, so every
+    * intermediate is the identical double and the decision is
+    * bit-reproducible at any scale.
+    *
+    * Scale: ONE corpus scan — the per-lang count (map-side combined, a
+    * handful of rows) is eagerly checkpointed so the min folds over the
+    * checkpointed rows instead of re-planning the aggregate (exchange
+    * reuse does not fire across chained aggregates — without the
+    * checkpoint the min branch re-scans the corpus). Both tiny frames
+    * broadcast back onto a scan-speed filter; the corpus never shuffles
+    * ([[mixRebalance]]'s shape, minus its second corpus fold).
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = graft.functions.Iterate.checkpoint(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))
+    val mn = counts.agg(min(col("n_lang")).as("n_min"))
+    docs.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(mn))
+      .filter(
+        graft.functions.TextOps.hash24(
+            concat(lit("temp|"), col("doc_id").cast("string"))).cast("double")
+          * sqrt(col("n_lang").cast("double"))
+          < lit(16777216.0) * sqrt(col("n_min").cast("double")))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("n_min"))
+  }
+
+  val sampleTemperatureOracle: String = """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n_lang) AS n_min FROM counts)
+    SELECT doc_id, d.lang, n_lang, n_min
+    FROM documents d JOIN counts USING (lang) CROSS JOIN mn
+    WHERE CAST(CAST('0x' || SUBSTR(MD5('temp|' || CAST(doc_id AS VARCHAR)), 1, 6)
+          AS BIGINT) AS DOUBLE)
+        * SQRT(CAST(n_lang AS DOUBLE))
+      < 16777216.0 * SQRT(CAST(n_min AS DOUBLE))"""
+
   /** Target corpus mixture, as percent of the TOTAL corpus each source
     * should contribute after rebalancing (unlisted sources share
     * [[mixDefaultPct]]). src0/src1 are deliberately over-allocated and
@@ -483,6 +537,7 @@ object Sampling {
     "sequence_pack" -> QueryDef.sql(sequencePack, sequencePackOracle),
     "sample_weighted" -> QueryDef.sql(sampleWeighted, sampleWeightedOracle),
     "mix_rebalance" -> QueryDef.sql(mixRebalance, mixRebalanceOracle),
+    "sample_temperature" -> QueryDef.sql(sampleTemperature, sampleTemperatureOracle),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
     "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle),
     "dataset_interleave" -> QueryDef.sql(datasetInterleave, datasetInterleaveOracle)

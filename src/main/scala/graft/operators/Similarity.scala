@@ -216,6 +216,65 @@ object Similarity {
       JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
     WHERE rank <= 3"""
 
+  /** Multi-probe LSH ANN (Lv et al. 2007): the recall/cost knob between
+    * [[annLsh]] (one bucket, cheapest) and [[annTopk]] (all buckets,
+    * exact). Each query probes its OWN bucket plus every bucket at
+    * Hamming distance 1 in sign-bit space — the [[NPlanes]] single-bit
+    * flips — because a true near neighbor that landed elsewhere most
+    * likely disagrees on exactly one near-zero hyperplane dot. 7 probes
+    * recover most of the recall a second independent hash table would,
+    * WITHOUT a second index build or another corpus-wide pass; exact
+    * cosine then re-ranks the union to top-5. This two-stage
+    * candidates→refine shape is the standard production retrieval plan.
+    *
+    * Scale: probe fan-out multiplies only the (tiny, broadcast) query
+    * side — the corpus is bucketed once and never shuffled; per-query
+    * candidate volume is ~(NPlanes+1)/2^NPlanes of the corpus. Each
+    * candidate pairs with a query through at most ONE probe (a vector
+    * has one bucket; a query's probe buckets are distinct), so the join
+    * needs no dedup.
+    */
+  def annRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketOf(col("embedding")))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(
+          col("bucket") +: (0 until NPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probes).join(cand, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  lazy val annRefineOracle: String = {
+    val probeList = ("bucket" +: (0 until NPlanes).map(p =>
+      s"xor(bucket, ${1L << p})")).mkString(", ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${sqlBucketOf("embedding")} AS bucket
+      FROM embeddings),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+        UNNEST([$probeList]) AS bucket
+      FROM e WHERE vec_id < 10)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+        ${VectorOps.sqlCosine("p.qe", "c.embedding")} AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY p.query_id
+          ORDER BY ${VectorOps.sqlCosine("p.qe", "c.embedding")} DESC,
+            c.vec_id ASC) AS rank
+      FROM probes p JOIN e c ON p.bucket = c.bucket AND p.query_id <> c.vec_id)
+    WHERE rank <= 5"""
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer
     * (every 50th vector serves as a centroid — at scale: k-means fitted
     * offline and broadcast), vectors assigned to their nearest centroid
@@ -324,6 +383,7 @@ object Similarity {
     "dedup_embedding" -> QueryDef.sql(dedupEmbedding, dedupEmbeddingOracle),
     "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),
     "ann_lsh" -> QueryDef.sql(annLsh, annLshOracle),
+    "ann_refine" -> QueryDef.sql(annRefine, annRefineOracle),
     "ann_ivf" -> QueryDef.sql(annIvf, annIvfOracle)
   )
 }

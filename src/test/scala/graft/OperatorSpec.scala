@@ -223,6 +223,64 @@ class OperatorSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("sample_temperature: smallest lang keeps all; dominant lang downsampled; mix flattens") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = operators.Sampling.sampleTemperature(spark, sfDir).persist()
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    val raw = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = kept.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = raw.minBy(_._2)._1
+    val maxLang = raw.maxBy(_._2)._1
+    // √(n_min/n_s) = 1 for the smallest stratum — it survives intact.
+    assert(after(minLang) == raw(minLang),
+      s"smallest lang $minLang lost rows: ${raw(minLang)} -> ${after(minLang)}")
+    assert(after(maxLang) < raw(maxLang),
+      s"dominant lang $maxLang was not downsampled")
+    // The whole point of temperature: the surviving mix is flatter than
+    // the raw one (max/min count ratio strictly shrinks).
+    val rawRatio = raw(maxLang).toDouble / raw(minLang)
+    val afterRatio = after(maxLang).toDouble / after(minLang)
+    assert(afterRatio < rawRatio,
+      s"mix did not flatten: $rawRatio -> $afterRatio")
+    kept.unpersist()
+  }
+
+  test("contamination_report: one row per benchmark doc; threshold and count invariants hold") {
+    val out = operators.Dedup.contaminationReport(spark, sfDir).persist()
+    val rows = out.collect()
+    assert(rows.length == 5, s"expected 5 benchmark rows, got ${rows.length}")
+    rows.foreach { r =>
+      val (cand, cont, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cont <= cand, s"bench ${r.getLong(0)}: contaminated $cont > candidates $cand")
+      // contaminated > 0 ⇔ some pair shares ≥ 3 shingles ⇔ max_shared ≥ 3
+      assert((cont > 0) == (mx >= 3), s"bench ${r.getLong(0)}: cont=$cont but max=$mx")
+      assert((cand > 0) == (mx >= 1), s"bench ${r.getLong(0)}: cand=$cand but max=$mx")
+    }
+    out.unpersist()
+  }
+
+  test("ann_refine: ranks well-formed; multi-probe never worse than single-bucket at rank 1") {
+    val refine = operators.Similarity.annRefine(spark, sfDir).persist()
+    val lsh = operators.Similarity.annLsh(spark, sfDir)
+    // per query: contiguous ranks starting at 1, at most 5
+    val badRanks = refine.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n") || col("n") > 5)
+    assert(badRanks.count() == 0, "rank sequence broken")
+    // The probe union is a superset of the query's own bucket, so the
+    // best refined candidate is at least as close as the best
+    // single-bucket candidate, for every query.
+    val worse = refine.filter(col("rank") === 1)
+      .select(col("query_id"), col("cosine").as("refine_cos"))
+      .join(lsh.filter(col("rank") === 1)
+        .select(col("query_id"), col("cosine").as("lsh_cos")), Seq("query_id"))
+      .filter(col("refine_cos") < col("lsh_cos"))
+    assert(worse.count() == 0, "multi-probe rank-1 fell below single-bucket rank-1")
+    refine.unpersist()
+  }
+
   test("semdedup: one verdict per vector; cluster minima survive; both classes present") {
     val e = Tables.embeddings(spark, sfDir)
     val out = operators.Clustering.semdedup(spark, sfDir).persist()

@@ -56,6 +56,20 @@ class ShuffleBudgetSpec extends SparkSpec {
   // aggregate and its single-row total twin broadcast back onto a
   // scan-speed filter. Budget = exactly those two small aggregates.
   check("mix_rebalance", 2)(operators.Sampling.mixRebalance(spark, sfDir))
+  // sample_temperature: the corpus is scanned ONCE — the per-lang count
+  // (and its exchange) lives in the eager checkpoint job; the plan here
+  // is the one-row min over the checkpointed counts plus the scan-speed
+  // filter. The corpus never shuffles.
+  check("sample_temperature", 2)(operators.Sampling.sampleTemperature(spark, sfDir))
+  // contamination_report: the bench shingle side broadcasts, so the
+  // corpus-wide join is map-side; budget = the per-(bench, corpus-doc)
+  // pair aggregate + the per-bench rollup + the final |bench|-sized
+  // report join (a real shuffle join at 100 TB bench sizes — not pinned
+  // to the AQE broadcast that elides it at test scale).
+  check("contamination_report", 4)(operators.Dedup.contaminationReport(spark, sfDir))
+  // ann_refine: probe fan-out rides the broadcast query side; the only
+  // exchange is the per-query top-k window partitioning.
+  check("ann_refine", 1)(operators.Similarity.annRefine(spark, sfDir))
   // dedup_lines: the two-phase distinct-doc-freq aggregate (2 exchanges)
   // + the per-doc reassembly aggregate + the boiler join-back. AQE
   // auto-broadcasts the boiler side at test scale (3 exchanges), but the
