@@ -55,8 +55,8 @@ object Bench {
     // are recorded as -1 in the queries map AND listed in "errors".
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query);
     // the bench-only streaming entries are addressable there too.
-    val extraNames = Set("stream_bench_window_agg", "stream_bench_funnel",
-      "curation_pipeline_e2e")
+    val extraNames = Set("stream_bench_window_agg", "stream_bench_dedup",
+      "stream_bench_funnel", "curation_pipeline_e2e")
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -119,6 +119,11 @@ object Bench {
             streaming.EventStreams.eventsStream(spark, sfDir))
           .writeStream.format("memory").queryName(uniq)
           .outputMode("complete").start(), uniq)),
+      ("stream_bench_dedup", (uniq: String) => drain(
+        streaming.EventStreams.dedupedStream(
+            streaming.EventStreams.eventsStream(spark, sfDir))
+          .writeStream.format("memory").queryName(uniq)
+          .outputMode("append").start(), uniq)),
       ("stream_bench_funnel", { (uniq: String) =>
         import spark.implicits._
         drain(streaming.EventStreams.funnelStream(

@@ -71,7 +71,12 @@ object Clustering {
   private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)
-    e.crossJoin(broadcast(cents))
+    // The centroid table is k-dimension state (k = corpus/100 here), but
+    // its rows carry a dim-wide vector (~8·dim B, not 32 B) — the
+    // stateHint ceiling lands nearer 10⁶-10⁷ centroids on default
+    // executors; past that, spark.graft.broadcastState=false flips the
+    // assignment to a shuffle join.
+    e.crossJoin(graft.Tables.stateHint(cents))
       .withColumn("d2", d2(col("embedding"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -234,14 +234,25 @@ object Similarity {
     * has one bucket; a query's probe buckets are distinct), so the join
     * needs no dedup.
     */
+  /** The multi-probe bucket array for a query whose own bucket is
+    * `bucket`: itself plus every Hamming-1 sign-flip. Shared with the
+    * on-disk index probe ([[graft.sources.AnnIndex]]).
+    */
+  private[graft] def probeBucketsOf(bucket: Column): Column =
+    array(bucket +: (0 until NPlanes).map(p =>
+      bucket.bitwiseXOR(lit(1L << p))): _*)
+
+  /** Bucket assignment for an embedding column — exposed for the
+    * on-disk index build ([[graft.sources.AnnIndex]]).
+    */
+  private[graft] def bucketColumn(v: Column): Column = bucketOf(v)
+
   def annRefine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketOf(col("embedding")))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(array(
-          col("bucket") +: (0 until NPlanes).map(p =>
-            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+        explode(probeBucketsOf(col("bucket"))).as("bucket"))
     val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
       col("bucket"))
     val w = Window.partitionBy(col("query_id"))
@@ -289,7 +300,11 @@ object Similarity {
     def nearestCentroids(vecs: DataFrame, idCol: String, vecCol: String, n: Int) = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cent_cos").desc, col("cent_id").asc)
-      vecs.crossJoin(broadcast(cents))
+      // Quantizer table = centroid-dimension state (corpus/50 rows here;
+      // k-means-sized offline at scale). Vector rows are ~8·dim B, so the
+      // stateHint ceiling is ~10⁶-10⁷ centroids; the conf flips to a
+      // shuffle join past it.
+      vecs.crossJoin(Tables.stateHint(cents))
         .withColumn("cent_cos", VectorOps.cosine(col(vecCol), col("ce")))
         .withColumn("cent_rank", row_number().over(w))
         .filter(col("cent_rank") <= n)

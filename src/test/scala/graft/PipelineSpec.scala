@@ -135,6 +135,42 @@ class PipelineSpec extends SparkSpec {
       "disk-probed index diverged from recompute")
   }
 
+  test("materialized ANN index: disk probe equals ann_refine and prunes partitions") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_annidx").toString
+    val e = Tables.embeddings(spark, sfDir)
+    sources.AnnIndex.materialize(e, s"$out/ann_index")
+    val queries = e.filter(col("vec_id") < 10)
+    val fromDisk = sources.AnnIndex.probe(spark, s"$out/ann_index", queries, 5)
+    // ann_refine IS the probe-from-recompute path: same multi-probe set,
+    // same re-rank, same k — the on-disk index must agree exactly.
+    val recompute = operators.Similarity.annRefine(spark, sfDir)
+    assert(fromDisk.exceptAll(recompute).isEmpty
+      && recompute.exceptAll(fromDisk).isEmpty,
+      "disk-probed ANN index diverged from ann_refine")
+    // The scan must read ONLY probed bucket partitions — partition
+    // pruning is the point of the bucket-partitioned layout. Walk the
+    // executed plan (through AQE query stages — the plan STRING
+    // truncates before the leaves) and inspect the index scan's
+    // partitionFilters directly.
+    fromDisk.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val indexScan = scans(fromDisk.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ann_index")))
+    assert(indexScan.nonEmpty, "no FileSourceScan over the index found")
+    assert(indexScan.forall(s => s.partitionFilters.exists(
+        _.references.exists(_.name == "bucket"))),
+      s"index scan carries no bucket partition filter: " +
+        indexScan.map(_.partitionFilters).mkString("; "))
+  }
+
   test("materialized CMS sketch: heavy-hitter probe from disk equals probe-from-recompute") {
     val out = Files.createTempDirectory("graft_cms").toString
     val cms = operators.EventOps.eventUserCms(spark, sfDir)
