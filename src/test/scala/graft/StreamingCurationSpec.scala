@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.StreamingCuration
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental (streaming) curation: micro-batches dedup against the
+  * STANDING corpus + materialized band index, survivors append, and
+  * replayed batches are absorbed by the content-hash check.
+  */
+case class StreamDoc(doc_id: Long, text: String, lang: String,
+    source: String, n_chars: Long)
+
+class StreamingCurationSpec extends SparkSpec {
+
+  private def docRows() = {
+    val docs = Tables.documents(spark, sfDir)
+    val passing = docs.join(
+      operators.TextAnalysis.gopherRulesDf(docs)
+        .filter(col("pass")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    passing.orderBy(col("doc_id")).limit(40).collect().map(r =>
+      StreamDoc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars")))
+  }
+
+  test("streaming curation: standing-corpus dedup, index probe, replay absorption") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_streamcur").toString
+    val corpusPath = s"$out/corpus"
+    val indexPath = s"$out/index"
+    val rows = docRows()
+    val batch1 = rows.take(30)
+    val rest = rows.drop(30)
+
+    val n1 = StreamingCuration.ingestBatch(spark, batch1.toSeq.toDF(),
+      corpusPath, indexPath)
+    assert(n1 > 0, "first batch must land survivors")
+    val corpus1 = spark.read.parquet(corpusPath)
+    assert(corpus1.count() == n1)
+    // index covers exactly the corpus
+    assert(spark.read.parquet(indexPath).select("doc_id").distinct().count()
+      == corpus1.select("doc_id").distinct().count())
+
+    // Pick a genuinely-new doc: from the held-out rows, one that is
+    // neither an exact copy nor a MinHash near-dup of anything already
+    // ingested (natural near-dups exist in the synthetic corpus — the
+    // spec must not trip over one).
+    val all40 = rows.toSeq.toDF()
+    val pairedIds = operators.Dedup.minhashPairsDf(all40)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val corpusTexts = corpus1.select("text").collect().map(_.getString(0)).toSet
+    val fresh = rest.find(d => !pairedIds.contains(d.doc_id)
+      && !corpusTexts.contains(d.text)).get
+
+    val survivor = corpus1.orderBy(col("doc_id")).collect()
+    // batch 2: an exact dup of a survivor (new id, same text), a near
+    // dup (survivor text + a short tail — shingle overlap stays far
+    // above the 0.5 verify threshold), and the genuinely-new doc.
+    val nearBase = survivor(1)
+    val batch2 = Seq(
+      StreamDoc(90001L, survivor(0).getAs[String]("text"), "en", "srcX", 0L),
+      StreamDoc(90002L, nearBase.getAs[String]("text") + " tail tweak words",
+        "en", "srcX", 0L),
+      fresh)
+    val n2 = StreamingCuration.ingestBatch(spark, batch2.toDF(),
+      corpusPath, indexPath)
+    val corpus2 = spark.read.parquet(corpusPath)
+    assert(n2 == 1, s"only the fresh doc should survive batch 2, got $n2")
+    val ids = corpus2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(fresh.doc_id) && !ids.contains(90001L)
+      && !ids.contains(90002L),
+      "exact/near dup leaked into the corpus or the fresh doc was dropped")
+
+    // Replay: the same batch re-ingested is absorbed entirely (every
+    // doc either already appended or already rejected against the same
+    // standing state) — content-level idempotence without a MERGE sink.
+    val n3 = StreamingCuration.ingestBatch(spark, batch2.toDF(),
+      corpusPath, indexPath)
+    assert(n3 == 0, s"replayed batch appended $n3 docs")
+    assert(spark.read.parquet(corpusPath).count() == corpus2.count())
+  }
+
+  test("streaming curation: the foreachBatch wiring drives batches end to end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_streamcur_q").toString
+    val rows = docRows()
+    val input = MemoryStream[StreamDoc]
+    input.addData(rows.take(10).toSeq: _*)
+    val q = StreamingCuration.start(spark, input.toDF(),
+      s"$out/corpus", s"$out/index")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$out/corpus").count() > 0)
+    assert(spark.read.parquet(s"$out/index").count() > 0)
+  }
+}
