@@ -9,31 +9,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
 /** Incremental corpus ingestion — the streaming twin of
   * [[graft.pipeline.CurationPipeline]]'s batch front half: documents
   * arrive continuously, each micro-batch is quality-gated and deduped
-  * against the STANDING corpus, and the survivors append to both the
-  * corpus table and the materialized LSH band index, so the index is
-  * current for the very next batch. This is the rolling-ingestion shape
-  * a 100 TB training-data lake actually runs: the full corpus is never
-  * re-read — each batch pays |batch| work against broadcast-size batch
-  * frames plus an index probe that touches only colliding band keys.
+  * against the STANDING corpus, and the survivors append to the corpus
+  * table, the LSH band index, and a narrow content-hash table — so all
+  * three are current for the very next batch. This is the rolling shape
+  * a 100 TB training-data lake actually runs, and per-batch cost NEVER
+  * scales with the corpus:
+  *
+  *   - exact dedup probes the content-HASH table (one 32-char column —
+  *     not a re-hash of the corpus text);
+  *   - near dedup first narrows to candidate indexed docs via the band
+  *     index (collisions only), then reads the corpus doc_id-PRUNED to
+  *     those candidates for the shingle verify;
+  *   - the corpus text itself is read only for verify candidates.
   *
   * Stages per micro-batch (all decisions deterministic):
   *   1. within-batch exact dedup (min-id per content hash);
   *   2. quality gate (gopher rules — same predicate as the batch
   *      pipeline's stage 1);
-  *   3. exact dedup vs the corpus: drop docs whose content hash already
-  *      landed (hashes join the batch side broadcast);
+  *   3. exact dedup vs the corpus: anti-join on the content-hash table;
   *   4. near dedup: within-batch MinHash pair losers drop first, then
   *      survivors probe the on-disk band index
-  *      ([[CurationPipeline.probeLshIndex]]);
-  *   5. append survivors to the corpus table and their band keys to the
-  *      index.
+  *      ([[CurationPipeline.probeLshIndex]] over the candidate-pruned
+  *      corpus slice);
+  *   5. append survivors' rows, band keys, and content hashes.
   *
   * Replay safety: foreachBatch is at-least-once — a replayed batch
   * re-enters stage 3, where every previously-appended doc now
-  * content-hash-matches the corpus and drops out, so replays are
-  * absorbed at the CONTENT level without a transactional sink (same
-  * discipline as the MERGE writers, achieved by the dedup semantics
-  * themselves).
+  * hash-matches and drops out, so full-batch replays are absorbed at
+  * the CONTENT level (spec-proven). The residue is the crash window
+  * BETWEEN the three appends (corpus landed, hashes not): that batch
+  * would re-append on replay. Production closes it by running the
+  * appends as one transaction on an ACID table format; the engine-side
+  * semantics here are the same either way.
   */
 object StreamingCuration {
 
@@ -41,6 +48,11 @@ object StreamingCuration {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** The narrow exact-dedup probe table that rides along with the
+    * corpus: one `content_hash` column, appended batch-by-batch.
+    */
+  private def hashesPath(corpusPath: String): String = corpusPath + "_hashes"
 
   /** Curate ONE batch of documents against the standing corpus + index
     * at `corpusPath` / `indexPath` (created on first use). Returns the
@@ -59,52 +71,74 @@ object StreamingCuration {
       .filter(col("pass")).select(col("doc_id"))
     val quality = exact.join(passing, Seq("doc_id"), "left_semi")
 
-    val standing = exists(spark, corpusPath)
+    // Each probe table gates independently: after a crash inside the
+    // step-5 append sequence a later table may be missing while an
+    // earlier one landed — a missing table simply skips its check (the
+    // at-least-once residue documented above), it never fails the batch.
+    val hasHashes = exists(spark, hashesPath(corpusPath))
+    val hasIndex = exists(spark, indexPath) && exists(spark, corpusPath)
 
-    // 3. exact dedup vs the standing corpus. The corpus side reduces to
-    // distinct hashes; the join keys on the hash, so a replayed batch's
-    // docs all match and drop — content-level idempotence.
+    // 3. exact dedup vs the standing corpus — against the HASH table,
+    // never a re-hash of the corpus text. A replayed batch's docs all
+    // match here and drop: content-level idempotence.
     val fresh =
-      if (!standing) quality
-      else {
-        val corpusHashes = spark.read.parquet(corpusPath)
-          .select(md5(col("text")).as("content_hash")).distinct()
+      if (!hasHashes) quality
+      else
         quality.withColumn("content_hash", md5(col("text")))
-          .join(corpusHashes, Seq("content_hash"), "left_anti")
+          .join(spark.read.parquet(hashesPath(corpusPath)),
+            Seq("content_hash"), "left_anti")
           .drop("content_hash")
-      }
 
     // 4. near dedup: within-batch pair losers first (lower id
     // dominates, the batch pipeline's stage-3 rule), then the standing
-    // index probe — only band-key collisions are ever verified.
+    // index probe. The verify step needs candidate INDEXED docs' text;
+    // candidates come from band-key collisions only, their ids are
+    // collected driver-side (batch-bounded — the same bound as
+    // dedup_incremental's broadcast batch), and the corpus read is
+    // doc_id-pruned to them, so corpus IO tracks the collision count,
+    // not the corpus.
     val batchLosers = Dedup.minhashPairsDf(fresh)
       .select(col("doc_b").as("doc_id")).distinct()
     val batchClean = fresh.join(batchLosers, Seq("doc_id"), "left_anti")
+      .persist()
     val survivors =
-      if (!standing) batchClean
+      if (!hasIndex) batchClean
       else {
-        val corpus = spark.read.parquet(corpusPath)
-        val nearDups = CurationPipeline
-          .probeLshIndex(spark, indexPath, corpus, batchClean)
-          .select(col("new_doc").as("doc_id")).distinct()
-        batchClean.join(nearDups, Seq("doc_id"), "left_anti")
+        val batchKeys = Dedup.lshBandsDf(batchClean)
+          .select(col("band_key")).distinct()
+        val candIds = spark.read.parquet(indexPath)
+          .join(broadcast(batchKeys), Seq("band_key"))
+          .select(col("doc_id")).distinct()
+          .collect().map(_.getLong(0))
+        if (candIds.isEmpty) batchClean
+        else {
+          val candDocs = spark.read.parquet(corpusPath)
+            .filter(col("doc_id").isin(candIds.toSeq: _*))
+          val nearDups = CurationPipeline
+            .probeLshIndex(spark, indexPath, candDocs, batchClean)
+            .select(col("new_doc").as("doc_id")).distinct()
+          batchClean.join(nearDups, Seq("doc_id"), "left_anti")
+        }
       }
 
-    // 5. append survivors + their band keys; the index is current for
-    // the next micro-batch.
+    // 5. append survivors' rows, band keys, and content hashes; all
+    // three side tables are current for the next micro-batch.
     val out = survivors.persist()
     val n = out.count()
     if (n > 0) {
       out.write.mode("append").parquet(corpusPath)
       Dedup.lshBandsDf(out).write.mode("append").parquet(indexPath)
+      out.select(md5(col("text")).as("content_hash"))
+        .write.mode("append").parquet(hashesPath(corpusPath))
     }
     out.unpersist()
+    batchClean.unpersist()
     n
   }
 
   /** Wire [[ingestBatch]] behind a streaming documents source: each
-    * micro-batch curates and appends transactionally-enough (see replay
-    * note in the object doc).
+    * micro-batch curates and appends (see replay note in the object
+    * doc).
     */
   def start(spark: SparkSession, docs: DataFrame,
       corpusPath: String, indexPath: String): StreamingQuery =
