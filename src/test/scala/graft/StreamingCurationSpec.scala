@@ -84,6 +84,39 @@ class StreamingCurationSpec extends SparkSpec {
     assert(spark.read.parquet(corpusPath).count() == corpus2.count())
   }
 
+  test("streaming curation: a missing probe table degrades to the remaining checks, never a failed batch") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_streamcur_d").toString
+    val corpusPath = s"$out/corpus"
+    val indexPath = s"$out/index"
+    val rows = docRows()
+    StreamingCuration.ingestBatch(spark, rows.take(20).toSeq.toDF(),
+      corpusPath, indexPath)
+    val corpus1 = spark.read.parquet(corpusPath)
+    val survivorText = corpus1.orderBy(col("doc_id")).first().getAs[String]("text")
+
+    // Simulate the crash window: corpus + index landed, hashes did not.
+    def rm(p: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+    rm(java.nio.file.Paths.get(s"${out}/corpus_hashes"))
+
+    // An exact dup must STILL be rejected: it shares every band key with
+    // its original, so the index probe verifies it at jaccard 1.0 — the
+    // two probe tables back each other up for exact duplicates.
+    val n = StreamingCuration.ingestBatch(spark,
+      Seq(StreamDoc(91001L, survivorText, "en", "srcX", 0L)).toDF(),
+      corpusPath, indexPath)
+    assert(n == 0, s"exact dup slipped past the degraded-mode index probe ($n)")
+    assert(spark.read.parquet(corpusPath).filter(col("doc_id") === 91001L)
+      .isEmpty, "dup row landed in the corpus")
+  }
+
   test("streaming curation: the foreachBatch wiring drives batches end to end") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
