@@ -363,6 +363,66 @@ object Relational {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1"""
 
+  /** Join-key skew diagnosis — [[skewSaltedJoin]]'s planning twin: the
+    * profile a pipeline reads BEFORE deciding to salt. One row per
+    * profiled key column: key cardinality, row count, the hottest key
+    * and its count, its corpus share in ppm, and `skew_x` — how many
+    * times the hottest key exceeds the uniform per-key share
+    * (`max_count · n_keys / n_rows`; 1 = perfectly uniform). All
+    * decisions integer (DIV / `//` floor division — both operands
+    * positive, identical in both engines); products stay far inside
+    * bigint at any realistic cardinality (10⁹ keys × 10⁶ ppm).
+    *
+    * Scale: the per-key count frame is eagerly checkpointed — THREE
+    * consumers (stats fold, hottest-key top-1, nothing else touches the
+    * base table again) would otherwise each re-plan the groupBy and
+    * re-scan the corpus (exchange reuse does not fire across chained
+    * aggregates). The checkpointed frame is (key, count) — narrow, key-
+    * cardinality-sized. Top-1 plans as TakeOrderedAndProject (bounded
+    * heaps, no global sort); the stats fold is one exchange of partial
+    * aggregates.
+    */
+  def skewDiagnose(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, keyCol: String, label: String): DataFrame = {
+      val counts = graft.functions.Iterate.checkpoint(
+        df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c")))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_count"))
+      val top = counts.orderBy(col("c").desc, col("k").asc).limit(1)
+        .select(col("k").cast("string").as("top_key"))
+      top.crossJoin(broadcast(stats))
+        .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+          col("top_key"), col("max_count"),
+          expr("max_count * 1000000L div n_rows").as("max_share_ppm"),
+          expr("max_count * n_keys div n_rows").as("skew_x"))
+    }
+    profile(Tables.lineitem(spark, dir), "l_partkey", "lineitem.l_partkey")
+      .unionByName(
+        profile(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
+      .unionByName(
+        profile(Tables.events(spark, dir), "user_id", "events.user_id"))
+  }
+
+  val skewDiagnoseOracle: String = {
+    def profile(table: String, keyCol: String): String = s"""
+    SELECT '$table.$keyCol' AS key_col, n_keys, n_rows, top_key, max_count,
+      max_count * 1000000 // n_rows AS max_share_ppm,
+      max_count * n_keys // n_rows AS skew_x
+    FROM (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+        MAX(c) AS max_count
+      FROM (SELECT $keyCol AS k, COUNT(*) AS c FROM $table GROUP BY 1))
+    CROSS JOIN (
+      SELECT CAST(k AS VARCHAR) AS top_key
+      FROM (SELECT $keyCol AS k, COUNT(*) AS c FROM $table GROUP BY 1)
+      ORDER BY c DESC, k ASC LIMIT 1)"""
+    s"""${profile("lineitem", "l_partkey")}
+    UNION ALL ${profile("orders", "o_custkey")}
+    UNION ALL ${profile("events", "user_id")}"""
+  }
+
   /** TPC-H Q6-style: pure filter + aggregate, the scan-speed baseline —
     * every predicate pushes to the parquet scan.
     */
@@ -1105,6 +1165,7 @@ object Relational {
     "unpivot_melt" -> QueryDef.sql(unpivotMelt, unpivotMeltOracle),
     "percentiles" -> QueryDef.sql(percentiles, percentilesOracle),
     "approx_percentiles" -> QueryDef.sql(approxPercentiles, approxPercentilesOracle),
-    "skew_salted_join" -> QueryDef.sql(skewSaltedJoin, skewSaltedJoinOracle)
+    "skew_salted_join" -> QueryDef.sql(skewSaltedJoin, skewSaltedJoinOracle),
+    "skew_diagnose" -> QueryDef.sql(skewDiagnose, skewDiagnoseOracle)
   )
 }

@@ -223,6 +223,20 @@ class OperatorSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("skew_diagnose: three profiles with consistent integer stats") {
+    val out = operators.Relational.skewDiagnose(spark, sfDir).collect()
+    assert(out.length == 3, s"expected 3 profiles, got ${out.length}")
+    val l = Tables.lineitem(spark, sfDir).count()
+    val lRow = out.find(_.getString(0) == "lineitem.l_partkey").get
+    assert(lRow.getAs[Long]("n_rows") == l, "profile row count drifted from the table")
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_count") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("max_share_ppm") <= 1000000L)
+      // max ≥ mean per key ⇒ max·n_keys ≥ n_rows ⇒ the floor is ≥ 1.
+      assert(r.getAs[Long]("skew_x") >= 1L, s"skew_x < 1 in $r")
+    }
+  }
+
   test("sample_temperature: smallest lang keeps all; dominant lang downsampled; mix flattens") {
     val docs = Tables.documents(spark, sfDir)
     val kept = operators.Sampling.sampleTemperature(spark, sfDir).persist()

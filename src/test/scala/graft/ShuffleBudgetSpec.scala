@@ -70,6 +70,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // ann_refine: probe fan-out rides the broadcast query side; the only
   // exchange is the per-query top-k window partitioning.
   check("ann_refine", 1)(operators.Similarity.annRefine(spark, sfDir))
+  // skew_diagnose: per profiled key, the per-key counts checkpoint (the
+  // groupBy exchange lives in that job) and the final plan folds stats
+  // over the checkpointed frame (1 exchange each); top-1 is
+  // TakeOrdered, exchange-free. 3 profiles ⇒ 3.
+  check("skew_diagnose", 3)(operators.Relational.skewDiagnose(spark, sfDir))
   // dedup_lines: the two-phase distinct-doc-freq aggregate (2 exchanges)
   // + the per-doc reassembly aggregate + the boiler join-back. AQE
   // auto-broadcasts the boiler side at test scale (3 exchanges), but the
