@@ -56,7 +56,7 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query);
     // the bench-only streaming entries are addressable there too.
     val extraNames = Set("stream_bench_window_agg", "stream_bench_dedup",
-      "stream_bench_funnel", "curation_pipeline_e2e")
+      "stream_bench_funnel", "curation_pipeline_e2e", "stream_curation_e2e")
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -136,6 +136,22 @@ object Bench {
         val out = java.nio.file.Files.createTempDirectory("graft_bench_curation")
         try { pipeline.CurationPipeline.runAll(spark, sfDir, out.toString); () }
         finally rmTree(out)
+      }),
+      // Rolling ingestion: two micro-batches, the second probing the
+      // standing corpus/index/hash state the first one built.
+      ("stream_curation_e2e", { (_: String) =>
+        import org.apache.spark.sql.functions.col
+        val out = java.nio.file.Files.createTempDirectory("graft_bench_streamcur")
+        try {
+          val docs = Tables.documents(spark, sfDir)
+          streaming.StreamingCuration.ingestBatch(spark,
+            docs.filter(col("doc_id") % 2 === 0),
+            s"$out/corpus", s"$out/index")
+          streaming.StreamingCuration.ingestBatch(spark,
+            docs.filter(col("doc_id") % 2 === 1),
+            s"$out/corpus", s"$out/index")
+          ()
+        } finally rmTree(out)
       })).filter { case (name, _) => only.forall(_.contains(name)) }
     def extraSweep(): Seq[(String, Double, Option[String])] =
       extraEntries.map { case (n, r) => extraBench(n, r) }
