@@ -57,10 +57,10 @@ object Clustering {
   /** Fixed-point grid for centroid means: 1e-7 (embeddings are O(1)). */
   private val Fp = 1.0e7
 
-  private def d2(v: Column, c: Column): Column =
+  private[graft] def d2(v: Column, c: Column): Column =
     VectorOps.dot(v, v) - lit(2.0) * VectorOps.dot(v, c) + VectorOps.dot(c, c)
 
-  private def sqlD2(v: String, c: String): String =
+  private[graft] def sqlD2(v: String, c: String): String =
     s"${VectorOps.sqlDot(v, v)} - CAST(2 AS DOUBLE) * ${VectorOps.sqlDot(v, c)}" +
       s" + ${VectorOps.sqlDot(c, c)}"
 
@@ -125,7 +125,7 @@ object Clustering {
       .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
   }
 
-  private def assignSql(cent: String): String = s"""
+  private[graft] def assignSql(cent: String): String = s"""
       SELECT vec_id, embedding, cid, d2 FROM (
         SELECT e.vec_id, e.embedding, c.cid,
           ${sqlD2("e.embedding", "c.cv")} AS d2,
@@ -148,10 +148,14 @@ object Clustering {
         GROUP BY 1, 2)
       GROUP BY 1"""
 
+  /** Name of the final-centroid relation [[kmeansCtes]] ends at. */
+  private[graft] def kmeansFinalRel: String = s"cent${Iters - 1}"
+
   /** The unrolled Lloyd iteration as a WITH-clause body ending at
-    * `cent{Iters−1}` — shared by the kmeans and semdedup oracles.
+    * `cent{Iters−1}` — shared by the kmeans, semdedup, and
+    * ann_ivf_trained oracles.
     */
-  private def kmeansCtes: String = {
+  private[graft] def kmeansCtes: String = {
     val iterCtes = (1 until Iters).map { i =>
       s"""assign$i AS (${assignSql(s"cent${i - 1}")}),
     cent$i AS (${centSql(s"assign$i")})"""

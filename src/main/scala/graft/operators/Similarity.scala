@@ -353,6 +353,72 @@ object Similarity {
     WHERE rank <= 3"""
   }
 
+  /** IVF over the TRAINED quantizer — closes [[annIvf]]'s "at scale the
+    * codebook is k-means fitted offline" note with the repo's own Lloyd
+    * training ([[Clustering.finalCentroids]]: corpus-derived k,
+    * fixed-point float32 centroids). Inverted lists use the SAME
+    * nearest-centroid assignment as cluster_kmeans (L2 argmin, smaller-
+    * cid ties); queries probe their 2 nearest cells by the same metric;
+    * exact cosine re-ranks the probed lists to top-3. Hash-checked end
+    * to end: the oracle chains the unrolled Lloyd CTEs into the probe
+    * SQL, so training + assignment + probing all verify.
+    *
+    * Scale: training cost amortizes over every probe (the centroid
+    * table is the [[graft.Tables.stateHint]]-guarded k-row frame);
+    * per-probe cost is corpus/k · nprobe, and k GROWS with the corpus
+    * at fixed cell size, so probe cost stays ~constant per query as the
+    * index scales — the property modular sampling (ann_ivf's stand-in
+    * quantizer) only approximates.
+    */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = Clustering.finalCentroids(spark, dir)
+    val assigned = Clustering.assign(e, cents)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("cid"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2").asc, col("cid").asc)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(graft.Tables.stateHint(cents))
+      .withColumn("cd2", Clustering.d2(col("qe"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("query_id"), col("qe"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cid"),
+        VectorOps.cosine(col("qe"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  lazy val annIvfTrainedOracle: String = s"""
+    WITH ${Clustering.kmeansCtes},
+    cents AS MATERIALIZED (
+      SELECT cid, cv FROM ${Clustering.kmeansFinalRel}),
+    assigned AS (${Clustering.assignSql("cents")}),
+    probes AS (
+      SELECT query_id, qe, cid FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${Clustering.sqlD2("e.embedding", "c.cv")} ASC,
+              c.cid ASC) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) e
+        CROSS JOIN cents c)
+      WHERE rn <= 2)
+    SELECT query_id, neighbor_id, cid, cosine, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.cid,
+        ${VectorOps.sqlCosine("p.qe", "a.embedding")} AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY p.query_id
+          ORDER BY ${VectorOps.sqlCosine("p.qe", "a.embedding")} DESC,
+            a.vec_id ASC) AS rank
+      FROM probes p JOIN assigned a ON p.cid = a.cid
+      WHERE p.query_id <> a.vec_id)
+    WHERE rank <= 3"""
+
   /** Embedding int8 quantization quality: per-vector symmetric scale
     * (max|x|/127), round-to-nearest quantize, and the reconstruction
     * error a storage layer would accept. All arithmetic is explicit
@@ -399,6 +465,7 @@ object Similarity {
     "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),
     "ann_lsh" -> QueryDef.sql(annLsh, annLshOracle),
     "ann_refine" -> QueryDef.sql(annRefine, annRefineOracle),
-    "ann_ivf" -> QueryDef.sql(annIvf, annIvfOracle)
+    "ann_ivf" -> QueryDef.sql(annIvf, annIvfOracle),
+    "ann_ivf_trained" -> QueryDef.sql(annIvfTrained, annIvfTrainedOracle)
   )
 }

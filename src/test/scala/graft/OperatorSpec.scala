@@ -275,6 +275,21 @@ class OperatorSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ann_ivf_trained: ranks well-formed; each query probes at most 2 trained cells") {
+    val out = operators.Similarity.annIvfTrained(spark, sfDir).persist()
+    val perQuery = out.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"), min(col("rank")).as("mn"),
+        countDistinct(col("cid")).as("cells"))
+      .collect()
+    assert(perQuery.nonEmpty, "no probe results")
+    perQuery.foreach { r =>
+      assert(r.getAs[Int]("mn") == 1 && r.getAs[Int]("mx").toLong == r.getAs[Long]("n")
+        && r.getAs[Long]("n") <= 3, s"rank sequence broken: $r")
+      assert(r.getAs[Long]("cells") <= 2, s"probed more than nprobe=2 cells: $r")
+    }
+    out.unpersist()
+  }
+
   test("ann_refine: ranks well-formed; multi-probe never worse than single-bucket at rank 1") {
     val refine = operators.Similarity.annRefine(spark, sfDir).persist()
     val lsh = operators.Similarity.annLsh(spark, sfDir)
