@@ -706,8 +706,101 @@ object Dedup {
     JOIN sizes sa ON pairs.source_a = sa.source
     JOIN sizes sb ON pairs.source_b = sb.source"""
 
+  /** Span width (in tokens) for duplicated-substring removal. The
+    * published pass (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") removes ≥50-token substrings appearing
+    * twice anywhere in the corpus; the lake's documents run 10-99 tokens
+    * so the threshold scales down to 8 — the MECHANISM (find every
+    * duplicated fixed-width span, erase the covered tokens, reassemble)
+    * is the paper's, expressed through fixed-width grams instead of its
+    * suffix array.
+    */
+  private val SpanTokens = 8
+
+  /** Exact duplicated-substring removal (the within-document twin of
+    * [[dedupExact]]'s whole-document pass): every [[SpanTokens]]-token
+    * gram occurring ≥2 times ANYWHERE in the corpus (cross-document or
+    * within-document) marks its token span; covered tokens are erased
+    * and the survivors reassembled in order. Unlike document-level
+    * dedup, this removes the boilerplate fragments that ride inside
+    * otherwise-unique documents — the pass Lee et al. showed removes
+    * ~3% of tokens from C4 verbatim.
+    *
+    * Scale: the suffix array the paper builds is replaced by three
+    * narrow shuffles, none carrying document text: gram rows are
+    * (doc_id, start, md5-digest) — the duplicate-gram aggregate and the
+    * occurrence join key on the fixed 32-char digest (the dedupLines
+    * discipline), and the per-doc start-list aggregate keys on doc_id.
+    * The only corpus-text move is the final doc_id join of the start
+    * lists back onto the documents scan, and the start-list side rides
+    * [[Tables.dimHint]] — it holds ONLY documents containing a
+    * duplicated span, so while duplication is sparse it broadcasts and
+    * the text never shuffles at all; past the threshold AQE gets the
+    * plain join. Gram collisions under md5 are ~n²/2¹²⁸ — absent in
+    * practice, and the oracle shares the digest so parity holds
+    * regardless.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanTokens
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val grams = docs
+      .select(col("doc_id"), col("w"),
+        explode(
+          when(size(col("w")) >= k, sequence(lit(1), size(col("w")) - (k - 1)))
+            .otherwise(array().cast("array<int>"))).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("w"), col("s"), lit(k)), " ")).as("gram_h"))
+    val dup = grams.groupBy(col("gram_h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gram_h"))
+    val dupStarts = grams.join(dup, Seq("gram_h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("dup_starts"))
+    val ds = coalesce(col("dup_starts"), array().cast("array<int>"))
+    val covered: Column => Column = i =>
+      exists(ds, s => s <= i && i < s + k)
+    val positions = sequence(lit(1), size(col("w")))
+    docs.join(Tables.dimHint(dupStarts), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("bigint").as("n_tokens"),
+        size(filter(positions, covered)).cast("bigint").as("n_dup_tokens"),
+        array_join(
+          transform(filter(positions, i => !covered(i)),
+            i => element_at(col("w"), i)),
+          " ").as("text_clean"))
+  }
+
+  val dedupSubstringOracle: String = s"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w FROM documents),
+    g AS (
+      SELECT doc_id, s,
+        MD5(ARRAY_TO_STRING(w[s : s + ${SpanTokens - 1}], ' ')) AS gram_h
+      FROM (SELECT doc_id, w,
+              UNNEST(RANGE(1, GREATEST(LEN(w) - ${SpanTokens - 2}, 1))) AS s
+            FROM w)),
+    dup AS (SELECT gram_h FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+    ds AS (
+      SELECT doc_id, LIST(s) AS dup_starts
+      FROM g JOIN dup USING (gram_h) GROUP BY 1)
+    SELECT w.doc_id,
+      CAST(LEN(w.w) AS BIGINT) AS n_tokens,
+      CAST(LEN(LIST_FILTER(RANGE(1, LEN(w.w) + 1), i ->
+        LEN(LIST_FILTER(COALESCE(ds.dup_starts, []), s ->
+          s <= i AND i < s + $SpanTokens)) > 0)) AS BIGINT) AS n_dup_tokens,
+      COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
+        LIST_FILTER(RANGE(1, LEN(w.w) + 1), i ->
+          LEN(LIST_FILTER(COALESCE(ds.dup_starts, []), s ->
+            s <= i AND i < s + $SpanTokens)) = 0),
+        i -> w.w[i]), ' '), '') AS text_clean
+    FROM w LEFT JOIN ds USING (doc_id)"""
+
   def defs: Map[String, QueryDef] = Map(
     "cross_source_overlap" -> QueryDef.sql(crossSourceOverlap, crossSourceOverlapOracle),
+    "dedup_substring" -> QueryDef.sql(dedupSubstring, dedupSubstringOracle),
     "decontaminate" -> QueryDef.sql(decontaminate, decontaminateOracle),
     "contamination_report" ->
       QueryDef.sql(contaminationReport, contaminationReportOracle),

@@ -465,8 +465,280 @@ object TextAnalysis {
       MAX(n_chars) AS max_chars
     FROM documents GROUP BY 1"""
 
+  /** Winnowing parameters (Schleimer, Wilkerson, Aiken 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS
+    * fingerprinting scheme): k-gram width shares the corpus-wide 3-word
+    * shingle unit; the guarantee window w = 4 means any shared run of
+    * k + w - 1 = 6+ words between two documents is caught by at least
+    * one common fingerprint, while only ~2/(w+1) of gram hashes are
+    * kept.
+    */
+  private val WinnowWindow = 4
+
+  /** Winnowing document fingerprints: positional 3-word-gram hashes, and
+    * from every window of [[WinnowWindow]] consecutive hashes the
+    * minimum is selected (rightmost occurrence on ties — the paper's
+    * rule, which makes the selection deterministic and position-stable).
+    * Output is the distinct (position, hash) set per document — the
+    * fingerprint index a plagiarism/overlap detector stores, ~4-5×
+    * smaller than the full gram list yet with the window guarantee
+    * above.
+    *
+    * Scale: pure per-row array expressions — no shuffle anywhere, the
+    * pass runs at scan speed and the output explode is linear in the
+    * selected density (≈ 2n/(w+1)). Docs with fewer than w grams emit
+    * nothing (their whole-document hash already lives in
+    * doc_fingerprint).
+    */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val ww = WinnowWindow
+    val w = col("w")
+    val grams = when(size(w) >= lit(3),
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val hs = col("hs")
+    val m = size(hs)
+    // For window start p (1-based): min of hs[p..p+w-1], position of the
+    // RIGHTMOST minimum. Under the rightmost-tie rule selections are
+    // non-decreasing in p (window p+1 can only keep window p's pick or
+    // move right), so duplicate selections always form ADJACENT runs —
+    // an in-array neighbor compare dedupes completely without the
+    // shuffle a row-level distinct would cost.
+    val fps = when(m >= ww,
+      transform(sequence(lit(1), m - (ww - 1)), p => {
+        val win = slice(hs, p, lit(ww))
+        val mn = array_min(win)
+        val jRight = array_max(
+          filter(sequence(lit(0), lit(ww - 1)), j => element_at(win, j + 1) === mn))
+        array((p + jRight).cast("long"), mn)
+      }))
+      .otherwise(array().cast("array<array<bigint>>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), TextOps.hashes(grams).as("hs"))
+      .select(col("doc_id"), fps.as("sel"))
+      .select(col("doc_id"),
+        explode(filter(col("sel"),
+          (x, i) => (i === lit(0)) || !(x === element_at(col("sel"), i)))).as("fp"))
+      .select(col("doc_id"),
+        element_at(col("fp"), 1).as("pos"),
+        element_at(col("fp"), 2).as("fp_hash"))
+  }
+
+  val winnowFingerprintOracle: String = {
+    val ww = WinnowWindow
+    s"""
+    WITH h AS (
+      SELECT doc_id,
+        ${TextOps.sqlHashes(
+          "LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ws)-1, 1)), " +
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])")} AS hs
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS ws
+            FROM documents)),
+    f AS (
+      SELECT doc_id,
+        LIST_TRANSFORM(RANGE(1, LEN(hs) - ${ww - 2}), p ->
+          [CAST(p + LIST_MAX(LIST_FILTER(RANGE(0, $ww), j ->
+              hs[CAST(p + j AS INTEGER)] = LIST_MIN(hs[p : p + ${ww - 1}])))
+            AS BIGINT),
+           LIST_MIN(hs[p : p + ${ww - 1}])]) AS sel
+      FROM h WHERE LEN(hs) >= $ww)
+    SELECT doc_id, fp[1] AS pos, fp[2] AS fp_hash
+    FROM (SELECT doc_id,
+            UNNEST(LIST_FILTER(sel, (x, i) -> i = 1 OR x != sel[i - 1])) AS fp
+          FROM f)"""
+  }
+
+  /** Gopher's repeated-n-gram text-quality signals (Rae et al. 2022,
+    * Gopher appendix A1.1): the character fraction covered by the most
+    * frequent 2-gram, and the character fraction covered by ALL
+    * duplicated 3-grams. Coverage counts each character once (positions
+    * covered by any qualifying occurrence, then summed) so both
+    * fractions live in [0,1] even when occurrences overlap. The top
+    * 2-gram tie-breaks to the lexicographically smallest — fully
+    * deterministic. Complements [[repetition_score]] (distinct/total
+    * bigram ratio) with the character-mass view the Gopher thresholds
+    * are defined over.
+    *
+    * Scale: gram streams aggregate on (doc_id, gram) — doc_id spreads
+    * every hot gram so there is no Zipf-skewed key anywhere; the per-doc
+    * winner is a bounded-group window; coverage start-lists ride
+    * [[Tables.dimHint]] back onto the documents scan exactly like
+    * dedup_substring. Per-doc cost is linear in document length.
+    */
+  def gopherDupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = col("w")
+    def gramStream(docs: DataFrame, n: Int): DataFrame = docs
+      .select(col("doc_id"), w,
+        explode(
+          when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+            .otherwise(array().cast("array<int>"))).as("s"))
+      .select(col("doc_id"), col("s"),
+        array_join(slice(w, col("s"), lit(n)), " ").as("gram"))
+    def coveredChars(starts: Column, n: Int): Column = {
+      val ds = coalesce(starts, array().cast("array<int>"))
+      aggregate(
+        filter(sequence(lit(1), size(w)),
+          i => exists(ds, s => s <= i && i < s + n)),
+        lit(0L), (acc, i) => acc + length(element_at(w, i)).cast("long"))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("bigint").as("wchars"))
+    val bi = gramStream(docs, 2)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n_occ"), collect_list(col("s")).as("starts"))
+    val topRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_occ").desc, col("gram").asc)
+    val top = bi
+      .withColumn("rn", row_number().over(topRank))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_bigram"),
+        col("n_occ").as("top_bigram_n"), col("starts").as("top_starts"))
+    val dupTri = gramStream(docs, 3)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n_occ"), collect_list(col("s")).as("starts"))
+      .filter(col("n_occ") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(flatten(collect_list(col("starts"))).as("tri_starts"))
+    docs
+      .join(Tables.dimHint(top), Seq("doc_id"), "left")
+      .join(Tables.dimHint(dupTri), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("top_bigram"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        (coveredChars(col("top_starts"), 2).cast("double")
+          / col("wchars").cast("double")).as("top_bigram_frac"),
+        (coveredChars(col("tri_starts"), 3).cast("double")
+          / col("wchars").cast("double")).as("dup_trigram_frac"))
+  }
+
+  val gopherDupNgramsOracle: String = """
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS ws,
+        CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS BIGINT) AS wchars
+      FROM documents),
+    bi AS (
+      SELECT doc_id, ARRAY_TO_STRING(ws[s : s + 1], ' ') AS gram,
+        COUNT(*) AS n_occ, LIST(s) AS starts
+      FROM (SELECT doc_id, ws, UNNEST(RANGE(1, GREATEST(LEN(ws), 1))) AS s
+            FROM w)
+      GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, gram AS top_bigram, n_occ AS top_bigram_n,
+        starts AS top_starts
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY n_occ DESC, gram ASC) AS rn FROM bi)
+      WHERE rn = 1),
+    tri AS (
+      SELECT doc_id, ARRAY_TO_STRING(ws[s : s + 2], ' ') AS gram,
+        COUNT(*) AS n_occ, LIST(s) AS starts
+      FROM (SELECT doc_id, ws, UNNEST(RANGE(1, GREATEST(LEN(ws) - 1, 1))) AS s
+            FROM w)
+      GROUP BY 1, 2),
+    duptri AS (
+      SELECT doc_id, FLATTEN(LIST(starts)) AS tri_starts
+      FROM tri WHERE n_occ >= 2 GROUP BY 1)
+    SELECT w.doc_id, top.top_bigram,
+      COALESCE(top.top_bigram_n, 0) AS top_bigram_n,
+      CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+          LIST_FILTER(RANGE(1, LEN(ws) + 1), i ->
+            LEN(LIST_FILTER(COALESCE(top.top_starts, []), s ->
+              s <= i AND i < s + 2)) > 0),
+          i -> LENGTH(ws[i]))), 0) AS DOUBLE)
+        / CAST(wchars AS DOUBLE) AS top_bigram_frac,
+      CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+          LIST_FILTER(RANGE(1, LEN(ws) + 1), i ->
+            LEN(LIST_FILTER(COALESCE(duptri.tri_starts, []), s ->
+              s <= i AND i < s + 3)) > 0),
+          i -> LENGTH(ws[i]))), 0) AS DOUBLE)
+        / CAST(wchars AS DOUBLE) AS dup_trigram_frac
+    FROM w
+    LEFT JOIN top USING (doc_id)
+    LEFT JOIN duptri USING (doc_id)"""
+
+  /** Fixed hashed-feature space for the LM stats — same constant-size
+    * bucket discipline as importance_weights' DSIR stats, so the model
+    * table BROADCASTS at any corpus size.
+    */
+  private val LmBuckets = 8192L
+
+  /** Corpus-LM quality scoring (the CCNet signal, Wenzek et al. 2020:
+    * score text by how surprising a language model finds it; low =
+    * fluent/typical, high = noise). The model here is the corpus's own
+    * hashed-BIGRAM distribution — bigrams hash into [[LmBuckets]] fixed
+    * buckets, p(b) = (c(b)+α)/(N+1) with Laplace α = 1/B (exact 2⁻¹³),
+    * and a document scores the token-weighted MEAN INVERSE probability
+    * of its bigrams. CCNet's perplexity is a log-space geometric mean;
+    * libm log is not FP-portable (the tfidf lesson), so the linearized
+    * arithmetic-mean-of-1/p form keeps the same ordering signal —
+    * boilerplate-heavy text scores low, character-noise scores high —
+    * with every factor a deterministic double (per-factor casts, exact
+    * decimal summation).
+    *
+    * Scale: identical shape to importance_weights — the corpus never
+    * shuffles on a raw (Zipf-skewed) bigram key: stats fold map-side
+    * into the B fixed buckets and broadcast; the one corpus shuffle is
+    * per-(doc, bucket) tf rows, skew-free since doc_id spreads every
+    * hot bucket.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(
+          when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1), i =>
+              concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bigram"))
+      .select(col("doc_id"),
+        (TextOps.hash24(concat(lit("lm|"), col("bigram"))) % LmBuckets).as("bucket"))
+    val tf = toks.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cb"))
+    val totals = toks.agg(count(lit(1)).as("nb"))
+    val alpha = lit(1.0 / LmBuckets)
+    val inv = ((col("nb") + lit(1L)).cast("double")
+      / (col("cb").cast("double") + alpha))
+    tf.join(broadcast(stats), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        (col("tf").cast("double") * inv).as("wi"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        graft.functions.Exact.dsum(col("wi")).as("sum_inv"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_inv") / col("n_bigrams").cast("double")).as("lm_score"))
+  }
+
+  val lmScoreOracle: String = s"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+        CAST('0x' || SUBSTR(MD5('lm|' || ws[i] || ' ' || ws[i+1]), 1, 6)
+          AS BIGINT) % $LmBuckets AS bucket
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS ws,
+              UNNEST(RANGE(1, GREATEST(LEN(STRING_SPLIT_REGEX(text, '\\s+')), 1)))
+                AS i
+            FROM documents)),
+    tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    stats AS (SELECT bucket, COUNT(*) AS cb FROM toks GROUP BY 1),
+    totals AS (SELECT COUNT(*) AS nb FROM toks)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      ${graft.functions.Exact.sqlDsum(
+        "CAST(tf AS DOUBLE) * (CAST(nb + 1 AS DOUBLE)"
+          + s" / (CAST(cb AS DOUBLE) + CAST(1 AS DOUBLE) / $LmBuckets))")}
+        / CAST(SUM(tf) AS DOUBLE) AS lm_score
+    FROM tf JOIN stats USING (bucket) CROSS JOIN totals
+    GROUP BY doc_id"""
+
   def defs: Map[String, QueryDef] = Map(
     "corpus_stats" -> QueryDef.sql(corpusStats, corpusStatsOracle),
+    "winnow_fingerprint" -> QueryDef.sql(winnowFingerprint, winnowFingerprintOracle),
+    "gopher_dup_ngrams" -> QueryDef.sql(gopherDupNgrams, gopherDupNgramsOracle),
+    "lm_score" -> QueryDef.sql(lmScore, lmScoreOracle),
     "tfidf_top_terms" -> QueryDef.sql(tfidfTopTerms, tfidfTopTermsOracle),
     "ngram_freq" -> QueryDef.sql(ngramFreq, ngramFreqOracle),
     "stopword_filter" -> QueryDef.sql(stopwordFilter, stopwordFilterOracle),

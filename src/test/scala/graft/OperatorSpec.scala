@@ -517,4 +517,73 @@ class OperatorSpec extends SparkSpec {
       .groupBy("pid", "doi").count().filter(col("count") > 1)
     assert(dups.count() == 0)
   }
+
+  test("dedup_substring: untouched docs reassemble exactly; erased counts reconcile") {
+    val df = operators.Dedup.dedupSubstring(spark, sfDir).cache()
+    // the pass must bite on this corpus (cross-doc duplicated spans exist)
+    assert(df.filter(col("n_dup_tokens") > 0).count() > 0)
+    assert(df.filter(col("n_dup_tokens") > col("n_tokens")).count() == 0)
+    // docs with no duplicated span keep their whitespace-normalized text
+    val norm = Tables.documents(spark, sfDir).select(col("doc_id"),
+      array_join(split(col("text"), "\\s+"), " ").as("norm_text"))
+    assert(df.filter(col("n_dup_tokens") === 0).join(norm, "doc_id")
+      .filter(col("text_clean") =!= col("norm_text")).count() == 0)
+    // surviving token count is exactly n_tokens − n_dup_tokens
+    assert(df.filter(length(col("text_clean")) > 0)
+      .filter(size(split(col("text_clean"), " "))
+        =!= col("n_tokens") - col("n_dup_tokens")).count() == 0)
+    df.unpersist()
+  }
+
+  test("winnow_fingerprint: the winnowing window guarantee holds for every doc") {
+    import org.apache.spark.sql.expressions.Window
+    val ww = 4
+    val fps = operators.TextAnalysis.winnowFingerprint(spark, sfDir).cache()
+    // no duplicate (doc, pos, hash) rows survive the adjacent-run dedup
+    assert(fps.groupBy("doc_id", "pos", "fp_hash").count()
+      .filter(col("count") > 1).count() == 0)
+    // every window of ww consecutive gram positions contains a selection:
+    // consecutive selected positions can differ by at most ww, the first
+    // must fall inside the first window and the last inside the last.
+    val gaps = fps.withColumn("gap",
+      col("pos") - lag("pos", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+    assert(gaps.filter(col("gap") > ww).count() == 0)
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (size(split(col("text"), "\\s+")) - 2).as("m"))
+      .filter(col("m") >= ww)
+    val span = fps.groupBy("doc_id").agg(min("pos").as("first"), max("pos").as("last"))
+      .join(grams, "doc_id")
+    assert(span.filter(col("first") > ww).count() == 0)
+    assert(span.filter(col("last") < col("m") - ww + 1).count() == 0)
+    assert(span.count() == grams.count(), "a doc with >= ww grams emitted nothing")
+    // and the selection genuinely compresses the gram stream
+    val total = fps.count()
+    assert(total < grams.agg(sum(col("m"))).first().getLong(0))
+    fps.unpersist()
+  }
+
+  test("gopher_dup_ngrams: coverage fractions are true fractions and the signals fire") {
+    val df = operators.TextAnalysis.gopherDupNgrams(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    // overlap-safe coverage: both fractions live in [0,1] even where
+    // occurrences overlap (the naive count·len product exceeds 1 there)
+    assert(df.filter(col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1)
+      .count() == 0)
+    assert(df.filter(col("dup_trigram_frac") < 0 || col("dup_trigram_frac") > 1)
+      .count() == 0)
+    // the corpus genuinely contains repeated bigrams and trigram runs
+    assert(df.filter(col("top_bigram_n") >= 2).count() > 0)
+    assert(df.filter(col("dup_trigram_frac") > 0).count() > 0)
+    df.unpersist()
+  }
+
+  test("lm_score: every doc with a bigram scores, positively, over all its bigrams") {
+    val df = operators.TextAnalysis.lmScore(spark, sfDir).cache()
+    assert(df.filter(col("lm_score") <= 0 || col("lm_score").isNull).count() == 0)
+    val toks = Tables.documents(spark, sfDir).select(col("doc_id"),
+      (size(split(col("text"), "\\s+")) - 1).cast("bigint").as("nb"))
+    assert(df.join(toks, "doc_id").filter(col("n_bigrams") =!= col("nb")).count() == 0)
+    assert(df.count() == toks.filter(col("nb") >= 1).count())
+    df.unpersist()
+  }
 }

@@ -221,6 +221,30 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffled on raw term key:\n$p")
   }
 
+  test("lm_score: LM stats broadcast; no bigram-keyed shuffle anywhere") {
+    val df = operators.TextAnalysis.lmScore(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The constant-B stats table must reach the tf rows as a broadcast,
+    // and no exchange may partition by the raw bigram — Zipf skew makes
+    // a bigram-keyed corpus shuffle a mega-partition at scale.
+    assert(p.contains("BroadcastHashJoin"), s"LM stats not broadcast:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("bigram")),
+      s"corpus shuffled on raw bigram key:\n$p")
+  }
+
+  test("dedup_substring: start lists broadcast back onto the documents scan") {
+    val df = operators.Dedup.dedupSubstring(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The per-doc dup-start lists ride dimHint: while duplication is
+    // sparse they broadcast and the document text never shuffles.
+    assert(p.contains("BroadcastHashJoin"), s"start lists not broadcast:\n$p")
+  }
+
   test("dimHint: SF-proportional dims still broadcast while they fit locally") {
     // part fits comfortably under the default 10MB threshold at test SFs,
     // so the size guard must leave the broadcast in place — the guard

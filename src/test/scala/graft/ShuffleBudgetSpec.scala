@@ -95,6 +95,18 @@ class ShuffleBudgetSpec extends SparkSpec {
   // aggregate + its single-row totals twin + ONE corpus shuffle of
   // per-(doc, bucket) tf rows + the per-doc rollup of those rows.
   check("importance_weights", 4)(operators.Sampling.importanceWeights(spark, sfDir))
+  // lm_score rides the same skew-free shape: B-bucket LM stats + the
+  // single-row total broadcast, ONE corpus shuffle of per-(doc, bucket)
+  // tf rows, and the per-doc rollup. No raw-bigram key anywhere.
+  check("lm_score", 4)(operators.TextAnalysis.lmScore(spark, sfDir))
+  // winnow_fingerprint is pure per-row array selection — the fingerprint
+  // stream never shuffles; scan speed at any SF.
+  check("winnow_fingerprint", 0)(operators.TextAnalysis.winnowFingerprint(spark, sfDir))
+  // dedup_substring: duplicate-gram aggregate on the md5 digest + the
+  // occurrence join back on that digest + the per-doc start-list
+  // aggregate; the final start-list join onto the documents scan rides
+  // dimHint (broadcast locally — not budgeted as a shuffle).
+  check("dedup_substring", 4)(operators.Dedup.dedupSubstring(spark, sfDir))
   // grouping_sets expands layers map-side into ONE partial aggregate.
   check("grouping_sets_agg", 1)(operators.Relational.groupingSetsAgg(spark, sfDir))
   // Per-row multimodal stages: scan-speed, ZERO shuffles at any SF.
