@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Multimodal.defs ++
       operators.Quality.defs ++
       operators.Sampling.defs ++
+      operators.Tokenizer.defs ++
       sources.Ingest.defs ++
       sources.ApiEnrich.defs
 

@@ -706,6 +706,81 @@ object Dedup {
     JOIN sizes sa ON pairs.source_a = sa.source
     JOIN sizes sb ON pairs.source_b = sb.source"""
 
+  /** Near-containment detection: pairs where the SMALLER document's
+    * shingle set is ≥ 4/5 inside the larger's — the asymmetric near-dup
+    * case Jaccard-based LSH structurally misses (a short doc quoted
+    * whole inside a long one has low Jaccard but containment ≈ 1).
+    * Threshold t = 4/5 so the decision `5·common ≥ 4·|A|` is
+    * ALL-INTEGER (the derived-rate discipline); the reported containment
+    * is one deterministic double division.
+    *
+    * Scale: candidates come from PREFIX FILTERING (the All-Pairs /
+    * PPJoin family, Bayardo et al. 2007): if |A∩B| ≥ t·|A| then A can
+    * miss B on at most ⌊|A|/5⌋ shingles, so any ⌊|A|/5⌋+1 shingles of A
+    * must hit B — the probe side explodes only each doc's ⌊sz/5⌋+1
+    * RAREST shingles (global document-frequency ascending, the order
+    * that minimizes index fan-out), never the full corpus against
+    * itself. The filter is LOSSLESS by the pigeonhole above, so the
+    * oracle is the full inverted-index join — same rows, independently
+    * derived. Verification joins shingle arrays only for surviving
+    * candidates and counts intersections with the compiled sorted-merge.
+    */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame =
+    ngramContainmentDf(Tables.documents(spark, dir))
+
+  /** [[ngramContainment]] over an arbitrary documents frame (staged-data
+    * form).
+    */
+  private[graft] def ngramContainmentDf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = documents
+      .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .persist()
+    val docFreq = s.select(explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_a"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val prefix = s
+      .select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+        explode(col("sh")).as("shingle"))
+      .join(docFreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= expr("sza div 5") + 1)
+      .select(col("doc_a"), col("sza"), col("shingle"))
+    val index = s.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+      explode(col("sh")).as("shingle"))
+    val cand = prefix.join(index, Seq("shingle"))
+      .filter(col("sza") < col("szb")
+        || (col("sza") === col("szb") && col("doc_a") < col("doc_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(s.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        col("sz").as("sza")), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("common", TextOps.sortedCommonCount(col("sha"), col("shb"))
+        .cast("bigint"))
+      .filter(col("common") * 5 >= col("sza") * 4)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (col("common").cast("double") / col("sza").cast("double"))
+          .as("containment"))
+  }
+
+  val ngramContainmentOracle: String = s"""
+    WITH s AS ($sqlShingled),
+    t AS (SELECT doc_id, sh, LEN(sh) AS sz FROM s WHERE LEN(sh) > 0),
+    e AS (SELECT doc_id, sz, UNNEST(sh) AS shingle FROM t),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza,
+        COUNT(*) AS common
+      FROM e a JOIN e b ON a.shingle = b.shingle
+        AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+      GROUP BY 1, 2, 3)
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+      CAST(common AS DOUBLE) / CAST(sza AS DOUBLE) AS containment
+    FROM pairs WHERE 5 * common >= 4 * sza"""
+
   /** Span width (in tokens) for duplicated-substring removal. The
     * published pass (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better") removes ≥50-token substrings appearing
@@ -801,6 +876,7 @@ object Dedup {
   def defs: Map[String, QueryDef] = Map(
     "cross_source_overlap" -> QueryDef.sql(crossSourceOverlap, crossSourceOverlapOracle),
     "dedup_substring" -> QueryDef.sql(dedupSubstring, dedupSubstringOracle),
+    "ngram_containment" -> QueryDef.sql(ngramContainment, ngramContainmentOracle),
     "decontaminate" -> QueryDef.sql(decontaminate, decontaminateOracle),
     "contamination_report" ->
       QueryDef.sql(contaminationReport, contaminationReportOracle),

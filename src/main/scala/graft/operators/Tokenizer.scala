@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer training inside the engine (§2.E): learn the first BPE
+  * merges from the corpus itself — the step every LLM data pipeline runs
+  * before token counting means anything (reference analog: the corpus
+  * prep in src/dags/, which stops at whitespace tokens).
+  */
+object Tokenizer {
+
+  /** Number of unrolled BPE merge rounds (the kmeans-3-Lloyd-rounds
+    * precedent: enough to prove the iteration live, bounded so the
+    * oracle can chain one CTE block per round).
+    */
+  private val MergeRounds = 3
+
+  /** Byte-pair-encoding merge learning (Sennrich, Haddow, Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units" §3.2):
+    * words split to character symbols; each round counts adjacent symbol
+    * pairs weighted by word frequency, merges the most frequent pair
+    * corpus-wide (ties break lexicographically — deterministic), and
+    * rewrites the vocabulary by greedy leftmost non-overlapping
+    * replacement. Output: the learned merge table (rank, pair, merged
+    * symbol, pair frequency) — rows 1..[[MergeRounds]] of the merges.txt
+    * every BPE tokenizer ships. The end-of-word marker variant is a
+    * char-level suffix orthogonal to the merge mechanics and omitted.
+    *
+    * Scale: the corpus is touched ONCE — the word-count aggregate
+    * (map-side combinable, one shuffle of (word, count) rows). Every
+    * round after that iterates over the VOCABULARY (Heaps-law sublinear
+    * in corpus size), not the corpus: pair stats shuffle |vocab|-bounded
+    * narrow rows, the round's winner is a TakeOrdered single row that
+    * broadcasts into the rewrite, and the rewritten vocab checkpoints
+    * per round (the kmeans discipline — constant-depth plans, no
+    * lineage blowup). The greedy rewrite itself is a per-row string
+    * fold: scan speed, codegen'd, no UDF.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesDf(Tables.documents(spark, dir))
+
+  /** [[bpeMerges]] over an arbitrary documents frame (staged-data form).
+    * On corpora small enough to run out of adjacent pairs before
+    * [[MergeRounds]], later rounds emit no row — identically in both
+    * engines (an empty winner cross-joins to an empty vocabulary).
+    */
+  private[graft] def bpeMergesDf(documents: DataFrame): DataFrame = {
+    // Vocabulary: distinct words with corpus frequencies, as
+    // space-separated character-symbol strings.
+    val vocab0 = documents
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " ").as("sym"),
+        col("cnt"))
+
+    // Greedy leftmost merge of the broadcast (lhs, rhs) pair: a string
+    // fold over the symbol list — the accumulator's LAST symbol is lhs
+    // exactly when acc == lhs or acc ends with ' '+lhs (symbols are
+    // space-delimited, so the guard cannot fire mid-symbol).
+    def rewrite: Column = aggregate(
+      split(col("sym"), " "), lit(""), (acc, x) => {
+        val a = col("lhs"); val b = col("rhs")
+        when(acc === "", x)
+          .when(x === b && acc === a, concat(a, b))
+          .when(x === b && acc.endsWith(concat(lit(" "), a)),
+            concat(acc.substr(lit(1), length(acc) - length(a) - 1),
+              lit(" "), a, b))
+          .otherwise(concat(acc, lit(" "), x))
+      })
+
+    def topPair(vocab: DataFrame): DataFrame = vocab
+      .select(col("cnt"), split(col("sym"), " ").as("syms"))
+      .select(col("cnt"),
+        explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1), i =>
+              array(element_at(col("syms"), i), element_at(col("syms"), i + 1))))
+            .otherwise(array().cast("array<array<string>>"))).as("p"))
+      .groupBy(
+        element_at(col("p"), 1).as("lhs"),
+        element_at(col("p"), 2).as("rhs"))
+      .agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+      .limit(1)
+
+    val (_, merges) =
+      (1 to MergeRounds).foldLeft((vocab0, Seq.empty[DataFrame])) {
+        case ((vocab, acc), rank) =>
+          val v = graft.functions.Iterate.checkpoint(vocab)
+          val top = topPair(v)
+          val next = v.crossJoin(broadcast(top))
+            .select(rewrite.as("sym"), col("cnt"))
+          (next, acc :+ top.select(lit(rank).as("merge_rank"),
+            col("lhs"), col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
+            col("freq")))
+      }
+    merges.reduce(_ unionAll _)
+  }
+
+  val bpeMergesOracle: String = {
+    // One CTE block per round: pair stats over the current vocab, the
+    // round's winner, then the greedy-rewrite vocab for the next round.
+    def round(i: Int): String = s"""
+    p$i AS (
+      SELECT syms[j] AS lhs, syms[j+1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS freq
+      FROM (SELECT STRING_SPLIT(sym, ' ') AS syms, cnt,
+              UNNEST(RANGE(1, GREATEST(LEN(STRING_SPLIT(sym, ' ')), 1))) AS j
+            FROM w${i - 1})
+      GROUP BY 1, 2),
+    t$i AS (SELECT lhs, rhs, freq FROM p$i
+            ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
+    w$i AS (
+      SELECT LIST_REDUCE(LIST_PREPEND('', STRING_SPLIT(sym, ' ')), (acc, x) ->
+          CASE WHEN acc = '' THEN x
+               WHEN x = rhs AND acc = lhs THEN lhs || rhs
+               WHEN x = rhs AND ENDS_WITH(acc, ' ' || lhs)
+                 THEN LEFT(acc, LEN(acc) - LEN(lhs) - 1) || ' ' || lhs || rhs
+               ELSE acc || ' ' || x END) AS sym, cnt
+      FROM w${i - 1} CROSS JOIN t$i)"""
+    val rounds = (1 to MergeRounds).map(round).mkString(",")
+    val out = (1 to MergeRounds).map(i =>
+      s"SELECT $i AS merge_rank, lhs, rhs, lhs || rhs AS merged, freq FROM t$i")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH w0 AS (
+      SELECT ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(word, '.'), ' ') AS sym,
+        cnt
+      FROM (SELECT word, COUNT(*) AS cnt
+            FROM (SELECT UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS word
+                  FROM documents)
+            GROUP BY 1)),$rounds
+    $out"""
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "bpe_merges" -> QueryDef.sql(bpeMerges, bpeMergesOracle)
+  )
+}

@@ -577,6 +577,62 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("ngram_containment: catches the asymmetric quoted-document case Jaccard misses") {
+    import spark.implicits._
+    // B quotes A whole inside much longer text: containment(A in B) = 1
+    // but Jaccard is far below the 0.5 near-dup threshold — the exact
+    // case dedup_minhash_lsh/ngram_jaccard structurally cannot flag.
+    val quoted = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val filler = (1 to 80).map(i => s"beta$i").mkString(" ")
+    val unrelated = (1 to 50).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      (1L, quoted), (2L, s"$quoted $filler"), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val c = operators.Dedup.ngramContainmentDf(docs).collect()
+    assert(c.length == 1)
+    val r = c.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // and the pair's Jaccard is indeed sub-threshold: |A|=18 3-shingles,
+    // |B|=98, intersection 18 ⇒ jaccard ≈ 0.18
+    assert(r.getAs[Long]("common") * 2 < 98)
+    // on the lake corpus: every detected pair is a true containment at
+    // the all-integer threshold, direction always smaller-into-larger
+    val lake = operators.Dedup.ngramContainment(spark, sfDir).cache()
+    assert(lake.count() > 0)
+    assert(lake.filter(col("containment") < 0.8 || col("containment") > 1.0)
+      .count() == 0)
+    val sz = Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(graft.functions.TextOps.sortedShingles3(col("text"))).as("sz"))
+    assert(lake
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .filter(col("sza") > col("szb")).count() == 0)
+    lake.unpersist()
+  }
+
+  test("bpe_merges: greedy non-overlapping merges, hand-checkable on a toy corpus") {
+    import spark.implicits._
+    // The word "aaa" has TWO (a,a) symbol pairs but greedy leftmost
+    // merges only the first — round 1 must count freq 2 yet produce
+    // "aa a", and round 2 then merges (aa, a). Round 3 has no pairs
+    // left and must emit no row (identically to the oracle's empty
+    // winner).
+    val rows = operators.Tokenizer.bpeMergesDf(Seq((1L, "aaa")).toDF("doc_id", "text"))
+      .orderBy("merge_rank").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq ==
+      Seq((1, "a", "a", "aa", 2L), (2, "aa", "a", "aaa", 1L)))
+    // lake corpus: all three rounds fire; winner frequencies can only
+    // fall round over round (a pair created by merge i occurs at most
+    // freq(i) times, and every older pair already lost to winner i)
+    val lake = operators.Tokenizer.bpeMerges(spark, sfDir)
+      .orderBy("merge_rank").collect()
+    assert(lake.length == 3)
+    assert(lake.map(_.getAs[Long]("freq")).sliding(2).forall(p => p(0) >= p(1)))
+    assert(lake.map(_.getAs[String]("merged")).distinct.length == 3)
+  }
+
   test("lm_score: every doc with a bigram scores, positively, over all its bigrams") {
     val df = operators.TextAnalysis.lmScore(spark, sfDir).cache()
     assert(df.filter(col("lm_score") <= 0 || col("lm_score").isNull).count() == 0)

@@ -102,6 +102,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // winnow_fingerprint is pure per-row array selection — the fingerprint
   // stream never shuffles; scan speed at any SF.
   check("winnow_fingerprint", 0)(operators.TextAnalysis.winnowFingerprint(spark, sfDir))
+  // ngram_containment: document-frequency aggregate + the rarity window
+  // + the prefix/index shingle joins + candidate distinct + two verify
+  // joins. AQE broadcasts most of these at test scale (measured 2);
+  // the budget covers the shuffle-join form every step takes at 100 TB.
+  check("ngram_containment", 8)(operators.Dedup.ngramContainment(spark, sfDir))
   // dedup_substring: duplicate-gram aggregate on the md5 digest + the
   // occurrence join back on that digest + the per-doc start-list
   // aggregate; the final start-list join onto the documents scan rides
