@@ -72,6 +72,53 @@ object Sampling {
       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
     FROM (SELECT doc_id, ${sqlPctBucket("split", "doc_id")} AS b FROM documents)"""
 
+  /** Split-leakage audit — the eval-integrity check a hash split alone
+    * cannot give: a random assignment happily puts one member of a
+    * near-duplicate pair in train and the other in test, and the model
+    * then "generalizes" to text it has effectively seen. This reports
+    * every verified near-dup pair (the MinHash+LSH detector's output)
+    * grouped by the UNORDERED split pair it straddles; `leaking` rows
+    * (split_lo ≠ split_hi) are the pairs an eval-safe pipeline must
+    * break by re-assigning or dropping one side — the audit that
+    * motivates running dedup BEFORE dataset_split.
+    *
+    * Scale: the pair set is the near-dup detector's output (duplication
+    * density × corpus, far smaller than the corpus) and rides
+    * [[graft.Tables.dimHint]] into the two split joins, so the
+    * corpus-sized split frame streams map-side while duplication is
+    * sparse; past the threshold AQE gets plain doc_id joins. The rollup
+    * is a ≤9-group aggregate.
+    */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Tables.dimHint(
+      Dedup.dedupMinhashLsh(spark, dir)
+        .select(col("doc_a"), col("doc_b")))
+    val splits = datasetSplit(spark, dir)
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .groupBy(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        (col("split_lo") =!= col("split_hi")).as("leaking"))
+  }
+
+  val splitLeakageAuditOracle: String = s"""
+    WITH pairs AS (${Dedup.dedupMinhashLshOracle}),
+    sp AS ($datasetSplitOracle)
+    SELECT LEAST(sa.split, sb.split) AS split_lo,
+      GREATEST(sa.split, sb.split) AS split_hi,
+      COUNT(*) AS n_pairs,
+      LEAST(sa.split, sb.split) != GREATEST(sa.split, sb.split) AS leaking
+    FROM pairs p
+    JOIN sp sa ON p.doc_a = sa.doc_id
+    JOIN sp sb ON p.doc_b = sb.doc_id
+    GROUP BY 1, 2"""
+
   /** Deterministic source interleave: a global training-read order that
     * round-robins across sources while shuffling WITHIN each source by
     * salted hash — the "mix the corpus so no batch is single-source"
@@ -540,6 +587,7 @@ object Sampling {
     "sample_temperature" -> QueryDef.sql(sampleTemperature, sampleTemperatureOracle),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
     "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle),
+    "split_leakage_audit" -> QueryDef.sql(splitLeakageAudit, splitLeakageAuditOracle),
     "dataset_interleave" -> QueryDef.sql(datasetInterleave, datasetInterleaveOracle)
   )
 }

@@ -100,9 +100,11 @@ object Tokenizer {
     merges.reduce(_ unionAll _)
   }
 
-  val bpeMergesOracle: String = {
-    // One CTE block per round: pair stats over the current vocab, the
-    // round's winner, then the greedy-rewrite vocab for the next round.
+  /** The shared oracle CTE chain — w0 (char-symbol vocab) then one
+    * (pair stats, winner, rewritten vocab) block per round — ending
+    * with winners t1..t[[MergeRounds]]. Reused by both oracles.
+    */
+  private val sqlTrainingCtes: String = {
     def round(i: Int): String = s"""
     p$i AS (
       SELECT syms[j] AS lhs, syms[j+1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS freq
@@ -120,22 +122,108 @@ object Tokenizer {
                  THEN LEFT(acc, LEN(acc) - LEN(lhs) - 1) || ' ' || lhs || rhs
                ELSE acc || ' ' || x END) AS sym, cnt
       FROM w${i - 1} CROSS JOIN t$i)"""
-    val rounds = (1 to MergeRounds).map(round).mkString(",")
-    val out = (1 to MergeRounds).map(i =>
-      s"SELECT $i AS merge_rank, lhs, rhs, lhs || rhs AS merged, freq FROM t$i")
-      .mkString("\n    UNION ALL ")
-    s"""
-    WITH w0 AS (
+    s"""w0 AS (
       SELECT ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(word, '.'), ' ') AS sym,
         cnt
       FROM (SELECT word, COUNT(*) AS cnt
             FROM (SELECT UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS word
                   FROM documents)
-            GROUP BY 1)),$rounds
+            GROUP BY 1)),""" + (1 to MergeRounds).map(round).mkString(",")
+  }
+
+  val bpeMergesOracle: String = {
+    val out = (1 to MergeRounds).map(i =>
+      s"SELECT $i AS merge_rank, lhs, rhs, lhs || rhs AS merged, freq FROM t$i")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH $sqlTrainingCtes
     $out"""
   }
 
+  /** Apply the [[bpeMerges]] merge table to the corpus — the encode half
+    * of the tokenizer loop (train on the corpus, then tokenize the
+    * corpus with what was learned). Each word replays the merges in
+    * rank order with the same greedy leftmost fold; the output is the
+    * per-document BPE token count next to the character-symbol baseline,
+    * and the compression the learned merges bought. This is the number
+    * a token-budgeted pipeline (sequence_pack, sample_importance)
+    * actually wants, where whitespace token_count is only a proxy.
+    *
+    * Scale: the learned table pivots to ONE row of six scalars
+    * (max-aggregates, so rounds that never fired are nulls whose merge
+    * branches simply cannot match) and cross-joins as a broadcast onto
+    * a single corpus scan; the triple fold is per-row codegen string
+    * work — scan speed, zero corpus shuffles beyond the training pass
+    * itself.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    def mergeFold(sym: Column, a: Column, b: Column): Column = aggregate(
+      split(sym, " "), lit(""), (acc, x) =>
+        when(acc === "", x)
+          .when(x === b && acc === a, concat(a, b))
+          .when(x === b && acc.endsWith(concat(lit(" "), a)),
+            concat(acc.substr(lit(1), length(acc) - length(a) - 1),
+              lit(" "), a, b))
+          .otherwise(concat(acc, lit(" "), x)))
+    val pivots = (1 to MergeRounds).flatMap(i => Seq(
+      max(when(col("merge_rank") === i, col("lhs"))).as(s"l$i"),
+      max(when(col("merge_rank") === i, col("rhs"))).as(s"r$i")))
+    val mrow = bpeMerges(spark, dir).agg(pivots.head, pivots.tail: _*)
+    val encoded: Column => Column = word =>
+      (1 to MergeRounds).foldLeft(
+        array_join(regexp_extract_all(word, lit("."), lit(0)), " ")) {
+        (sym, i) => mergeFold(sym, col(s"l$i"), col(s"r$i"))
+      }
+    Tables.documents(spark, dir)
+      .crossJoin(broadcast(mrow))
+      .select(
+        col("doc_id"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
+          .as("n_char_syms"),
+        aggregate(split(col("text"), "\\s+"), lit(0L), (acc, word) =>
+          acc + size(split(encoded(word), " ")).cast("long"))
+          .as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_bpe_tokens").cast("double") / col("n_char_syms").cast("double"))
+  }
+
+  val bpeEncodeOracle: String = {
+    def sqlMergeFold(sym: String, i: Int): String = s"""
+      LIST_REDUCE(LIST_PREPEND('', STRING_SPLIT($sym, ' ')), (acc$i, x$i) ->
+        CASE WHEN acc$i = '' THEN x$i
+             WHEN x$i = r$i AND acc$i = l$i THEN l$i || r$i
+             WHEN x$i = r$i AND ENDS_WITH(acc$i, ' ' || l$i)
+               THEN LEFT(acc$i, LEN(acc$i) - LEN(l$i) - 1) || ' ' || l$i || r$i
+             ELSE acc$i || ' ' || x$i END)"""
+    val enc = (1 to MergeRounds).foldLeft(
+      "ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(word, '.'), ' ')")(
+      (sym, i) => sqlMergeFold(sym, i))
+    // Reuse the training CTE chain, then pivot the winners to one row of
+    // scalars — MAX over an empty round yields NULL, whose merge
+    // branches can never match (the Spark agg behaves identically).
+    val unionAll = (1 to MergeRounds).map(i =>
+      s"SELECT $i AS merge_rank, lhs, rhs, freq FROM t$i").mkString(" UNION ALL ")
+    val pivots = (1 to MergeRounds).map(i =>
+      s"MAX(CASE WHEN merge_rank = $i THEN lhs END) AS l$i, " +
+        s"MAX(CASE WHEN merge_rank = $i THEN rhs END) AS r$i").mkString(", ")
+    s"""
+    WITH $sqlTrainingCtes,
+    m AS (SELECT $pivots FROM ($unionAll)),
+    enc AS (
+      SELECT doc_id,
+        CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS BIGINT)
+          AS n_char_syms,
+        CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+          STRING_SPLIT_REGEX(text, '\\s+'), word ->
+            LEN(STRING_SPLIT($enc, ' ')))), 0) AS BIGINT) AS n_bpe_tokens
+      FROM documents CROSS JOIN m)
+    SELECT doc_id, n_char_syms, n_bpe_tokens,
+      CAST(n_bpe_tokens AS DOUBLE) / CAST(n_char_syms AS DOUBLE) AS compression
+    FROM enc"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
-    "bpe_merges" -> QueryDef.sql(bpeMerges, bpeMergesOracle)
+    "bpe_merges" -> QueryDef.sql(bpeMerges, bpeMergesOracle),
+    "bpe_encode" -> QueryDef.sql(bpeEncode, bpeEncodeOracle)
   )
 }

@@ -633,6 +633,35 @@ class OperatorSpec extends SparkSpec {
     assert(lake.map(_.getAs[String]("merged")).distinct.length == 3)
   }
 
+  test("split_leakage_audit: accounts for every near-dup pair; leakage flags are exact") {
+    val audit = operators.Sampling.splitLeakageAudit(spark, sfDir).cache()
+    val totalPairs = operators.Dedup.dedupMinhashLsh(spark, sfDir).count()
+    assert(audit.agg(sum(col("n_pairs"))).first().getLong(0) == totalPairs,
+      "audit must partition the full pair set across split-pair groups")
+    assert(audit.filter(col("leaking") =!= (col("split_lo") =!= col("split_hi")))
+      .count() == 0)
+    // the hash split is independent of content, so on a corpus with
+    // near-dups some pair straddles splits — the finding that makes the
+    // audit worth running (dedup must precede dataset_split)
+    assert(audit.filter(col("leaking")).count() > 0)
+    audit.unpersist()
+  }
+
+  test("bpe_encode: learned merges compress, never across words, never below zero") {
+    val enc = operators.Tokenizer.bpeEncode(spark, sfDir).cache()
+    assert(enc.count() == Tables.documents(spark, sfDir).count())
+    // merges only ever shrink the symbol stream, and cannot cross word
+    // boundaries — so chars >= bpe tokens >= words
+    assert(enc.filter(col("n_bpe_tokens") > col("n_char_syms")).count() == 0)
+    val words = Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_words"))
+    assert(enc.join(words, "doc_id")
+      .filter(col("n_bpe_tokens") < col("n_words")).count() == 0)
+    // and the 3 learned merges genuinely bite corpus-wide
+    assert(enc.filter(col("n_bpe_tokens") < col("n_char_syms")).count() > 0)
+    enc.unpersist()
+  }
+
   test("lm_score: every doc with a bigram scores, positively, over all its bigrams") {
     val df = operators.TextAnalysis.lmScore(spark, sfDir).cache()
     assert(df.filter(col("lm_score") <= 0 || col("lm_score").isNull).count() == 0)
