@@ -815,9 +815,15 @@ object Dedup {
     * practice, and the oracle shares the digest so parity holds
     * regardless.
     */
-  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringDf(Tables.documents(spark, dir))
+
+  /** [[dedupSubstring]] over an arbitrary documents frame (staged-data
+    * form — the curation pipeline's substring-scrub stage).
+    */
+  private[graft] def dedupSubstringDf(documents: DataFrame): DataFrame = {
     val k = SpanTokens
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
     val grams = docs
       .select(col("doc_id"), col("w"),

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   * | 1 quality      | TextAnalysis.gopherRulesDf   | keep `pass` docs      |
   * | 2 exact dedup  | Dedup.dedupExactDf           | keep min-id per hash  |
   * | 3 near dedup   | Dedup.minhashPairsDf         | drop id dominated by a lower-id near-dup |
+  * | 3b scrub       | Dedup.dedupSubstringDf       | erase corpus-duplicated spans, rewrite text |
   * | 4 decontam     | Dedup.decontaminateDf        | drop benchmark-overlapping docs |
   * | 5 select       | Sampling.sampleImportanceDf  | DSIR: keep target-leaning docs to a token budget |
   * | 6 mix          | Sampling.mixRebalanceDf      | hash-mod downsample to target mix |
@@ -91,10 +92,25 @@ object CurationPipeline {
     val near = stage("stage3_near_dedup",
       exact.join(losers, Seq("doc_id"), "left_anti"))
 
+    // Stage 3b: substring scrub — erase every corpus-duplicated
+    // 8-token span INSIDE the surviving documents (Lee et al.'s pass:
+    // document-level dedup keeps one copy of a duplicated doc, this
+    // strips the boilerplate fragments riding inside otherwise-unique
+    // ones). Text is rewritten, n_chars re-derived, and documents
+    // scrubbed to nothing are dropped — the same fate the quality gate
+    // gives empty text.
+    val scrub = Dedup.dedupSubstringDf(near)
+      .filter(length(col("text_clean")) > 0)
+      .select(col("doc_id"), col("text_clean"))
+    val scrubbed = stage("stage3b_substring_scrub",
+      near.drop("text", "n_chars").join(scrub, Seq("doc_id"))
+        .select(col("doc_id"), col("text_clean").as("text"), col("lang"),
+          col("source"), length(col("text_clean")).cast("bigint").as("n_chars")))
+
     // Stage 4: decontamination — drop docs sharing >= 3 shingles with
     // the held-out benchmark slice (and the benchmark docs themselves:
     // they are eval data, never training data).
-    val corpus = near.filter(col("doc_id") >= BenchDocs)
+    val corpus = scrubbed.filter(col("doc_id") >= BenchDocs)
     val contaminated = Dedup.decontaminateDf(corpus,
       raw.filter(col("doc_id") < BenchDocs)).select(col("doc_id"))
     val clean = stage("stage4_decontaminated",

@@ -69,16 +69,23 @@ class PipelineSpec extends SparkSpec {
     val m = CurationPipeline.runAll(spark, sfDir, out)
 
     val stages = Seq("stage0_documents", "stage1_quality", "stage2_exact_dedup",
-      "stage3_near_dedup", "stage4_decontaminated", "stage5_selected",
-      "stage6_mixed", "stage7_packed")
+      "stage3_near_dedup", "stage3b_substring_scrub", "stage4_decontaminated",
+      "stage5_selected", "stage6_mixed", "stage7_packed")
     stages.foreach { s =>
       assert(m.contains(s) && m(s) > 0, s"stage $s missing or empty: $m")
       assert(new java.io.File(s"$out/$s").isDirectory, s"stage $s not staged")
     }
-    // every stage 1..6 filters — counts can only shrink
-    val order = stages.take(7).map(m)
+    // every stage up to the mix filters — counts can only shrink
+    val order = stages.take(8).map(m)
     assert(order.zip(order.tail).forall { case (a, b) => b <= a },
       s"stage counts grew: $m")
+    // the scrub stage erases duplicated spans but keeps the schema: the
+    // staged table reads back with the documents columns, text rewritten
+    val scrubbed = spark.read.parquet(s"$out/stage3b_substring_scrub")
+    assert(scrubbed.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(scrubbed.filter(
+      org.apache.spark.sql.functions.expr("length(text) != n_chars")).count() == 0)
     assert(m("check_packed_rows_match") == 0, "packing dropped or invented docs")
     assert(m("check_token_reconciliation") == 0, "packed token stream lost tokens")
   }
