@@ -22,7 +22,8 @@ object Probe {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val stream = streaming.EventStreams.fromParquetDir(spark, dir)
+    val stream = Tables.normalizeEventTs(
+        streaming.EventStreams.fromParquetDir(spark, dir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = streaming.EventStreams.windowedAgg(stream)
       .writeStream.format("memory").queryName("probe_win")
@@ -45,7 +46,8 @@ object Probe {
     // Streaming sessionization (flatMapGroupsWithState) vs batch
     // sessionize (lag + running sum): independent algorithms, must agree.
     import spark.implicits._
-    val evStream = streaming.EventStreams.fromParquetDir(spark, dir)
+    val evStream = Tables.normalizeEventTs(
+        streaming.EventStreams.fromParquetDir(spark, dir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[streaming.EventStreams.Event]

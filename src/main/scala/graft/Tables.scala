@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Schema-typed loaders for the driver-generated testdata tables.
   *
@@ -19,25 +20,74 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** The events table carries a nanosecond-precision timestamp, which
-    * Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it
-    * as an epoch-nanos long (`nanosAsLong`) and do all time arithmetic on
-    * bigints — exact, engine-portable, and cheaper than timestamp ops.
+  /** The events table's `ts` column has shipped under THREE physical
+    * parquet types across data drops: nanos-precision int64 (which
+    * Spark's reader rejects as [PARQUET_TYPE_ILLEGAL] unless
+    * `nanosAsLong` maps it to BIGINT), timestamp[us] (µs TIMESTAMP/
+    * TIMESTAMP_NTZ), and a plain epoch-nanos BIGINT. Every downstream
+    * operator states its event-time semantics on ONE contract — `ts` is
+    * an epoch-nanos BIGINT — so this loader normalizes whatever the
+    * files carry into that contract via [[normalizeEventTs]]: schema
+    * drift in the lake lands here, in one place, instead of in ~10
+    * `ts div …` arithmetic sites.
     *
     * The `spark.sql.legacy.parquet.nanosAsLong` conf is set at session
     * build time by every in-repo builder (Verify / Bench / SparkSpec /
     * Probe / PlanDump) — a loader should not unconditionally mutate
     * session-global conf as a side effect of planning. For sessions
     * built OUTSIDE this library (a user's spark-shell driving the
-    * operators), a defensive set-if-unset keeps events readable instead
-    * of failing with PARQUET_TYPE_ILLEGAL; it writes the conf at most
-    * once per session.
+    * operators), a defensive set-if-unset keeps nanos-precision files
+    * readable instead of failing with PARQUET_TYPE_ILLEGAL; it writes
+    * the conf at most once per session. It is a no-op for µs/BIGINT
+    * files — the conf only applies to NANOS-precision parquet columns.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.getOption(key).forall(_ != "true"))
       spark.conf.set(key, "true")
-    load(spark, dir, "events")
+    normalizeEventTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to the repo-wide epoch-nanos
+    * BIGINT contract, whatever type the parquet reader produced:
+    *
+    *   - `LongType` (nanos-int64 via nanosAsLong, or a true BIGINT
+    *     column): already the contract — pass through untouched, so the
+    *     historical layout keeps its zero-conversion scan.
+    *   - `TimestampType` (µs, UTC-adjusted): `unix_micros * 1000`.
+    *   - `TimestampNTZType` (µs, no zone — what pyarrow's default
+    *     `timestamp[us]` becomes under Spark's NTZ inference): cast to
+    *     TimestampType FIRST — `unix_micros` does not accept NTZ input
+    *     — which interprets the wall-clock in the session time zone;
+    *     the session tz is pinned UTC by every in-repo builder, so the
+    *     naive values read as UTC, matching how DuckDB's `EPOCH_NS`
+    *     treats the same naive column on the oracle side.
+    *
+    * The conversion is a codegen'd arithmetic projection on the scan —
+    * no shuffle, no UDF — and `withColumn` on an existing column keeps
+    * the ordinal position, so downstream `select`s and the Verify
+    * column-order hash are unaffected. Works on streaming frames too
+    * (schema inspection + projection only), so the file-stream readers
+    * share this exact normalization. Fails loudly on any other type:
+    * silently mis-scaled event times would corrupt every session/window
+    * boundary downstream.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    val out = df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet-loaded type $other — expected " +
+            "BIGINT (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ; extend " +
+            "Tables.normalizeEventTs for the new physical type")
+    }
+    require(out.schema("ts").dataType == LongType,
+      s"events.ts normalization must yield BIGINT, got ${out.schema("ts").dataType}")
+    out
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

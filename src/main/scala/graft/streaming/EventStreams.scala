@@ -104,8 +104,10 @@ object EventStreams {
   }
 
   /** [[Event]]-shaped stream from an SF dir's events table (the stored
-    * ns-long `ts` becomes a µs timestamp — the grain every streaming op
-    * here states its semantics in). The bench entry point: feeds the
+    * `ts` — epoch-nanos bigint or µs timestamp, normalized through the
+    * same [[graft.Tables.normalizeEventTs]] contract as the batch
+    * loader — becomes a µs timestamp, the grain every streaming op here
+    * states its semantics in). The bench entry point: feeds the
     * windowed-agg and funnel jobs with the same rows their batch twins
     * read.
     */
@@ -113,9 +115,10 @@ object EventStreams {
     // the SF layout stores each table as one FILE — the file-stream
     // source wants a directory, so stream the dir with a glob filter
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    graft.Tables.normalizeEventTs(raw)
       .select(col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))

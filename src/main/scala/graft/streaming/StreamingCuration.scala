@@ -54,6 +54,19 @@ object StreamingCuration {
     */
   private def hashesPath(corpusPath: String): String = corpusPath + "_hashes"
 
+  /** Corpus slice holding the candidate indexed docs' text — a
+    * DISTRIBUTED doc_id semi-join, exposed as its own seam so the spec
+    * can pin the plan shape: the candidate ids must never round-trip
+    * through the driver (no collect → isin literal list). One hot band
+    * key can make the candidate set corpus-proportional; as a join,
+    * AQE just picks a shuffle strategy from the runtime size — as a
+    * collected literal list it would be a driver OOM.
+    */
+  private[graft] def candidateDocs(spark: SparkSession,
+      corpusPath: String, candIds: DataFrame): DataFrame =
+    spark.read.parquet(corpusPath)
+      .join(candIds, Seq("doc_id"), "left_semi")
+
   /** Curate ONE batch of documents against the standing corpus + index
     * at `corpusPath` / `indexPath` (created on first use). Returns the
     * number of surviving (appended) documents — the per-batch manifest
@@ -92,11 +105,16 @@ object StreamingCuration {
     // 4. near dedup: within-batch pair losers first (lower id
     // dominates, the batch pipeline's stage-3 rule), then the standing
     // index probe. The verify step needs candidate INDEXED docs' text;
-    // candidates come from band-key collisions only, their ids are
-    // collected driver-side (batch-bounded — the same bound as
-    // dedup_incremental's broadcast batch), and the corpus read is
-    // doc_id-pruned to them, so corpus IO tracks the collision count,
-    // not the corpus.
+    // candidates come from band-key collisions only (index ⋈
+    // broadcast(batchKeys) — the batch's distinct band keys are the
+    // broadcast side, bounded by batch size), and the corpus read is
+    // doc_id-PRUNED to them by a distributed semi-join. The candidate
+    // ids are NEVER materialized on the driver: one hot band key (a
+    // boilerplate template shared corpus-wide) can make the candidate
+    // set corpus-proportional, which a collect()+isin probe would turn
+    // into a driver OOM plus a megaliteral IN predicate. As a
+    // distributed frame the same hot key just means AQE picks a
+    // shuffle join over a broadcast at runtime — slower, never fatal.
     val batchLosers = Dedup.minhashPairsDf(fresh)
       .select(col("doc_b").as("doc_id")).distinct()
     val batchClean = fresh.join(batchLosers, Seq("doc_id"), "left_anti")
@@ -106,14 +124,14 @@ object StreamingCuration {
       else {
         val batchKeys = Dedup.lshBandsDf(batchClean)
           .select(col("band_key")).distinct()
-        val candIds = spark.read.parquet(indexPath)
+        val candIdFrame = spark.read.parquet(indexPath)
           .join(broadcast(batchKeys), Seq("band_key"))
           .select(col("doc_id")).distinct()
-          .collect().map(_.getLong(0))
-        if (candIds.isEmpty) batchClean
+        // Cheap limit-1 probe: a collision-free batch (the common case
+        // once the corpus stabilizes) skips the whole verify pipeline.
+        if (candIdFrame.isEmpty) batchClean
         else {
-          val candDocs = spark.read.parquet(corpusPath)
-            .filter(col("doc_id").isin(candIds.toSeq: _*))
+          val candDocs = candidateDocs(spark, corpusPath, candIdFrame)
           val nearDups = CurationPipeline
             .probeLshIndex(spark, indexPath, candDocs, batchClean)
             .select(col("new_doc").as("doc_id")).distinct()

@@ -84,6 +84,33 @@ class StreamingCurationSpec extends SparkSpec {
     assert(spark.read.parquet(corpusPath).count() == corpus2.count())
   }
 
+  test("streaming curation: candidate pruning is a distributed semi-join, never a driver-collected IN list") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_streamcur_p").toString
+    val corpusPath = s"$out/corpus"
+    docRows().take(10).toSeq.toDF()
+      .write.mode("overwrite").parquet(corpusPath)
+    val candIds = spark.read.parquet(corpusPath)
+      .select(col("doc_id")).limit(5)
+    val plan = StreamingCuration
+      .candidateDocs(spark, corpusPath, candIds)
+      .queryExecution.optimizedPlan
+    // The pruning must survive as a JOIN in the optimized plan…
+    val semiJoins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semiJoins.nonEmpty, s"no LeftSemi join in the candidate plan:\n$plan")
+    // …and no candidate id may appear as a literal predicate — the
+    // signature a collect()+isin rewrite would leave behind.
+    val inLists = plan.collect { case n => n.expressions }.flatten.flatMap(_.collect {
+      case i: org.apache.spark.sql.catalyst.expressions.In => i
+      case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+    })
+    assert(inLists.isEmpty,
+      s"candidate ids were materialized into a literal IN list: $inLists")
+  }
+
   test("streaming curation: a missing probe table degrades to the remaining checks, never a failed batch") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_streamcur_d").toString
