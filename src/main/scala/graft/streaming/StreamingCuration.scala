@@ -54,13 +54,26 @@ object StreamingCuration {
     */
   private def hashesPath(corpusPath: String): String = corpusPath + "_hashes"
 
+  /** Max candidate ids the near-dup probe may materialize on the driver
+    * for the isin fast path. Under the cap, a literal id filter reaches
+    * the corpus parquet scan as a pushed-down predicate — the cheapest
+    * possible pruned read, and 10⁴ longs is ~80 KB of driver memory.
+    * OVER the cap (one hot band key — a boilerplate template shared
+    * corpus-wide — makes the candidate set corpus-proportional), the
+    * probe falls back to [[candidateDocs]]' distributed semi-join, so
+    * the hot-key case costs a join, never a driver OOM or a
+    * megaliteral IN predicate. Tunable per workload via
+    * `spark.graft.candidateIdCap`.
+    */
+  private def candidateIdCap(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.candidateIdCap", "10000").toInt
+
   /** Corpus slice holding the candidate indexed docs' text — a
-    * DISTRIBUTED doc_id semi-join, exposed as its own seam so the spec
-    * can pin the plan shape: the candidate ids must never round-trip
-    * through the driver (no collect → isin literal list). One hot band
-    * key can make the candidate set corpus-proportional; as a join,
-    * AQE just picks a shuffle strategy from the runtime size — as a
-    * collected literal list it would be a driver OOM.
+    * DISTRIBUTED doc_id semi-join, the over-the-cap fallback exposed as
+    * its own seam so the spec can pin the plan shape: past the cap the
+    * candidate ids must never round-trip through the driver (no
+    * collect → isin literal list). AQE picks the join strategy from
+    * the runtime candidate count.
     */
   private[graft] def candidateDocs(spark: SparkSession,
       corpusPath: String, candIds: DataFrame): DataFrame =
@@ -108,13 +121,14 @@ object StreamingCuration {
     // candidates come from band-key collisions only (index ⋈
     // broadcast(batchKeys) — the batch's distinct band keys are the
     // broadcast side, bounded by batch size), and the corpus read is
-    // doc_id-PRUNED to them by a distributed semi-join. The candidate
-    // ids are NEVER materialized on the driver: one hot band key (a
-    // boilerplate template shared corpus-wide) can make the candidate
-    // set corpus-proportional, which a collect()+isin probe would turn
-    // into a driver OOM plus a megaliteral IN predicate. As a
-    // distributed frame the same hot key just means AQE picks a
-    // shuffle join over a broadcast at runtime — slower, never fatal.
+    // doc_id-PRUNED to them two ways by collision count: a SMALL
+    // candidate set (≤ [[candidateIdCap]], the steady-state case) is
+    // collected ONCE and pushed into the corpus scan as a literal id
+    // predicate — one job, predicate-pushdown read; a LARGE one (a hot
+    // band key making candidates corpus-proportional) is NEVER
+    // materialized on the driver and prunes via [[candidateDocs]]'
+    // distributed semi-join instead — AQE picks the join strategy from
+    // runtime sizes. Slower in the hot case, never a driver OOM.
     val batchLosers = Dedup.minhashPairsDf(fresh)
       .select(col("doc_b").as("doc_id")).distinct()
     val batchClean = fresh.join(batchLosers, Seq("doc_id"), "left_anti")
@@ -127,11 +141,18 @@ object StreamingCuration {
         val candIdFrame = spark.read.parquet(indexPath)
           .join(broadcast(batchKeys), Seq("band_key"))
           .select(col("doc_id")).distinct()
-        // Cheap limit-1 probe: a collision-free batch (the common case
-        // once the corpus stabilizes) skips the whole verify pipeline.
-        if (candIdFrame.isEmpty) batchClean
+        val cap = candidateIdCap(spark)
+        // One bounded job: ≤ cap+1 ids ever reach the driver. Empty →
+        // skip the verify pipeline entirely (collision-free batch, the
+        // common case once the corpus stabilizes).
+        val capped = candIdFrame.limit(cap + 1).collect().map(_.getLong(0))
+        if (capped.isEmpty) batchClean
         else {
-          val candDocs = candidateDocs(spark, corpusPath, candIdFrame)
+          val candDocs =
+            if (capped.length <= cap)
+              spark.read.parquet(corpusPath)
+                .filter(col("doc_id").isin(capped.toSeq: _*))
+            else candidateDocs(spark, corpusPath, candIdFrame)
           val nearDups = CurationPipeline
             .probeLshIndex(spark, indexPath, candDocs, batchClean)
             .select(col("new_doc").as("doc_id")).distinct()

@@ -66,8 +66,15 @@ class StreamingCurationSpec extends SparkSpec {
       StreamDoc(90002L, nearBase.getAs[String]("text") + " tail tweak words",
         "en", "srcX", 0L),
       fresh)
-    val n2 = StreamingCuration.ingestBatch(spark, batch2.toDF(),
-      corpusPath, indexPath)
+    // Drive batch 2 through the OVER-CAP fallback (cap 0 forces the
+    // distributed semi-join pruning) — the hot-band-key code path must
+    // reach the same verdicts as the steady-state isin path, which the
+    // replay below exercises at the default cap.
+    spark.conf.set("spark.graft.candidateIdCap", "0")
+    val n2 =
+      try StreamingCuration.ingestBatch(spark, batch2.toDF(),
+        corpusPath, indexPath)
+      finally spark.conf.unset("spark.graft.candidateIdCap")
     val corpus2 = spark.read.parquet(corpusPath)
     assert(n2 == 1, s"only the fresh doc should survive batch 2, got $n2")
     val ids = corpus2.select("doc_id").collect().map(_.getLong(0)).toSet
