@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Clustering.defs ++
+      operators.Quantization.defs ++
       operators.Multimodal.defs ++
       operators.Quality.defs ++
       operators.Sampling.defs ++

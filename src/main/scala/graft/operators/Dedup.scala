@@ -879,9 +879,84 @@ object Dedup {
         i -> w.w[i]), ' '), '') AS text_clean
     FROM w LEFT JOIN ds USING (doc_id)"""
 
+  /** Rows reported by [[dupSpanReport]]. */
+  private val SpanReportK = 20
+
+  /** The corpus-boilerplate report — [[dedupSubstring]]'s diagnostic
+    * twin: the [[SpanReportK]] most-duplicated [[SpanTokens]]-token
+    * spans, with total occurrences, distinct documents touched, and the
+    * span text itself. dedup_substring answers "erase the duplicated
+    * spans"; this answers the curation question that comes FIRST —
+    * "what IS the boilerplate, and how much of the corpus does it
+    * ride in?" (cookie banners, license headers, template footers all
+    * surface here before anyone commits to a scrub threshold).
+    *
+    * Scale: the aggregate keys on the 32-char gram digest (never the
+    * text); the span text is recovered AFTER the top-k cut by joining
+    * the ≤[[SpanReportK]] winning (doc, start) locations — a broadcast
+    * probe — back onto the documents scan, so full text never shuffles
+    * and the top-k is a TakeOrdered bounded heap, not a global sort.
+    * Deterministic: ties break on the digest; the example location is
+    * the lexicographic min (doc_id, start).
+    */
+  def dupSpanReport(spark: SparkSession, dir: String): DataFrame =
+    dupSpanReportDf(Tables.documents(spark, dir))
+
+  private[graft] def dupSpanReportDf(documents: DataFrame): DataFrame = {
+    val k = SpanTokens
+    val docs = documents.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val grams = docs
+      .select(col("doc_id"), col("w"),
+        explode(
+          when(size(col("w")) >= k, sequence(lit(1), size(col("w")) - (k - 1)))
+            .otherwise(array().cast("array<int>"))).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("w"), col("s"), lit(k)), " ")).as("gram_h"))
+    val top = grams.groupBy(col("gram_h"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("s"))).as("loc"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("gram_h").asc)
+      .limit(SpanReportK)
+      .select(col("gram_h"), col("n_occ"), col("n_docs"),
+        col("loc.doc_id").as("doc_id"), col("loc.s").as("s"))
+    Tables.dimHint(top).join(docs, Seq("doc_id"))
+      .select(
+        array_join(slice(col("w"), col("s"), lit(k)), " ").as("span"),
+        col("gram_h"), col("n_occ"), col("n_docs"))
+  }
+
+  val dupSpanReportOracle: String = s"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w FROM documents),
+    g AS (
+      SELECT doc_id, s,
+        MD5(ARRAY_TO_STRING(w[s : s + ${SpanTokens - 1}], ' ')) AS gram_h
+      FROM (SELECT doc_id, w,
+              UNNEST(RANGE(1, GREATEST(LEN(w) - ${SpanTokens - 2}, 1))) AS s
+            FROM w)),
+    agg AS (
+      SELECT gram_h, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+    loc AS (
+      SELECT gram_h, doc_id, s FROM (
+        SELECT gram_h, doc_id, s,
+          ROW_NUMBER() OVER (PARTITION BY gram_h ORDER BY doc_id, s) AS rn
+        FROM g) WHERE rn = 1),
+    top AS (
+      SELECT a.gram_h, a.n_occ, a.n_docs, l.doc_id, l.s
+      FROM agg a JOIN loc l USING (gram_h)
+      ORDER BY a.n_occ DESC, a.gram_h ASC LIMIT $SpanReportK)
+    SELECT ARRAY_TO_STRING(w.w[t.s : t.s + ${SpanTokens - 1}], ' ') AS span,
+      t.gram_h, CAST(t.n_occ AS BIGINT) AS n_occ,
+      CAST(t.n_docs AS BIGINT) AS n_docs
+    FROM top t JOIN w ON w.doc_id = t.doc_id"""
+
   def defs: Map[String, QueryDef] = Map(
     "cross_source_overlap" -> QueryDef.sql(crossSourceOverlap, crossSourceOverlapOracle),
     "dedup_substring" -> QueryDef.sql(dedupSubstring, dedupSubstringOracle),
+    "dup_span_report" -> QueryDef.sql(dupSpanReport, dupSpanReportOracle),
     "ngram_containment" -> QueryDef.sql(ngramContainment, ngramContainmentOracle),
     "decontaminate" -> QueryDef.sql(decontaminate, decontaminateOracle),
     "contamination_report" ->

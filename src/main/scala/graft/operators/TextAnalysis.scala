@@ -714,8 +714,10 @@ object TextAnalysis {
         (col("sum_inv") / col("n_bigrams").cast("double")).as("lm_score"))
   }
 
-  val lmScoreOracle: String = s"""
-    WITH toks AS MATERIALIZED (
+  /** The lm_score oracle's WITH body + final select, split so
+    * [[ccnetBucketsOracle]] can chain the identical scoring as a CTE.
+    */
+  private val lmScoreCtes: String = s"""toks AS MATERIALIZED (
       SELECT doc_id,
         CAST('0x' || SUBSTR(MD5('lm|' || ws[i] || ' ' || ws[i+1]), 1, 6)
           AS BIGINT) % $LmBuckets AS bucket
@@ -725,8 +727,10 @@ object TextAnalysis {
             FROM documents)),
     tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
     stats AS (SELECT bucket, COUNT(*) AS cb FROM toks GROUP BY 1),
-    totals AS (SELECT COUNT(*) AS nb FROM toks)
-    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+    totals AS (SELECT COUNT(*) AS nb FROM toks)"""
+
+  private val lmScoreSelect: String = s"""SELECT doc_id,
+      CAST(SUM(tf) AS BIGINT) AS n_bigrams,
       ${graft.functions.Exact.sqlDsum(
         "CAST(tf AS DOUBLE) * (CAST(nb + 1 AS DOUBLE)"
           + s" / (CAST(cb AS DOUBLE) + CAST(1 AS DOUBLE) / $LmBuckets))")}
@@ -734,11 +738,89 @@ object TextAnalysis {
     FROM tf JOIN stats USING (bucket) CROSS JOIN totals
     GROUP BY doc_id"""
 
+  val lmScoreOracle: String = s"""
+    WITH $lmScoreCtes
+    $lmScoreSelect"""
+
+  /** Integer score grid for [[ccnetBuckets]]: 1024 cells per score unit.
+    * A power of two BECAUSE IEEE multiplication by 2¹⁰ is exact (pure
+    * exponent shift) — `floor(lm_score · 1024)` is deterministic given
+    * the already-hash-verified lm_score doubles, with no decimal
+    * rounding hazard at cell boundaries.
+    */
+  private val CcnetCellScale = 1024
+
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §3.3):
+    * rank documents by LM score ([[lmScore]] — low = fluent) and cut
+    * the corpus into thirds; "head" feeds high-quality training mixes,
+    * "tail" gets dropped or re-filtered. The tertile cut is computed
+    * the way exact percentiles are computed in this repo — a HISTOGRAM
+    * of integer score cells + one cumulative window over the aggregated
+    * cells, never a global sort of the corpus: t1/t2 are the smallest
+    * cells whose cumulative count reaches ⌈n/3⌉ and ⌈2n/3⌉ (all-integer
+    * `cum·3 ≥ n` tests), and each document's bucket is then two integer
+    * comparisons on a broadcast one-row threshold frame. Documents
+    * sharing the boundary cell share a bucket — the grid (1/1024 of a
+    * score unit) is the declared resolution of the cut, which is how
+    * CCNet itself treats its percentile thresholds (computed once on a
+    * sample, applied as constants).
+    *
+    * Scale: the histogram is bounded by distinct score cells (≤ corpus
+    * docs, far fewer in practice); its window runs over aggregated
+    * narrow rows. Everything corpus-sized is scan + broadcast join.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // Three branches read the cells frame (histogram, total, verdict):
+    // checkpoint materializes the lm scoring once, blocks free via GC
+    // (the semdedup discipline).
+    import org.apache.spark.sql.expressions.Window
+    val cells = graft.functions.Iterate.checkpoint(
+      lmScore(spark, dir).select(col("doc_id"),
+        floor(col("lm_score") * lit(CcnetCellScale)).cast("long").as("cell")))
+    val hist = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val wc = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("n")).over(wc))
+    val tot = cells.agg(count(lit(1)).as("n_total"))
+    val th = cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum") * 3 >= col("n_total"), col("cell"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n_total") * 2, col("cell"))).as("t2"))
+    cells.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("cell"),
+        when(col("cell") <= col("t1"), lit("head"))
+          .when(col("cell") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  lazy val ccnetBucketsOracle: String = s"""
+    WITH $lmScoreCtes,
+    lm AS ($lmScoreSelect),
+    cells AS (
+      SELECT doc_id,
+        CAST(FLOOR(lm_score * $CcnetCellScale) AS BIGINT) AS cell FROM lm),
+    hist AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY 1),
+    cum AS (
+      SELECT cell, SUM(n) OVER (ORDER BY cell
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist),
+    tot AS (SELECT COUNT(*) AS n_total FROM cells),
+    th AS (
+      SELECT MIN(CASE WHEN cum * 3 >= n_total THEN cell END) AS t1,
+             MIN(CASE WHEN cum * 3 >= 2 * n_total THEN cell END) AS t2
+      FROM cum CROSS JOIN tot)
+    SELECT c.doc_id, c.cell,
+      CASE WHEN c.cell <= th.t1 THEN 'head'
+           WHEN c.cell <= th.t2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM cells c CROSS JOIN th"""
+
   def defs: Map[String, QueryDef] = Map(
     "corpus_stats" -> QueryDef.sql(corpusStats, corpusStatsOracle),
     "winnow_fingerprint" -> QueryDef.sql(winnowFingerprint, winnowFingerprintOracle),
     "gopher_dup_ngrams" -> QueryDef.sql(gopherDupNgrams, gopherDupNgramsOracle),
     "lm_score" -> QueryDef.sql(lmScore, lmScoreOracle),
+    "ccnet_buckets" -> QueryDef.sql(ccnetBuckets, ccnetBucketsOracle),
     "tfidf_top_terms" -> QueryDef.sql(tfidfTopTerms, tfidfTopTermsOracle),
     "ngram_freq" -> QueryDef.sql(ngramFreq, ngramFreqOracle),
     "stopword_filter" -> QueryDef.sql(stopwordFilter, stopwordFilterOracle),
