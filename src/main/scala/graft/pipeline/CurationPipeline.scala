@@ -60,10 +60,16 @@ object CurationPipeline {
       val obs = org.apache.spark.sql.Observation(s"graft_$name")
       val cols = count(lit(1)).cast("long").as("rows") +:
         extras.map { case (n, c) => coalesce(c, lit(0L)).as(n) }
+      val t0 = System.nanoTime()
       df.observe(obs, cols.head, cols.tail: _*)
         .write.mode("overwrite").parquet(path)
       val metrics = obs.get
       manifest += name -> metrics("rows").asInstanceOf[Long]
+      // Per-stage wall time in the manifest (suffixed keys, so the
+      // stage-count consumers above stay untouched): the pipeline's own
+      // profile, read straight off a production run's manifest instead
+      // of re-deriving it from scheduler logs.
+      manifest += s"${name}_millis" -> (System.nanoTime() - t0) / 1000000L
       (spark.read.parquet(path), metrics)
     }
     def stage(name: String, df: DataFrame): DataFrame =
