@@ -68,16 +68,16 @@ object EventOps {
     * s(user_id, event_id, value, t, session_id)).
     */
   private val sqlSessionAssigned: String = s"""
-      SELECT user_id, event_id, value, t,
+      SELECT user_id, event_id, event_type, value, t,
         CAST(SUM(new_session) OVER (PARTITION BY user_id
           ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
           AS session_id
       FROM (
-        SELECT user_id, event_id, value, t,
+        SELECT user_id, event_id, event_type, value, t,
           CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapUs}
             THEN 1 ELSE 0 END AS new_session
         FROM (
-          SELECT user_id, event_id, value, EPOCH_US(ts) AS t,
+          SELECT user_id, event_id, event_type, value, EPOCH_US(ts) AS t,
             LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
               ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS prev_t
           FROM events))"""
@@ -702,7 +702,59 @@ object EventOps {
     FROM spine s
     LEFT JOIN observed o ON s.event_type = o.event_type AND s.hour = o.hour"""
 
+  /** Within-session event-type transition matrix (the Markov-chain view
+    * of user behavior — "what follows a click?"): consecutive event
+    * pairs INSIDE a session, counted per (from, to) type, each row with
+    * its per-from transition probability in ppm (all-integer floor
+    * division — no FP rates).
+    *
+    * Scale: rides [[sessionAssigned]]'s single user_id shuffle — the
+    * successor lookup is a lead() on the SAME per-user window (session
+    * boundaries handled by comparing the successor's session id, so no
+    * second (user, session)-keyed exchange is introduced), and the
+    * transition aggregate is |event_types|² rows — map-side combined to
+    * almost nothing. The probability join is a broadcast of the
+    * per-from totals.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val cm = sessionAssigned(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(order))
+      .withColumn("next_session", lead(col("session_id"), 1).over(order))
+      .filter(col("next_session") === col("session_id"))
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val tot = cm.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("n_from"))
+    cm.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        expr("(n_transitions * 1000000) div n_from").as("p_ppm"))
+  }
+
+  val markovTransitionsOracle: String = s"""
+    WITH s AS ($sqlSessionAssigned),
+    nxt AS (
+      SELECT event_type, session_id,
+        LEAD(event_type) OVER (PARTITION BY user_id
+          ORDER BY t ASC, event_id ASC) AS next_type,
+        LEAD(session_id) OVER (PARTITION BY user_id
+          ORDER BY t ASC, event_id ASC) AS next_session
+      FROM s),
+    cm AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+        COUNT(*) AS n_transitions
+      FROM nxt WHERE next_session = session_id GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, SUM(n_transitions) AS n_from FROM cm GROUP BY 1)
+    SELECT cm.from_type, cm.to_type,
+      CAST(cm.n_transitions AS BIGINT) AS n_transitions,
+      CAST((cm.n_transitions * 1000000) // t.n_from AS BIGINT) AS p_ppm
+    FROM cm JOIN tot t USING (from_type)"""
+
   def defs: Map[String, QueryDef] = Map(
+    "markov_transitions" -> QueryDef.sql(markovTransitions, markovTransitionsOracle),
     "timeseries_fill" -> QueryDef.sql(timeseriesFill, timeseriesFillOracle),
     "window_range_frame" -> QueryDef.sql(windowRangeFrame, windowRangeFrameOracle),
     "heavy_hitters" -> QueryDef.sql(heavyHitters, heavyHittersOracle),

@@ -113,6 +113,40 @@ object TextAnalysis {
     FROM documents"""
   }
 
+  /** Language-ID accuracy audit — [[langId]]'s confusion matrix against
+    * the corpus's declared `lang` labels: per (declared, predicted)
+    * pair, document count and the share of that declared language in
+    * ppm (recall on the diagonal, the error profile off it — the report
+    * that decides whether the cheap marker heuristic is good enough for
+    * a mix decision, per language, before anyone trusts lang-keyed
+    * sampling). All-integer shares; the per-language totals broadcast.
+    *
+    * Scale: langId itself is scan-speed; the matrix is ≤ |langs|² rows
+    * after a map-side-combined aggregate.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cm = langId(spark, dir)
+      .groupBy(col("declared_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cm.groupBy(col("declared_lang"))
+      .agg(sum(col("n_docs")).as("n_declared"))
+    cm.join(broadcast(tot), Seq("declared_lang"))
+      .select(col("declared_lang"), col("predicted_lang"), col("n_docs"),
+        expr("(n_docs * 1000000) div n_declared").as("share_ppm"))
+  }
+
+  lazy val langidConfusionOracle: String = s"""
+    WITH lid AS ($langIdOracle),
+    cm AS (
+      SELECT declared_lang, predicted_lang, COUNT(*) AS n_docs
+      FROM lid GROUP BY 1, 2),
+    tot AS (
+      SELECT declared_lang, SUM(n_docs) AS n_declared FROM cm GROUP BY 1)
+    SELECT cm.declared_lang, cm.predicted_lang,
+      CAST(cm.n_docs AS BIGINT) AS n_docs,
+      CAST((cm.n_docs * 1000000) // t.n_declared AS BIGINT) AS share_ppm
+    FROM cm JOIN tot t USING (declared_lang)"""
+
   /** Document fingerprinting: canonical md5 of whitespace-normalized
     * text + a rolling polynomial hash over portable word hashes (explicit
     * left fold — order-identical across engines).
@@ -828,6 +862,7 @@ object TextAnalysis {
     "quality_score" -> QueryDef.sql(qualityScore, qualityScoreOracle),
     "gopher_rules" -> QueryDef.sql(gopherRules, gopherRulesOracle),
     "lang_id" -> QueryDef.sql(langId, langIdOracle),
+    "langid_confusion" -> QueryDef.sql(langidConfusion, langidConfusionOracle),
     "doc_fingerprint" -> QueryDef.sql(docFingerprint, docFingerprintOracle),
     "repetition_score" -> QueryDef.sql(repetitionScore, repetitionScoreOracle),
     "pii_scrub" -> QueryDef.sql(piiScrub, piiScrubOracle),

@@ -671,4 +671,35 @@ class OperatorSpec extends SparkSpec {
     assert(df.count() == toks.filter(col("nb") >= 1).count())
     df.unpersist()
   }
+
+  test("markov_transitions: transitions reconcile with session sizes and ppm sums hold") {
+    val cm = operators.EventOps.markovTransitions(spark, sfDir).cache()
+    // per-session transition count = session size - 1, summed corpus-wide
+    val expected = operators.EventOps.sessionStats(spark, sfDir)
+      .agg(sum(col("n_events") - 1)).collect()(0).getLong(0)
+    assert(cm.agg(sum(col("n_transitions"))).collect()(0).getLong(0) == expected)
+    // per-from probabilities sum to ~1e6 (floor loss < one ppm per cell)
+    val byFrom = cm.groupBy(col("from_type"))
+      .agg(sum(col("p_ppm")).as("s"), count(lit(1)).as("k")).collect()
+    byFrom.foreach { r =>
+      val (s, k) = (r.getAs[Long]("s"), r.getAs[Long]("k"))
+      assert(s <= 1000000L && s > 1000000L - k, s"ppm sum $s over $k cells")
+    }
+    cm.unpersist()
+  }
+
+  test("langid_confusion: matrix reconciles with lang_id rows and shares are exact") {
+    val cm = operators.TextAnalysis.langidConfusion(spark, sfDir).cache()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(cm.agg(sum(col("n_docs"))).collect()(0).getLong(0) == n)
+    // diagonal exists for the dominant declared language
+    assert(cm.filter(col("declared_lang") === col("predicted_lang")).count() > 0)
+    val byLang = cm.groupBy(col("declared_lang"))
+      .agg(sum(col("share_ppm")).as("s"), count(lit(1)).as("k")).collect()
+    byLang.foreach { r =>
+      val (s, k) = (r.getAs[Long]("s"), r.getAs[Long]("k"))
+      assert(s <= 1000000L && s > 1000000L - k, s"share sum $s over $k cells")
+    }
+    cm.unpersist()
+  }
 }
