@@ -117,4 +117,25 @@ class ShuffleBudgetSpec extends SparkSpec {
   // Per-row multimodal stages: scan-speed, ZERO shuffles at any SF.
   check("multimodal_frame_sample", 0)(operators.Multimodal.multimodalFrameSample(spark, sfDir))
   check("multimodal_resize", 0)(operators.Multimodal.multimodalResize(spark, sfDir))
+  // pq_encode: the codebook/query-side tables all broadcast — the only
+  // corpus shuffles are the per-(vec, sub) argmin window of the final
+  // assignment and the per-vector code/error aggregate (training-round
+  // windows live in the eager codebook checkpoints, not this plan).
+  check("pq_encode", 2)(operators.Quantization.pqEncode(spark, sfDir))
+  // ccnet_buckets: lm scoring lives in the checkpointed cells frame;
+  // this plan is the cell histogram + its cumulative window + the
+  // single-row total/threshold folds riding broadcast back onto the
+  // checkpoint scan.
+  check("ccnet_buckets", 4)(operators.TextAnalysis.ccnetBuckets(spark, sfDir))
+  // dup_span_report: the digest hotness aggregate + the bounded top-k +
+  // the (doc,start) recovery join (broadcast via dimHint locally; the
+  // budget covers the shuffle form).
+  check("dup_span_report", 4)(operators.Dedup.dupSpanReport(spark, sfDir))
+  // markov_transitions: ONE user_id shuffle shared with sessionize's
+  // window, the |types|^2 transition aggregate, and the tiny per-from
+  // total fold (its broadcast join back is not a data shuffle).
+  check("markov_transitions", 3)(operators.EventOps.markovTransitions(spark, sfDir))
+  // langid_confusion: scan-speed lang_id projection + the small matrix
+  // aggregate + the per-language total fold.
+  check("langid_confusion", 3)(operators.TextAnalysis.langidConfusion(spark, sfDir))
 }
