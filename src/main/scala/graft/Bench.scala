@@ -56,7 +56,8 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query);
     // the bench-only streaming entries are addressable there too.
     val extraNames = Set("stream_bench_window_agg", "stream_bench_dedup",
-      "stream_bench_funnel", "curation_pipeline_e2e", "stream_curation_e2e")
+      "stream_bench_funnel", "curation_pipeline_e2e", "stream_curation_e2e",
+      "ann_index_probe_e2e")
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -150,6 +151,21 @@ object Bench {
           streaming.StreamingCuration.ingestBatch(spark,
             docs.filter(col("doc_id") % 2 === 1),
             s"$out/corpus", s"$out/index")
+          ()
+        } finally rmTree(out)
+      }),
+      // The ANN serving shape end to end: land the bucket-partitioned
+      // index once, then probe it FROM DISK with the standard query
+      // batch (partition-pruned read + exact re-rank) — the number a
+      // retrieval service watches.
+      ("ann_index_probe_e2e", { (_: String) =>
+        import org.apache.spark.sql.functions.col
+        val out = java.nio.file.Files.createTempDirectory("graft_bench_annidx")
+        try {
+          val e = Tables.embeddings(spark, sfDir)
+          sources.AnnIndex.materialize(e, s"$out/index")
+          sources.AnnIndex.probe(spark, s"$out/index",
+            e.filter(col("vec_id") < 10), 5).count()
           ()
         } finally rmTree(out)
       })).filter { case (name, _) => only.forall(_.contains(name)) }

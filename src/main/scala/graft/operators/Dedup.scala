@@ -201,6 +201,47 @@ object Dedup {
     JOIN s sb ON sb.doc_id = doc_b
     WHERE ${TextOps.sqlJaccard("sa.sh", "sb.sh")} >= 0.5"""
 
+  /** LSH band-quality audit — [[dedupMinhashLsh]]'s planning report and
+    * the banding twin of ivf_cell_stats: per band, the bucket count,
+    * the candidate-pair volume the band would generate (Σ sz·(sz−1)/2,
+    * computed FROM BUCKET SIZES — no pair is ever materialized), the
+    * hottest bucket, and how many docs collide at all. This is the
+    * audit that prices a verify pass and catches a hot band key (one
+    * boilerplate template putting 10⁶ docs in one bucket turns the
+    * candidate join quadratic) before a dedup run does.
+    *
+    * Scale: two narrow aggregates — (band, band_key) sizes, then a
+    * 6-row rollup; nothing wider than the band index ever moves.
+    */
+  def lshBandStats(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = lshBands(spark, dir)
+      .select(split(col("band_key"), ":").getItem(0).cast("int").as("band"),
+        col("band_key"))
+      .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("sz"))
+    buckets.groupBy(col("band")).agg(
+      sum(col("sz")).as("n_docs"),
+      count(lit(1)).as("n_buckets"),
+      sum(expr("sz * (sz - 1) div 2")).as("n_cand_pairs"),
+      max(col("sz")).as("max_bucket"),
+      sum(when(col("sz") >= 2, col("sz")).otherwise(lit(0L)))
+        .as("n_colliding_docs"))
+  }
+
+  val lshBandStatsOracle: String = s"""
+    $sqlLshCtes,
+    buckets AS (
+      SELECT CAST(STRING_SPLIT(band_key, ':')[1] AS INT) AS band,
+        band_key, COUNT(*) AS sz
+      FROM bands GROUP BY 1, 2)
+    SELECT band,
+      CAST(SUM(sz) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs,
+      CAST(MAX(sz) AS BIGINT) AS max_bucket,
+      CAST(SUM(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+        AS n_colliding_docs
+    FROM buckets GROUP BY 1"""
+
   /** Incremental near-dup dedup — the operational mode at 100 TB: the
     * corpus is already indexed (its (doc_id, band_key) rows are a
     * materialized table in production; recomputed here from the same
@@ -970,6 +1011,7 @@ object Dedup {
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),
     "dedup_minhash_lsh" -> QueryDef.sql(dedupMinhashLsh, dedupMinhashLshOracle),
+    "lsh_band_stats" -> QueryDef.sql(lshBandStats, lshBandStatsOracle),
     "dedup_simhash" -> QueryDef.sql(dedupSimhash, dedupSimhashOracle),
     "dedup_lines" -> QueryDef.sql(dedupLines, dedupLinesOracle),
     "dedup_apply" -> QueryDef.sql(dedupApply, dedupApplyOracle)

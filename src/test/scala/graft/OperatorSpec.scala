@@ -688,6 +688,23 @@ class OperatorSpec extends SparkSpec {
     cm.unpersist()
   }
 
+  test("lsh_band_stats: six bands, per-band docs reconcile, pair math is consistent") {
+    val rows = operators.Dedup.lshBandStats(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("band")).sorted.sameElements(0 until 6))
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).distinct
+    assert(nDocs.length == 1, s"bands disagree on doc count: ${nDocs.toList}")
+    rows.foreach { r =>
+      val (buckets, docs) = (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_docs"))
+      assert(buckets <= docs && buckets >= 1)
+      assert(r.getAs[Long]("max_bucket") <= docs)
+      val colliding = r.getAs[Long]("n_colliding_docs")
+      // every colliding doc contributes at least (sz-1)/2 >= 1/2 pair;
+      // exact lower bound: pairs >= colliding / 2
+      assert(r.getAs[Long]("n_cand_pairs") * 2 >= colliding)
+      assert(colliding <= docs)
+    }
+  }
+
   test("langid_confusion: matrix reconciles with lang_id rows and shares are exact") {
     val cm = operators.TextAnalysis.langidConfusion(spark, sfDir).cache()
     val n = Tables.documents(spark, sfDir).count()
