@@ -439,6 +439,30 @@ object Dedup {
       (src = MIN(dst)) AS is_canonical
     FROM reach GROUP BY src"""
 
+  /** Near-dup cluster-size histogram — the dedup family's yield report:
+    * for each cluster size, how many transitive near-dup clusters exist
+    * and how many documents they hold. Size 2 = simple pairs; a fat
+    * tail here means template families (one source stamping hundreds of
+    * near-copies) and predicts exactly how many docs dedup_apply will
+    * drop (n_docs − n_clusters summed over rows). Two tiny aggregates
+    * over [[dedupComponents]]'s (doc, component) output.
+    */
+  def dupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+
+  val dupClusterSizesOracle: String = s"""
+    WITH comp AS ($dedupComponentsOracle),
+    sizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1"""
+
   /** Dedup applied: the surviving corpus after near-dup clustering —
     * every cluster keeps only its canonical (min-id) document, plus all
     * unclustered documents untouched. This is the step that turns pair
@@ -1007,6 +1031,7 @@ object Dedup {
     // final rows are deterministic and identical to `decontaminate`'s.
     "decontaminate_bloom" -> QueryDef.sql(decontaminateBloom, decontaminateOracle),
     "dedup_components" -> QueryDef.sql(dedupComponents, dedupComponentsOracle),
+    "dup_cluster_sizes" -> QueryDef.sql(dupClusterSizes, dupClusterSizesOracle),
     "dedup_incremental" -> QueryDef.sql(dedupIncremental, dedupIncrementalOracle),
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),

@@ -693,6 +693,47 @@ object TextAnalysis {
     LEFT JOIN top USING (doc_id)
     LEFT JOIN duptri USING (doc_id)"""
 
+  /** Per-source quality profile — the mix-planning view of
+    * [[gopherRules]]: for each source, total docs, docs passing the
+    * full gate (with the share in ppm), and per-rule pass counts — the
+    * report that says WHICH rule is killing WHICH source before anyone
+    * re-weights a mixture on gated counts. All-integer shares; the
+    * matrix is |sources| rows after a map-side-combined aggregate.
+    */
+  def sourceQualityMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val g = gopherRules(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    g.join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pass").cast("long")).as("n_pass"),
+        sum(col("r_word_count").cast("long")).as("n_word_count"),
+        sum(col("r_mean_word_len").cast("long")).as("n_mean_word_len"),
+        sum(col("r_symbol_ratio").cast("long")).as("n_symbol_ratio"),
+        sum(col("r_stopwords").cast("long")).as("n_stopwords"),
+        sum(col("r_diversity").cast("long")).as("n_diversity"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        expr("(n_pass * 1000000) div n_docs").as("pass_ppm"),
+        col("n_word_count"), col("n_mean_word_len"), col("n_symbol_ratio"),
+        col("n_stopwords"), col("n_diversity"))
+  }
+
+  lazy val sourceQualityMatrixOracle: String = s"""
+    WITH g AS ($gopherRulesOracle)
+    SELECT d.source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CAST(g.pass AS INT)) AS BIGINT) AS n_pass,
+      CAST((SUM(CAST(g.pass AS INT)) * 1000000) // COUNT(*) AS BIGINT)
+        AS pass_ppm,
+      CAST(SUM(CAST(g.r_word_count AS INT)) AS BIGINT) AS n_word_count,
+      CAST(SUM(CAST(g.r_mean_word_len AS INT)) AS BIGINT) AS n_mean_word_len,
+      CAST(SUM(CAST(g.r_symbol_ratio AS INT)) AS BIGINT) AS n_symbol_ratio,
+      CAST(SUM(CAST(g.r_stopwords AS INT)) AS BIGINT) AS n_stopwords,
+      CAST(SUM(CAST(g.r_diversity AS INT)) AS BIGINT) AS n_diversity
+    FROM g JOIN documents d USING (doc_id)
+    GROUP BY 1"""
+
   /** Fixed hashed-feature space for the LM stats — same constant-size
     * bucket discipline as importance_weights' DSIR stats, so the model
     * table BROADCASTS at any corpus size.
@@ -861,6 +902,8 @@ object TextAnalysis {
     "token_count" -> QueryDef.sql(tokenCount, tokenCountOracle),
     "quality_score" -> QueryDef.sql(qualityScore, qualityScoreOracle),
     "gopher_rules" -> QueryDef.sql(gopherRules, gopherRulesOracle),
+    "source_quality_matrix" ->
+      QueryDef.sql(sourceQualityMatrix, sourceQualityMatrixOracle),
     "lang_id" -> QueryDef.sql(langId, langIdOracle),
     "langid_confusion" -> QueryDef.sql(langidConfusion, langidConfusionOracle),
     "doc_fingerprint" -> QueryDef.sql(docFingerprint, docFingerprintOracle),

@@ -688,6 +688,32 @@ class OperatorSpec extends SparkSpec {
     cm.unpersist()
   }
 
+  test("dup_cluster_sizes: sizes >= 2, totals reconcile with components and dedup_apply") {
+    val hist = operators.Dedup.dupClusterSizes(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    assert(hist.forall(_.getAs[Long]("cluster_size") >= 2))
+    hist.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+    val compDocs = operators.Dedup.dedupComponents(spark, sfDir).count()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum == compDocs)
+  }
+
+  test("source_quality_matrix: per-source counts reconcile and pass is the rule conjunction") {
+    val m = operators.TextAnalysis.sourceQualityMatrix(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == n)
+    m.foreach { r =>
+      val pass = r.getAs[Long]("n_pass")
+      // the conjunction can pass at most as often as its weakest rule
+      val ruleMins = Seq("n_word_count", "n_mean_word_len", "n_symbol_ratio",
+        "n_stopwords", "n_diversity").map(r.getAs[Long](_)).min
+      assert(pass <= ruleMins)
+      assert(r.getAs[Long]("pass_ppm") == pass * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("lsh_band_stats: six bands, per-band docs reconcile, pair math is consistent") {
     val rows = operators.Dedup.lshBandStats(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("band")).sorted.sameElements(0 until 6))
