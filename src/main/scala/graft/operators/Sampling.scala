@@ -399,6 +399,42 @@ object Sampling {
               CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS n_tokens
             FROM documents))"""
 
+  /** Packing-density report — [[sequencePack]]'s trainer-facing audit:
+    * per source, how many packed sequences the stream cut into, how
+    * densely documents packed (max docs landing in one sequence — the
+    * attention-mask fragmentation signal), and `fill_ppm` = tokens per
+    * sequence-slot in ppm of the [[SeqTokens]] budget. Over 1e6 means
+    * boundary overrun dominates (long docs spilling past their cut),
+    * under it means trailing underfill — the two failure modes a
+    * packing config is tuned between. All-integer; two narrow
+    * aggregates over the pack assignment.
+    */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(spark, dir)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_seqs"),
+        sum(col("t")).as("total_tokens"),
+        max(col("n_docs")).as("max_docs_per_seq"))
+      .select(col("source"), col("n_docs"), col("n_seqs"), col("total_tokens"),
+        col("max_docs_per_seq"),
+        expr(s"(total_tokens * 1000000) div (n_seqs * $SeqTokens)").as("fill_ppm"))
+
+  val packEfficiencyOracle: String = s"""
+    WITH p AS ($sequencePackOracle),
+    per AS (
+      SELECT source, seq_id, COUNT(*) AS n_docs, SUM(n_tokens) AS t
+      FROM p GROUP BY 1, 2)
+    SELECT source,
+      CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_seqs,
+      CAST(SUM(t) AS BIGINT) AS total_tokens,
+      CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_seq,
+      CAST((SUM(t) * 1000000) // (COUNT(*) * $SeqTokens) AS BIGINT) AS fill_ppm
+    FROM per GROUP BY 1"""
+
   /** The "high-quality target" source whose unigram distribution the
     * importance weights aim at (the curated-slice-as-target pattern).
     */
@@ -582,6 +618,7 @@ object Sampling {
     "importance_weights" -> QueryDef.sql(importanceWeights, importanceWeightsOracle),
     "sample_importance" -> QueryDef.sql(sampleImportance, sampleImportanceOracle),
     "sequence_pack" -> QueryDef.sql(sequencePack, sequencePackOracle),
+    "pack_efficiency" -> QueryDef.sql(packEfficiency, packEfficiencyOracle),
     "sample_weighted" -> QueryDef.sql(sampleWeighted, sampleWeightedOracle),
     "mix_rebalance" -> QueryDef.sql(mixRebalance, mixRebalanceOracle),
     "sample_temperature" -> QueryDef.sql(sampleTemperature, sampleTemperatureOracle),

@@ -688,6 +688,20 @@ class OperatorSpec extends SparkSpec {
     cm.unpersist()
   }
 
+  test("pack_efficiency: totals reconcile with sequence_pack and fill math is exact") {
+    val eff = operators.Sampling.packEfficiency(spark, sfDir).collect()
+    val pack = operators.Sampling.sequencePack(spark, sfDir)
+    val nDocs = pack.count()
+    assert(eff.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    eff.foreach { r =>
+      assert(r.getAs[Long]("max_docs_per_seq") >= 1)
+      assert(r.getAs[Long]("n_seqs") <= r.getAs[Long]("n_docs"))
+      val expected = r.getAs[Long]("total_tokens") * 1000000L /
+        (r.getAs[Long]("n_seqs") * 1024L)
+      assert(r.getAs[Long]("fill_ppm") == expected)
+    }
+  }
+
   test("dup_cluster_sizes: sizes >= 2, totals reconcile with components and dedup_apply") {
     val hist = operators.Dedup.dupClusterSizes(spark, sfDir).collect()
     assert(hist.nonEmpty)
