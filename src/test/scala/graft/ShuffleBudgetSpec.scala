@@ -138,4 +138,13 @@ class ShuffleBudgetSpec extends SparkSpec {
   // langid_confusion: scan-speed lang_id projection + the small matrix
   // aggregate + the per-language total fold.
   check("langid_confusion", 3)(operators.TextAnalysis.langidConfusion(spark, sfDir))
+  // lsh_band_stats: the (band, band_key) bucket-size aggregate + the
+  // 6-row band rollup — nothing wider than the band index moves.
+  check("lsh_band_stats", 2)(operators.Dedup.lshBandStats(spark, sfDir))
+  // source_quality_matrix: the rules⋈source doc_id join (shuffle form
+  // budgeted; AQE broadcasts at test scale) + the |sources| aggregate.
+  check("source_quality_matrix", 3)(operators.TextAnalysis.sourceQualityMatrix(spark, sfDir))
+  // pack_efficiency: sequence_pack's budget (3) + the per-(source, seq)
+  // and per-source rollups.
+  check("pack_efficiency", 5)(operators.Sampling.packEfficiency(spark, sfDir))
 }
