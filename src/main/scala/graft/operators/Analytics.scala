@@ -648,7 +648,91 @@ object Analytics {
     GROUP BY 1"""
   }
 
+  /** Synchronous label-propagation rounds for [[labelPropagation]]. */
+  private val LpaRounds = 4
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the STRONG collaboration graph (co-occurrence ≥
+    * [[StrongEdgeThreshold]] — the raw graph is near-complete and would
+    * collapse to one community): every node starts as its own label,
+    * and each of [[LpaRounds]] rounds reassigns it the label carrying
+    * the largest edge-weight mass among its neighbors (ties → smaller
+    * label). The missing member of the graph family — pagerank ranks,
+    * kcore peels, triangle_count measures closure; this PARTITIONS.
+    *
+    * Fully integer-deterministic: weights are collaboration COUNTS, so
+    * neighbor-label masses are integer sums (no FP anywhere), and the
+    * argmax breaks ties through a total order — bit-identical to the
+    * unrolled-CTE oracle by construction, synchronous (not the paper's
+    * asynchronous sweep) precisely so both engines see the same
+    * neighbor snapshot each round.
+    *
+    * Scale: the label vector is one row per node — [[stateHint]]
+    * broadcast per round, edges stream map-side; each round shuffles
+    * only the (node, label) mass aggregate (≤ |nodes|·distinct-labels,
+    * shrinking as labels coalesce), with the kcore checkpoint cadence.
+    */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = collabPairs(spark, dir)
+      .filter(col("collab_count") >= StrongEdgeThreshold)
+      .repartition(graft.functions.Iterate.statePartitions(spark))
+      .transform(graft.functions.Iterate.checkpoint)
+    val edges = pairs.select(col("supp_a").as("src"), col("supp_b").as("dst"),
+        col("collab_count").as("w"))
+      .unionByName(pairs.select(col("supp_b").as("src"),
+        col("supp_a").as("dst"), col("collab_count").as("w")))
+    val nodes = edges.select(col("dst").as("node")).distinct()
+      .transform(graft.functions.Iterate.checkpoint)
+    var lab = nodes.withColumn("label", col("node"))
+    for (i <- 1 to LpaRounds) {
+      val wArg = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+        .orderBy(col("s").desc, col("label").asc)
+      lab = edges
+        .join(stateHint(lab.withColumnRenamed("node", "src")), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("s"))
+        .select(col("dst").as("node"), col("label"), col("s"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+      if (i % 2 == 0 && i < LpaRounds)
+        lab = lab.transform(graft.functions.Iterate.checkpoint)
+    }
+    lab.select(col("node").as("supp_key"), col("label").as("community"))
+  }
+
+  val labelPropagationOracle: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""lab$i AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label, SUM(e.w) AS s,
+          ROW_NUMBER() OVER (PARTITION BY e.dst
+            ORDER BY SUM(e.w) DESC, l.label ASC) AS rn
+        FROM edges e JOIN lab${i - 1} l ON e.src = l.node
+        GROUP BY e.dst, l.label)
+      WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH p0 AS (
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS c
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    strong AS (SELECT supp_a, supp_b, c FROM p0 WHERE c >= $StrongEdgeThreshold),
+    edges AS (
+      SELECT supp_a AS src, supp_b AS dst, c AS w FROM strong
+      UNION ALL
+      SELECT supp_b, supp_a, c FROM strong),
+    nodes AS (SELECT DISTINCT dst AS node FROM edges),
+    lab0 AS (SELECT node, node AS label FROM nodes),
+    $rounds
+    SELECT node AS supp_key, CAST(label AS BIGINT) AS community
+    FROM lab$LpaRounds"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "label_propagation" -> QueryDef.sql(labelPropagation, labelPropagationOracle),
     "kcore" -> QueryDef.sql(kcore, kcoreOracle),
     "item_cofreq" -> QueryDef.sql(itemCofreq, itemCofreqOracle),
     "node_similarity" -> QueryDef.sql(nodeSimilarity, nodeSimilarityOracle),

@@ -688,6 +688,19 @@ class OperatorSpec extends SparkSpec {
     cm.unpersist()
   }
 
+  test("label_propagation: every strong-graph node labeled once, labels are node ids") {
+    val lab = operators.Analytics.labelPropagation(spark, sfDir).collect()
+    val nodes = lab.map(_.getAs[Long]("supp_key"))
+    assert(nodes.distinct.length == nodes.length, "a node was labeled twice")
+    val nodeSet = nodes.toSet
+    assert(lab.forall(r => nodeSet.contains(r.getAs[Long]("community"))),
+      "a community label is not a graph node")
+    // propagation actually coalesced labels: fewer communities than nodes
+    val nComm = lab.map(_.getAs[Long]("community")).distinct.length
+    assert(nComm < nodes.length || nodes.length <= 2,
+      s"$nComm communities over ${nodes.length} nodes — nothing propagated")
+  }
+
   test("pack_efficiency: totals reconcile with sequence_pack and fill math is exact") {
     val eff = operators.Sampling.packEfficiency(spark, sfDir).collect()
     val pack = operators.Sampling.sequencePack(spark, sfDir)
