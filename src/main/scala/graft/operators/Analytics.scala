@@ -731,8 +731,89 @@ object Analytics {
     FROM lab$LpaRounds"""
   }
 
+  /** Per-community quality report on [[labelPropagation]]'s partition:
+    * member count, internal edge weight (both endpoints inside, each
+    * undirected edge once), external edge weight (crossing edges,
+    * counted for each side they touch), and `cut_ppm` — the community's
+    * cut fraction external/(2·internal + external) in ppm, the
+    * conductance-style number that says whether a community is a real
+    * module or an artifact. All-integer (weights are counts; ppm by
+    * floor division, zero-denominator guarded identically in both
+    * engines).
+    *
+    * Scale: the label vector joins the strong pair list via
+    * [[stateHint]] twice (per endpoint); aggregates are ≤ |communities|
+    * rows.
+    */
+  def communityStats(spark: SparkSession, dir: String): DataFrame = {
+    val comm = labelPropagation(spark, dir)
+      .transform(graft.functions.Iterate.checkpoint)
+    val pairs = collabPairs(spark, dir)
+      .filter(col("collab_count") >= StrongEdgeThreshold)
+      .select(col("supp_a"), col("supp_b"), col("collab_count").as("w"))
+    val j = pairs
+      .join(stateHint(comm.select(col("supp_key").as("supp_a"),
+        col("community").as("ca"))), Seq("supp_a"))
+      .join(stateHint(comm.select(col("supp_key").as("supp_b"),
+        col("community").as("cb"))), Seq("supp_b"))
+      .transform(graft.functions.Iterate.checkpoint)
+    val internal = j.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(sum(col("w")).as("internal_w"))
+    val ext = j.filter(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("community"), col("w"))
+      .groupBy(col("community")).agg(sum(col("w")).as("external_w"))
+    val sizes = comm.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+    sizes
+      .join(internal, Seq("community"), "left")
+      .join(ext, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_w"), lit(0L)).as("internal_w"),
+        coalesce(col("external_w"), lit(0L)).as("external_w"))
+      .withColumn("cut_ppm",
+        when(col("internal_w") * 2 + col("external_w") === 0, lit(0L))
+          .otherwise(expr(
+            "(external_w * 1000000) div (internal_w * 2 + external_w)")))
+  }
+
+  val communityStatsOracle: String = s"""
+    WITH comm AS ($labelPropagationOracle),
+    cp0 AS (
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS c
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    cstrong AS (SELECT supp_a, supp_b, c AS w FROM cp0
+      WHERE c >= $StrongEdgeThreshold),
+    cj AS (
+      SELECT s.w, a.community AS ca, b.community AS cb
+      FROM cstrong s
+      JOIN comm a ON s.supp_a = a.supp_key
+      JOIN comm b ON s.supp_b = b.supp_key),
+    cinternal AS (
+      SELECT ca AS community, SUM(w) AS iw FROM cj WHERE ca = cb GROUP BY 1),
+    cext AS (
+      SELECT community, SUM(w) AS ew FROM (
+        SELECT ca AS community, w FROM cj WHERE ca <> cb
+        UNION ALL SELECT cb, w FROM cj WHERE ca <> cb)
+      GROUP BY 1),
+    csizes AS (
+      SELECT community, COUNT(*) AS n_nodes FROM comm GROUP BY 1)
+    SELECT s.community,
+      CAST(s.n_nodes AS BIGINT) AS n_nodes,
+      CAST(COALESCE(i.iw, 0) AS BIGINT) AS internal_w,
+      CAST(COALESCE(e.ew, 0) AS BIGINT) AS external_w,
+      CAST(CASE WHEN COALESCE(i.iw, 0) * 2 + COALESCE(e.ew, 0) = 0 THEN 0
+        ELSE (COALESCE(e.ew, 0) * 1000000)
+          // (COALESCE(i.iw, 0) * 2 + COALESCE(e.ew, 0)) END AS BIGINT)
+        AS cut_ppm
+    FROM csizes s
+    LEFT JOIN cinternal i ON s.community = i.community
+    LEFT JOIN cext e ON s.community = e.community"""
+
   def defs: Map[String, QueryDef] = Map(
     "label_propagation" -> QueryDef.sql(labelPropagation, labelPropagationOracle),
+    "community_stats" -> QueryDef.sql(communityStats, communityStatsOracle),
     "kcore" -> QueryDef.sql(kcore, kcoreOracle),
     "item_cofreq" -> QueryDef.sql(itemCofreq, itemCofreqOracle),
     "node_similarity" -> QueryDef.sql(nodeSimilarity, nodeSimilarityOracle),

@@ -701,6 +701,23 @@ class OperatorSpec extends SparkSpec {
       s"$nComm communities over ${nodes.length} nodes — nothing propagated")
   }
 
+  test("community_stats: members and edge weight fully accounted for") {
+    val cs = operators.Analytics.communityStats(spark, sfDir).collect()
+    val lab = operators.Analytics.labelPropagation(spark, sfDir).count()
+    assert(cs.map(_.getAs[Long]("n_nodes")).sum == lab)
+    // every strong edge is internal to one community or external to two:
+    // W = sum(internal) + sum(external)/2
+    val strongW = operators.Analytics.collabPairs(spark, sfDir)
+      .filter(col("collab_count") >= 5)
+      .agg(sum(col("collab_count"))).collect()(0).getLong(0)
+    val internal = cs.map(_.getAs[Long]("internal_w")).sum
+    val external = cs.map(_.getAs[Long]("external_w")).sum
+    assert(external % 2 == 0, "crossing weight must double-count evenly")
+    assert(internal + external / 2 == strongW,
+      s"edge weight unaccounted: $internal + $external/2 != $strongW")
+    cs.foreach(r => assert(r.getAs[Long]("cut_ppm") <= 1000000L))
+  }
+
   test("pack_efficiency: totals reconcile with sequence_pack and fill math is exact") {
     val eff = operators.Sampling.packEfficiency(spark, sfDir).collect()
     val pack = operators.Sampling.sequencePack(spark, sfDir)
