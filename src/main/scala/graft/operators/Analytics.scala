@@ -672,7 +672,12 @@ object Analytics {
     * only the (node, label) mass aggregate (≤ |nodes|·distinct-labels,
     * shrinking as labels coalesce), with the kcore checkpoint cadence.
     */
-  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared LPA core: the checkpointed strong pair list plus the final
+    * label vector — so [[communityStats]] reuses the pair materialization
+    * [[labelPropagation]] already paid for instead of re-scanning
+    * lineitem for a second collabPairs build.
+    */
+  private def lpaCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val pairs = collabPairs(spark, dir)
       .filter(col("collab_count") >= StrongEdgeThreshold)
       .repartition(graft.functions.Iterate.statePartitions(spark))
@@ -698,8 +703,11 @@ object Analytics {
       if (i % 2 == 0 && i < LpaRounds)
         lab = lab.transform(graft.functions.Iterate.checkpoint)
     }
-    lab.select(col("node").as("supp_key"), col("label").as("community"))
+    (pairs, lab.select(col("node").as("supp_key"), col("label").as("community")))
   }
+
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame =
+    lpaCore(spark, dir)._2
 
   val labelPropagationOracle: String = {
     val rounds = (1 to LpaRounds).map { i =>
@@ -746,10 +754,9 @@ object Analytics {
     * rows.
     */
   def communityStats(spark: SparkSession, dir: String): DataFrame = {
-    val comm = labelPropagation(spark, dir)
-      .transform(graft.functions.Iterate.checkpoint)
-    val pairs = collabPairs(spark, dir)
-      .filter(col("collab_count") >= StrongEdgeThreshold)
+    val (strongPairs, labels) = lpaCore(spark, dir)
+    val comm = labels.transform(graft.functions.Iterate.checkpoint)
+    val pairs = strongPairs
       .select(col("supp_a"), col("supp_b"), col("collab_count").as("w"))
     val j = pairs
       .join(stateHint(comm.select(col("supp_key").as("supp_a"),
