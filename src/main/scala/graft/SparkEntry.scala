@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.Clustering.defs ++
       operators.Quantization.defs ++
+      operators.Objectives.defs ++
       operators.Multimodal.defs ++
       operators.Quality.defs ++
       operators.Sampling.defs ++

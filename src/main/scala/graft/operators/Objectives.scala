@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-objective data preparation (§2.E) — the transforms that turn
+  * a curated corpus into model inputs for specific pretraining
+  * objectives: T5-style span corruption (Raffel et al. 2020 §3.1.4) and
+  * PrefixLM input/target splitting (the UL2/PaLM prefix objective).
+  * Pure per-row array/string expressions — codegen'd, shuffle-free,
+  * scan speed at any corpus size.
+  */
+object Objectives {
+
+  /** Words per corruption span (T5's mean span length 3, made exact). */
+  private val SpanLen = 3
+  /** One of every [[MaskEvery]] 3-word blocks is masked (≈14.3% token
+    * corruption — T5's 15%, expressed as an exact integer cadence so
+    * both engines mask the identical positions with zero randomness).
+    */
+  private val MaskEvery = 7
+
+  /** T5 span corruption, deterministic: word positions partition into
+    * [[SpanLen]]-word blocks; every [[MaskEvery]]-th block is masked.
+    * The INPUT replaces each masked block with one `<extra_id_k>`
+    * sentinel (k = masked-block ordinal); the TARGET is the sentinel
+    * followed by the block's words — exactly the paper's encoding, with
+    * the random span sampling replaced by a fixed cadence so the
+    * transform is reproducible and oracle-mirrorable (a production run
+    * would key the cadence offset on a seed column the same way
+    * dataset_split salts its hash).
+    */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val idx = sequence(lit(1), size(w))
+    // block of word i (0-based), masked iff block % MaskEvery == 0,
+    // sentinel ordinal = block / MaskEvery
+    def block(i: Column) = (i - 1).cast("bigint") / lit(SpanLen.toLong)
+    def blockFloor(i: Column) = floor(block(i)).cast("long")
+    def masked(i: Column) = blockFloor(i) % lit(MaskEvery.toLong) === 0
+    def firstOfBlock(i: Column) = (i - 1) % lit(SpanLen) === 0
+    def sentinel(i: Column) =
+      concat(lit("<extra_id_"),
+        (blockFloor(i) / lit(MaskEvery.toLong)).cast("long").cast("string"),
+        lit(">"))
+    val inputWords = transform(idx, i =>
+      when(!masked(i), element_at(w, i))
+        .when(firstOfBlock(i), sentinel(i))
+        .otherwise(lit(null)))
+    val targetWords = transform(filter(idx, i => masked(i)), i =>
+      when(firstOfBlock(i), concat(sentinel(i), lit(" "), element_at(w, i)))
+        .otherwise(element_at(w, i)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(
+        col("doc_id"),
+        size(w).cast("bigint").as("n_tokens"),
+        size(filter(idx, i => masked(i))).cast("bigint").as("n_masked"),
+        array_join(filter(inputWords, x => x.isNotNull), " ").as("input_text"),
+        array_join(targetWords, " ").as("target_text"))
+  }
+
+  val spanCorruptionOracle: String = {
+    val blk = s"(((i - 1) // $SpanLen))"
+    val masked = s"($blk % $MaskEvery = 0)"
+    val first = s"((i - 1) % $SpanLen = 0)"
+    val sent = s"('<extra_id_' || CAST($blk // $MaskEvery AS VARCHAR) || '>')"
+    s"""
+    SELECT doc_id,
+      CAST(LEN(w) AS BIGINT) AS n_tokens,
+      CAST(LEN(LIST_FILTER(RANGE(1, LEN(w) + 1), i -> $masked)) AS BIGINT)
+        AS n_masked,
+      ARRAY_TO_STRING(LIST_FILTER(LIST_TRANSFORM(RANGE(1, LEN(w) + 1), i ->
+        CASE WHEN NOT $masked THEN w[i]
+             WHEN $first THEN $sent
+             ELSE NULL END), x -> x IS NOT NULL), ' ') AS input_text,
+      ARRAY_TO_STRING(LIST_TRANSFORM(
+        LIST_FILTER(RANGE(1, LEN(w) + 1), i -> $masked), i ->
+          CASE WHEN $first THEN $sent || ' ' || w[i] ELSE w[i] END),
+        ' ') AS target_text
+    FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w
+          FROM documents)"""
+  }
+
+  /** Numerator/denominator of the prefix share: the first
+    * ceil(3n/4) words are input context, the rest is the target.
+    */
+  private val PrefixNum = 3
+  private val PrefixDen = 4
+
+  /** PrefixLM split: each document cut into (prefix, target) at
+    * ceil([[PrefixNum]]·n/[[PrefixDen]]) words — the bidirectional-
+    * context/causal-target preparation of the UL2 "S-denoiser" and
+    * PaLM-style prefix objective. All-integer boundary, so both
+    * engines cut at the identical word.
+    */
+  def prefixLmSplit(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val n = size(w).cast("bigint")
+    // ceil(3n/4) all-integer
+    val cut = (n * lit(PrefixNum.toLong) + lit(PrefixDen.toLong - 1)) /
+      lit(PrefixDen.toLong)
+    val cutF = floor(cut).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        cutF.as("n_prefix"),
+        array_join(slice(w, lit(1), cutF.cast("int")), " ").as("prefix_text"),
+        array_join(
+          filter(transform(sequence(lit(1), size(w)), i =>
+            when(i > cutF, element_at(w, i)).otherwise(lit(null))),
+            x => x.isNotNull),
+          " ").as("target_text"))
+  }
+
+  val prefixLmSplitOracle: String = {
+    val cut = s"((LEN(w) * $PrefixNum + ${PrefixDen - 1}) // $PrefixDen)"
+    s"""
+    SELECT doc_id,
+      CAST(LEN(w) AS BIGINT) AS n_tokens,
+      CAST($cut AS BIGINT) AS n_prefix,
+      ARRAY_TO_STRING(w[1 : $cut], ' ') AS prefix_text,
+      ARRAY_TO_STRING(w[$cut + 1 : LEN(w)], ' ') AS target_text
+    FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w
+          FROM documents)"""
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "span_corruption" -> QueryDef.sql(spanCorruption, spanCorruptionOracle),
+    "prefix_lm_split" -> QueryDef.sql(prefixLmSplit, prefixLmSplitOracle)
+  )
+}

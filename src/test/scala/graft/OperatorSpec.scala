@@ -701,6 +701,38 @@ class OperatorSpec extends SparkSpec {
       s"$nComm communities over ${nodes.length} nodes — nothing propagated")
   }
 
+  test("span_corruption: masked spans reconstruct and sentinels pair up") {
+    val rows = operators.Objectives.spanCorruption(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.take(200).foreach { r =>
+      val (n, m) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"))
+      assert(m <= n)
+      def words(s: String) = if (s.isEmpty) Array.empty[String] else s.split(" ")
+      val inp = words(r.getAs[String]("input_text"))
+      val tgt = words(r.getAs[String]("target_text"))
+      val sentRe = "<extra_id_\\d+>"
+      val inpSent = inp.count(_.matches(sentRe))
+      val tgtSent = tgt.count(_.matches(sentRe))
+      assert(inpSent == tgtSent, s"doc ${r.get(0)}: sentinel mismatch")
+      // non-sentinel words across input+target reconstruct the doc exactly
+      assert((inp.length - inpSent) + (tgt.length - tgtSent) == n,
+        s"doc ${r.get(0)}: token accounting broke")
+      assert(tgt.length - tgtSent == m)
+    }
+  }
+
+  test("prefix_lm_split: the cut is ceil(3n/4) and the halves round-trip") {
+    val rows = operators.Objectives.prefixLmSplit(spark, sfDir).collect()
+    rows.take(200).foreach { r =>
+      val (n, p) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_prefix"))
+      assert(p == (3 * n + 3) / 4)
+      def words(s: String) = if (s.isEmpty) Array.empty[String] else s.split(" ")
+      val pre = words(r.getAs[String]("prefix_text"))
+      val tgt = words(r.getAs[String]("target_text"))
+      assert(pre.length == p && pre.length + tgt.length == n)
+    }
+  }
+
   test("community_stats: members and edge weight fully accounted for") {
     val cs = operators.Analytics.communityStats(spark, sfDir).collect()
     val lab = operators.Analytics.labelPropagation(spark, sfDir).count()

@@ -147,4 +147,8 @@ class ShuffleBudgetSpec extends SparkSpec {
   // pack_efficiency: sequence_pack's budget (3) + the per-(source, seq)
   // and per-source rollups.
   check("pack_efficiency", 5)(operators.Sampling.packEfficiency(spark, sfDir))
+  // Training-objective prep is pure per-row array/string projection —
+  // scan speed, ZERO shuffles at any SF.
+  check("span_corruption", 0)(operators.Objectives.spanCorruption(spark, sfDir))
+  check("prefix_lm_split", 0)(operators.Objectives.prefixLmSplit(spark, sfDir))
 }
