@@ -128,8 +128,62 @@ object Objectives {
           FROM documents)"""
   }
 
+  /** FIM cut points: middle = words in (n/3, 2n/3]. */
+  private val FimDen = 3
+
+  /** Fill-in-the-middle split (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): each document
+    * cut into (prefix, middle, suffix) thirds at all-integer
+    * boundaries, emitted in the paper's PSM order — the causal-format
+    * rearrangement `prefix <fim_suffix> suffix <fim_middle> middle`
+    * that teaches infilling without architecture changes. The paper
+    * samples the two cut points uniformly; here they are the exact
+    * thirds so the transform is deterministic and oracle-mirrorable (a
+    * production run would salt them per doc_id the dataset_split way).
+    */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val n = size(w).cast("bigint")
+    val c1 = floor(n / lit(FimDen.toLong)).cast("long")
+    val c2 = floor(n * lit(2L) / lit(FimDen.toLong)).cast("long")
+    def span(from: Column, until: Column) =
+      array_join(
+        filter(transform(sequence(lit(1), size(w)), i =>
+          when(i > from && i <= until, element_at(w, i)).otherwise(lit(null))),
+          x => x.isNotNull),
+        " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        c1.as("n_prefix"),
+        (c2 - c1).as("n_middle"),
+        concat(
+          span(lit(0L), c1), lit(" <fim_suffix> "),
+          span(c2, n), lit(" <fim_middle> "),
+          span(c1, c2)).as("psm_text"))
+  }
+
+  val fimSplitOracle: String = {
+    val c1 = s"(LEN(w) // $FimDen)"
+    val c2 = s"((LEN(w) * 2) // $FimDen)"
+    s"""
+    SELECT doc_id,
+      CAST(LEN(w) AS BIGINT) AS n_tokens,
+      CAST($c1 AS BIGINT) AS n_prefix,
+      CAST($c2 - $c1 AS BIGINT) AS n_middle,
+      ARRAY_TO_STRING(w[1 : $c1], ' ')
+        || ' <fim_suffix> ' || ARRAY_TO_STRING(w[$c2 + 1 : LEN(w)], ' ')
+        || ' <fim_middle> ' || ARRAY_TO_STRING(w[$c1 + 1 : $c2], ' ')
+        AS psm_text
+    FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w
+          FROM documents)"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "span_corruption" -> QueryDef.sql(spanCorruption, spanCorruptionOracle),
-    "prefix_lm_split" -> QueryDef.sql(prefixLmSplit, prefixLmSplitOracle)
+    "prefix_lm_split" -> QueryDef.sql(prefixLmSplit, prefixLmSplitOracle),
+    "fim_split" -> QueryDef.sql(fimSplit, fimSplitOracle)
   )
 }

@@ -72,6 +72,48 @@ object Sampling {
       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
     FROM (SELECT doc_id, ${sqlPctBucket("split", "doc_id")} AS b FROM documents)"""
 
+  /** The dataset card's composition table — what every released corpus
+    * documents: per (split × source), document count, whitespace-token
+    * count, and the row's share of its split in ppm (all-integer).
+    * Composes [[datasetSplit]]'s salted assignment with per-doc token
+    * counts in ONE corpus scan + one |splits|·|sources| aggregate; the
+    * per-split totals broadcast for the share division.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Tables.documents(spark, dir)
+      .withColumn("bucket", pctBucket("split", col("doc_id")))
+      .select(
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        col("source"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("t"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val tot = cm.groupBy(col("split")).agg(sum(col("n_docs")).as("split_docs"))
+    cm.join(broadcast(tot), Seq("split"))
+      .select(col("split"), col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs * 1000000) div split_docs").as("share_ppm"))
+  }
+
+  val datasetCardOracle: String = s"""
+    WITH cm AS (
+      SELECT
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+          AS split,
+        source,
+        COUNT(*) AS n_docs,
+        SUM(CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT)) AS n_tokens
+      FROM (SELECT doc_id, source, text,
+              ${sqlPctBucket("split", "doc_id")} AS b FROM documents)
+      GROUP BY 1, 2),
+    tot AS (SELECT split, SUM(n_docs) AS split_docs FROM cm GROUP BY 1)
+    SELECT cm.split, cm.source,
+      CAST(cm.n_docs AS BIGINT) AS n_docs,
+      CAST(cm.n_tokens AS BIGINT) AS n_tokens,
+      CAST((cm.n_docs * 1000000) // t.split_docs AS BIGINT) AS share_ppm
+    FROM cm JOIN tot t USING (split)"""
+
   /** Split-leakage audit — the eval-integrity check a hash split alone
     * cannot give: a random assignment happily puts one member of a
     * near-duplicate pair in train and the other in test, and the model
@@ -624,6 +666,7 @@ object Sampling {
     "sample_temperature" -> QueryDef.sql(sampleTemperature, sampleTemperatureOracle),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
     "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle),
+    "dataset_card" -> QueryDef.sql(datasetCard, datasetCardOracle),
     "split_leakage_audit" -> QueryDef.sql(splitLeakageAudit, splitLeakageAuditOracle),
     "dataset_interleave" -> QueryDef.sql(datasetInterleave, datasetInterleaveOracle)
   )

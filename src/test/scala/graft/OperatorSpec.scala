@@ -733,6 +733,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("fim_split: thirds reconstruct the document and sentinels sit at the cuts") {
+    val rows = operators.Objectives.fimSplit(spark, sfDir).collect()
+    rows.take(200).foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("n_prefix") == n / 3)
+      assert(r.getAs[Long]("n_middle") == 2 * n / 3 - n / 3)
+      val psm = r.getAs[String]("psm_text")
+      assert(psm.contains("<fim_suffix>") && psm.contains("<fim_middle>"))
+      val nonSentinel = psm.split("\\s+").filterNot(w =>
+        w == "<fim_suffix>" || w == "<fim_middle>").count(_.nonEmpty)
+      assert(nonSentinel == n, s"doc ${r.get(0)}: $nonSentinel words vs $n")
+    }
+  }
+
+  test("dataset_card: composition reconciles with the corpus and split shares sum") {
+    val card = operators.Sampling.datasetCard(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totalTokens = docs.agg(
+      sum(size(split(col("text"), "\\s+")).cast("bigint"))).collect()(0).getLong(0)
+    assert(card.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    card.groupBy(_.getAs[String]("split")).foreach { case (s, rs) =>
+      val share = rs.map(_.getAs[Long]("share_ppm")).sum
+      assert(share <= 1000000L && share > 1000000L - rs.length,
+        s"split $s shares sum to $share")
+    }
+  }
+
   test("community_stats: members and edge weight fully accounted for") {
     val cs = operators.Analytics.communityStats(spark, sfDir).collect()
     val lab = operators.Analytics.labelPropagation(spark, sfDir).count()

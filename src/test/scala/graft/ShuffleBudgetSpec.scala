@@ -151,4 +151,10 @@ class ShuffleBudgetSpec extends SparkSpec {
   // scan speed, ZERO shuffles at any SF.
   check("span_corruption", 0)(operators.Objectives.spanCorruption(spark, sfDir))
   check("prefix_lm_split", 0)(operators.Objectives.prefixLmSplit(spark, sfDir))
+  check("fim_split", 0)(operators.Objectives.fimSplit(spark, sfDir))
+  // dataset_card: the (split, source) matrix aggregate feeds two
+  // branches (the card rows + the per-split total fold), each with its
+  // own exchange over ALREADY-AGGREGATED |splits|·|sources| rows, plus
+  // the totals' single-row fold — corpus rows shuffle once.
+  check("dataset_card", 3)(operators.Sampling.datasetCard(spark, sfDir))
 }
