@@ -197,6 +197,49 @@ object Cleaning {
       MD5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)) AS surrogate_id
     FROM orders"""
 
+  /** HTML markup extraction — the web-corpus cleanup stage upstream of
+    * every text operator (the reference's stage-2 text cleaning,
+    * databases.py:66, generalized to markup input): strip tags, decode
+    * the six common character entities, collapse whitespace. The entity
+    * chain decodes `&amp;` LAST so `&amp;lt;` yields the literal `&lt;`
+    * (no double-decode). Pure per-row codegen'd Column expressions, no
+    * shuffle — runs at parquet scan speed at any corpus size. The entity
+    * table is interpolated into the oracle from the same Seq so the two
+    * engines can never disagree on the chain.
+    */
+  private val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val noTags = regexp_replace(col("text"), "<[^>]*>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      org.apache.spark.sql.functions.replace(c, lit(e), lit(r))
+    }
+    val plain = trim(regexp_replace(decoded, "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("<[^>]*>")).cast("bigint").as("n_tags"),
+        plain.as("text_plain"),
+        length(plain).cast("bigint").as("n_chars_plain"))
+  }
+
+  val htmlStripOracle: String = {
+    def sqlQuote(s: String) = s.replace("'", "''")
+    val decoded = htmlEntities.foldLeft(
+      "REGEXP_REPLACE(text, '<[^>]*>', ' ', 'g')") { case (e0, (e, r)) =>
+      s"REPLACE($e0, '${sqlQuote(e)}', '${sqlQuote(r)}')"
+    }
+    val plain = s"TRIM(REGEXP_REPLACE($decoded, '\\s+', ' ', 'g'))"
+    s"""
+    SELECT doc_id,
+      CAST(LEN(REGEXP_EXTRACT_ALL(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+      $plain AS text_plain,
+      CAST(LENGTH($plain) AS BIGINT) AS n_chars_plain
+    FROM documents"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "clean_dropna" -> QueryDef.sql(cleanDropna, cleanDropnaOracle),
     "clean_text_normalize" -> QueryDef.sql(cleanTextNormalize, cleanTextNormalizeOracle),
@@ -206,6 +249,7 @@ object Cleaning {
     "map_category" -> QueryDef.sql(mapCategory, mapCategoryOracle),
     "explode_authors" -> QueryDef.sql(explodeAuthors, explodeAuthorsOracle),
     "explode_authors_struct" -> QueryDef.sql(explodeAuthorsStruct, explodeAuthorsStructOracle),
-    "surrogate_id" -> QueryDef.sql(surrogateId, surrogateIdOracle)
+    "surrogate_id" -> QueryDef.sql(surrogateId, surrogateIdOracle),
+    "html_strip" -> QueryDef.sql(htmlStrip, htmlStripOracle)
   )
 }

@@ -890,8 +890,83 @@ object TextAnalysis {
            ELSE 'tail' END AS bucket
     FROM cells c CROSS JOIN th"""
 
+  /** Sentence segmentation — explode each document into trimmed,
+    * non-empty sentences split on terminal-punctuation runs (`[.!?]+`),
+    * with a 1-based per-document index. The heuristic is deliberately
+    * simple and engine-portable (RE2-safe, no lookbehind) — it is the
+    * granularity layer under sentence-level dedup and boilerplate
+    * detection, not a linguistic segmenter. Narrow per-row explode, no
+    * shuffle: scan-speed at 100 TB, output rows ∝ corpus sentences.
+    */
+  def sentenceSplit(spark: SparkSession, dir: String): DataFrame = {
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(sents).as(Seq("i", "sentence")))
+      .select(col("doc_id"),
+        (col("i") + 1).cast("bigint").as("sent_idx"),
+        col("sentence"),
+        length(col("sentence")).cast("bigint").as("n_chars"))
+  }
+
+  val sentenceSplitOracle: String = """
+    SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, sents[i] AS sentence,
+      CAST(LENGTH(sents[i]) AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, sents, UNNEST(RANGE(1, LEN(sents) + 1)) AS i
+      FROM (
+        SELECT doc_id,
+          LIST_FILTER(
+            LIST_TRANSFORM(STRING_SPLIT_REGEX(text, '[.!?]+'), s -> TRIM(s)),
+            s -> s != '') AS sents
+        FROM documents))"""
+
+  /** Tokenizer-fertility report — per language: BPE-ish tokens per
+    * whitespace word (fertility — the classic multilingual-tokenizer
+    * efficiency metric) and characters per token. High fertility on a
+    * language means the tokenizer fragments it and the language pays
+    * more sequence budget per word — the signal that drives vocab
+    * re-balancing. All-integer sums (map-side combinable, one tiny
+    * lang-keyed shuffle), two exact double divisions at the end.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("ws"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("bigint")
+          .as("bpe"),
+        length(col("text")).cast("bigint").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        (col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+
+  val tokenizerFertilityOracle: String = """
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+      CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility,
+      CAST(SUM(nc) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) AS chars_per_token
+    FROM (
+      SELECT lang,
+        CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT) AS ws,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe,
+        CAST(LENGTH(text) AS BIGINT) AS nc
+      FROM documents)
+    GROUP BY lang"""
+
   def defs: Map[String, QueryDef] = Map(
     "corpus_stats" -> QueryDef.sql(corpusStats, corpusStatsOracle),
+    "sentence_split" -> QueryDef.sql(sentenceSplit, sentenceSplitOracle),
+    "tokenizer_fertility" -> QueryDef.sql(tokenizerFertility, tokenizerFertilityOracle),
     "winnow_fingerprint" -> QueryDef.sql(winnowFingerprint, winnowFingerprintOracle),
     "gopher_dup_ngrams" -> QueryDef.sql(gopherDupNgrams, gopherDupNgramsOracle),
     "lm_score" -> QueryDef.sql(lmScore, lmScoreOracle),

@@ -849,4 +849,41 @@ class OperatorSpec extends SparkSpec {
     }
     cm.unpersist()
   }
+
+  test("html_strip: no tags survive, plain length reconciles, one row per doc") {
+    val df = operators.Cleaning.htmlStrip(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    assert(df.filter(col("text_plain").rlike("<[^>]*>")).count() == 0)
+    assert(df.filter(length(col("text_plain")) =!= col("n_chars_plain")).count() == 0)
+    // double-decode guard: stripping an already-plain text is a no-op
+    val fixpoint = df.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(col("text_plain"), "<[^>]*>", " "),
+        "\\s+", " ")).as("again"), col("text_plain"))
+    assert(fixpoint.filter(col("again") =!= col("text_plain")).count() == 0)
+    df.unpersist()
+  }
+
+  test("sentence_split: 1-based dense index per doc, non-empty trimmed sentences") {
+    val df = operators.TextAnalysis.sentenceSplit(spark, sfDir).cache()
+    assert(df.filter(col("sentence") === "" ||
+      col("sentence") =!= trim(col("sentence"))).count() == 0)
+    val perDoc = df.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), min(col("sent_idx")).as("mn"),
+        max(col("sent_idx")).as("mx"))
+    assert(perDoc.filter(col("mn") =!= 1L || col("mx") =!= col("n")).count() == 0)
+    df.unpersist()
+  }
+
+  test("tokenizer_fertility: one row per lang, ratios positive and reconciled") {
+    val rows = operators.TextAnalysis.tokenizerFertility(spark, sfDir).collect()
+    val langs = Tables.documents(spark, sfDir)
+      .select(col("lang")).distinct().count()
+    assert(rows.length == langs)
+    rows.foreach { r =>
+      val (ws, bpe) = (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))
+      assert(ws > 0 && bpe > 0)
+      assert(math.abs(r.getAs[Double]("fertility") - bpe.toDouble / ws) < 1e-12)
+      assert(r.getAs[Double]("chars_per_token") > 0)
+    }
+  }
 }
