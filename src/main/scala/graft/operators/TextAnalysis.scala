@@ -963,10 +963,160 @@ object TextAnalysis {
       FROM documents)
     GROUP BY lang"""
 
+  /** Per-source distribution drift vs the whole corpus — the mixture
+    * diagnostic behind temperature/weight tuning: total-variation
+    * distance `TV(p_s, p_corpus) = ½ Σ_w |p_s(w) − p_c(w)|` over the
+    * unigram distributions. TV instead of KL/JS BECAUSE it needs no
+    * logarithm: libm `log` is not FP-portable across engines (the
+    * tfidf/lm_score discipline), while TV reduces to EXACT integer
+    * arithmetic on a common denominator —
+    * `|c_sw·n − c_w·n_s| / (n_s·n)` — plus the closed form
+    * `Σ_{w∉s} p_c(w) = 1 − Σ_{w∈s} p_c(w)` for corpus words the source
+    * never uses, so only the source's own vocab is ever enumerated.
+    * Decimal(38,0) products (HUGEINT in the oracle): at 100 TB,
+    * `c_sw·n ≤ 1e11·1e13 = 1e24` and vocab-sized sums stay < 1e38.
+    * Shuffle shape: ONE corpus-sized (source,word) aggregate; everything
+    * after is vocab-sized (the ngram_freq scale discipline).
+    */
+  def corpusDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+    val sw = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val tot = cw.agg(sum(col("c_w")).as("n"))
+    val terms = sw.join(cw, Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("n"), col("c_w"),
+        abs(dec(col("c_sw")) * dec(col("n")) - dec(col("c_w")) * dec(col("n_s")))
+          .as("term"))
+    terms.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), max(col("n")).as("n"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("term")).as("s"),
+        sum(dec(col("c_w"))).as("cws"))
+      .select(col("source"), col("n_s").as("n_words"), col("vocab_size"),
+        (floor(
+          ((col("s") + dec(col("n")) * dec(col("n_s"))
+            - dec(col("n_s")) * col("cws")).cast("double")
+            / (dec(col("n")) * dec(col("n_s")) * lit(2).cast(DecimalType(38, 0)))
+              .cast("double")) * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8))
+          .as("tv_divergence"))
+  }
+
+  val corpusDivergenceOracle: String = """
+    WITH words AS (
+      SELECT source, UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS w FROM documents),
+    sw AS (SELECT source, w, COUNT(*) AS c_sw FROM words GROUP BY 1, 2),
+    cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+    ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
+    terms AS (
+      SELECT sw.source, ns.n_s, tot.n, c_w,
+        ABS(CAST(c_sw AS HUGEINT) * CAST(n AS HUGEINT)
+          - CAST(c_w AS HUGEINT) * CAST(n_s AS HUGEINT)) AS term
+      FROM sw JOIN cw USING (w) JOIN ns ON sw.source = ns.source CROSS JOIN tot),
+    agg AS (
+      SELECT source, MAX(n_s) AS n_s, MAX(n) AS n, COUNT(*) AS vocab_size,
+        SUM(term) AS s, SUM(CAST(c_w AS HUGEINT)) AS cws
+      FROM terms GROUP BY 1)
+    SELECT source, n_s AS n_words, vocab_size,
+      CAST(FLOOR(
+        (CAST(s + CAST(n AS HUGEINT) * CAST(n_s AS HUGEINT)
+            - CAST(n_s AS HUGEINT) * cws AS DOUBLE)
+          / CAST(2 * CAST(n AS HUGEINT) * CAST(n_s AS HUGEINT) AS DOUBLE))
+        * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8 AS tv_divergence
+    FROM agg"""
+
+  /** Quality-signal calibration — per source, the Pearson correlation
+    * between the heuristic [[qualityScore]] and the corpus-LM
+    * [[lmScore]]. The audit a curation pipeline runs before trusting a
+    * cheap filter as a proxy for an expensive one: low or negative
+    * correlation on a source means the two signals disagree there and
+    * thresholds tuned on one do not transfer. Computed from exact
+    * decimal moments ([[graft.functions.Exact]]) so the five sums are
+    * order-independent; the closing arithmetic (products, sqrt,
+    * division) is single-value IEEE — deterministic — with a final
+    * 1e-8 fixed-point round. Degenerate sources (zero variance in
+    * either signal) are filtered on the pre-division variance product —
+    * deterministic doubles derived from the exact moments, mirrored
+    * verbatim in the oracle's WHERE. Shuffle shape: the lm_score
+    * internals dominate; the
+    * calibration itself adds doc-keyed joins and one tiny source agg.
+    *
+    * Moments use the FIXED-POINT sum (floor(v·1e6 + 0.5) in double —
+    * identical IEEE on both engines — summed as exact integers), NOT
+    * `Exact.dsum`: the decimal cast's half-up rounding runs on an exact
+    * binary→decimal conversion in Spark but a double-multiply path in
+    * DuckDB, and the y² addends here land close enough to .5·1e-6
+    * boundaries to split the two (observed: one addend off by 1e-6 →
+    * cancellation in k·sxy − sx·sy amplified it to 2e-8 in the corr).
+    * floor keeps both engines on the same double the whole way.
+    * Magnitude bound: the floor argument must stay inside double's
+    * exact-integer range (9e15) — y² ≤ ~1e9 holds for any corpus since
+    * lm_score is a mean inverse bucket-probability ≤ nb+1 ≈ 1e4·density.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def fp6(c: Column) =
+      (sum(floor(c * lit(1.0e6) + lit(0.5)).cast(DecimalType(38, 0)))
+        .cast("double") / lit(1.0e6))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality_score").as("x"))
+    val l = lmScore(spark, dir).select(col("doc_id"), col("lm_score").as("y"))
+    val m = src.join(q, Seq("doc_id")).join(l, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        fp6(col("x")).as("sx"),
+        fp6(col("y")).as("sy"),
+        fp6(col("x") * col("x")).as("sxx"),
+        fp6(col("y") * col("y")).as("syy"),
+        fp6(col("x") * col("y")).as("sxy"))
+    val vx = col("k") * col("sxx") - col("sx") * col("sx")
+    val vy = col("k") * col("syy") - col("sy") * col("sy")
+    m.filter(vx * vy > 0)
+      .select(col("source"), col("k").cast("bigint").as("n_docs"),
+        (floor(((col("k") * col("sxy") - col("sx") * col("sy"))
+          / sqrt(vx * vy)) * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8))
+          .as("corr_quality_lm"))
+  }
+
+  val qualityCalibrationOracle: String = {
+    def fp6(expr: String) =
+      s"CAST(SUM(CAST(FLOOR(($expr) * 1.0e6 + 0.5) AS HUGEINT)) AS DOUBLE) / 1.0e6"
+    s"""
+    WITH $lmScoreCtes,
+    lm AS ($lmScoreSelect),
+    q AS (SELECT doc_id, quality_score FROM ($qualityScoreOracle) qq),
+    m AS (
+      SELECT d.source,
+        CAST(COUNT(*) AS DOUBLE) AS k,
+        ${fp6("q.quality_score")} AS sx,
+        ${fp6("lm.lm_score")} AS sy,
+        ${fp6("q.quality_score * q.quality_score")} AS sxx,
+        ${fp6("lm.lm_score * lm.lm_score")} AS syy,
+        ${fp6("q.quality_score * lm.lm_score")} AS sxy
+      FROM documents d
+      JOIN q ON d.doc_id = q.doc_id
+      JOIN lm ON d.doc_id = lm.doc_id
+      GROUP BY 1)
+    SELECT source, CAST(k AS BIGINT) AS n_docs,
+      CAST(FLOOR(((k * sxy - sx * sy)
+          / SQRT((k * sxx - sx * sx) * (k * syy - sy * sy)))
+        * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8 AS corr_quality_lm
+    FROM m
+    WHERE (k * sxx - sx * sx) * (k * syy - sy * sy) > 0"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "corpus_stats" -> QueryDef.sql(corpusStats, corpusStatsOracle),
     "sentence_split" -> QueryDef.sql(sentenceSplit, sentenceSplitOracle),
     "tokenizer_fertility" -> QueryDef.sql(tokenizerFertility, tokenizerFertilityOracle),
+    "corpus_divergence" -> QueryDef.sql(corpusDivergence, corpusDivergenceOracle),
+    "quality_calibration" -> QueryDef.sql(qualityCalibration, qualityCalibrationOracle),
     "winnow_fingerprint" -> QueryDef.sql(winnowFingerprint, winnowFingerprintOracle),
     "gopher_dup_ngrams" -> QueryDef.sql(gopherDupNgrams, gopherDupNgramsOracle),
     "lm_score" -> QueryDef.sql(lmScore, lmScoreOracle),

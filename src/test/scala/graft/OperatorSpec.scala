@@ -874,6 +874,34 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("corpus_divergence: TV in [0,1], one row per source, word counts reconcile") {
+    val rows = operators.TextAnalysis.corpusDivergence(spark, sfDir).collect()
+    val srcs = Tables.documents(spark, sfDir).select(col("source")).distinct().count()
+    assert(rows.length == srcs)
+    val totalWords = Tables.documents(spark, sfDir)
+      .agg(sum(size(split(col("text"), "\\s+")))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_words")).sum == totalWords)
+    rows.foreach { r =>
+      val tv = r.getAs[Double]("tv_divergence")
+      assert(tv >= 0.0 && tv <= 1.0, s"TV out of range: $tv")
+      assert(r.getAs[Long]("vocab_size") > 0)
+    }
+  }
+
+  test("quality_calibration: corr in [-1,1], n_docs reconcile with scorable docs") {
+    val rows = operators.TextAnalysis.qualityCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr_quality_lm")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+      assert(r.getAs[Long]("n_docs") >= 2)
+    }
+    // every doc with >= 2 words is scorable by both signals
+    val scorable = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), "\\s+")) >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scorable)
+  }
+
   test("tokenizer_fertility: one row per lang, ratios positive and reconciled") {
     val rows = operators.TextAnalysis.tokenizerFertility(spark, sfDir).collect()
     val langs = Tables.documents(spark, sfDir)
