@@ -262,8 +262,13 @@ object Analytics {
     */
   private def stateHint(df: DataFrame): DataFrame = Tables.stateHint(df)
 
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val d = 0.85
+  /** Shared prelude for the rank family ([[pagerank]], [[pprSeeds]]):
+    * the symmetrized, weight-normalized collaboration graph. Returns
+    * (norm edges src/dst/nw, node set, per-node out-weight) — the first
+    * two checkpointed, since both loops re-read them every round.
+    */
+  private def normalizedCollabGraph(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val pairs = collabPairs(spark, dir)
       .repartition(graft.functions.Iterate.statePartitions(spark))
       .transform(graft.functions.Iterate.checkpoint)
@@ -277,6 +282,12 @@ object Analytics {
       .transform(graft.functions.Iterate.checkpoint)
     val nodes = norm.select(col("src").as("node")).distinct()
       .transform(graft.functions.Iterate.checkpoint)
+    (norm, nodes, outW)
+  }
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val d = 0.85
+    val (norm, nodes, _) = normalizedCollabGraph(spark, dir)
     val n = nodes.count().toDouble
     var pr = nodes.withColumn("pr", lit(1.0 / n)).transform(graft.functions.Iterate.checkpoint)
     // The rank vector is one row per NODE (the supplier dimension) while
@@ -314,6 +325,25 @@ object Analytics {
       .limit(20)
   }
 
+  /** Shared oracle CTE block for the rank family — the normalized
+    * collaboration graph, mirroring [[normalizedCollabGraph]].
+    */
+  private val collabGraphCtes: String = """pairs AS (
+      WITH edges0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS collab_count
+      FROM edges0 a JOIN edges0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT supp_a AS src, supp_b AS dst, CAST(collab_count AS DOUBLE) AS w FROM pairs
+      UNION ALL
+      SELECT supp_b, supp_a, CAST(collab_count AS DOUBLE) FROM pairs),
+    outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY 1),
+    norm AS (
+      SELECT e.src, e.dst, e.w / o.out_w AS nw
+      FROM edges e JOIN outw o ON e.src = o.src),
+    nodes AS (SELECT DISTINCT src AS node FROM norm)"""
+
   val pagerankOracle: String = {
     val iters = (1 to 10).map { i =>
       s"""pr$i AS (
@@ -329,21 +359,7 @@ object Analytics {
         GROUP BY 1) s ON nd.node = s.node)"""
     }.mkString(",\n    ")
     s"""
-    WITH pairs AS (
-      WITH edges0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
-      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS collab_count
-      FROM edges0 a JOIN edges0 b
-        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      GROUP BY 1, 2),
-    edges AS (
-      SELECT supp_a AS src, supp_b AS dst, CAST(collab_count AS DOUBLE) AS w FROM pairs
-      UNION ALL
-      SELECT supp_b, supp_a, CAST(collab_count AS DOUBLE) FROM pairs),
-    outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY 1),
-    norm AS (
-      SELECT e.src, e.dst, e.w / o.out_w AS nw
-      FROM edges e JOIN outw o ON e.src = o.src),
-    nodes AS (SELECT DISTINCT src AS node FROM norm),
+    WITH $collabGraphCtes,
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
     pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
     $iters
@@ -351,6 +367,81 @@ object Analytics {
       CAST(FLOOR(pr * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8 AS pagerank
     FROM pr10
     ORDER BY pagerank DESC, supp_key ASC LIMIT 20"""
+  }
+
+  /** Personalized PageRank from quality seeds — the graph-expansion
+    * curation idiom (seed a trusted set, let rank mass propagate, keep
+    * the high-mass neighborhood; the WebText/RefinedWeb "quality
+    * radiates from curated nodes" shape re-expressed on the supplier
+    * collaboration graph). Same loop skeleton as [[pagerank]] — state
+    * broadcast per round, edges never reshuffled, fixed-point inflow —
+    * but the teleport vector is concentrated on the top-[[PprSeedCount]]
+    * nodes by total collaboration weight (deterministic: weight DESC,
+    * key ASC) instead of uniform, and the initial mass sits entirely on
+    * the seeds. Nodes outside the seeds' reach legitimately hold rank 0.
+    */
+  private val PprSeedCount = 5
+
+  def pprSeeds(spark: SparkSession, dir: String): DataFrame = {
+    val (norm, nodes, outW) = normalizedCollabGraph(spark, dir)
+    val seeds = outW
+      .orderBy(col("out_w").desc, col("src").asc).limit(PprSeedCount)
+      .select(col("src").as("node"), lit(1.0 / PprSeedCount).as("seed"))
+    var pr = nodes.join(broadcast(seeds), Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed"), lit(0.0)).as("pr"))
+      .transform(graft.functions.Iterate.checkpoint)
+    for (i <- 1 to 10) {
+      val contrib = norm
+        .join(stateHint(pr.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node"),
+          floor(col("pr") * col("nw") * lit(1.0e14) + lit(0.5))
+            .cast("bigint").as("c"))
+        .groupBy(col("node"))
+        .agg((sum(col("c")).cast("double") / lit(1.0e14)).as("inflow"))
+      pr = nodes
+        .join(stateHint(contrib), Seq("node"), "left")
+        .join(broadcast(seeds), Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) * coalesce(col("seed"), lit(0.0))
+            + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+      // pagerank's cadence-2 checkpoint rule, same rationale.
+      if (i % 2 == 0 && i < 10) pr = pr.transform(graft.functions.Iterate.checkpoint)
+    }
+    pr.select(col("node").as("supp_key"),
+        (floor(col("pr") * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8))
+          .as("ppr"))
+      .orderBy(col("ppr").desc, col("supp_key").asc)
+      .limit(20)
+  }
+
+  val pprSeedsOracle: String = {
+    val iters = (1 to 10).map { i =>
+      s"""pr$i AS (
+      SELECT nd.node,
+        CAST(0.15 AS DOUBLE) * COALESCE(sd.seed, CAST(0 AS DOUBLE))
+          + CAST(0.85 AS DOUBLE) * COALESCE(s.inflow, CAST(0 AS DOUBLE)) AS pr
+      FROM nodes nd
+      LEFT JOIN seeds sd ON nd.node = sd.node
+      LEFT JOIN (
+        SELECT dst AS node,
+          CAST(SUM(CAST(FLOOR(pr * nw * 1.0e14 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1.0e14 AS inflow
+        FROM norm JOIN pr${i - 1} p ON norm.src = p.node
+        GROUP BY 1) s ON nd.node = s.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $collabGraphCtes,
+    seeds AS (
+      SELECT src AS node, CAST(1.0 AS DOUBLE) / $PprSeedCount AS seed
+      FROM outw ORDER BY out_w DESC, src ASC LIMIT $PprSeedCount),
+    pr0 AS (
+      SELECT nd.node, COALESCE(sd.seed, CAST(0 AS DOUBLE)) AS pr
+      FROM nodes nd LEFT JOIN seeds sd ON nd.node = sd.node),
+    $iters
+    SELECT node AS supp_key,
+      CAST(FLOOR(pr * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8 AS ppr
+    FROM pr10
+    ORDER BY ppr DESC, supp_key ASC LIMIT 20"""
   }
 
   /** Edge-weight cut defining the STRONG collaboration graph — the scale
@@ -826,6 +917,7 @@ object Analytics {
     "node_similarity" -> QueryDef.sql(nodeSimilarity, nodeSimilarityOracle),
     "triangle_count" -> QueryDef.sql(triangleCount, triangleCountOracle),
     "pagerank" -> QueryDef.sql(pagerank, pagerankOracle),
+    "ppr_seeds" -> QueryDef.sql(pprSeeds, pprSeedsOracle),
     "collab_pairs" -> QueryDef.sql(collabPairs, collabPairsOracle),
     "top_influential" -> QueryDef.sql(topInfluential, topInfluentialOracle),
     "trends_over_time" -> QueryDef.sql(trendsOverTime, trendsOverTimeOracle),

