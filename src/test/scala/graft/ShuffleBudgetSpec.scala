@@ -152,6 +152,28 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("span_corruption", 0)(operators.Objectives.spanCorruption(spark, sfDir))
   check("prefix_lm_split", 0)(operators.Objectives.prefixLmSplit(spark, sfDir))
   check("fim_split", 0)(operators.Objectives.fimSplit(spark, sfDir))
+  // Per-row text stages: scan speed, ZERO shuffles at any SF.
+  check("html_strip", 0)(operators.Cleaning.htmlStrip(spark, sfDir))
+  check("sentence_split", 0)(operators.TextAnalysis.sentenceSplit(spark, sfDir))
+  // tokenizer_fertility: exactly the one |langs|-keyed aggregate.
+  check("tokenizer_fertility", 1)(operators.TextAnalysis.tokenizerFertility(spark, sfDir))
+  // corpus_divergence: ONE corpus (source,word) aggregate; after it
+  // everything is vocab-sized — the corpus-total regroup, the tiny
+  // per-source totals, the one-row grand total, the w-keyed terms join
+  // (shuffle form budgeted: the vocab side is NOT always broadcastable
+  // at 100 TB) and the final per-source fold. Measured 6; +1 headroom
+  // for the join's two-sided exchange when AQE stops broadcasting.
+  check("corpus_divergence", 7)(operators.TextAnalysis.corpusDivergence(spark, sfDir))
+  // quality_calibration: lm_score's skew-free 4 + the final per-source
+  // moment fold (measured 5); the doc_id joins against the two signal
+  // frames broadcast at test scale but are legitimate corpus shuffle
+  // joins at 100 TB — budget covers that form (+3).
+  check("quality_calibration", 8)(operators.TextAnalysis.qualityCalibration(spark, sfDir))
+  // curriculum_order: the cell histogram + its tiny single-partition
+  // base window (aggregated rows only) + the ONE corpus within-cell
+  // row_number window + the one-row total fold. The base join-back
+  // rides stateHint, not budgeted as a shuffle.
+  check("curriculum_order", 4)(operators.Sampling.curriculumOrder(spark, sfDir))
   // dataset_card: the (split, source) matrix aggregate feeds two
   // branches (the card rows + the per-split total fold), each with its
   // own exchange over ALREADY-AGGREGATED |splits|·|sources| rows, plus
