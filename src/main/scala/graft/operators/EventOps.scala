@@ -753,7 +753,104 @@ object EventOps {
       CAST((cm.n_transitions * 1000000) // t.n_from AS BIGINT) AS p_ppm
     FROM cm JOIN tot t USING (from_type)"""
 
+  /** RFM customer segmentation — the classic recency/frequency/monetary
+    * scoring over the purchase log, with every quintile computed by the
+    * exact-cell histogram discipline (ccnet_buckets / percentiles): a
+    * global NTILE over users is a single-reducer sort at 1e9 users,
+    * while the histogram + cumulative window runs over AGGREGATED cells
+    * only. Dimensions are integer cells throughout — recency as the
+    * max purchase DAY (epoch-nanos div), frequency as the purchase
+    * count, monetary as floor of the exact-decimal value sum — so
+    * thresholds and scores are engine-exact. Scores 1..5 (5 best in
+    * every dimension: latest day / most purchases / highest spend);
+    * segment labels from the standard R-F rule grid. One corpus
+    * shuffle (the per-user aggregate); the three threshold frames are
+    * one-row broadcasts.
+    */
+  def rfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    val users = graft.functions.Iterate.checkpoint(
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(expr("ts div 86400000000000")).as("r_cell"),
+          count(lit(1)).as("f_cell"),
+          floor(Exact.dsum(col("value"))).cast("bigint").as("m_cell")))
+    val tot = users.agg(count(lit(1)).as("n_total"))
+    def thresholds(dim: String): DataFrame = {
+      val wc = Window.orderBy(col("cell"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = users.groupBy(col(dim).as("cell")).agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(wc))
+      cum.crossJoin(broadcast(tot)).agg(
+        min(when(col("cum") * 5 >= col("n_total"), col("cell"))).as(s"${dim}_t1"),
+        min(when(col("cum") * 5 >= col("n_total") * 2, col("cell"))).as(s"${dim}_t2"),
+        min(when(col("cum") * 5 >= col("n_total") * 3, col("cell"))).as(s"${dim}_t3"),
+        min(when(col("cum") * 5 >= col("n_total") * 4, col("cell"))).as(s"${dim}_t4"))
+    }
+    def score(dim: String) =
+      when(col(dim) <= col(s"${dim}_t1"), lit(1))
+        .when(col(dim) <= col(s"${dim}_t2"), lit(2))
+        .when(col(dim) <= col(s"${dim}_t3"), lit(3))
+        .when(col(dim) <= col(s"${dim}_t4"), lit(4))
+        .otherwise(lit(5))
+    users
+      .crossJoin(broadcast(thresholds("r_cell")))
+      .crossJoin(broadcast(thresholds("f_cell")))
+      .crossJoin(broadcast(thresholds("m_cell")))
+      .withColumn("r_score", score("r_cell"))
+      .withColumn("f_score", score("f_cell"))
+      .withColumn("m_score", score("m_cell"))
+      .select(col("user_id"), col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          lit("champion"))
+          .when(col("r_score") >= 3 && col("f_score") >= 3, lit("loyal"))
+          .when(col("r_score") <= 2 && col("f_score") >= 3, lit("at_risk"))
+          .when(col("r_score") <= 2 && col("f_score") <= 2, lit("hibernating"))
+          .otherwise(lit("regular")).as("segment"))
+  }
+
+  val rfmSegmentationOracle: String = {
+    def thCte(dim: String) = s"""${dim}_th AS (
+      SELECT MIN(CASE WHEN cum * 5 >= n_total THEN cell END) AS ${dim}_t1,
+             MIN(CASE WHEN cum * 5 >= 2 * n_total THEN cell END) AS ${dim}_t2,
+             MIN(CASE WHEN cum * 5 >= 3 * n_total THEN cell END) AS ${dim}_t3,
+             MIN(CASE WHEN cum * 5 >= 4 * n_total THEN cell END) AS ${dim}_t4
+      FROM (
+        SELECT cell, SUM(n) OVER (ORDER BY cell
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (SELECT $dim AS cell, COUNT(*) AS n FROM users GROUP BY 1))
+      CROSS JOIN tot)"""
+    def score(dim: String) = s"""CASE
+        WHEN $dim <= ${dim}_t1 THEN 1 WHEN $dim <= ${dim}_t2 THEN 2
+        WHEN $dim <= ${dim}_t3 THEN 3 WHEN $dim <= ${dim}_t4 THEN 4
+        ELSE 5 END"""
+    s"""
+    WITH users AS MATERIALIZED (
+      SELECT user_id,
+        MAX(EPOCH_NS(ts) // 86400000000000) AS r_cell,
+        COUNT(*) AS f_cell,
+        CAST(FLOOR(${Exact.sqlDsum("value")}) AS BIGINT) AS m_cell
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_total FROM users),
+    ${thCte("r_cell")},
+    ${thCte("f_cell")},
+    ${thCte("m_cell")}
+    SELECT user_id,
+      ${score("r_cell")} AS r_score,
+      ${score("f_cell")} AS f_score,
+      ${score("m_cell")} AS m_score,
+      CASE
+        WHEN ${score("r_cell")} >= 4 AND ${score("f_cell")} >= 4
+          AND ${score("m_cell")} >= 4 THEN 'champion'
+        WHEN ${score("r_cell")} >= 3 AND ${score("f_cell")} >= 3 THEN 'loyal'
+        WHEN ${score("r_cell")} <= 2 AND ${score("f_cell")} >= 3 THEN 'at_risk'
+        WHEN ${score("r_cell")} <= 2 AND ${score("f_cell")} <= 2 THEN 'hibernating'
+        ELSE 'regular' END AS segment
+    FROM users CROSS JOIN r_cell_th CROSS JOIN f_cell_th CROSS JOIN m_cell_th"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "rfm_segmentation" -> QueryDef.sql(rfmSegmentation, rfmSegmentationOracle),
     "markov_transitions" -> QueryDef.sql(markovTransitions, markovTransitionsOracle),
     "timeseries_fill" -> QueryDef.sql(timeseriesFill, timeseriesFillOracle),
     "window_range_frame" -> QueryDef.sql(windowRangeFrame, windowRangeFrameOracle),

@@ -459,7 +459,135 @@ object Similarity {
     FROM embeddings"""
   }
 
+  /** MMR diversity re-ranking — the serving-side step after ANN
+    * retrieval (Carbonell & Goldstein 1998): from each query's top-
+    * [[MmrPool]] brute-force candidates, greedily select [[MmrK]]
+    * results maximizing `λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)`, so
+    * near-duplicate neighbors don't crowd the result list — the
+    * redundancy problem exact top-k has on a deduplicated-but-clustered
+    * corpus. λ and 1−λ are SEPARATE double literals (0.7 / 0.3): the
+    * engines would disagree on `1 − 0.7` rounding.
+    *
+    * Scale shape: the candidate pool is top-k-bounded per query, so the
+    * pairwise-similarity frame is k² rows PER QUERY — linear in query
+    * count, never corpus-quadratic; pool and pairs are checkpointed
+    * once and the [[MmrK]] greedy rounds (unrolled, like kmeans) touch
+    * only those bounded frames. Ties broken (mmr DESC, cand ASC) in
+    * both engines; round-1 mmr is λ·cos with an empty penalty term.
+    */
+  private val MmrLambda = 0.7
+  private val MmrGamma = 0.3
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Iterate.checkpoint
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val wPool = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("cand_id").asc)
+    val pool = checkpoint(
+      broadcast(q).join(cand, col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("ce"),
+          VectorOps.cosine(col("qe"), col("ce")).as("cos_q"))
+        .withColumn("prank", row_number().over(wPool))
+        .filter(col("prank") <= MmrPool)
+        .select(col("query_id"), col("cand_id"), col("ce"), col("cos_q")))
+    val pairs = checkpoint(
+      pool.select(col("query_id"), col("cand_id").as("a_id"), col("ce").as("ae"))
+        .join(pool.select(col("query_id"), col("cand_id").as("b_id"),
+          col("ce").as("be")), Seq("query_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("query_id"), col("a_id"), col("b_id"),
+          VectorOps.cosine(col("ae"), col("be")).as("cos_ab")))
+    val base = pool.select(col("query_id"), col("cand_id"), col("cos_q"))
+    def pick(rem: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("cand_id").asc)
+      rem.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("query_id"), col("cand_id"), col("mmr"))
+    }
+    var sel = pick(base.withColumn("mmr", lit(MmrLambda) * col("cos_q")))
+      .withColumn("round", lit(1))
+    for (k <- 2 to MmrK) {
+      val ms = pairs
+        .join(sel.select(col("query_id"), col("cand_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("cos_ab")).as("max_sim"))
+        .withColumnRenamed("a_id", "cand_id")
+      val rem = base
+        .join(sel.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(ms, Seq("query_id", "cand_id"), "left")
+        .withColumn("mmr", lit(MmrLambda) * col("cos_q")
+          - lit(MmrGamma) * coalesce(col("max_sim"), lit(0.0)))
+      sel = sel.unionByName(pick(rem).withColumn("round", lit(k)))
+    }
+    sel.select(col("query_id"), col("round"), col("cand_id").as("neighbor_id"),
+      (floor(col("mmr") * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8))
+        .as("mmr_score"))
+  }
+
+  lazy val mmrRerankOracle: String = {
+    val cos = VectorOps.sqlCosine("q.qe", "c.embedding")
+    val rounds = (2 to MmrK).map { k =>
+      s"""selu${k - 1} AS (${(1 to k - 1).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")}),
+    sel$k AS (
+      SELECT query_id, cand_id, mmr, $k AS round FROM (
+        SELECT r.query_id, r.cand_id,
+          CAST($MmrLambda AS DOUBLE) * r.cos_q
+            - CAST($MmrGamma AS DOUBLE) * COALESCE(m.max_sim, CAST(0 AS DOUBLE))
+            AS mmr,
+          ROW_NUMBER() OVER (PARTITION BY r.query_id ORDER BY
+            CAST($MmrLambda AS DOUBLE) * r.cos_q
+              - CAST($MmrGamma AS DOUBLE) * COALESCE(m.max_sim, CAST(0 AS DOUBLE))
+              DESC, r.cand_id ASC) AS rk
+        FROM (SELECT p.* FROM pool p LEFT JOIN selu${k - 1} s
+                ON p.query_id = s.query_id AND p.cand_id = s.cand_id
+              WHERE s.cand_id IS NULL) r
+        LEFT JOIN (
+          SELECT pr.query_id, pr.a_id, MAX(pr.cos_ab) AS max_sim
+          FROM pairs pr JOIN selu${k - 1} s
+            ON pr.query_id = s.query_id AND pr.b_id = s.cand_id
+          GROUP BY 1, 2) m
+          ON r.query_id = m.query_id AND r.cand_id = m.a_id)
+      WHERE rk = 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    pool AS MATERIALIZED (
+      SELECT query_id, cand_id, ce, cos_q FROM (
+        SELECT q.query_id, c.vec_id AS cand_id, c.embedding AS ce,
+          $cos AS cos_q,
+          ROW_NUMBER() OVER (PARTITION BY q.query_id
+            ORDER BY $cos DESC, c.vec_id ASC) AS prank
+        FROM q JOIN embeddings c ON q.query_id <> c.vec_id)
+      WHERE prank <= $MmrPool),
+    pairs AS MATERIALIZED (
+      SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+        ${VectorOps.sqlCosine("a.ce", "b.ce")} AS cos_ab
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+    sel1 AS (
+      SELECT query_id, cand_id, mmr, 1 AS round FROM (
+        SELECT query_id, cand_id, CAST($MmrLambda AS DOUBLE) * cos_q AS mmr,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY CAST($MmrLambda AS DOUBLE) * cos_q DESC, cand_id ASC) AS rk
+        FROM pool)
+      WHERE rk = 1),
+    $rounds
+    SELECT query_id, round, cand_id AS neighbor_id,
+      CAST(FLOOR(mmr * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8 AS mmr_score
+    FROM (${(1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "mmr_rerank" -> QueryDef.sql(mmrRerank, mmrRerankOracle),
     "embedding_quantize" -> QueryDef.sql(embeddingQuantize, embeddingQuantizeOracle),
     "dedup_embedding" -> QueryDef.sql(dedupEmbedding, dedupEmbeddingOracle),
     "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),

@@ -874,6 +874,45 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("rfm_segmentation: one row per purchaser, scores 1..5, segments consistent") {
+    val df = operators.EventOps.rfmSegmentation(spark, sfDir).cache()
+    val purchasers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(df.count() == purchasers)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      assert(df.filter(col(c) < 1 || col(c) > 5).count() == 0, s"$c out of range")
+    }
+    // segment labels must follow the rule grid
+    assert(df.filter(col("segment") === "champion" &&
+      (col("r_score") < 4 || col("f_score") < 4 || col("m_score") < 4)).count() == 0)
+    assert(df.filter(col("segment") === "hibernating" &&
+      (col("r_score") > 2 || col("f_score") > 2)).count() == 0)
+    df.unpersist()
+  }
+
+  test("mmr_rerank: 5 rounds per query, no repeats, round-1 is the top candidate") {
+    val df = operators.Similarity.mmrRerank(spark, sfDir).cache()
+    val perQuery = df.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("d"),
+        countDistinct(col("round")).as("r"))
+    assert(perQuery.filter(col("n") =!= 5 || col("d") =!= 5 || col("r") =!= 5)
+      .count() == 0)
+    // round 1 must agree with brute-force rank 1 (mmr is a monotone
+    // transform of cosine when nothing is selected yet)
+    val top1 = operators.Similarity.annTopk(spark, sfDir)
+      .filter(col("rank") === 1).select(col("query_id"), col("neighbor_id"))
+    val r1 = df.filter(col("round") === 1).select(col("query_id"), col("neighbor_id"))
+    assert(r1.except(top1).count() == 0)
+    // diversity: later rounds never beat earlier rounds' mmr within a query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("round"))
+    assert(df.withColumn("prev", lag(col("mmr_score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("mmr_score") > col("prev") + 1e-8)
+      .count() == 0)
+    df.unpersist()
+  }
+
   test("curriculum_order: positions are a dense permutation, phases ordered thirds") {
     val df = operators.Sampling.curriculumOrder(spark, sfDir).cache()
     val n = df.count()

@@ -174,6 +174,17 @@ class ShuffleBudgetSpec extends SparkSpec {
   // row_number window + the one-row total fold. The base join-back
   // rides stateHint, not budgeted as a shuffle.
   check("curriculum_order", 4)(operators.Sampling.curriculumOrder(spark, sfDir))
+  // rfm_segmentation: the corpus shuffle (per-user purchase aggregate)
+  // lives in the eager checkpoint job; this plan is 3 dims × (cell
+  // histogram + its tiny single-partition cumulative window) + the
+  // one-row total fold — all over user-level AGGREGATED rows.
+  check("rfm_segmentation", 7)(operators.EventOps.rfmSegmentation(spark, sfDir))
+  // mmr_rerank: the corpus-wide pool construction (broadcast queries +
+  // per-query top-k window) lives in the checkpoint jobs; the greedy
+  // rounds' exchanges (anti joins, per-candidate max-sim aggregates,
+  // pick windows) all run over k-bounded frames — ≤ pool·|queries|
+  // rows each, never corpus-sized. Measured 11; +1 AQE headroom.
+  check("mmr_rerank", 12)(operators.Similarity.mmrRerank(spark, sfDir))
   // dataset_card: the (split, source) matrix aggregate feeds two
   // branches (the card rows + the per-split total fold), each with its
   // own exchange over ALREADY-AGGREGATED |splits|·|sources| rows, plus
