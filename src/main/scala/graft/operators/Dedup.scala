@@ -708,6 +708,61 @@ object Dedup {
           " ").as("text_clean"))
   }
 
+  /** Sentence-level boilerplate scrub — [[dedupLines]]' natural-boundary
+    * twin (CCNet-style paragraph/sentence dedup): a SENTENCE repeated
+    * across ≥ [[BoilerplateDocFreq]] distinct docs is boilerplate
+    * (cookie banners, license footers), removed everywhere and the doc
+    * reassembled from survivors in order. Fixed 8-word windows
+    * (dedup_lines) catch shifted copies; natural sentences catch exact
+    * template fragments regardless of length — a pipeline runs both.
+    * Same scale shape: narrow (doc, sentence-hash) rows shuffle once
+    * for the doc-frequency aggregate; the boiler set joins back on the
+    * hash (corpus-derived, not hinted — a legit shuffle join at 100 TB).
+    */
+  def dedupSentences(spark: SparkSession, dir: String): DataFrame = {
+    val sents = TextAnalysis.sentenceSplit(spark, dir)
+      .select(col("doc_id"), col("sent_idx"), col("sentence"),
+        md5(col("sentence")).as("sent_h"))
+    val boiler = sents
+      .groupBy(col("sent_h"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= BoilerplateDocFreq)
+      .select(col("sent_h"), lit(true).as("is_boiler"))
+    sents.join(boiler, Seq("sent_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sents"),
+        count(col("is_boiler")).as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull, struct(col("sent_idx"), col("sentence"))))),
+            s => s.getField("sentence")),
+          " ").as("text_clean"))
+  }
+
+  val dedupSentencesOracle: String = s"""
+    WITH sents AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, sents[i] AS sentence
+      FROM (
+        SELECT doc_id, sents, UNNEST(RANGE(1, LEN(sents) + 1)) AS i
+        FROM (
+          SELECT doc_id,
+            LIST_FILTER(
+              LIST_TRANSFORM(STRING_SPLIT_REGEX(text, '[.!?]+'), s -> TRIM(s)),
+              s -> s != '') AS sents
+          FROM documents))),
+    boiler AS (
+      SELECT MD5(sentence) AS sent_h FROM sents
+      GROUP BY MD5(sentence) HAVING COUNT(DISTINCT doc_id) >= $BoilerplateDocFreq)
+    SELECT s.doc_id,
+      COUNT(*) AS n_sents,
+      CAST(COUNT(b.sent_h) AS BIGINT) AS n_boiler,
+      COALESCE(STRING_AGG(CASE WHEN b.sent_h IS NULL THEN s.sentence END, ' '
+        ORDER BY s.sent_idx), '') AS text_clean
+    FROM sents s LEFT JOIN boiler b ON MD5(s.sentence) = b.sent_h
+    GROUP BY s.doc_id"""
+
   val dedupLinesOracle: String = s"""
     WITH lines AS (
       SELECT doc_id,
@@ -1039,6 +1094,7 @@ object Dedup {
     "lsh_band_stats" -> QueryDef.sql(lshBandStats, lshBandStatsOracle),
     "dedup_simhash" -> QueryDef.sql(dedupSimhash, dedupSimhashOracle),
     "dedup_lines" -> QueryDef.sql(dedupLines, dedupLinesOracle),
+    "dedup_sentences" -> QueryDef.sql(dedupSentences, dedupSentencesOracle),
     "dedup_apply" -> QueryDef.sql(dedupApply, dedupApplyOracle)
   )
 }

@@ -291,7 +291,57 @@ object Ingest {
     GROUP BY 1"""
   }
 
+  /** Lake snapshot diff — the CDC primitive behind incremental
+    * re-curation: classify every key as added / removed / changed
+    * between two table versions via a key-partitioned FULL OUTER join
+    * comparing row content hashes. At 100 TB both snapshots
+    * co-partition on the unique key — one shuffle each, no skew — and
+    * the md5 row digest makes "changed" a single string compare instead
+    * of a column-by-column walk. The v2 snapshot is derived
+    * deterministically from v1 (drop `id%17=3`, revise `id%17=5`,
+    * insert re-keyed copies of `id%17=7`) — declared test semantics
+    * exercising all three change classes; swap any real second
+    * snapshot in for `v2`.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val v2 = v1.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 5, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      .unionByName(v1.filter(col("doc_id") % 17 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+    def digest(df: DataFrame, h: String) =
+      df.select(col("doc_id"), md5(concat_ws("|", col("text"), col("source"))).as(h))
+    digest(v1, "h1").join(digest(v2, "h2"), Seq("doc_id"), "full_outer")
+      .filter(col("h1").isNull || col("h2").isNull || col("h1") =!= col("h2"))
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("change_type"))
+  }
+
+  val snapshotDiffOracle: String = """
+    WITH v1 AS (SELECT doc_id, text, source FROM documents),
+    v2 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 17 = 5 THEN text || ' [rev2]' ELSE text END AS text,
+        source
+      FROM v1 WHERE doc_id % 17 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000, text, source FROM v1 WHERE doc_id % 17 = 7),
+    h1 AS (SELECT doc_id, MD5(text || '|' || source) AS h FROM v1),
+    h2 AS (SELECT doc_id, MD5(text || '|' || source) AS h FROM v2)
+    SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id,
+      CASE WHEN h1.h IS NULL THEN 'added'
+           WHEN h2.h IS NULL THEN 'removed'
+           ELSE 'changed' END AS change_type
+    FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id
+    WHERE h1.h IS NULL OR h2.h IS NULL OR h1.h <> h2.h"""
+
   def defs: Map[String, QueryDef] = Map(
+    "snapshot_diff" -> QueryDef.sql(snapshotDiff, snapshotDiffOracle),
     "zorder_layout" -> QueryDef.sql(zorderLayout, zorderLayoutOracle),
     "ingest_jsonl" -> QueryDef.sql(ingestJsonl, ingestJsonlOracle),
     "ingest_csv" -> QueryDef.sql(ingestCsv, ingestCsvOracle),

@@ -174,6 +174,14 @@ class ShuffleBudgetSpec extends SparkSpec {
   // row_number window + the one-row total fold. The base join-back
   // rides stateHint, not budgeted as a shuffle.
   check("curriculum_order", 4)(operators.Sampling.curriculumOrder(spark, sfDir))
+  // dedup_sentences: dedup_lines' shape on natural boundaries — the
+  // (doc, sentence-hash) doc-frequency aggregate + the boiler join-back
+  // (shuffle form budgeted; AQE broadcasts the boiler side at test
+  // scale) + the per-doc reassembly aggregate.
+  check("dedup_sentences", 4)(operators.Dedup.dedupSentences(spark, sfDir))
+  // snapshot_diff: the two digest sides of the key-partitioned full
+  // outer join — one exchange each, co-partitioned on the unique key.
+  check("snapshot_diff", 2)(sources.Ingest.snapshotDiff(spark, sfDir))
   // rfm_segmentation: the corpus shuffle (per-user purchase aggregate)
   // lives in the eager checkpoint job; this plan is 3 dims × (cell
   // histogram + its tiny single-partition cumulative window) + the
