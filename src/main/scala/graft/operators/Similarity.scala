@@ -586,8 +586,78 @@ object Similarity {
     FROM (${(1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})"""
   }
 
+  /** Embedding-space health audit — per label: vector count, norm
+    * spread (min/max/mean L2). Run before trusting cosine anywhere: a
+    * label with near-zero or wildly spread norms signals broken
+    * embeddings (cosine of a ~0 vector is noise; unnormalized mixtures
+    * skew dot-product ANN). One label-keyed aggregate over per-row
+    * norms; the mean rides the fixed-point integer sum (the
+    * quality_calibration discipline), min/max are exact double folds.
+    */
+  def embeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val n = VectorOps.norm(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), n.as("nm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nm")).as("min_norm"),
+        max(col("nm")).as("max_norm"),
+        (sum(floor(col("nm") * lit(1.0e6) + lit(0.5)).cast(DecimalType(38, 0)))
+          .cast("double") / lit(1.0e6) / count(lit(1)).cast("double"))
+          .as("mean_norm"))
+  }
+
+  val embeddingNormAuditOracle: String = {
+    val nm = VectorOps.sqlNorm("embedding")
+    s"""
+    SELECT label,
+      COUNT(*) AS n_vecs,
+      MIN(nm) AS min_norm,
+      MAX(nm) AS max_norm,
+      CAST(SUM(CAST(FLOOR(nm * 1.0e6 + 0.5) AS HUGEINT)) AS DOUBLE) / 1.0e6
+        / CAST(COUNT(*) AS DOUBLE) AS mean_norm
+    FROM (SELECT label, $nm AS nm FROM embeddings)
+    GROUP BY label"""
+  }
+
+  /** ANN recall audit — the eval loop for the index family: per query,
+    * how much of the BRUTE-FORCE top-3 ([[annTopk]], the ground truth)
+    * does the LSH index ([[annLsh]]) recover? All-integer recall ppm.
+    * The audit is pure composition of two hash-verified operators, so
+    * at 100 TB it costs one extra |queries|-sized join — the index scan
+    * dominates. Low recall here is the signal to add planes/probes
+    * (ann_refine) before trusting the index path.
+    */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annTopk(spark, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = annLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    truth.join(got, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        count(col("hit")).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div n_truth"))
+  }
+
+  lazy val annRecallAuditOracle: String = s"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM ($annTopkOracle) t WHERE rank <= 3),
+    got AS (
+      SELECT query_id, neighbor_id FROM ($annLshOracle) g)
+    SELECT t.query_id,
+      COUNT(*) AS n_truth,
+      CAST(COUNT(g.neighbor_id) AS BIGINT) AS n_hits,
+      (CAST(COUNT(g.neighbor_id) AS BIGINT) * 1000000) // COUNT(*) AS recall_ppm
+    FROM truth t LEFT JOIN got g
+      ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+    GROUP BY t.query_id"""
+
   def defs: Map[String, QueryDef] = Map(
     "mmr_rerank" -> QueryDef.sql(mmrRerank, mmrRerankOracle),
+    "embedding_norm_audit" -> QueryDef.sql(embeddingNormAudit, embeddingNormAuditOracle),
+    "ann_recall_audit" -> QueryDef.sql(annRecallAudit, annRecallAuditOracle),
     "embedding_quantize" -> QueryDef.sql(embeddingQuantize, embeddingQuantizeOracle),
     "dedup_embedding" -> QueryDef.sql(dedupEmbedding, dedupEmbeddingOracle),
     "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),

@@ -1111,8 +1111,44 @@ object TextAnalysis {
     WHERE (k * sxx - sx * sx) * (k * syy - sy * sy) > 0"""
   }
 
+  /** Character-class profile — the C4/RefinedWeb symbol-ratio family of
+    * quality filters needs these counts (too many digits/punct/uppercase
+    * ⇒ tables, code, shouting): per-doc counts of lowercase / uppercase /
+    * digit / whitespace / other, plus an all-integer alpha ppm. Pure
+    * per-row regex counting — scan speed, zero shuffles, no FP anywhere.
+    */
+  def charClassStats(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(pat: String) = regexp_count(col("text"), lit(pat)).cast("bigint")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        cnt("[a-z]").as("n_lower"),
+        cnt("[A-Z]").as("n_upper"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("\\s").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_lower") - col("n_upper")
+          - col("n_digit") - col("n_space"))
+      .withColumn("alpha_ppm",
+        expr("((n_lower + n_upper) * 1000000) div greatest(n_chars, 1)"))
+  }
+
+  val charClassStatsOracle: String = """
+    SELECT doc_id, n_chars, n_lower, n_upper, n_digit, n_space,
+      n_chars - n_lower - n_upper - n_digit - n_space AS n_other,
+      ((n_lower + n_upper) * 1000000) // GREATEST(n_chars, 1) AS alpha_ppm
+    FROM (
+      SELECT doc_id,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]')) AS BIGINT) AS n_lower,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Z]')) AS BIGINT) AS n_upper,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS BIGINT) AS n_digit,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '\s')) AS BIGINT) AS n_space
+      FROM documents)"""
+
   def defs: Map[String, QueryDef] = Map(
     "corpus_stats" -> QueryDef.sql(corpusStats, corpusStatsOracle),
+    "char_class_stats" -> QueryDef.sql(charClassStats, charClassStatsOracle),
     "sentence_split" -> QueryDef.sql(sentenceSplit, sentenceSplitOracle),
     "tokenizer_fertility" -> QueryDef.sql(tokenizerFertility, tokenizerFertilityOracle),
     "corpus_divergence" -> QueryDef.sql(corpusDivergence, corpusDivergenceOracle),

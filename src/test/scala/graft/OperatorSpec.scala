@@ -874,6 +874,40 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("char_class_stats: classes partition the text exactly, ppm bounded") {
+    val df = operators.TextAnalysis.charClassStats(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    assert(df.filter(col("n_other") < 0).count() == 0)
+    assert(df.filter(
+      col("n_lower") + col("n_upper") + col("n_digit") + col("n_space")
+        + col("n_other") =!= col("n_chars")).count() == 0)
+    assert(df.filter(col("alpha_ppm") < 0 || col("alpha_ppm") > 1000000L).count() == 0)
+    df.unpersist()
+  }
+
+  test("embedding_norm_audit: per-label rows, norm ordering holds") {
+    val rows = operators.Similarity.embeddingNormAudit(spark, sfDir).collect()
+    val labels = Tables.embeddings(spark, sfDir).select(col("label")).distinct().count()
+    assert(rows.length == labels)
+    rows.foreach { r =>
+      val (mn, mx, mean) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("max_norm"), r.getAs[Double]("mean_norm"))
+      assert(mn > 0 && mn <= mx, s"norm bounds broken: $mn..$mx")
+      assert(mean >= mn - 1e-6 && mean <= mx + 1e-6, s"mean $mean outside [$mn,$mx]")
+    }
+  }
+
+  test("ann_recall_audit: one row per query, hits bounded by truth") {
+    val rows = operators.Similarity.annRecallAudit(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_truth") == 3L)
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 3)
+      assert(r.getAs[Long]("recall_ppm") == hits * 1000000L / 3)
+    }
+  }
+
   test("dedup_sentences: boiler counts bounded, clean text loses exactly the boiler") {
     val df = operators.Dedup.dedupSentences(spark, sfDir).cache()
     assert(df.filter(col("n_boiler") > col("n_sents")).count() == 0)

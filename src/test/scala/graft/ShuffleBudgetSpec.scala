@@ -174,6 +174,10 @@ class ShuffleBudgetSpec extends SparkSpec {
   // row_number window + the one-row total fold. The base join-back
   // rides stateHint, not budgeted as a shuffle.
   check("curriculum_order", 4)(operators.Sampling.curriculumOrder(spark, sfDir))
+  // char_class_stats: pure per-row regex counting, scan speed.
+  check("char_class_stats", 0)(operators.TextAnalysis.charClassStats(spark, sfDir))
+  // embedding_norm_audit: exactly the one label-keyed aggregate.
+  check("embedding_norm_audit", 1)(operators.Similarity.embeddingNormAudit(spark, sfDir))
   // dedup_sentences: dedup_lines' shape on natural boundaries — the
   // (doc, sentence-hash) doc-frequency aggregate + the boiler join-back
   // (shuffle form budgeted; AQE broadcasts the boiler side at test
