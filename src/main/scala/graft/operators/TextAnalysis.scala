@@ -1114,10 +1114,37 @@ object TextAnalysis {
   /** Character-class profile — the C4/RefinedWeb symbol-ratio family of
     * quality filters needs these counts (too many digits/punct/uppercase
     * ⇒ tables, code, shouting): per-doc counts of lowercase / uppercase /
-    * digit / whitespace / other, plus an all-integer alpha ppm. Pure
-    * per-row regex counting — scan speed, zero shuffles, no FP anywhere.
+    * digit / whitespace / other, plus an all-integer alpha ppm. Zero
+    * shuffles, no FP anywhere — and the five counts come from the fused
+    * native [[org.apache.spark.sql.graft.CharClassCounts]] expression:
+    * ONE byte-level pass instead of five regexp_count walks (each of
+    * which re-runs the regex engine over the full text). The regex
+    * formulation is kept in [[charClassStatsRegex]] as the reference
+    * semantics; ExpressionSpec pins their equivalence.
     */
   def charClassStats(spark: SparkSession, dir: String): DataFrame = {
+    val cc = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.CharClassCounts(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), cc.as("cc"))
+      .select(col("doc_id"),
+        element_at(col("cc"), 1).as("n_chars"),
+        element_at(col("cc"), 2).as("n_lower"),
+        element_at(col("cc"), 3).as("n_upper"),
+        element_at(col("cc"), 4).as("n_digit"),
+        element_at(col("cc"), 5).as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_lower") - col("n_upper")
+          - col("n_digit") - col("n_space"))
+      .withColumn("alpha_ppm",
+        expr("((n_lower + n_upper) * 1000000) div greatest(n_chars, 1)"))
+  }
+
+  /** Reference regex formulation of [[charClassStats]] — the declared
+    * semantics the fused expression must reproduce bit-for-bit.
+    */
+  def charClassStatsRegex(spark: SparkSession, dir: String): DataFrame = {
     def cnt(pat: String) = regexp_count(col("text"), lit(pat)).cast("bigint")
     Tables.documents(spark, dir)
       .select(col("doc_id"),

@@ -760,3 +760,54 @@ case class CmsEstimate(
   override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
     copy(child = newChild)
 }
+
+/** Shared single-pass character-class counter (callable from generated
+  * code). Classes are the ASCII sets the regex formulation counts —
+  * `[a-z]`, `[A-Z]`, `[0-9]`, Java-regex `\s` = { space, \t, \n, \x0B,
+  * \f, \r } — plus the CODE-POINT length in slot 0. Iterates UTF-8
+  * BYTES: every class byte is ASCII, and multi-byte sequences never
+  * produce bytes < 0x80, so non-ASCII characters fall through to the
+  * derived "other" bucket exactly as the regexes classify them.
+  */
+object GraftCharClassUtil {
+  def counts(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val b = s.getBytes
+    var lower = 0L; var upper = 0L; var digit = 0L; var space = 0L
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 'a' && c <= 'z') lower += 1
+      else if (c >= 'A' && c <= 'Z') upper += 1
+      else if (c >= '0' && c <= '9') digit += 1
+      else if (c == ' ' || c == '\t' || c == '\n' || c == 0x0B
+        || c == '\f' || c == '\r') space += 1
+      i += 1
+    }
+    new GenericArrayData(Array(s.numChars().toLong, lower, upper, digit, space))
+  }
+}
+
+/** Fused character-class profile of a string column: ONE pass over the
+  * bytes instead of five regexp_count scans (each of which re-walks the
+  * string through the regex engine). Returns array<long>
+  * [n_chars, n_lower, n_upper, n_digit, n_space]; "other" is derived by
+  * subtraction downstream. Same results as the regex formulation —
+  * [[graft.ExpressionSpec]] pins the equivalence.
+  */
+case class CharClassCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    GraftCharClassUtil.counts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftCharClassUtil.counts($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassCounts =
+    copy(child = newChild)
+}

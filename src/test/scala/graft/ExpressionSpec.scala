@@ -88,6 +88,26 @@ class ExpressionSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("CharClassCounts ≡ five-regex formulation on the corpus and edge literals") {
+    val fused = operators.TextAnalysis.charClassStats(spark, sfDir)
+    val ref = operators.TextAnalysis.charClassStatsRegex(spark, sfDir)
+    assert(fused.exceptAll(ref).count() == 0 && ref.exceptAll(fused).count() == 0)
+    // targeted edge cases: tabs/newlines/vertical tab (the Java-regex \s
+    // set), unicode (multi-byte → other, code-point length), empty string
+    import spark.implicits._
+    val lits = Seq("", "aA0 \t\n\f\r", "naïve café — ünïcode",
+      "MiXeD 123 ok?!").toDF("text")
+    val cc = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.CharClassCounts(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    def cnt(pat: String) = regexp_count(col("text"), lit(pat)).cast("bigint")
+    val both = lits.select(
+      cc.as("fast"),
+      array(length(col("text")).cast("bigint"), cnt("[a-z]"), cnt("[A-Z]"),
+        cnt("[0-9]"), cnt("\\s")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("StopwordStats ≡ interpreted filter/array_contains formulation") {
     val fast = graft.operators.TextAnalysis.stopwordFilter(spark, sfDir)
     val ref = graft.operators.TextAnalysis.stopwordFilterFold(spark, sfDir)
