@@ -849,7 +849,117 @@ object EventOps {
     FROM users CROSS JOIN r_cell_th CROSS JOIN f_cell_th CROSS JOIN m_cell_th"""
   }
 
+  /** Percentile winsorization — clip outlier metric values at the
+    * per-event-type p1/p99 before they reach models or dashboards. The
+    * thresholds come from the exact-cell histogram (cells =
+    * floor(value·100) — deterministic on both engines), NEVER a global
+    * per-type sort: at 100 TB the histogram aggregates to cell counts
+    * and the cumulative window runs over those aggregated rows only.
+    * Cell-resolution thresholds are the declared semantics (clip points
+    * land on 0.01 boundaries) — the trade that keeps the operator
+    * sort-free. Clipped value = clamp(value, lo_cell/100, hi_cell/100).
+    */
+  def winsorizeClip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("value") * lit(100.0)).cast("bigint").as("cell"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = ev.groupBy(col("event_type"), col("cell")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wc))
+      .withColumn("n_total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") * 100 >= col("n_total"), col("cell"))).as("lo_cell"),
+        min(when(col("cum") * 100 >= col("n_total") * 99, col("cell"))).as("hi_cell"))
+    ev.join(broadcast(th.select(col("event_type"), col("lo_cell"), col("hi_cell"))),
+        Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo_cell").cast("double") / lit(100.0)),
+          col("hi_cell").cast("double") / lit(100.0)).as("value_clipped"))
+  }
+
+  val winsorizeClipOracle: String = """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+        CAST(FLOOR(value * 100.0) AS BIGINT) AS cell
+      FROM events),
+    cum AS (
+      SELECT event_type, cell, n,
+        SUM(n) OVER (PARTITION BY event_type ORDER BY cell
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(n) OVER (PARTITION BY event_type) AS n_total
+      FROM (SELECT event_type, cell, COUNT(*) AS n FROM ev GROUP BY 1, 2)),
+    th AS (
+      SELECT event_type,
+        MIN(CASE WHEN cum * 100 >= n_total THEN cell END) AS lo_cell,
+        MIN(CASE WHEN cum * 100 >= n_total * 99 THEN cell END) AS hi_cell
+      FROM cum GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value,
+      LEAST(GREATEST(e.value, CAST(t.lo_cell AS DOUBLE) / 100.0),
+        CAST(t.hi_cell AS DOUBLE) / 100.0) AS value_clipped
+    FROM ev e JOIN th t USING (event_type)"""
+
+  /** A/B experiment read-out — deterministic hash-mod assignment (the
+    * sample_stratified discipline: reproducible, shardable, no RNG
+    * state) splits users 50/50; per variant and event_type, exposure
+    * counts, converter counts, conversion ppm (all-integer) and the
+    * exact-decimal mean purchase value. The assignment hash salts on
+    * the experiment name so concurrent experiments are independent.
+    * One corpus shuffle (the per-user/type aggregate); variant rollup
+    * is tiny.
+    */
+  def abTestMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val variant = (graft.functions.TextOps.hash24(
+      concat(lit("exp_checkout|"), col("user_id").cast("string"))) % 2)
+      .cast("int").as("variant")
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"), variant)
+      .groupBy(col("variant"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purch"),
+        Exact.dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("purch_value"))
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        count(when(col("n_purch") > 0, lit(1))).as("n_converters"),
+        sum(col("n_purch")).as("n_purchases"),
+        Exact.dsum(col("purch_value")).as("total_value"))
+      .select(col("variant"), col("n_users"), col("n_events"),
+        col("n_converters"), col("n_purchases"),
+        expr("(n_converters * 1000000) div n_users").as("conversion_ppm"),
+        (col("total_value") / col("n_purchases").cast("double"))
+          .as("mean_purchase_value"))
+  }
+
+  val abTestMetricsOracle: String = {
+    val assign = "CAST('0x' || SUBSTR(MD5('exp_checkout' || '|' " +
+      "|| CAST(user_id AS VARCHAR)), 1, 6) AS BIGINT) % 2"
+    s"""
+    WITH per_user AS (
+      SELECT CAST($assign AS INT) AS variant, user_id,
+        COUNT(*) AS n_events,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purch,
+        ${Exact.sqlDsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}
+          AS purch_value
+      FROM events GROUP BY 1, 2)
+    SELECT variant,
+      COUNT(*) AS n_users,
+      CAST(SUM(n_events) AS BIGINT) AS n_events,
+      CAST(COUNT(CASE WHEN n_purch > 0 THEN 1 END) AS BIGINT) AS n_converters,
+      CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+      (COUNT(CASE WHEN n_purch > 0 THEN 1 END) * 1000000) // COUNT(*)
+        AS conversion_ppm,
+      ${Exact.sqlDsum("purch_value")} / CAST(SUM(n_purch) AS DOUBLE)
+        AS mean_purchase_value
+    FROM per_user GROUP BY 1"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "winsorize_clip" -> QueryDef.sql(winsorizeClip, winsorizeClipOracle),
+    "ab_test_metrics" -> QueryDef.sql(abTestMetrics, abTestMetricsOracle),
     "rfm_segmentation" -> QueryDef.sql(rfmSegmentation, rfmSegmentationOracle),
     "markov_transitions" -> QueryDef.sql(markovTransitions, markovTransitionsOracle),
     "timeseries_fill" -> QueryDef.sql(timeseriesFill, timeseriesFillOracle),

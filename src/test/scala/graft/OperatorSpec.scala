@@ -939,6 +939,33 @@ class OperatorSpec extends SparkSpec {
     df.unpersist(); docs.unpersist()
   }
 
+  test("winsorize_clip: clipped values inside bounds, bulk untouched") {
+    val df = operators.EventOps.winsorizeClip(spark, sfDir).cache()
+    assert(df.count() == Tables.events(spark, sfDir).count())
+    // clip is idempotent and order-preserving: clipped <= original on the
+    // high side, >= on the low side, and at most 2% of rows move per type
+    val moved = df.filter(col("value_clipped") =!= col("value"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+    val totals = df.groupBy(col("event_type")).agg(count(lit(1)).as("t"))
+    val joined = totals.join(moved, Seq("event_type"), "left")
+      .select(col("event_type"), coalesce(col("m"), lit(0L)).as("m"), col("t"))
+    // cell-resolution thresholds clip at MOST ~p1+p99 tails (+cell slack)
+    assert(joined.filter(col("m") * 100 > col("t") * 3).count() == 0)
+    df.unpersist()
+  }
+
+  test("ab_test_metrics: two variants partition the users, counters reconcile") {
+    val rows = operators.EventOps.abTestMetrics(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("variant")).sorted.sameElements(Array(0, 1)))
+    val allUsers = Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == allUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converters") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("conversion_ppm") <= 1000000L)
+      assert(r.getAs[Double]("mean_purchase_value") > 0)
+    }
+  }
+
   test("rfm_segmentation: one row per purchaser, scores 1..5, segments consistent") {
     val df = operators.EventOps.rfmSegmentation(spark, sfDir).cache()
     val purchasers = Tables.events(spark, sfDir)

@@ -186,6 +186,13 @@ class ShuffleBudgetSpec extends SparkSpec {
   // snapshot_diff: the two digest sides of the key-partitioned full
   // outer join — one exchange each, co-partitioned on the unique key.
   check("snapshot_diff", 2)(sources.Ingest.snapshotDiff(spark, sfDir))
+  // winsorize_clip: the per-(type, cell) histogram + its per-type
+  // cumulative/total windows over AGGREGATED cells; the threshold frame
+  // broadcasts back onto the scan (events never shuffle twice).
+  check("winsorize_clip", 3)(operators.EventOps.winsorizeClip(spark, sfDir))
+  // ab_test_metrics: the per-(variant, user) aggregate is the one
+  // corpus shuffle; the variant rollup is 2 rows.
+  check("ab_test_metrics", 2)(operators.EventOps.abTestMetrics(spark, sfDir))
   // rfm_segmentation: the corpus shuffle (per-user purchase aggregate)
   // lives in the eager checkpoint job; this plan is 3 dims × (cell
   // histogram + its tiny single-partition cumulative window) + the
