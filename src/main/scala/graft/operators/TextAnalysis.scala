@@ -1173,9 +1173,115 @@ object TextAnalysis {
         CAST(LEN(REGEXP_EXTRACT_ALL(text, '\s')) AS BIGINT) AS n_space
       FROM documents)"""
 
+  /** Heaps-law vocabulary growth — distinct-word count as the corpus
+    * grows, sampled at 5 doc-id milestones: the curve tokenizer sizing
+    * and dedup-rate forecasting both read. The naive formulation
+    * (distinct-count per prefix) rescans the corpus per milestone; this
+    * one uses the FIRST-OCCURRENCE trick — a word's contribution to
+    * every prefix is decided by `min(doc_id)` alone — so the corpus
+    * shuffles ONCE (per-word min/count), and the milestone curve is a
+    * tiny histogram of first-seen values against the 5 boundaries.
+    * All-integer.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(max(col("doc_id")).as("max_id"))
+    val words = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val firstSeen = words.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("cnt"))
+    val withM = firstSeen.crossJoin(broadcast(bounds))
+      .select(col("first_doc"), col("cnt"),
+        explode(sequence(lit(1), lit(5))).as("milestone"),
+        col("max_id"))
+      .filter(col("first_doc") <= col("milestone") * col("max_id") / 5)
+    // token mass per milestone from DOC-level counts (docs ≪ tokens):
+    // the 5× milestone replication happens on the small frame.
+    val tokens = docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("nt"))
+      .crossJoin(broadcast(bounds))
+      .select(explode(sequence(lit(1), lit(5))).as("milestone"),
+        col("doc_id"), col("nt"), col("max_id"))
+      .filter(col("doc_id") <= col("milestone") * col("max_id") / 5)
+      .groupBy(col("milestone")).agg(sum(col("nt")).as("cum_tokens"))
+    withM.groupBy(col("milestone"))
+      .agg(count(lit(1)).as("vocab_size"))
+      .join(tokens, Seq("milestone"))
+      .select(col("milestone"), col("cum_tokens"), col("vocab_size"))
+  }
+
+  val vocabGrowthOracle: String = """
+    WITH bounds AS (SELECT MAX(doc_id) AS max_id FROM documents),
+    words AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS w FROM documents),
+    first_seen AS (
+      SELECT w, MIN(doc_id) AS first_doc, COUNT(*) AS cnt FROM words GROUP BY 1),
+    ms AS (SELECT UNNEST(RANGE(1, 6)) AS milestone),
+    vocab AS (
+      SELECT m.milestone, COUNT(*) AS vocab_size
+      FROM first_seen f CROSS JOIN bounds b JOIN ms m
+        ON f.first_doc <= m.milestone * b.max_id / 5
+      GROUP BY 1),
+    toks AS (
+      SELECT m.milestone,
+        CAST(SUM(LEN(STRING_SPLIT_REGEX(d.text, '\s+'))) AS BIGINT) AS cum_tokens
+      FROM documents d CROSS JOIN bounds b JOIN ms m
+        ON d.doc_id <= m.milestone * b.max_id / 5
+      GROUP BY 1)
+    SELECT v.milestone, t.cum_tokens, v.vocab_size
+    FROM vocab v JOIN toks t USING (milestone)"""
+
+  /** Zipf coverage — what fraction of all token instances the top-k
+    * most frequent words account for (k = 10 / 100 / 1000): the
+    * coverage curve a vocab budget is traded against. The top-1000 cut
+    * is a BOUNDED TakeOrdered over the word-count frame (never a full
+    * vocab sort); prefix mass at each k is a 1000-row fold. Ties break
+    * (count DESC, word ASC) in both engines. All-integer ppm.
+    */
+  def zipfCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val top = counts.orderBy(col("cnt").desc, col("w").asc).limit(1000)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w").asc)))
+    top.crossJoin(broadcast(total))
+      .select(explode(array(lit(10), lit(100), lit(1000))).as("k"),
+        col("rk"), col("cnt"), col("n_total"))
+      .filter(col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("cnt")).as("covered"),
+        max(col("n_total")).as("n_total"))
+      .select(col("k"), col("n_words"), col("covered"),
+        expr("(covered * 1000000) div n_total").as("coverage_ppm"))
+  }
+
+  val zipfCoverageOracle: String = """
+    WITH counts AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS w FROM documents)
+      GROUP BY 1),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
+    top AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rk
+      FROM counts ORDER BY cnt DESC, w ASC LIMIT 1000),
+    ks AS (SELECT UNNEST([10, 100, 1000]) AS k)
+    SELECT ks.k,
+      COUNT(*) AS n_words,
+      CAST(SUM(t.cnt) AS BIGINT) AS covered,
+      (CAST(SUM(t.cnt) AS BIGINT) * 1000000) // MAX(tot.n_total) AS coverage_ppm
+    FROM top t CROSS JOIN total tot JOIN ks ON t.rk <= ks.k
+    GROUP BY ks.k"""
+
   def defs: Map[String, QueryDef] = Map(
     "corpus_stats" -> QueryDef.sql(corpusStats, corpusStatsOracle),
     "char_class_stats" -> QueryDef.sql(charClassStats, charClassStatsOracle),
+    "vocab_growth" -> QueryDef.sql(vocabGrowth, vocabGrowthOracle),
+    "zipf_coverage" -> QueryDef.sql(zipfCoverage, zipfCoverageOracle),
     "sentence_split" -> QueryDef.sql(sentenceSplit, sentenceSplitOracle),
     "tokenizer_fertility" -> QueryDef.sql(tokenizerFertility, tokenizerFertilityOracle),
     "corpus_divergence" -> QueryDef.sql(corpusDivergence, corpusDivergenceOracle),

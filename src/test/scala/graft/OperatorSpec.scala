@@ -939,6 +939,31 @@ class OperatorSpec extends SparkSpec {
     df.unpersist(); docs.unpersist()
   }
 
+  test("vocab_growth: both curves monotone, final milestone covers the corpus") {
+    val rows = operators.TextAnalysis.vocabGrowth(spark, sfDir)
+      .orderBy(col("milestone")).collect()
+    assert(rows.map(_.getAs[Int]("milestone")).sameElements(1 to 5))
+    val vocab = rows.map(_.getAs[Long]("vocab_size"))
+    val toks = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+    // milestone 5 boundary is max_id → the full corpus
+    val allVocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .select(col("w")).distinct().count()
+    assert(vocab.last == allVocab)
+  }
+
+  test("zipf_coverage: coverage grows with k and stays under 1e6 ppm") {
+    val rows = operators.TextAnalysis.zipfCoverage(spark, sfDir)
+      .orderBy(col("k")).collect()
+    assert(rows.map(_.getAs[Int]("k")).sameElements(Array(10, 100, 1000)))
+    val cov = rows.map(_.getAs[Long]("coverage_ppm"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.forall(c => c > 0 && c <= 1000000L))
+    rows.foreach(r => assert(r.getAs[Long]("n_words") <= r.getAs[Int]("k")))
+  }
+
   test("winsorize_clip: clipped values inside bounds, bulk untouched") {
     val df = operators.EventOps.winsorizeClip(spark, sfDir).cache()
     assert(df.count() == Tables.events(spark, sfDir).count())

@@ -186,6 +186,13 @@ class ShuffleBudgetSpec extends SparkSpec {
   // snapshot_diff: the two digest sides of the key-partitioned full
   // outer join — one exchange each, co-partitioned on the unique key.
   check("snapshot_diff", 2)(sources.Ingest.snapshotDiff(spark, sfDir))
+  // vocab_growth: ONE corpus word shuffle (per-word min/count); the
+  // milestone histogram + doc-level token sums + the 5-row join are
+  // vocab/doc-sized. Budget covers the shuffle-join form.
+  check("vocab_growth", 4)(operators.TextAnalysis.vocabGrowth(spark, sfDir))
+  // zipf_coverage: the word-count aggregate + the bounded TakeOrdered's
+  // single-partition exchange + the 1000-row rank window + 3-row fold.
+  check("zipf_coverage", 4)(operators.TextAnalysis.zipfCoverage(spark, sfDir))
   // winsorize_clip: the per-(type, cell) histogram + its per-type
   // cumulative/total windows over AGGREGATED cells; the threshold frame
   // broadcasts back onto the scan (events never shuffle twice).
