@@ -89,6 +89,41 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** MinHash-LSH recall audit — the dedup-family eval loop (the
+    * ann_recall_audit twin): how much of the EXACT Jaccard ≥ 0.5 pair
+    * set ([[ngramJaccard]]'s blocked ground truth) does the banded LSH
+    * pipeline ([[dedupMinhashLsh]]) recover? One summary row with
+    * all-integer recall ppm — the measured point on the OR-amplified
+    * banding curve that decides whether 6×r=2 bands are enough before a
+    * 100 TB dedup run commits to them. Pure composition of two
+    * hash-verified operators; the audit join is pair-set-sized.
+    */
+  def minhashRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val lsh = dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("hit"))
+    val lshN = lsh.agg(count(lit(1)).as("n_lsh"))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .crossJoin(broadcast(lshN))
+      .select(col("n_truth"), col("n_hits"), col("n_lsh"),
+        expr("(n_hits * 1000000) div greatest(n_truth, 1)").as("recall_ppm"))
+  }
+
+  lazy val minhashRecallAuditOracle: String = s"""
+    WITH truth AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
+    lsh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshOracle) l),
+    ln AS (SELECT COUNT(*) AS n_lsh FROM lsh)
+    SELECT COUNT(*) AS n_truth,
+      CAST(COUNT(l.doc_a) AS BIGINT) AS n_hits,
+      ln.n_lsh,
+      (CAST(COUNT(l.doc_a) AS BIGINT) * 1000000) // GREATEST(COUNT(*), 1)
+        AS recall_ppm
+    FROM truth t
+    LEFT JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    CROSS JOIN ln
+    GROUP BY ln.n_lsh"""
+
   val ngramJaccardOracle: String = s"""
     WITH s AS ($sqlShingled)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1091,6 +1126,7 @@ object Dedup {
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),
     "dedup_minhash_lsh" -> QueryDef.sql(dedupMinhashLsh, dedupMinhashLshOracle),
+    "minhash_recall_audit" -> QueryDef.sql(minhashRecallAudit, minhashRecallAuditOracle),
     "lsh_band_stats" -> QueryDef.sql(lshBandStats, lshBandStatsOracle),
     "dedup_simhash" -> QueryDef.sql(dedupSimhash, dedupSimhashOracle),
     "dedup_lines" -> QueryDef.sql(dedupLines, dedupLinesOracle),

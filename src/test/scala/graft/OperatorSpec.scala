@@ -939,6 +939,16 @@ class OperatorSpec extends SparkSpec {
     df.unpersist(); docs.unpersist()
   }
 
+  test("minhash_recall_audit: one summary row, hits bounded by both sides") {
+    val r = operators.Dedup.minhashRecallAudit(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (truth, hits, lsh) = (r(0).getAs[Long]("n_truth"),
+      r(0).getAs[Long]("n_hits"), r(0).getAs[Long]("n_lsh"))
+    assert(hits <= truth && hits <= lsh)
+    assert(r(0).getAs[Long]("recall_ppm") ==
+      hits * 1000000L / math.max(truth, 1L))
+  }
+
   test("vocab_growth: both curves monotone, final milestone covers the corpus") {
     val rows = operators.TextAnalysis.vocabGrowth(spark, sfDir)
       .orderBy(col("milestone")).collect()
