@@ -957,7 +957,62 @@ object EventOps {
     FROM per_user GROUP BY 1"""
   }
 
+  /** EWMA smoothing of the daily event-count series, per event type —
+    * the dashboard/anomaly-baseline smoother. α = 1/2 BY CONSTRUCTION:
+    * the decay weights become exact powers of two, so the whole
+    * smoother is INTEGER arithmetic (libm `pow` on an arbitrary α is
+    * not FP-portable; 2^k is). The horizon truncates at
+    * [[EwmaHorizon]] = 20 days back (weight ≤ 2⁻²⁰ ≈ 1e-6 of the
+    * current day — below the output's own rounding), which also caps
+    * the weight at 2¹⁹·count — safely inside int64.
+    * Scale shape: the corpus aggregates to (type, day) counts FIRST;
+    * the truncated-window self-join runs over that day-grid frame
+    * (types × days, tiny at any corpus size). ewma = num/den in one
+    * final exact division over existing-day weights only (gaps in the
+    * grid self-renormalize).
+    */
+  private val EwmaHorizon = 20
+
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.functions.Iterate.checkpoint(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt")))
+    val t = daily.select(col("event_type"), col("day").as("t"))
+    val k = daily.select(col("event_type"), col("day").as("k"), col("cnt"))
+    t.join(k, Seq("event_type"))
+      .filter(col("k") <= col("t") && col("k") > col("t") - EwmaHorizon)
+      .select(col("event_type"), col("t"),
+        expr(s"cnt * shiftleft(1L, cast(${EwmaHorizon - 1} - (t - k) as int))")
+          .as("wx"),
+        expr(s"shiftleft(1L, cast(${EwmaHorizon - 1} - (t - k) as int))")
+          .as("w"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(col("wx")).as("num"), sum(col("w")).as("den"))
+      .select(col("event_type"), col("t").as("day"),
+        (col("num").cast("double") / col("den").cast("double")).as("ewma"))
+  }
+
+  val ewmaSmoothOracle: String = s"""
+    WITH daily AS (
+      SELECT event_type, EPOCH_NS(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT t.event_type, t.day AS t,
+        k.cnt * (CAST(1 AS BIGINT) << CAST(${EwmaHorizon - 1} - (t.day - k.day)
+          AS INT)) AS wx,
+        (CAST(1 AS BIGINT) << CAST(${EwmaHorizon - 1} - (t.day - k.day)
+          AS INT)) AS w
+      FROM daily t JOIN daily k
+        ON t.event_type = k.event_type
+        AND k.day <= t.day AND k.day > t.day - $EwmaHorizon)
+    SELECT event_type, t AS day,
+      CAST(SUM(wx) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS ewma
+    FROM pairs GROUP BY 1, 2"""
+
   def defs: Map[String, QueryDef] = Map(
+    "ewma_smooth" -> QueryDef.sql(ewmaSmooth, ewmaSmoothOracle),
     "winsorize_clip" -> QueryDef.sql(winsorizeClip, winsorizeClipOracle),
     "ab_test_metrics" -> QueryDef.sql(abTestMetrics, abTestMetricsOracle),
     "rfm_segmentation" -> QueryDef.sql(rfmSegmentation, rfmSegmentationOracle),

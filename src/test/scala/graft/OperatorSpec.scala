@@ -974,6 +974,28 @@ class OperatorSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_words") <= r.getAs[Int]("k")))
   }
 
+  test("ewma_smooth: one row per (type, day), ewma inside the window's count range") {
+    val df = operators.EventOps.ewmaSmooth(spark, sfDir).cache()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt")).cache()
+    assert(df.count() == daily.count())
+    // a weighted mean of counts lies within [min, max] of the window;
+    // globally: within the type's overall count range
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("cnt")).as("lo"), max(col("cnt")).as("hi"))
+    val joined = df.join(bounds, Seq("event_type"))
+    assert(joined.filter(col("ewma") < col("lo").cast("double") - 1e-9 ||
+      col("ewma") > col("hi").cast("double") + 1e-9).count() == 0)
+    // a day with no history inside the horizon equals its own count
+    val first = daily.groupBy(col("event_type")).agg(min(col("day")).as("day"))
+      .join(daily, Seq("event_type", "day"))
+    val firstEwma = first.join(df, Seq("event_type", "day"))
+    assert(firstEwma.filter(
+      abs(col("ewma") - col("cnt").cast("double")) > 1e-9).count() == 0)
+    df.unpersist(); daily.unpersist()
+  }
+
   test("winsorize_clip: clipped values inside bounds, bulk untouched") {
     val df = operators.EventOps.winsorizeClip(spark, sfDir).cache()
     assert(df.count() == Tables.events(spark, sfDir).count())

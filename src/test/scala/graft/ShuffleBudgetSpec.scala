@@ -193,6 +193,10 @@ class ShuffleBudgetSpec extends SparkSpec {
   // zipf_coverage: the word-count aggregate + the bounded TakeOrdered's
   // single-partition exchange + the 1000-row rank window + 3-row fold.
   check("zipf_coverage", 4)(operators.TextAnalysis.zipfCoverage(spark, sfDir))
+  // ewma_smooth: the corpus (type, day) aggregate lives in the eager
+  // checkpoint; this plan is the day-grid self-join (both sides tiny,
+  // type-keyed) + the final (type, day) fold.
+  check("ewma_smooth", 3)(operators.EventOps.ewmaSmooth(spark, sfDir))
   // winsorize_clip: the per-(type, cell) histogram + its per-type
   // cumulative/total windows over AGGREGATED cells; the threshold frame
   // broadcasts back onto the scan (events never shuffle twice).
