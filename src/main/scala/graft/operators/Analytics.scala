@@ -909,7 +909,69 @@ object Analytics {
     LEFT JOIN cinternal i ON s.community = i.community
     LEFT JOIN cext e ON s.community = e.community"""
 
+  /** Seeded reachability — the BFS member of the graph family: minimum
+    * hop distance (≤ 4) from the top-[[PprSeedCount]] seed nodes, as a
+    * distance histogram with the unreached remainder at dist = −1.
+    * Answers "how much of the graph do the hubs reach, how fast" — the
+    * connectivity audit behind seed-based curation (ppr_seeds' mass
+    * only spreads where hops exist). Four unrolled frontier rounds
+    * (pagerank's broadcast-state loop: the dist vector is node-sized,
+    * the edge list never reshuffles); min-dist union-aggregate per
+    * round keeps the state one row per reached node.
+    */
+  def graphReach(spark: SparkSession, dir: String): DataFrame = {
+    val (norm, nodes, outW) = normalizedCollabGraph(spark, dir)
+    val edges = norm.select(col("src"), col("dst"))
+    val seeds = outW.orderBy(col("out_w").desc, col("src").asc)
+      .limit(PprSeedCount)
+      .select(col("src").as("node"), lit(0).as("dist"))
+    var dist = seeds.transform(graft.functions.Iterate.checkpoint)
+    for (i <- 1 to 4) {
+      val expanded = edges
+        .join(stateHint(dist.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(expanded)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (i % 2 == 0 && i < 4)
+        dist = dist.transform(graft.functions.Iterate.checkpoint)
+    }
+    val reached = dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes.join(dist.select(col("node")), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1).as("dist"), col("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    reached.unionByName(unreached)
+  }
+
+  val graphReachOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d${i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM norm e JOIN d${i - 1} d ON e.src = d.node)
+      GROUP BY 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $collabGraphCtes,
+    d0 AS (
+      SELECT src AS node, 0 AS dist
+      FROM outw ORDER BY out_w DESC, src ASC LIMIT $PprSeedCount),
+    $rounds,
+    reached AS (SELECT dist, COUNT(*) AS n_nodes FROM d4 GROUP BY 1),
+    unreached AS (
+      SELECT -1 AS dist, COUNT(*) AS n_nodes
+      FROM nodes n LEFT JOIN d4 d ON n.node = d.node
+      WHERE d.node IS NULL
+      HAVING COUNT(*) > 0)
+    SELECT dist, n_nodes FROM reached
+    UNION ALL
+    SELECT dist, n_nodes FROM unreached"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "graph_reach" -> QueryDef.sql(graphReach, graphReachOracle),
     "label_propagation" -> QueryDef.sql(labelPropagation, labelPropagationOracle),
     "community_stats" -> QueryDef.sql(communityStats, communityStatsOracle),
     "kcore" -> QueryDef.sql(kcore, kcoreOracle),

@@ -1083,6 +1083,19 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("graph_reach: histogram covers every node exactly once, 5 seeds at dist 0") {
+    val rows = operators.Analytics.graphReach(spark, sfDir).collect()
+    val dists = rows.map(_.getAs[Int]("dist"))
+    assert(dists.distinct.length == dists.length)
+    assert(dists.forall(d => d == -1 || (d >= 0 && d <= 4)))
+    assert(rows.find(_.getAs[Int]("dist") == 0)
+      .exists(_.getAs[Long]("n_nodes") == 5L))
+    val totalNodes = operators.Analytics.collabPairs(spark, sfDir)
+      .select(explode(array(col("supp_a"), col("supp_b"))).as("n"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == totalNodes)
+  }
+
   test("ppr_seeds: rank mass concentrates on seeds, scores in [0,1], top-20 sorted") {
     val rows = operators.Analytics.pprSeeds(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
