@@ -1007,13 +1007,19 @@ object TextAnalysis {
           .as("tv_divergence"))
   }
 
-  val corpusDivergenceOracle: String = """
-    WITH words AS (
+  /** Shared oracle CTE block for the unigram-distribution family
+    * ([[corpusDivergence]], [[sourceSignatureTerms]]): per-(source,
+    * word) counts, corpus totals.
+    */
+  private val unigramCtes: String = """words AS (
       SELECT source, UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS w FROM documents),
     sw AS (SELECT source, w, COUNT(*) AS c_sw FROM words GROUP BY 1, 2),
     cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
     ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
-    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
+    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw)"""
+
+  val corpusDivergenceOracle: String = s"""
+    WITH $unigramCtes,
     terms AS (
       SELECT sw.source, ns.n_s, tot.n, c_w,
         ABS(CAST(c_sw AS HUGEINT) * CAST(n AS HUGEINT)
@@ -1030,6 +1036,58 @@ object TextAnalysis {
           / CAST(2 * CAST(n AS HUGEINT) * CAST(n_s AS HUGEINT) AS DOUBLE))
         * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8 AS tv_divergence
     FROM agg"""
+
+  /** Per-source signature terms — the top-5 most OVER-represented words
+    * per source, ranked by the exact mass-weighted excess
+    * `c_sw·n − c_w·n_s` (the [[corpusDivergence]] TV numerator,
+    * signed): robust where raw lift explodes on hapax words, log-free
+    * where log-odds isn't FP-portable. Reported lift = p_s/p_c as a
+    * 1e-6-rounded double for readability; the RANKING key is the exact
+    * integer. Same shuffle shape as corpus_divergence + one per-source
+    * top-5 window over vocab-sized rows.
+    */
+  def sourceSignatureTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+    val sw = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val tot = cw.agg(sum(col("c_w")).as("n"))
+    val scored = sw.join(cw, Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("w").as("term"), col("c_sw"),
+        (dec(col("c_sw")) * dec(col("n")) - dec(col("c_w")) * dec(col("n_s")))
+          .as("excess"),
+        (floor((dec(col("c_sw")) * dec(col("n"))).cast("double")
+          / (dec(col("c_w")) * dec(col("n_s"))).cast("double") * lit(1.0e6)
+          + lit(0.5)).cast("double") / lit(1.0e6)).as("lift"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("excess").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("term"), col("c_sw"), col("lift"))
+  }
+
+  val sourceSignatureTermsOracle: String = s"""
+    WITH $unigramCtes,
+    scored AS (
+      SELECT sw.source, sw.w AS term, sw.c_sw,
+        CAST(c_sw AS HUGEINT) * CAST(n AS HUGEINT)
+          - CAST(c_w AS HUGEINT) * CAST(n_s AS HUGEINT) AS excess,
+        CAST(FLOOR(CAST(CAST(c_sw AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+          / CAST(CAST(c_w AS HUGEINT) * CAST(n_s AS HUGEINT) AS DOUBLE) * 1.0e6
+          + 0.5) AS DOUBLE) / 1.0e6 AS lift
+      FROM sw JOIN cw USING (w) JOIN ns ON sw.source = ns.source CROSS JOIN tot)
+    SELECT source, rank, term, c_sw, lift FROM (
+      SELECT source, term, c_sw, lift,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY excess DESC, term ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
 
   /** Quality-signal calibration — per source, the Pearson correlation
     * between the heuristic [[qualityScore]] and the corpus-LM
@@ -1285,6 +1343,8 @@ object TextAnalysis {
     "sentence_split" -> QueryDef.sql(sentenceSplit, sentenceSplitOracle),
     "tokenizer_fertility" -> QueryDef.sql(tokenizerFertility, tokenizerFertilityOracle),
     "corpus_divergence" -> QueryDef.sql(corpusDivergence, corpusDivergenceOracle),
+    "source_signature_terms" ->
+      QueryDef.sql(sourceSignatureTerms, sourceSignatureTermsOracle),
     "quality_calibration" -> QueryDef.sql(qualityCalibration, qualityCalibrationOracle),
     "winnow_fingerprint" -> QueryDef.sql(winnowFingerprint, winnowFingerprintOracle),
     "gopher_dup_ngrams" -> QueryDef.sql(gopherDupNgrams, gopherDupNgramsOracle),

@@ -1124,6 +1124,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("source_signature_terms: 5 ranked terms per source, all over-represented") {
+    val df = operators.TextAnalysis.sourceSignatureTerms(spark, sfDir).cache()
+    val srcs = Tables.documents(spark, sfDir).select(col("source")).distinct().count()
+    assert(df.count() == srcs * 5)
+    val perSrc = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), min(col("rank")).as("mn"), max(col("rank")).as("mx"))
+    assert(perSrc.filter(col("n") =!= 5 || col("mn") =!= 1 || col("mx") =!= 5)
+      .count() == 0)
+    // top terms must actually be over-represented: lift > 1
+    assert(df.filter(col("rank") === 1 && col("lift") <= 1.0).count() == 0)
+    df.unpersist()
+  }
+
   test("quality_calibration: corr in [-1,1], n_docs reconcile with scorable docs") {
     val rows = operators.TextAnalysis.qualityCalibration(spark, sfDir).collect()
     assert(rows.nonEmpty)
