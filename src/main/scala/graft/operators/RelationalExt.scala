@@ -215,7 +215,48 @@ object RelationalExt {
       GROUP BY 1, 2)
     WHERE promo_qty_dec * 100 > total_qty_dec * 18"""
 
+  /** Runtime bloom semi-join reduction — the 100 TB join-pruning
+    * pattern made explicit: the FILTERED build side (urgent/high
+    * orders) compresses its key set to KB of bloom bits that ride the
+    * task binary and prune the probe scan with the codegen
+    * [[org.apache.spark.sql.graft.BloomMightContainLong]] BEFORE any
+    * shuffle — at scale the discarded ~60% of lineitem never enters
+    * the exchange. Bloom errors are false positives only, and the
+    * exact join downstream removes them, so the result is identical to
+    * the plain join (the oracle IS the plain join — the sketch is pure
+    * plan speed, never semantics). Same two-stage shape as
+    * decontaminate_bloom, on relational keys.
+    */
+  def bloomJoinPrune(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloom = hi.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val mightContain = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.BloomMightContainLong(
+        org.apache.spark.sql.GraftBridge.expression(col("l_orderkey")), bloom))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .filter(mightContain)
+      .join(hi, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.dsum(col("rev")).as("revenue"))
+      .select(col("o_orderpriority"), col("n_items"), col("revenue"))
+  }
+
+  val bloomJoinPruneOracle: String = s"""
+    SELECT o.o_orderpriority,
+      COUNT(*) AS n_items,
+      ${Exact.sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "bloom_join_prune" -> QueryDef.sql(bloomJoinPrune, bloomJoinPruneOracle),
     "q2_min_cost" -> QueryDef.sql(q2MinCost, q2MinCostOracle),
     "q9_profit" -> QueryDef.sql(q9Profit, q9ProfitOracle),
     "q11_important_stock" -> QueryDef.sql(q11ImportantStock, q11ImportantStockOracle),

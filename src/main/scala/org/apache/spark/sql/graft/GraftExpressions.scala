@@ -811,3 +811,31 @@ case class CharClassCounts(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): CharClassCounts =
     copy(child = newChild)
 }
+
+/** [[BloomMightContain]]'s BIGINT twin (mightContainLong) — for runtime
+  * semi-join reduction on integer keys: the filtered build side's key
+  * set rides to every executor as KB of bloom bits and prunes the probe
+  * scan BEFORE any shuffle. False positives only — the exact join
+  * downstream keeps results deterministic.
+  */
+case class BloomMightContainLong(
+    child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloomFilter", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $bloomRef.mightContainLong($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}

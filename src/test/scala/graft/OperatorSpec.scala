@@ -939,6 +939,19 @@ class OperatorSpec extends SparkSpec {
     df.unpersist(); docs.unpersist()
   }
 
+  test("bloom_join_prune: identical to the unpruned join (sketch is plan-only)") {
+    val pruned = operators.RelationalExt.bloomJoinPrune(spark, sfDir)
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_items"))
+    val cmp = pruned.select(col("o_orderpriority"), col("n_items"))
+      .exceptAll(plain.select(col("o_orderpriority"), col("n_items")))
+    assert(cmp.count() == 0)
+    assert(pruned.count() == 2)
+  }
+
   test("minhash_recall_audit: one summary row, hits bounded by both sides") {
     val r = operators.Dedup.minhashRecallAudit(spark, sfDir).collect()
     assert(r.length == 1)
