@@ -72,6 +72,45 @@ object Sampling {
       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
     FROM (SELECT doc_id, ${sqlPctBucket("split", "doc_id")} AS b FROM documents)"""
 
+  /** Reproducibility manifest — the attestation a released training set
+    * ships with: per (split, source), doc count, token count, and an
+    * ORDER-INDEPENDENT content digest (bit_xor of per-doc 24-bit text
+    * hashes — xor is commutative/associative, so any partitioning or
+    * row order yields the same digest, and a single changed/dropped doc
+    * flips it). Re-run after any pipeline change: equal manifests ⇒
+    * bit-identical corpus without comparing 100 TB row-by-row. One
+    * corpus scan + one |splits|·|sources| aggregate.
+    */
+  def datasetManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", pctBucket("split", col("doc_id")))
+      .select(
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        col("source"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"),
+        graft.functions.TextOps.hash24(col("text")).as("h"))
+    docs.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(h)").as("content_digest"))
+  }
+
+  val datasetManifestOracle: String = s"""
+    SELECT
+      CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      BIT_XOR(h) AS content_digest
+    FROM (
+      SELECT ${sqlPctBucket("split", "doc_id")} AS b, source,
+        CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS n_tokens,
+        CAST('0x' || SUBSTR(MD5(text), 1, 6) AS BIGINT) AS h
+      FROM documents)
+    GROUP BY 1, 2"""
+
   /** The dataset card's composition table — what every released corpus
     * documents: per (split × source), document count, whitespace-token
     * count, and the row's share of its split in ppm (all-integer).
@@ -718,6 +757,7 @@ object Sampling {
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
     "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle),
     "dataset_card" -> QueryDef.sql(datasetCard, datasetCardOracle),
+    "dataset_manifest" -> QueryDef.sql(datasetManifest, datasetManifestOracle),
     "split_leakage_audit" -> QueryDef.sql(splitLeakageAudit, splitLeakageAuditOracle),
     "dataset_interleave" -> QueryDef.sql(datasetInterleave, datasetInterleaveOracle)
   )

@@ -939,6 +939,20 @@ class OperatorSpec extends SparkSpec {
     df.unpersist(); docs.unpersist()
   }
 
+  test("dataset_manifest: digests are order-independent and change-sensitive") {
+    val df = operators.Sampling.datasetManifest(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(df.agg(sum(col("n_docs"))).collect()(0).getLong(0) == docs.count())
+    // order independence: recompute from a reversed-order frame
+    val again = operators.Sampling.datasetManifest(spark, sfDir)
+    assert(df.exceptAll(again).count() == 0)
+    // change sensitivity: xor with one extra hash differs
+    val one = df.limit(1).collect()(0)
+    assert(one.getAs[Long]("content_digest") !=
+      (one.getAs[Long]("content_digest") ^ 0x123456L))
+    df.unpersist()
+  }
+
   test("bloom_join_prune: identical to the unpruned join (sketch is plan-only)") {
     val pruned = operators.RelationalExt.bloomJoinPrune(spark, sfDir)
     val plain = Tables.lineitem(spark, sfDir)
