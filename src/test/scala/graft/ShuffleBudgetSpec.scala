@@ -193,6 +193,17 @@ class ShuffleBudgetSpec extends SparkSpec {
   // zipf_coverage: the word-count aggregate + the bounded TakeOrdered's
   // single-partition exchange + the 1000-row rank window + 3-row fold.
   check("zipf_coverage", 4)(operators.TextAnalysis.zipfCoverage(spark, sfDir))
+  // bloom_join_prune: the bloom prunes the probe SCAN (no exchange);
+  // budget = the two join-side exchanges + the priority aggregate.
+  // AQE broadcasts the build side at test scale; budget covers the
+  // shuffle-join form at 100 TB.
+  check("bloom_join_prune", 3)(operators.RelationalExt.bloomJoinPrune(spark, sfDir))
+  // dataset_manifest: exactly the one (split, source) aggregate.
+  check("dataset_manifest", 1)(operators.Sampling.datasetManifest(spark, sfDir))
+  // source_signature_terms: corpus_divergence's unigram shape (one
+  // corpus shuffle, vocab-sized after) + the per-source top-5 window.
+  check("source_signature_terms", 7)(
+    operators.TextAnalysis.sourceSignatureTerms(spark, sfDir))
   // ewma_smooth: the corpus (type, day) aggregate lives in the eager
   // checkpoint; this plan is the day-grid self-join (both sides tiny,
   // type-keyed) + the final (type, day) fold.
