@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Quality.defs ++
       operators.Sampling.defs ++
       operators.Tokenizer.defs ++
+      operators.Lakehouse.defs ++
       sources.Ingest.defs ++
       sources.ApiEnrich.defs
 
