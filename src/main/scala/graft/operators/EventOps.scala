@@ -1011,7 +1011,231 @@ object EventOps {
       CAST(SUM(wx) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS ewma
     FROM pairs GROUP BY 1, 2"""
 
+  /** Debounce suppression window (µs): a repeat of the same
+    * (user, event_type) within 6 h of the previous RAW occurrence is
+    * dropped as a near-duplicate firing.
+    */
+  private val DebounceGapUs = 21600000000L
+
+  /** Event debounce: suppress repeated (user_id, event_type) firings
+    * that arrive within [[DebounceGapUs]] of the previous raw
+    * occurrence — the batch analog of a streaming dedup-within-
+    * watermark stage (instrumentation double-fires, retry storms).
+    * One lag over the per-(user, type) window — a single shuffle on
+    * the composite key, no self-join. `gap_us` is the suppressed-
+    * decision evidence (-1 for a key's first event — kept nullable-
+    * free so the column stays BIGINT in both engines).
+    *
+    * The lag-against-RAW-predecessor rule (rather than against the
+    * previous KEPT event) is deliberate: it is expressible as one
+    * stateless window pass in any engine, while kept-chaining needs
+    * a running fold — the streaming twin with real state lives in
+    * EventStreams.
+    */
+  def eventDebounce(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("t_us", expr("ts div 1000"))
+      .withColumn("prev_t", lag(col("t_us"), 1).over(order))
+      .filter(col("prev_t").isNull
+        || col("t_us") - col("prev_t") > DebounceGapUs)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("t_us").as("t"),
+        coalesce(col("t_us") - col("prev_t"), lit(-1L)).as("gap_us"))
+  }
+
+  val eventDebounceOracle: String = s"""
+    SELECT user_id, event_type, event_id, t,
+      COALESCE(t - prev_t, -1) AS gap_us
+    FROM (
+      SELECT user_id, event_type, event_id, EPOCH_US(ts) AS t,
+        LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id, event_type
+          ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS prev_t
+      FROM events)
+    WHERE prev_t IS NULL OR t - prev_t > $DebounceGapUs"""
+
+  /** Candidate watermark delays audited (µs): 0 s, 10 s, 60 s, 600 s. */
+  private val LatenessDelaysUs = Seq(0L, 10000000L, 60000000L, 600000000L)
+
+  /** Watermark-lateness audit: replay the stream in ARRIVAL order
+    * (event_id — the generation sequence) tracking the per-type
+    * high-water mark of event time, and for each candidate watermark
+    * delay count the events that would have arrived too late (event
+    * time below hwm − delay). This is the measurement that sizes
+    * `withWatermark` before deploying the streaming jobs: too small
+    * drops data, too large holds state — the audit gives the exact
+    * loss curve per event type. One window shuffle on event_type; the
+    * delay fan-out explodes AFTER lateness is computed (4 small rows
+    * per event into a tiny fold, never a re-scan per delay).
+    */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("t_us", expr("ts div 1000"))
+      .withColumn("lateness",
+        greatest(coalesce(max(col("t_us")).over(order) - col("t_us"),
+          lit(0L)), lit(0L)))
+      .select(col("event_type"), col("lateness"),
+        explode(array(LatenessDelaysUs.map(lit): _*)).as("delay_us"))
+      .groupBy(col("event_type"), col("delay_us"))
+      .agg(
+        sum(when(col("lateness") > col("delay_us"), 1L).otherwise(0L))
+          .as("late_count"),
+        count(lit(1)).as("n_events"))
+      .withColumn("late_ppm", expr("late_count * 1000000L div n_events"))
+  }
+
+  val latenessAuditOracle: String = {
+    val delays = LatenessDelaysUs.map(d => s"($d)").mkString(", ")
+    s"""
+    WITH base AS (
+      SELECT event_type,
+        GREATEST(COALESCE(MAX(EPOCH_US(ts)) OVER (PARTITION BY event_type
+          ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+          1 PRECEDING) - EPOCH_US(ts), 0), 0) AS lateness
+      FROM events)
+    SELECT event_type, CAST(delay_us AS BIGINT) AS delay_us,
+      CAST(SUM(CASE WHEN lateness > delay_us THEN 1 ELSE 0 END) AS BIGINT)
+        AS late_count,
+      COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN lateness > delay_us THEN 1 ELSE 0 END) AS BIGINT)
+        * 1000000 // COUNT(*) AS late_ppm
+    FROM base CROSS JOIN (VALUES $delays) AS d(delay_us)
+    GROUP BY 1, 2"""
+  }
+
+  /** Trailing window (observed hours) and minimum history for a burst
+    * verdict.
+    */
+  private val BurstTrailing = 24
+  private val BurstMinN = 6
+
+  /** Rate-burst detection: the event stream aggregates to the
+    * (type, hour) grid ONCE (the only corpus shuffle), then each hour
+    * compares against its trailing [[BurstTrailing]] OBSERVED hours —
+    * a burst is >3× the trailing mean, tested in cross-multiplied
+    * integer form (`cnt·n > 3·sum`, no division) with at least
+    * [[BurstMinN]] hours of history. The rate-based complement of
+    * anomaly_mad (which scores VALUES): instrumentation storms and
+    * traffic spikes move counts, not magnitudes. The trailing window
+    * runs on the aggregated grid — |types|·|hours| rows at any corpus
+    * size.
+    */
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
+      .rowsBetween(-BurstTrailing, -1)
+    grid
+      .withColumn("trail_n", count(col("cnt")).over(w))
+      .withColumn("trail_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .filter(col("trail_n") >= BurstMinN
+        && col("cnt") * col("trail_n") > lit(3L) * col("trail_sum"))
+      .select(col("event_type"), col("hour_id"), col("cnt"),
+        col("trail_n"), col("trail_sum"))
+  }
+
+  val burstDetectOracle: String = s"""
+    SELECT event_type, hour_id, cnt, trail_n, trail_sum
+    FROM (
+      SELECT event_type, hour_id, cnt,
+        COUNT(cnt) OVER w AS trail_n,
+        CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS trail_sum
+      FROM (
+        SELECT event_type, EPOCH_US(ts) // 3600000000 AS hour_id,
+          COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+        ROWS BETWEEN $BurstTrailing PRECEDING AND 1 PRECEDING))
+    WHERE trail_n >= $BurstMinN AND cnt * trail_n > 3 * trail_sum"""
+
+  /** Time-weighted average event value per user — the feature-store
+    * aggregation for irregular samples (left-constant interpolation:
+    * each value holds until the next observation; the last one carries
+    * no weight). All arithmetic is fixed-point integer: values to
+    * milli-units via floor(v·1000 + 0.5), durations to ms, the mean as
+    * one integer division — double products summed in shuffle order
+    * would differ run-to-run AND engine-to-engine. Magnitude headroom:
+    * v_fp ≤ ~10⁶ milli-units × span ≤ ~10⁹ ms keeps every per-user sum
+    * under 2⁶³. One shuffle: the per-user window and the per-user fold
+    * share their partitioning.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("t_us", expr("ts div 1000"))
+      .withColumn("v_fp", floor(col("value") * lit(1000d) + lit(0.5d)))
+      .withColumn("next_t", lead(col("t_us"), 1).over(order))
+      .withColumn("wt",
+        coalesce(col("v_fp") * expr("(next_t - t_us) div 1000"), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(t_us) - min(t_us)) div 1000").as("span_ms"),
+        sum(col("wt")).as("wt_sum"))
+      .filter(col("span_ms") > 0L)
+      .select(col("user_id"), col("n_events"), col("span_ms"),
+        expr("wt_sum div span_ms").as("twa_milli"))
+  }
+
+  val timeWeightedAvgOracle: String = s"""
+    WITH base AS (
+      SELECT user_id, event_id, EPOCH_US(ts) AS t,
+        CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_fp,
+        LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+          ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS next_t
+      FROM events)
+    SELECT user_id, n_events, span_ms, wt_sum // span_ms AS twa_milli
+    FROM (
+      SELECT user_id, COUNT(*) AS n_events,
+        (MAX(t) - MIN(t)) // 1000 AS span_ms,
+        CAST(SUM(COALESCE(v_fp * ((next_t - t) // 1000), 0)) AS BIGINT)
+          AS wt_sum
+      FROM base GROUP BY 1)
+    WHERE span_ms > 0"""
+
+  /** Mergeable-sketch distinct counts over time buckets: user_id HLL
+    * sketches are built per DAY (the pre-aggregated state a 100 TB
+    * pipeline lands incrementally), then any coarser window — here
+    * weekly — is answered by UNIONING the daily sketches, never by
+    * re-scanning raw events. This is the rollup companion to
+    * approx_distinct (one-shot sketch): the state is day-count-sized,
+    * the weekly union touches |days| sketch blobs, and the same state
+    * serves monthly or any other window for free. Sketch bytes are
+    * engine-specific, so the gate follows the approx_distinct
+    * convention: exact twin columns + a `within_bounds` band flag the
+    * oracle expects to be TRUE.
+    */
+  def hllWindowMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val daily = e.groupBy(expr("ts div 86400000000000").as("day_id"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val weekly = daily.groupBy(expr("day_id div 7").as("week_id"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = e.groupBy(expr("(ts div 86400000000000) div 7").as("wx"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        count(lit(1)).as("n_events"))
+    weekly.join(exact, col("week_id") === col("wx"))
+      .select(col("week_id"), col("n_exact"), col("n_events"),
+        (abs(col("est") - col("n_exact")).cast("double")
+          <= col("n_exact").cast("double") * lit(0.05)).as("within_bounds"))
+  }
+
+  val hllWindowMergeOracle: String = """
+    SELECT (EPOCH_US(ts) // 86400000000) // 7 AS week_id,
+      COUNT(DISTINCT user_id) AS n_exact, COUNT(*) AS n_events,
+      TRUE AS within_bounds
+    FROM events GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "lateness_audit" -> QueryDef.sql(latenessAudit, latenessAuditOracle),
+    "burst_detect" -> QueryDef.sql(burstDetect, burstDetectOracle),
+    "time_weighted_avg" -> QueryDef.sql(timeWeightedAvg, timeWeightedAvgOracle),
+    "hll_window_merge" -> QueryDef.sql(hllWindowMerge, hllWindowMergeOracle),
+    "event_debounce" -> QueryDef.sql(eventDebounce, eventDebounceOracle),
     "ewma_smooth" -> QueryDef.sql(ewmaSmooth, ewmaSmoothOracle),
     "winsorize_clip" -> QueryDef.sql(winsorizeClip, winsorizeClipOracle),
     "ab_test_metrics" -> QueryDef.sql(abTestMetrics, abTestMetricsOracle),

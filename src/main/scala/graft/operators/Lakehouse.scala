@@ -361,8 +361,13 @@ object Lakehouse {
     * itself — the exchange is computed once and reused.
     */
   def joinCardinalityEst(spark: SparkSession, dir: String): DataFrame = {
+    // Each histogram feeds THREE plan branches (the pairwise join, its
+    // own stats fold, and — for events — both join sides): checkpoint
+    // so every side's data shuffles exactly once, instead of once per
+    // consuming branch.
     def hist(df: DataFrame, key: String): DataFrame =
-      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      graft.functions.Iterate.checkpoint(
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c")))
     def audit(name: String, hl: DataFrame, hr: DataFrame): DataFrame = {
       val joined = hl.select(col("k"), col("c").as("cl"))
         .join(hr.select(col("k").as("rk"), col("c").as("cr")),

@@ -157,7 +157,44 @@ object Quality {
     FROM (SELECT publisher_name FROM (${Dwh.dimPublisherOracle})
           GROUP BY 1 HAVING COUNT(*) > 1)"""
 
+  /** Re-identification threshold: a quasi-identifier group smaller
+    * than this is reportable.
+    */
+  private val KAnon = 5
+
+  /** k-anonymity audit over the customer quasi-identifiers
+    * (nation, market segment, account-balance band): any combination
+    * shared by fewer than [[KAnon]] customers is a re-identification
+    * risk — the governance check a released dataset runs before
+    * publication (the privacy-side complement of pii_scrub, which
+    * redacts direct identifiers; quasi-identifiers leak by COMBINATION
+    * and only a group-size audit sees that). One aggregate over the
+    * projected quasi columns — map-side combinable, the group frame is
+    * quasi-cardinality-sized at any table size. The balance band
+    * (floor(acctbal/1000)) is the generalization step of the
+    * Sweeney-style anonymization loop: rerun the audit per
+    * generalization level until no risky groups remain.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / lit(1000d)).as("bal_band"))
+      .groupBy(col("nationkey"), col("mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < KAnon)
+
+  val kAnonymityAuditOracle: String = s"""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      c_mktsegment AS mktsegment,
+      CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      COUNT(*) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < $KAnon"""
+
   def defs: Map[String, QueryDef] = Map(
-    "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle)
+    "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle),
+    "k_anonymity_audit" -> QueryDef.sql(kAnonymityAudit, kAnonymityAuditOracle)
   )
 }

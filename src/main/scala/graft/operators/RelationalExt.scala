@@ -255,7 +255,51 @@ object RelationalExt {
     WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY 1"""
 
+  /** Fuzzy record linkage on the part-name DICTIONARY: distinct names
+    * pair up within a blocking key (the last word — the product noun)
+    * and survive at Levenshtein distance 1-2 — near-miss name variants
+    * ("cold ring" / "old ring"), with each side's row count carried so
+    * the consumer can weigh the merge. The classic entity-resolution
+    * shape done scale-correctly: (1) the row table collapses to its
+    * name dictionary FIRST (name-cardinality, not row-cardinality —
+    * at 100 TB the dictionary is the only thing that ever pairs up);
+    * (2) candidate generation is a blocked equi-join, never a cross
+    * join — the quadratic blow-up is bounded per block; (3) the
+    * expensive edit-distance runs only on block-mates. Blocking
+    * recall is the documented trade-off (a pair differing in the
+    * noun is never compared); the oracle mirrors the same blocked
+    * semantics.
+    */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("cnt").as("cnt_a"),
+      col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("cnt").as("cnt_b"),
+      col("blk").as("blk_b"))
+    a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev").between(1L, 2L))
+      .select(col("name_a"), col("name_b"), col("lev"),
+        col("cnt_a"), col("cnt_b"))
+  }
+
+  val fuzzyJoinOracle: String = s"""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS cnt,
+        STRING_SPLIT(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY 1)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+      CAST(LEVENSHTEIN(a.p_name, b.p_name) AS BIGINT) AS lev,
+      a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE LEVENSHTEIN(a.p_name, b.p_name) BETWEEN 1 AND 2"""
+
   def defs: Map[String, QueryDef] = Map(
+    "fuzzy_join" -> QueryDef.sql(fuzzyJoin, fuzzyJoinOracle),
     "bloom_join_prune" -> QueryDef.sql(bloomJoinPrune, bloomJoinPruneOracle),
     "q2_min_cost" -> QueryDef.sql(q2MinCost, q2MinCostOracle),
     "q9_profit" -> QueryDef.sql(q9Profit, q9ProfitOracle),

@@ -1335,7 +1335,48 @@ object TextAnalysis {
     FROM top t CROSS JOIN total tot JOIN ks ON t.rk <= ks.k
     GROUP BY ks.k"""
 
+  /** Readability scoring: a Flesch-reading-ease-shaped statistic per
+    * document from three regex-countable proxies — whitespace words,
+    * sentence terminators (`[.!?]+` runs), and vowel-group runs as the
+    * syllable stand-in (the classic poor-man's syllabifier). The score
+    * is computed in scaled INTEGER arithmetic
+    * (`206835 − 1015·w/s − 84600·v/w`, milli-points, integer div) so
+    * the result is bit-portable across engines — the float formula's
+    * division order would not be. Pure per-row projection: zero
+    * shuffles, scan speed at any corpus size, same family as
+    * quality_score / gopher_rules but measuring sentence/word shape
+    * rather than content rules.
+    */
+  def readabilityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), "\\s+")), lit(1)).cast("long")
+          .as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sents"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("n_vowel_groups"))
+      .withColumn("flesch_milli",
+        lit(206835L) - expr("1015L * n_words div n_sents")
+          - expr("84600L * n_vowel_groups div n_words"))
+
+  val readabilityScoreOracle: String = s"""
+    SELECT doc_id, n_words, n_sents, n_vowel_groups,
+      206835 - (1015 * n_words) // n_sents
+             - (84600 * n_vowel_groups) // n_words AS flesch_milli
+    FROM (
+      SELECT doc_id,
+        GREATEST(CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT), 1)
+          AS n_words,
+        GREATEST(CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')) AS BIGINT), 1)
+          AS n_sents,
+        CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+')) AS BIGINT)
+          AS n_vowel_groups
+      FROM documents)"""
+
   def defs: Map[String, QueryDef] = Map(
+    "readability_score" ->
+      QueryDef.sql(readabilityScore, readabilityScoreOracle),
     "corpus_stats" -> QueryDef.sql(corpusStats, corpusStatsOracle),
     "char_class_stats" -> QueryDef.sql(charClassStats, charClassStatsOracle),
     "vocab_growth" -> QueryDef.sql(vocabGrowth, vocabGrowthOracle),

@@ -1190,4 +1190,96 @@ class OperatorSpec extends SparkSpec {
       assert(r.getAs[Double]("chars_per_token") > 0)
     }
   }
+
+  test("event_debounce: keeps every key's first event, gaps clear the window") {
+    val kept = operators.EventOps.eventDebounce(spark, sfDir)
+    val total = Tables.events(spark, sfDir).count()
+    val firsts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    val n = kept.count()
+    assert(n >= firsts && n <= total)
+    kept.collect().foreach { r =>
+      val g = r.getAs[Long]("gap_us")
+      assert(g == -1L || g > 21600000000L,
+        s"kept event must be a first (-1) or clear the 6 h window: $g")
+    }
+  }
+
+  test("readability_score: one row per doc, score bounded above") {
+    val rows = operators.TextAnalysis.readabilityScore(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") >= 1 && r.getAs[Long]("n_sents") >= 1)
+      assert(r.getAs[Long]("flesch_milli") <= 206835L)
+    }
+  }
+
+  test("lateness_audit: loss curve is monotone non-increasing in the delay") {
+    val rows = operators.EventOps.latenessAudit(spark, sfDir).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rs =>
+      assert(rs.length == 4, "four candidate delays per type")
+      val curve = rs.sortBy(_.getAs[Long]("delay_us"))
+        .map(_.getAs[Long]("late_count"))
+      curve.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b,
+          "a larger watermark delay can only admit MORE events")
+        case _ =>
+      }
+      rs.foreach(r =>
+        assert(r.getAs[Long]("late_count") <= r.getAs[Long]("n_events")))
+    }
+  }
+
+  test("burst_detect: every burst clears 3x its trailing mean with history") {
+    operators.EventOps.burstDetect(spark, sfDir).collect().foreach { r =>
+      val (n, s) = (r.getAs[Long]("trail_n"), r.getAs[Long]("trail_sum"))
+      assert(n >= 6L)
+      assert(r.getAs[Long]("cnt") * n > 3L * s)
+    }
+  }
+
+  test("time_weighted_avg: one row per spanning user, mean inside value range") {
+    val rows = operators.EventOps.timeWeightedAvg(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg((expr("(max(ts div 1000) - min(ts div 1000)) div 1000") > 0)
+        .as("spans"))
+      .filter(col("spans")).count()
+    assert(rows.length == users)
+    val vmax = Tables.events(spark, sfDir).agg(max(col("value")))
+      .head().getDouble(0)
+    rows.foreach { r =>
+      val twa = r.getAs[Long]("twa_milli")
+      assert(twa >= 0L && twa <= math.ceil((vmax + 1) * 1000).toLong,
+        "left-constant mean is bounded by the observed value range")
+    }
+  }
+
+  test("hll_window_merge: daily-sketch rollup stays inside the error band") {
+    val rows = operators.EventOps.hllWindowMerge(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("within_bounds")))
+  }
+
+  test("k_anonymity_audit: only sub-threshold groups are reported") {
+    val rows = operators.Quality.kAnonymityAudit(spark, sfDir).collect()
+    rows.foreach { r =>
+      val g = r.getAs[Long]("group_size")
+      assert(g >= 1L && g < 5L)
+    }
+  }
+
+  test("fuzzy_join: ordered pairs, same block, edit distance in [1,2]") {
+    val rows = operators.RelationalExt.fuzzyJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a < b)
+      assert(a.split(" ").last == b.split(" ").last, "block key matches")
+      val lev = r.getAs[Long]("lev")
+      assert(lev >= 1L && lev <= 2L)
+      assert(r.getAs[Long]("cnt_a") > 0 && r.getAs[Long]("cnt_b") > 0)
+    }
+  }
 }

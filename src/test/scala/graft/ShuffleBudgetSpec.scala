@@ -231,4 +231,54 @@ class ShuffleBudgetSpec extends SparkSpec {
   // own exchange over ALREADY-AGGREGATED |splits|·|sources| rows, plus
   // the totals' single-row fold — corpus rows shuffle once.
   check("dataset_card", 3)(operators.Sampling.datasetCard(spark, sfDir))
+  // shard_plan: the rendezvous argmax is a per-row array expression —
+  // the corpus never shuffles; the ONE exchange is the 16-group fold
+  // of partial aggregates.
+  check("shard_plan", 1)(operators.Lakehouse.shardPlan(spark, sfDir))
+  // col_stats_histogram: one stacked scan, one window exchange (bin
+  // assignment partitioned by col_name), one (col, bin) fold — the
+  // three columns never cost three scans.
+  check("col_stats_histogram", 2)(
+    operators.Lakehouse.colStatsHistogram(spark, sfDir))
+  // compaction_plan: the DATA shuffles once (per-day count); the
+  // packing window + group fold run on the metadata-scale inventory.
+  check("compaction_plan", 3)(operators.Lakehouse.compactionPlan(spark, sfDir))
+  // event_debounce: one composite-key window shuffle, no self-join.
+  check("event_debounce", 1)(operators.EventOps.eventDebounce(spark, sfDir))
+  // readability_score: pure per-row projection — scan speed, ZERO
+  // shuffles at any corpus size.
+  check("readability_score", 0)(
+    operators.TextAnalysis.readabilityScore(spark, sfDir))
+  // fuzzy_join: the row table collapses to the name dictionary first
+  // (one exchange); the blocked self-join + edit distance run on
+  // dictionary-cardinality frames.
+  check("fuzzy_join", 4)(operators.RelationalExt.fuzzyJoin(spark, sfDir))
+  // mv_delta_merge: state + full-recompute aggregates (one corpus
+  // exchange each) meet in a key-cardinality join.
+  check("mv_delta_merge", 4)(operators.Lakehouse.mvDeltaMerge(spark, sfDir))
+  // join_cardinality_est: the corpus shuffles live in the histogram
+  // checkpoints (one per side, computed once); this plan is three
+  // audits' worth of joins/folds/top-1s over HISTOGRAM-sized frames.
+  check("join_cardinality_est", 14)(
+    operators.Lakehouse.joinCardinalityEst(spark, sfDir))
+  // file_skipping_audit: two layout carves (global-sort ntile — the
+  // cost a sorted write pays once, paid here per layout) + per-layout
+  // file fold and one-row summary.
+  check("file_skipping_audit", 8)(
+    operators.Lakehouse.fileSkippingAudit(spark, sfDir))
+  // k_anonymity_audit: one map-side-combinable aggregate over the
+  // projected quasi columns.
+  check("k_anonymity_audit", 1)(operators.Quality.kAnonymityAudit(spark, sfDir))
+  // lateness_audit: the type-keyed hwm window is the one corpus
+  // shuffle; the delay fan-out feeds a tiny (type, delay) fold.
+  check("lateness_audit", 2)(operators.EventOps.latenessAudit(spark, sfDir))
+  // burst_detect: corpus → (type, hour) grid once; the trailing window
+  // runs on the grid.
+  check("burst_detect", 2)(operators.EventOps.burstDetect(spark, sfDir))
+  // time_weighted_avg: the per-user window and per-user fold share one
+  // user_id exchange.
+  check("time_weighted_avg", 1)(operators.EventOps.timeWeightedAvg(spark, sfDir))
+  // hll_window_merge: daily sketch agg + weekly union (day-count-sized)
+  // + the exact-twin aggregate and its small join.
+  check("hll_window_merge", 5)(operators.EventOps.hllWindowMerge(spark, sfDir))
 }
