@@ -85,6 +85,49 @@ object EventStreams {
       }
   }
 
+  final case class DebounceState(lastKeptUs: Long)
+  final case class KeptEvent(
+      event_id: Long, user_id: Long, event_type: String, t_us: Long)
+
+  /** Default debounce window — matches the batch event_debounce (6 h). */
+  val DebounceGapUs: Long = 21600000000L
+
+  /** Stateful KEPT-CHAINING debounce: an event survives iff it is more
+    * than `gapUs` after the last event this (user, type) key KEPT — the
+    * semantics the batch `event_debounce` deliberately does NOT have
+    * (its lag-against-raw-predecessor rule is one stateless window
+    * pass; chaining needs a running fold, i.e. real state — this).
+    * One DebounceState (a single timestamp) per live key; in
+    * production add an event-time timeout to evict idle keys.
+    *
+    * Chaining keeps a SUPERSET of the batch rule's survivors: the last
+    * KEPT event is never later than the raw predecessor, so any event
+    * clearing the raw gap clears the chained gap too — the containment
+    * StreamingSpec pins.
+    */
+  def debounced(events: Dataset[Event],
+      gapUs: Long = DebounceGapUs): Dataset[KeptEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, KeptEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), batch: Iterator[Event],
+            state: GroupState[DebounceState]) =>
+          val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          var last = state.getOption.map(_.lastKeptUs).getOrElse(Long.MinValue)
+          val out = sorted.flatMap { e =>
+            val t = epochMicros(e.ts)
+            if (last == Long.MinValue || t - last > gapUs) {
+              last = t
+              Some(KeptEvent(e.event_id, key._1, key._2, t))
+            } else None
+          }
+          state.update(DebounceState(last))
+          out.iterator
+      }
+  }
+
   /** Streaming deduplication: drop repeated event_ids within the
     * watermark horizon — exactly-once-ish semantics over an at-least-once
     * source. State is one entry per id inside the watermark window,

@@ -243,4 +243,67 @@ class StreamingSpec extends SparkSpec {
       .map { case ((w, t), es) => (w, t, es.size.toLong) }.toSet
     assert(streamed == batch)
   }
+
+  test("debounced chains against the last KEPT event across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 10-minute window; events at 0, 5, 9, 21 minutes for one key:
+    // 0 kept; 5 dropped (5 < 10 from kept 0); 9 dropped vs kept 0 even
+    // though it is only 4 min after the DROPPED 5 (raw-lag would judge
+    // against 5); 21 kept (21 > 10 from kept 0). Split across two
+    // addData batches so the chain must survive in state.
+    val q = EventStreams.debounced(input.toDS(), gapUs = 600000000L)
+      .writeStream.format("memory").queryName("debounced")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 0),
+        Event(2, ts(5), 1, "click", 0))
+      q.processAllAvailable()
+      input.addData(
+        Event(3, ts(9), 1, "click", 0),
+        Event(4, ts(21), 1, "click", 0),
+        Event(5, ts(3), 2, "click", 0)) // other key: independent chain
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("debounced").select("event_id").as[Long]
+      .collect().sorted
+    assert(kept.sameElements(Array(1L, 4L, 5L)))
+  }
+
+  test("debounced keeps a superset of the batch raw-lag rule on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = EventStreams.debounced(input.toDS())
+      .writeStream.format("memory").queryName("debounced_real")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("debounced_real").select("event_id").as[Long]
+      .collect().toSet
+    val batchKept = operators.EventOps.eventDebounce(spark, sfDir)
+      .select("event_id").as[Long].collect().toSet
+    // The last KEPT event is never later than the raw predecessor, so
+    // clearing the raw gap implies clearing the chained gap.
+    assert(batchKept.subsetOf(streamed),
+      s"chaining must keep every raw-lag survivor " +
+        s"(missing ${(batchKept -- streamed).size})")
+    // Chained survivors themselves respect the window key-by-key.
+    val byKey = spark.table("debounced_real")
+      .collect().groupBy(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type")))
+    byKey.values.foreach { rs =>
+      rs.map(_.getAs[Long]("t_us")).sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b - a > EventStreams.DebounceGapUs)
+        case _ =>
+      }
+    }
+  }
 }
