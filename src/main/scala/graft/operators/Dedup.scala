@@ -1108,7 +1108,83 @@ object Dedup {
       CAST(t.n_docs AS BIGINT) AS n_docs
     FROM top t JOIN w ON w.doc_id = t.doc_id"""
 
+  /** Per-document longest duplicated span — the suffix-array-free
+    * answer to "how LONG is the worst verbatim duplication in each
+    * document": duplicated [[SpanTokens]]-gram start positions chain
+    * into maximal runs by the gaps-and-islands rule (consecutive
+    * starts ⇒ `start − row_number()` is constant), and a run of
+    * consecutive starts covers `(maxStart − minStart) + SpanTokens`
+    * tokens — so an island IS a maximal duplicated substring, found
+    * without building the Lee-et-al suffix array. dedup_substring
+    * erases; dup_span_report names the corpus-wide boilerplate; this
+    * gives the per-document SEVERITY distribution (a doc whose longest
+    * island spans most of its tokens is a template, not an original
+    * with boilerplate).
+    *
+    * Scale: everything before the final join moves (doc_id, start,
+    * digest) rows only; the islands window shares the doc_id
+    * partitioning with the per-doc fold; docs without duplication
+    * arrive via the left join with zeros.
+    */
+  def longestDupSpan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SpanTokens
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val grams = docs
+      .select(col("doc_id"),
+        explode(
+          when(size(col("w")) >= k, sequence(lit(1), size(col("w")) - (k - 1)))
+            .otherwise(array().cast("array<int>"))).as("s"),
+        col("w"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("w"), col("s"), lit(k)), " ")).as("gram_h"))
+    val dup = grams.groupBy(col("gram_h"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
+      .select(col("gram_h"))
+    val islands = grams.join(dup, Seq("gram_h"))
+      .withColumn("isl",
+        col("s") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("s"))))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("s")) - min(col("s")) + lit(k)).cast("long").as("span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("span")).as("longest_span"))
+    docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(Tables.dimHint(islands), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+  }
+
+  val longestDupSpanOracle: String = s"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w FROM documents),
+    g AS (
+      SELECT doc_id, s,
+        MD5(ARRAY_TO_STRING(w[s : s + ${SpanTokens - 1}], ' ')) AS gram_h
+      FROM (SELECT doc_id, w,
+              UNNEST(RANGE(1, GREATEST(LEN(w) - ${SpanTokens - 2}, 1))) AS s
+            FROM w)),
+    dup AS (SELECT gram_h FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+    isl AS (
+      SELECT doc_id, s,
+        s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+      FROM g JOIN dup USING (gram_h)),
+    spans AS (
+      SELECT doc_id, isl_id,
+        CAST(MAX(s) - MIN(s) + $SpanTokens AS BIGINT) AS span
+      FROM isl GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_islands, MAX(span) AS longest_span
+      FROM spans GROUP BY 1)
+    SELECT w.doc_id, CAST(LEN(w.w) AS BIGINT) AS n_tokens,
+      COALESCE(p.n_islands, 0) AS n_islands,
+      COALESCE(p.longest_span, 0) AS longest_span
+    FROM w LEFT JOIN per p USING (doc_id)"""
+
   def defs: Map[String, QueryDef] = Map(
+    "longest_dup_span" -> QueryDef.sql(longestDupSpan, longestDupSpanOracle),
     "cross_source_overlap" -> QueryDef.sql(crossSourceOverlap, crossSourceOverlapOracle),
     "dedup_substring" -> QueryDef.sql(dedupSubstring, dedupSubstringOracle),
     "dup_span_report" -> QueryDef.sql(dupSpanReport, dupSpanReportOracle),

@@ -298,7 +298,79 @@ object RelationalExt {
       ON a.blk = b.blk AND a.p_name < b.p_name
     WHERE LEVENSHTEIN(a.p_name, b.p_name) BETWEEN 1 AND 2"""
 
+  /** Entity resolution on top of [[fuzzyJoin]]: the pairwise fuzzy
+    * matches chain into connected components (A~B, B~C ⇒ one entity
+    * {A,B,C}) by iterative min-label propagation — the same distributed
+    * components discipline as dedup_components, here with the
+    * LEXICOGRAPHIC minimum name as the canonical entity label. Every
+    * dictionary name appears: unmatched names are their own singleton
+    * cluster. The loop runs on the name dictionary (checkpointed,
+    * state-partition-sized) — rounds ≤ cluster diameter, which for
+    * near-miss name variants is tiny; the row table is never touched
+    * after the dictionary collapse.
+    */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val names = graft.functions.Iterate.checkpoint(
+      Tables.part(spark, dir)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("cnt")))
+    val pairs = graft.functions.Iterate.checkpoint(
+      fuzzyJoin(spark, dir).select(col("name_a"), col("name_b")))
+    val edges = pairs
+      .unionByName(pairs.select(col("name_b").as("name_a"),
+        col("name_a").as("name_b")))
+      .transform(graft.functions.Iterate.checkpoint)
+    var labels = names.select(col("p_name").as("node"))
+      .withColumn("label", col("node"))
+      .transform(graft.functions.Iterate.checkpoint)
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels, col("name_b") === col("node"))
+        .select(col("name_a").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .unionByName(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .transform(graft.functions.Iterate.checkpoint)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0,
+      s"entity resolution did not converge in $maxRounds rounds")
+    labels
+      .join(names, col("node") === col("p_name"))
+      .select(col("node").as("name"), col("label").as("entity"),
+        (col("node") === col("label")).as("is_canonical"), col("cnt"))
+  }
+
+  val entityResolutionOracle: String = s"""
+    WITH RECURSIVE names AS (
+      SELECT p_name, COUNT(*) AS cnt,
+        STRING_SPLIT(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY 1),
+    pairs AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM names a JOIN names b
+        ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE LEVENSHTEIN(a.p_name, b.p_name) BETWEEN 1 AND 2),
+    edges AS (
+      SELECT na AS a, nb AS b FROM pairs
+      UNION SELECT nb, na FROM pairs),
+    reach(src, dst) AS (
+      SELECT p_name, p_name FROM names
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+    SELECT l.src AS name, l.entity,
+      l.src = l.entity AS is_canonical, n.cnt
+    FROM (SELECT src, MIN(dst) AS entity FROM reach GROUP BY 1) l
+    JOIN names n ON n.p_name = l.src"""
+
   def defs: Map[String, QueryDef] = Map(
+    "entity_resolution" ->
+      QueryDef.sql(entityResolution, entityResolutionOracle),
     "fuzzy_join" -> QueryDef.sql(fuzzyJoin, fuzzyJoinOracle),
     "bloom_join_prune" -> QueryDef.sql(bloomJoinPrune, bloomJoinPruneOracle),
     "q2_min_cost" -> QueryDef.sql(q2MinCost, q2MinCostOracle),

@@ -1270,6 +1270,45 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("longest_dup_span: islands reconcile with dedup_substring coverage") {
+    val spans = operators.Dedup.longestDupSpan(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val scrub = operators.Dedup.dedupSubstring(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_tokens")).toMap
+    assert(spans.keySet == scrub.keySet, "one row per document in both")
+    spans.foreach { case (id, r) =>
+      val (isl, longest) =
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("longest_span"))
+      assert((isl == 0L) == (longest == 0L))
+      assert(longest <= r.getAs[Long]("n_tokens"))
+      // a maximal duplicated island can never cover more tokens than
+      // the scrubber counts as duplicated in that document
+      assert((isl > 0L) == (scrub(id) > 0L),
+        s"doc $id: islands=$isl but scrubbed dup tokens=${scrub(id)}")
+      assert(longest <= scrub(id) || isl == 0L)
+    }
+  }
+
+  test("entity_resolution: canonical labels are consistent with fuzzy pairs") {
+    val rows = operators.RelationalExt.entityResolution(spark, sfDir).collect()
+    val entity = rows.map(r =>
+      r.getAs[String]("name") -> r.getAs[String]("entity")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[String]("entity") <= r.getAs[String]("name"),
+        "label is the lexicographic min of the component")
+      assert(r.getAs[Boolean]("is_canonical")
+        == (r.getAs[String]("name") == r.getAs[String]("entity")))
+    }
+    // every entity's canonical name is itself a member with that label
+    entity.values.toSet.foreach { e: String => assert(entity(e) == e) }
+    // matched pairs always land in the same entity
+    operators.RelationalExt.fuzzyJoin(spark, sfDir).collect().foreach { p =>
+      assert(entity(p.getAs[String]("name_a")) == entity(p.getAs[String]("name_b")))
+    }
+    val nParts = Tables.part(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == nParts)
+  }
+
   test("fuzzy_join: ordered pairs, same block, edit distance in [1,2]") {
     val rows = operators.RelationalExt.fuzzyJoin(spark, sfDir).collect()
     assert(rows.nonEmpty)

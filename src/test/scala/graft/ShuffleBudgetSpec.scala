@@ -281,4 +281,13 @@ class ShuffleBudgetSpec extends SparkSpec {
   // hll_window_merge: daily sketch agg + weekly union (day-count-sized)
   // + the exact-twin aggregate and its small join.
   check("hll_window_merge", 5)(operators.EventOps.hllWindowMerge(spark, sfDir))
+  // longest_dup_span: (doc, start, digest) rows carry every exchange
+  // before the final doc join — dup aggregate, digest join, islands
+  // window + island fold + per-doc fold sharing doc_id partitioning.
+  check("longest_dup_span", 8)(operators.Dedup.longestDupSpan(spark, sfDir))
+  // entity_resolution: the propagation loop's exchanges live in its
+  // checkpointed rounds over the DICTIONARY-scale label frame; this
+  // final plan is the labels⋈names join.
+  check("entity_resolution", 4)(
+    operators.RelationalExt.entityResolution(spark, sfDir))
 }
