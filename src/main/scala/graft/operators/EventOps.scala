@@ -1230,7 +1230,89 @@ object EventOps {
       TRUE AS within_bounds
     FROM events GROUP BY 1"""
 
+  /** Paths reported by [[sessionPaths]]. */
+  private val PathTopK = 20
+
+  /** Top session paths: each session's ordered event-type sequence
+    * joined into a `>`-path, counted corpus-wide, top [[PathTopK]] —
+    * the clickstream mining view of the session frame ("what do users
+    * actually DO in a session"). Ordering inside a session rides a
+    * sort_array over collected (t, event_id, type) structs —
+    * collect_list alone is partition-order-nondeterministic, which
+    * both breaks reproducibility and the oracle; the struct sort pins
+    * the same (time, id) tie order as every session operator. Shares
+    * [[sessionAssigned]] (one user window) + a per-session fold that
+    * reuses the user_id partitioning + a path-cardinality count; the
+    * top-k is a bounded TakeOrdered heap.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionAssigned(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col("t_us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(transform(col("evs"), e => e.getField("event_type")),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(PathTopK)
+
+  val sessionPathsOracle: String = s"""
+    SELECT path, COUNT(*) AS n_sessions
+    FROM (
+      SELECT STRING_AGG(event_type, '>' ORDER BY t ASC, event_id ASC)
+        AS path
+      FROM ($sqlSessionAssigned)
+      GROUP BY user_id, session_id)
+    GROUP BY 1
+    ORDER BY n_sessions DESC, path ASC LIMIT $PathTopK"""
+
+  /** Conversion-latency histogram: per user, hours from FIRST view to
+    * the first purchase at-or-after it (the funnel's time axis —
+    * window_funnel counts who converts, this measures how fast),
+    * bucketed to whole hours. Decorrelated to one per-user conditional
+    * aggregate (min view time, min purchase time ≥ that) — never an
+    * event self-join; the histogram is a second tiny fold.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("t_us", expr("ts div 1000"))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("t_us")))
+        .as("t_view"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("t_us").as("t_p"))
+    perUser.filter(col("t_view").isNotNull)
+      .join(purchases, col("user_id") === col("p_user")
+        && col("t_p") >= col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("t_p")).as("t_purchase"))
+      .select(expr("(t_purchase - t_view) div 3600000000")
+        .as("latency_hours"))
+      .groupBy(col("latency_hours"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val conversionLatencyOracle: String = """
+    WITH per_user AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN EPOCH_US(ts) END) AS t_view
+      FROM events GROUP BY 1),
+    conv AS (
+      SELECT u.user_id, u.t_view, MIN(p.t_p) AS t_purchase
+      FROM per_user u
+      JOIN (SELECT user_id, EPOCH_US(ts) AS t_p FROM events
+            WHERE event_type = 'purchase') p
+        ON p.user_id = u.user_id AND p.t_p >= u.t_view
+      WHERE u.t_view IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT (t_purchase - t_view) // 3600000000 AS latency_hours,
+      COUNT(*) AS n_users
+    FROM conv GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "session_paths" -> QueryDef.sql(sessionPaths, sessionPathsOracle),
+    "conversion_latency" ->
+      QueryDef.sql(conversionLatency, conversionLatencyOracle),
     "lateness_audit" -> QueryDef.sql(latenessAudit, latenessAuditOracle),
     "burst_detect" -> QueryDef.sql(burstDetect, burstDetectOracle),
     "time_weighted_avg" -> QueryDef.sql(timeWeightedAvg, timeWeightedAvgOracle),

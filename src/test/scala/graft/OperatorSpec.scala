@@ -1270,6 +1270,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("session_paths: bounded top-k, counts cover only real sessions") {
+    val rows = operators.EventOps.sessionPaths(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("n_sessions"))
+    counts.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "descending by count")
+      case _ =>
+    }
+    val totalSessions = operators.EventOps.sessionize(spark, sfDir)
+      .select("user_id", "session_id").distinct().count()
+    assert(counts.sum <= totalSessions)
+    rows.foreach { r =>
+      val path = r.getAs[String]("path")
+      assert(path.nonEmpty)
+      assert(path.split(">").forall(
+        Set("view", "click", "purchase", "signup", "error").contains))
+    }
+  }
+
+  test("conversion_latency: non-negative hour buckets over converted users") {
+    val rows = operators.EventOps.conversionLatency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("latency_hours") >= 0L))
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum <= users)
+  }
+
   test("longest_dup_span: islands reconcile with dedup_substring coverage") {
     val spans = operators.Dedup.longestDupSpan(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

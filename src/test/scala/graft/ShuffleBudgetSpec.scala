@@ -290,4 +290,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // final plan is the labels⋈names join.
   check("entity_resolution", 4)(
     operators.RelationalExt.entityResolution(spark, sfDir))
+  // session_paths: the user window + per-session fold share one
+  // exchange; the path count and bounded top-k heap add one more.
+  check("session_paths", 3)(operators.EventOps.sessionPaths(spark, sfDir))
+  // conversion_latency: per-user conditional aggregate, purchase join,
+  // first-conversion fold, histogram fold — all user-or-smaller keyed.
+  check("conversion_latency", 5)(
+    operators.EventOps.conversionLatency(spark, sfDir))
 }
