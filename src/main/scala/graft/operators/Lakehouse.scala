@@ -438,7 +438,146 @@ object Lakehouse {
         "events", "user_id")
   }
 
+  // ---------------------------------------------------------------- //
+  // bloom_skipping_audit
+  // ---------------------------------------------------------------- //
+
+  /** Bloom geometry: 32 words × 63 usable bits (bit 63 is avoided —
+    * a portable `1 << 63` overflows signed arithmetic in SQL engines),
+    * 3 hash probes per key.
+    */
+  private val BloomWords = 32
+  private val BloomBits = 63 * BloomWords
+  private val BloomK = 3
+  /** Fixed probe part keys (present at every SF — part keys are dense
+    * from 0).
+    */
+  private val ProbeKeys = Seq(3L, 17L, 40L, 99L, 151L)
+
+  /** Per-file BLOOM data skipping for point lookups — the companion
+    * measurement to [[fileSkippingAudit]]'s zone maps: a range zone map
+    * cannot skip anything for an equality probe on an UNSORTED column
+    * (every file's [min,max] covers every key), but a per-file bloom
+    * over the column can. lineitem is carved into 64 insert-order
+    * "files"; each file builds a 2016-bit bloom over its distinct
+    * `l_partkey`s from 3 md5-derived bit positions — the SAME
+    * deterministic construction in both engines, so the false-positive
+    * behavior itself is reproducible and hash-compared (no error-band
+    * hedge needed: exact ⊆ bloom structurally, and the oracle builds
+    * bit-identical filters). For each probe key the audit reports
+    * exact member files, bloom-admitted files (the real I/O), false
+    * positives, and the skip percentage.
+    *
+    * Scale shape: the index build is (file, key)-distinct rows →
+    * 3 bit rows each → a 32-words-per-file bitmap aggregate — bloom
+    * state is `files × 256 B` regardless of row count, the shape
+    * parquet row-group blooms / Iceberg bloom manifests take; probes
+    * touch the bitmap frame only. The codegen'd BloomMightContain
+    * expression family covers the single-filter probe path; this
+    * operator is the PER-FILE index algebra on top.
+    */
+  def bloomSkippingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val filed = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"), col("l_orderkey"),
+        col("l_linenumber"))
+      .withColumn("file_id",
+        ntile(64).over(Window.orderBy(col("l_orderkey"),
+          col("l_linenumber"))).cast("long"))
+    val keys = graft.functions.Iterate.checkpoint(
+      filed.select(col("file_id"), col("pk")).distinct())
+    def bitpos(j: Column, key: Column): Column =
+      TextOps.hash24(concat(j.cast("string"), lit(":"),
+        key.cast("string"))) % BloomBits
+    val bitmap = keys
+      .select(col("file_id"),
+        explode(sequence(lit(0), lit(BloomK - 1))).as("j"), col("pk"))
+      .select(col("file_id"), bitpos(col("j"), col("pk")).as("bp"))
+      .select(col("file_id"), expr("bp div 63").as("word"),
+        expr("shiftleft(1L, cast(bp % 63 as int))").as("mask"))
+      .groupBy(col("file_id"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+    val probes = spark.createDataFrame(ProbeKeys.map(Tuple1(_)))
+      .toDF("probe_key")
+    val probePos = probes
+      .select(col("probe_key"),
+        explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
+      .select(col("probe_key"), bitpos(col("j"), col("probe_key")).as("bp"))
+      .select(col("probe_key"), expr("bp div 63").as("word"),
+        expr("shiftleft(1L, cast(bp % 63 as int))").as("mask"))
+    val bloomFiles = probePos
+      .join(bitmap, Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
+      .groupBy(col("probe_key"), col("file_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === BloomK)
+      .groupBy(col("probe_key"))
+      .agg(count(lit(1)).as("files_bloom"))
+    val exactFiles = probes
+      .join(keys, col("pk") === col("probe_key"))
+      .groupBy(col("probe_key"))
+      .agg(count(lit(1)).as("files_exact"))
+    probes
+      .join(exactFiles, Seq("probe_key"), "left")
+      .join(bloomFiles, Seq("probe_key"), "left")
+      .select(col("probe_key"),
+        lit(64L).as("n_files"),
+        coalesce(col("files_exact"), lit(0L)).as("files_exact"),
+        coalesce(col("files_bloom"), lit(0L)).as("files_bloom"))
+      .withColumn("fp_files", col("files_bloom") - col("files_exact"))
+      .withColumn("skip_pct",
+        expr("(n_files - files_bloom) * 100L div n_files"))
+  }
+
+  val bloomSkippingAuditOracle: String = {
+    val probeVals = ProbeKeys.map(k => s"($k)").mkString(", ")
+    def sqlBitpos(j: String, key: String): String =
+      s"CAST('0x' || SUBSTR(MD5(CAST($j AS VARCHAR) || ':' || " +
+        s"CAST($key AS VARCHAR)), 1, 6) AS BIGINT) % $BloomBits"
+    s"""
+    WITH filed AS (
+      SELECT l_partkey AS pk,
+        CAST(NTILE(64) OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT)
+          AS file_id
+      FROM lineitem),
+    keys AS (SELECT DISTINCT file_id, pk FROM filed),
+    pos AS (
+      SELECT file_id, ${sqlBitpos("j", "pk")} AS bp
+      FROM keys CROSS JOIN (VALUES (0), (1), (2)) AS t(j)),
+    bitmap AS (
+      SELECT file_id, bp // 63 AS word,
+        BIT_OR(CAST(1 AS BIGINT) << CAST(bp % 63 AS INTEGER)) AS bits
+      FROM pos GROUP BY 1, 2),
+    probes AS (SELECT CAST(probe_key AS BIGINT) AS probe_key
+               FROM (VALUES $probeVals) AS p(probe_key)),
+    ppos AS (
+      SELECT probe_key, ${sqlBitpos("j", "probe_key")} AS bp
+      FROM probes CROSS JOIN (VALUES (0), (1), (2)) AS t(j)),
+    bloom_files AS (
+      SELECT probe_key, COUNT(*) AS files_bloom
+      FROM (
+        SELECT probe_key, file_id
+        FROM ppos JOIN bitmap ON bitmap.word = ppos.bp // 63
+        WHERE bits & (CAST(1 AS BIGINT) << CAST(bp % 63 AS INTEGER))
+          = (CAST(1 AS BIGINT) << CAST(bp % 63 AS INTEGER))
+        GROUP BY 1, 2 HAVING COUNT(*) = $BloomK)
+      GROUP BY 1),
+    exact_files AS (
+      SELECT probe_key, COUNT(*) AS files_exact
+      FROM probes JOIN keys ON pk = probe_key GROUP BY 1)
+    SELECT p.probe_key, CAST(64 AS BIGINT) AS n_files,
+      COALESCE(e.files_exact, 0) AS files_exact,
+      COALESCE(b.files_bloom, 0) AS files_bloom,
+      COALESCE(b.files_bloom, 0) - COALESCE(e.files_exact, 0) AS fp_files,
+      (64 - COALESCE(b.files_bloom, 0)) * 100 // 64 AS skip_pct
+    FROM probes p
+    LEFT JOIN exact_files e ON e.probe_key = p.probe_key
+    LEFT JOIN bloom_files b ON b.probe_key = p.probe_key"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "bloom_skipping_audit" ->
+      QueryDef.sql(bloomSkippingAudit, bloomSkippingAuditOracle),
     "compaction_plan" -> QueryDef.sql(compactionPlan, compactionPlanOracle),
     "file_skipping_audit" ->
       QueryDef.sql(fileSkippingAudit, fileSkippingAuditOracle),

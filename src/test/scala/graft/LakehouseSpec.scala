@@ -80,6 +80,19 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("bloom_skipping_audit: bloom admits a superset of exact members") {
+    val rows = operators.Lakehouse.bloomSkippingAudit(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files") == 64L)
+      val (exact, bloom) =
+        (r.getAs[Long]("files_exact"), r.getAs[Long]("files_bloom"))
+      assert(exact <= bloom, "a bloom can never miss a true member")
+      assert(r.getAs[Long]("fp_files") == bloom - exact)
+      assert(r.getAs[Long]("skip_pct") == (64L - bloom) * 100L / 64L)
+    }
+  }
+
   test("join_cardinality_est: FK join estimate is exact, skew underestimates") {
     val rows = operators.Lakehouse.joinCardinalityEst(spark, sfDir)
       .collect().map(r => r.getAs[String]("join_name") -> r).toMap

@@ -297,4 +297,9 @@ class ShuffleBudgetSpec extends SparkSpec {
   // first-conversion fold, histogram fold — all user-or-smaller keyed.
   check("conversion_latency", 5)(
     operators.EventOps.conversionLatency(spark, sfDir))
+  // bloom_skipping_audit: the (file, key) index build lives in the
+  // checkpoint (file carve + distinct); this plan is the 256 B/file
+  // bitmap aggregate + broadcast-sized probe joins and folds.
+  check("bloom_skipping_audit", 8)(
+    operators.Lakehouse.bloomSkippingAudit(spark, sfDir))
 }
