@@ -56,7 +56,8 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (dev loop: time one query);
     // the bench-only streaming entries are addressable there too.
     val extraNames = Set("stream_bench_window_agg", "stream_bench_dedup",
-      "stream_bench_funnel", "curation_pipeline_e2e", "stream_curation_e2e",
+      "stream_bench_funnel", "stream_bench_debounce",
+      "curation_pipeline_e2e", "stream_curation_e2e",
       "ann_index_probe_e2e")
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -132,6 +133,14 @@ object Bench {
               .as[streaming.EventStreams.Event])
           .writeStream.format("memory").queryName(uniq)
           .outputMode("update").start(), uniq)
+      }),
+      ("stream_bench_debounce", { (uniq: String) =>
+        import spark.implicits._
+        drain(streaming.EventStreams.debounced(
+            streaming.EventStreams.eventsStream(spark, sfDir)
+              .as[streaming.EventStreams.Event])
+          .writeStream.format("memory").queryName(uniq)
+          .outputMode("append").start(), uniq)
       }),
       ("curation_pipeline_e2e", { (_: String) =>
         val out = java.nio.file.Files.createTempDirectory("graft_bench_curation")

@@ -278,9 +278,12 @@ object RelationalExt {
       col("blk"))
     val b = names.select(col("p_name").as("name_b"), col("cnt").as("cnt_b"),
       col("blk").as("blk_b"))
+    // The threshold form runs the banded O(n·k) DP and returns -1 past
+    // the bound — at dictionary scale it is identical, on long strings
+    // it is the difference between O(n·2) and O(n²) per pair.
     a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
       .withColumn("lev",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
+        levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
       .filter(col("lev").between(1L, 2L))
       .select(col("name_a"), col("name_b"), col("lev"),
         col("cnt_a"), col("cnt_b"))
