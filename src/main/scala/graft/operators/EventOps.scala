@@ -1309,7 +1309,65 @@ object EventOps {
       COUNT(*) AS n_users
     FROM conv GROUP BY 1"""
 
+  /** CUSUM change-point detection per event type — the structural-shift
+    * complement to burst_detect's local spikes: on the (type, hour)
+    * grid, the cumulative sum of deviations from the type's mean rate
+    * peaks exactly where the level shifts (Page's CUSUM statistic).
+    * Deviations are kept EXACT by cross-multiplying instead of
+    * dividing: `dev_i = cnt_i·H − total` (the per-hour deviation
+    * scaled by the hour count H), so the running sum is pure integer —
+    * the float mean would smear the argmax across engines. The peak is
+    * the earliest hour attaining max |cusum| (ties broken on hour).
+    * Grid-sized windows only; the corpus shuffles once into the grid.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    val run = byType.orderBy(col("hour_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = grid
+      .withColumn("h", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("cnt")).over(byType))
+      .withColumn("cusum",
+        sum(col("cnt") * col("h") - col("total")).over(run))
+      .withColumn("rk", row_number().over(byType.orderBy(
+        abs(col("cusum")).desc, col("hour_id").asc)))
+    scored.filter(col("rk") === 1)
+      .select(col("event_type"), col("h").as("n_hours"),
+        col("hour_id").as("peak_hour_id"), col("cusum").as("peak_cusum"),
+        signum(col("cusum")).cast("long").as("direction"))
+  }
+
+  val cusumChangepointOracle: String = """
+    SELECT event_type, n_hours, hour_id AS peak_hour_id,
+      cusum AS peak_cusum,
+      CAST(SIGN(cusum) AS BIGINT) AS direction
+    FROM (
+      SELECT event_type, hour_id, n_hours, cusum,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY ABS(cusum) DESC, hour_id ASC) AS rk
+      FROM (
+        SELECT event_type, hour_id,
+          COUNT(*) OVER w AS n_hours,
+          CAST(SUM(cnt * h - total) OVER (PARTITION BY event_type
+            ORDER BY hour_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+        FROM (
+          SELECT event_type, hour_id, cnt,
+            COUNT(*) OVER (PARTITION BY event_type) AS h,
+            CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+              AS total
+          FROM (
+            SELECT event_type, EPOCH_US(ts) // 3600000000 AS hour_id,
+              COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2))
+        WINDOW w AS (PARTITION BY event_type)))
+    WHERE rk = 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "cusum_changepoint" ->
+      QueryDef.sql(cusumChangepoint, cusumChangepointOracle),
     "session_paths" -> QueryDef.sql(sessionPaths, sessionPathsOracle),
     "conversion_latency" ->
       QueryDef.sql(conversionLatency, conversionLatencyOracle),

@@ -193,8 +193,73 @@ object Quality {
     GROUP BY 1, 2, 3
     HAVING COUNT(*) < $KAnon"""
 
+  /** The erasure-request subject ids (user ≘ custkey, the identity the
+    * as-of join already relies on).
+    */
+  private val ErasureSubjects = Seq(3L, 17L, 42L)
+
+  /** Right-to-erasure impact audit (the GDPR Art. 17 dry run): for a
+    * batch of subject ids, the exact row counts each table loses —
+    * including the REFERENTIAL CASCADE (lineitem rows fall with their
+    * parent orders, though lineitem itself carries no subject id).
+    * This is the plan a deletion job executes and the evidence a
+    * compliance log records; at 100 TB each count is one
+    * broadcast-semi-joined scan (the subject list is tiny by
+    * construction), and the cascade resolves through the orders
+    * keys, never a three-way join of the fact tables.
+    */
+  def rightToErasure(spark: SparkSession, dir: String): DataFrame = {
+    val subjects = broadcast(
+      spark.createDataFrame(ErasureSubjects.map(Tuple1(_))).toDF("sid"))
+    def audit(name: String, df: DataFrame, key: String): DataFrame = {
+      val hits = df.join(subjects, col(key) === col("sid"), "left_semi")
+      df.select(lit(name).as("table_name"), count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(
+          hits.select(count(lit(1)).as("n_to_erase"))))
+    }
+    val erasedOrders = Tables.orders(spark, dir)
+      .join(subjects, col("o_custkey") === col("sid"), "left_semi")
+      .select(col("o_orderkey"))
+    val cascadeLineitem = Tables.lineitem(spark, dir)
+      .join(Tables.dimHint(erasedOrders),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    audit("customer", Tables.customer(spark, dir), "c_custkey")
+      .unionByName(audit("orders", Tables.orders(spark, dir), "o_custkey"))
+      .unionByName(audit("events", Tables.events(spark, dir), "user_id"))
+      .unionByName(
+        Tables.lineitem(spark, dir)
+          .select(lit("lineitem").as("table_name"),
+            count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(
+            cascadeLineitem.select(count(lit(1)).as("n_to_erase")))))
+  }
+
+  val rightToErasureOracle: String = {
+    val ids = ErasureSubjects.mkString(", ")
+    s"""
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+      (SELECT COUNT(*) FROM customer WHERE c_custkey IN ($ids))
+        AS n_to_erase
+    FROM customer
+    UNION ALL
+    SELECT 'orders', COUNT(*),
+      (SELECT COUNT(*) FROM orders WHERE o_custkey IN ($ids))
+    FROM orders
+    UNION ALL
+    SELECT 'events', COUNT(*),
+      (SELECT COUNT(*) FROM events WHERE user_id IN ($ids))
+    FROM events
+    UNION ALL
+    SELECT 'lineitem', COUNT(*),
+      (SELECT COUNT(*) FROM lineitem
+       WHERE l_orderkey IN
+         (SELECT o_orderkey FROM orders WHERE o_custkey IN ($ids)))
+    FROM lineitem"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle),
-    "k_anonymity_audit" -> QueryDef.sql(kAnonymityAudit, kAnonymityAuditOracle)
+    "k_anonymity_audit" -> QueryDef.sql(kAnonymityAudit, kAnonymityAuditOracle),
+    "right_to_erasure" -> QueryDef.sql(rightToErasure, rightToErasureOracle)
   )
 }

@@ -1298,6 +1298,33 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum <= users)
   }
 
+  test("cusum_changepoint: one interior peak per type, sign consistent") {
+    val rows = operators.EventOps.cusumChangepoint(spark, sfDir).collect()
+    val types = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count()
+    assert(rows.length == types)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hours") > 0L)
+      val c = r.getAs[Long]("peak_cusum")
+      assert(r.getAs[Long]("direction") == c.sign)
+    }
+  }
+
+  test("right_to_erasure: cascade bounded, exact subject counts") {
+    val rows = operators.Quality.rightToErasure(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(rows.keySet == Set("customer", "orders", "events", "lineitem"))
+    rows.values.foreach(r =>
+      assert(r.getAs[Long]("n_to_erase") <= r.getAs[Long]("n_rows")))
+    val evExact = Tables.events(spark, sfDir)
+      .filter(col("user_id").isin(3L, 17L, 42L)).count()
+    assert(rows("events").getAs[Long]("n_to_erase") == evExact)
+    assert(rows("customer").getAs[Long]("n_to_erase") == 3L)
+    // the cascade actually fires: erased customers have orders with lines
+    assert(rows("orders").getAs[Long]("n_to_erase") > 0L)
+    assert(rows("lineitem").getAs[Long]("n_to_erase") > 0L)
+  }
+
   test("longest_dup_span: islands reconcile with dedup_substring coverage") {
     val spans = operators.Dedup.longestDupSpan(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

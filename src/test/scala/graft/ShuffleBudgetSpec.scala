@@ -302,4 +302,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // bitmap aggregate + broadcast-sized probe joins and folds.
   check("bloom_skipping_audit", 8)(
     operators.Lakehouse.bloomSkippingAudit(spark, sfDir))
+  // cusum_changepoint: corpus → grid once; the stat/run/rank windows
+  // all share the event_type partitioning.
+  check("cusum_changepoint", 3)(
+    operators.EventOps.cusumChangepoint(spark, sfDir))
+  // right_to_erasure: four table scans with broadcast-semi subject
+  // probes; every exchange is a one-row count fold.
+  check("right_to_erasure", 12)(
+    operators.Quality.rightToErasure(spark, sfDir))
 }
