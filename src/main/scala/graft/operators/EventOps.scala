@@ -1365,7 +1365,75 @@ object EventOps {
         WINDOW w AS (PARTITION BY event_type)))
     WHERE rk = 1"""
 
+  /** Peak session concurrency per day — the sweep-line (+1 at session
+    * start, −1 just after session end) with its running sum peaking at
+    * the day's maximum number of simultaneously-active sessions.
+    *
+    * The GLOBAL prefix sum is computed WITHOUT a global sort — the
+    * pattern that makes sweep-lines work at 100 TB: boundaries
+    * partition by day, each day computes its own ordered running sum
+    * in parallel, the per-day NET totals (a days-count-sized frame)
+    * prefix-sum into an opening balance, and
+    * `concurrency = opening_balance + within_day_sum` equals the
+    * single-sort global sweep exactly (associativity of addition) —
+    * which is what the oracle computes the straightforward way, so the
+    * equivalence itself is hash-verified. Tie order (t asc, +1 before
+    * −1) makes intervals inclusive: a session ending the instant
+    * another starts overlaps it; departures are stamped end+1 µs so a
+    * single-event session never dips negative.
+    */
+  def concurrencyPeaks(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionAssigned(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("t_us")).as("s"), (max(col("t_us")) + 1L).as("e"))
+    val bounds = sess.select(col("s").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("e").as("t"), lit(-1L).as("delta")))
+      .withColumn("day_id", expr("t div 86400000000"))
+    val byDay = Window.partitionBy(col("day_id"))
+    val run = byDay.orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayNet = bounds.groupBy(col("day_id").as("d"))
+      .agg(sum(col("delta")).as("net"))
+    val opening = dayNet
+      .withColumn("opening", coalesce(
+        sum(col("net")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("d"), col("opening"))
+    bounds
+      .withColumn("within", sum(col("delta")).over(run))
+      .join(broadcast(opening), col("day_id") === col("d"))
+      .withColumn("conc", col("opening") + col("within"))
+      .withColumn("rk", row_number().over(byDay.orderBy(
+        col("conc").desc, col("t").asc)))
+      .filter(col("rk") === 1)
+      .select(col("day_id"), col("conc").as("peak_concurrency"),
+        col("t").as("peak_t_us"))
+  }
+
+  val concurrencyPeaksOracle: String = s"""
+    WITH sess AS (
+      SELECT user_id, session_id, MIN(t) AS s, MAX(t) + 1 AS e
+      FROM ($sqlSessionAssigned)
+      GROUP BY 1, 2),
+    bounds AS (
+      SELECT s AS t, 1 AS delta FROM sess
+      UNION ALL SELECT e, -1 FROM sess),
+    swept AS (
+      SELECT t, t // 86400000000 AS day_id,
+        CAST(SUM(delta) OVER (ORDER BY t ASC, delta DESC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      FROM bounds)
+    SELECT day_id, conc AS peak_concurrency, t AS peak_t_us
+    FROM (
+      SELECT day_id, conc, t,
+        ROW_NUMBER() OVER (PARTITION BY day_id
+          ORDER BY conc DESC, t ASC) AS rk
+      FROM swept)
+    WHERE rk = 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "concurrency_peaks" ->
+      QueryDef.sql(concurrencyPeaks, concurrencyPeaksOracle),
     "cusum_changepoint" ->
       QueryDef.sql(cusumChangepoint, cusumChangepointOracle),
     "session_paths" -> QueryDef.sql(sessionPaths, sessionPathsOracle),

@@ -1298,6 +1298,19 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum <= users)
   }
 
+  test("concurrency_peaks: one peak per active day, concurrency positive") {
+    val rows = operators.EventOps.concurrencyPeaks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("day_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("peak_concurrency") >= 1L,
+        "a day with boundaries has at least one active session at its peak")
+    }
+    // concurrency can never exceed the number of users
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    rows.foreach(r => assert(r.getAs[Long]("peak_concurrency") <= users))
+  }
+
   test("cusum_changepoint: one interior peak per type, sign consistent") {
     val rows = operators.EventOps.cusumChangepoint(spark, sfDir).collect()
     val types = Tables.events(spark, sfDir)

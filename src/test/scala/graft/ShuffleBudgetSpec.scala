@@ -310,4 +310,10 @@ class ShuffleBudgetSpec extends SparkSpec {
   // probes; every exchange is a one-row count fold.
   check("right_to_erasure", 12)(
     operators.Quality.rightToErasure(spark, sfDir))
+  // concurrency_peaks: the user window + session fold share one
+  // exchange; the sweep re-keys by day once; the opening-balance
+  // carry runs on the days-count frame and broadcasts back — the
+  // global prefix sum never pays a global sort.
+  check("concurrency_peaks", 6)(
+    operators.EventOps.concurrencyPeaks(spark, sfDir))
 }
