@@ -575,7 +575,70 @@ object Lakehouse {
     LEFT JOIN bloom_files b ON b.probe_key = p.probe_key"""
   }
 
+  // ---------------------------------------------------------------- //
+  // compression_estimate
+  // ---------------------------------------------------------------- //
+
+  /** Columnar-storage planning: per column, the run-length profile
+    * that decides RLE/dictionary encoding efficiency — row count, NDV,
+    * and the number of VALUE RUNS in insert order (each run is one RLE
+    * entry; parquet's RLE_DICTIONARY pages live or die by this).
+    * `rle_ratio_ppm` = runs/row (1e6 ⇒ incompressible, →0 ⇒ almost
+    * free), and `sort_gain_x` = runs/NDV — how many times smaller the
+    * run count would get under a value-clustered rewrite (a sorted
+    * column's run count IS its NDV, so the best case needs no second
+    * pass to measure). This is the evidence a compaction/zorder
+    * decision consumes: a high-cardinality column with sort_gain_x ≈ 1
+    * gains nothing; a low-cardinality column scattered by insert order
+    * (returnflag: thousands of runs vs NDV 3) is the rewrite's win.
+    * One stacked scan, run counting via lag inside the per-column
+    * window.
+    */
+  def compressionEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val stacked = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+      expr("""stack(4,
+        'l_returnflag', cast(l_returnflag as string),
+        'l_linestatus', cast(l_linestatus as string),
+        'l_partkey', cast(l_partkey as string),
+        'l_quantity', cast(l_quantity as string)) as (col_name, val)"""))
+    val order = Window.partitionBy(col("col_name"))
+      .orderBy(col("k1"), col("k2"))
+    stacked
+      .withColumn("chg",
+        when(lag(col("val"), 1).over(order).isNull
+          || col("val") =!= lag(col("val"), 1).over(order), 1L)
+          .otherwise(0L))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("val")).as("ndv"),
+        sum(col("chg")).as("runs"))
+      .withColumn("rle_ratio_ppm", expr("runs * 1000000L div n_rows"))
+      .withColumn("sort_gain_x", expr("runs div ndv"))
+  }
+
+  val compressionEstimateOracle: String = {
+    def one(c: String): String = s"""
+    SELECT col_name, COUNT(*) AS n_rows, COUNT(DISTINCT val) AS ndv,
+      CAST(SUM(chg) AS BIGINT) AS runs,
+      CAST(SUM(chg) AS BIGINT) * 1000000 // COUNT(*) AS rle_ratio_ppm,
+      CAST(SUM(chg) AS BIGINT) // COUNT(DISTINCT val) AS sort_gain_x
+    FROM (
+      SELECT col_name, val,
+        CASE WHEN LAG(val) OVER (ORDER BY l_orderkey, l_linenumber)
+          IS DISTINCT FROM val THEN 1 ELSE 0 END AS chg
+      FROM (
+        SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val,
+          l_orderkey, l_linenumber
+        FROM lineitem))
+    GROUP BY 1"""
+    Seq("l_returnflag", "l_linestatus", "l_partkey", "l_quantity")
+      .map(one).mkString(" UNION ALL ")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "compression_estimate" ->
+      QueryDef.sql(compressionEstimate, compressionEstimateOracle),
     "bloom_skipping_audit" ->
       QueryDef.sql(bloomSkippingAudit, bloomSkippingAuditOracle),
     "compaction_plan" -> QueryDef.sql(compactionPlan, compactionPlanOracle),

@@ -93,6 +93,23 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("compression_estimate: run counts bounded by NDV below, rows above") {
+    val rows = operators.Lakehouse.compressionEstimate(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val n = Tables.lineitem(spark, sfDir).count()
+    rows.foreach { r =>
+      val (ndv, runs) = (r.getAs[Long]("ndv"), r.getAs[Long]("runs"))
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(runs >= ndv, "every distinct value starts at least one run")
+      assert(runs <= n)
+      assert(r.getAs[Long]("sort_gain_x") == runs / ndv)
+    }
+    val byCol = rows.map(r => r.getAs[String]("col_name") -> r).toMap
+    // a 3-value flag scattered by insert order is the rewrite's win
+    assert(byCol("l_returnflag").getAs[Long]("sort_gain_x")
+      > byCol("l_partkey").getAs[Long]("sort_gain_x"))
+  }
+
   test("join_cardinality_est: FK join estimate is exact, skew underestimates") {
     val rows = operators.Lakehouse.joinCardinalityEst(spark, sfDir)
       .collect().map(r => r.getAs[String]("join_name") -> r).toMap

@@ -316,4 +316,8 @@ class ShuffleBudgetSpec extends SparkSpec {
   // global prefix sum never pays a global sort.
   check("concurrency_peaks", 6)(
     operators.EventOps.concurrencyPeaks(spark, sfDir))
+  // compression_estimate: one stacked scan, the per-column run window
+  // and the per-column fold share the col_name exchange.
+  check("compression_estimate", 2)(
+    operators.Lakehouse.compressionEstimate(spark, sfDir))
 }
