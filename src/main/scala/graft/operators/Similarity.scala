@@ -654,7 +654,68 @@ object Similarity {
       ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
     GROUP BY t.query_id"""
 
+  /** Embedding-distribution drift audit — the training/serving-skew
+    * check an ML platform runs between two cohorts of the same
+    * embedding column (here: even vs odd vec_ids as the two "windows";
+    * production swaps in yesterday/today): per label, the squared L2
+    * distance between the cohort CENTROIDS. All arithmetic is exact
+    * fixed-point: every coordinate quantizes to integer µ-units
+    * (floor(v·1e6 + 0.5) — float sums in shuffle order would make the
+    * centroid itself nondeterministic), per-(label, cohort, dim) sums
+    * are integer, the centroid cell is one integer division, and the
+    * drift is an integer sum of squared cell differences. One
+    * posexplode scan + two label-keyed folds; 64-dim cells keep every
+    * sum far under 2⁶³.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        (col("vec_id") % 2 === 0).as("h0"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v_fp",
+        floor(col("v").cast("double") * lit(1000000d) + lit(0.5d)))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum(when(col("h0"), col("v_fp")).otherwise(0L)).as("s0"),
+        sum(when(col("h0"), 1L).otherwise(0L)).as("c0"),
+        sum(when(!col("h0"), col("v_fp")).otherwise(0L)).as("s1"),
+        sum(when(!col("h0"), 1L).otherwise(0L)).as("c1"))
+      .filter(col("c0") > 0 && col("c1") > 0)
+      .withColumn("m0", expr("s0 div c0"))
+      .withColumn("m1", expr("s1 div c1"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("c0")).as("n_even"),
+        max(col("c1")).as("n_odd"),
+        sum((col("m0") - col("m1")) * (col("m0") - col("m1")))
+          .as("drift_sq_microunits"))
+
+  val embeddingDriftOracle: String = """
+    SELECT label, MAX(c0) AS n_even, MAX(c1) AS n_odd,
+      CAST(SUM((s0 // c0 - s1 // c1) * (s0 // c0 - s1 // c1)) AS BIGINT)
+        AS drift_sq_microunits
+    FROM (
+      SELECT CAST(label AS BIGINT) AS label, dim,
+        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN v_fp ELSE 0 END)
+          AS BIGINT) AS s0,
+        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS c0,
+        CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN v_fp ELSE 0 END)
+          AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS c1
+      FROM (
+        SELECT label, vec_id, d.dim,
+          CAST(FLOOR(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000
+            + 0.5) AS BIGINT) AS v_fp
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS dim) d)
+      GROUP BY 1, 2)
+    WHERE c0 > 0 AND c1 > 0
+    GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "embedding_drift" -> QueryDef.sql(embeddingDrift, embeddingDriftOracle),
     "mmr_rerank" -> QueryDef.sql(mmrRerank, mmrRerankOracle),
     "embedding_norm_audit" -> QueryDef.sql(embeddingNormAudit, embeddingNormAuditOracle),
     "ann_recall_audit" -> QueryDef.sql(annRecallAudit, annRecallAuditOracle),

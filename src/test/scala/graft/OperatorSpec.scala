@@ -1298,6 +1298,18 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum <= users)
   }
 
+  test("embedding_drift: one row per label, cohorts partition the vectors") {
+    val rows = operators.Similarity.embeddingDrift(spark, sfDir).collect()
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().count()
+    assert(rows.length == labels)
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(r =>
+      r.getAs[Long]("n_even") + r.getAs[Long]("n_odd")).sum == total)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("drift_sq_microunits") >= 0L))
+  }
+
   test("concurrency_peaks: one peak per active day, concurrency positive") {
     val rows = operators.EventOps.concurrencyPeaks(spark, sfDir).collect()
     assert(rows.nonEmpty)

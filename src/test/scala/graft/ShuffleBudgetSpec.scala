@@ -320,4 +320,8 @@ class ShuffleBudgetSpec extends SparkSpec {
   // and the per-column fold share the col_name exchange.
   check("compression_estimate", 2)(
     operators.Lakehouse.compressionEstimate(spark, sfDir))
+  // embedding_drift: one posexplode scan; the (label, dim) cell fold
+  // and the per-label drift fold.
+  check("embedding_drift", 2)(
+    operators.Similarity.embeddingDrift(spark, sfDir))
 }
