@@ -12,7 +12,9 @@ object SparkEntry {
       operators.Cleaning.defs ++
       operators.Dwh.defs ++
       operators.Analytics.defs ++
+      operators.GraphExt.defs ++
       operators.EventOps.defs ++
+      operators.EventScience.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

@@ -768,7 +768,7 @@ object Analytics {
     * [[labelPropagation]] already paid for instead of re-scanning
     * lineitem for a second collabPairs build.
     */
-  private def lpaCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[operators] def lpaCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val pairs = collabPairs(spark, dir)
       .filter(col("collab_count") >= StrongEdgeThreshold)
       .repartition(graft.functions.Iterate.statePartitions(spark))

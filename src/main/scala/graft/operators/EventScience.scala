@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / statistical analyses over the events stream (§2.D
+  * events family): bot detection, day-of-week seasonality, and a
+  * mergeable quantile sketch — the operational-analytics layer a
+  * clickstream lake runs on top of the sessionize/funnel family.
+  * Reference analogue: the logstash events path (stage-6 ingest) whose
+  * rows the reference only counts; these give them semantics.
+  *
+  * Time discipline: every operator derives integer epoch quantities
+  * (`ts div …`) from [[Tables.events]]' epoch-nanos BIGINT contract —
+  * no date functions, so both engines bin identically. All cross-row
+  * aggregates are exact BIGINT sums; doubles appear only in final
+  * per-row closed forms (single division / IEEE sqrt — both
+  * correctly-rounded, hence portable).
+  */
+object EventScience {
+
+  private val NsPerDay = 86400L * 1000 * 1000 * 1000
+  private val UsPerMinute = 60L * 1000 * 1000
+
+  /** Per-user behavioral bot audit: inter-arrival regularity (a scripted
+    * client's gap coefficient-of-variation is near zero), sustained rate
+    * per ACTIVE minute (burst rate, robust to idle spans), and type
+    * diversity. The release gate that keeps synthetic traffic out of a
+    * training corpus — at 100 TB of clickstream, per-user state is one
+    * row per user: one shuffle for the lag window, one aggregate.
+    *
+    * cv derivation keeps everything exact until the last step:
+    * cv = σ/μ = sqrt(n·Σg² − (Σg)²) / Σg over integer second gaps —
+    * two BIGINT moments, one sqrt, one division. Degenerate profiles
+    * (fewer than 2 gaps, or all gaps zero) get cv sentinel −1.
+    */
+  def botDetect(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"))
+      .withColumn("gap_s",
+        ((col("t_us") - lag(col("t_us"), 1).over(order)) / lit(1000000L))
+          .cast("bigint"))
+    val prof = gaps.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(expr(s"t_us div $UsPerMinute")).as("active_minutes"),
+        count(col("gap_s")).as("n_gaps"),
+        coalesce(sum(col("gap_s")), lit(0L)).as("sg"),
+        coalesce(sum(col("gap_s") * col("gap_s")), lit(0L)).as("sg2"))
+    prof
+      .withColumn("events_per_min_ppm",
+        expr("(n_events * 1000000) div active_minutes"))
+      .withColumn("gap_cv_ppm",
+        when(col("n_gaps") < 2 || col("sg") === 0, lit(-1L))
+          .otherwise(
+            floor(sqrt((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
+              .cast("double"))
+              / col("sg").cast("double") * lit(1.0e6)).cast("bigint")))
+      .withColumn("is_bot",
+        (col("n_events") >= 20) &&
+          (col("events_per_min_ppm") >= 3000000L ||
+            (col("gap_cv_ppm") >= 0L && col("gap_cv_ppm") < 200000L)))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("active_minutes"), col("events_per_min_ppm"),
+        col("gap_cv_ppm"), col("is_bot"))
+  }
+
+  val botDetectOracle: String = s"""
+    WITH g AS (
+      SELECT user_id, event_id, event_type,
+        EPOCH_US(ts) AS t_us,
+        (EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+          ORDER BY EPOCH_US(ts) ASC, event_id ASC)) // 1000000 AS gap_s
+      FROM events),
+    prof AS (
+      SELECT user_id,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT event_type) AS n_types,
+        COUNT(DISTINCT t_us // $UsPerMinute) AS active_minutes,
+        COUNT(gap_s) AS n_gaps,
+        COALESCE(SUM(gap_s), 0) AS sg,
+        COALESCE(SUM(gap_s * gap_s), 0) AS sg2
+      FROM g GROUP BY 1),
+    f AS (
+      SELECT user_id, n_events, n_types, active_minutes,
+        (n_events * 1000000) // active_minutes AS events_per_min_ppm,
+        CASE WHEN n_gaps < 2 OR sg = 0 THEN -1
+          ELSE CAST(FLOOR(SQRT(CAST(n_gaps * sg2 - sg * sg AS DOUBLE))
+            / CAST(sg AS DOUBLE) * 1.0e6) AS BIGINT) END AS gap_cv_ppm
+      FROM prof)
+    SELECT user_id, n_events, n_types, active_minutes, events_per_min_ppm,
+      gap_cv_ppm,
+      (n_events >= 20 AND (events_per_min_ppm >= 3000000
+        OR (gap_cv_ppm >= 0 AND gap_cv_ppm < 200000))) AS is_bot
+    FROM f"""
+
+  /** Day-of-week seasonality profile per event type: event share and
+    * exact-cents value mass per weekday, with the seasonal index
+    * (share·7, ppm — 1 000 000 ⇒ flat) a forecasting layer divides out
+    * before trend fitting ([[EventOps]]' ewma/CUSUM operate on the
+    * deseasonalized series this produces). Weekday from pure integer
+    * epoch arithmetic ((epoch_day + 4) mod 7, 0 = Sunday) — no calendar
+    * functions, so the engines cannot disagree on locale/week-start.
+    * One map-side-combinable aggregate; the share window runs on the
+    * 7·|types| profile frame.
+    */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.events(spark, dir)
+      .select(col("event_type"),
+        ((expr(s"ts div $NsPerDay") + 4) % 7).as("dow"),
+        expr(s"ts div $NsPerDay").as("day_ord"),
+        floor(col("value") * 100 + lit(0.5)).cast("bigint").as("cents"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("value_cents"),
+        countDistinct(col("day_ord")).as("n_days"))
+    val wt = Window.partitionBy(col("event_type"))
+    byDow
+      .withColumn("type_total", sum(col("n_events")).over(wt))
+      .withColumn("dow_share_ppm", expr("(n_events * 1000000) div type_total"))
+      .withColumn("seasonal_idx_ppm", expr("(n_events * 7000000) div type_total"))
+      .drop("type_total")
+  }
+
+  val dowSeasonalityOracle: String = s"""
+    WITH b AS (
+      SELECT event_type,
+        (EPOCH_NS(ts) // $NsPerDay + 4) % 7 AS dow,
+        EPOCH_NS(ts) // $NsPerDay AS day_ord,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type, dow, COUNT(*) AS n_events,
+        CAST(SUM(cents) AS BIGINT) AS value_cents,
+        COUNT(DISTINCT day_ord) AS n_days
+      FROM b GROUP BY 1, 2)
+    SELECT event_type, dow, n_events, value_cents, n_days,
+      (n_events * 1000000)
+        // CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        AS dow_share_ppm,
+      (n_events * 7000000)
+        // CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        AS seasonal_idx_ppm
+    FROM g"""
+
+  private val SketchBins = 32
+  private val BinWidth = 16L // covers value ∈ [0, 512); overflow clamps to top bin
+
+  /** Mergeable quantile sketch with a 7-day sliding merge — the
+    * [[EventOps]] hll_window_merge discipline applied to QUANTILES: the
+    * per-(type, day) state is a fixed 32-bin equi-width histogram
+    * (mergeable by pure addition, 32 BIGINTs at any row count), the
+    * window merge is a RANGE-framed sum per bin over the integer day
+    * ordinal, and p50/p95 read the merged histogram at nearest-bin
+    * resolution. This is the t-digest/KLL role with a deterministic
+    * construction, so BOTH engines build bit-identical sketches and the
+    * oracle hash covers even the approximation error (the
+    * bloom_skipping_audit trick). The dense day×bin grid is
+    * metadata-scale (|type-days|·32), never corpus-scale; the raw data
+    * shuffles ONCE into the daily histograms.
+    */
+  def quantileSketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"ts div $NsPerDay").as("day_ord"),
+        when(col("value") < 0, lit(0L))
+          .when(col("value") >= SketchBins * BinWidth, lit(SketchBins - 1L))
+          .otherwise(floor(col("value") / BinWidth).cast("bigint")).as("bin"))
+      .groupBy(col("event_type"), col("day_ord"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = daily.select(col("event_type"), col("day_ord")).distinct()
+      .select(col("event_type"), col("day_ord"),
+        explode(sequence(lit(0L), lit(SketchBins - 1L))).as("bin"))
+    val dense = grid.join(daily, Seq("event_type", "day_ord", "bin"), "left")
+      .select(col("event_type"), col("day_ord"), col("bin"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val merged = dense.withColumn("mcnt",
+      sum(col("cnt")).over(Window.partitionBy(col("event_type"), col("bin"))
+        .orderBy(col("day_ord")).rangeBetween(-6, 0)))
+    val cum = merged.withColumn("cum",
+      sum(col("mcnt")).over(Window.partitionBy(col("event_type"), col("day_ord"))
+        .orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot",
+        sum(col("mcnt")).over(Window.partitionBy(col("event_type"), col("day_ord"))))
+    cum.groupBy(col("event_type"), col("day_ord"))
+      .agg(max(col("tot")).as("n_window"),
+        min(when(col("cum") * 2 >= col("tot"), col("bin"))).as("p50_bin"),
+        min(when(col("cum") * 20 >= col("tot") * 19, col("bin"))).as("p95_bin"))
+      .select(col("event_type"), col("day_ord"), col("n_window"),
+        col("p50_bin"), (col("p50_bin") * BinWidth).as("p50_lo"),
+        col("p95_bin"), (col("p95_bin") * BinWidth).as("p95_lo"))
+  }
+
+  val quantileSketchMergeOracle: String = s"""
+    WITH daily AS (
+      SELECT event_type, EPOCH_NS(ts) // $NsPerDay AS day_ord,
+        CASE WHEN value < 0 THEN 0
+          WHEN value >= ${SketchBins * BinWidth} THEN ${SketchBins - 1}
+          ELSE CAST(FLOOR(value / $BinWidth) AS BIGINT) END AS bin,
+        COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT td.event_type, td.day_ord, CAST(r.range AS BIGINT) AS bin
+      FROM (SELECT DISTINCT event_type, day_ord FROM daily) td
+      CROSS JOIN range(0, $SketchBins) r),
+    dense AS (
+      SELECT g.event_type, g.day_ord, g.bin, COALESCE(d.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN daily d
+        ON g.event_type = d.event_type AND g.day_ord = d.day_ord AND g.bin = d.bin),
+    merged AS (
+      SELECT event_type, day_ord, bin,
+        SUM(cnt) OVER (PARTITION BY event_type, bin ORDER BY day_ord
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mcnt
+      FROM dense),
+    cum AS (
+      SELECT event_type, day_ord, bin,
+        SUM(mcnt) OVER (PARTITION BY event_type, day_ord ORDER BY bin
+          ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(mcnt) OVER (PARTITION BY event_type, day_ord) AS tot
+      FROM merged)
+    SELECT event_type, day_ord, CAST(MAX(tot) AS BIGINT) AS n_window,
+      MIN(CASE WHEN cum * 2 >= tot THEN bin END) AS p50_bin,
+      MIN(CASE WHEN cum * 2 >= tot THEN bin END) * $BinWidth AS p50_lo,
+      MIN(CASE WHEN cum * 20 >= tot * 19 THEN bin END) AS p95_bin,
+      MIN(CASE WHEN cum * 20 >= tot * 19 THEN bin END) * $BinWidth AS p95_lo
+    FROM cum GROUP BY 1, 2"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "bot_detect" -> QueryDef.sql(botDetect, botDetectOracle),
+    "dow_seasonality" -> QueryDef.sql(dowSeasonality, dowSeasonalityOracle),
+    "quantile_sketch_merge" -> QueryDef.sql(quantileSketchMerge, quantileSketchMergeOracle)
+  )
+}

@@ -1,0 +1,316 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics beyond the rank/community family in [[Analytics]]
+  * (§2.C): HITS hubs/authorities on the bipartite purchase graph,
+  * degree assortativity, and Newman modularity of the label-propagation
+  * partition. Reference analogue: the "influence" and "community
+  * quality" idea groups in docs/neo4j_analytical_ideas.md §2/§4 — the
+  * reference scores influence with per-row Cypher aggregates; here each
+  * algorithm is a broadcast-state loop or a single exact-integer pass.
+  *
+  * All three follow the graph family's scale contract: edge lists
+  * shuffle ONCE at construction and never again (per-round state is one
+  * row per node, broadcast via [[Tables.stateHint]]); every iterative
+  * quantity is fixed-point BIGINT before any cross-row sum, so both
+  * engines agree bit-for-bit regardless of aggregation order.
+  */
+object GraphExt {
+
+  private val Fx = 1.0e14
+  private val HitsRounds = 5
+
+  private def stateHint(df: DataFrame): DataFrame = Tables.stateHint(df)
+  private def checkpoint(df: DataFrame): DataFrame =
+    graft.functions.Iterate.checkpoint(df)
+
+  /** Bipartite purchase edges customer → supplier with lineitem-count
+    * weight. One orderkey join + one (cust, supp) aggregate; the result
+    * is checkpointed because the HITS loop re-reads it twice per round.
+    */
+  private def purchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    checkpoint(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          Seq("l_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .agg(count(lit(1)).as("w"))
+        .repartition(graft.functions.Iterate.statePartitions(spark)))
+
+  private val purchaseEdgesCte: String = """pe AS (
+      SELECT o_custkey AS cust, l_suppkey AS supp, COUNT(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2)"""
+
+  /** HITS hubs/authorities (Kleinberg 1999) on the bipartite purchase
+    * graph: a good HUB is a customer buying from good suppliers, a good
+    * AUTHORITY a supplier bought by good hubs — the directed-influence
+    * complement of [[Analytics.pagerank]]'s undirected rank
+    * (neo4j_analytical_ideas.md §2 "Most Influential").
+    *
+    * Determinism: each half-step floors `score·w·1e14` to BIGINT before
+    * the inflow sum (order-independent exact addition), L1-normalizes by
+    * the exact BIGINT total with a single double division, and the next
+    * half-step re-floors — the pagerank fixed-point discipline, so the
+    * unrolled-CTE oracle is bit-identical. Init hub = 1/|customers|
+    * keeps the first un-normalized inflow at ~avg-degree·1e14, overflow
+    * -safe at any corpus size (BIGINT headroom ≥ 1e18 / Σhub = 1).
+    *
+    * Scale: the edge list never reshuffles after construction; per-round
+    * state is one row per customer or supplier, broadcast both ways.
+    */
+  def hitsAuthority(spark: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(spark, dir)
+    val nc = edges.select(col("cust")).distinct().count()
+    var hub = edges.select(col("cust")).distinct()
+      .withColumn("score", lit(1.0) / lit(nc.toDouble))
+    var auth: DataFrame = null
+    // Each half-step materializes its node-scale fx vector (checkpoint =
+    // cheap at state size) so the L1 total's crossJoin re-reads the
+    // materialized rows instead of re-running the edge join — 10 edge
+    // scans per run, not 20 — and lineage stays one half-step deep.
+    def normalize(fx: DataFrame, key: String): DataFrame = {
+      val mat = checkpoint(fx)
+      mat.crossJoin(broadcast(mat.agg(sum(col("fx")).cast("double").as("tot"))))
+        .select(col(key), (col("fx").cast("double") / col("tot")).as("score"))
+    }
+    for (i <- 1 to HitsRounds) {
+      auth = normalize(edges
+        .join(stateHint(hub), Seq("cust"))
+        .select(col("supp"),
+          floor(col("score") * col("w").cast("double") * lit(Fx) + lit(0.5))
+            .cast("bigint").as("fx"))
+        .groupBy(col("supp")).agg(sum(col("fx")).as("fx")), "supp")
+      hub = normalize(edges
+        .join(stateHint(auth), Seq("supp"))
+        .select(col("cust"),
+          floor(col("score") * col("w").cast("double") * lit(Fx) + lit(0.5))
+            .cast("bigint").as("fx"))
+        .groupBy(col("cust")).agg(sum(col("fx")).as("fx")), "cust")
+    }
+    val top = (df: DataFrame, side: String, key: String) =>
+      df.select(lit(side).as("side"), col(key).as("node_key"),
+          (floor(col("score") * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8))
+            .as("score"))
+        .orderBy(col("score").desc, col("node_key").asc)
+        .limit(15)
+    top(auth, "authority", "supp").unionByName(top(hub, "hub", "cust"))
+  }
+
+  val hitsAuthorityOracle: String = {
+    // MATERIALIZED is load-bearing (the kcore-oracle rule): each fx CTE
+    // is referenced twice (rows + L1 total) and each round references the
+    // previous — DuckDB inlines plain CTEs, which goes exponential here.
+    def half(iter: Int, outKey: String, inKey: String, prev: String, name: String) =
+      s"""${name}fx$iter AS MATERIALIZED (
+      SELECT $outKey, SUM(CAST(FLOOR(p.score * CAST(w AS DOUBLE) * 1.0e14 + 0.5)
+        AS BIGINT)) AS fx
+      FROM pe JOIN $prev p USING ($inKey) GROUP BY 1),
+    $name$iter AS MATERIALIZED (
+      SELECT $outKey, CAST(fx AS DOUBLE)
+        / (SELECT CAST(SUM(fx) AS DOUBLE) FROM ${name}fx$iter) AS score
+      FROM ${name}fx$iter)"""
+    val rounds = (1 to HitsRounds).map { i =>
+      val prevHub = if (i == 1) "h0" else s"h${i - 1}"
+      half(i, "supp", "cust", prevHub, "a") + ",\n    " +
+        half(i, "cust", "supp", s"a$i", "h")
+    }.mkString(",\n    ")
+    s"""
+    WITH $purchaseEdgesCte,
+    h0 AS (
+      SELECT cust, CAST(1.0 AS DOUBLE)
+        / (SELECT CAST(COUNT(DISTINCT cust) AS DOUBLE) FROM pe) AS score
+      FROM (SELECT DISTINCT cust FROM pe)),
+    $rounds
+    SELECT * FROM (
+      (SELECT 'authority' AS side, supp AS node_key,
+        CAST(FLOOR(score * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8 AS score
+      FROM a$HitsRounds ORDER BY score DESC, node_key ASC LIMIT 15)
+      UNION ALL
+      (SELECT 'hub', cust,
+        CAST(FLOOR(score * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8
+      FROM h$HitsRounds ORDER BY 3 DESC, 2 ASC LIMIT 15))"""
+  }
+
+  /** Degree assortativity (Newman 2002) of the part co-purchase graph
+    * ([[Analytics.kcore]]'s cofreq ≥ 2 base — the supplier collab graph
+    * is near-complete at every SF, so its degree variance collapses):
+    * the Pearson correlation of endpoint degrees over the symmetrized
+    * edge list — positive means popular parts co-sell with popular
+    * parts (a rich-club catalogue), negative a hub-and-spoke one; the
+    * one-number topology audit behind the §4 community-structure ideas.
+    *
+    * Exactness: degrees and all moments (M, Σx, Σxy, Σx²; Σy = Σx by
+    * symmetry) are exact BIGINTs, so even the ZERO-VARIANCE degenerate
+    * case is decided exactly (den = M·Σx² − (Σx)² = 0 ⇒ coefficient 0
+    * by convention, branched on the integer, never on a double). The
+    * only doubles are the final closed-form division, identical
+    * expression shape in both engines.
+    *
+    * Scale: distinct-neighbor degree is one aggregate over the edge
+    * list; the moment fold is a single map-side-combinable pass. No
+    * iteration, no state. BIGINT headroom: M·Σx² stays under 9.2e18
+    * while M·maxdeg² does — a 1e8-edge graph with 1e5-degree hubs;
+    * beyond that the moments (not the data) need DECIMAL(38).
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(localPartPairs("ps").as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val edges = checkpoint(
+      pairs.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"))))
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val m = edges
+      .join(stateHint(deg.select(col("node").as("src"), col("deg").as("dx"))), Seq("src"))
+      .join(stateHint(deg.select(col("node").as("dst"), col("deg").as("dy"))), Seq("dst"))
+      .agg(
+        count(lit(1)).as("m_edges"),
+        sum(col("dx")).as("sum_x"),
+        sum(col("dx") * col("dy")).as("sum_xy"),
+        sum(col("dx") * col("dx")).as("sum_x2"))
+    m.select(
+      col("m_edges"), col("sum_x"), col("sum_xy"), col("sum_x2"),
+      (col("m_edges") * col("sum_x2") - col("sum_x") * col("sum_x")).as("den"))
+      .withColumn("assortativity",
+        when(col("den") === 0L, lit(0.0))
+          .otherwise(
+            floor(
+              ((col("m_edges").cast("double") * col("sum_xy").cast("double"))
+                - (col("sum_x").cast("double") * col("sum_x").cast("double")))
+                / col("den").cast("double")
+                * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8)))
+  }
+
+  /** [[Analytics.localPairs]] twin for the part key pair (kept local to
+    * avoid widening Analytics' private helper).
+    */
+  private def localPartPairs(arrCol: String) =
+    explode(expr(
+      s"""flatten(transform($arrCol, (x, i) ->
+         |  transform(slice($arrCol, i + 2, size($arrCol)), y ->
+         |    struct(x AS pa, y AS pb))))""".stripMargin))
+
+  val graphAssortativityOracle: String = """
+    WITH pairs AS (
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    mo AS (
+      SELECT COUNT(*) AS m_edges, CAST(SUM(x.deg) AS BIGINT) AS sum_x,
+        CAST(SUM(x.deg * y.deg) AS BIGINT) AS sum_xy,
+        CAST(SUM(x.deg * x.deg) AS BIGINT) AS sum_x2
+      FROM edges e JOIN deg x ON e.src = x.node JOIN deg y ON e.dst = y.node)
+    SELECT m_edges, sum_x, sum_xy, sum_x2,
+      m_edges * sum_x2 - sum_x * sum_x AS den,
+      CASE WHEN m_edges * sum_x2 - sum_x * sum_x = 0 THEN CAST(0.0 AS DOUBLE)
+        ELSE CAST(FLOOR(
+          ((CAST(m_edges AS DOUBLE) * CAST(sum_xy AS DOUBLE))
+            - (CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
+          / CAST(m_edges * sum_x2 - sum_x * sum_x AS DOUBLE)
+          * 1.0e8 + 0.5) AS DOUBLE) / 1.0e8 END AS assortativity
+    FROM mo"""
+
+  /** Newman modularity of the [[Analytics.labelPropagation]] partition
+    * over the strong collaboration graph — the quality score for the
+    * communities the LP pass produces (is the partition better than
+    * chance?), composing lpaCore exactly as community_stats does but
+    * answering the GLOBAL question its per-community cut ratios don't.
+    *
+    * Fully exact integers: with integer edge weights, m (total weight),
+    * in_c (internal weight) and deg_c (community strength) are BIGINTs,
+    * so each community's modularity numerator 4·m·in_c − deg_c² and the
+    * shared denominator 4m² are exact — q_ppm is the only rounding, one
+    * FLOOR over a single double division (well-defined for negative
+    * numerators in both engines). Σ num_c / den = Q.
+    *
+    * Scale: the label vector (one row per node) broadcast-joins the
+    * already-checkpointed strong pair list twice; every aggregate is ≤
+    * |communities| rows.
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val (strongPairs, labels) = Analytics.lpaCore(spark, dir)
+    val comm = checkpoint(labels)
+    val j = checkpoint(strongPairs
+      .select(col("supp_a"), col("supp_b"), col("collab_count").as("w"))
+      .join(stateHint(comm.select(col("supp_key").as("supp_a"),
+        col("community").as("ca"))), Seq("supp_a"))
+      .join(stateHint(comm.select(col("supp_key").as("supp_b"),
+        col("community").as("cb"))), Seq("supp_b")))
+    val mTot = j.agg(sum(col("w")).as("m")) // total undirected weight
+    val inW = j.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(sum(col("w")).as("in_w"))
+    // node strength k_i = sum of incident weight; deg_c = sum over members
+    val strength = j.select(col("supp_a").as("node"), col("w"))
+      .unionByName(j.select(col("supp_b").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("k"))
+    val degC = strength
+      .join(stateHint(comm.select(col("supp_key").as("node"), col("community"))),
+        Seq("node"))
+      .groupBy(col("community")).agg(sum(col("k")).as("deg_w"))
+    degC
+      .join(inW, Seq("community"), "left")
+      .crossJoin(broadcast(mTot))
+      .select(col("community"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        col("deg_w"),
+        (lit(4L) * col("m") * coalesce(col("in_w"), lit(0L))
+          - col("deg_w") * col("deg_w")).as("q_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"))
+      .withColumn("q_ppm",
+        floor(col("q_num").cast("double") * lit(1.0e6)
+          / col("q_den").cast("double")).cast("bigint"))
+  }
+
+  val graphModularityOracle: String = s"""
+    WITH comm AS (${Analytics.labelPropagationOracle}),
+    sp AS (
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS w
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= ${Analytics.StrongEdgeThreshold}),
+    j AS (
+      SELECT sp.supp_a, sp.supp_b, sp.w, x.community AS ca, y.community AS cb
+      FROM sp JOIN comm x ON sp.supp_a = x.supp_key
+        JOIN comm y ON sp.supp_b = y.supp_key),
+    mt AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM j),
+    inw AS (SELECT ca AS community, CAST(SUM(w) AS BIGINT) AS in_w
+      FROM j WHERE ca = cb GROUP BY 1),
+    strength AS (
+      SELECT node, CAST(SUM(w) AS BIGINT) AS k FROM (
+        SELECT supp_a AS node, w FROM j UNION ALL SELECT supp_b, w FROM j)
+      GROUP BY 1),
+    degc AS (
+      SELECT c.community, CAST(SUM(s.k) AS BIGINT) AS deg_w
+      FROM strength s JOIN comm c ON s.node = c.supp_key GROUP BY 1)
+    SELECT d.community, COALESCE(i.in_w, 0) AS in_w, d.deg_w,
+      4 * mt.m * COALESCE(i.in_w, 0) - d.deg_w * d.deg_w AS q_num,
+      4 * mt.m * mt.m AS q_den,
+      CAST(FLOOR(CAST(4 * mt.m * COALESCE(i.in_w, 0) - d.deg_w * d.deg_w AS DOUBLE)
+        * 1.0e6 / CAST(4 * mt.m * mt.m AS DOUBLE)) AS BIGINT) AS q_ppm
+    FROM degc d LEFT JOIN inw i ON d.community = i.community
+    CROSS JOIN mt"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "hits_authority" -> QueryDef.sql(hitsAuthority, hitsAuthorityOracle),
+    "graph_assortativity" -> QueryDef.sql(graphAssortativity, graphAssortativityOracle),
+    "graph_modularity" -> QueryDef.sql(graphModularity, graphModularityOracle)
+  )
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-9 graph/event-science additions
+  * (HITS, assortativity, modularity; bot detection, DOW seasonality,
+  * mergeable quantile sketch). Value-level correctness is the DuckDB
+  * oracle gate's job; these pin structural invariants an implementation
+  * bug would break even if the oracle were wrong the same way.
+  */
+class GraphEventExtSpec extends SparkSpec {
+
+  test("hits_authority: sides partition cleanly, scores normalized and ordered") {
+    val rows = operators.GraphExt.hitsAuthority(spark, sfDir).collect()
+    val (auth, hub) = rows.partition(_.getAs[String]("side") == "authority")
+    assert(auth.nonEmpty && hub.nonEmpty)
+    assert(rows.forall(r => Set("authority", "hub")(r.getAs[String]("side"))))
+    // L1-normalized then top-15: every score in (0, 1]
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > 0 && s <= 1.0, s"score $s out of (0,1]")
+    }
+    // authorities are suppliers, hubs are customers
+    val supps = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val custs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    auth.foreach(r => assert(supps(r.getAs[Long]("node_key"))))
+    hub.foreach(r => assert(custs(r.getAs[Long]("node_key"))))
+    // descending within side with key tiebreak (total order)
+    def sorted(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (-r.getAs[Double]("score"), r.getAs[Long]("node_key")))
+    assert(sorted(auth).sameElements(sorted(auth).sorted))
+    assert(sorted(hub).sameElements(sorted(hub).sorted))
+  }
+
+  test("graph_assortativity: moment identities and coefficient bounds hold") {
+    val r = operators.GraphExt.graphAssortativity(spark, sfDir).collect().head
+    val m = r.getAs[Long]("m_edges")
+    assert(m % 2 == 0, "symmetrized edge list must have even cardinality")
+    // Σ_edges deg(src) = Σ_v deg(v)² ≥ m (every degree ≥ 1)
+    assert(r.getAs[Long]("sum_x") >= m)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"assortativity $a out of [-1,1]")
+    assert(r.getAs[Long]("den") >= 0L, "variance denominator cannot be negative")
+  }
+
+  test("graph_modularity: partition identities (Σdeg = 2m, Σin ≤ m, Q ≤ 1)") {
+    val rows = operators.GraphExt.graphModularity(spark, sfDir).collect()
+    val m = rows.head.getAs[Long]("q_den") // 4m²
+    val inSum = rows.map(_.getAs[Long]("in_w")).sum
+    val degSum = rows.map(_.getAs[Long]("deg_w")).sum
+    // recover m from q_den = 4m²
+    val mTot = math.sqrt(m.toDouble / 4.0).round
+    assert(mTot * mTot * 4 == m, "q_den must be a perfect 4m² square")
+    assert(inSum <= mTot, "internal weight cannot exceed total weight")
+    assert(degSum == 2 * mTot, "community strengths must sum to 2m")
+    val q = rows.map(r => r.getAs[Long]("q_num").toDouble / r.getAs[Long]("q_den")).sum
+    assert(q <= 1.0 + 1e-9, s"modularity $q exceeds 1")
+    rows.foreach(r => assert(r.getAs[Long]("q_ppm") <= 1000000L))
+  }
+
+  test("bot_detect: one row per user, feature ranges and flag implication") {
+    val df = operators.EventScience.botDetect(spark, sfDir)
+    val rows = df.collect()
+    val nUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.length.toLong == nUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") >= 1)
+      assert(r.getAs[Long]("active_minutes") >= 1)
+      val t = r.getAs[Long]("n_types"); assert(t >= 1 && t <= 5)
+      assert(r.getAs[Long]("gap_cv_ppm") >= -1)
+      if (r.getAs[Boolean]("is_bot")) assert(r.getAs[Long]("n_events") >= 20)
+      // ≥1 event per active minute by construction
+      assert(r.getAs[Long]("events_per_min_ppm") >= 1000000L)
+    }
+  }
+
+  test("dow_seasonality: shares sum to ~1e6 per type, totals reconcile") {
+    val rows = operators.EventScience.dowSeasonality(spark, sfDir).collect()
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dow"); assert(d >= 0 && d <= 6)
+      assert(r.getAs[Long]("seasonal_idx_ppm") ==
+        r.getAs[Long]("dow_share_ppm") * 7
+        || math.abs(r.getAs[Long]("seasonal_idx_ppm")
+          - r.getAs[Long]("dow_share_ppm") * 7) <= 7) // independent floor divs
+    }
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val share = rs.map(_.getAs[Long]("dow_share_ppm")).sum
+      assert(share <= 1000000L && share > 1000000L - rs.length,
+        s"floor-div shares sum to $share")
+    }
+    val total = byType.values.flatten.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
+  test("quantile_sketch_merge: monotone quantiles, window dominates the day") {
+    val rows = operators.EventScience.quantileSketchMerge(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // daily totals recomputed independently
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day_ord"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_ord")) ->
+        r.getAs[Long]("n")).toMap
+    assert(rows.length == daily.size, "one output row per observed type-day")
+    rows.foreach { r =>
+      val p50 = r.getAs[Long]("p50_bin"); val p95 = r.getAs[Long]("p95_bin")
+      assert(p50 >= 0 && p50 <= 31 && p95 >= 0 && p95 <= 31)
+      assert(p50 <= p95, "p50 bin must not exceed p95 bin")
+      assert(r.getAs[Long]("p50_lo") == p50 * 16)
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("day_ord"))
+      // the 7-day merged count is at least the day's own count
+      assert(r.getAs[Long]("n_window") >= daily(key))
+    }
+  }
+}
