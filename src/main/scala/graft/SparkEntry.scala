@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Objectives.defs ++
       operators.Multimodal.defs ++
       operators.Quality.defs ++
+      operators.Retrieval.defs ++
       operators.Sampling.defs ++
       operators.Tokenizer.defs ++
       operators.Lakehouse.defs ++

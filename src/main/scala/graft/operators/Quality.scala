@@ -257,9 +257,107 @@ object Quality {
     FROM lineitem"""
   }
 
+  /** floor(log10(1 + 1/d) · 1e6) for d = 1..9 — Benford's first-digit
+    * law as INTEGER ppm constants, identical literals in both engines
+    * (computing log10 at runtime would reintroduce the libm
+    * nondeterminism the tfidf linear-idf treatment exists to avoid).
+    */
+  private val BenfordPpm =
+    Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+
+  /** Benford's-law conformance audit over the two money columns — the
+    * fabricated-data / corrupted-feed detector for a financial fact
+    * table (a synthetic or truncated feed shows a flat or spiked
+    * first-digit profile long before row-level rules fire). First digit
+    * from exact integer cents via string head — no logarithms anywhere:
+    * observed shares are integer ppm and the expectation is a shared
+    * literal table, so the deviation column is exact. Two
+    * map-side-combinable 9-group aggregates, one per measure scan.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val expected = element_at(
+      array(BenfordPpm.map(lit): _*), col("digit").cast("int"))
+    def digits(df: DataFrame, valueCol: String, name: String): DataFrame =
+      df.select(substring(
+          floor(col(valueCol) * 100 + lit(0.5)).cast("bigint").cast("string"),
+          1, 1).cast("bigint").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .select(lit(name).as("col_name"), col("digit"), col("n"))
+    digits(Tables.lineitem(spark, dir), "l_extendedprice", "l_extendedprice")
+      .unionByName(digits(Tables.orders(spark, dir), "o_totalprice", "o_totalprice"))
+      .withColumn("total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("col_name"))))
+      .select(col("col_name"), col("digit"), col("n"),
+        expr("(n * 1000000) div total").as("observed_ppm"),
+        expected.as("expected_ppm"))
+      .withColumn("dev_ppm", col("observed_ppm") - col("expected_ppm"))
+  }
+
+  val benfordAuditOracle: String = {
+    val arr = BenfordPpm.mkString("[", ", ", "]")
+    s"""
+    WITH d AS (
+      SELECT 'l_extendedprice' AS col_name,
+        CAST(SUBSTRING(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem
+      UNION ALL
+      SELECT 'o_totalprice',
+        CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+          AS VARCHAR), 1, 1) AS BIGINT)
+      FROM orders),
+    g AS (SELECT col_name, digit, COUNT(*) AS n FROM d GROUP BY 1, 2)
+    SELECT col_name, digit, n,
+      (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY col_name) AS BIGINT)
+        AS observed_ppm,
+      LIST_EXTRACT($arr, CAST(digit AS INT)) AS expected_ppm,
+      (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY col_name) AS BIGINT)
+        - LIST_EXTRACT($arr, CAST(digit AS INT)) AS dev_ppm
+    FROM g"""
+  }
+
+  /** l-diversity audit — [[kAnonymityAudit]]'s companion gate: a
+    * quasi-identifier group can be k-anonymous yet still leak when every
+    * member shares the SAME sensitive value (homogeneity attack), so
+    * this measures the number of DISTINCT sensitive values (market
+    * segment) per quasi group (nation × balance band) and reports the
+    * distribution of l — groups at l = 1 are disclosure risks no group
+    * SIZE audit sees. Two map-side-combinable aggregates ending at
+    * l-cardinality rows; the histogram share is exact integer ppm.
+    */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        floor(col("c_acctbal") / lit(1000d)).as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy(col("nationkey"), col("bal_band"))
+      .agg(countDistinct(col("c_mktsegment")).as("l_distinct"),
+        count(lit(1)).as("n_members"))
+      .groupBy(col("l_distinct"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_members")).as("n_customers"))
+      .withColumn("groups_share_ppm",
+        expr("(n_groups * 1000000) div " +
+          "(sum(n_groups) over ())"))
+
+  val lDiversityAuditOracle: String = """
+    WITH g AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        COUNT(DISTINCT c_mktsegment) AS l_distinct,
+        COUNT(*) AS n_members
+      FROM customer GROUP BY 1, 2)
+    SELECT l_distinct, COUNT(*) AS n_groups,
+      CAST(SUM(n_members) AS BIGINT) AS n_customers,
+      (COUNT(*) * 1000000)
+        // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS groups_share_ppm
+    FROM g GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
     "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle),
     "k_anonymity_audit" -> QueryDef.sql(kAnonymityAudit, kAnonymityAuditOracle),
-    "right_to_erasure" -> QueryDef.sql(rightToErasure, rightToErasureOracle)
+    "right_to_erasure" -> QueryDef.sql(rightToErasure, rightToErasureOracle),
+    "benford_audit" -> QueryDef.sql(benfordAudit, benfordAuditOracle),
+    "l_diversity_audit" -> QueryDef.sql(lDiversityAudit, lDiversityAuditOracle)
   )
 }
