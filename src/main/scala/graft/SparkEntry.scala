@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Clustering.defs ++
+      operators.Coreset.defs ++
       operators.Quantization.defs ++
       operators.Objectives.defs ++
       operators.Multimodal.defs ++

@@ -231,9 +231,125 @@ object EventScience {
       MIN(CASE WHEN cum * 20 >= tot * 19 THEN bin END) * $BinWidth AS p95_lo
     FROM cum GROUP BY 1, 2"""
 
+  /** Per-user Gini impurity of the event-type mix, 1 − Σp² — the
+    * entropy-style behavioral-diversity score WITHOUT entropy's libm
+    * log: with integer type counts it is exactly (n² − Σn_t²)·1e6 ÷ n²
+    * in BIGINTs, so both engines agree to the last ppm. 0 = all one
+    * type (scripted monotony — feeds the [[botDetect]] rule family),
+    * max (T−1)/T = uniform mix. Two map-side-combinable aggregates.
+    */
+  def behaviorGini(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("nt"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("nt")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("nt") * col("nt")).as("sum_sq"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        expr("((n_events * n_events - sum_sq) * 1000000) div (n_events * n_events)")
+          .as("gini_ppm"))
+
+  val behaviorGiniOracle: String = """
+    WITH t AS (
+      SELECT user_id, event_type, COUNT(*) AS nt
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id, CAST(SUM(nt) AS BIGINT) AS n_events,
+        COUNT(*) AS n_types, CAST(SUM(nt * nt) AS BIGINT) AS sum_sq
+      FROM t GROUP BY 1)
+    SELECT user_id, n_events, n_types,
+      ((n_events * n_events - sum_sq) * 1000000) // (n_events * n_events)
+        AS gini_ppm
+    FROM u"""
+
+  /** Value-distribution drift per event type between the first and
+    * second halves of the observed span, as TOTAL-VARIATION distance —
+    * the PSI role without PSI's logarithm: both halves histogram into
+    * the [[quantileSketchMerge]] 32-bin grid, per-bin shares floor to
+    * integer ppm (deterministic in both engines AND scale-safe — the
+    * cross-multiplied exact form n1·N2 − n2·N1 overflows BIGINT once
+    * half-counts pass ~3e9), and TVD_ppm = Σ|p1 − p2| ÷ 2 over ppm
+    * ints. The split day is (min+max+1)÷2 of the integer day ordinal —
+    * derived from the data, no wall-clock. Reports the worst bin per
+    * type (tie → lowest bin). One corpus aggregate into the
+    * (type, half, bin) grid; everything after runs on ≤ 2·32·|types|
+    * rows.
+    */
+  def driftTvd(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(expr(s"ts div $NsPerDay").as("day_ord"), col("event_type"),
+        when(col("value") < 0, lit(0L))
+          .when(col("value") >= SketchBins * BinWidth, lit(SketchBins - 1L))
+          .otherwise(floor(col("value") / BinWidth).cast("bigint")).as("bin"))
+    val split = days.agg(
+      expr("(min(day_ord) + max(day_ord) + 1) div 2").as("split_day"))
+    val halves = days.crossJoin(broadcast(split))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("day_ord") < col("split_day"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("day_ord") >= col("split_day"), 1L).otherwise(0L)).as("n2"))
+    val ppm = halves
+      .withColumn("p1_ppm", expr("(n1 * 1000000) div (sum(n1) over " +
+        "(partition by event_type))"))
+      .withColumn("p2_ppm", expr("(n2 * 1000000) div (sum(n2) over " +
+        "(partition by event_type))"))
+      .withColumn("adiff", abs(col("p1_ppm") - col("p2_ppm")))
+    val agg = ppm.groupBy(col("event_type"))
+      .agg(sum(col("n1")).as("n_first"), sum(col("n2")).as("n_second"),
+        expr("sum(adiff) div 2").as("tvd_ppm"),
+        max(col("adiff")).as("worst_bin_dppm"))
+    // worst bin = lowest bin attaining the max |Δppm| — a join-back on
+    // the |types|-row aggregate (identical formulation both engines;
+    // struct-argmax is not portable to the oracle)
+    agg.join(ppm.select(col("event_type"), col("bin"),
+        col("adiff").as("worst_bin_dppm")), Seq("event_type", "worst_bin_dppm"))
+      .groupBy(col("event_type"), col("n_first"), col("n_second"),
+        col("tvd_ppm"), col("worst_bin_dppm"))
+      .agg(min(col("bin")).as("worst_bin"))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        col("tvd_ppm"), col("worst_bin"), col("worst_bin_dppm"))
+  }
+
+  val driftTvdOracle: String = s"""
+    WITH days AS (
+      SELECT EPOCH_NS(ts) // $NsPerDay AS day_ord, event_type,
+        CASE WHEN value < 0 THEN 0
+          WHEN value >= ${SketchBins * BinWidth} THEN ${SketchBins - 1}
+          ELSE CAST(FLOOR(value / $BinWidth) AS BIGINT) END AS bin
+      FROM events),
+    sp AS (SELECT (MIN(day_ord) + MAX(day_ord) + 1) // 2 AS split_day FROM days),
+    halves AS (
+      SELECT event_type, bin,
+        CAST(SUM(CASE WHEN day_ord < split_day THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN day_ord >= split_day THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM days CROSS JOIN sp GROUP BY 1, 2),
+    ppm AS (
+      SELECT event_type, bin, n1, n2,
+        (n1 * 1000000) // CAST(SUM(n1) OVER (PARTITION BY event_type) AS BIGINT)
+          AS p1_ppm,
+        (n2 * 1000000) // CAST(SUM(n2) OVER (PARTITION BY event_type) AS BIGINT)
+          AS p2_ppm
+      FROM halves),
+    ad AS (
+      SELECT event_type, bin, n1, n2, ABS(p1_ppm - p2_ppm) AS adiff FROM ppm),
+    agg AS (
+      SELECT event_type,
+        CAST(SUM(n1) AS BIGINT) AS n_first,
+        CAST(SUM(n2) AS BIGINT) AS n_second,
+        CAST(SUM(adiff) AS BIGINT) // 2 AS tvd_ppm,
+        MAX(adiff) AS worst_bin_dppm
+      FROM ad GROUP BY 1)
+    SELECT g.event_type, g.n_first, g.n_second, g.tvd_ppm,
+      MIN(a.bin) AS worst_bin, g.worst_bin_dppm
+    FROM agg g JOIN ad a
+      ON a.event_type = g.event_type AND a.adiff = g.worst_bin_dppm
+    GROUP BY 1, 2, 3, 4, 6"""
+
   def defs: Map[String, QueryDef] = Map(
     "bot_detect" -> QueryDef.sql(botDetect, botDetectOracle),
     "dow_seasonality" -> QueryDef.sql(dowSeasonality, dowSeasonalityOracle),
-    "quantile_sketch_merge" -> QueryDef.sql(quantileSketchMerge, quantileSketchMergeOracle)
+    "quantile_sketch_merge" -> QueryDef.sql(quantileSketchMerge, quantileSketchMergeOracle),
+    "behavior_gini" -> QueryDef.sql(behaviorGini, behaviorGiniOracle),
+    "drift_tvd" -> QueryDef.sql(driftTvd, driftTvdOracle)
   )
 }

@@ -308,9 +308,71 @@ object GraphExt {
     FROM degc d LEFT JOIN inw i ON d.community = i.community
     CROSS JOIN mt"""
 
+  /** Association rules over order baskets (Agrawal-Srikant market-basket
+    * analysis, the recommendation layer on [[Analytics.itemCofreq]]'s
+    * raw pair counts): support, directional confidence, and lift for
+    * every part pair co-purchased ≥ 2 times, top-25 by lift. All three
+    * metrics are exact integer ppm — lift = cofreq·N·1e6 ÷ (n_a·n_b)
+    * cross-multiplied in BIGINT, never a float ratio (headroom: safe
+    * while cofreq·N·1e6 < 9.2e18, i.e. a 1e9-order lake with 1e3-deep
+    * co-occurrence).
+    *
+    * Scale: pairs expand locally from per-order sorted item sets (the
+    * collabPairs discipline), item supports are one aggregate broadcast
+    * back via [[Tables.stateHint]], the N scalar broadcasts; top-25 is
+    * a TakeOrdered.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val support = items.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(localPartPairs("ps").as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("cofreq"))
+      .filter(col("cofreq") >= 2)
+    pairs
+      .join(stateHint(support.select(col("pk").as("pa"), col("n_item").as("n_a"))),
+        Seq("pa"))
+      .join(stateHint(support.select(col("pk").as("pb"), col("n_item").as("n_b"))),
+        Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("cofreq"), col("n_a"), col("n_b"),
+        expr("(cofreq * 1000000) div n_orders").as("support_ppm"),
+        expr("(cofreq * 1000000) div n_a").as("conf_a_to_b_ppm"),
+        expr("(cofreq * 1000000) div n_b").as("conf_b_to_a_ppm"),
+        expr("(cofreq * n_orders * 1000000) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pa").asc, col("pb").asc)
+      .limit(25)
+  }
+
+  val assocRulesOracle: String = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    support AS (SELECT l_partkey AS pk, COUNT(*) AS n_item FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS cofreq
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT pa, pb, cofreq, sa.n_item AS n_a, sb.n_item AS n_b,
+      (cofreq * 1000000) // n_orders AS support_ppm,
+      (cofreq * 1000000) // sa.n_item AS conf_a_to_b_ppm,
+      (cofreq * 1000000) // sb.n_item AS conf_b_to_a_ppm,
+      (cofreq * n_orders * 1000000) // (sa.n_item * sb.n_item) AS lift_ppm
+    FROM pairs JOIN support sa ON pa = sa.pk JOIN support sb ON pb = sb.pk
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC, pa ASC, pb ASC LIMIT 25"""
+
   def defs: Map[String, QueryDef] = Map(
     "hits_authority" -> QueryDef.sql(hitsAuthority, hitsAuthorityOracle),
     "graph_assortativity" -> QueryDef.sql(graphAssortativity, graphAssortativityOracle),
-    "graph_modularity" -> QueryDef.sql(graphModularity, graphModularityOracle)
+    "graph_modularity" -> QueryDef.sql(graphModularity, graphModularityOracle),
+    "assoc_rules" -> QueryDef.sql(assocRules, assocRulesOracle)
   )
 }

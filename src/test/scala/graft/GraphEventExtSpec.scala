@@ -96,6 +96,66 @@ class GraphEventExtSpec extends SparkSpec {
     assert(total == Tables.events(spark, sfDir).count())
   }
 
+  test("kcenter_coreset: 8 distinct centers, non-increasing cover radius") {
+    val rows = operators.Coreset.kcenterCoreset(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("sel_round"))
+    assert(rows.map(_.getAs[Long]("sel_round")).sameElements(0L to 7L))
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 8, "centers must be distinct")
+    assert(rows.head.getAs[Double]("d2") == -1.0, "seed reports the -1 sentinel")
+    val dists = rows.tail.map(_.getAs[Double]("d2"))
+    dists.foreach(d => assert(d >= 0.0))
+    dists.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, "greedy k-center radius must be non-increasing")
+    }
+  }
+
+  test("behavior_gini: exact impurity bounds per user") {
+    val rows = operators.EventScience.behaviorGini(spark, sfDir).collect()
+    val nUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.length.toLong == nUsers)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini_ppm"); val t = r.getAs[Long]("n_types")
+      assert(g >= 0 && g < 1000000L)
+      // impurity is maximized by the uniform mix: g ≤ (t−1)/t
+      assert(g <= (t - 1) * 1000000L / t,
+        s"gini $g exceeds the $t-type maximum")
+      if (t == 1) assert(g == 0L)
+    }
+  }
+
+  test("drift_tvd: halves partition the events, TVD and worst-bin bounds") {
+    val rows = operators.EventScience.driftTvd(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(r => r.getAs[Long]("n_first") + r.getAs[Long]("n_second")).sum
+      == total)
+    rows.foreach { r =>
+      val tvd = r.getAs[Long]("tvd_ppm")
+      assert(tvd >= 0 && tvd <= 1000000L)
+      val wb = r.getAs[Long]("worst_bin"); assert(wb >= 0 && wb <= 31)
+      // the worst bin's |Δppm| contributes at most 2·TVD (TVD = Σ|Δ|/2)
+      assert(r.getAs[Long]("worst_bin_dppm") <= 2 * tvd + 1)
+    }
+  }
+
+  test("assoc_rules: metric identities on every surviving rule") {
+    val rows = operators.GraphExt.assocRules(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val lifts = rows.map(_.getAs[Long]("lift_ppm"))
+    assert(lifts.sameElements(lifts.sorted.reverse), "rules ranked by lift")
+    rows.foreach { r =>
+      val co = r.getAs[Long]("cofreq")
+      assert(co >= 2)
+      assert(co <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")),
+        "cofreq cannot exceed either item support")
+      assert(r.getAs[Long]("conf_a_to_b_ppm") <= 1000000L)
+      assert(r.getAs[Long]("conf_b_to_a_ppm") <= 1000000L)
+      assert(r.getAs[Long]("support_ppm") <= r.getAs[Long]("conf_a_to_b_ppm"),
+        "support ≤ confidence (n_a ≤ N)")
+    }
+  }
+
   test("quantile_sketch_merge: monotone quantiles, window dominates the day") {
     val rows = operators.EventScience.quantileSketchMerge(spark, sfDir).collect()
     assert(rows.nonEmpty)
