@@ -345,7 +345,64 @@ object EventScience {
       ON a.event_type = g.event_type AND a.adiff = g.worst_bin_dppm
     GROUP BY 1, 2, 3, 4, 6"""
 
+  /** Pairwise audience overlap between event types via 64-bit BITMAP
+    * words — the roaring/bitmap-index mechanism for exact distinct-set
+    * intersection WITHOUT re-shuffling raw ids per pair: each type's
+    * user set compresses into (word_idx = id÷32, word = OR of 1<<id%32 — 32 bits per BIGINT word: bit 63 would trip DuckDB's checked shift)
+    * rows — \|users\|/32 rows per type at any event volume — and every
+    * pairwise intersection is a word_idx equi-join with
+    * bit_count(wa & wb) popcounts. The raw corpus shuffles ONCE into
+    * the bitmap; the T² pair sweep runs entirely on bitmap-scale rows
+    * (vs the naive per-pair distinct-join that re-shuffles the corpus
+    * C(T,2) times). Jaccard in exact integer ppm by
+    * inclusion-exclusion. Words stay in the non-negative 32-bit range, so popcount
+    * agrees across engines with no sign-bit caveat.
+    */
+  def bitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"), expr("user_id div 32").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 32 as int)))").as("word"))
+    val sizes = words.groupBy(col("event_type"))
+      .agg(sum(bit_count(col("word")).cast("bigint")).as("n_users"))
+    val a = words.select(col("event_type").as("type_a"), col("word_idx"),
+      col("word").as("wa"))
+    val b = words.select(col("event_type").as("type_b"), col("word_idx"),
+      col("word").as("wb"))
+    a.join(b, Seq("word_idx")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(bit_count(col("wa").bitwiseAND(col("wb"))).cast("bigint"))
+        .as("n_common"))
+      .join(Tables.stateHint(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), Seq("type_a"))
+      .join(Tables.stateHint(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(n_common * 1000000) div (n_a + n_b - n_common)").as("jaccard_ppm"))
+  }
+
+  val bitmapOverlapOracle: String = """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    words AS (
+      SELECT event_type, user_id // 32 AS word_idx,
+        BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS word
+      FROM du GROUP BY 1, 2),
+    sizes AS (
+      SELECT event_type, CAST(SUM(BIT_COUNT(word)) AS BIGINT) AS n_users
+      FROM words GROUP BY 1),
+    ov AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(SUM(BIT_COUNT(a.word & b.word)) AS BIGINT) AS n_common
+      FROM words a JOIN words b
+        ON a.word_idx = b.word_idx AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_common,
+      (n_common * 1000000) // (sa.n_users + sb.n_users - n_common) AS jaccard_ppm
+    FROM ov JOIN sizes sa ON type_a = sa.event_type
+    JOIN sizes sb ON type_b = sb.event_type"""
+
   def defs: Map[String, QueryDef] = Map(
+    "bitmap_overlap" -> QueryDef.sql(bitmapOverlap, bitmapOverlapOracle),
     "bot_detect" -> QueryDef.sql(botDetect, botDetectOracle),
     "dow_seasonality" -> QueryDef.sql(dowSeasonality, dowSeasonalityOracle),
     "quantile_sketch_merge" -> QueryDef.sql(quantileSketchMerge, quantileSketchMergeOracle),

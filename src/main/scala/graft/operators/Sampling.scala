@@ -745,7 +745,50 @@ object Sampling {
       CAST(1 + ((curriculum_pos - 1) * 3) // n_total AS BIGINT) AS phase
     FROM pos CROSS JOIN tot"""
 
+  /** Group-leakage-safe k-fold assignment (sklearn GroupKFold's job,
+    * hash-deterministic): every ORDER lands in the fold of its CUSTOMER
+    * — the group key — via the portable salted hash-mod, so no
+    * customer's behavior spans a train/eval boundary (the leakage class
+    * [[splitLeakageAudit]] detects; this is the assignment-side fix).
+    * Output is the per-fold balance audit: group/row counts, exact-cents
+    * mass, and share ppm — the evidence that hash-mod folds are
+    * size-balanced without a shuffle-heavy stratified assignment.
+    * One broadcast of the salted-hash fold expression (computed inline
+    * per row — no customer-table join needed, the group key is ON the
+    * fact row) and one aggregate.
+    */
+  def groupKfold(spark: SparkSession, dir: String): DataFrame = {
+    val folds = Tables.orders(spark, dir)
+      .withColumn("fold",
+        graft.functions.TextOps.hash24(
+          concat(lit("kfold"), lit("|"), col("o_custkey").cast("string"))) % 5)
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("o_custkey")).as("n_groups"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+          .as("order_cents"))
+    folds.withColumn("orders_share_ppm",
+      expr("(n_orders * 1000000) div (sum(n_orders) over ())"))
+  }
+
+  val groupKfoldOracle: String = s"""
+    WITH f AS (
+      SELECT CAST('0x' || SUBSTR(MD5('kfold' || '|' ||
+          CAST(o_custkey AS VARCHAR)), 1, 6) AS BIGINT) % 5 AS fold,
+        o_custkey, o_totalprice
+      FROM orders),
+    g AS (
+      SELECT fold, COUNT(DISTINCT o_custkey) AS n_groups, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS order_cents
+      FROM f GROUP BY 1)
+    SELECT fold, n_groups, n_orders, order_cents,
+      (n_orders * 1000000) // CAST(SUM(n_orders) OVER () AS BIGINT)
+        AS orders_share_ppm
+    FROM g"""
+
   def defs: Map[String, QueryDef] = Map(
+    "group_kfold" -> QueryDef.sql(groupKfold, groupKfoldOracle),
     "curriculum_order" -> QueryDef.sql(curriculumOrder, curriculumOrderOracle),
     "importance_weights" -> QueryDef.sql(importanceWeights, importanceWeightsOracle),
     "sample_importance" -> QueryDef.sql(sampleImportance, sampleImportanceOracle),

@@ -156,6 +156,39 @@ class GraphEventExtSpec extends SparkSpec {
     }
   }
 
+  test("bitmap_overlap: popcounts equal exact distinct intersections") {
+    val rows = operators.EventScience.bitmapOverlap(spark, sfDir).collect()
+    // exact audiences recomputed the naive way
+    val aud = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val types = aud.keys.toSeq.sorted
+    assert(rows.length == types.combinations(2).size,
+      "one row per unordered type pair")
+    rows.foreach { r =>
+      val a = aud(r.getAs[String]("type_a")); val b = aud(r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("n_a") == a.size)
+      assert(r.getAs[Long]("n_b") == b.size)
+      assert(r.getAs[Long]("n_common") == (a intersect b).size,
+        "bitmap popcount must equal the exact intersection")
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(j == (a intersect b).size.toLong * 1000000L / (a union b).size)
+    }
+  }
+
+  test("group_kfold: folds partition customers and orders with no group split") {
+    val rows = operators.Sampling.groupKfold(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("fold")).toSet.subsetOf((0L to 4L).toSet))
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    // group safety: every customer's orders land in exactly one fold ⇒
+    // Σ per-fold distinct customers = global distinct customers
+    val nCusts = Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_groups")).sum == nCusts,
+      "a customer appearing in two folds would double-count here")
+  }
+
   test("quantile_sketch_merge: monotone quantiles, window dominates the day") {
     val rows = operators.EventScience.quantileSketchMerge(spark, sfDir).collect()
     assert(rows.nonEmpty)
