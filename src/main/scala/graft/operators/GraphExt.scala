@@ -323,15 +323,16 @@ object GraphExt {
     * a TakeOrdered.
     */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nOrders = items.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val support = items.groupBy(col("l_partkey").as("pk"))
-      .agg(count(lit(1)).as("n_item"))
-    val pairs = Tables.lineitem(spark, dir)
+    // ONE corpus shuffle: the per-order sorted basket is the shared base
+    // for N, item supports (explode), and pair counts (local C(k,2)) —
+    // a separate DISTINCT scan for supports would re-shuffle lineitem.
+    val baskets = checkpoint(Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val support = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
       .select(localPartPairs("ps").as("p"))
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("cofreq"))
