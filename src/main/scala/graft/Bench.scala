@@ -57,6 +57,7 @@ object Bench {
     // the bench-only streaming entries are addressable there too.
     val extraNames = Set("stream_bench_window_agg", "stream_bench_dedup",
       "stream_bench_funnel", "stream_bench_debounce",
+      "stream_bench_histogram",
       "curation_pipeline_e2e", "stream_curation_e2e",
       "ann_index_probe_e2e")
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
@@ -118,6 +119,11 @@ object Bench {
     val extraEntries: Seq[(String, String => Unit)] = Seq(
       ("stream_bench_window_agg", (uniq: String) => drain(
         streaming.EventStreams.windowedAgg(
+            streaming.EventStreams.eventsStream(spark, sfDir))
+          .writeStream.format("memory").queryName(uniq)
+          .outputMode("complete").start(), uniq)),
+      ("stream_bench_histogram", (uniq: String) => drain(
+        streaming.EventStreams.histogramSketch(
             streaming.EventStreams.eventsStream(spark, sfDir))
           .writeStream.format("memory").queryName(uniq)
           .outputMode("complete").start(), uniq)),

@@ -44,6 +44,41 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming mergeable histogram sketch — the stream twin of
+    * `quantile_sketch_merge`'s daily stage: per (1-day tumbling window ×
+    * event type), the same 32-bin equi-width value histogram (width 16,
+    * clamped to [0, 512)) as 32 conditional counts inside ONE streaming
+    * aggregate (mergeable by addition, so late data within the 2-hour
+    * watermark folds into the same state), with p50/p95 read from the
+    * finished histogram at nearest-bin resolution in the post-agg
+    * projection. State per key is 32 longs — constant at any event
+    * rate, the property that makes the sketch viable as standing
+    * streaming state where a per-value quantile buffer is not.
+    */
+  def histogramSketch(events: DataFrame): DataFrame = {
+    val bin = when(col("value") < 0, lit(0L))
+      .when(col("value") >= 512, lit(31L))
+      .otherwise(floor(col("value") / 16).cast("bigint"))
+    val binCols = (0 until 32).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("bin", bin)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(binCols.head, binCols.tail: _*)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        array((0 until 32).map(b => col(s"c$b")): _*).as("bins"))
+      .withColumn("total", expr("aggregate(bins, 0L, (a, x) -> a + x)"))
+      .withColumn("cum", expr(
+        "transform(sequence(0, 31), b -> " +
+          "aggregate(slice(bins, 1, b + 1), 0L, (a, x) -> a + x))"))
+      .withColumn("p50_bin", expr(
+        "cast(filter(sequence(0, 31), b -> element_at(cum, b + 1) * 2 >= total)[0] as bigint)"))
+      .withColumn("p95_bin", expr(
+        "cast(filter(sequence(0, 31), b -> element_at(cum, b + 1) * 20 >= total * 19)[0] as bigint)"))
+      .drop("cum")
+  }
+
   private val SessionGapUs = 30L * 60 * 1000 * 1000
 
   /** Epoch-microseconds of a Timestamp — getTime() alone truncates to

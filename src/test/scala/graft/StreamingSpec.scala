@@ -37,6 +37,69 @@ class StreamingSpec extends SparkSpec {
       (180L, "click", 1L)))
   }
 
+  test("histogramSketch bins values per day-window and reads nearest-bin quantiles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // one day window; values land in bins 0 (1.0), 6 (100), 31 (500), 31 (600 clamped)
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 100.0),
+      Event(3, ts(10), 2, "click", 500.0),
+      Event(4, ts(15), 2, "click", 600.0),
+      Event(5, ts(20), 1, "view", -3.0)) // negative clamps to bin 0
+    val q = EventStreams.histogramSketch(input.toDF())
+      .writeStream.format("memory").queryName("hist_sketch")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("hist_sketch").collect()
+    val click = rows.find(_.getAs[String]("event_type") == "click").get
+    val bins = click.getAs[scala.collection.Seq[Long]]("bins")
+    assert(bins.length == 32)
+    assert(bins(0) == 1 && bins(6) == 1 && bins(31) == 2)
+    assert(click.getAs[Long]("total") == 4)
+    // cum at bin 6 = 2 ⇒ 2·2 ≥ 4 ⇒ p50 bin 6; p95 needs cum·20 ≥ 76 ⇒ bin 31
+    assert(click.getAs[Long]("p50_bin") == 6)
+    assert(click.getAs[Long]("p95_bin") == 31)
+    val view = rows.find(_.getAs[String]("event_type") == "view").get
+    assert(view.getAs[Long]("total") == 1)
+    assert(view.getAs[scala.collection.Seq[Long]]("bins")(0) == 1)
+    assert(view.getAs[Long]("p50_bin") == 0)
+  }
+
+  test("histogramSketch agrees with the batch daily histogram on the sf table") {
+    // stream the real events table and compare per-(day, type) totals +
+    // quantile bins against an independent batch recomputation
+    val streamed = {
+      val q = EventStreams.histogramSketch(
+          EventStreams.eventsStream(spark, sfDir))
+        .writeStream.format("memory").queryName("hist_sf")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("hist_sf").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime / 86400000L,
+          r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("total"), r.getAs[Long]("p50_bin"), r.getAs[Long]("p95_bin")))
+        .toMap
+    }
+    val batch = Tables.events(spark, sfDir)
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"),
+        when(col("value") < 0, lit(0L)).when(col("value") >= 512, lit(31L))
+          .otherwise(floor(col("value") / 16).cast("bigint")).as("bin"))
+      .groupBy(col("day"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(r => (r.getAs[Long]("day"), r.getAs[String]("event_type")))
+    assert(streamed.size == batch.size)
+    batch.foreach { case (key, rs) =>
+      val byBin = rs.map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+      val total = byBin.values.sum
+      val cums = (0L to 31L).scanLeft(0L)((a, b) => a + byBin.getOrElse(b, 0L)).tail
+      val p50 = (0 until 32).find(b => cums(b) * 2 >= total).get.toLong
+      val p95 = (0 until 32).find(b => cums(b) * 20 >= total * 19).get.toLong
+      assert(streamed(key) == ((total, p50, p95)), s"mismatch at $key")
+    }
+  }
+
   test("sessionized assigns gap-based sessions with per-user state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
