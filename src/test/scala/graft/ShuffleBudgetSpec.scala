@@ -324,4 +324,35 @@ class ShuffleBudgetSpec extends SparkSpec {
   // and the per-label drift fold.
   check("embedding_drift", 2)(
     operators.Similarity.embeddingDrift(spark, sfDir))
+  // Round-9 event-science family: the corpus shuffles once into its
+  // per-key frame; the extra exchanges are countDistinct expands (a
+  // 3-distinct aggregate plans expand + two agg phases) and
+  // profile-scale windows, never a second corpus shuffle.
+  check("bot_detect", 3)(operators.EventScience.botDetect(spark, sfDir))
+  check("dow_seasonality", 3)(operators.EventScience.dowSeasonality(spark, sfDir))
+  check("behavior_gini", 2)(operators.EventScience.behaviorGini(spark, sfDir))
+  check("drift_tvd", 4)(operators.EventScience.driftTvd(spark, sfDir))
+  // bitmap_overlap: distinct → word fold → word_idx join → pair fold;
+  // the T² sweep itself adds no corpus-scale exchange.
+  check("bitmap_overlap", 4)(operators.EventScience.bitmapOverlap(spark, sfDir))
+  // quantile_sketch_merge: daily histogram fold + grid densify + the
+  // two window merges on the metadata-scale grid.
+  check("quantile_sketch_merge", 4)(
+    operators.EventScience.quantileSketchMerge(spark, sfDir))
+  // benford: one 9-group fold per measure scan + the share window on
+  // the 18-row profile.
+  check("benford_audit", 3)(operators.Quality.benfordAudit(spark, sfDir))
+  check("l_diversity_audit", 4)(operators.Quality.lDiversityAudit(spark, sfDir))
+  check("group_kfold", 3)(operators.Sampling.groupKfold(spark, sfDir))
+  // bm25: ONE tokenize scan into the per-doc fold; the stats row is a
+  // single-partition fold; top-20 is TakeOrdered (no exchange).
+  check("bm25_topk", 2)(operators.Retrieval.bm25Topk(spark, sfDir))
+  check("quantile_normalize", 2)(operators.Retrieval.quantileNormalize(spark, sfDir))
+  // theilsen: corpus → monthly grid once; the pair self-join and median
+  // window run on the metadata-scale grid.
+  check("theilsen_trend", 2)(operators.Retrieval.theilsenTrend(spark, sfDir))
+  // assoc_rules: the ONE basket shuffle + the support/pair folds that
+  // reread the checkpointed baskets.
+  check("assoc_rules", 3)(operators.GraphExt.assocRules(spark, sfDir))
+  check("graph_assortativity", 2)(operators.GraphExt.graphAssortativity(spark, sfDir))
 }
