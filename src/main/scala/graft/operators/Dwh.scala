@@ -338,7 +338,53 @@ object Dwh {
         STRFTIME(l_shipdate, '%Y-%m-%d %H:%M:%S') AS created_time
       FROM lineitem)"""
 
+  /** Conformed DATE dimension generated from the fact table's own span
+    * (the one dim every star schema needs and no source system ships):
+    * one row per calendar day from min to max order date with the
+    * standard role-playing attributes. Calendar parts come from DATE
+    * functions (deterministic — no timezone on DATE); dow and epoch_day
+    * from pure integer epoch arithmetic ((days+4) mod 7, the repo-wide
+    * weekday rule); quarter from integer month arithmetic rather than
+    * engine QUARTER(). Generation is a single sequence-explode of the
+    * two-value bounds row — no source scan beyond the min/max fold; at
+    * any fact scale the dim is ~tens of thousands of rows, the
+    * broadcast side of every date join.
+    */
+  def dimDate(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.orders(spark, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+    bounds.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("date_iso"),
+        year(col("d")).cast("long").as("year"),
+        month(col("d")).cast("long").as("month"),
+        dayofmonth(col("d")).cast("long").as("day_of_month"),
+        expr("cast((month(d) - 1) div 3 + 1 as bigint)").as("quarter"),
+        datediff(col("d"), lit("1970-01-01")).cast("long").as("epoch_day"),
+        ((datediff(col("d"), lit("1970-01-01")) + 4) % 7).cast("long").as("dow"),
+        (month(date_add(col("d"), 1)) =!= month(col("d"))).as("is_month_end"))
+  }
+
+  val dimDateOracle: String = """
+    WITH b AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+        CAST(MAX(o_orderdate) AS DATE) AS d1
+      FROM orders),
+    days AS (SELECT UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS dts FROM b),
+    d AS (SELECT CAST(dts AS DATE) AS d FROM days)
+    SELECT STRFTIME(d, '%Y-%m-%d') AS date_iso,
+      CAST(EXTRACT(YEAR FROM d) AS BIGINT) AS year,
+      CAST(EXTRACT(MONTH FROM d) AS BIGINT) AS month,
+      CAST(EXTRACT(DAY FROM d) AS BIGINT) AS day_of_month,
+      CAST((EXTRACT(MONTH FROM d) - 1) // 3 + 1 AS BIGINT) AS quarter,
+      CAST(DATEDIFF('day', DATE '1970-01-01', d) AS BIGINT) AS epoch_day,
+      CAST((DATEDIFF('day', DATE '1970-01-01', d) + 4) % 7 AS BIGINT) AS dow,
+      EXTRACT(MONTH FROM d + 1) <> EXTRACT(MONTH FROM d) AS is_month_end
+    FROM d"""
+
   def defs: Map[String, QueryDef] = Map(
+    "dwh_dim_date" -> QueryDef.sql(dimDate, dimDateOracle),
     "dwh_fact_sales" -> QueryDef.sql(factSales, factSalesOracle),
     "dwh_dim_customer" -> QueryDef.sql(dimCustomer, dimCustomerOracle),
     "dwh_star_join" -> QueryDef.sql(starJoin, starJoinOracle),

@@ -401,7 +401,116 @@ object EventScience {
     FROM ov JOIN sizes sa ON type_a = sa.event_type
     JOIN sizes sb ON type_b = sb.event_type"""
 
+  /** Seasonal-naive forecast backtest per event type: forecast(day) =
+    * count(day − 7) (the [[dowSeasonality]] profile's operational
+    * consequence), scored as WAPE = Σ|actual − forecast| ÷ Σactual in
+    * integer ppm against the lag-1 naive baseline — the accuracy-gate
+    * evidence that weekly seasonality is real signal (lag-7 beats
+    * lag-1) before a forecasting layer ships. Lag over the OBSERVED
+    * day grid with an exact day-distance guard (a missing day must not
+    * silently become "yesterday"). All-integer: counts, absolute
+    * errors, and both WAPEs are BIGINT arithmetic. One corpus shuffle
+    * into the (type, day) grid; lags and folds run on the grid.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_ord"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts div $NsPerDay").as("day_ord"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = daily
+      .withColumn("d1", lag(col("day_ord"), 1).over(w))
+      .withColumn("n1", lag(col("n"), 1).over(w))
+      .withColumn("d7", lag(col("day_ord"), 7).over(w))
+      .withColumn("n7", lag(col("n"), 7).over(w))
+      .withColumn("f1", when(col("d1") === col("day_ord") - 1, col("n1")))
+      .withColumn("f7", when(col("d7") === col("day_ord") - 7, col("n7")))
+      .filter(col("f1").isNotNull && col("f7").isNotNull)
+    lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(col("n")).as("total_actual"),
+        sum(abs(col("n") - col("f7"))).as("abs_err_lag7"),
+        sum(abs(col("n") - col("f1"))).as("abs_err_lag1"))
+      .select(col("event_type"), col("n_days_scored"), col("total_actual"),
+        expr("(abs_err_lag7 * 1000000) div total_actual").as("wape_lag7_ppm"),
+        expr("(abs_err_lag1 * 1000000) div total_actual").as("wape_lag1_ppm"))
+  }
+
+  val forecastBacktestOracle: String = s"""
+    WITH daily AS (
+      SELECT event_type, EPOCH_NS(ts) // $NsPerDay AS day_ord, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day_ord, n,
+        CASE WHEN LAG(day_ord, 1) OVER w = day_ord - 1
+          THEN LAG(n, 1) OVER w END AS f1,
+        CASE WHEN LAG(day_ord, 7) OVER w = day_ord - 7
+          THEN LAG(n, 7) OVER w END AS f7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_ord))
+    SELECT event_type, COUNT(*) AS n_days_scored,
+      CAST(SUM(n) AS BIGINT) AS total_actual,
+      (CAST(SUM(ABS(n - f7)) AS BIGINT) * 1000000)
+        // CAST(SUM(n) AS BIGINT) AS wape_lag7_ppm,
+      (CAST(SUM(ABS(n - f1)) AS BIGINT) * 1000000)
+        // CAST(SUM(n) AS BIGINT) AS wape_lag1_ppm
+    FROM lagged WHERE f1 IS NOT NULL AND f7 IS NOT NULL
+    GROUP BY 1"""
+
+  /** Weekly cohort LTV curve: signup cohort (first-touch week) × age in
+    * weeks → active users, exact-cents value, and the cohort's
+    * CUMULATIVE value per member (the lifetime-value curve finance
+    * reads; [[graft.operators.EventOps]] retention_cohorts is the
+    * count-only daily twin). Week = day_ord ÷ 7 — pure integer epoch
+    * arithmetic. Cumulative cents via a running window over the ≤
+    * (weeks²) cohort grid; per-member ppm-cents is one floor division
+    * of exact BIGINTs. Two corpus-keyed shuffles (first-touch fold,
+    * cohort-cell fold); everything after runs on the grid.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div ($NsPerDay * 7)").as("week"),
+        floor(col("value") * 100 + lit(0.5)).cast("bigint").as("cents"))
+    val firstTouch = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    val sizes = firstTouch.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    val cells = ev.join(Tables.stateHint(firstTouch), Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        sum(col("cents")).as("week_cents"))
+    val wc = Window.partitionBy(col("cohort")).orderBy(col("age_weeks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("week_cents")).over(wc))
+      .join(Tables.stateHint(sizes), Seq("cohort"))
+      .select(col("cohort"), col("age_weeks"), col("active_users"),
+        col("week_cents"), col("cum_cents"), col("cohort_users"),
+        expr("cum_cents div cohort_users").as("ltv_cents_per_user"))
+  }
+
+  val cohortLtvOracle: String = s"""
+    WITH ev AS (
+      SELECT user_id, EPOCH_NS(ts) // ($NsPerDay * 7) AS week,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    ft AS (SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY 1),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_users FROM ft GROUP BY 1),
+    cells AS (
+      SELECT ft.cohort, ev.week - ft.cohort AS age_weeks,
+        COUNT(DISTINCT ev.user_id) AS active_users,
+        CAST(SUM(ev.cents) AS BIGINT) AS week_cents
+      FROM ev JOIN ft ON ev.user_id = ft.user_id
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age_weeks, active_users, week_cents,
+        CAST(SUM(week_cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM cells)
+    SELECT c.cohort, c.age_weeks, c.active_users, c.week_cents, c.cum_cents,
+      s.cohort_users, c.cum_cents // s.cohort_users AS ltv_cents_per_user
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort"""
+
   def defs: Map[String, QueryDef] = Map(
+    "forecast_backtest" -> QueryDef.sql(forecastBacktest, forecastBacktestOracle),
+    "cohort_ltv" -> QueryDef.sql(cohortLtv, cohortLtvOracle),
     "bitmap_overlap" -> QueryDef.sql(bitmapOverlap, bitmapOverlapOracle),
     "bot_detect" -> QueryDef.sql(botDetect, botDetectOracle),
     "dow_seasonality" -> QueryDef.sql(dowSeasonality, dowSeasonalityOracle),

@@ -156,6 +156,52 @@ class GraphEventExtSpec extends SparkSpec {
     }
   }
 
+  test("forecast_backtest: WAPE bounds and scored-day accounting") {
+    val rows = operators.EventScience.forecastBacktest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days_scored") >= 1)
+      assert(r.getAs[Long]("total_actual") > 0)
+      // WAPE is nonnegative; a constant series scores 0
+      assert(r.getAs[Long]("wape_lag7_ppm") >= 0)
+      assert(r.getAs[Long]("wape_lag1_ppm") >= 0)
+    }
+  }
+
+  test("cohort_ltv: cumulative cents are monotone and end at the cohort total") {
+    val rows = operators.EventScience.cohortLtv(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort")).foreach { case (_, rs) =>
+      val byAge = rs.sortBy(_.getAs[Long]("age_weeks"))
+      val cums = byAge.map(_.getAs[Long]("cum_cents"))
+      assert(cums.sameElements(cums.sorted), "cumulative value must be monotone")
+      assert(cums.last == byAge.map(_.getAs[Long]("week_cents")).sum)
+      byAge.foreach(r => assert(r.getAs[Long]("active_users")
+        <= r.getAs[Long]("cohort_users")))
+    }
+    // cohorts partition users
+    val users = Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    val cohortUsers = rows.groupBy(_.getAs[Long]("cohort"))
+      .map(_._2.head.getAs[Long]("cohort_users")).sum
+    assert(cohortUsers == users)
+  }
+
+  test("dwh_dim_date: contiguous days, calendar identities hold") {
+    val rows = operators.Dwh.dimDate(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("epoch_day"))
+    val days = rows.map(_.getAs[Long]("epoch_day"))
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+      "date dim must be gap-free")
+    rows.foreach { r =>
+      val q = r.getAs[Long]("quarter"); val m = r.getAs[Long]("month")
+      assert(q == (m - 1) / 3 + 1)
+      assert(r.getAs[Long]("dow") == ((r.getAs[Long]("epoch_day") + 4) % 7))
+      val iso = r.getAs[String]("date_iso")
+      assert(iso == f"${r.getAs[Long]("year")}%04d-$m%02d-${r.getAs[Long]("day_of_month")}%02d")
+    }
+    assert(rows.count(_.getAs[Boolean]("is_month_end")) >= rows.length / 31)
+  }
+
   test("bitmap_overlap: popcounts equal exact distinct intersections") {
     val rows = operators.EventScience.bitmapOverlap(spark, sfDir).collect()
     // exact audiences recomputed the naive way
