@@ -103,7 +103,93 @@ object Coreset {
       UNION ALL $out)"""
   }
 
+  private val Dim = 64
+  private val PowerRounds = 12
+  private val GramFx = 1.0e8 // per-row outer-product fixed point
+  private val MatFx = 1.0e4 // mat-vec fixed point (headroom: |G|·1e4·64 < 2^63)
+
+  /** Top principal component of the embedding corpus by power iteration
+    * — the PCA direction a whitening/projection step needs, computed
+    * with ONE corpus pass: the d² Gram matrix accumulates as exact
+    * BIGINTs (each row's outer product floors to 1e8 fixed point before
+    * the cross-row sum, so partition order cannot perturb it), then 12
+    * mat-vec rounds run on the 4096-row Gram frame with the 64-row
+    * vector broadcast — the pagerank discipline at d² scale. Each
+    * mat-vec term re-floors (G·v·1e4 → BIGINT) so round k is
+    * bit-identical to the unrolled MATERIALIZED-CTE oracle;
+    * normalization divides by the SIGNED max-|component| entry (tie →
+    * lowest index), which also fixes the eigenvector's sign
+    * deterministically (that component becomes +1). λ is read off the
+    * final normalization scalar (v had +1 at the pivot).
+    *
+    * Scale: the d²-row explode is the honest Gram cost (64× row
+    * amplification, one shuffle); iterations never touch the corpus.
+    */
+  def pcaPowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val gram = graft.functions.Iterate.checkpoint(
+      Tables.embeddings(spark, dir)
+        .select(explode(expr(
+          s"""flatten(transform(embedding, (x, i) ->
+             |  transform(embedding, (y, j) -> struct(i AS i, j AS j,
+             |    cast(floor(cast(x as double) * cast(y as double) * $GramFx)
+             |      as bigint) AS c))))""".stripMargin)).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(sum(col("p.c")).as("g"))
+        .repartition(graft.functions.Iterate.statePartitions(spark)))
+    var v = spark.range(Dim).select(col("id").cast("int").as("j"),
+      lit(1.0).as("vj"))
+    var lastScalar: DataFrame = null
+    for (r <- 1 to PowerRounds) {
+      val w = gram.join(broadcast(v), Seq("j"))
+        .select(col("i"),
+          floor(col("g").cast("double") * col("vj") * lit(MatFx))
+            .cast("bigint").as("t"))
+        .groupBy(col("i")).agg(sum(col("t")).cast("double").as("wd"))
+      val mat = graft.functions.Iterate.checkpoint(w)
+      lastScalar = mat.orderBy(abs(col("wd")).desc, col("i").asc).limit(1)
+        .select(col("wd").as("piv"))
+      v = mat.crossJoin(broadcast(lastScalar))
+        .select(col("i").as("j"), (col("wd") / col("piv")).as("vj"))
+    }
+    v.crossJoin(broadcast(lastScalar))
+      .select(col("j").cast("long").as("dim_idx"),
+        (floor(col("vj") * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6))
+          .as("component"),
+        (floor(col("piv") / lit(MatFx) / lit(GramFx) * lit(1.0e4) + lit(0.5))
+          .cast("double") / lit(1.0e4)).as("lambda_est"))
+  }
+
+  val pcaPowerIterationOracle: String = {
+    val rounds = (1 to PowerRounds).map { r =>
+      s"""w$r AS MATERIALIZED (
+      SELECT g.i, CAST(SUM(CAST(FLOOR(CAST(g.g AS DOUBLE) * p.vj * $MatFx)
+        AS BIGINT)) AS DOUBLE) AS wd
+      FROM gram g JOIN v${r - 1} p ON g.j = p.j GROUP BY 1),
+    s$r AS MATERIALIZED (
+      SELECT wd AS piv FROM w$r ORDER BY ABS(wd) DESC, i ASC LIMIT 1),
+    v$r AS MATERIALIZED (
+      SELECT w$r.i AS j, w$r.wd / s$r.piv AS vj FROM w$r CROSS JOIN s$r)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH gram AS MATERIALIZED (
+      SELECT ii.range AS i, jj.range AS j,
+        CAST(SUM(CAST(FLOOR(CAST(embedding[ii.range + 1] AS DOUBLE)
+          * CAST(embedding[jj.range + 1] AS DOUBLE) * $GramFx) AS BIGINT))
+          AS BIGINT) AS g
+      FROM embeddings
+      CROSS JOIN range(0, $Dim) ii CROSS JOIN range(0, $Dim) jj
+      GROUP BY 1, 2),
+    v0 AS (SELECT range AS j, CAST(1.0 AS DOUBLE) AS vj FROM range(0, $Dim)),
+    $rounds
+    SELECT CAST(v.j AS BIGINT) AS dim_idx,
+      CAST(FLOOR(v.vj * 1.0e6 + 0.5) AS DOUBLE) / 1.0e6 AS component,
+      CAST(FLOOR(s.piv / $MatFx / $GramFx * 1.0e4 + 0.5) AS DOUBLE) / 1.0e4
+        AS lambda_est
+    FROM v$PowerRounds v CROSS JOIN s$PowerRounds s"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
-    "kcenter_coreset" -> QueryDef.sql(kcenterCoreset, kcenterCoresetOracle)
+    "kcenter_coreset" -> QueryDef.sql(kcenterCoreset, kcenterCoresetOracle),
+    "pca_power_iteration" -> QueryDef.sql(pcaPowerIteration, pcaPowerIterationOracle)
   )
 }

@@ -508,7 +508,90 @@ object EventScience {
       s.cohort_users, c.cum_cents // s.cohort_users AS ltv_cents_per_user
     FROM cum c JOIN sizes s ON c.cohort = s.cohort"""
 
+  private val UsPerDay = 86400L * 1000 * 1000
+
+  /** Linear multi-touch attribution over the click→purchase path — the
+    * equal-credit complement of the last-touch purchase_attribution:
+    * each purchase splits 1e6 ppm of credit equally over the user's
+    * clicks in the PRECEDING 24 h (k clicks → 1e6 ÷ k each, exact floor
+    * division), rolled up per purchase day with the floor loss made
+    * explicit (k·(1e6÷k) ≤ 1e6 — auditable rounding, not silent).
+    * Credited-click counts come from the mirror frame (clicks with a
+    * purchase in the FOLLOWING 24 h).
+    *
+    * Scale: NO event self-join — both directions are RANGE-framed
+    * window counts over the (user, µs-time) ordering (the
+    * conversion_latency decorrelation discipline): the corpus shuffles
+    * once on user_id, every frame is time-bounded state.
+    */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t_us"),
+        expr(s"ts div $NsPerDay").as("day_ord"))
+      .withColumn("is_click", when(col("event_type") === "click", 1L).otherwise(0L))
+      .withColumn("is_purchase",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+    val framed = ev
+      .withColumn("k_clicks_before",
+        sum(col("is_click")).over(byUser.rangeBetween(-UsPerDay, 0)))
+      .withColumn("purchases_after",
+        sum(col("is_purchase")).over(byUser.rangeBetween(0, UsPerDay)))
+    val purchases = framed.filter(col("is_purchase") === 1)
+      .groupBy(col("day_ord"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("k_clicks_before") > 0, 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("k_clicks_before") > 0,
+          col("k_clicks_before") * expr("1000000 div k_clicks_before"))
+          .otherwise(0L)).as("credit_recovered_ppm"))
+    val clicks = framed.filter(col("is_click") === 1)
+      .groupBy(col("day_ord"))
+      .agg(sum(when(col("purchases_after") > 0, 1L).otherwise(0L))
+        .as("n_clicks_credited"))
+    purchases.join(clicks, Seq("day_ord"), "left")
+      .select(col("day_ord"), col("n_purchases"), col("n_attributed"),
+        col("credit_recovered_ppm"),
+        (col("n_attributed") * 1000000L - col("credit_recovered_ppm"))
+          .as("floor_loss_ppm"),
+        coalesce(col("n_clicks_credited"), lit(0L)).as("n_clicks_credited"))
+  }
+
+  val attributionLinearOracle: String = s"""
+    WITH ev AS (
+      SELECT user_id, event_type, EPOCH_US(ts) AS t_us,
+        EPOCH_NS(ts) // $NsPerDay AS day_ord,
+        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+      FROM events),
+    framed AS (
+      SELECT *,
+        CAST(SUM(is_click) OVER (PARTITION BY user_id ORDER BY t_us
+          RANGE BETWEEN $UsPerDay PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS k_clicks_before,
+        CAST(SUM(is_purchase) OVER (PARTITION BY user_id ORDER BY t_us
+          RANGE BETWEEN CURRENT ROW AND $UsPerDay FOLLOWING) AS BIGINT)
+          AS purchases_after
+      FROM ev),
+    p AS (
+      SELECT day_ord, COUNT(*) AS n_purchases,
+        CAST(SUM(CASE WHEN k_clicks_before > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_attributed,
+        CAST(SUM(CASE WHEN k_clicks_before > 0
+          THEN k_clicks_before * (1000000 // k_clicks_before) ELSE 0 END)
+          AS BIGINT) AS credit_recovered_ppm
+      FROM framed WHERE is_purchase = 1 GROUP BY 1),
+    c AS (
+      SELECT day_ord,
+        CAST(SUM(CASE WHEN purchases_after > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clicks_credited
+      FROM framed WHERE is_click = 1 GROUP BY 1)
+    SELECT p.day_ord, p.n_purchases, p.n_attributed, p.credit_recovered_ppm,
+      p.n_attributed * 1000000 - p.credit_recovered_ppm AS floor_loss_ppm,
+      COALESCE(c.n_clicks_credited, 0) AS n_clicks_credited
+    FROM p LEFT JOIN c ON p.day_ord = c.day_ord"""
+
   def defs: Map[String, QueryDef] = Map(
+    "attribution_linear" -> QueryDef.sql(attributionLinear, attributionLinearOracle),
     "forecast_backtest" -> QueryDef.sql(forecastBacktest, forecastBacktestOracle),
     "cohort_ltv" -> QueryDef.sql(cohortLtv, cohortLtvOracle),
     "bitmap_overlap" -> QueryDef.sql(bitmapOverlap, bitmapOverlapOracle),

@@ -156,6 +156,47 @@ class GraphEventExtSpec extends SparkSpec {
     }
   }
 
+  test("pca_power_iteration: unit pivot, bounded components, near-eigenvector") {
+    val rows = operators.Coreset.pcaPowerIteration(spark, sfDir).collect()
+    assert(rows.length == 64)
+    val v = rows.sortBy(_.getAs[Long]("dim_idx")).map(_.getAs[Double]("component"))
+    assert(v.forall(c => math.abs(c) <= 1.0 + 1e-9))
+    assert(v.count(c => c == 1.0) >= 1, "the pivot component must be exactly +1")
+    assert(rows.head.getAs[Double]("lambda_est") > 0, "Gram is PSD")
+    // convergence: v is (approximately) a fixed point of the Gram map —
+    // recompute G·v independently and compare directions
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val gv = Array.tabulate(64) { i =>
+      embs.map(e => e(i) * e.indices.map(j => e(j) * v(j)).sum).sum
+    }
+    val piv = gv.map(math.abs).max
+    val gvn = gv.map(_ / piv * (if (gv(gv.map(math.abs).indexOf(piv)) < 0) -1 else 1))
+    val dot = v.zip(gvn).map { case (a, b) => a * b }.sum
+    val na = math.sqrt(v.map(x => x * x).sum)
+    val nb = math.sqrt(gvn.map(x => x * x).sum)
+    assert(math.abs(dot / (na * nb)) > 0.995,
+      s"returned vector is not close to an eigenvector (cos = ${dot / (na * nb)})")
+  }
+
+  test("attribution_linear: credit accounting identities per day") {
+    val rows = operators.EventScience.attributionLinear(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases)
+    rows.foreach { r =>
+      val na = r.getAs[Long]("n_attributed")
+      assert(na <= r.getAs[Long]("n_purchases"))
+      val credit = r.getAs[Long]("credit_recovered_ppm")
+      assert(credit <= na * 1000000L)
+      val loss = r.getAs[Long]("floor_loss_ppm")
+      assert(loss >= 0 && loss == na * 1000000L - credit)
+      assert(r.getAs[Long]("n_clicks_credited") >= 0)
+    }
+  }
+
   test("forecast_backtest: WAPE bounds and scored-day accounting") {
     val rows = operators.EventScience.forecastBacktest(spark, sfDir).collect()
     assert(rows.nonEmpty)
