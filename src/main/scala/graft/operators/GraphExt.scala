@@ -370,7 +370,103 @@ object GraphExt {
     CROSS JOIN n
     ORDER BY lift_ppm DESC, pa ASC, pb ASC LIMIT 25"""
 
+  private val WalkSteps = 5
+  private val WalksPerSeed = 4
+
+  /** Deterministic random walks over the co-purchase graph — the
+    * DeepWalk/node2vec corpus generator (walks ARE the training
+    * sentences for graph embeddings), made reproducible: at each step
+    * the walker picks neighbor rank hash24(node|step|walk) mod degree
+    * from the id-ordered adjacency — the salted-hash-mod discipline the
+    * sampling family uses, so the same graph always yields the same
+    * walks and the unrolled oracle is bit-identical. 5 steps × 4 walks
+    * from each of the top-5 degree seeds.
+    *
+    * Scale: the ranked adjacency builds once (one pair shuffle + a
+    * per-node rank window) and is checkpointed; each step joins the
+    * ≤ seeds·walks-row frontier against it (frontier broadcasts). Walk
+    * count scales embarrassingly — frontier rows stay
+    * walks-set-bounded, never graph-bounded.
+    */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(localPartPairs("ps").as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val adjRanked = checkpoint(
+      pairs.select(col("pa").as("node"), col("pb").as("nbr"))
+        .unionByName(pairs.select(col("pb").as("node"), col("pa").as("nbr")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("nbr").asc)).cast("long")))
+    val deg = adjRanked.groupBy(col("node")).agg(max(col("rank")).as("deg"))
+    val seeds = deg.orderBy(col("deg").desc, col("node").asc).limit(5)
+      .select(col("node").as("seed"))
+      .crossJoin(spark.range(WalksPerSeed).select(col("id").as("walk_id")))
+    var frontier = seeds.select(col("seed"), col("walk_id"),
+      lit(0L).as("step"), col("seed").as("node"))
+    var walks = frontier
+    for (t <- 1 to WalkSteps) {
+      val withDeg = frontier.join(stateHint(deg), Seq("node"))
+        .withColumn("pick",
+          graft.functions.TextOps.hash24(concat(
+            col("node").cast("string"), lit("|"), lit(t), lit("|"),
+            col("walk_id").cast("string"), lit("|"), col("seed").cast("string")))
+            % col("deg") + 1)
+      frontier = adjRanked
+        .join(stateHint(withDeg.select(col("node"), col("seed"), col("walk_id"),
+          col("pick"))), Seq("node"))
+        .filter(col("rank") === col("pick"))
+        .select(col("seed"), col("walk_id"), lit(t.toLong).as("step"),
+          col("nbr").as("node"))
+      walks = walks.unionByName(frontier)
+    }
+    walks
+  }
+
+  val randomWalksOracle: String = {
+    def hash(t: Int) =
+      s"""CAST('0x' || SUBSTR(MD5(CAST(f.node AS VARCHAR) || '|' || '$t' || '|'
+        || CAST(f.walk_id AS VARCHAR) || '|' || CAST(f.seed AS VARCHAR)), 1, 6)
+        AS BIGINT)"""
+    val steps = (1 to WalkSteps).map { t =>
+      s"""f$t AS MATERIALIZED (
+      SELECT f.seed, f.walk_id, $t AS step, a.nbr AS node
+      FROM f${t - 1} f
+      JOIN deg d ON f.node = d.node
+      JOIN adj a ON a.node = f.node AND a.rank = ${hash(t)} % d.deg + 1)"""
+    }.mkString(",\n    ")
+    val out = (0 to WalkSteps).map(t =>
+      s"SELECT seed, walk_id, CAST(step AS BIGINT) AS step, node FROM f$t")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH pairs AS MATERIALIZED (
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS MATERIALIZED (
+      SELECT node, nbr, CAST(ROW_NUMBER() OVER (PARTITION BY node
+        ORDER BY nbr ASC) AS BIGINT) AS rank
+      FROM (SELECT pa AS node, pb AS nbr FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs)),
+    deg AS MATERIALIZED (SELECT node, MAX(rank) AS deg FROM adj GROUP BY 1),
+    seeds AS (
+      SELECT node AS seed FROM deg ORDER BY deg DESC, node ASC LIMIT 5),
+    f0 AS MATERIALIZED (
+      SELECT s.seed, w.range AS walk_id, 0 AS step, s.seed AS node
+      FROM seeds s CROSS JOIN range(0, $WalksPerSeed) w),
+    $steps
+    SELECT * FROM (
+      $out)"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "random_walks" -> QueryDef.sql(randomWalks, randomWalksOracle),
     "hits_authority" -> QueryDef.sql(hitsAuthority, hitsAuthorityOracle),
     "graph_assortativity" -> QueryDef.sql(graphAssortativity, graphAssortativityOracle),
     "graph_modularity" -> QueryDef.sql(graphModularity, graphModularityOracle),

@@ -230,7 +230,143 @@ object Retrieval {
       CAST(FLOOR(slope * 1.0e4 + 0.5) AS DOUBLE) / 1.0e4 AS median_slope_cents
     FROM ranked WHERE rn = (n_pairs + 1) // 2"""
 
+  /** Reciprocal-rank fusion of the LEXICAL and SEMANTIC rankings — the
+    * hybrid-search combiner (Cormack et al. 2009, the Elasticsearch/
+    * Vespa default): [[bm25Topk]]'s 20 lexical hits fused with the 20
+    * nearest embedding neighbors of the query doc (vec 0; vec_id =
+    * doc_id is the embedded-corpus contract) by
+    * rrf = Σ 1e6 ÷ (60 + rank) — integer floor division per list, two
+    * terms added in fixed order, so the fused score is exact BIGINT ppm.
+    * Absent ranks report the −1 sentinel and contribute 0.
+    *
+    * Scale: both input rankings are top-k frames (≤ 20 rows each); the
+    * fusion is a full-outer join of two 20-row frames — free at any
+    * corpus size, the whole cost is the two underlying retrievals.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Topk(spark, dir)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long").as("rank_lex"))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val sem = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.VectorOps.cosine(col("qe"), col("embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id").asc))
+          .cast("long").as("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(-1L)).as("rank_lex"),
+        coalesce(col("rank_sem"), lit(-1L)).as("rank_sem"),
+        (when(col("rank_lex").isNotNull, expr("1000000 div (60 + rank_lex)"))
+          .otherwise(0L)
+          + when(col("rank_sem").isNotNull, expr("1000000 div (60 + rank_sem)"))
+            .otherwise(0L)).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+  }
+
+  val rrfFusionOracle: String = s"""
+    WITH lexbase AS MATERIALIZED ($bm25TopkOracle),
+    lex AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+        AS BIGINT) AS rank_lex
+      FROM lexbase),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sembase AS (
+      SELECT vec_id AS doc_id,
+        ${graft.functions.VectorOps.sqlCosine("q.qe", "e.embedding")} AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+      ORDER BY cos DESC, doc_id ASC LIMIT 20),
+    sem AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC)
+        AS BIGINT) AS rank_sem
+      FROM sembase)
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+      COALESCE(rank_lex, -1) AS rank_lex,
+      COALESCE(rank_sem, -1) AS rank_sem,
+      (CASE WHEN rank_lex IS NOT NULL THEN 1000000 // (60 + rank_lex) ELSE 0 END
+        + CASE WHEN rank_sem IS NOT NULL THEN 1000000 // (60 + rank_sem) ELSE 0 END)
+        AS rrf_ppm
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_ppm DESC, doc_id ASC"""
+
+  /** Contrastive pair mining over the embedding corpus — the triplet
+    * builder for metric-learning / retrieval fine-tuning (hard-negative
+    * mining à la SBERT/DPR): for each query vector (vec_id < 10), the
+    * nearest SAME-label neighbor (the positive) and the nearest
+    * DIFFERENT-label neighbor (the hard negative), with the margin in
+    * exact ppm of cosine. Selection is two row_number ranks over the
+    * (query, same-label?) split with id tiebreaks — no struct-argmax,
+    * so the oracle mirrors exactly.
+    *
+    * Scale: brute-force over the corpus for the bounded query set (the
+    * ann_topk baseline shape — broadcast queries, one corpus scan); the
+    * production path swaps the scan for AnnIndex bucket probes.
+    */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+    val scored = broadcast(q)
+      .join(e.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+        col("embedding").as("ce")), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (col("q_label") === col("c_label")).as("same"),
+        graft.functions.VectorOps.cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("query_id"), col("same"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    best.groupBy(col("query_id"))
+      .agg(
+        max(when(col("same"), col("cand_id"))).as("pos_id"),
+        max(when(col("same"), col("cos"))).as("pos_cos"),
+        max(when(!col("same"), col("cand_id"))).as("neg_id"),
+        max(when(!col("same"), col("cos"))).as("neg_cos"))
+      .select(col("query_id"), col("pos_id"),
+        (floor(col("pos_cos") * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6))
+          .as("pos_cos"),
+        col("neg_id"),
+        (floor(col("neg_cos") * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6))
+          .as("neg_cos"),
+        floor((col("pos_cos") - col("neg_cos")) * lit(1.0e6) + lit(0.5))
+          .cast("bigint").as("margin_ppm"))
+  }
+
+  val contrastivePairsOracle: String = s"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+      FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+        (q.q_label = e.label) AS same,
+        ${graft.functions.VectorOps.sqlCosine("q.qe", "e.embedding")} AS cos
+      FROM q JOIN embeddings e ON q.query_id <> e.vec_id),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+          ORDER BY cos DESC, cand_id ASC) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT query_id,
+      MAX(CASE WHEN same THEN cand_id END) AS pos_id,
+      CAST(FLOOR(MAX(CASE WHEN same THEN cos END) * 1.0e6 + 0.5) AS DOUBLE)
+        / 1.0e6 AS pos_cos,
+      MAX(CASE WHEN NOT same THEN cand_id END) AS neg_id,
+      CAST(FLOOR(MAX(CASE WHEN NOT same THEN cos END) * 1.0e6 + 0.5) AS DOUBLE)
+        / 1.0e6 AS neg_cos,
+      CAST(FLOOR((MAX(CASE WHEN same THEN cos END)
+        - MAX(CASE WHEN NOT same THEN cos END)) * 1.0e6 + 0.5) AS BIGINT)
+        AS margin_ppm
+    FROM best GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "rrf_fusion" -> QueryDef.sql(rrfFusion, rrfFusionOracle),
+    "contrastive_pairs" -> QueryDef.sql(contrastivePairs, contrastivePairsOracle),
     "bm25_topk" -> QueryDef.sql(bm25Topk, bm25TopkOracle),
     "quantile_normalize" -> QueryDef.sql(quantileNormalize, quantileNormalizeOracle),
     "theilsen_trend" -> QueryDef.sql(theilsenTrend, theilsenTrendOracle)

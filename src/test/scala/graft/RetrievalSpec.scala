@@ -54,6 +54,75 @@ class RetrievalSpec extends SparkSpec {
     assert(hitIds.subsetOf(withTerm), "a scored doc must contain a query term")
   }
 
+  test("rrf_fusion: fused scores decompose into the two rank terms") {
+    val rows = operators.Retrieval.rrfFusion(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { r =>
+      val rl = r.getAs[Long]("rank_lex"); val rs = r.getAs[Long]("rank_sem")
+      assert(rl >= -1 && rl != 0 && rl <= 20)
+      assert(rs >= -1 && rs != 0 && rs <= 20)
+      assert(rl != -1 || rs != -1, "a fused row must appear in some list")
+      val want = (if (rl > 0) 1000000 / (60 + rl) else 0L) +
+        (if (rs > 0) 1000000 / (60 + rs) else 0L)
+      assert(r.getAs[Long]("rrf_ppm") == want)
+    }
+    val scores = rows.map(_.getAs[Long]("rrf_ppm"))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("contrastive_pairs: labels verified, margin matches the cosines") {
+    val rows = operators.Retrieval.contrastivePairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(labels(r.getAs[Long]("pos_id")) == labels(q),
+        "positive must share the query label")
+      assert(labels(r.getAs[Long]("neg_id")) != labels(q),
+        "negative must differ in label")
+      assert(r.getAs[Long]("pos_id") != q)
+      // rounded margin within 1 ulp-of-ppm of the rounded cosine difference
+      val approx = math.round((r.getAs[Double]("pos_cos")
+        - r.getAs[Double]("neg_cos")) * 1e6)
+      assert(math.abs(r.getAs[Long]("margin_ppm") - approx) <= 2)
+    }
+  }
+
+  test("random_walks: every step follows a real edge, walks are complete") {
+    val rows = operators.GraphExt.randomWalks(spark, sfDir).collect()
+    val byWalk = rows.groupBy(r =>
+      (r.getAs[Long]("seed"), r.getAs[Long]("walk_id")))
+    assert(byWalk.nonEmpty)
+    // rebuild the undirected edge set independently
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    items.groupBy(_._1).values.foreach { os =>
+      val ps = os.map(_._2).distinct.sorted
+      for (a <- ps; b <- ps if a < b)
+        pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0) + 1
+    }
+    // NOTE: Map.collect with a tuple-returning function resolves to the
+    // MAP-building overload and silently collapses pairs by first
+    // element — filter + keySet keeps the full edge set.
+    val edges = pairCounts.filter(_._2 >= 2).keySet.toSet
+    def connected(a: Long, b: Long) =
+      edges.contains(if (a < b) (a, b) else (b, a))
+    byWalk.foreach { case ((seed, _), steps) =>
+      val path = steps.sortBy(_.getAs[Long]("step")).map(_.getAs[Long]("node"))
+      assert(path.length == 6, "5 steps + seed")
+      assert(path.head == seed)
+      path.sliding(2).foreach { case Array(a, b) =>
+        assert(connected(a, b),
+          s"walk traversed a non-edge $a -> $b (path ${path.mkString(",")}; " +
+            s"pc=${pairCounts.get(if (a < b) (a, b) else (b, a))})")
+      }
+    }
+  }
+
   test("quantile_normalize: bijection on ranks, monotone within source") {
     val rows = operators.Retrieval.quantileNormalize(spark, sfDir).collect()
     val n = Tables.documents(spark, sfDir).count()
