@@ -465,7 +465,57 @@ object GraphExt {
       $out)"""
   }
 
+  /** Time-decayed item popularity with an EXACT half-life counter —
+    * trending items for the recommendation layer (top_influential is
+    * the all-time static twin): weekly buckets decay by 2^−(age÷13)
+    * (quarterly half-life), and because the decay weights are powers of
+    * two the whole score is INTEGER arithmetic — score_micro =
+    * Σ cnt_w · 2^(20 − age÷13), with buckets older than 20 half-lives
+    * contributing exactly 0 (a documented truncation, < 1e-6 of the
+    * weight) — never a float sum, never libm pow (the ewma_smooth
+    * discipline on a per-item axis). One corpus shuffle into the
+    * (item, week) grid; the decayed fold and TakeOrdered run on the
+    * grid.
+    */
+  def decayedPopularity(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("part_key"),
+        expr("cast(datediff(to_date(l_shipdate), '1970-01-01') as bigint) div 7")
+          .as("week"))
+      .agg(count(lit(1)).as("cnt"))
+    val maxW = weekly.agg(max(col("week")).as("max_week"))
+    weekly.crossJoin(broadcast(maxW))
+      .withColumn("hl", expr("(max_week - week) div 13"))
+      .withColumn("contrib",
+        when(col("hl") <= 20, col("cnt") * expr("shiftleft(1L, cast(20 - hl as int))"))
+          .otherwise(0L))
+      .groupBy(col("part_key"))
+      .agg(sum(col("contrib")).as("score_micro"), sum(col("cnt")).as("n_total"))
+      .orderBy(col("score_micro").desc, col("part_key").asc)
+      .limit(20)
+  }
+
+  val decayedPopularityOracle: String = """
+    WITH weekly AS (
+      SELECT l_partkey AS part_key,
+        CAST(DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+          // 7 AS week,
+        COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    mw AS (SELECT MAX(week) AS max_week FROM weekly),
+    scored AS (
+      SELECT part_key, cnt,
+        (max_week - week) // 13 AS hl
+      FROM weekly CROSS JOIN mw)
+    SELECT part_key,
+      CAST(SUM(CASE WHEN hl <= 20 THEN cnt * (1::BIGINT << CAST(20 - hl AS INT))
+        ELSE 0 END) AS BIGINT) AS score_micro,
+      CAST(SUM(cnt) AS BIGINT) AS n_total
+    FROM scored GROUP BY 1
+    ORDER BY score_micro DESC, part_key ASC LIMIT 20"""
+
   def defs: Map[String, QueryDef] = Map(
+    "decayed_popularity" -> QueryDef.sql(decayedPopularity, decayedPopularityOracle),
     "random_walks" -> QueryDef.sql(randomWalks, randomWalksOracle),
     "hits_authority" -> QueryDef.sql(hitsAuthority, hitsAuthorityOracle),
     "graph_assortativity" -> QueryDef.sql(graphAssortativity, graphAssortativityOracle),

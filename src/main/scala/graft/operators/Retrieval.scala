@@ -364,7 +364,74 @@ object Retrieval {
         AS margin_ppm
     FROM best GROUP BY 1"""
 
+  private val SnippetWin = 8
+
+  /** Best-window snippet extraction for the BM25 hits — the result-page
+    * presentation step: for each of [[bm25Topk]]'s 20 documents, the
+    * 8-token window containing the most query-term occurrences
+    * (earliest window on ties), materialized as text. Pure per-row
+    * ARRAY arithmetic — token hit flags, windowed sums via slice-fold,
+    * first-argmax via array_position — identical higher-order
+    * expressions in both engines, no UDF.
+    *
+    * Scale: the candidate set is the top-k frame, so the text scan is a
+    * 20-row broadcast-semi probe of the documents table; the window
+    * sweep is O(tokens·8) per hit document only.
+    */
+  def snippetExtract(spark: SparkSession, dir: String): DataFrame = {
+    val hits = bm25Topk(spark, dir).select(col("doc_id"))
+    val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    Tables.documents(spark, dir)
+      .join(broadcast(hits), Seq("doc_id"), "left_semi")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("hits", expr(
+        s"transform(toks, t -> CASE WHEN t IN ($inList) THEN 1 ELSE 0 END)"))
+      .withColumn("scores", expr(
+        s"""transform(sequence(0, greatest(size(toks) - $SnippetWin, 0)),
+           |  s -> aggregate(slice(hits, s + 1, $SnippetWin), 0, (a, x) -> a + x))"""
+          .stripMargin))
+      .withColumn("best_hits", expr("array_max(scores)"))
+      .withColumn("best_start",
+        expr("cast(array_position(scores, array_max(scores)) - 1 as bigint)"))
+      .select(col("doc_id"),
+        col("best_start"),
+        col("best_hits").cast("long").as("window_hits"),
+        expr(s"concat_ws(' ', slice(toks, cast(best_start as int) + 1, $SnippetWin))")
+          .as("snippet"))
+  }
+
+  val snippetExtractOracle: String = {
+    val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH hits20 AS MATERIALIZED ($bm25TopkOracle),
+    base AS (
+      SELECT d.doc_id, STRING_SPLIT_REGEX(d.text, '\\s+') AS toks
+      FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM hits20)),
+    flagged AS (
+      SELECT doc_id, toks,
+        LIST_TRANSFORM(toks, t -> CASE WHEN t IN ($inList) THEN 1 ELSE 0 END)
+          AS hits
+      FROM base),
+    scored AS (
+      SELECT doc_id, toks,
+        LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - $SnippetWin, 0) + 1),
+          s -> LIST_REDUCE(LIST_PREPEND(0, hits[s + 1 : s + $SnippetWin]),
+            (a, x) -> a + x)) AS scores
+      FROM flagged)
+    SELECT doc_id,
+      CAST(LIST_POSITION(scores, LIST_REDUCE(scores, (a, x) -> GREATEST(a, x)))
+        - 1 AS BIGINT) AS best_start,
+      CAST(LIST_REDUCE(scores, (a, x) -> GREATEST(a, x)) AS BIGINT) AS window_hits,
+      ARRAY_TO_STRING(toks[
+        CAST(LIST_POSITION(scores, LIST_REDUCE(scores, (a, x) -> GREATEST(a, x)))
+          AS INT) :
+        CAST(LIST_POSITION(scores, LIST_REDUCE(scores, (a, x) -> GREATEST(a, x)))
+          + $SnippetWin - 1 AS INT)], ' ') AS snippet
+    FROM scored"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "snippet_extract" -> QueryDef.sql(snippetExtract, snippetExtractOracle),
     "rrf_fusion" -> QueryDef.sql(rrfFusion, rrfFusionOracle),
     "contrastive_pairs" -> QueryDef.sql(contrastivePairs, contrastivePairsOracle),
     "bm25_topk" -> QueryDef.sql(bm25Topk, bm25TopkOracle),

@@ -123,6 +123,34 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("snippet_extract: every snippet window really contains its hit count") {
+    val rows = operators.Retrieval.snippetExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val terms = Set("spark", "hash", "merge")
+    rows.foreach { r =>
+      val snippet = r.getAs[String]("snippet").split("\\s+")
+      assert(snippet.length <= 8)
+      val inWindow = snippet.count(terms)
+      assert(inWindow == r.getAs[Long]("window_hits"),
+        s"claimed ${r.getAs[Long]("window_hits")} hits, snippet has $inWindow")
+      assert(r.getAs[Long]("window_hits") >= 1,
+        "a bm25 hit must contain at least one query term")
+      assert(r.getAs[Long]("best_start") >= 0)
+    }
+  }
+
+  test("decayed_popularity: newer activity dominates, totals bound the score") {
+    val rows = operators.GraphExt.decayedPopularity(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("score_micro"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    rows.foreach { r =>
+      // every bucket weight ≤ 2^20 ⇒ score ≤ total · 2^20
+      assert(r.getAs[Long]("score_micro") <= r.getAs[Long]("n_total") * (1L << 20))
+      assert(r.getAs[Long]("score_micro") >= 0)
+    }
+  }
+
   test("quantile_normalize: bijection on ranks, monotone within source") {
     val rows = operators.Retrieval.quantileNormalize(spark, sfDir).collect()
     val n = Tables.documents(spark, sfDir).count()
