@@ -245,6 +245,54 @@ object EventStreams {
   /** Shared with the batch twin — equivalence requires one constant. */
   private val FunnelWindowUs = graft.operators.EventOps.FunnelWindowUs
 
+  final case class MgState(counters: Map[Long, Long], nSeen: Long)
+
+  final case class MgCandidates(
+      event_type: String, n_seen: Long, user_id: Long, lower_bound: Long)
+
+  private val MgK = 8
+
+  /** Streaming Misra-Gries heavy hitters per event type — the
+    * bounded-state top-user tracker (the batch `heavy_hitters` CMS probe
+    * as STANDING stream state): at most [[MgK]] counters per key
+    * regardless of stream length, updated with the classic
+    * decrement-on-overflow rule, so any user with frequency
+    * > n/(k+1) is GUARANTEED present and every counter underestimates
+    * its true count by at most n/(k+1) — the spec checks both bounds
+    * against an exact batch recount. Per micro-batch the group fold
+    * runs over the (time, id)-sorted batch so replays and partition
+    * order cannot reorder the decrements (MG results are
+    * order-sensitive; the sort is the determinism treatment).
+    * Emits the surviving candidates with their lower-bound counts in
+    * update mode.
+    */
+  def heavyHittersStream(events: Dataset[Event]): Dataset[MgCandidates] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MgState, MgCandidates](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[MgState]) =>
+          val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          sorted.foreach { e =>
+            val c = st.counters
+            val next =
+              if (c.contains(e.user_id)) c.updated(e.user_id, c(e.user_id) + 1)
+              else if (c.size < MgK) c.updated(e.user_id, 1L)
+              else {
+                // decrement all; drop zeros (the Misra-Gries step)
+                c.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+              }
+            st = MgState(next, st.nSeen + 1)
+          }
+          state.update(st)
+          st.counters.toSeq.sortBy { case (u, n) => (-n, u) }
+            .map { case (u, n) => MgCandidates(etype, st.nSeen, u, n) }
+            .iterator
+      }
+  }
+
   final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
 
   final case class FunnelProgress(

@@ -100,6 +100,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersStream: Misra-Gries guarantees hold against the exact counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // stream the real sf events in one batch
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    input.addData(events.toIndexedSeq: _*)
+    val q = EventStreams.heavyHittersStream(input.toDS())
+      .writeStream.format("memory").queryName("mg_hh")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("mg_hh").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val exact = events.groupBy(_.event_type).view
+      .mapValues(_.groupBy(_.user_id).view.mapValues(_.length.toLong).toMap).toMap
+    out.foreach { case (etype, rows) =>
+      val n = rows.head.getAs[Long]("n_seen")
+      assert(n == exact(etype).values.sum, "state must count every event")
+      val candidates = rows.map(r =>
+        r.getAs[Long]("user_id") -> r.getAs[Long]("lower_bound")).toMap
+      assert(candidates.size <= 8, "state is bounded by k counters")
+      val bound = n / 9 // n/(k+1)
+      exact(etype).foreach { case (u, c) =>
+        if (c > bound)
+          assert(candidates.contains(u),
+            s"user $u with $c > $bound occurrences must survive Misra-Gries")
+      }
+      candidates.foreach { case (u, lb) =>
+        val c = exact(etype).getOrElse(u, 0L)
+        assert(lb <= c && lb >= c - bound,
+          s"counter $lb outside [${c - bound}, $c] for user $u")
+      }
+    }
+  }
+
   test("sessionized assigns gap-based sessions with per-user state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
