@@ -37,14 +37,17 @@ object Retrieval {
   def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
     // ONE tokenize pass: per-doc row carries dl + one tf column per query
     // term (a 3-term query is 3 conditional counts, not a per-term row
-    // explosion), so the corpus is scanned and tokenized exactly once.
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(split(col("text"), "\\s+")).as("term"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"),
-        QueryTerms.map(t =>
-          sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    // explosion). The frame is CHECKPOINTED because both the stats fold
+    // and the scoring projection consume it — without materialization
+    // each consumer re-runs the tokenize scan (PlanSpec pins this).
+    val perDoc = graft.functions.Iterate.checkpoint(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"),
+          QueryTerms.map(t =>
+            sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
     val statCols = sum(col("dl")).as("sum_dl") +:
       QueryTerms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))

