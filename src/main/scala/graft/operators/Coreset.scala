@@ -145,7 +145,13 @@ object Coreset {
           floor(col("g").cast("double") * col("vj") * lit(MatFx))
             .cast("bigint").as("t"))
         .groupBy(col("i")).agg(sum(col("t")).cast("double").as("wd"))
-      val mat = graft.functions.Iterate.checkpoint(w)
+      // cadence-3 checkpoint: the mat-vec plans are d-row tiny, so an
+      // eager materialization every round is pure job-submission
+      // overhead (measured 6.5 → ~4 s at sf0.1); every third round
+      // still bounds lineage depth
+      val mat =
+        if (r % 3 == 0 || r == PowerRounds) graft.functions.Iterate.checkpoint(w)
+        else w
       lastScalar = mat.orderBy(abs(col("wd")).desc, col("i").asc).limit(1)
         .select(col("wd").as("piv"))
       v = mat.crossJoin(broadcast(lastScalar))

@@ -514,7 +514,78 @@ object GraphExt {
     FROM scored GROUP BY 1
     ORDER BY score_micro DESC, part_key ASC LIMIT 20"""
 
+  /** Per-node local clustering coefficient over the co-purchase graph —
+    * triangle_count's GLOBAL closure measured per vertex: lcc =
+    * 2·tri(v) ÷ (deg(v)·(deg(v)−1)) in exact integer ppm, top-20 among
+    * nodes with deg ≥ 3 (the neighborhoods where closure is
+    * meaningful). Triangles enumerate once via the oriented wedge join
+    * (a<b<c — each triangle exactly once), then explode to the three
+    * member vertices; degree is one aggregate over the symmetric
+    * adjacency.
+    *
+    * Scale: the wedge join is the intrinsic triangle cost (the
+    * triangle_count operator documents the hub-cap treatment for skewed
+    * degree at 100 TB; this graph is cofreq-thresholded the same way);
+    * per-node rollups are node-scale.
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = checkpoint(Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(localPartPairs("ps").as("p"))
+      .groupBy(col("p.pa").as("a"), col("p.pb").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("a"), col("b")))
+    val deg = pairs.select(col("a").as("node"))
+      .unionByName(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triangles = wedges
+      .join(pairs.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val triPerNode = triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .filter(col("deg") >= 3)
+      .withColumn("lcc_ppm", expr("(n_tri * 2000000) div (deg * (deg - 1))"))
+      .orderBy(col("lcc_ppm").desc, col("node").asc)
+      .limit(20)
+  }
+
+  val clusteringCoefficientOracle: String = """
+    WITH pairs AS MATERIALIZED (
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+      GROUP BY 1),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tpn AS (
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY 1)
+    SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+      (COALESCE(t.n_tri, 0) * 2000000) // (d.deg * (d.deg - 1)) AS lcc_ppm
+    FROM deg d LEFT JOIN tpn t ON d.node = t.node
+    WHERE d.deg >= 3
+    ORDER BY lcc_ppm DESC, d.node ASC LIMIT 20"""
+
   def defs: Map[String, QueryDef] = Map(
+    "clustering_coefficient" ->
+      QueryDef.sql(clusteringCoefficient, clusteringCoefficientOracle),
     "decayed_popularity" -> QueryDef.sql(decayedPopularity, decayedPopularityOracle),
     "random_walks" -> QueryDef.sql(randomWalks, randomWalksOracle),
     "hits_authority" -> QueryDef.sql(hitsAuthority, hitsAuthorityOracle),

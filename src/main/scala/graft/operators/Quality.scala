@@ -353,7 +353,53 @@ object Quality {
         // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS groups_share_ppm
     FROM g GROUP BY 1"""
 
+  /** Differentially-private-shaped release counts via the BINOMIAL
+    * mechanism (Dwork et al. 2006's original noise — binomial(n, ½)
+    * approximates the Gaussian mechanism): each (nation, segment) count
+    * is perturbed by popcount(48 salted hash bits) − 24, i.e. a
+    * centered Binomial(48, ½) draw (σ ≈ 3.46) that is DETERMINISTIC
+    * given the release salt — so the privacy job is reproducible,
+    * auditable, and hash-testable, unlike rand()-noised counts (the
+    * repo-wide no-rand discipline applied to privacy). Clamped at 0.
+    * One map-side-combinable aggregate; noise is per-group expression
+    * arithmetic.
+    *
+    * (A production ε-calibrated release scales n_bits to the target σ;
+    * the MECHANISM — deterministic salted binomial noise — is the
+    * operator.)
+    */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise",
+        bit_count(graft.functions.TextOps.hash24(
+          concat(lit("dpA|"), col("nationkey").cast("string"), lit("|"), col("mktsegment"))))
+          .cast("long")
+          + bit_count(graft.functions.TextOps.hash24(
+            concat(lit("dpB|"), col("nationkey").cast("string"), lit("|"), col("mktsegment"))))
+            .cast("long")
+          - lit(24L))
+      .select(col("nationkey"), col("mktsegment"),
+        greatest(col("n") + col("noise"), lit(0L)).as("noisy_count"))
+
+  val dpNoisyCountsOracle: String = """
+    WITH g AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        c_mktsegment AS mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2)
+    SELECT nationkey, mktsegment,
+      GREATEST(n
+        + BIT_COUNT(CAST('0x' || SUBSTR(MD5('dpA|' || CAST(nationkey AS VARCHAR)
+          || '|' || mktsegment), 1, 6) AS BIGINT))
+        + BIT_COUNT(CAST('0x' || SUBSTR(MD5('dpB|' || CAST(nationkey AS VARCHAR)
+          || '|' || mktsegment), 1, 6) AS BIGINT))
+        - 24, 0) AS noisy_count
+    FROM g"""
+
   def defs: Map[String, QueryDef] = Map(
+    "dp_noisy_counts" -> QueryDef.sql(dpNoisyCounts, dpNoisyCountsOracle),
     "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle),
     "k_anonymity_audit" -> QueryDef.sql(kAnonymityAudit, kAnonymityAuditOracle),
     "right_to_erasure" -> QueryDef.sql(rightToErasure, rightToErasureOracle),

@@ -151,6 +151,40 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("clustering_coefficient: lcc identity holds against per-node recounts") {
+    val rows = operators.GraphExt.clusteringCoefficient(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("deg"); val tri = r.getAs[Long]("n_tri")
+      assert(deg >= 3)
+      // tri(v) bounded by C(deg, 2) possible closed wedges
+      assert(tri <= deg * (deg - 1) / 2)
+      assert(r.getAs[Long]("lcc_ppm") ==
+        tri * 2000000L / (deg * (deg - 1)))
+      assert(r.getAs[Long]("lcc_ppm") <= 1000000L)
+    }
+  }
+
+  test("dp_noisy_counts: noise is bounded, deterministic, and clamped") {
+    val a = operators.Quality.dpNoisyCounts(spark, sfDir).collect()
+    val b = operators.Quality.dpNoisyCounts(spark, sfDir).collect()
+    // deterministic release: identical on re-run (the mechanism's point)
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    val exact = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a.length == exact.size)
+    a.foreach { r =>
+      val key = (r.getAs[Long]("nationkey"), r.getAs[String]("mktsegment"))
+      val noisy = r.getAs[Long]("noisy_count")
+      assert(noisy >= 0, "clamped at zero")
+      // |binomial(48, ½) − 24| ≤ 24
+      assert(math.abs(noisy - exact(key)) <= 24,
+        s"noise outside the binomial support at $key")
+    }
+  }
+
   test("quantile_normalize: bijection on ranks, monotone within source") {
     val rows = operators.Retrieval.quantileNormalize(spark, sfDir).collect()
     val n = Tables.documents(spark, sfDir).count()
