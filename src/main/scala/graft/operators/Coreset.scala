@@ -33,32 +33,60 @@ object Coreset {
     * sequence — non-increasing, which the spec pins. Seed reports
     * dist = −1 (it is chosen by norm, not distance).
     */
-  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
-    var cur = Tables.embeddings(spark, dir)
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    kcenterCoresetDf(Tables.embeddings(spark, dir))
+
+  /** Frame-parametric k-center (pipeline composition form — the
+    * `...Df` convention): same traversal over any (vec_id, label,
+    * embedding) frame; corpora smaller than the target center count
+    * yield one center per vector and stop (the stage-8 exemplar pool
+    * must not throw on a tiny surviving corpus).
+    */
+  def kcenterCoresetDf(embFrame: DataFrame): DataFrame = {
+    val spark = embFrame.sparkSession
+    var cur = embFrame
       .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
       .withColumn("n2", VectorOps.dot(col("embedding"), col("embedding")))
-    val seed = cur.orderBy(col("n2").desc, col("vec_id").asc).limit(1)
+    val seedRows = cur.orderBy(col("n2").desc, col("vec_id").asc).limit(1)
       .select(col("vec_id"), col("label"), col("embedding"), col("n2"))
-      .collect()(0)
+      .collect()
+    if (seedRows.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("sel_round", "vec_id", "label", "d2")
+    }
+    val seed = seedRows(0)
     val picked = scala.collection.mutable.ArrayBuffer(
       (0L, seed.getAs[Long]("vec_id"), seed.getAs[Long]("label"), -1.0))
     var cEmb = seed.getAs[scala.collection.Seq[Float]]("embedding")
     var cN2 = seed.getAs[Double]("n2")
     cur = cur.withColumn("dist",
       col("n2") - lit(2.0) * VectorOps.dot(col("embedding"), typedLit(cEmb)) + lit(cN2))
-    for (r <- 1 to Rounds) {
+    val pickedIds = scala.collection.mutable.Set(picked.head._2)
+    var r = 1
+    var exhausted = false
+    while (r <= Rounds && !exhausted) {
       cur = graft.functions.Iterate.checkpoint(cur)
-      val next = cur.orderBy(col("dist").desc, col("vec_id").asc).limit(1)
-        .collect()(0)
-      picked += ((r.toLong, next.getAs[Long]("vec_id"),
-        next.getAs[Long]("label"), next.getAs[Double]("dist")))
-      if (r < Rounds) {
-        cEmb = next.getAs[scala.collection.Seq[Float]]("embedding")
-        cN2 = next.getAs[Double]("n2")
-        cur = cur.withColumn("dist",
-          least(col("dist"),
-            col("n2") - lit(2.0) * VectorOps.dot(col("embedding"), typedLit(cEmb))
-              + lit(cN2)))
+      val nextRows = cur.orderBy(col("dist").desc, col("vec_id").asc).limit(1)
+        .collect()
+      // a corpus smaller than the center budget re-offers an already
+      // chosen vector (its min-distance is 0 and so is everyone else's)
+      exhausted = nextRows.isEmpty ||
+        pickedIds.contains(nextRows(0).getAs[Long]("vec_id"))
+      if (!exhausted) {
+        val next = nextRows(0)
+        picked += ((r.toLong, next.getAs[Long]("vec_id"),
+          next.getAs[Long]("label"), next.getAs[Double]("dist")))
+        pickedIds += next.getAs[Long]("vec_id")
+        if (r < Rounds) {
+          cEmb = next.getAs[scala.collection.Seq[Float]]("embedding")
+          cN2 = next.getAs[Double]("n2")
+          cur = cur.withColumn("dist",
+            least(col("dist"),
+              col("n2") - lit(2.0) * VectorOps.dot(col("embedding"), typedLit(cEmb))
+                + lit(cN2)))
+        }
+        r += 1
       }
     }
     import spark.implicits._

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Coreset, Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   * | 5 select       | Sampling.sampleImportanceDf  | DSIR: keep target-leaning docs to a token budget |
   * | 6 mix          | Sampling.mixRebalanceDf      | hash-mod downsample to target mix |
   * | 7 pack         | Sampling.sequencePackDf      | assign packed sequences |
+  * | 8 exemplars    | Coreset.kcenterCoresetDf     | k-center eval/review pool from surviving embeddings |
   *
   * Every stage writes parquet and the next stage reads the STAGED
   * output, so any stage re-runs/backfills independently and a failure
@@ -147,6 +148,23 @@ object CurationPipeline {
       (if (manifest("stage7_packed") == manifest("stage6_mixed")) 0L else 1L)
     manifest += "check_token_reconciliation" ->
       (if (mixedM("tokens") == packedM("tokens")) 0L else 1L)
+
+    // Stage 8: eval exemplar pool — greedy k-center over the embeddings
+    // of the SURVIVING corpus (vec_id = doc_id, the embedded-subset
+    // contract): the maximally-spread few-shot / human-review pool, so
+    // reviewers see the corpus's diversity rather than its densest
+    // cluster. The k-center traversal's per-round driver state is one
+    // row; its reconciliation check pins that every exemplar is a
+    // surviving document (an exemplar from a dropped doc would mean the
+    // pool was drawn before a filter — ordering bug).
+    val survivors = mixed.select(col("doc_id").as("vec_id"))
+    val embSurviving = Tables.embeddings(spark, dataDir)
+      .join(survivors, Seq("vec_id"), "left_semi")
+    val exemplars = stage("stage8_exemplars",
+      Coreset.kcenterCoresetDf(embSurviving))
+    manifest += "check_exemplars_in_corpus" ->
+      exemplars.join(survivors.withColumnRenamed("vec_id", "j_id"),
+        col("vec_id") === col("j_id"), "left_anti").count()
 
     manifest.toMap
   }

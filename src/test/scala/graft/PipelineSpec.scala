@@ -88,6 +88,14 @@ class PipelineSpec extends SparkSpec {
       org.apache.spark.sql.functions.expr("length(text) != n_chars")).count() == 0)
     assert(m("check_packed_rows_match") == 0, "packing dropped or invented docs")
     assert(m("check_token_reconciliation") == 0, "packed token stream lost tokens")
+    // stage 8: the exemplar pool exists, is center-budget bounded, and
+    // every exemplar survived the full filter chain
+    assert(m.contains("stage8_exemplars") && m("stage8_exemplars") >= 1
+      && m("stage8_exemplars") <= 8, s"exemplar pool out of bounds: $m")
+    assert(m("check_exemplars_in_corpus") == 0,
+      "an exemplar was drawn from a filtered-out document")
+    val ex = spark.read.parquet(s"$out/stage8_exemplars")
+    assert(ex.columns.toSeq == Seq("sel_round", "vec_id", "label", "d2"))
   }
 
   test("curation pack stage is resumable from staged output alone") {
