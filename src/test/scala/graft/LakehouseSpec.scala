@@ -124,4 +124,18 @@ class LakehouseSpec extends SparkSpec {
     val self = rows("events*events/user_id")
     assert(self.getAs[Long]("actual_rows") >= self.getAs[Long]("est_rows"))
   }
+
+  test("hilbert_layout: both curves scan the same matches, profiles are sane") {
+    val rows = operators.Lakehouse.hilbertLayout(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("layout")).toSet == Set("morton", "hilbert"))
+    val matched = rows.map(_.getAs[Long]("n_matched")).distinct
+    assert(matched.length == 1, "the predicate matches the same rows in any layout")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files") == 64)
+      assert(r.getAs[Long]("files_hit") <= 64)
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("n_matched"))
+      val loc = r.getAs[Long]("locality_ppm")
+      assert(loc >= 0 && loc <= 1000000L)
+    }
+  }
 }
