@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Sampling.defs ++
       operators.Tokenizer.defs ++
       operators.Lakehouse.defs ++
+      operators.StatTests.defs ++
       sources.Ingest.defs ++
       sources.ApiEnrich.defs
 

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics (§2.D adjunct): exact two-sample tests and
+  * concentration/allocation measures — the inferential layer over the
+  * profiling operators (drift_tvd's binned distances get the exact-EDF
+  * KS companion; rfm's quintiles get the Gini concentration scalar;
+  * sample_stratified's equal rates get the variance-optimal Neyman
+  * design). All three follow the repo's exactness discipline: integer
+  * cross-multiplication instead of comparing float CDFs, IEEE sqrt as
+  * the only transcendental.
+  */
+object StatTests {
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic between the two
+    * largest sources' document-length distributions — the
+    * distribution-equality test behind "did this source drift?", with
+    * NO binning error (drift_tvd is the binned/mergeable form; this is
+    * the exact EDF form): D = max |F1 − F2| over the pooled support,
+    * computed as max |cdf1·n2 − cdf2·n1| in BIGINT cross-multiplication
+    * (never a float CDF comparison), reported with the critical-value
+    * cross-multiplied decision D² · n1·n2 ≷ c²·(n1+n2) for c = 1.36
+    * (α = 0.05) — c² = 1.8496 scales to integers ×10⁴.
+    *
+    * Scale: one aggregate to the (source, value) support cells, two
+    * cumulative windows over support-cardinality rows. The corpus
+    * never sorts — only its distinct value cells do.
+    */
+  def ksStatistic(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val top2 = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("source").asc).limit(2)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("source").asc)))
+    val tagged = docs.join(broadcast(top2), Seq("source"))
+      .select(col("rank"), col("n_chars"))
+    val cells = tagged.groupBy(col("n_chars"))
+      .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = cells
+      .withColumn("cdf1", sum(col("c1")).over(w))
+      .withColumn("cdf2", sum(col("c2")).over(w))
+    val totals = cdf.agg(max(col("cdf1")).as("n1"), max(col("cdf2")).as("n2"))
+    cdf.crossJoin(broadcast(totals))
+      .select(col("n_chars"), col("n1"), col("n2"),
+        abs(col("cdf1") * col("n2") - col("cdf2") * col("n1")).as("dx"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("dx")).as("d_cross"))
+      .select(col("n1"), col("n2"), col("d_cross"),
+        expr("(d_cross * 1000000) div (n1 * n2)").as("d_ppm"),
+        // reject iff D² · n1·n2 > c²·(n1+n2), cross-multiplied integers:
+        // (d_cross)² > 1.8496·n1·n2·(n1+n2) — scale both sides by 1e4
+        (col("d_cross") * col("d_cross") * 10000L >
+          lit(18496L) * col("n1") * col("n2") * (col("n1") + col("n2")))
+          .as("reject_h0_5pct"))
+  }
+
+  val ksStatisticOracle: String = """
+    WITH top2 AS (
+      SELECT source, n, ROW_NUMBER() OVER (ORDER BY n DESC, source ASC) AS rank
+      FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1)
+      ORDER BY n DESC, source ASC LIMIT 2),
+    tagged AS (
+      SELECT t.rank, d.n_chars FROM documents d JOIN top2 t ON d.source = t.source),
+    cells AS (
+      SELECT n_chars,
+        CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN rank = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM tagged GROUP BY 1),
+    cdf AS (
+      SELECT n_chars,
+        CAST(SUM(c1) OVER (ORDER BY n_chars ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cdf1,
+        CAST(SUM(c2) OVER (ORDER BY n_chars ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cdf2
+      FROM cells),
+    t AS (SELECT MAX(cdf1) AS n1, MAX(cdf2) AS n2 FROM cdf)
+    SELECT n1, n2, MAX(ABS(cdf1 * n2 - cdf2 * n1)) AS d_cross,
+      (MAX(ABS(cdf1 * n2 - cdf2 * n1)) * 1000000) // (n1 * n2) AS d_ppm,
+      (MAX(ABS(cdf1 * n2 - cdf2 * n1)) * MAX(ABS(cdf1 * n2 - cdf2 * n1)) * 10000
+        > 18496 * n1 * n2 * (n1 + n2)) AS reject_h0_5pct
+    FROM cdf CROSS JOIN t
+    GROUP BY n1, n2"""
+
+  /** Gini concentration of customer revenue — the one-number inequality
+    * audit behind "do a few whales carry the corpus?" (rfm_segmentation
+    * locates them; this measures how much they dominate). Computed from
+    * the exact-cents per-customer totals via the grouped mean-difference
+    * identity over VALUE CELLS: Σᵢⱼ nᵢnⱼ|xᵢ−xⱼ| = 2·Σᵢ nᵢxᵢ·N₍<ᵢ₎ −
+    * 2·Σᵢ nᵢ·S₍<ᵢ₎ with prefix windows over the sorted cells —
+    * all-BIGINT, G_ppm = num·1e6 ÷ (2·N·Total). The corpus never
+    * globally sorts; only its distinct spend cells do (the rfm
+    * exact-cell histogram discipline). BIGINT headroom: nᵢxᵢ·N < 9.2e18
+    * holds to ~1e8 customers at 1e6-cent spends; beyond that the fold
+    * (not the data) moves to DECIMAL(38).
+    */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+        .as("cents"))
+    val cells = spend.groupBy(col("cents")).agg(count(lit(1)).as("nc"))
+    val w = Window.orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val folded = cells
+      .withColumn("n_before", coalesce(sum(col("nc")).over(w), lit(0L)))
+      .withColumn("s_before", coalesce(sum(col("nc") * col("cents")).over(w), lit(0L)))
+      .agg(sum(col("nc")).as("n_customers"),
+        sum(col("nc") * col("cents")).as("total_cents"),
+        sum(col("nc") * col("cents") * col("n_before")
+          - col("nc") * col("s_before")).as("half_mean_diff"))
+    // G = hmd ÷ (N·Total); multiply-then-divide overflows BIGINT at
+    // corpus scale (hmd·1e6 ~ 1e20), so divide the DENOMINATOR by 1e6
+    // first — identical truncation both engines, ≤1 ppm bias, no
+    // overflow until hmd itself passes 9.2e18 (~1e10 customers)
+    folded.select(col("n_customers"), col("total_cents"),
+      when(expr("(n_customers * total_cents) div 1000000") === 0, lit(0L))
+        .otherwise(expr(
+          "half_mean_diff div ((n_customers * total_cents) div 1000000)"))
+        .as("gini_ppm"))
+  }
+
+  val giniConcentrationOracle: String = """
+    WITH spend AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM orders GROUP BY 1),
+    cells AS (SELECT cents, COUNT(*) AS nc FROM spend GROUP BY 1),
+    pre AS (
+      SELECT cents, nc,
+        COALESCE(CAST(SUM(nc) OVER (ORDER BY cents ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          AS n_before,
+        COALESCE(CAST(SUM(nc * cents) OVER (ORDER BY cents ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          AS s_before
+      FROM cells),
+    f AS (
+      SELECT CAST(SUM(nc) AS BIGINT) AS n_customers,
+        CAST(SUM(nc * cents) AS BIGINT) AS total_cents,
+        CAST(SUM(nc * cents * n_before - nc * s_before) AS BIGINT)
+          AS half_mean_diff
+      FROM pre)
+    SELECT n_customers, total_cents,
+      CASE WHEN (n_customers * total_cents) // 1000000 = 0 THEN 0
+        ELSE half_mean_diff // ((n_customers * total_cents) // 1000000) END
+        AS gini_ppm
+    FROM f"""
+
+  private val NeymanBudget = 1000L
+
+  /** Neyman-optimal stratified allocation of a fixed sample budget over
+    * the event-type strata — the survey-design answer to "where do my
+    * 1000 QA samples go?": n_h ∝ N_h·σ_h (big AND volatile strata get
+    * more), versus proportional allocation's N_h-only rule
+    * (sample_stratified's equal-rate shape). σ from exact integer cents
+    * moments (σ_scaled = sqrt(n·Σx² − (Σx)²) — IEEE sqrt, portable),
+    * weights cross-multiplied to integer allocation by largest-remainder
+    * so the budget is hit EXACTLY (floor allocations + ranked remainders
+    * — deterministic, ties to the smaller stratum name). One
+    * map-side-combinable moment pass; everything after runs on
+    * |strata| rows.
+    */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val moments = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("bigint").as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      // N_h·σ_h with σ in the n-scaled form sqrt(n·Σx²−(Σx)²)/n ⇒
+      // weight = sqrt(n·Σx²−(Σx)²) exactly; the per-row IEEE sqrt is
+      // then FIXED-POINTED (×100 → BIGINT) so every cross-row quantity
+      // (total weight, allocations, remainders) is integer — a Σ of raw
+      // double weights would be aggregation-order-dependent.
+      .withColumn("wfx",
+        floor(sqrt((col("n_h") * col("sx2") - col("sx") * col("sx"))
+          .cast("double")) * lit(100.0) + lit(0.5)).cast("bigint"))
+    val tot = moments.agg(sum(col("wfx")).as("wt"))
+    val alloc = moments.crossJoin(broadcast(tot))
+      .withColumn("floor_n", expr(s"(wfx * $NeymanBudget) div wt"))
+      .withColumn("rem", expr(s"(wfx * $NeymanBudget) % wt"))
+    val short = alloc.agg((lit(NeymanBudget) - sum(col("floor_n"))).as("short"))
+    alloc.crossJoin(broadcast(short))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy(col("rem").desc, col("event_type").asc)).cast("long"))
+      .select(col("event_type"), col("n_h"),
+        col("wfx").as("sigma_scaled_x100"),
+        (col("floor_n") + when(col("rrank") <= col("short"), 1L).otherwise(0L))
+          .as("n_alloc"))
+  }
+
+  val neymanAllocationOracle: String = s"""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n_h,
+        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+          * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx2
+      FROM events GROUP BY 1),
+    wts AS (
+      SELECT event_type, n_h,
+        CAST(FLOOR(SQRT(CAST(n_h * sx2 - sx * sx AS DOUBLE)) * 100.0 + 0.5)
+          AS BIGINT) AS wfx
+      FROM m),
+    t AS (SELECT CAST(SUM(wfx) AS BIGINT) AS wt FROM wts),
+    alloc AS (
+      SELECT event_type, n_h, wfx,
+        (wfx * $NeymanBudget) // wt AS floor_n,
+        (wfx * $NeymanBudget) % wt AS rem
+      FROM wts CROSS JOIN t),
+    s AS (SELECT $NeymanBudget - CAST(SUM(floor_n) AS BIGINT) AS short FROM alloc)
+    SELECT event_type, n_h, wfx AS sigma_scaled_x100,
+      floor_n + CASE WHEN CAST(ROW_NUMBER() OVER (ORDER BY rem DESC,
+        event_type ASC) AS BIGINT) <= short THEN 1 ELSE 0 END AS n_alloc
+    FROM alloc CROSS JOIN s"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "ks_statistic" -> QueryDef.sql(ksStatistic, ksStatisticOracle),
+    "gini_concentration" -> QueryDef.sql(giniConcentration, giniConcentrationOracle),
+    "neyman_allocation" -> QueryDef.sql(neymanAllocation, neymanAllocationOracle)
+  )
+}

@@ -185,6 +185,47 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ks_statistic: bounds and cross-multiplied decision agree") {
+    val r = operators.StatTests.ksStatistic(spark, sfDir).collect().head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    assert(n1 > 0 && n2 > 0)
+    val d = r.getAs[Long]("d_cross")
+    assert(d >= 0 && d <= n1 * n2, "D is a CDF gap: 0 ≤ D ≤ 1")
+    assert(r.getAs[Long]("d_ppm") == d * 1000000L / (n1 * n2))
+    assert(r.getAs[Boolean]("reject_h0_5pct") ==
+      (d * d * 10000L > 18496L * n1 * n2 * (n1 + n2)))
+  }
+
+  test("gini_concentration: matches a brute-force pairwise recomputation") {
+    val r = operators.StatTests.giniConcentration(spark, sfDir).collect().head
+    val spends = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+        .as("c")).collect().map(_.getAs[Long]("c"))
+    assert(r.getAs[Long]("n_customers") == spends.length)
+    val total = spends.sum
+    assert(r.getAs[Long]("total_cents") == total)
+    val hmd = (for (a <- spends; b <- spends if a > b) yield a - b).map(BigInt(_)).sum
+    val want = (BigInt(2) * hmd * 1000000 /
+      (BigInt(2) * spends.length * total)).toLong
+    // the op divides the denominator first (overflow treatment): ≤2 ppm drift
+    assert(math.abs(r.getAs[Long]("gini_ppm") - want) <= 2,
+      s"gini ${r.getAs[Long]("gini_ppm")} vs exact $want")
+    assert(r.getAs[Long]("gini_ppm") >= 0 && r.getAs[Long]("gini_ppm") < 1000000L)
+  }
+
+  test("neyman_allocation: budget exact, allocations near-proportional to weight") {
+    val rows = operators.StatTests.neymanAllocation(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_alloc")).sum == 1000L,
+      "largest-remainder must hit the budget exactly")
+    val wTot = rows.map(_.getAs[Long]("sigma_scaled_x100")).sum
+    rows.foreach { r =>
+      val ideal = r.getAs[Long]("sigma_scaled_x100").toDouble * 1000.0 / wTot
+      assert(math.abs(r.getAs[Long]("n_alloc") - ideal) < 1.0 + 1e-9,
+        "largest-remainder apportionment stays within 1 of the ideal share")
+    }
+  }
+
   test("quantile_normalize: bijection on ranks, monotone within source") {
     val rows = operators.Retrieval.quantileNormalize(spark, sfDir).collect()
     val n = Tables.documents(spark, sfDir).count()
