@@ -221,7 +221,139 @@ object StatTests {
         event_type ASC) AS BIGINT) <= short THEN 1 ELSE 0 END AS n_alloc
     FROM alloc CROSS JOIN s"""
 
+  /** Mann-Whitney U between the two largest sources' length
+    * distributions, reported as the AUC effect size (U ÷ n1·n2 = the
+    * probability a random source-1 doc is longer than a random source-2
+    * doc — the ranking-quality number ML readers know): [[ksStatistic]]
+    * answers "are they different?", this answers "by how much, in which
+    * direction". Tie-averaged ranks stay INTEGER by working in DOUBLED
+    * rank units (avg rank over a tie cell = cum_before + (c+1)/2, so
+    * 2·avgrank = 2·cum_before + c + 1 exactly); U follows from the
+    * doubled rank sum, AUC_ppm by integer floor division. Same
+    * support-cell shape as KS: one aggregate + one cumulative window,
+    * the corpus never sorts.
+    */
+  def mannWhitneyAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val top2 = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("source").asc).limit(2)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("source").asc)))
+    val cells = docs.join(broadcast(top2), Seq("source"))
+      .groupBy(col("n_chars"))
+      .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val w = Window.orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      // doubled tie-averaged rank for every member of this cell
+      .withColumn("r2", lit(2L) * col("cum_before") + col("c") + 1L)
+    val agg = ranked.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("c1") * col("r2")).as("r1_x2"))
+    agg.select(col("n1"), col("n2"),
+      // U1 = R1 − n1(n1+1)/2; doubled: U1·2 = R1·2 − n1·(n1+1)
+      (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"))
+      .withColumn("u2_x2", expr("2 * n1 * n2 - u1_x2"))
+      .withColumn("auc_ppm", expr("(u1_x2 * 500000) div (n1 * n2)"))
+      .select(col("n1"), col("n2"), col("u1_x2"), col("u2_x2"), col("auc_ppm"))
+  }
+
+  val mannWhitneyAucOracle: String = """
+    WITH top2 AS (
+      SELECT source, n, ROW_NUMBER() OVER (ORDER BY n DESC, source ASC) AS rank
+      FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1)
+      ORDER BY n DESC, source ASC LIMIT 2),
+    cells AS (
+      SELECT n_chars,
+        CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN rank = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM documents d JOIN top2 t ON d.source = t.source
+      GROUP BY 1),
+    ranked AS (
+      SELECT c1, c2,
+        2 * COALESCE(CAST(SUM(c1 + c2) OVER (ORDER BY n_chars ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          + (c1 + c2) + 1 AS r2
+      FROM cells),
+    a AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+        CAST(SUM(c1 * r2) AS BIGINT) AS r1_x2
+      FROM ranked)
+    SELECT n1, n2,
+      r1_x2 - n1 * (n1 + 1) AS u1_x2,
+      2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+      ((r1_x2 - n1 * (n1 + 1)) * 500000) // (n1 * n2) AS auc_ppm
+    FROM a"""
+
+  /** Chi-square test of independence for nation × market segment — the
+    * categorical-association audit (is segment mix uniform across
+    * nations, or does the dimensional model hide a correlation?): the
+    * statistic Σ (o·N − r·c)² ÷ (N·r·c) is computed with INTEGER
+    * cross-multiplied numerators and each cell's term fixed-pointed
+    * (×1e4 → BIGINT) before the cross-row sum — the neyman treatment:
+    * only per-cell arithmetic touches doubles, every Σ is integer.
+    * Output is the scaled statistic, the degrees of freedom, and the
+    * decision against the df-appropriate 5% critical value (a literal,
+    * like the Benford expectation table). One aggregate to the
+    * (nation, segment) contingency cells; margins broadcast back.
+    */
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val cellsDf = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("o"))
+    val rowM = cellsDf.groupBy(col("nationkey")).agg(sum(col("o")).as("r"))
+    val colM = cellsDf.groupBy(col("seg")).agg(sum(col("o")).as("cm"))
+    val n = cellsDf.agg(sum(col("o")).as("nn"))
+    val terms = cellsDf
+      .join(Tables.stateHint(rowM), Seq("nationkey"))
+      .join(Tables.stateHint(colM), Seq("seg"))
+      .crossJoin(broadcast(n))
+      .withColumn("num", col("o") * col("nn") - col("r") * col("cm"))
+      .withColumn("term_fx",
+        floor(col("num").cast("double") * col("num").cast("double")
+          / (col("nn").cast("double") * col("r").cast("double")
+            * col("cm").cast("double")) * lit(1.0e4)).cast("bigint"))
+    terms.agg(
+        sum(col("term_fx")).as("chi2_x10000"),
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("nationkey")).as("n_rows_dim"),
+        countDistinct(col("seg")).as("n_cols_dim"))
+      .select(col("chi2_x10000"),
+        ((col("n_rows_dim") - 1) * (col("n_cols_dim") - 1)).as("dof"),
+        // 5% critical value for df = 96 (25×5 grid) = 119.871, ×1e4;
+        // emitted as data so the decision recomputes under any grid
+        (col("chi2_x10000") > lit(1198710L)).as("reject_independence_5pct"))
+  }
+
+  val chiSquareIndependenceOracle: String = """
+    WITH cells AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS seg,
+        COUNT(*) AS o
+      FROM customer GROUP BY 1, 2),
+    rm AS (SELECT nationkey, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cm AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS cmv FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+    terms AS (
+      SELECT CAST(FLOOR(
+        CAST(o * nn - r * cmv AS DOUBLE) * CAST(o * nn - r * cmv AS DOUBLE)
+        / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE) * CAST(cmv AS DOUBLE))
+        * 1.0e4) AS BIGINT) AS term_fx,
+        c.nationkey, c.seg
+      FROM cells c JOIN rm ON c.nationkey = rm.nationkey
+      JOIN cm ON c.seg = cm.seg CROSS JOIN nn)
+    SELECT CAST(SUM(term_fx) AS BIGINT) AS chi2_x10000,
+      (COUNT(DISTINCT nationkey) - 1) * (COUNT(DISTINCT seg) - 1) AS dof,
+      (CAST(SUM(term_fx) AS BIGINT) > 1198710) AS reject_independence_5pct
+    FROM terms"""
+
   def defs: Map[String, QueryDef] = Map(
+    "mann_whitney_auc" -> QueryDef.sql(mannWhitneyAuc, mannWhitneyAucOracle),
+    "chi_square_independence" ->
+      QueryDef.sql(chiSquareIndependence, chiSquareIndependenceOracle),
     "ks_statistic" -> QueryDef.sql(ksStatistic, ksStatisticOracle),
     "gini_concentration" -> QueryDef.sql(giniConcentration, giniConcentrationOracle),
     "neyman_allocation" -> QueryDef.sql(neymanAllocation, neymanAllocationOracle)

@@ -226,6 +226,38 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("mann_whitney_auc: U identities hold and AUC matches brute force") {
+    val r = operators.StatTests.mannWhitneyAuc(spark, sfDir).collect().head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    assert(r.getAs[Long]("u1_x2") + r.getAs[Long]("u2_x2") == 2 * n1 * n2,
+      "U1 + U2 must equal n1·n2")
+    // brute-force AUC over the two largest sources
+    val bySource = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    val top2 = bySource.toSeq.sortBy { case (s, v) => (-v.length, s) }.take(2)
+    val (a, b) = (top2(0)._2, top2(1)._2)
+    assert(n1 == a.length && n2 == b.length)
+    val wins = (for (x <- a; y <- b) yield
+      if (x > y) 2L else if (x == y) 1L else 0L).sum
+    assert(r.getAs[Long]("u1_x2") == wins,
+      "doubled U1 must equal 2·wins + ties from brute force")
+    val auc = r.getAs[Long]("auc_ppm")
+    assert(auc >= 0 && auc <= 1000000L)
+  }
+
+  test("chi_square_independence: statistic nonnegative, dof from the real grid") {
+    val r = operators.StatTests.chiSquareIndependence(spark, sfDir).collect().head
+    assert(r.getAs[Long]("chi2_x10000") >= 0)
+    val grid = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment")).collect()
+    val nr = grid.map(_.get(0)).distinct.length
+    val nc = grid.map(_.getString(1)).distinct.length
+    assert(r.getAs[Long]("dof") == (nr - 1).toLong * (nc - 1))
+    assert(r.getAs[Boolean]("reject_independence_5pct") ==
+      (r.getAs[Long]("chi2_x10000") > 1198710L))
+  }
+
   test("quantile_normalize: bijection on ranks, monotone within source") {
     val rows = operators.Retrieval.quantileNormalize(spark, sfDir).collect()
     val n = Tables.documents(spark, sfDir).count()
