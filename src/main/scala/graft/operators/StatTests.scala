@@ -321,12 +321,20 @@ object StatTests {
         sum(col("term_fx")).as("chi2_x10000"),
         count(lit(1)).as("n_cells"),
         countDistinct(col("nationkey")).as("n_rows_dim"),
-        countDistinct(col("seg")).as("n_cols_dim"))
+        countDistinct(col("seg")).as("n_cols_dim"),
+        max(col("nn")).as("nn"))
       .select(col("chi2_x10000"),
         ((col("n_rows_dim") - 1) * (col("n_cols_dim") - 1)).as("dof"),
         // 5% critical value for df = 96 (25×5 grid) = 119.871, ×1e4;
         // emitted as data so the decision recomputes under any grid
-        (col("chi2_x10000") > lit(1198710L)).as("reject_independence_5pct"))
+        (col("chi2_x10000") > lit(1198710L)).as("reject_independence_5pct"),
+        // Cramér's V effect size: sqrt(χ² / (N·min(r−1, c−1))), from the
+        // already-fixed-point statistic — one IEEE sqrt of a
+        // deterministic ratio
+        floor(sqrt(col("chi2_x10000").cast("double") / lit(1.0e4)
+          / (col("nn").cast("double")
+            * least(col("n_rows_dim") - 1, col("n_cols_dim") - 1).cast("double")))
+          * lit(1.0e4) + lit(0.5)).cast("bigint").as("cramers_v_x10000"))
   }
 
   val chiSquareIndependenceOracle: String = """
@@ -342,15 +350,84 @@ object StatTests {
         CAST(o * nn - r * cmv AS DOUBLE) * CAST(o * nn - r * cmv AS DOUBLE)
         / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE) * CAST(cmv AS DOUBLE))
         * 1.0e4) AS BIGINT) AS term_fx,
-        c.nationkey, c.seg
+        c.nationkey, c.seg, nn.nn AS nnv
       FROM cells c JOIN rm ON c.nationkey = rm.nationkey
       JOIN cm ON c.seg = cm.seg CROSS JOIN nn)
     SELECT CAST(SUM(term_fx) AS BIGINT) AS chi2_x10000,
       (COUNT(DISTINCT nationkey) - 1) * (COUNT(DISTINCT seg) - 1) AS dof,
-      (CAST(SUM(term_fx) AS BIGINT) > 1198710) AS reject_independence_5pct
+      (CAST(SUM(term_fx) AS BIGINT) > 1198710) AS reject_independence_5pct,
+      CAST(FLOOR(SQRT(CAST(CAST(SUM(term_fx) AS BIGINT) AS DOUBLE) / 1.0e4
+        / (CAST(MAX(nnv) AS DOUBLE)
+          * CAST(LEAST(COUNT(DISTINCT nationkey) - 1,
+            COUNT(DISTINCT seg) - 1) AS DOUBLE)))
+        * 1.0e4 + 0.5) AS BIGINT) AS cramers_v_x10000
     FROM terms"""
 
+  /** Spearman rank correlation between order value and order width
+    * (lineitem count) — the monotone-association audit that survives
+    * the heavy-tailed money distribution Pearson chokes on (do bigger
+    * baskets actually cost more, RANK-wise?). Ranks are row_number with
+    * the orderkey tiebreak — a total order, so both engines rank
+    * identically with no tie-averaging — and ρ = 1 − 6Σd²/(n³−n) stays
+    * integer to the end: Σd² is a BIGINT sum, and the final ppm uses
+    * the divide-the-denominator-first treatment as n·((n²−1)÷1e6) —
+    * never forming n³, which overflows BIGINT past ~2e6 rows; this form
+    * holds to ~1.6e8 (identical truncation both engines; past that the
+    * exact statistic moves to the bucketed rfm-cell approximation, as
+    * does Σd² itself).
+    *
+    * Scale: the two rank windows are single-axis global sorts (the
+    * intrinsic cost of exact ranks — quantile_normalize documents the
+    * same; the approximate path buckets into the rfm cell grid). The
+    * d² fold is map-side-combinable.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val width = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    val joined = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint").as("cents"))
+      .join(width, Seq("l_orderkey"))
+    val ranked = joined
+      .withColumn("r_value", row_number().over(
+        Window.orderBy(col("cents").asc, col("l_orderkey").asc)).cast("long"))
+      .withColumn("r_width", row_number().over(
+        Window.orderBy(col("n_lines").asc, col("l_orderkey").asc)).cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum((col("r_value") - col("r_width")) * (col("r_value") - col("r_width")))
+          .as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        when(expr("n * ((n * n - 1) div 1000000)") === 0, lit(0L))
+          .otherwise(lit(1000000L)
+            - expr("(6 * sum_d2) div (n * ((n * n - 1) div 1000000))"))
+          .as("rho_ppm"))
+  }
+
+  val spearmanCorrOracle: String = """
+    WITH width AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderkey AS k,
+        CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents, w.n_lines
+      FROM orders o JOIN width w ON o.o_orderkey = w.l_orderkey),
+    ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, k ASC) AS BIGINT)
+          AS r_value,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_lines ASC, k ASC) AS BIGINT)
+          AS r_width
+      FROM j),
+    f AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM((r_value - r_width) * (r_value - r_width)) AS BIGINT) AS sum_d2
+      FROM ranked)
+    SELECT n, sum_d2,
+      CASE WHEN n * ((n * n - 1) // 1000000) = 0 THEN 0
+        ELSE 1000000 - (6 * sum_d2) // (n * ((n * n - 1) // 1000000)) END
+        AS rho_ppm
+    FROM f"""
+
   def defs: Map[String, QueryDef] = Map(
+    "spearman_corr" -> QueryDef.sql(spearmanCorr, spearmanCorrOracle),
     "mann_whitney_auc" -> QueryDef.sql(mannWhitneyAuc, mannWhitneyAucOracle),
     "chi_square_independence" ->
       QueryDef.sql(chiSquareIndependence, chiSquareIndependenceOracle),

@@ -256,6 +256,31 @@ class RetrievalSpec extends SparkSpec {
     assert(r.getAs[Long]("dof") == (nr - 1).toLong * (nc - 1))
     assert(r.getAs[Boolean]("reject_independence_5pct") ==
       (r.getAs[Long]("chi2_x10000") > 1198710L))
+    // Cramér's V in [0, 1]
+    val v = r.getAs[Long]("cramers_v_x10000")
+    assert(v >= 0 && v <= 10000L, s"Cramér's V $v out of [0,1]")
+  }
+
+  test("spearman_corr: matches a driver-side exact recomputation") {
+    val r = operators.StatTests.spearmanCorr(spark, sfDir).collect().head
+    val joined = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint").as("cents"))
+      .join(Tables.lineitem(spark, sfDir).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("nl")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("cents"), col("nl")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val n = joined.length.toLong
+    assert(r.getAs[Long]("n") == n)
+    val rv = joined.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rw = joined.sortBy(t => (t._3, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val sumD2 = joined.map(t => { val d = rv(t._1) - rw(t._1); d * d }).sum
+    assert(r.getAs[Long]("sum_d2") == sumD2)
+    val rho = r.getAs[Long]("rho_ppm")
+    assert(rho >= -1000000L && rho <= 1000000L)
   }
 
   test("quantile_normalize: bijection on ranks, monotone within source") {
