@@ -355,4 +355,29 @@ class ShuffleBudgetSpec extends SparkSpec {
   // reread the checkpointed baskets.
   check("assoc_rules", 3)(operators.GraphExt.assocRules(spark, sfDir))
   check("graph_assortativity", 2)(operators.GraphExt.graphAssortativity(spark, sfDir))
+  // Round-9 second wave. Same discipline: the corpus-keyed shuffle(s)
+  // plus profile-scale windows/folds; budgets are the measured counts.
+  check("forecast_backtest", 2)(operators.EventScience.forecastBacktest(spark, sfDir))
+  // cohort_ltv: two corpus-keyed folds (first-touch, cohort cells);
+  // the rest are the countDistinct expand + grid window.
+  check("cohort_ltv", 6)(operators.EventScience.cohortLtv(spark, sfDir))
+  check("attribution_linear", 3)(operators.EventScience.attributionLinear(spark, sfDir))
+  check("dwh_dim_date", 1)(operators.Dwh.dimDate(spark, sfDir))
+  check("decayed_popularity", 3)(operators.GraphExt.decayedPopularity(spark, sfDir))
+  check("clustering_coefficient", 2)(
+    operators.GraphExt.clusteringCoefficient(spark, sfDir))
+  check("dp_noisy_counts", 1)(operators.Quality.dpNoisyCounts(spark, sfDir))
+  check("ks_statistic", 3)(operators.StatTests.ksStatistic(spark, sfDir))
+  check("mann_whitney_auc", 3)(operators.StatTests.mannWhitneyAuc(spark, sfDir))
+  // chi_square: 8 of the 9 exchanges move ≤|cells| (125) rows — the
+  // margin folds, countDistinct expands, and scalar broadcasts; the one
+  // corpus-scale shuffle is the contingency aggregate.
+  check("chi_square_independence", 9)(
+    operators.StatTests.chiSquareIndependence(spark, sfDir))
+  check("spearman_corr", 2)(operators.StatTests.spearmanCorr(spark, sfDir))
+  check("gini_concentration", 3)(operators.StatTests.giniConcentration(spark, sfDir))
+  check("neyman_allocation", 4)(operators.StatTests.neymanAllocation(spark, sfDir))
+  check("snippet_extract", 1)(operators.Retrieval.snippetExtract(spark, sfDir))
+  check("rrf_fusion", 2)(operators.Retrieval.rrfFusion(spark, sfDir))
+  check("hilbert_layout", 2)(operators.Lakehouse.hilbertLayout(spark, sfDir))
 }
