@@ -590,7 +590,89 @@ object EventScience {
       COALESCE(c.n_clicks_credited, 0) AS n_clicks_credited
     FROM p LEFT JOIN c ON p.day_ord = c.day_ord"""
 
+  /** Daily-count autocorrelation function per event type, lags 1-7 —
+    * the seasonality DETECTOR feeding [[dowSeasonality]] (which assumes
+    * weekly structure) and [[forecastBacktest]] (which exploits it): a
+    * lag-7 spike is the measured evidence the weekly model is right.
+    * Exact integers end to end: with S = Σx and n days, the centered
+    * cross-product Σ(n·x_t − S)(n·x_{t−k} − S) over the OBSERVED
+    * contiguous pairs is BIGINT (never a float mean), and
+    * acf_ppm = num·1e6 ÷ den uses the lag-0 denominator of the same
+    * scaled form. Gaps guard by exact day distance (a missing day
+    * never silently pairs). One corpus shuffle into the daily grid;
+    * the 7 lag windows share its type partitioning.
+    */
+  def acfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts div $NsPerDay").as("day_ord"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("sx2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_ord"))
+    var lagged = daily
+    for (k <- 1 to 7) {
+      lagged = lagged
+        .withColumn(s"d$k", lag(col("day_ord"), k).over(w))
+        .withColumn(s"x$k",
+          when(col(s"d$k") === col("day_ord") - k, lag(col("x"), k).over(w)))
+    }
+    val aggCols = (1 to 7).map(k =>
+      sum(col("x") * col(s"x$k")).as(s"sxy$k")) ++
+      (1 to 7).map(k => sum(when(col(s"x$k").isNotNull, col("x"))).as(s"sa$k")) ++
+      (1 to 7).map(k => sum(col(s"x$k")).as(s"sb$k")) ++
+      (1 to 7).map(k => count(col(s"x$k")).as(s"m$k"))
+    val nums = lagged.groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // centered num over observed pairs: m·Σxy − Σa·Σb (the two-sample
+    // centering — robust to gaps); den: n·Σx² − S² (lag-0, full series)
+    val perLag = (1 to 7).map { k =>
+      nums.select(col("event_type"), lit(k.toLong).as("lag"),
+        (col(s"m$k") * col(s"sxy$k") - col(s"sa$k") * col(s"sb$k")).as("num"),
+        col(s"m$k").as("n_pairs"))
+    }.reduce(_ unionByName _)
+    perLag.join(Tables.stateHint(stats), Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(col("n") * col("sx2") - col("s") * col("s") === 0, lit(0L))
+          .otherwise(expr("(num * 1000000) div (n * sx2 - s * s)"))
+          .as("acf_ppm"))
+  }
+
+  val acfDailyOracle: String = {
+    val lagCols = (1 to 7).map { k =>
+      s"""CASE WHEN LAG(day_ord, $k) OVER w = day_ord - $k
+        THEN LAG(x, $k) OVER w END AS x$k"""
+    }.mkString(",\n        ")
+    val branches = (1 to 7).map { k =>
+      s"""SELECT event_type, $k AS lag,
+        CAST(COUNT(x$k) AS BIGINT) AS n_pairs,
+        CAST(COUNT(x$k) AS BIGINT) * CAST(SUM(x * x$k) AS BIGINT)
+          - CAST(SUM(CASE WHEN x$k IS NOT NULL THEN x END) AS BIGINT)
+            * CAST(SUM(x$k) AS BIGINT) AS num
+      FROM lagged GROUP BY 1"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH daily AS (
+      SELECT event_type, EPOCH_NS(ts) // $NsPerDay AS day_ord, COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+        CAST(SUM(x * x) AS BIGINT) AS sx2
+      FROM daily GROUP BY 1),
+    lagged AS (
+      SELECT event_type, day_ord, x,
+        $lagCols
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_ord)),
+    perlag AS (
+      $branches)
+    SELECT p.event_type, p.lag, p.n_pairs,
+      CASE WHEN st.n * st.sx2 - st.s * st.s = 0 THEN 0
+        ELSE (p.num * 1000000) // (st.n * st.sx2 - st.s * st.s) END AS acf_ppm
+    FROM perlag p JOIN stats st ON p.event_type = st.event_type"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "acf_daily" -> QueryDef.sql(acfDaily, acfDailyOracle),
     "attribution_linear" -> QueryDef.sql(attributionLinear, attributionLinearOracle),
     "forecast_backtest" -> QueryDef.sql(forecastBacktest, forecastBacktestOracle),
     "cohort_ltv" -> QueryDef.sql(cohortLtv, cohortLtvOracle),

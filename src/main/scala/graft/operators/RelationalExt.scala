@@ -371,7 +371,52 @@ object RelationalExt {
     FROM (SELECT src, MIN(dst) AS entity FROM reach GROUP BY 1) l
     JOIN names n ON n.p_name = l.src"""
 
+  /** 2-D skyline (Pareto frontier) over the part catalogue — the
+    * multi-objective SELECT Spark has no native operator for: every
+    * part not DOMINATED on (retail price ↓, size ↑), i.e. the
+    * cheapest-for-its-size frontier. Computed in O(n log n) with ONE
+    * sort instead of the textbook O(n²) dominance self-join: order by
+    * (price asc, size desc, key asc); a row survives iff its size
+    * strictly exceeds the running max size over all STRICTLY-cheaper
+    * rows (equal-price rows cannot dominate each other unless one also
+    * wins on size, which the running max over the previous price GROUP
+    * captures via the range frame on price). Exact integer cents; both
+    * engines evaluate the identical window.
+    *
+    * Scale: the single-axis sort is the intrinsic exact-skyline cost
+    * (quantile_normalize documents the same bound); the distributed
+    * refinement — local skyline per partition, then merge — drops out
+    * of the same window once the data is range-partitioned on price.
+    */
+  def skyline2d(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("part_key"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("bigint").as("price_cents"),
+        col("p_size").cast("long").as("size"))
+    val w = Window.orderBy(col("price_cents").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("best_cheaper", max(col("size")).over(w))
+      .filter(col("best_cheaper").isNull || col("size") > col("best_cheaper"))
+      .select(col("part_key"), col("price_cents"), col("size"))
+  }
+
+  val skyline2dOracle: String = """
+    WITH p AS (
+      SELECT CAST(p_partkey AS BIGINT) AS part_key,
+        CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        CAST(p_size AS BIGINT) AS size
+      FROM part),
+    fl AS (
+      SELECT part_key, price_cents, size,
+        MAX(size) OVER (ORDER BY price_cents ASC
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+      FROM p)
+    SELECT part_key, price_cents, size
+    FROM fl WHERE best_cheaper IS NULL OR size > best_cheaper"""
+
   def defs: Map[String, QueryDef] = Map(
+    "skyline_2d" -> QueryDef.sql(skyline2d, skyline2dOracle),
     "entity_resolution" ->
       QueryDef.sql(entityResolution, entityResolutionOracle),
     "fuzzy_join" -> QueryDef.sql(fuzzyJoin, fuzzyJoinOracle),

@@ -283,6 +283,38 @@ class RetrievalSpec extends SparkSpec {
     assert(rho >= -1000000L && rho <= 1000000L)
   }
 
+  test("acf_daily: full lag grid, pair accounting, bounded coefficients") {
+    val rows = operators.EventScience.acfDaily(spark, sfDir).collect()
+    val types = Tables.events(spark, sfDir)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length.toLong == types * 7, "7 lags per type")
+    val days = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 86400000000000")).distinct()
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag"); assert(lag >= 1 && lag <= 7)
+      // a contiguous series has exactly n−k lag-k pairs
+      assert(r.getAs[Long]("n_pairs") <= days(r.getAs[String]("event_type")) - lag + 1)
+      val a = r.getAs[Long]("acf_ppm")
+      assert(math.abs(a) <= 1200000L, s"acf $a far outside [-1, 1]")
+    }
+  }
+
+  test("skyline_2d: returned frontier is exactly the non-dominated set") {
+    val got = operators.RelationalExt.skyline2d(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("part_key"), r.getAs[Long]("price_cents"),
+        r.getAs[Long]("size"))).toSet
+    val all = Tables.part(spark, sfDir)
+      .select(col("p_partkey").cast("long"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("bigint"),
+        col("p_size").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(x: (Long, Long, Long)) = all.exists(o =>
+      o._2 <= x._2 && o._3 >= x._3 && (o._2 < x._2 || o._3 > x._3))
+    val want = all.filterNot(dominated).toSet
+    assert(got == want, s"skyline mismatch: got ${got.size}, want ${want.size}")
+  }
+
   test("quantile_normalize: bijection on ranks, monotone within source") {
     val rows = operators.Retrieval.quantileNormalize(spark, sfDir).collect()
     val n = Tables.documents(spark, sfDir).count()
