@@ -380,4 +380,6 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("snippet_extract", 1)(operators.Retrieval.snippetExtract(spark, sfDir))
   check("rrf_fusion", 2)(operators.Retrieval.rrfFusion(spark, sfDir))
   check("hilbert_layout", 2)(operators.Lakehouse.hilbertLayout(spark, sfDir))
+  check("acf_daily", 3)(operators.EventScience.acfDaily(spark, sfDir))
+  check("skyline_2d", 1)(operators.RelationalExt.skyline2d(spark, sfDir))
 }
