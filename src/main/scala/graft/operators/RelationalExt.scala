@@ -415,7 +415,51 @@ object RelationalExt {
     SELECT part_key, price_cents, size
     FROM fl WHERE best_cheaper IS NULL OR size > best_cheaper"""
 
+  /** Repurchase-gap curve: the distribution of WEEKS between a
+    * customer's consecutive orders — the retention-economics histogram
+    * behind reorder-window sizing and churn cutoffs (where does the
+    * renewal mass sit, and what share of gaps exceed k weeks?). One lag
+    * window over the (customer, date, key) ordering — the
+    * bot_detect/forecast gap discipline on the purchase axis — then a
+    * gap-week histogram with exact cumulative ppm. Date ties break on
+    * order key, so both engines see identical gap sequences.
+    */
+  def repurchaseCurve(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("d"))
+      .withColumn("gap_w", expr("(d - lag(d, 1) over (partition by o_custkey " +
+        "order by d asc, o_orderkey asc)) div 7"))
+      .filter(col("gap_w").isNotNull)
+    gaps.groupBy(col("gap_w"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("cum_ppm", expr(
+        "(sum(n_gaps) over (order by gap_w asc rows unbounded preceding) " +
+          "* 1000000) div (sum(n_gaps) over ())"))
+  }
+
+  val repurchaseCurveOracle: String = """
+    WITH g AS (
+      SELECT o_custkey,
+        (CAST(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT)
+         - LAG(CAST(DATEDIFF('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) AS BIGINT)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)) // 7
+          AS gap_w
+      FROM orders),
+    h AS (
+      SELECT gap_w, COUNT(*) AS n_gaps FROM g
+      WHERE gap_w IS NOT NULL GROUP BY 1)
+    SELECT gap_w, n_gaps,
+      (CAST(SUM(n_gaps) OVER (ORDER BY gap_w ASC ROWS UNBOUNDED PRECEDING)
+        AS BIGINT) * 1000000)
+        // CAST(SUM(n_gaps) OVER () AS BIGINT) AS cum_ppm
+    FROM h"""
+
   def defs: Map[String, QueryDef] = Map(
+    "repurchase_curve" -> QueryDef.sql(repurchaseCurve, repurchaseCurveOracle),
     "skyline_2d" -> QueryDef.sql(skyline2d, skyline2dOracle),
     "entity_resolution" ->
       QueryDef.sql(entityResolution, entityResolutionOracle),

@@ -315,6 +315,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want, s"skyline mismatch: got ${got.size}, want ${want.size}")
   }
 
+  test("repurchase_curve: gaps account for every non-first order, cum ppm monotone") {
+    val rows = operators.RelationalExt.repurchaseCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("gap_w"))
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+    val expectGaps = orders.length - orders.distinct.length
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == expectGaps,
+      "one gap per non-first order of each customer")
+    val cums = rows.map(_.getAs[Long]("cum_ppm"))
+    assert(cums.sameElements(cums.sorted), "cumulative share must be monotone")
+    assert(cums.last <= 1000000L && cums.last > 1000000L - rows.length)
+    rows.foreach(r => assert(r.getAs[Long]("gap_w") >= 0))
+  }
+
   test("quantile_normalize: bijection on ranks, monotone within source") {
     val rows = operators.Retrieval.quantileNormalize(spark, sfDir).collect()
     val n = Tables.documents(spark, sfDir).count()
