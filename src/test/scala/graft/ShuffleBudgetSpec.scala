@@ -382,4 +382,5 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("hilbert_layout", 2)(operators.Lakehouse.hilbertLayout(spark, sfDir))
   check("acf_daily", 3)(operators.EventScience.acfDaily(spark, sfDir))
   check("skyline_2d", 1)(operators.RelationalExt.skyline2d(spark, sfDir))
+  check("repurchase_curve", 3)(operators.RelationalExt.repurchaseCurve(spark, sfDir))
 }
