@@ -671,7 +671,116 @@ object EventScience {
     FROM perlag p JOIN stats st ON p.event_type = st.event_type"""
   }
 
+  /** Fano factor (index of dispersion, σ²/μ) of the daily count series
+    * per event type — the overdispersion audit that decides which
+    * anomaly model applies: ≈1e6 ⇒ Poisson-like traffic (count
+    * thresholds work), ≫1e6 ⇒ bursty/clumped ([[EventOps]]'
+    * burst_detect's regime). Exact: population variance via the moment
+    * identity, the two floor divisions chained identically in both
+    * engines — fano_ppm = ((n·Σx² − S²) ÷ n) · 1e6 ÷ S with all
+    * quantities BIGINT. One corpus shuffle into the daily grid.
+    */
+  def fanoFactor(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts div $NsPerDay").as("day_ord"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("event_type"), col("n_days"), col("s").as("n_events"),
+        expr("(((n_days * sx2 - s * s) div n_days) * 1000000) div s")
+          .as("fano_ppm"))
+
+  val fanoFactorOracle: String = s"""
+    WITH daily AS (
+      SELECT event_type, EPOCH_NS(ts) // $NsPerDay AS day_ord, COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS s,
+        CAST(SUM(x * x) AS BIGINT) AS sx2
+      FROM daily GROUP BY 1)
+    SELECT event_type, n_days, s AS n_events,
+      (((n_days * sx2 - s * s) // n_days) * 1000000) // s AS fano_ppm
+    FROM m"""
+
+  /** Daily novelty: new-vs-returning user split per day — the growth
+    * metric behind "is traffic new demand or the same cohort?": a
+    * user's FIRST day (min day over their events, the first-touch fold
+    * retention_cohorts/cohort_ltv share) marks them new exactly once;
+    * every day reports events, active users, new users, and the new
+    * share in exact ppm. Two corpus-keyed shuffles (first-touch, daily
+    * fold); the join back rides the broadcast state hint.
+    */
+  def dailyNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val withDay = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div $NsPerDay").as("day_ord"))
+    val firstTouch = withDay.groupBy(col("user_id"))
+      .agg(min(col("day_ord")).as("first_day"))
+    withDay.join(Tables.stateHint(firstTouch), Seq("user_id"))
+      .groupBy(col("day_ord"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active"),
+        countDistinct(when(col("first_day") === col("day_ord"),
+          col("user_id"))).as("n_new"))
+      .withColumn("new_share_ppm", expr("(n_new * 1000000) div n_active"))
+  }
+
+  val dailyNoveltyOracle: String = s"""
+    WITH wd AS (
+      SELECT user_id, EPOCH_NS(ts) // $NsPerDay AS day_ord FROM events),
+    ft AS (SELECT user_id, MIN(day_ord) AS first_day FROM wd GROUP BY 1)
+    SELECT day_ord, COUNT(*) AS n_events,
+      COUNT(DISTINCT wd.user_id) AS n_active,
+      COUNT(DISTINCT CASE WHEN ft.first_day = wd.day_ord
+        THEN wd.user_id END) AS n_new,
+      (COUNT(DISTINCT CASE WHEN ft.first_day = wd.day_ord
+        THEN wd.user_id END) * 1000000)
+        // COUNT(DISTINCT wd.user_id) AS new_share_ppm
+    FROM wd JOIN ft ON wd.user_id = ft.user_id
+    GROUP BY 1"""
+
+  /** User-activity concentration deciles — the 1/9/90 audit: users
+    * NTILE'd into 10 activity deciles (by event count, user-id
+    * tiebreak — identical NTILE semantics both engines), each decile
+    * reporting its user count, event mass, and share in exact ppm; the
+    * top decile's share is the "do power users carry the corpus?"
+    * number ([[graft.operators.StatTests]] gini_concentration is the
+    * scalar twin on revenue). The NTILE runs over USER-scale rows
+    * (one per user after the fold), never the corpus.
+    */
+  def userConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    perUser
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n").desc, col("user_id").asc))
+          .cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .withColumn("events_share_ppm",
+        expr("(n_events * 1000000) div (sum(n_events) over ())"))
+  }
+
+  val userConcentrationOracle: String = """
+    WITH pu AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    d AS (
+      SELECT user_id, n,
+        CAST(NTILE(10) OVER (ORDER BY n DESC, user_id ASC) AS BIGINT)
+          AS decile
+      FROM pu),
+    g AS (
+      SELECT decile, COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events
+      FROM d GROUP BY 1)
+    SELECT decile, n_users, n_events,
+      (n_events * 1000000) // CAST(SUM(n_events) OVER () AS BIGINT)
+        AS events_share_ppm
+    FROM g"""
+
   def defs: Map[String, QueryDef] = Map(
+    "fano_factor" -> QueryDef.sql(fanoFactor, fanoFactorOracle),
+    "daily_novelty" -> QueryDef.sql(dailyNovelty, dailyNoveltyOracle),
+    "user_concentration" -> QueryDef.sql(userConcentration, userConcentrationOracle),
     "acf_daily" -> QueryDef.sql(acfDaily, acfDailyOracle),
     "attribution_linear" -> QueryDef.sql(attributionLinear, attributionLinearOracle),
     "forecast_backtest" -> QueryDef.sql(forecastBacktest, forecastBacktestOracle),

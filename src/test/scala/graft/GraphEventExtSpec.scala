@@ -197,6 +197,57 @@ class GraphEventExtSpec extends SparkSpec {
     }
   }
 
+  test("fano_factor: dispersion identity against driver recomputation") {
+    val rows = operators.EventScience.fanoFactor(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000"))
+      .count().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2))).toMap
+    rows.foreach { r =>
+      val xs = daily(r.getAs[String]("event_type"))
+      val n = xs.length.toLong; val s = xs.sum; val sx2 = xs.map(x => x * x).sum
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("n_events") == s)
+      assert(r.getAs[Long]("fano_ppm") ==
+        ((n * sx2 - s * s) / n) * 1000000L / s)
+      assert(r.getAs[Long]("fano_ppm") >= 0)
+    }
+  }
+
+  test("daily_novelty: every user is new exactly once, shares bounded") {
+    val rows = operators.EventScience.dailyNovelty(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == users,
+      "summed new users must equal the distinct user count")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_active"))
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("new_share_ppm") <= 1000000L)
+    }
+    // the earliest observed day is all-new by definition
+    val first = rows.minBy(_.getAs[Long]("day_ord"))
+    assert(first.getAs[Long]("n_new") == first.getAs[Long]("n_active"))
+  }
+
+  test("user_concentration: deciles partition users, shares are non-increasing") {
+    val rows = operators.EventScience.userConcentration(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).sameElements(1L to rows.length))
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    val shares = rows.map(_.getAs[Long]("events_share_ppm"))
+    shares.sliding(2).foreach { case Array(a, b) =>
+      // deciles are ordered most-active first, so event mass decreases
+      // (ppm floors can tie adjacent deciles but never invert by >1)
+      assert(b <= a + 1, s"decile shares inverted: $a then $b")
+    }
+  }
+
   test("forecast_backtest: WAPE bounds and scored-day accounting") {
     val rows = operators.EventScience.forecastBacktest(spark, sfDir).collect()
     assert(rows.nonEmpty)
