@@ -383,4 +383,8 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("acf_daily", 3)(operators.EventScience.acfDaily(spark, sfDir))
   check("skyline_2d", 1)(operators.RelationalExt.skyline2d(spark, sfDir))
   check("repurchase_curve", 3)(operators.RelationalExt.repurchaseCurve(spark, sfDir))
+  check("fano_factor", 2)(operators.EventScience.fanoFactor(spark, sfDir))
+  check("daily_novelty", 3)(operators.EventScience.dailyNovelty(spark, sfDir))
+  check("user_concentration", 2)(
+    operators.EventScience.userConcentration(spark, sfDir))
 }
