@@ -245,6 +245,40 @@ object EventStreams {
   /** Shared with the batch twin — equivalence requires one constant. */
   private val FunnelWindowUs = graft.operators.EventOps.FunnelWindowUs
 
+  final case class FirstTouch(user_id: Long, first_ts: java.sql.Timestamp)
+
+  /** Streaming new-user counter — the stream twin of the batch
+    * `daily_novelty` first-touch fold: per-user state records the first
+    * sight, each micro-batch's group folds over its (ts, id)-SORTED
+    * events (a bare dropDuplicates would keep the first event in
+    * PROCESSING order — partition-order-dependent and wrong for a later
+    * replayed early event; the sort is the determinism treatment, same
+    * as the MG fold), and the emitted first-touches aggregate into
+    * 1-day tumbling new-user counts (flatMapGroupsWithState in append
+    * mode composes with a downstream aggregation). State is one tiny
+    * row per DISTINCT user — identity-scale and unbounded by design:
+    * "new EVER" needs the full identity set.
+    */
+  def noveltyStream(events: Dataset[Event]): DataFrame = {
+    import events.sparkSession.implicits._
+    val firsts = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, FirstTouch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = batch.minBy(e => (epochMicros(e.ts), e.event_id))
+            state.update(1L)
+            Iterator.single(FirstTouch(userId, first.ts))
+          }
+      }
+    firsts
+      .groupBy(window(col("first_ts"), "1 day"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(col("window.start").as("window_start"), col("n_new"))
+  }
+
   final case class MgState(counters: Map[Long, Long], nSeen: Long)
 
   final case class MgCandidates(

@@ -138,6 +138,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("noveltyStream agrees with the batch daily_novelty first-touch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val q = EventStreams.noveltyStream(
+        EventStreams.eventsStream(spark, sfDir).as[Event])
+      .writeStream.format("memory").queryName("novelty_sf")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("novelty_sf").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime / 86400000L ->
+        r.getAs[Long]("n_new")).toMap
+    val batch = operators.EventScience.dailyNovelty(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day_ord") -> r.getAs[Long]("n_new"))
+      .filter(_._2 > 0).toMap
+    assert(streamed == batch,
+      s"streaming first-touch diverged: stream=$streamed batch=$batch")
+  }
+
   test("sessionized assigns gap-based sessions with per-user state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
