@@ -51,7 +51,7 @@ object EventOps {
     * running sum. Both sessionize and sessionStats derive from this
     * frame (columns: events ∪ {t_us, session_id}).
     */
-  private def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy(col("user_id"))
       .orderBy(col("t_us").asc, col("event_id").asc)
     Tables.events(spark, dir)
@@ -67,7 +67,7 @@ object EventOps {
   /** SQL twin of [[sessionAssigned]] (relation:
     * s(user_id, event_id, value, t, session_id)).
     */
-  private val sqlSessionAssigned: String = s"""
+  private[operators] val sqlSessionAssigned: String = s"""
       SELECT user_id, event_id, event_type, value, t,
         CAST(SUM(new_session) OVER (PARTITION BY user_id
           ORDER BY t ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)

@@ -777,7 +777,94 @@ object EventScience {
         AS events_share_ppm
     FROM g"""
 
+  /** DAU/MAU stickiness per day — the engagement ratio product teams
+    * steer by — with the trailing-28-day MAU computed from the
+    * [[bitmapOverlap]] 32-bit WORD encoding instead of a sliding
+    * distinct (a windowed COUNT DISTINCT re-scans its whole frame per
+    * day; OR-words make the trailing union a per-word bit_or window
+    * over \|users\|/32-scale rows, then MAU = Σ popcount). DAU is the
+    * exact per-day distinct from the same words. Exact integers; one
+    * corpus shuffle into the (day, word) bitmap.
+    */
+  def stickinessDauMau(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.events(spark, dir)
+      .select(expr(s"ts div $NsPerDay").as("day_ord"), col("user_id")).distinct()
+      .groupBy(col("day_ord"), expr("user_id div 32").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 32 as int)))").as("word"))
+    // dense (day × observed word) grid so the trailing OR window sees a
+    // row per day even when a word has no new users that day
+    val days = words.select(col("day_ord")).distinct()
+    val idxs = words.select(col("word_idx")).distinct()
+    val dense = days.crossJoin(idxs)
+      .join(words, Seq("day_ord", "word_idx"), "left")
+      .select(col("day_ord"), col("word_idx"),
+        coalesce(col("word"), lit(0L)).as("word"))
+    val merged = dense.withColumn("mword",
+      expr("bit_or(word) over (partition by word_idx order by day_ord " +
+        "range between 27 preceding and current row)"))
+    merged.groupBy(col("day_ord"))
+      .agg(sum(bit_count(col("word")).cast("bigint")).as("dau"),
+        sum(bit_count(col("mword")).cast("bigint")).as("mau_28d"))
+      .withColumn("stickiness_ppm", expr("(dau * 1000000) div mau_28d"))
+  }
+
+  val stickinessDauMauOracle: String = s"""
+    WITH du AS (
+      SELECT DISTINCT EPOCH_NS(ts) // $NsPerDay AS day_ord, user_id FROM events),
+    words AS (
+      SELECT day_ord, user_id // 32 AS word_idx,
+        BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS word
+      FROM du GROUP BY 1, 2),
+    dense AS (
+      SELECT d.day_ord, i.word_idx, COALESCE(w.word, 0) AS word
+      FROM (SELECT DISTINCT day_ord FROM words) d
+      CROSS JOIN (SELECT DISTINCT word_idx FROM words) i
+      LEFT JOIN words w ON w.day_ord = d.day_ord AND w.word_idx = i.word_idx),
+    merged AS (
+      SELECT day_ord, word,
+        BIT_OR(word) OVER (PARTITION BY word_idx ORDER BY day_ord
+          RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS mword
+      FROM dense)
+    SELECT day_ord,
+      CAST(SUM(BIT_COUNT(word)) AS BIGINT) AS dau,
+      CAST(SUM(BIT_COUNT(mword)) AS BIGINT) AS mau_28d,
+      (CAST(SUM(BIT_COUNT(word)) AS BIGINT) * 1000000)
+        // CAST(SUM(BIT_COUNT(mword)) AS BIGINT) AS stickiness_ppm
+    FROM merged GROUP BY 1"""
+
+  /** Session bounce rate per day: the share of sessions that contain a
+    * single event — the engagement-quality number next to
+    * [[stickinessDauMau]]'s reach ratio. Derives from the CANONICAL
+    * session frame ([[EventOps.sessionAssigned]] — the one place the
+    * 30-min gap rule lives; re-deriving the rule here would fork the
+    * session semantics), rolled up per session then per first-event
+    * day. Exact ppm.
+    */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame =
+    EventOps.sessionAssigned(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        expr(s"min(t_us) div ${NsPerDay / 1000}").as("day_ord"))
+      .groupBy(col("day_ord"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_ppm", expr("(n_bounces * 1000000) div n_sessions"))
+
+  val bounceRateOracle: String = s"""
+    WITH s AS (${EventOps.sqlSessionAssigned}),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_ev,
+        MIN(t) // ${NsPerDay / 1000} AS day_ord
+      FROM s GROUP BY 1, 2)
+    SELECT day_ord, COUNT(*) AS n_sessions,
+      CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+      (CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        // COUNT(*) AS bounce_ppm
+    FROM per_session GROUP BY 1"""
+
   def defs: Map[String, QueryDef] = Map(
+    "stickiness_dau_mau" -> QueryDef.sql(stickinessDauMau, stickinessDauMauOracle),
+    "bounce_rate" -> QueryDef.sql(bounceRate, bounceRateOracle),
     "fano_factor" -> QueryDef.sql(fanoFactor, fanoFactorOracle),
     "daily_novelty" -> QueryDef.sql(dailyNovelty, dailyNoveltyOracle),
     "user_concentration" -> QueryDef.sql(userConcentration, userConcentrationOracle),

@@ -248,6 +248,36 @@ class GraphEventExtSpec extends SparkSpec {
     }
   }
 
+  test("stickiness_dau_mau: bitmap MAU equals the exact trailing-window distinct") {
+    val rows = operators.EventScience.stickinessDauMau(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDay = Tables.events(spark, sfDir)
+      .select(expr("ts div 86400000000000").as("d"), col("user_id")).distinct()
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day_ord")
+      assert(r.getAs[Long]("dau") == byDay(d).size, s"DAU mismatch day $d")
+      val mau = (d - 27 to d).flatMap(byDay.get).flatten.toSet.size
+      assert(r.getAs[Long]("mau_28d") == mau, s"MAU mismatch day $d")
+      val st = r.getAs[Long]("stickiness_ppm")
+      assert(st > 0 && st <= 1000000L, "DAU ⊆ MAU ⇒ ratio in (0, 1]")
+    }
+  }
+
+  test("bounce_rate: session accounting against the registered session stats") {
+    val rows = operators.EventScience.bounceRate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bounces") <= r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Long]("bounce_ppm") <= 1000000L)
+    }
+    // total sessions reconcile with the canonical sessionize output
+    val totalSessions = operators.EventOps.sessionize(spark, sfDir)
+      .select(col("user_id"), col("session_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == totalSessions,
+      "bounce rollup must cover every session exactly once")
+  }
+
   test("forecast_backtest: WAPE bounds and scored-day accounting") {
     val rows = operators.EventScience.forecastBacktest(spark, sfDir).collect()
     assert(rows.nonEmpty)
