@@ -387,4 +387,7 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("daily_novelty", 3)(operators.EventScience.dailyNovelty(spark, sfDir))
   check("user_concentration", 2)(
     operators.EventScience.userConcentration(spark, sfDir))
+  check("stickiness_dau_mau", 4)(
+    operators.EventScience.stickinessDauMau(spark, sfDir))
+  check("bounce_rate", 2)(operators.EventScience.bounceRate(spark, sfDir))
 }
