@@ -387,7 +387,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("daily_novelty", 3)(operators.EventScience.dailyNovelty(spark, sfDir))
   check("user_concentration", 2)(
     operators.EventScience.userConcentration(spark, sfDir))
-  check("stickiness_dau_mau", 4)(
+  // stickiness: corpus → bitmap fold + the dense-grid densify joins;
+  // AQE flips one grid-scale join between broadcast and shuffle run to
+  // run (measured 4 and 5) — the budget pins the shuffle-form upper
+  // bound; every exchange past the first moves bitmap-scale rows.
+  check("stickiness_dau_mau", 5)(
     operators.EventScience.stickinessDauMau(spark, sfDir))
   check("bounce_rate", 2)(operators.EventScience.bounceRate(spark, sfDir))
 }
