@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranks WITHOUT a single-partition window.
+  *
+  * `row_number() OVER (ORDER BY ...)` and `ntile(k) OVER (ORDER BY ...)`
+  * serialize the whole input through ONE WindowExec task — correct and
+  * cheap at sf0.1, a 100×-scale killer at corpus size (Spark logs
+  * `WindowExec: No Partition Defined` for exactly this reason). The
+  * two-level replacement used here keeps the rank EXACT (bit-identical
+  * to the one-window oracle) while the corpus-scale work stays
+  * partitioned:
+  *
+  *   1. a caller-supplied integer CELL that is monotone non-decreasing
+  *      along the global sort order (a value prefix, a range bucket from
+  *      broadcast min/max — anything whose boundaries respect the order);
+  *   2. a per-cell histogram (bounded, dimension-scale) whose exclusive
+  *      prefix sums give each cell its serial BASE — computed via a
+  *      triangular join over the histogram rather than a window, so even
+  *      the metadata pass carries no unpartitioned WindowExec;
+  *   3. a within-cell `row_number` PARTITIONED by cell.
+  *
+  * global rank = base + local rank, identical to the global window
+  * because partition boundaries cannot change a prefix count. Parallelism
+  * scales with the data (a hot cell bounds one partition; callers choose
+  * cells wide enough to stay dimension-scale and narrow enough to spread
+  * the corpus — ≤ ~4k cells keeps the triangular histogram join under
+  * 16M metadata pairs while giving 4k-way rank parallelism).
+  *
+  * The same trick powers curriculum_order / sequence_pack (Sampling
+  * .scala); this is the shared, reusable form. Reference analog: the
+  * course pipelines rank in pandas on one node
+  * (utils/utils.py transform helpers); at Spark scale the rank itself
+  * must distribute.
+  */
+object Ranks {
+
+  /** Adds BIGINT column `out` = exact `row_number() OVER (ORDER BY
+    * order...)` (1-based). `cell` MUST be an integer expression monotone
+    * non-decreasing in the global `order` (cell boundaries respect the
+    * sort), and `order` must be a total order (callers tie-break on a
+    * key) — both engines then agree rank-for-rank.
+    */
+  def withGlobalRank(df: DataFrame, out: String, cell: Column,
+      order: Seq[Column]): DataFrame = {
+    val tagged = df.withColumn("__gr_cell", cell.cast("bigint"))
+    val hist = tagged.groupBy(col("__gr_cell")).agg(count(lit(1)).as("__gr_c"))
+    // exclusive prefix over the bounded histogram, as a triangular join
+    // (≤ cells² metadata pairs, broadcast nested-loop) — no WindowExec
+    // with an empty partition spec anywhere in the plan
+    val lower = hist.select(col("__gr_cell").as("__gr_cell_lo"),
+      col("__gr_c").as("__gr_c_lo"))
+    val bases = hist
+      .join(lower, col("__gr_cell_lo") < col("__gr_cell"), "left")
+      .groupBy(col("__gr_cell"))
+      .agg(coalesce(sum(col("__gr_c_lo")), lit(0L)).as("__gr_base"))
+    val wCell = Window.partitionBy(col("__gr_cell")).orderBy(order: _*)
+    tagged
+      .withColumn("__gr_rn", row_number().over(wCell).cast("long"))
+      .join(graft.Tables.stateHint(bases), Seq("__gr_cell"))
+      .withColumn(out, col("__gr_base") + col("__gr_rn"))
+      .drop("__gr_cell", "__gr_rn", "__gr_base")
+  }
+
+  /** Adds BIGINT column `out` = exact `NTILE(k) OVER (ORDER BY ...)`
+    * reconstructed ARITHMETICALLY from an exact global rank (`rankCol`,
+    * 1-based, from [[withGlobalRank]]) and the total row count
+    * (`totalCol`, broadcast onto every row): with base = n div k and
+    * rem = n mod k, SQL NTILE gives the first `rem` tiles base+1 rows
+    * and the rest base — a pure integer formula both engines agree on,
+    * including the n < k edge (base = 0 ⇒ every row its own tile; the
+    * base-0 division sits in the untaken CASE branch).
+    */
+  def withNtile(df: DataFrame, out: String, rankCol: String,
+      totalCol: String, k: Long): DataFrame =
+    df.withColumn(out, expr(
+      s"""CASE WHEN $rankCol <= ($totalCol % $k) * ($totalCol div $k + 1)
+         THEN ($rankCol - 1) div ($totalCol div $k + 1) + 1
+         ELSE ($totalCol % $k)
+           + ($rankCol - ($totalCol % $k) * ($totalCol div $k + 1) - 1)
+             div ($totalCol div $k) + 1 END"""))
+}

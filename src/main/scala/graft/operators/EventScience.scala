@@ -288,11 +288,16 @@ object EventScience {
       .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("day_ord") < col("split_day"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("day_ord") >= col("split_day"), 1L).otherwise(0L)).as("n2"))
+    // empty-half guard: a single-day observed span puts every row in the
+    // second half (sum(n1) = 0) — Spark's div would yield NULL while
+    // DuckDB's // errors, so both engines pin the share to 0 explicitly
     val ppm = halves
-      .withColumn("p1_ppm", expr("(n1 * 1000000) div (sum(n1) over " +
-        "(partition by event_type))"))
-      .withColumn("p2_ppm", expr("(n2 * 1000000) div (sum(n2) over " +
-        "(partition by event_type))"))
+      .withColumn("p1_ppm", expr("case when sum(n1) over " +
+        "(partition by event_type) = 0 then 0 else (n1 * 1000000) div " +
+        "(sum(n1) over (partition by event_type)) end"))
+      .withColumn("p2_ppm", expr("case when sum(n2) over " +
+        "(partition by event_type) = 0 then 0 else (n2 * 1000000) div " +
+        "(sum(n2) over (partition by event_type)) end"))
       .withColumn("adiff", abs(col("p1_ppm") - col("p2_ppm")))
     val agg = ppm.groupBy(col("event_type"))
       .agg(sum(col("n1")).as("n_first"), sum(col("n2")).as("n_second"),
@@ -325,9 +330,13 @@ object EventScience {
       FROM days CROSS JOIN sp GROUP BY 1, 2),
     ppm AS (
       SELECT event_type, bin, n1, n2,
-        (n1 * 1000000) // CAST(SUM(n1) OVER (PARTITION BY event_type) AS BIGINT)
+        CASE WHEN CAST(SUM(n1) OVER (PARTITION BY event_type) AS BIGINT) = 0
+          THEN 0 ELSE (n1 * 1000000)
+            // CAST(SUM(n1) OVER (PARTITION BY event_type) AS BIGINT) END
           AS p1_ppm,
-        (n2 * 1000000) // CAST(SUM(n2) OVER (PARTITION BY event_type) AS BIGINT)
+        CASE WHEN CAST(SUM(n2) OVER (PARTITION BY event_type) AS BIGINT) = 0
+          THEN 0 ELSE (n2 * 1000000)
+            // CAST(SUM(n2) OVER (PARTITION BY event_type) AS BIGINT) END
           AS p2_ppm
       FROM halves),
     ad AS (
@@ -745,16 +754,23 @@ object EventScience {
     * reporting its user count, event mass, and share in exact ppm; the
     * top decile's share is the "do power users carry the corpus?"
     * number ([[graft.operators.StatTests]] gini_concentration is the
-    * scalar twin on revenue). The NTILE runs over USER-scale rows
-    * (one per user after the fold), never the corpus.
+    * scalar twin on revenue). The decile assignment is the exact
+    * two-level NTILE ([[graft.functions.Ranks]], cells = the negated
+    * activity count — activity counts are dimension-scale distinct
+    * values), so even the user-scale frame (10⁹ users at corpus scale)
+    * never funnels through a single-reducer window; the only global
+    * window left runs on the 10-row decile profile.
     */
   def userConcentration(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    perUser
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n").desc, col("user_id").asc))
-          .cast("long"))
+    val tot = perUser.agg(count(lit(1)).as("__n_total"))
+    graft.functions.Ranks.withNtile(
+        graft.functions.Ranks.withGlobalRank(
+          perUser.crossJoin(broadcast(tot)), "__grank", -col("n"),
+          Seq(col("n").desc, col("user_id").asc)),
+        "decile_raw", "__grank", "__n_total", 10)
+      .withColumn("decile", col("decile_raw").cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
       .withColumn("events_share_ppm",

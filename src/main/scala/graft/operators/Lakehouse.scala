@@ -478,12 +478,23 @@ object Lakehouse {
     */
   def bloomSkippingAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextOps
-    val filed = Tables.lineitem(spark, dir)
+    val src = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("pk"), col("l_orderkey"),
         col("l_linenumber"))
-      .withColumn("file_id",
-        ntile(64).over(Window.orderBy(col("l_orderkey"),
-          col("l_linenumber"))).cast("long"))
+    // exact NTILE file carve without the single-reducer global window:
+    // a 1024-cell range bucketing from the broadcast key max is monotone
+    // in (l_orderkey, l_linenumber), so the two-level rank (Ranks.scala)
+    // reconstructs identical file ids with corpus-scale parallelism
+    val bounds = src.agg(max(col("l_orderkey")).as("__max_ok"),
+      count(lit(1)).as("__n_total"))
+    val filed = graft.functions.Ranks.withNtile(
+        graft.functions.Ranks.withGlobalRank(
+          src.crossJoin(broadcast(bounds)), "__grank",
+          expr("(l_orderkey * 1024) div (__max_ok + 1)"),
+          Seq(col("l_orderkey").asc, col("l_linenumber").asc)),
+        "file_id_raw", "__grank", "__n_total", 64)
+      .withColumn("file_id", col("file_id_raw").cast("long"))
+      .select(col("pk"), col("l_orderkey"), col("l_linenumber"), col("file_id"))
     val keys = graft.functions.Iterate.checkpoint(
       filed.select(col("file_id"), col("pk")).distinct())
     def bitpos(j: Column, key: Column): Column =
@@ -704,9 +715,18 @@ object Lakehouse {
       col(s"hd$HilbertBits").as("hilbert"),
       expr(mortonExpr("hx0", "hy0")).as("morton"))
     val matched = col("ub") < 32 && col("db").between(12, 20)
+    val tot = keyed.agg(count(lit(1)).as("__n_total"))
+    // exact NTILE file carve without the single-reducer global window:
+    // curve keys live on the [0, 4^HilbertBits) grid, so key div 64 is a
+    // monotone 1024-cell bucketing — the two-level rank (Ranks.scala)
+    // reconstructs the identical file ids with corpus-scale parallelism
     def profile(label: String, key: Column): DataFrame =
-      keyed.withColumn("file_id",
-          ntile(NFiles).over(Window.orderBy(key.asc, col("event_id").asc)))
+      graft.functions.Ranks.withNtile(
+          graft.functions.Ranks.withGlobalRank(
+            keyed.crossJoin(broadcast(tot)), "__grank",
+            shiftright(key.cast("bigint"), 6),
+            Seq(key.asc, col("event_id").asc)),
+          "file_id", "__grank", "__n_total", NFiles)
         .groupBy(col("file_id"))
         .agg(count(lit(1)).as("n_rows"),
           sum(when(matched, 1L).otherwise(0L)).as("n_match"))

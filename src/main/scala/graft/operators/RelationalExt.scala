@@ -375,13 +375,13 @@ object RelationalExt {
     * multi-objective SELECT Spark has no native operator for: every
     * part not DOMINATED on (retail price ↓, size ↑), i.e. the
     * cheapest-for-its-size frontier. Computed in O(n log n) with ONE
-    * sort instead of the textbook O(n²) dominance self-join: order by
-    * (price asc, size desc, key asc); a row survives iff its size
-    * strictly exceeds the running max size over all STRICTLY-cheaper
-    * rows (equal-price rows cannot dominate each other unless one also
-    * wins on size, which the running max over the previous price GROUP
-    * captures via the range frame on price). Exact integer cents; both
-    * engines evaluate the identical window.
+    * sort instead of the textbook O(n²) dominance self-join, in two
+    * window tests: a row survives iff (a) its size strictly exceeds the
+    * running max size over all STRICTLY-cheaper rows (the range frame
+    * on price), and (b) it carries the max size WITHIN its equal-price
+    * group — an equal-price peer with strictly larger size dominates
+    * (equal price + equal size rows tie and both survive). Exact
+    * integer cents; both engines evaluate the identical windows.
     *
     * Scale: the single-axis sort is the intrinsic exact-skyline cost
     * (quantile_normalize documents the same bound); the distributed
@@ -395,9 +395,12 @@ object RelationalExt {
         col("p_size").cast("long").as("size"))
     val w = Window.orderBy(col("price_cents").asc)
       .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("price_cents"))
     parts
       .withColumn("best_cheaper", max(col("size")).over(w))
-      .filter(col("best_cheaper").isNull || col("size") > col("best_cheaper"))
+      .withColumn("best_at_price", max(col("size")).over(wEq))
+      .filter((col("best_cheaper").isNull || col("size") > col("best_cheaper"))
+        && col("size") === col("best_at_price"))
       .select(col("part_key"), col("price_cents"), col("size"))
   }
 
@@ -410,10 +413,12 @@ object RelationalExt {
     fl AS (
       SELECT part_key, price_cents, size,
         MAX(size) OVER (ORDER BY price_cents ASC
-          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+        MAX(size) OVER (PARTITION BY price_cents) AS best_at_price
       FROM p)
     SELECT part_key, price_cents, size
-    FROM fl WHERE best_cheaper IS NULL OR size > best_cheaper"""
+    FROM fl WHERE (best_cheaper IS NULL OR size > best_cheaper)
+      AND size = best_at_price"""
 
   /** Repurchase-gap curve: the distribution of WEEKS between a
     * customer's consecutive orders — the retention-economics histogram

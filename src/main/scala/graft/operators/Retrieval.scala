@@ -119,16 +119,18 @@ object Retrieval {
     * row_number total order with doc_id tiebreak — identical rank
     * semantics in both engines; singleton sources pin pr = 0.5).
     *
-    * Scale: two rank windows (per-source, global) and one equi-join on
-    * the computed integer rank — three shuffles of narrow rank rows.
-    * The global window is the intrinsic cost of an exact global
-    * quantile map; an approximate variant would bucket into a
-    * broadcastable grid (the quantile_sketch_merge shape).
+    * Scale: the per-source rank window partitions by source; the GLOBAL
+    * rank is the exact two-level cell form
+    * ([[graft.functions.Ranks.withGlobalRank]], cells = the n_chars
+    * value itself — dimension-scale distinct lengths) — no
+    * single-reducer window anywhere, and the total count rides the plan
+    * as a broadcast one-row aggregate instead of an eager
+    * `docs.count()` job.
     */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val n = docs.count()
+    val tot = docs.agg(count(lit(1)).as("__n_total"))
     val src = docs
       .withColumn("r", row_number().over(Window.partitionBy(col("source"))
         .orderBy(col("n_chars").asc, col("doc_id").asc)))
@@ -136,12 +138,13 @@ object Retrieval {
       .withColumn("pr",
         when(col("n_s") === 1, lit(0.5))
           .otherwise((col("r") - 1).cast("double") / (col("n_s") - 1).cast("double")))
+      .crossJoin(broadcast(tot))
       .withColumn("g_target",
-        (floor(col("pr") * lit((n - 1).toDouble) + lit(0.5)) + lit(1L)).cast("bigint"))
-    val global = docs
-      .select(col("n_chars").as("g_chars"), col("doc_id").as("g_tie"))
-      .withColumn("gr", row_number().over(
-        Window.orderBy(col("g_chars").asc, col("g_tie").asc)).cast("bigint"))
+        (floor(col("pr") * (col("__n_total") - 1).cast("double") + lit(0.5))
+          + lit(1L)).cast("bigint"))
+    val global = graft.functions.Ranks.withGlobalRank(
+        docs.select(col("n_chars").as("g_chars"), col("doc_id").as("g_tie")),
+        "gr", col("g_chars"), Seq(col("g_chars").asc, col("g_tie").asc))
       .select(col("gr"), col("g_chars"))
     src.join(global, col("g_target") === col("gr"))
       .select(col("doc_id"), col("source"), col("n_chars"),

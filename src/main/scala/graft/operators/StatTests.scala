@@ -23,8 +23,15 @@ object StatTests {
     * the exact EDF form): D = max |F1 − F2| over the pooled support,
     * computed as max |cdf1·n2 − cdf2·n1| in BIGINT cross-multiplication
     * (never a float CDF comparison), reported with the critical-value
-    * cross-multiplied decision D² · n1·n2 ≷ c²·(n1+n2) for c = 1.36
-    * (α = 0.05) — c² = 1.8496 scales to integers ×10⁴.
+    * decision D² · n1·n2 ≷ c²·(n1+n2) for c = 1.36 (α = 0.05), c² =
+    * 1.8496 ×10⁴. The decision products are evaluated in DOUBLE —
+    * d_cross can reach n1·n2, so the former all-BIGINT d² ·10⁴ wrapped
+    * past d_cross ≈ 3e7; IEEE multiply/compare is deterministic and
+    * identical in both engines (exact while each product ≤ 2⁵³, and
+    * identically-rounded beyond). d_ppm keeps BIGINT via the gini
+    * treatment: multiply-first while n1·n2 ≤ 9e12 (exact), divide the
+    * denominator by 1e6 first past that (≤1 ppm bias, no overflow to
+    * n1·n2 ≈ 9.2e18).
     *
     * Scale: one aggregate to the (source, value) support cells, two
     * cumulative windows over support-cardinality rows. The corpus
@@ -53,11 +60,16 @@ object StatTests {
       .groupBy(col("n1"), col("n2"))
       .agg(max(col("dx")).as("d_cross"))
       .select(col("n1"), col("n2"), col("d_cross"),
-        expr("(d_cross * 1000000) div (n1 * n2)").as("d_ppm"),
-        // reject iff D² · n1·n2 > c²·(n1+n2), cross-multiplied integers:
-        // (d_cross)² > 1.8496·n1·n2·(n1+n2) — scale both sides by 1e4
-        (col("d_cross") * col("d_cross") * 10000L >
-          lit(18496L) * col("n1") * col("n2") * (col("n1") + col("n2")))
+        when(col("n1") * col("n2") <= lit(9000000000000L),
+          expr("(d_cross * 1000000) div (n1 * n2)"))
+          .otherwise(expr("d_cross div ((n1 * n2) div 1000000)"))
+          .as("d_ppm"),
+        // reject iff D² · n1·n2 > c²·(n1+n2): (d_cross)² > 1.8496·n1·n2
+        // ·(n1+n2) ×1e4 — in DOUBLE (BIGINT wraps past d_cross ≈ 3e7)
+        (col("d_cross").cast("double") * col("d_cross").cast("double")
+          * lit(10000.0) >
+          lit(18496.0) * col("n1").cast("double") * col("n2").cast("double")
+            * (col("n1") + col("n2")).cast("double"))
           .as("reject_h0_5pct"))
   }
 
@@ -80,13 +92,19 @@ object StatTests {
         CAST(SUM(c2) OVER (ORDER BY n_chars ASC ROWS UNBOUNDED PRECEDING)
           AS BIGINT) AS cdf2
       FROM cells),
-    t AS (SELECT MAX(cdf1) AS n1, MAX(cdf2) AS n2 FROM cdf)
-    SELECT n1, n2, MAX(ABS(cdf1 * n2 - cdf2 * n1)) AS d_cross,
-      (MAX(ABS(cdf1 * n2 - cdf2 * n1)) * 1000000) // (n1 * n2) AS d_ppm,
-      (MAX(ABS(cdf1 * n2 - cdf2 * n1)) * MAX(ABS(cdf1 * n2 - cdf2 * n1)) * 10000
-        > 18496 * n1 * n2 * (n1 + n2)) AS reject_h0_5pct
-    FROM cdf CROSS JOIN t
-    GROUP BY n1, n2"""
+    t AS (SELECT MAX(cdf1) AS n1, MAX(cdf2) AS n2 FROM cdf),
+    d AS (
+      SELECT n1, n2, MAX(ABS(cdf1 * n2 - cdf2 * n1)) AS d_cross
+      FROM cdf CROSS JOIN t
+      GROUP BY n1, n2)
+    SELECT n1, n2, d_cross,
+      CASE WHEN n1 * n2 <= 9000000000000
+        THEN (d_cross * 1000000) // (n1 * n2)
+        ELSE d_cross // ((n1 * n2) // 1000000) END AS d_ppm,
+      (CAST(d_cross AS DOUBLE) * CAST(d_cross AS DOUBLE) * 10000.0
+        > 18496.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          * CAST(n1 + n2 AS DOUBLE)) AS reject_h0_5pct
+    FROM d"""
 
   /** Gini concentration of customer revenue — the one-number inequality
     * audit behind "do a few whales carry the corpus?" (rfm_segmentation
@@ -368,18 +386,23 @@ object StatTests {
     * the heavy-tailed money distribution Pearson chokes on (do bigger
     * baskets actually cost more, RANK-wise?). Ranks are row_number with
     * the orderkey tiebreak — a total order, so both engines rank
-    * identically with no tie-averaging — and ρ = 1 − 6Σd²/(n³−n) stays
-    * integer to the end: Σd² is a BIGINT sum, and the final ppm uses
-    * the divide-the-denominator-first treatment as n·((n²−1)÷1e6) —
-    * never forming n³, which overflows BIGINT past ~2e6 rows; this form
-    * holds to ~1.6e8 (identical truncation both engines; past that the
-    * exact statistic moves to the bucketed rfm-cell approximation, as
-    * does Σd² itself).
+    * identically with no tie-averaging — computed WITHOUT a global
+    * window: each rank is the exact two-level cell form
+    * ([[graft.functions.Ranks.withGlobalRank]]) — value cells from the
+    * broadcast [min, max] span (1024 range buckets, monotone by
+    * construction) for the money axis, the width value itself for the
+    * ≤7-value width axis — so the corpus rank-parallelizes while both
+    * engines still agree rank-for-rank.
     *
-    * Scale: the two rank windows are single-axis global sorts (the
-    * intrinsic cost of exact ranks — quantile_normalize documents the
-    * same; the approximate path buckets into the rfm cell grid). The
-    * d² fold is map-side-combinable.
+    * ρ = 1 − 6Σd²/(n³−n): Σd² is an exact BIGINT fold; the ppm uses a
+    * DOUBLE quotient (floor'd — IEEE ops, identical both engines) while
+    * n³−n still fits BIGINT (n ≤ 2.09e6, keeping relative error ≤
+    * 1e-15 where the former ÷1e6-first integer form lost ALL precision
+    * at n ≤ 1000), and the divide-the-denominator-first integer form as
+    * n·((n²−1)÷1e6) past that — never forming n³ in BIGINT beyond its
+    * range; holds to ~1.6e8 rows (past that the exact statistic moves
+    * to the bucketed rfm-cell approximation, as does Σd² itself).
+    * Degenerate n < 2 reports NULL (ρ undefined), never a fake 0.
     */
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
     val width = Tables.lineitem(spark, dir)
@@ -388,16 +411,24 @@ object StatTests {
       .select(col("o_orderkey").as("l_orderkey"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint").as("cents"))
       .join(width, Seq("l_orderkey"))
-    val ranked = joined
-      .withColumn("r_value", row_number().over(
-        Window.orderBy(col("cents").asc, col("l_orderkey").asc)).cast("long"))
-      .withColumn("r_width", row_number().over(
-        Window.orderBy(col("n_lines").asc, col("l_orderkey").asc)).cast("long"))
+    val bounds = joined.agg(min(col("cents")).as("__cmin"),
+      max(col("cents")).as("__cmax"))
+    val ranked = graft.functions.Ranks.withGlobalRank(
+      graft.functions.Ranks.withGlobalRank(
+        joined.crossJoin(broadcast(bounds)), "r_value",
+        expr("((cents - __cmin) * 1024) div (__cmax - __cmin + 1)"),
+        Seq(col("cents").asc, col("l_orderkey").asc)),
+      "r_width", col("n_lines"),
+      Seq(col("n_lines").asc, col("l_orderkey").asc))
     ranked.agg(count(lit(1)).as("n"),
         sum((col("r_value") - col("r_width")) * (col("r_value") - col("r_width")))
           .as("sum_d2"))
       .select(col("n"), col("sum_d2"),
-        when(expr("n * ((n * n - 1) div 1000000)") === 0, lit(0L))
+        when(col("n") < 2, lit(null).cast("bigint"))
+          .when(col("n") <= 2000000L, lit(1000000L) - expr(
+            "cast(floor((cast(6 as double) * cast(sum_d2 as double) " +
+              "* cast(1000000 as double)) / cast(n * (n * n - 1) as double)) " +
+              "as bigint)"))
           .otherwise(lit(1000000L)
             - expr("(6 * sum_d2) div (n * ((n * n - 1) div 1000000))"))
           .as("rho_ppm"))
@@ -421,7 +452,11 @@ object StatTests {
         CAST(SUM((r_value - r_width) * (r_value - r_width)) AS BIGINT) AS sum_d2
       FROM ranked)
     SELECT n, sum_d2,
-      CASE WHEN n * ((n * n - 1) // 1000000) = 0 THEN 0
+      CASE WHEN n < 2 THEN NULL
+        WHEN n <= 2000000 THEN 1000000
+          - CAST(FLOOR((CAST(6 AS DOUBLE) * CAST(sum_d2 AS DOUBLE)
+              * CAST(1000000 AS DOUBLE))
+            / CAST(n * (n * n - 1) AS DOUBLE)) AS BIGINT)
         ELSE 1000000 - (6 * sum_d2) // (n * ((n * n - 1) // 1000000)) END
         AS rho_ppm
     FROM f"""

@@ -251,13 +251,20 @@ object EventStreams {
     * `daily_novelty` first-touch fold: per-user state records the first
     * sight, each micro-batch's group folds over its (ts, id)-SORTED
     * events (a bare dropDuplicates would keep the first event in
-    * PROCESSING order — partition-order-dependent and wrong for a later
-    * replayed early event; the sort is the determinism treatment, same
-    * as the MG fold), and the emitted first-touches aggregate into
+    * PROCESSING order — partition-order-dependent; the sort makes the
+    * pick deterministic WITHIN a micro-batch, same as the MG fold), and
+    * the emitted first-touches aggregate into
     * 1-day tumbling new-user counts (flatMapGroupsWithState in append
     * mode composes with a downstream aggregation). State is one tiny
     * row per DISTINCT user — identity-scale and unbounded by design:
     * "new EVER" needs the full identity set.
+    *
+    * Cross-batch late data is NOT corrected: once a user's state exists,
+    * an earlier-event-time record arriving in a LATER micro-batch is
+    * ignored (the day bucket keeps the first SEEN batch's minimum) —
+    * append mode cannot retract the already-emitted first-touch, so the
+    * guarantee is exact agreement with the batch twin under
+    * per-user-in-order arrival, and within-batch replay tolerance only.
     */
   def noveltyStream(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._

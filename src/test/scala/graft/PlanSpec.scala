@@ -357,4 +357,33 @@ class PlanSpec extends SparkSpec {
       l.contains("FileScan parquet") && l.contains("orders"))
     assert(scans <= 2, s"orders scanned $scans times:\n$p")
   }
+
+  /** Single-reducer guard: a Window with an EMPTY partition spec funnels
+    * its whole input through one task (`WindowExec: No Partition
+    * Defined`) — correct at sf0.1, fatal at 100 TB. The four operators
+    * that formerly carried a corpus-scale global window now use the
+    * exact two-level cell rank (Ranks.scala); this pin keeps them that
+    * way. (The decile-profile share windows over ≤10 aggregated rows in
+    * user_concentration/group_kfold are the documented exception and
+    * are not listed here.)
+    */
+  private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.size
+
+  test("no single-partition window: hilbert_layout, bloom_skipping_audit, " +
+      "spearman_corr, quantile_normalize") {
+    Seq(
+      "hilbert_layout" -> operators.Lakehouse.hilbertLayout(spark, sfDir),
+      "bloom_skipping_audit" -> operators.Lakehouse.bloomSkippingAudit(spark, sfDir),
+      "spearman_corr" -> operators.StatTests.spearmanCorr(spark, sfDir),
+      "quantile_normalize" -> operators.Retrieval.quantileNormalize(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val n = unpartitionedWindows(df)
+      assert(n == 0, s"$name has $n unpartitioned Window node(s) — " +
+        "single-reducer at scale")
+    }
+  }
 }

@@ -192,8 +192,10 @@ class RetrievalSpec extends SparkSpec {
     val d = r.getAs[Long]("d_cross")
     assert(d >= 0 && d <= n1 * n2, "D is a CDF gap: 0 ≤ D ≤ 1")
     assert(r.getAs[Long]("d_ppm") == d * 1000000L / (n1 * n2))
+    // the decision multiplies in double (BIGINT wraps past d ≈ 3e7)
     assert(r.getAs[Boolean]("reject_h0_5pct") ==
-      (d * d * 10000L > 18496L * n1 * n2 * (n1 + n2)))
+      (d.toDouble * d.toDouble * 10000.0 >
+        18496.0 * n1.toDouble * n2.toDouble * (n1 + n2).toDouble))
   }
 
   test("gini_concentration: matches a brute-force pairwise recomputation") {

@@ -299,8 +299,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     operators.EventOps.conversionLatency(spark, sfDir))
   // bloom_skipping_audit: the (file, key) index build lives in the
   // checkpoint (file carve + distinct); this plan is the 256 B/file
-  // bitmap aggregate + broadcast-sized probe joins and folds.
-  check("bloom_skipping_audit", 8)(
+  // bitmap aggregate + broadcast-sized probe joins and folds. The file
+  // carve itself is the two-level exact-NTILE (Ranks.scala): one cell
+  // histogram + one cell-partitioned window — no single-reducer sort.
+  check("bloom_skipping_audit", 5)(
     operators.Lakehouse.bloomSkippingAudit(spark, sfDir))
   // cusum_changepoint: corpus → grid once; the stat/run/rank windows
   // all share the event_type partitioning.
@@ -347,7 +349,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // bm25: ONE tokenize scan into the per-doc fold; the stats row is a
   // single-partition fold; top-20 is TakeOrdered (no exchange).
   check("bm25_topk", 2)(operators.Retrieval.bm25Topk(spark, sfDir))
-  check("quantile_normalize", 2)(operators.Retrieval.quantileNormalize(spark, sfDir))
+  // quantile_normalize: per-source rank window + the two-level global
+  // rank (cell histogram, bases, cell-partitioned window) + the rank
+  // equi-join — no single-reducer window; the total-count fold rides a
+  // broadcast one-row aggregate.
+  check("quantile_normalize", 5)(operators.Retrieval.quantileNormalize(spark, sfDir))
   // theilsen: corpus → monthly grid once; the pair self-join and median
   // window run on the metadata-scale grid.
   check("theilsen_trend", 2)(operators.Retrieval.theilsenTrend(spark, sfDir))
@@ -374,18 +380,32 @@ class ShuffleBudgetSpec extends SparkSpec {
   // corpus-scale shuffle is the contingency aggregate.
   check("chi_square_independence", 9)(
     operators.StatTests.chiSquareIndependence(spark, sfDir))
-  check("spearman_corr", 2)(operators.StatTests.spearmanCorr(spark, sfDir))
+  // spearman_corr: two exact two-level ranks (each: bounds/total fold,
+  // cell histogram, bases fold, cell-partitioned window) + the scalar
+  // d² fold — 10 exchanges, none single-reducer, the corpus pair
+  // shuffling only on its 1024-cell rank keys.
+  check("spearman_corr", 10)(operators.StatTests.spearmanCorr(spark, sfDir))
   check("gini_concentration", 3)(operators.StatTests.giniConcentration(spark, sfDir))
   check("neyman_allocation", 4)(operators.StatTests.neymanAllocation(spark, sfDir))
   check("snippet_extract", 1)(operators.Retrieval.snippetExtract(spark, sfDir))
   check("rrf_fusion", 2)(operators.Retrieval.rrfFusion(spark, sfDir))
-  check("hilbert_layout", 2)(operators.Lakehouse.hilbertLayout(spark, sfDir))
+  // hilbert_layout: 6 exchanges per curve profile — the corpus-scale
+  // pair is the cell-partitioned rank window + the map-combined file
+  // fold; the rest (total, cell histogram, bases, scalar profile) move
+  // metadata-scale rows. Replaces the former 2-exchange plan whose
+  // second exchange was a SINGLE-PARTITION global ntile sort — more
+  // exchanges, none serial.
+  check("hilbert_layout", 12)(operators.Lakehouse.hilbertLayout(spark, sfDir))
   check("acf_daily", 3)(operators.EventScience.acfDaily(spark, sfDir))
   check("skyline_2d", 1)(operators.RelationalExt.skyline2d(spark, sfDir))
   check("repurchase_curve", 3)(operators.RelationalExt.repurchaseCurve(spark, sfDir))
   check("fano_factor", 2)(operators.EventScience.fanoFactor(spark, sfDir))
   check("daily_novelty", 3)(operators.EventScience.dailyNovelty(spark, sfDir))
-  check("user_concentration", 2)(
+  // user_concentration: corpus → per-user fold once; the decile
+  // assignment is the two-level exact NTILE over user-scale rows (cell
+  // histogram + bases + cell-partitioned window), and the one global
+  // window left runs on the 10-row decile profile.
+  check("user_concentration", 9)(
     operators.EventScience.userConcentration(spark, sfDir))
   // stickiness: corpus → bitmap fold + the dense-grid densify joins;
   // AQE flips one grid-scale join between broadcast and shuffle run to
