@@ -45,13 +45,117 @@ object Multimodal {
       MD5(text) AS content_md5
     FROM documents"""
 
-  /** Batched decode / feature extraction over binary payloads.
-    *
-    * Runs as `mapPartitions` so a real decoder would amortize codec init
-    * per partition (the Scala analogue of `mapInPandas` batching). The
-    * decode is STUBBED: deterministic pseudo-features derived from the
-    * payload bytes stand in for pixel/sample decoding, preserving the
-    * exact schema and batch shape a real codec would produce.
+  /** STUB decode row: deterministic fake dimensions/features derived
+    * from the payload bytes — the oracle-reproducible branch (and the
+    * fallback for payloads no bundled codec accepts). Empty payloads (a
+    * codec would reject them) decode to zero features instead of
+    * crashing the task on modulo-by-zero.
+    */
+  private def stubRow(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val w = 16 + (bytes.length % 64)
+    val h = 16 + ((bytes.length / 64) % 64)
+    val feats =
+      if (bytes.isEmpty) Array.fill(8)(0f)
+      else Array.tabulate(8) { i => bytes(i % bytes.length).toFloat / 127f }
+    MediaFeatures(
+      doc_id = id,
+      media_type = if (id % 2 == 0) "image/png" else "audio/wav",
+      n_bytes = bytes.length.toLong,
+      width = w, height = h, features = feats)
+  }
+
+  /** Magic-byte sniff for the raster formats the JDK-bundled ImageIO
+    * readers handle (PNG / JPEG / GIF / BMP) — the cheap pre-filter that
+    * keeps the codec off payloads that cannot decode.
+    */
+  private[graft] def isRaster(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte
+        && b(3) == 'G'.toByte) ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+      (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) ||
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte))
+
+  /** REAL image decode via `javax.imageio` (public, JDK-bundled — no
+    * external codec dependency): returns the actual pixel dimensions and
+    * an 8-bin luminance histogram (shares over a ≤64×64 deterministic
+    * subsample grid — fixed strides, fixed integer Rec.601 weights, so
+    * the feature is reproducible bit-for-bit across JVMs). `None` for
+    * payloads that don't sniff as raster or fail to parse — callers fall
+    * back to [[stubRow]], so a corrupt byte string degrades instead of
+    * failing the task.
+    */
+  private[graft] def decodeImage(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Float])] =
+    if (!isRaster(bytes)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val hist = new Array[Float](8)
+        val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+        var n = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587
+              + (rgb & 0xff) * 114) / 1000
+            hist(math.min(7, lum / 32)) += 1f
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
+        Some((w, h, hist))
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched decode / feature extraction over an arbitrary payload
+    * dataset — the REAL decode path: `mapPartitions` batching (the Scala
+    * analogue of `mapInPandas`; a heavier codec would amortize its init
+    * here), magic-byte sniff per row, [[decodeImage]] for raster
+    * payloads (real width/height + luminance-histogram features,
+    * media_type `image/decoded`), [[stubRow]] fallback for everything
+    * else — so the same stage handles a mixed-media corpus without a
+    * schema or plan change.
+    */
+  def decodeFeatures(payloads: Dataset[(Long, Array[Byte])])
+      : Dataset[MediaFeatures] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some((w, h, feats)) =>
+            MediaFeatures(id, "image/decoded", bytes.length.toLong, w, h, feats)
+          case None => stubRow(id, bytes)
+        }
+      }
+    }
+  }
+
+  /** The real-codec decode stage over the documents table's payload
+    * column. The synthetic corpus is text-backed (no payload sniffs as
+    * raster), so on test data every row takes the deterministic stub
+    * branch — which is exactly what makes the stage oracle-checkable
+    * end-to-end while MultimodalSpec drives the raster branch with real
+    * in-memory PNG/JPEG bytes through the same `mapPartitions` plumbing.
+    */
+  def decodeReal(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    decodeFeatures(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])])
+  }
+
+  /** Batched decode / feature extraction over binary payloads — the
+    * stub-only form (every row takes [[stubRow]]); [[decodeReal]] is the
+    * same stage with the real raster branch in front.
     */
   def decodeStub(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -60,22 +164,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // Per-partition "codec init" would go here.
-        it.map { case (id, bytes) =>
-          // STUB decode: derive deterministic fake dimensions/features
-          // from the bytes. A real implementation calls the codec here.
-          // Empty payloads (a codec would reject them) decode to zero
-          // features instead of crashing the task on modulo-by-zero.
-          val w = 16 + (bytes.length % 64)
-          val h = 16 + ((bytes.length / 64) % 64)
-          val feats =
-            if (bytes.isEmpty) Array.fill(8)(0f)
-            else Array.tabulate(8) { i => bytes(i % bytes.length).toFloat / 127f }
-          MediaFeatures(
-            doc_id = id,
-            media_type = if (id % 2 == 0) "image/png" else "audio/wav",
-            n_bytes = bytes.length.toLong,
-            width = w, height = h, features = feats)
-        }
+        it.map { case (id, bytes) => stubRow(id, bytes) }
       }
   }
 
@@ -87,12 +176,23 @@ object Multimodal {
     * k/127f is double-rounding-safe for every byte value (checked
     * exhaustively), making the float32 values bit-identical.
     */
-  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
-    decodeStub(spark, dir)
-      .toDF()
+  private def flattenFeatures(ds: Dataset[MediaFeatures]): DataFrame =
+    ds.toDF()
       .select(Seq(col("doc_id"), col("media_type"), col("n_bytes"),
         col("width"), col("height")) ++
         (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    flattenFeatures(decodeStub(spark, dir))
+
+  /** Driver-contract wrapper for the REAL-codec stage ([[decodeReal]]):
+    * identical schema; on the text-backed synthetic corpus no payload
+    * sniffs as raster, so every row provably rides the stub fallback and
+    * the stage hash-matches the same oracle — the raster branch itself
+    * is exercised by MultimodalSpec on real in-memory PNG/JPEG bytes.
+    */
+  def multimodalDecodeReal(spark: SparkSession, dir: String): DataFrame =
+    flattenFeatures(decodeReal(spark, dir))
 
   val multimodalDecodeOracle: String = {
     val feats = (0 until 8).map { i =>
@@ -216,6 +316,8 @@ object Multimodal {
   def defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> QueryDef.sql(multimodalMeta, multimodalMetaOracle),
     "multimodal_decode" -> QueryDef.sql(multimodalDecode, multimodalDecodeOracle),
+    "multimodal_decode_real" ->
+      QueryDef.sql(multimodalDecodeReal, multimodalDecodeOracle),
     "multimodal_frame_sample" -> QueryDef.sql(multimodalFrameSample, multimodalFrameSampleOracle),
     "multimodal_resize" -> QueryDef.sql(multimodalResize, multimodalResizeOracle)
   )

@@ -66,4 +66,56 @@ class MultimodalSpec extends SparkSpec {
     assert(flipped.count() == 0, "resize must not flip the aspect orientation")
     df.unpersist()
   }
+
+  /** Encode a BufferedImage to real container bytes in memory. */
+  private def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 7 + y * 13) % 256) * 0x010101)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("decodeFeatures: real PNG/JPEG payloads decode to true dimensions " +
+      "through the mapPartitions stage") {
+    import spark.implicits._
+    val payloads = Seq(
+      1L -> imageBytes(37, 21, "png"),
+      2L -> imageBytes(64, 128, "jpg"),
+      3L -> "just text, not an image".getBytes("UTF-8"))
+    val out = Multimodal.decodeFeatures(payloads.toDS())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).media_type == "image/decoded")
+    assert((out(1L).width, out(1L).height) == ((37, 21)), "real PNG dims")
+    assert((out(2L).width, out(2L).height) == ((64, 128)), "real JPEG dims")
+    // luminance histogram: 8 non-negative shares summing to ~1
+    val feats = out(1L).features
+    assert(feats.length == 8 && feats.forall(_ >= 0f))
+    assert(math.abs(feats.sum - 1f) < 1e-3, s"shares must sum to 1: ${feats.sum}")
+    // non-raster payload rides the deterministic stub fallback
+    val textBytes = payloads(2)._2
+    assert(out(3L).width == 16 + textBytes.length % 64
+      && out(3L).media_type == "audio/wav", "stub fallback for non-raster")
+  }
+
+  test("decodeFeatures: corrupt raster bytes degrade to the stub, not a crash") {
+    import spark.implicits._
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x00, 0x01, 0x02)
+    val out = Multimodal.decodeFeatures(Seq(9L -> corrupt).toDS()).collect()
+    assert(out.length == 1 && out.head.media_type != "image/decoded",
+      "unparseable PNG must fall back to the stub row")
+    assert(out.head.n_bytes == corrupt.length.toLong)
+  }
+
+  test("multimodal_decode_real equals the stub stage on the text-backed corpus") {
+    // no synthetic payload sniffs as raster, so the real-codec stage must
+    // reproduce the oracle-checked stub output bit-for-bit
+    val a = Multimodal.multimodalDecode(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    val b = Multimodal.multimodalDecodeReal(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(a == b, "real-codec stage diverged from stub on non-raster corpus")
+  }
 }
