@@ -81,6 +81,29 @@ object EventStreams {
 
   private val SessionGapUs = 30L * 60 * 1000 * 1000
 
+  /** Streaming DAU bitmap words — the stream twin of the batch
+    * `stickiness_dau_mau` bitmap stage: per (1-day tumbling window ×
+    * user_id÷32 word), the OR of the 32-bit membership words inside ONE
+    * streaming aggregate. bit_or is idempotent and mergeable, so late
+    * data within the 2-hour watermark folds into the same word and a
+    * replayed user is absorbed, not double-counted — the property that
+    * lets the words stand in for a windowed COUNT DISTINCT as standing
+    * state (one BIGINT per live (day, word) key, \|users\|/32-scale).
+    * DAU is Σ popcount over a day's words; the trailing-28-day MAU
+    * union is the downstream read over the materialized words, exactly
+    * as in the batch operator — the StreamingSpec agreement test
+    * reconstructs dau/mau/stickiness from these words and matches the
+    * batch output row-for-row.
+    */
+  def dauWordsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"),
+        expr("user_id div 32").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 32 as int)))").as("word"))
+      .select(col("window.start").as("window_start"), col("word_idx"),
+        col("word"), bit_count(col("word")).cast("bigint").as("n_users"))
+
   /** Epoch-microseconds of a Timestamp — getTime() alone truncates to
     * ms, and the batch twin (EventOps.sessionize) computes gaps and tie
     * order at µs precision, so ms-truncated state would flip session
@@ -119,6 +142,63 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class SessRollState(
+      sessionId: Long, lastTsUs: Long, firstTsUs: Long, nEv: Long)
+
+  final case class ClosedSession(
+      user_id: Long, session_id: Long, n_ev: Long, day_ord: Long)
+
+  private val DayUs = 86400000000L
+
+  /** Closed-session rollup — the stream stage under a streaming
+    * `bounce_rate`: the [[sessionized]] gap state machine extended with
+    * per-session (first_ts, event count), emitting one ClosedSession row
+    * the moment a >30-min gap CLOSES a session (only then is "did it
+    * bounce?" final — an open session's single event may yet gain a
+    * second). Sessions still open when the stream drains are therefore
+    * unreported by design; the batch twin restricted to each user's
+    * non-final sessions is the exact-agreement surface the
+    * StreamingSpec pins. Same µs gap arithmetic and (time, event_id)
+    * within-batch tie order as the batch `sessionize`.
+    */
+  def closedSessions(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessRollState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessRollState]) =>
+          val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            SessRollState(0L, Long.MinValue, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          sorted.foreach { e =>
+            val t = epochMicros(e.ts)
+            if (st.lastTsUs == Long.MinValue)
+              st = SessRollState(1L, t, t, 1L)
+            else if (t - st.lastTsUs > SessionGapUs) {
+              out += ClosedSession(userId, st.sessionId, st.nEv,
+                st.firstTsUs / DayUs)
+              st = SessRollState(st.sessionId + 1, t, t, 1L)
+            } else st = st.copy(lastTsUs = t, nEv = st.nEv + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming bounce rate per first-event day over CLOSED sessions
+    * ([[closedSessions]] under a downstream aggregation — append-mode
+    * flatMapGroupsWithState composes): share of finished sessions with
+    * a single event, exact integer ppm like the batch twin.
+    */
+  def bounceRateStream(events: Dataset[Event]): DataFrame =
+    closedSessions(events)
+      .groupBy(col("day_ord"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_ppm", expr("(n_bounces * 1000000) div n_sessions"))
 
   final case class DebounceState(lastKeptUs: Long)
   final case class KeptEvent(

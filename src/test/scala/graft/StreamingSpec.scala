@@ -156,6 +156,78 @@ class StreamingSpec extends SparkSpec {
       s"streaming first-touch diverged: stream=$streamed batch=$batch")
   }
 
+  test("dauWordsStream reconstructs the batch stickiness_dau_mau exactly") {
+    // drain the day×word bitmap words, rebuild dau / trailing-28d mau /
+    // stickiness with the batch operator's own arithmetic, compare
+    // row-for-row — the streamed words ARE the batch bitmap state
+    val q = EventStreams.dauWordsStream(EventStreams.eventsStream(spark, sfDir))
+      .writeStream.format("memory").queryName("dau_words")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val words = spark.table("dau_words").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime / 86400000L,
+        r.getAs[Long]("word_idx")) -> r.getAs[Long]("word")).toMap
+    val days = words.keys.map(_._1).toSeq.distinct.sorted
+    val idxs = words.keys.map(_._2).toSeq.distinct
+    val rebuilt = days.map { d =>
+      val dau = idxs.map(i => java.lang.Long.bitCount(
+        words.getOrElse((d, i), 0L)).toLong).sum
+      val mau = idxs.map { i =>
+        val union = days.filter(x => x >= d - 27 && x <= d)
+          .map(x => words.getOrElse((x, i), 0L)).fold(0L)(_ | _)
+        java.lang.Long.bitCount(union).toLong
+      }.sum
+      d -> ((dau, mau, dau * 1000000L / mau))
+    }.toMap
+    val batch = operators.EventScience.stickinessDauMau(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day_ord") ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("mau_28d"),
+          r.getAs[Long]("stickiness_ppm")))).toMap
+    assert(rebuilt == batch,
+      s"streamed bitmap words diverged from batch stickiness")
+  }
+
+  test("bounceRateStream agrees with the batch rollup over CLOSED sessions") {
+    import spark.implicits._
+    val q = EventStreams.bounceRateStream(
+        EventStreams.eventsStream(spark, sfDir).as[Event])
+      .writeStream.format("memory").queryName("bounce_sf")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bounce_sf").collect()
+      .map(r => r.getAs[Long]("day_ord") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounces"),
+          r.getAs[Long]("bounce_ppm")))).toMap
+    // independent batch recomputation of the same gap rule, keeping only
+    // CLOSED sessions (every session but each user's last — a stream
+    // cannot finalize an open session's bounce status)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t_us").asc, col("event_id").asc)
+    val batch = Tables.events(spark, sfDir)
+      .withColumn("t_us", expr("ts div 1000"))
+      .withColumn("prev_t", lag(col("t_us"), 1).over(w))
+      .withColumn("new_s", when(col("prev_t").isNull
+        || col("t_us") - col("prev_t") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        expr("min(t_us) div 86400000000").as("day_ord"))
+      .withColumn("last_s", max(col("session_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("session_id") < col("last_s"))
+      .groupBy(col("day_ord"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .collect()
+      .map(r => r.getAs[Long]("day_ord") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounces"),
+          r.getAs[Long]("n_bounces") * 1000000L / r.getAs[Long]("n_sessions"))))
+      .toMap
+    assert(streamed == batch,
+      s"closed-session bounce counts diverged from the batch gap rule")
+  }
+
   test("sessionized assigns gap-based sessions with per-user state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
