@@ -58,7 +58,7 @@ object Bench {
     val extraNames = Set("stream_bench_window_agg", "stream_bench_dedup",
       "stream_bench_funnel", "stream_bench_debounce",
       "stream_bench_histogram", "stream_bench_heavyhitters",
-      "stream_bench_novelty",
+      "stream_bench_novelty", "stream_bench_dauwords", "stream_bench_bounce",
       "curation_pipeline_e2e", "stream_curation_e2e",
       "ann_index_probe_e2e")
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
@@ -143,6 +143,19 @@ object Bench {
               .as[streaming.EventStreams.Event])
           .writeStream.format("memory").queryName(uniq)
           .outputMode("update").start(), uniq)
+      }),
+      ("stream_bench_dauwords", (uniq: String) => drain(
+        streaming.EventStreams.dauWordsStream(
+            streaming.EventStreams.eventsStream(spark, sfDir))
+          .writeStream.format("memory").queryName(uniq)
+          .outputMode("complete").start(), uniq)),
+      ("stream_bench_bounce", { (uniq: String) =>
+        import spark.implicits._
+        drain(streaming.EventStreams.bounceRateStream(
+            streaming.EventStreams.eventsStream(spark, sfDir)
+              .as[streaming.EventStreams.Event])
+          .writeStream.format("memory").queryName(uniq)
+          .outputMode("complete").start(), uniq)
       }),
       ("stream_bench_dedup", (uniq: String) => drain(
         streaming.EventStreams.dedupedStream(

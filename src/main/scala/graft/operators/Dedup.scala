@@ -50,6 +50,11 @@ object Dedup {
   /** n-gram (3-shingle) Jaccard near-dup pairs with blocking: candidates
     * share a source and have |Δn_chars| ≤ 32 (length blocking — a cheap
     * LSH on document size). Pairs at jaccard ≥ 0.5 are near-duplicates.
+    * A block census guards the quadratic-within-block expansion: any
+    * (source, length-bucket) block over `spark.graft.jaccardBlockRows`
+    * docs fails the job loud (assert_true in the plan) rather than
+    * silently exploding — this operator is the blocked ground-truth
+    * AUDIT; [[dedupMinhashLsh]] is the production-scale path.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // Blocked pair join with a COMPILED sorted-merge intersection count:
@@ -77,9 +82,28 @@ object Dedup {
         col("n_chars").as("ca"), col("sh").as("sha"), col("sz").as("sza"),
         explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
           .as("bucket"))
+    // Pathological-block guard: the pair join is quadratic WITHIN a
+    // (source, length-bucket) block — fine for this operator's declared
+    // blocked-ground-truth audit role only while blocks stay small. The
+    // block census rides the plan (metadata-scale rows, broadcast back)
+    // and assert_true fails the job LOUD when any block exceeds
+    // spark.graft.jaccardBlockRows (default 10k docs ⇒ ≤ ~3e8 candidate
+    // pairs with its two neighbor buckets), instead of silently
+    // expanding a quadratic block; dedup_minhash_lsh is the scale path.
+    val maxBlockRows =
+      spark.conf.get("spark.graft.jaccardBlockRows", "10000").toLong
+    val blkCounts = s.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("blk_n"))
     val b = s.select(col("doc_id").as("doc_b"), col("source"),
-      col("n_chars").as("cb"), col("sh").as("shb"), col("sz").as("szb"),
-      col("bucket"))
+        col("n_chars").as("cb"), col("sh").as("shb"), col("sz").as("szb"),
+        col("bucket"))
+      .join(Tables.stateHint(blkCounts), Seq("source", "bucket"))
+      .filter(assert_true(col("blk_n") <= maxBlockRows,
+        concat(lit("ngram_jaccard: a (source, length-bucket) block has "),
+          col("blk_n"),
+          lit(s" rows > spark.graft.jaccardBlockRows=$maxBlockRows — " +
+            "quadratic block; use dedup_minhash_lsh at this scale"))).isNull)
+      .drop("blk_n")
     a.join(b, Seq("source", "bucket"))
       .filter(col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 32)
       .withColumn("common", TextOps.sortedCommonCount(col("sha"), col("shb")))

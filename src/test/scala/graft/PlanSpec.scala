@@ -92,6 +92,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"query set not broadcast:\n$p")
   }
 
+  test("ngram_jaccard fails loud on a pathological length block") {
+    // with the cap forced to 1 every real block is "pathological": the
+    // in-plan assert_true must abort the job with the guard's message
+    // instead of silently running the quadratic expansion
+    spark.conf.set("spark.graft.jaccardBlockRows", "1")
+    try {
+      val e = intercept[Exception] {
+        operators.Dedup.ngramJaccard(spark, sfDir).collect()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+      assert(chain(e).contains("jaccardBlockRows"),
+        s"guard did not fire with its message: ${chain(e).take(500)}")
+    } finally spark.conf.unset("spark.graft.jaccardBlockRows")
+  }
+
   test("ngram_jaccard joins on (source, length-bucket), not source alone") {
     val p = plan(operators.Dedup.ngramJaccard(spark, sfDir))
     // The equi-join key set must include the bucket column — a join keyed
