@@ -711,9 +711,17 @@ object Lakehouse {
         pmod(expr("ts div 86400000000000"), lit(side)).as("hy0"))
       .withColumn("hd0", lit(0L))
     hilbertLevels.foreach { case (name, e) => base = base.withColumn(name, expr(e)) }
-    val keyed = base.select(col("event_id"), col("hx0").as("ub"), col("hy0").as("db"),
-      col(s"hd$HilbertBits").as("hilbert"),
-      expr(mortonExpr("hx0", "hy0")).as("morton"))
+    // materialize the curve keys ONCE: the unrolled level chain inlines
+    // into an exponentially-wide expression tree when Catalyst collapses
+    // the 40-projection chain, and the two-level rank references this
+    // frame several times per profile (total, cell histogram, rank
+    // window) — recomputing the unroll per reference is the measured
+    // 40s-at-sf0.1 trap. Five narrow ints per event; the pay-once
+    // landing-sort materialization every layout decision already makes.
+    val keyed = graft.functions.Iterate.checkpoint(
+      base.select(col("event_id"), col("hx0").as("ub"), col("hy0").as("db"),
+        col(s"hd$HilbertBits").as("hilbert"),
+        expr(mortonExpr("hx0", "hy0")).as("morton")))
     val matched = col("ub") < 32 && col("db").between(12, 20)
     val tot = keyed.agg(count(lit(1)).as("__n_total"))
     // exact NTILE file carve without the single-reducer global window:

@@ -389,9 +389,10 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("neyman_allocation", 4)(operators.StatTests.neymanAllocation(spark, sfDir))
   check("snippet_extract", 1)(operators.Retrieval.snippetExtract(spark, sfDir))
   check("rrf_fusion", 2)(operators.Retrieval.rrfFusion(spark, sfDir))
-  // hilbert_layout: 6 exchanges per curve profile — the corpus-scale
-  // pair is the cell-partitioned rank window + the map-combined file
-  // fold; the rest (total, cell histogram, bases, scalar profile) move
+  // hilbert_layout: 6 exchanges per curve profile over the CHECKPOINTED
+  // curve-key frame (the unroll computes once) — the corpus-scale pair
+  // is the cell-partitioned rank window + the map-combined file fold;
+  // the rest (total, cell histogram, bases, scalar profile) move
   // metadata-scale rows. Replaces the former 2-exchange plan whose
   // second exchange was a SINGLE-PARTITION global ntile sort — more
   // exchanges, none serial.
