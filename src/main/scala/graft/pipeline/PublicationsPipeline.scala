@@ -144,6 +144,67 @@ object PublicationsPipeline {
     manifest.toMap
   }
 
+  /** [[runAll]] under the scheduler-semantics layer ([[Orchestrator]]):
+    * the same staged stages expressed as a task DAG with the reference
+    * DAGs' contract — `retries = 1` per task
+    * (download_dataset_stage_1.py:13), `>>` edges mirroring the
+    * stage 1 → 2 → 3 → 4 → marts chain of TriggerDagRunOperator
+    * handoffs, staged-parquet RESUME (`resume = true` skips any stage
+    * whose output directory already exists — Airflow's state database,
+    * derived from the data), and the referential check as an ALL_DONE
+    * closer: the operator wants the orphan count even when a mart task
+    * failed. Returns the run report (per-task state + attempts) and
+    * the manifest of staged row counts.
+    */
+  def runAllDag(spark: SparkSession, dataDir: String, outDir: String,
+      resume: Boolean = false,
+      onRetry: (String, Int) => Unit = (_, _) => ())
+      : (Orchestrator.RunReport, Map[String, Long]) = {
+    import Orchestrator._
+    val manifest = scala.collection.concurrent.TrieMap[String, Long]()
+    def exists(name: String): Boolean =
+      new java.io.File(s"$outDir/$name/_SUCCESS").exists()
+    def staged(name: String, upstream: Seq[String], rule: TriggerRule =
+        AllSuccess)(df: => DataFrame): TaskDef =
+      TaskDef(name, upstream, retries = 1, rule = rule,
+        skipIf = () => resume && exists(name)) { () =>
+        val path = s"$outDir/$name"
+        df.write.mode("overwrite").parquet(path)
+        manifest += name -> spark.read.parquet(path).count()
+      }
+    val tasks = Seq(
+      staged("stage1_documents", Nil)(Tables.documents(spark, dataDir)),
+      staged("stage1_orders", Nil)(Tables.orders(spark, dataDir)),
+      staged("stage2_cleaned_documents", Seq("stage1_documents"))(
+        clean(spark.read.parquet(s"$outDir/stage1_documents"))),
+      staged("stage3_enriched_orders",
+        Seq("stage2_cleaned_documents", "stage1_orders"))(
+        enrich(spark, dataDir)),
+      staged("stage4_fact_sales", Seq("stage3_enriched_orders"))(
+        Dwh.factSales(spark, dataDir)),
+      staged("stage4_dim_customer", Seq("stage3_enriched_orders"))(
+        Dwh.dimCustomer(spark, dataDir)),
+      staged("stage4_bridge_author", Seq("stage3_enriched_orders"))(
+        Dwh.bridgeAuthor(spark, dataDir)),
+      staged("stage4_dim_references", Seq("stage3_enriched_orders"))(
+        Dwh.dimReferences(spark, dataDir)),
+      staged("stage5_collab_graph", Seq("stage4_bridge_author"))(
+        Analytics.collabPairs(spark, dataDir)),
+      staged("stage6_trends", Seq("stage4_fact_sales"))(
+        Analytics.trendsOverTime(spark, dataDir)),
+      staged("stage6_graph_degree", Seq("stage5_collab_graph"))(
+        Analytics.graphDegree(spark, dataDir)),
+      TaskDef("check_orphan_fact_rows",
+        Seq("stage4_fact_sales", "stage4_dim_customer"),
+        retries = 1, rule = AllDone) { () =>
+        val fact = spark.read.parquet(s"$outDir/stage4_fact_sales")
+        val dim = spark.read.parquet(s"$outDir/stage4_dim_customer")
+        manifest += "check_orphan_fact_rows" -> fact.join(dim,
+          fact("customer_key") === dim("customer_key"), "left_anti").count()
+      })
+    (Orchestrator.run(tasks, onRetry), manifest.toMap)
+  }
+
   /** Incremental warehouse landing — MERGE semantics instead of
     * overwrite, matching the reference's re-runnable loaders
     * (create_collaboration_graph.cql:3 `MERGE (a)-[:COLLABORATED]-(b)`;

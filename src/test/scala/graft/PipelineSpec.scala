@@ -228,4 +228,79 @@ class PipelineSpec extends SparkSpec {
         df.filter(col("customer_key") % 10 === 0) else df.limit(5))
     assert(slice == full, s"backfill slice changed counts: $full -> $slice")
   }
+
+  test("orchestrator: bounded retries, deterministic order, run report") {
+    import graft.pipeline.Orchestrator
+    import graft.pipeline.Orchestrator._
+    var attempts = 0
+    var retriedAt = Seq.empty[Int]
+    val report = Orchestrator.run(Seq(
+      TaskDef("a")(() => ()),
+      TaskDef("b_flaky", Seq("a"), retries = 2) { () =>
+        attempts += 1
+        if (attempts < 3) sys.error(s"transient #$attempts")
+      },
+      TaskDef("c", Seq("b_flaky"))(() => ())),
+      onRetry = (_, n) => retriedAt :+= n)
+    assert(report.allSucceeded, s"states: ${report.states}")
+    assert(report.states("b_flaky") == Succeeded(3),
+      "two retries then success must record attempts = 3")
+    assert(retriedAt == Seq(1, 2), "backoff hook fires per failed attempt")
+    assert(report.order == Seq("a", "b_flaky", "c"), "deterministic order")
+  }
+
+  test("orchestrator: ALL_SUCCESS skips downstream of a failure, " +
+      "ALL_DONE closer still runs") {
+    import graft.pipeline.Orchestrator
+    import graft.pipeline.Orchestrator._
+    var closerRan = false
+    val report = Orchestrator.run(Seq(
+      TaskDef("a")(() => ()),
+      TaskDef("b_fails", Seq("a"), retries = 1)(() => sys.error("boom")),
+      TaskDef("c_skipped", Seq("b_fails"))(() =>
+        fail("ALL_SUCCESS task must not run after an upstream failure")),
+      TaskDef("d_closer", Seq("b_fails", "a"), rule = AllDone) { () =>
+        closerRan = true
+      }))
+    assert(report.states("b_fails") == Failed(2, "boom"),
+      "retries = 1 means exactly two attempts")
+    assert(report.states("c_skipped") == UpstreamFailed)
+    assert(closerRan && report.states("d_closer") == Succeeded(1),
+      "ALL_DONE runs regardless of upstream outcome")
+    assert(report.failed == Seq("b_fails"))
+  }
+
+  test("orchestrator: cycles and unknown upstreams are declaration errors") {
+    import graft.pipeline.Orchestrator
+    import graft.pipeline.Orchestrator._
+    intercept[IllegalArgumentException] {
+      Orchestrator.run(Seq(
+        TaskDef("a", Seq("b"))(() => ()), TaskDef("b", Seq("a"))(() => ())))
+    }
+    intercept[IllegalArgumentException] {
+      Orchestrator.run(Seq(TaskDef("a", Seq("ghost"))(() => ())))
+    }
+  }
+
+  test("runAllDag: staged DAG run matches runAll's manifest and resumes") {
+    val out = Files.createTempDirectory("graft_dag").toString
+    val (report, manifest) = PublicationsPipeline.runAllDag(spark, sfDir, out)
+    assert(report.allSucceeded, s"states: ${report.states}")
+    // same staged truths as the sequential runner
+    val plain = PublicationsPipeline.runAll(spark, sfDir,
+      Files.createTempDirectory("graft_dag_ref").toString)
+    Seq("stage1_documents", "stage2_cleaned_documents", "stage4_fact_sales",
+      "stage5_collab_graph", "check_orphan_fact_rows").foreach { k =>
+      assert(manifest(k) == plain(k), s"$k: dag=${manifest(k)} seq=${plain(k)}")
+    }
+    // resume: a second run skips every staged task (Airflow state derived
+    // from the data); only the cheap ALL_DONE check re-executes
+    val (resumed, _) = PublicationsPipeline.runAllDag(spark, sfDir, out,
+      resume = true)
+    import graft.pipeline.Orchestrator.{Resumed, Succeeded}
+    resumed.states.foreach { case (name, st) =>
+      if (name == "check_orphan_fact_rows") assert(st == Succeeded(1))
+      else assert(st == Resumed, s"$name should resume from staging, was $st")
+    }
+  }
 }
