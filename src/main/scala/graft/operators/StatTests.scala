@@ -407,19 +407,30 @@ object StatTests {
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
     val width = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
-    val joined = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("l_orderkey"),
-        floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint").as("cents"))
-      .join(width, Seq("l_orderkey"))
+    // the (key, cents, n_lines) base materializes ONCE (three longs per
+    // order — the hilbert curve-key treatment): each axis' rank reads it
+    // for a histogram and a window, and chaining the ranks instead would
+    // re-execute the first rank's corpus sort inside the second's
+    // histogram — a doubled global sort at 100 TB
+    val joined = graft.functions.Iterate.checkpoint(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint").as("cents"))
+        .join(width, Seq("l_orderkey")))
     val bounds = joined.agg(min(col("cents")).as("__cmin"),
       max(col("cents")).as("__cmax"))
-    val ranked = graft.functions.Ranks.withGlobalRank(
-      graft.functions.Ranks.withGlobalRank(
-        joined.crossJoin(broadcast(bounds)), "r_value",
+    val ranksV = graft.functions.Ranks.withGlobalRank(
+        joined.select(col("l_orderkey"), col("cents"))
+          .crossJoin(broadcast(bounds)), "r_value",
         expr("((cents - __cmin) * 1024) div (__cmax - __cmin + 1)"),
-        Seq(col("cents").asc, col("l_orderkey").asc)),
-      "r_width", col("n_lines"),
-      Seq(col("n_lines").asc, col("l_orderkey").asc))
+        Seq(col("cents").asc, col("l_orderkey").asc))
+      .select(col("l_orderkey"), col("r_value"))
+    val ranksW = graft.functions.Ranks.withGlobalRank(
+        joined.select(col("l_orderkey"), col("n_lines")), "r_width",
+        col("n_lines"),
+        Seq(col("n_lines").asc, col("l_orderkey").asc))
+      .select(col("l_orderkey"), col("r_width"))
+    val ranked = ranksV.join(ranksW, Seq("l_orderkey"))
     ranked.agg(count(lit(1)).as("n"),
         sum((col("r_value") - col("r_width")) * (col("r_value") - col("r_width")))
           .as("sum_d2"))

@@ -380,11 +380,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // corpus-scale shuffle is the contingency aggregate.
   check("chi_square_independence", 9)(
     operators.StatTests.chiSquareIndependence(spark, sfDir))
-  // spearman_corr: two exact two-level ranks (each: bounds/total fold,
-  // cell histogram, bases fold, cell-partitioned window) + the scalar
-  // d² fold — 10 exchanges, none single-reducer, the corpus pair
-  // shuffling only on its 1024-cell rank keys.
-  check("spearman_corr", 10)(operators.StatTests.spearmanCorr(spark, sfDir))
+  // spearman_corr: two INDEPENDENT two-level ranks over the
+  // checkpointed (key, cents, width) base — each axis pays its cell
+  // histogram + bases fold + cell-partitioned window exactly once —
+  // joined back on the order key for the scalar d² fold. 8 exchanges,
+  // none single-reducer, no corpus sort ever executed twice.
+  check("spearman_corr", 8)(operators.StatTests.spearmanCorr(spark, sfDir))
   check("gini_concentration", 3)(operators.StatTests.giniConcentration(spark, sfDir))
   check("neyman_allocation", 4)(operators.StatTests.neymanAllocation(spark, sfDir))
   check("snippet_extract", 1)(operators.Retrieval.snippetExtract(spark, sfDir))
