@@ -101,18 +101,25 @@ object Lakehouse {
     *
     * This is the measurement that justifies zorder_layout /
     * sorted-write pipelines: at 100 TB the difference is reading 3.5 TB
-    * vs 100 TB for the same query. The ntile carve is a global sort —
-    * exactly the cost a sorted WRITE pays once so every later scan can
-    * prune; the audit pays it on the same terms. Output: one row per
-    * layout with file counts, scanned-row counts and the pruning ratio.
+    * vs 100 TB for the same query. The file carve is the exact
+    * two-level NTILE ([[graft.functions.Ranks]]) — a sorted write pays
+    * a DISTRIBUTED range sort, so the audit must too: cells are 1024
+    * key-range buckets from the broadcast key max for the natural
+    * layout and the ship-day ordinal for the sorted one, never a
+    * single-reducer window. Output: one row per layout with file
+    * counts, scanned-row counts and the pruning ratio.
     */
   def fileSkippingAudit(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(
       to_date(col("l_shipdate")).as("day"),
       col("l_orderkey"), col("l_linenumber"))
-    def profile(label: String, order: Seq[Column]): DataFrame = {
-      val filed = li.withColumn("file_id",
-        ntile(NFiles).over(Window.orderBy(order: _*)))
+    val bounds = li.agg(max(col("l_orderkey")).as("__max_ok"),
+      count(lit(1)).as("__n_total"))
+    val based = li.crossJoin(broadcast(bounds))
+    def profile(label: String, order: Seq[Column], cell: Column): DataFrame = {
+      val filed = graft.functions.Ranks.withNtile(
+        graft.functions.Ranks.withGlobalRank(based, "__grank", cell, order),
+        "file_id", "__grank", "__n_total", NFiles)
       filed
         .groupBy(col("file_id"))
         .agg(count(lit(1)).as("n_rows"),
@@ -130,9 +137,11 @@ object Lakehouse {
           expr("(n_files - files_scanned) * 100L div n_files")
             .as("prune_pct"))
     }
-    profile("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+    profile("natural", Seq(col("l_orderkey"), col("l_linenumber")),
+        expr("(l_orderkey * 1024) div (__max_ok + 1)"))
       .unionByName(profile("shipdate_sorted",
-        Seq(col("day"), col("l_orderkey"), col("l_linenumber"))))
+        Seq(col("day"), col("l_orderkey"), col("l_linenumber")),
+        datediff(col("day"), lit("1970-01-01")).cast("bigint")))
   }
 
   val fileSkippingAuditOracle: String = {

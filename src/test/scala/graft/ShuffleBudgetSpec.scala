@@ -261,10 +261,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // audits' worth of joins/folds/top-1s over HISTOGRAM-sized frames.
   check("join_cardinality_est", 14)(
     operators.Lakehouse.joinCardinalityEst(spark, sfDir))
-  // file_skipping_audit: two layout carves (global-sort ntile — the
-  // cost a sorted write pays once, paid here per layout) + per-layout
-  // file fold and one-row summary.
-  check("file_skipping_audit", 8)(
+  // file_skipping_audit: two layout carves via the two-level exact
+  // NTILE (per layout: cell histogram + bases + cell-partitioned rank
+  // window) + per-layout file fold and one-row summary — 7 exchanges
+  // per profile, none single-reducer (the former plan's per-layout
+  // single-partition ntile sort is gone).
+  check("file_skipping_audit", 14)(
     operators.Lakehouse.fileSkippingAudit(spark, sfDir))
   // k_anonymity_audit: one map-side-combinable aggregate over the
   // projected quasi columns.
