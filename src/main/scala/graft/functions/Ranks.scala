@@ -65,6 +65,42 @@ object Ranks {
       .drop("__gr_cell", "__gr_rn", "__gr_base")
   }
 
+  /** Adds exclusive-prefix-sum columns over a total order WITHOUT an
+    * unpartitioned window — the [[withGlobalRank]] shape applied to
+    * running sums: per-cell totals of each summand, cell bases from the
+    * triangular metadata join, then a cell-PARTITIONED exclusive
+    * running sum. For each `(expr, name)` in `sums` the output gains
+    * `name` = Σ expr over all rows STRICTLY before the current one in
+    * the global order (0 for the first row). Same contract as the rank
+    * helper: `cell` integer and monotone non-decreasing along `order`,
+    * `order` a total order.
+    */
+  def withExclusivePrefix(df: DataFrame, cell: Column, order: Seq[Column],
+      sums: Seq[(Column, String)]): DataFrame = {
+    val tagged = df.withColumn("__px_cell", cell.cast("bigint"))
+    val hist = tagged.groupBy(col("__px_cell"))
+      .agg(sum(sums.head._1).as("__px_t0"),
+        sums.tail.zipWithIndex.map { case ((e, _), i) =>
+          sum(e).as(s"__px_t${i + 1}") }: _*)
+    val lower = hist.select(col("__px_cell").as("__px_cell_lo") +:
+      sums.indices.map(i => col(s"__px_t$i").as(s"__px_lo$i")): _*)
+    val bases = hist
+      .join(lower, col("__px_cell_lo") < col("__px_cell"), "left")
+      .groupBy(col("__px_cell"))
+      .agg(coalesce(sum(col("__px_lo0")), lit(0L)).as("__px_b0"),
+        sums.indices.tail.map(i =>
+          coalesce(sum(col(s"__px_lo$i")), lit(0L)).as(s"__px_b$i")): _*)
+    val wCell = Window.partitionBy(col("__px_cell")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val joined = tagged.join(graft.Tables.stateHint(bases), Seq("__px_cell"))
+    val withSums = sums.zipWithIndex.foldLeft(joined) {
+      case (d, ((e, name), i)) =>
+        d.withColumn(name,
+          col(s"__px_b$i") + coalesce(sum(e).over(wCell), lit(0L)))
+    }
+    withSums.drop("__px_cell" +: sums.indices.map(i => s"__px_b$i"): _*)
+  }
+
   /** Adds BIGINT column `out` = exact `NTILE(k) OVER (ORDER BY ...)`
     * reconstructed ARITHMETICALLY from an exact global rank (`rankCol`,
     * 1-based, from [[withGlobalRank]]) and the total row count

@@ -113,10 +113,14 @@ object StatTests {
     * identity over VALUE CELLS: Σᵢⱼ nᵢnⱼ|xᵢ−xⱼ| = 2·Σᵢ nᵢxᵢ·N₍<ᵢ₎ −
     * 2·Σᵢ nᵢ·S₍<ᵢ₎ with prefix windows over the sorted cells —
     * all-BIGINT, G_ppm = num·1e6 ÷ (2·N·Total). The corpus never
-    * globally sorts; only its distinct spend cells do (the rfm
-    * exact-cell histogram discipline). BIGINT headroom: nᵢxᵢ·N < 9.2e18
-    * holds to ~1e8 customers at 1e6-cent spends; beyond that the fold
-    * (not the data) moves to DECIMAL(38).
+    * globally sorts — and since cent-exact lifetime spends are
+    * near-unique (distinct cells approach CUSTOMER cardinality at 1e8
+    * users), even the cell prefix avoids an unpartitioned window:
+    * [[graft.functions.Ranks.withExclusivePrefix]] buckets the cells
+    * into 1024 value ranges from the broadcast [min, max] span and
+    * runs both running sums partitioned by bucket. BIGINT headroom:
+    * nᵢxᵢ·N < 9.2e18 holds to ~1e8 customers at 1e6-cent spends;
+    * beyond that the fold (not the data) moves to DECIMAL(38).
     */
   def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
@@ -124,11 +128,14 @@ object StatTests {
       .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
         .as("cents"))
     val cells = spend.groupBy(col("cents")).agg(count(lit(1)).as("nc"))
-    val w = Window.orderBy(col("cents").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val folded = cells
-      .withColumn("n_before", coalesce(sum(col("nc")).over(w), lit(0L)))
-      .withColumn("s_before", coalesce(sum(col("nc") * col("cents")).over(w), lit(0L)))
+    val span = cells.agg(min(col("cents")).as("__vmin"),
+      max(col("cents")).as("__vmax"))
+    val folded = graft.functions.Ranks.withExclusivePrefix(
+        cells.crossJoin(broadcast(span)),
+        expr("((cents - __vmin) * 1024) div (__vmax - __vmin + 1)"),
+        Seq(col("cents").asc),
+        Seq(col("nc") -> "n_before",
+          (col("nc") * col("cents")) -> "s_before"))
       .agg(sum(col("nc")).as("n_customers"),
         sum(col("nc") * col("cents")).as("total_cents"),
         sum(col("nc") * col("cents") * col("n_before")

@@ -395,6 +395,7 @@ class PlanSpec extends SparkSpec {
       "hilbert_layout" -> operators.Lakehouse.hilbertLayout(spark, sfDir),
       "bloom_skipping_audit" -> operators.Lakehouse.bloomSkippingAudit(spark, sfDir),
       "file_skipping_audit" -> operators.Lakehouse.fileSkippingAudit(spark, sfDir),
+      "gini_concentration" -> operators.StatTests.giniConcentration(spark, sfDir),
       "spearman_corr" -> operators.StatTests.spearmanCorr(spark, sfDir),
       "quantile_normalize" -> operators.Retrieval.quantileNormalize(spark, sfDir)
     ).foreach { case (name, df) =>

@@ -388,7 +388,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // joined back on the order key for the scalar d² fold. 8 exchanges,
   // none single-reducer, no corpus sort ever executed twice.
   check("spearman_corr", 8)(operators.StatTests.spearmanCorr(spark, sfDir))
-  check("gini_concentration", 3)(operators.StatTests.giniConcentration(spark, sfDir))
+  // gini_concentration: per-customer fold, spend-cell fold, then the
+  // two-level exclusive prefix (1024-bucket histogram + bases +
+  // bucket-partitioned running sums) and the scalar fold — no
+  // unpartitioned window even over the near-customer-cardinality cells.
+  check("gini_concentration", 8)(operators.StatTests.giniConcentration(spark, sfDir))
   check("neyman_allocation", 4)(operators.StatTests.neymanAllocation(spark, sfDir))
   check("snippet_extract", 1)(operators.Retrieval.snippetExtract(spark, sfDir))
   check("rrf_fusion", 2)(operators.Retrieval.rrfFusion(spark, sfDir))
