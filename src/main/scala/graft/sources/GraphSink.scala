@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-database load generator — the Spark-native analog of the
+  * reference's batched Neo4j insert path (utils/databases.py:185-337:
+  * per-500-row `UNWIND $batch AS row CREATE (:Label {...})` node and
+  * relationship statements driven over a bolt session;
+  * :342-416 insert_sem_general_neo4j with `create_index(label, prop)`
+  * per label; neo4j/queries/create_collaboration_graph.cql:3 `MERGE`
+  * for re-runnable edges).
+  *
+  * The reference runs one driver-side pandas loop pushing 500-row
+  * parameter batches through a socket — single-node by construction. The
+  * Spark-native shape splits the work at the right boundary instead:
+  *
+  *   - statement TEXT is generated once per table (the same UNWIND
+  *     template the reference embeds, with MERGE + ON CREATE/ON MATCH
+  *     for idempotent re-runs — the cql discipline, not the reference's
+  *     bare CREATE which double-inserts on retry);
+  *   - batch PAYLOADS are written by the cluster as bounded JSONL files
+  *     (`maxRecordsPerFile` — every executor writes its own batches, no
+  *     driver loop, no collect) under `<out>/<table>/`;
+  *   - the bolt TRANSPORT is the declared swap-in (the ApiEnrich stub
+  *     discipline — zero-egress container): [[applyLoad]] walks
+  *     manifest order and hands (statement, payload lines) to a caller
+  *     transport, which in production is a neo4j-driver session and in
+  *     specs a recorder.
+  *
+  * At 100 TB the payload write is a parallel scan-speed export; the
+  * serial bolt session is the graph DB's own ingest bottleneck, not
+  * Spark's — exactly where the reference pipeline sits, minus the
+  * single-node batch generation.
+  */
+object GraphSink {
+
+  /** Cypher ident guard: labels/keys/columns come from trusted code, but
+    * fail loud on anything that would need quoting.
+    */
+  private def ident(s: String): String = {
+    require(s.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe cypher ident: $s")
+    s
+  }
+
+  /** `UNWIND $batch AS row MERGE (:Label {key: row.key}) SET n.p = row.p`
+    * — idempotent node load (re-running a batch is a no-op on matched
+    * keys, the upsertParquet contract at the graph tier).
+    */
+  def nodeMergeStatement(label: String, key: String,
+      props: Seq[String]): String = {
+    val sets =
+      if (props.isEmpty) ""
+      else props.map(p => s"n.${ident(p)} = row.${ident(p)}")
+        .mkString("\nSET ", ", ", "")
+    s"UNWIND $$batch AS row\n" +
+      s"MERGE (n:${ident(label)} {${ident(key)}: row.${ident(key)}})$sets"
+  }
+
+  /** Relationship MERGE between two keyed nodes with an ON CREATE /
+    * ON MATCH counter — create_collaboration_graph.cql's idiom
+    * parameterized.
+    */
+  def edgeMergeStatement(srcLabel: String, srcKey: String, dstLabel: String,
+      dstKey: String, relType: String, srcCol: String, dstCol: String)
+      : String =
+    s"UNWIND $$batch AS row\n" +
+      s"MATCH (a:${ident(srcLabel)} {${ident(srcKey)}: row.${ident(srcCol)}})\n" +
+      s"MATCH (b:${ident(dstLabel)} {${ident(dstKey)}: row.${ident(dstCol)}})\n" +
+      s"MERGE (a)-[r:${ident(relType)}]->(b)\n" +
+      "ON CREATE SET r.count = 1\n" +
+      "ON MATCH SET r.count = r.count + 1"
+
+  /** `CREATE INDEX ... IF NOT EXISTS` per (label, property) —
+    * databases.py:23 create_index, re-runnable form.
+    */
+  def indexStatement(label: String, prop: String): String =
+    s"CREATE INDEX idx_${ident(label)}_${ident(prop)} IF NOT EXISTS " +
+      s"FOR (n:${ident(label)}) ON (n.${ident(prop)})"
+
+  /** One table's load unit: the statement plus where its payload batches
+    * land.
+    */
+  final case class LoadUnit(table: String, statement: String)
+
+  /** Write a table's batch payloads as bounded JSONL (each file ≤
+    * `batchSize` rows — the reference's 500-row `$batch` unit, written
+    * in parallel by every task instead of a driver loop).
+    */
+  def writeBatches(df: DataFrame, outDir: String, table: String,
+      batchSize: Int = 500): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", batchSize.toLong)
+      .json(s"$outDir/$table")
+
+  /** Stage a full graph load: per-unit payload batches + a manifest of
+    * statements (indexes first — databases.py creates indexes before the
+    * batch loop). Returns the ordered statements for [[applyLoad]].
+    */
+  def stageLoad(outDir: String,
+      indexes: Seq[(String, String)],
+      units: Seq[(LoadUnit, DataFrame)],
+      batchSize: Int = 500): Seq[String] = {
+    units.foreach { case (u, df) => writeBatches(df, outDir, u.table, batchSize) }
+    val statements =
+      indexes.map { case (l, p) => indexStatement(l, p) } ++
+        units.map { case (u, _) => s"// table: ${u.table}\n${u.statement}" }
+    val path = java.nio.file.Paths.get(outDir, "statements.cypher")
+    java.nio.file.Files.writeString(path,
+      statements.mkString("", ";\n\n", ";\n"))
+    statements
+  }
+
+  /** Drive a staged load through a transport: for each unit, every
+    * payload file becomes one (statement, batchLines) call — the bolt
+    * session's `execute_query(query, {'batch': rows})` shape. Transport
+    * is injected: production passes a neo4j-driver session wrapper
+    * (bolt is the declared swap-in; this container has zero egress),
+    * specs pass a recorder. Returns batches applied per table.
+    */
+  def applyLoad(outDir: String, units: Seq[LoadUnit],
+      transport: (String, Seq[String]) => Unit): Map[String, Long] =
+    units.map { u =>
+      val dir = java.nio.file.Paths.get(outDir, u.table)
+      val files = java.nio.file.Files.list(dir).iterator()
+      var batches = 0L
+      val it = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+      while (files.hasNext) { it += files.next() }
+      it.filter(_.getFileName.toString.endsWith(".json")).sortBy(_.toString)
+        .foreach { f =>
+          val lines = java.nio.file.Files.readAllLines(f)
+          if (!lines.isEmpty) {
+            transport(u.statement, scala.jdk.CollectionConverters
+              .ListHasAsScala(lines).asScala.toSeq)
+            batches += 1
+          }
+        }
+      u.table -> batches
+    }.toMap
+}

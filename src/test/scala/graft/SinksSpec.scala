@@ -152,4 +152,68 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == dim.count())
     assert(back.columns.sorted.sameElements(dim.columns.sorted))
   }
+
+  test("graph sink: statement shapes match the reference load idioms") {
+    import graft.sources.GraphSink
+    val node = GraphSink.nodeMergeStatement("Supplier", "supp_id",
+      Seq("name", "nation"))
+    assert(node.startsWith("UNWIND $batch AS row"))
+    assert(node.contains("MERGE (n:Supplier {supp_id: row.supp_id})")
+      && node.contains("SET n.name = row.name, n.nation = row.nation"),
+      s"node statement malformed:\n$node")
+    val edge = GraphSink.edgeMergeStatement("Supplier", "supp_id",
+      "Supplier", "supp_id", "COLLABORATED_WITH", "supp_a", "supp_b")
+    assert(edge.contains("MERGE (a)-[r:COLLABORATED_WITH]->(b)")
+      && edge.contains("ON CREATE SET r.count = 1")
+      && edge.contains("ON MATCH SET r.count = r.count + 1"),
+      s"edge statement must carry the cql MERGE counter idiom:\n$edge")
+    assert(GraphSink.indexStatement("Supplier", "supp_id")
+      .contains("IF NOT EXISTS"))
+    intercept[IllegalArgumentException] {
+      GraphSink.nodeMergeStatement("Bad Label;", "id", Nil)
+    }
+  }
+
+  test("graph sink: staged load batches are bounded, complete, and " +
+      "replay through the transport in order") {
+    import graft.sources.GraphSink
+    import graft.sources.GraphSink.LoadUnit
+    val out = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    val nodes = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("supp_id"), col("s_name").as("name"))
+    val edges = operators.Analytics.collabPairs(spark, sfDir)
+      .select(col("supp_a"), col("supp_b"), col("collab_count"))
+    val units = Seq(
+      LoadUnit("suppliers",
+        GraphSink.nodeMergeStatement("Supplier", "supp_id", Seq("name")))
+        -> nodes,
+      LoadUnit("collab_edges",
+        GraphSink.edgeMergeStatement("Supplier", "supp_id", "Supplier",
+          "supp_id", "COLLABORATED_WITH", "supp_a", "supp_b")) -> edges)
+    val statements = GraphSink.stageLoad(out,
+      Seq("Supplier" -> "supp_id"), units, batchSize = 500)
+    // indexes precede load statements (databases.py creates them first)
+    assert(statements.head.startsWith("CREATE INDEX"))
+    assert(new java.io.File(s"$out/statements.cypher").isFile)
+
+    val calls = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int)]
+    var totalRows = 0L
+    val applied = GraphSink.applyLoad(out, units.map(_._1), {
+      (stmt, batch) =>
+        calls += ((stmt, batch.size)); totalRows += batch.size
+    })
+    // the reference's 500-row batch unit is a hard per-call bound
+    assert(calls.forall(_._2 <= 500), "a batch exceeded batchSize")
+    // every staged row reaches the transport exactly once
+    assert(totalRows == nodes.count() + edges.count(),
+      s"transport saw $totalRows rows")
+    assert(applied.values.sum == calls.size.toLong)
+    // node batches replay before edge batches (manifest order: MATCH
+    // needs its endpoints loaded)
+    val firstEdgeCall = calls.indexWhere(_._1.contains("COLLABORATED_WITH"))
+    val lastNodeCall = calls.lastIndexWhere(_._1.contains("MERGE (n:Supplier"))
+    assert(lastNodeCall < firstEdgeCall,
+      "edges must not replay before their endpoint nodes")
+  }
 }
