@@ -121,14 +121,12 @@ object GraphSink {
   def applyLoad(outDir: String, units: Seq[LoadUnit],
       transport: (String, Seq[String]) => Unit): Map[String, Long] =
     units.map { u =>
-      val dir = java.nio.file.Paths.get(outDir, u.table)
-      val files = java.nio.file.Files.list(dir).iterator()
+      val dir = new java.io.File(outDir, u.table)
       var batches = 0L
-      val it = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
-      while (files.hasNext) { it += files.next() }
-      it.filter(_.getFileName.toString.endsWith(".json")).sortBy(_.toString)
+      dir.listFiles().toSeq
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
         .foreach { f =>
-          val lines = java.nio.file.Files.readAllLines(f)
+          val lines = java.nio.file.Files.readAllLines(f.toPath)
           if (!lines.isEmpty) {
             transport(u.statement, scala.jdk.CollectionConverters
               .ListHasAsScala(lines).asScala.toSeq)
