@@ -51,7 +51,7 @@ object EventOps {
     * running sum. Both sessionize and sessionStats derive from this
     * frame (columns: events ∪ {t_us, session_id}).
     */
-  private[operators] def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy(col("user_id"))
       .orderBy(col("t_us").asc, col("event_id").asc)
     Tables.events(spark, dir)

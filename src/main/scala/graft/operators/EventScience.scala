@@ -755,19 +755,22 @@ object EventScience {
     * top decile's share is the "do power users carry the corpus?"
     * number ([[graft.operators.StatTests]] gini_concentration is the
     * scalar twin on revenue). The decile assignment is the exact
-    * two-level NTILE ([[graft.functions.Ranks]], cells = the negated
-    * activity count — activity counts are dimension-scale distinct
-    * values), so even the user-scale frame (10⁹ users at corpus scale)
-    * never funnels through a single-reducer window; the only global
-    * window left runs on the 10-row decile profile.
+    * two-level NTILE ([[graft.functions.Ranks]], cells = 1024
+    * activity-count ranges from the broadcast [min, max] span, DESC by
+    * construction — bounded even when per-user counts are near-unique),
+    * so even the user-scale frame (10⁹ users at corpus scale) never
+    * funnels through a single-reducer window; the only global window
+    * left runs on the 10-row decile profile.
     */
   def userConcentration(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val tot = perUser.agg(count(lit(1)).as("__n_total"))
+    val tot = perUser.agg(count(lit(1)).as("__n_total"),
+      min(col("n")).as("__nmin"), max(col("n")).as("__nmax"))
     graft.functions.Ranks.withNtile(
         graft.functions.Ranks.withGlobalRank(
-          perUser.crossJoin(broadcast(tot)), "__grank", -col("n"),
+          perUser.crossJoin(broadcast(tot)), "__grank",
+          expr("((__nmax - n) * 1024) div (__nmax - __nmin + 1)"),
           Seq(col("n").desc, col("user_id").asc)),
         "decile_raw", "__grank", "__n_total", 10)
       .withColumn("decile", col("decile_raw").cast("long"))

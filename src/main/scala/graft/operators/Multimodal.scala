@@ -139,11 +139,14 @@ object Multimodal {
   }
 
   /** The real-codec decode stage over the documents table's payload
-    * column. The synthetic corpus is text-backed (no payload sniffs as
-    * raster), so on test data every row takes the deterministic stub
-    * branch — which is exactly what makes the stage oracle-checkable
-    * end-to-end while MultimodalSpec drives the raster branch with real
-    * in-memory PNG/JPEG bytes through the same `mapPartitions` plumbing.
+    * column. On the synthetic text-backed corpus every row takes the
+    * deterministic stub branch — a corpus property the stub-parity spec
+    * VERIFIES row-for-row (not a structural guarantee: a text payload
+    * whose bytes happen to form a parseable raster header would decode
+    * for real, which is the intended production behavior) — making the
+    * stage oracle-checkable end-to-end while MultimodalSpec drives the
+    * raster branch with real in-memory PNG/JPEG bytes through the same
+    * `mapPartitions` plumbing.
     */
   def decodeReal(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -187,9 +190,10 @@ object Multimodal {
 
   /** Driver-contract wrapper for the REAL-codec stage ([[decodeReal]]):
     * identical schema; on the text-backed synthetic corpus no payload
-    * sniffs as raster, so every row provably rides the stub fallback and
-    * the stage hash-matches the same oracle — the raster branch itself
-    * is exercised by MultimodalSpec on real in-memory PNG/JPEG bytes.
+    * parses as raster (verified by the stub-parity spec), so every row
+    * rides the stub fallback and the stage hash-matches the same oracle
+    * — the raster branch itself is exercised by MultimodalSpec on real
+    * in-memory PNG/JPEG bytes.
     */
   def multimodalDecodeReal(spark: SparkSession, dir: String): DataFrame =
     flattenFeatures(decodeReal(spark, dir))

@@ -121,11 +121,11 @@ object Retrieval {
     *
     * Scale: the per-source rank window partitions by source; the GLOBAL
     * rank is the exact two-level cell form
-    * ([[graft.functions.Ranks.withGlobalRank]], cells = the n_chars
-    * value itself — dimension-scale distinct lengths) — no
-    * single-reducer window anywhere, and the total count rides the plan
-    * as a broadcast one-row aggregate instead of an eager
-    * `docs.count()` job.
+    * ([[graft.functions.Ranks.withGlobalRank]], cells = 1024 length
+    * ranges from the broadcast [min, max] span — bounded regardless of
+    * how many distinct lengths the corpus carries) — no single-reducer
+    * window anywhere, and the total count rides the plan as a broadcast
+    * one-row aggregate instead of an eager `docs.count()` job.
     */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -142,9 +142,13 @@ object Retrieval {
       .withColumn("g_target",
         (floor(col("pr") * (col("__n_total") - 1).cast("double") + lit(0.5))
           + lit(1L)).cast("bigint"))
+    val span = docs.agg(min(col("n_chars")).as("__gmin"),
+      max(col("n_chars")).as("__gmax"))
     val global = graft.functions.Ranks.withGlobalRank(
-        docs.select(col("n_chars").as("g_chars"), col("doc_id").as("g_tie")),
-        "gr", col("g_chars"), Seq(col("g_chars").asc, col("g_tie").asc))
+        docs.select(col("n_chars").as("g_chars"), col("doc_id").as("g_tie"))
+          .crossJoin(broadcast(span)),
+        "gr", expr("((g_chars - __gmin) * 1024) div (__gmax - __gmin + 1)"),
+        Seq(col("g_chars").asc, col("g_tie").asc))
       .select(col("gr"), col("g_chars"))
     src.join(global, col("g_target") === col("gr"))
       .select(col("doc_id"), col("source"), col("n_chars"),

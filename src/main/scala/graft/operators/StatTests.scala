@@ -401,15 +401,15 @@ object StatTests {
     * ≤7-value width axis — so the corpus rank-parallelizes while both
     * engines still agree rank-for-rank.
     *
-    * ρ = 1 − 6Σd²/(n³−n): Σd² is an exact BIGINT fold; the ppm uses a
-    * DOUBLE quotient (floor'd — IEEE ops, identical both engines) while
-    * n³−n still fits BIGINT (n ≤ 2.09e6, keeping relative error ≤
-    * 1e-15 where the former ÷1e6-first integer form lost ALL precision
-    * at n ≤ 1000), and the divide-the-denominator-first integer form as
-    * n·((n²−1)÷1e6) past that — never forming n³ in BIGINT beyond its
-    * range; holds to ~1.6e8 rows (past that the exact statistic moves
-    * to the bucketed rfm-cell approximation, as does Σd² itself).
-    * Degenerate n < 2 reports NULL (ρ undefined), never a fake 0.
+    * ρ = 1 − 6Σd²/(n³−n): Σd² is an exact BIGINT fold (exact to
+    * n ≈ 3.0e6, since Σd² ≤ (n³−n)/3 — past that the fold itself moves
+    * to DECIMAL(38), the gini headroom discipline); the ppm uses a
+    * DOUBLE quotient (floor'd — IEEE ops, identical both engines) with
+    * the n³−n denominator formed in BIGINT while it fits (n ≤ 2.09e6)
+    * and in DOUBLE past that — all-double is still engine-deterministic,
+    * and the former ÷1e6-first integer fallback silently WRAPPED
+    * (6·Σd² ≈ n³ > 2⁶³ right where the branch engaged). Degenerate
+    * n < 2 reports NULL (ρ undefined), never a fake 0.
     */
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
     val width = Tables.lineitem(spark, dir)
@@ -447,8 +447,10 @@ object StatTests {
             "cast(floor((cast(6 as double) * cast(sum_d2 as double) " +
               "* cast(1000000 as double)) / cast(n * (n * n - 1) as double)) " +
               "as bigint)"))
-          .otherwise(lit(1000000L)
-            - expr("(6 * sum_d2) div (n * ((n * n - 1) div 1000000))"))
+          .otherwise(lit(1000000L) - expr(
+            "cast(floor((cast(6 as double) * cast(sum_d2 as double)) " +
+              "/ (cast(n as double) * cast(n as double) * cast(n as double) " +
+              "- cast(n as double)) * cast(1000000 as double)) as bigint)"))
           .as("rho_ppm"))
   }
 
@@ -475,7 +477,10 @@ object StatTests {
           - CAST(FLOOR((CAST(6 AS DOUBLE) * CAST(sum_d2 AS DOUBLE)
               * CAST(1000000 AS DOUBLE))
             / CAST(n * (n * n - 1) AS DOUBLE)) AS BIGINT)
-        ELSE 1000000 - (6 * sum_d2) // (n * ((n * n - 1) // 1000000)) END
+        ELSE 1000000
+          - CAST(FLOOR((CAST(6 AS DOUBLE) * CAST(sum_d2 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) END
         AS rho_ppm
     FROM f"""
 

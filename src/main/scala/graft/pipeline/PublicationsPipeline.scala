@@ -192,8 +192,14 @@ object PublicationsPipeline {
         Analytics.collabPairs(spark, dataDir)),
       staged("stage6_trends", Seq("stage4_fact_sales"))(
         Analytics.trendsOverTime(spark, dataDir)),
+      staged("stage6_topic_popularity", Seq("stage4_fact_sales"))(
+        Analytics.topicPopularity(spark, dataDir)),
       staged("stage6_graph_degree", Seq("stage5_collab_graph"))(
         Analytics.graphDegree(spark, dataDir)),
+      staged("stage6_author_specialization", Seq("stage4_bridge_author"))(
+        Analytics.authorSpecialization(spark, dataDir)),
+      staged("stage6_institution_collab", Seq("stage5_collab_graph"))(
+        Analytics.institutionCollab(spark, dataDir)),
       TaskDef("check_orphan_fact_rows",
         Seq("stage4_fact_sales", "stage4_dim_customer"),
         retries = 1, rule = AllDone) { () =>
@@ -202,7 +208,16 @@ object PublicationsPipeline {
         manifest += "check_orphan_fact_rows" -> fact.join(dim,
           fact("customer_key") === dim("customer_key"), "left_anti").count()
       })
-    (Orchestrator.run(tasks, onRetry), manifest.toMap)
+    val report = Orchestrator.run(tasks, onRetry)
+    // Resumed stages never ran their body, but their staged data IS the
+    // state — fill their manifest counts from the staging area so the
+    // resumed run's manifest matches a fresh run's.
+    report.states.foreach {
+      case (name, Orchestrator.Resumed) if exists(name) =>
+        manifest += name -> spark.read.parquet(s"$outDir/$name").count()
+      case _ => ()
+    }
+    (report, manifest.toMap)
   }
 
   /** Incremental warehouse landing — MERGE semantics instead of

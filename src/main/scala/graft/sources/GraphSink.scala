@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * Spark-native shape splits the work at the right boundary instead:
   *
   *   - statement TEXT is generated once per table (the same UNWIND
-  *     template the reference embeds, with MERGE + ON CREATE/ON MATCH
-  *     for idempotent re-runs — the cql discipline, not the reference's
-  *     bare CREATE which double-inserts on retry);
+  *     template the reference embeds, with MERGE so re-runs match
+  *     instead of double-inserting like the reference's bare CREATE;
+  *     node/edge properties SET from payload columns, so replaying an
+  *     applied batch is a no-op — the cql ON CREATE/ON MATCH counter
+  *     idiom stays available separately for exactly-once transports);
   *   - batch PAYLOADS are written by the cluster as bounded JSONL files
   *     (`maxRecordsPerFile` — every executor writes its own batches, no
   *     driver loop, no collect) under `<out>/<table>/`;
@@ -57,13 +59,37 @@ object GraphSink {
       s"MERGE (n:${ident(label)} {${ident(key)}: row.${ident(key)}})$sets"
   }
 
-  /** Relationship MERGE between two keyed nodes with an ON CREATE /
-    * ON MATCH counter — create_collaboration_graph.cql's idiom
-    * parameterized.
+  /** Relationship MERGE between two keyed nodes, edge properties SET
+    * from payload columns — the replay-IDEMPOTENT form (a re-run of an
+    * already-applied batch re-sets the same values, a no-op): Spark has
+    * already aggregated the edge measures (collab_pairs carries its
+    * exact collab_count), so the load sets them instead of re-counting
+    * edge-by-edge like the reference.
     */
   def edgeMergeStatement(srcLabel: String, srcKey: String, dstLabel: String,
-      dstKey: String, relType: String, srcCol: String, dstCol: String)
-      : String =
+      dstKey: String, relType: String, srcCol: String, dstCol: String,
+      props: Seq[String] = Nil): String = {
+    val sets =
+      if (props.isEmpty) ""
+      else props.map(p => s"r.${ident(p)} = row.${ident(p)}")
+        .mkString("\nSET ", ", ", "")
+    s"UNWIND $$batch AS row\n" +
+      s"MATCH (a:${ident(srcLabel)} {${ident(srcKey)}: row.${ident(srcCol)}})\n" +
+      s"MATCH (b:${ident(dstLabel)} {${ident(dstKey)}: row.${ident(dstCol)}})\n" +
+      s"MERGE (a)-[r:${ident(relType)}]->(b)$sets"
+  }
+
+  /** The reference's ON CREATE / ON MATCH counter idiom
+    * (create_collaboration_graph.cql:3-5) parameterized — counts edge
+    * occurrences server-side as batches stream in. NOT replay-idempotent
+    * by construction (a replayed batch increments again): use it only
+    * when the payload carries raw occurrences and the transport is
+    * exactly-once; [[edgeMergeStatement]] with a pre-aggregated count
+    * property is the retry-safe default.
+    */
+  def edgeCountingStatement(srcLabel: String, srcKey: String,
+      dstLabel: String, dstKey: String, relType: String, srcCol: String,
+      dstCol: String): String =
     s"UNWIND $$batch AS row\n" +
       s"MATCH (a:${ident(srcLabel)} {${ident(srcKey)}: row.${ident(srcCol)}})\n" +
       s"MATCH (b:${ident(dstLabel)} {${ident(dstKey)}: row.${ident(dstCol)}})\n" +
@@ -122,6 +148,9 @@ object GraphSink {
       transport: (String, Seq[String]) => Unit): Map[String, Long] =
     units.map { u =>
       val dir = new java.io.File(outDir, u.table)
+      require(dir.isDirectory,
+        s"no staged payload dir for table '${u.table}' at $dir — " +
+          "stage the load (stageLoad/writeBatches) before applying it")
       var batches = 0L
       dir.listFiles().toSeq
         .filter(_.getName.endsWith(".json")).sortBy(_.getName)

@@ -161,6 +161,12 @@ object EventStreams {
     * non-final sessions is the exact-agreement surface the
     * StreamingSpec pins. Same µs gap arithmetic and (time, event_id)
     * within-batch tie order as the batch `sessionize`.
+    *
+    * CONTRACT: the gap rule here must stay identical to
+    * `EventOps.sessionAssigned` (the canonical batch frame bounce_rate
+    * derives from) — the StreamingSpec agreement test compares against
+    * that frame directly, so a one-sided change to either fold fails
+    * the suite rather than silently forking the session semantics.
     */
   def closedSessions(events: Dataset[Event]): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

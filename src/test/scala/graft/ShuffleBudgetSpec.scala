@@ -352,10 +352,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // single-partition fold; top-20 is TakeOrdered (no exchange).
   check("bm25_topk", 2)(operators.Retrieval.bm25Topk(spark, sfDir))
   // quantile_normalize: per-source rank window + the two-level global
-  // rank (cell histogram, bases, cell-partitioned window) + the rank
-  // equi-join — no single-reducer window; the total-count fold rides a
-  // broadcast one-row aggregate.
-  check("quantile_normalize", 5)(operators.Retrieval.quantileNormalize(spark, sfDir))
+  // rank (bounded 1024-bucket cell histogram from the broadcast length
+  // span, bases, cell-partitioned window) + the rank equi-join — no
+  // single-reducer window; the total-count and span folds ride
+  // broadcast one-row aggregates.
+  check("quantile_normalize", 6)(operators.Retrieval.quantileNormalize(spark, sfDir))
   // theilsen: corpus → monthly grid once; the pair self-join and median
   // window run on the metadata-scale grid.
   check("theilsen_trend", 2)(operators.Retrieval.theilsenTrend(spark, sfDir))

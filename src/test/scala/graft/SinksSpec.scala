@@ -162,11 +162,18 @@ class SinksSpec extends SparkSpec {
       && node.contains("SET n.name = row.name, n.nation = row.nation"),
       s"node statement malformed:\n$node")
     val edge = GraphSink.edgeMergeStatement("Supplier", "supp_id",
-      "Supplier", "supp_id", "COLLABORATED_WITH", "supp_a", "supp_b")
+      "Supplier", "supp_id", "COLLABORATED_WITH", "supp_a", "supp_b",
+      Seq("collab_count"))
     assert(edge.contains("MERGE (a)-[r:COLLABORATED_WITH]->(b)")
-      && edge.contains("ON CREATE SET r.count = 1")
-      && edge.contains("ON MATCH SET r.count = r.count + 1"),
-      s"edge statement must carry the cql MERGE counter idiom:\n$edge")
+      && edge.contains("SET r.collab_count = row.collab_count")
+      && !edge.contains("ON MATCH"),
+      s"default edge statement must SET payload props (replay-idempotent)," +
+        s" not count:\n$edge")
+    val counting = GraphSink.edgeCountingStatement("Supplier", "supp_id",
+      "Supplier", "supp_id", "COLLABORATED_WITH", "supp_a", "supp_b")
+    assert(counting.contains("ON CREATE SET r.count = 1")
+      && counting.contains("ON MATCH SET r.count = r.count + 1"),
+      s"counting variant must carry the cql MERGE counter idiom:\n$counting")
     assert(GraphSink.indexStatement("Supplier", "supp_id")
       .contains("IF NOT EXISTS"))
     intercept[IllegalArgumentException] {
@@ -189,7 +196,8 @@ class SinksSpec extends SparkSpec {
         -> nodes,
       LoadUnit("collab_edges",
         GraphSink.edgeMergeStatement("Supplier", "supp_id", "Supplier",
-          "supp_id", "COLLABORATED_WITH", "supp_a", "supp_b")) -> edges)
+          "supp_id", "COLLABORATED_WITH", "supp_a", "supp_b",
+          Seq("collab_count"))) -> edges)
     val statements = GraphSink.stageLoad(out,
       Seq("Supplier" -> "supp_id"), units, batchSize = 500)
     // indexes precede load statements (databases.py creates them first)

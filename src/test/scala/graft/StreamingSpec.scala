@@ -198,18 +198,13 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getAs[Long]("day_ord") ->
         ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounces"),
           r.getAs[Long]("bounce_ppm")))).toMap
-    // independent batch recomputation of the same gap rule, keeping only
-    // CLOSED sessions (every session but each user's last — a stream
-    // cannot finalize an open session's bounce status)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("t_us").asc, col("event_id").asc)
-    val batch = Tables.events(spark, sfDir)
-      .withColumn("t_us", expr("ts div 1000"))
-      .withColumn("prev_t", lag(col("t_us"), 1).over(w))
-      .withColumn("new_s", when(col("prev_t").isNull
-        || col("t_us") - col("prev_t") > 1800000000L, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_s")).over(w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    // the CANONICAL batch session frame (EventOps.sessionAssigned — the
+    // one place the 30-min gap rule lives; bounce_rate derives from it
+    // too), restricted to CLOSED sessions (every session but each
+    // user's last — a stream cannot finalize an open session's bounce
+    // status). Using the canonical frame here is what keeps the
+    // streaming state machine from silently forking the gap semantics.
+    val batch = operators.EventOps.sessionAssigned(spark, sfDir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_ev"),
         expr("min(t_us) div 86400000000").as("day_ord"))
