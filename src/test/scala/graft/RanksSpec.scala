@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.Ranks
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Direct equivalence pins for the two-level rank helper: every form
+  * must be BIT-IDENTICAL to the single-window construction it replaces
+  * (the operators' oracle checks prove this end-to-end; these specs
+  * prove it at the helper boundary, on data with heavy ties, so a
+  * future edit to the cell machinery cannot drift an edge case that
+  * the current operator inputs happen not to exercise).
+  */
+class RanksSpec extends SparkSpec {
+
+  // orders cents: heavy-tailed, with ties at common price points
+  private def base = Tables.orders(spark, sfDir)
+    .select(col("o_orderkey").as("k"),
+      floor(col("o_totalprice")).cast("bigint").as("v"))
+
+  test("withGlobalRank equals the single-window row_number") {
+    val df = base
+    val want = df.withColumn("r",
+      row_number().over(Window.orderBy(col("v").asc, col("k").asc)).cast("long"))
+    val bounds = df.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val got = Ranks.withGlobalRank(df.crossJoin(broadcast(bounds)), "r",
+      expr("((v - __lo) * 1024) div (__hi - __lo + 1)"),
+      Seq(col("v").asc, col("k").asc)).select(col("k"), col("v"), col("r"))
+    assert(got.exceptAll(want.select("k", "v", "r")).isEmpty
+      && want.select("k", "v", "r").exceptAll(got).isEmpty,
+      "two-level rank diverged from the global window")
+  }
+
+  test("rank is invariant to cell granularity (coarse vs fine buckets)") {
+    val df = base
+    def ranks(cells: Long) = {
+      val bounds = df.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+      Ranks.withGlobalRank(df.crossJoin(broadcast(bounds)), "r",
+        expr(s"((v - __lo) * $cells) div (__hi - __lo + 1)"),
+        Seq(col("v").asc, col("k").asc)).select(col("k"), col("r"))
+    }
+    val coarse = ranks(8)
+    val fine = ranks(4096)
+    assert(coarse.exceptAll(fine).isEmpty && fine.exceptAll(coarse).isEmpty,
+      "cell choice changed the rank — the monotone-cell contract is broken")
+  }
+
+  test("withNtile equals ntile(k) including the n < k edge") {
+    for (k <- Seq(3L, 10L, 64L)) {
+      val df = base
+      val want = df.withColumn("t",
+        ntile(k.toInt).over(Window.orderBy(col("v").asc, col("k").asc))
+          .cast("long"))
+      val bounds = df.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+        count(lit(1)).as("__n"))
+      val ranked = Ranks.withGlobalRank(df.crossJoin(broadcast(bounds)), "r",
+        expr("((v - __lo) * 256) div (__hi - __lo + 1)"),
+        Seq(col("v").asc, col("k").asc))
+      val got = Ranks.withNtile(ranked, "t", "r", "__n", k)
+        .select(col("k"), col("t"))
+      assert(got.exceptAll(want.select("k", "t")).isEmpty
+        && want.select("k", "t").exceptAll(got).isEmpty,
+        s"ntile($k) reconstruction diverged")
+    }
+    // n < k: every row its own tile
+    import spark.implicits._
+    val tiny = Seq((1L, 5L), (2L, 5L), (3L, 7L)).toDF("k", "v")
+      .crossJoin(broadcast(Seq(Tuple1(3L)).toDF("__n")))
+    val ranked = Ranks.withGlobalRank(tiny, "r", col("v"),
+      Seq(col("v").asc, col("k").asc))
+    val t = Ranks.withNtile(ranked, "t", "r", "__n", 64L)
+      .select(col("k"), col("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"n < k must give each row its own tile: $t")
+  }
+
+  test("withExclusivePrefix equals the exclusive window prefix sums") {
+    // gini's exact shape: distinct value cells with counts
+    val cells = base.groupBy(col("v")).agg(count(lit(1)).as("nc"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = cells
+      .withColumn("p1", coalesce(sum(col("nc")).over(w), lit(0L)))
+      .withColumn("p2", coalesce(sum(col("nc") * col("v")).over(w), lit(0L)))
+      .select(col("v"), col("p1"), col("p2"))
+    val bounds = cells.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val got = Ranks.withExclusivePrefix(
+        cells.crossJoin(broadcast(bounds)),
+        expr("((v - __lo) * 512) div (__hi - __lo + 1)"),
+        Seq(col("v").asc),
+        Seq(col("nc") -> "p1", (col("nc") * col("v")) -> "p2"))
+      .select(col("v"), col("p1"), col("p2"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "two-level exclusive prefix diverged from the window form")
+  }
+}
