@@ -46,7 +46,9 @@ object Ranks {
     */
   def withGlobalRank(df: DataFrame, out: String, cell: Column,
       order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "Ranks.withGlobalRank: order must be non-empty")
     val tagged = df.withColumn("__gr_cell", cell.cast("bigint"))
+    validateMonotoneCells(tagged, "__gr_cell", order, "withGlobalRank")
     val hist = tagged.groupBy(col("__gr_cell")).agg(count(lit(1)).as("__gr_c"))
     // exclusive prefix over the bounded histogram, as a triangular join
     // (≤ cells² metadata pairs, broadcast nested-loop) — no WindowExec
@@ -77,7 +79,11 @@ object Ranks {
     */
   def withExclusivePrefix(df: DataFrame, cell: Column, order: Seq[Column],
       sums: Seq[(Column, String)]): DataFrame = {
+    require(sums.nonEmpty,
+      "Ranks.withExclusivePrefix: sums must carry at least one (expr, name)")
+    require(order.nonEmpty, "Ranks.withExclusivePrefix: order must be non-empty")
     val tagged = df.withColumn("__px_cell", cell.cast("bigint"))
+    validateMonotoneCells(tagged, "__px_cell", order, "withExclusivePrefix")
     val hist = tagged.groupBy(col("__px_cell"))
       .agg(sum(sums.head._1).as("__px_t0"),
         sums.tail.zipWithIndex.map { case ((e, _), i) =>
@@ -99,6 +105,90 @@ object Ranks {
           col(s"__px_b$i") + coalesce(sum(e).over(wCell), lit(0L)))
     }
     withSums.drop("__px_cell" +: sums.indices.map(i => s"__px_b$i"): _*)
+  }
+
+  /** Adds exclusive-prefix-MAX columns over a total order WITHOUT an
+    * unpartitioned window — [[withExclusivePrefix]] with the associative
+    * fold swapped from `+` to `max`: per-cell maxima, a cross-cell carry
+    * from the triangular metadata join, then a cell-PARTITIONED
+    * exclusive running max. For each `(expr, name)` in `maxes` the
+    * output gains `name` = MAX expr over all rows STRICTLY before the
+    * current one in the global order — NULL (not a sentinel) for the
+    * first row, exactly like `max(e) OVER (... ROWS UNBOUNDED PRECEDING
+    * TO 1 PRECEDING)`. Same contract: `cell` integer and monotone
+    * non-decreasing along `order`, `order` a total order. This is the
+    * skyline/frontier primitive (skyline_2d's "best strictly-cheaper
+    * size" test).
+    */
+  def withExclusivePrefixMax(df: DataFrame, cell: Column, order: Seq[Column],
+      maxes: Seq[(Column, String)]): DataFrame = {
+    require(maxes.nonEmpty,
+      "Ranks.withExclusivePrefixMax: maxes must carry at least one (expr, name)")
+    require(order.nonEmpty,
+      "Ranks.withExclusivePrefixMax: order must be non-empty")
+    val tagged = df.withColumn("__pm_cell", cell.cast("bigint"))
+    validateMonotoneCells(tagged, "__pm_cell", order, "withExclusivePrefixMax")
+    val hist = tagged.groupBy(col("__pm_cell"))
+      .agg(max(maxes.head._1).as("__pm_t0"),
+        maxes.tail.zipWithIndex.map { case ((e, _), i) =>
+          max(e).as(s"__pm_t${i + 1}") }: _*)
+    val lower = hist.select(col("__pm_cell").as("__pm_cell_lo") +:
+      maxes.indices.map(i => col(s"__pm_t$i").as(s"__pm_lo$i")): _*)
+    val bases = hist
+      .join(lower, col("__pm_cell_lo") < col("__pm_cell"), "left")
+      .groupBy(col("__pm_cell"))
+      .agg(max(col("__pm_lo0")).as("__pm_b0"),
+        maxes.indices.tail.map(i =>
+          max(col(s"__pm_lo$i")).as(s"__pm_b$i")): _*)
+    val wCell = Window.partitionBy(col("__pm_cell")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val joined = tagged.join(graft.Tables.stateHint(bases), Seq("__pm_cell"))
+    // greatest() skips NULLs, so carry-NULL (no lower cell) and
+    // frame-NULL (first row of its cell) combine exactly like the
+    // single-window max over a possibly-empty frame.
+    val withMaxes = maxes.zipWithIndex.foldLeft(joined) {
+      case (d, ((e, name), i)) =>
+        d.withColumn(name, greatest(col(s"__pm_b$i"), max(e).over(wCell)))
+    }
+    withMaxes.drop("__pm_cell" +: maxes.indices.map(i => s"__pm_b$i"): _*)
+  }
+
+  /** Debug-mode contract check (opt-in: `spark.graft.validateRankCells`
+    * = true): the helpers silently produce wrong answers if the
+    * caller's cell is NOT monotone along the order, so under the conf
+    * each call eagerly verifies that adjacent cells' order-key ranges
+    * do not overlap (pairwise-adjacent suffices by transitivity of
+    * `max(cell i) ≤ min(cell i+1)`). The metadata frame here is the
+    * bounded cell histogram, so the debug window is dimension-scale;
+    * mixed-direction orders are skipped (no current call site uses
+    * one). Costs one extra aggregate per call — debug only.
+    */
+  private def validateMonotoneCells(tagged: DataFrame, cellCol: String,
+      order: Seq[Column], helper: String): Unit = {
+    val spark = tagged.sparkSession
+    if (!spark.conf.get("spark.graft.validateRankCells", "false").toBoolean) return
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val sos = order.map(c => GraftBridge.catalystExpression(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    })
+    if (sos.map(_.direction).distinct.size != 1) return
+    val key = struct(sos.map(s => GraftBridge.column(s.child)): _*)
+    val ranges = tagged.groupBy(col(cellCol))
+      .agg(min(key).as("__vr_lo"), max(key).as("__vr_hi"))
+    val wAdj = Window.orderBy(col(cellCol).asc)
+    val bad =
+      if (sos.head.direction == Ascending)
+        ranges.withColumn("__vr_prev", lag(col("__vr_hi"), 1).over(wAdj))
+          .filter(col("__vr_prev").isNotNull && col("__vr_prev") > col("__vr_lo"))
+      else
+        ranges.withColumn("__vr_prev", lag(col("__vr_lo"), 1).over(wAdj))
+          .filter(col("__vr_prev").isNotNull && col("__vr_prev") < col("__vr_hi"))
+    val n = bad.count()
+    require(n == 0, s"Ranks.$helper: cell is not monotone along the order — " +
+      s"$n adjacent cell pair(s) have overlapping order-key ranges; " +
+      "ranks/prefixes computed from this cell would be wrong")
   }
 
   /** Adds BIGINT column `out` = exact `NTILE(k) OVER (ORDER BY ...)`

@@ -757,8 +757,11 @@ object EventOps {
     * scoring over the purchase log, with every quintile computed by the
     * exact-cell histogram discipline (ccnet_buckets / percentiles): a
     * global NTILE over users is a single-reducer sort at 1e9 users,
-    * while the histogram + cumulative window runs over AGGREGATED cells
-    * only. Dimensions are integer cells throughout — recency as the
+    * while the histogram cumulative runs over AGGREGATED cells only —
+    * and through the bucketed exclusive prefix
+    * ([[graft.functions.Ranks.withExclusivePrefix]]), because the
+    * monetary dimension's cell count grows with the spend RANGE, not a
+    * calendar/count dimension. Dimensions are integer cells throughout — recency as the
     * max purchase DAY (epoch-nanos div), frequency as the purchase
     * count, monetary as floor of the exact-decimal value sum — so
     * thresholds and scores are engine-exact. Scores 1..5 (5 best in
@@ -776,11 +779,21 @@ object EventOps {
           count(lit(1)).as("f_cell"),
           floor(Exact.dsum(col("value"))).cast("bigint").as("m_cell")))
     val tot = users.agg(count(lit(1)).as("n_total"))
+    // Quintile thresholds from the per-dimension cell histogram. r_cell
+    // (days) and f_cell (order counts) are dimension-bounded, but m_cell
+    // (floor-dollar lifetime spend) has RANGE-bounded cardinality —
+    // ~1e5-1e6 cells at corpus scale — so the cumulative count runs
+    // through the bucketed exclusive prefix (Ranks, cells from the
+    // broadcast [min, max] span), never an unpartitioned window.
     def thresholds(dim: String): DataFrame = {
-      val wc = Window.orderBy(col("cell"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = users.groupBy(col(dim).as("cell")).agg(count(lit(1)).as("n"))
-        .withColumn("cum", sum(col("n")).over(wc))
+      val cells = users.groupBy(col(dim).as("cell")).agg(count(lit(1)).as("n"))
+      val span = cells.agg(min(col("cell")).as("__vmin"),
+        max(col("cell")).as("__vmax"))
+      val cum = graft.functions.Ranks.withExclusivePrefix(
+          cells.crossJoin(broadcast(span)),
+          expr("((cell - __vmin) * 1024) div (__vmax - __vmin + 1)"),
+          Seq(col("cell").asc), Seq(col("n") -> "n_before"))
+        .withColumn("cum", col("n_before") + col("n"))
       cum.crossJoin(broadcast(tot)).agg(
         min(when(col("cum") * 5 >= col("n_total"), col("cell"))).as(s"${dim}_t1"),
         min(when(col("cum") * 5 >= col("n_total") * 2, col("cell"))).as(s"${dim}_t2"),
@@ -1394,10 +1407,12 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dayNet = bounds.groupBy(col("day_id").as("d"))
       .agg(sum(col("delta")).as("net"))
-    val opening = dayNet
-      .withColumn("opening", coalesce(
-        sum(col("net")).over(Window.orderBy(col("d"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // day-count frame, but the opening balance still rides the bucketed
+    // exclusive prefix (cell = 32-day epoch block — already integer and
+    // monotone, no span probe needed): registry-wide invariant.
+    val opening = graft.functions.Ranks.withExclusivePrefix(
+        dayNet, expr("d div 32"), Seq(col("d").asc),
+        Seq(col("net") -> "opening"))
       .select(col("d"), col("opening"))
     bounds
       .withColumn("within", sum(col("delta")).over(run))

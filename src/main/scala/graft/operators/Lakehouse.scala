@@ -43,19 +43,20 @@ object Lakehouse {
     * Scale shape: the DATA is touched once (a count per day — one
     * partial-aggregated shuffle); the packing runs on the ~2.5k-row
     * inventory, which is metadata-scale at any SF (a 100 TB lake has
-    * 10⁴-10⁵ partitions, not 10⁹). The single-partition window over
-    * the inventory is therefore free — the same frame a catalog
-    * listing returns.
+    * 10⁴-10⁵ partitions, not 10⁹), and its packing prefix rides the
+    * bucketed exclusive prefix like every other cumulative in the repo.
     */
   def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
     val inv = Tables.lineitem(spark, dir)
       .groupBy(to_date(col("l_shipdate")).as("day"))
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("bytes", col("n_rows") * lit(128L))
-    val w = Window.orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    inv
-      .withColumn("cum_before", coalesce(sum("bytes").over(w), lit(0L)))
+    // metadata-scale inventory, but the packing prefix still rides the
+    // bucketed exclusive prefix (cell = calendar month — integer and
+    // monotone in day): registry-wide no-unpartitioned-window invariant.
+    graft.functions.Ranks.withExclusivePrefix(inv,
+        expr("year(day) * 12 + month(day)"), Seq(col("day").asc),
+        Seq(col("bytes") -> "cum_before"))
       .withColumn("out_group", expr(s"cum_before div $TargetBytes"))
       .groupBy(col("out_group"))
       .agg(

@@ -326,19 +326,28 @@ object Quality {
     * SIZE audit sees. Two map-side-combinable aggregates ending at
     * l-cardinality rows; the histogram share is exact integer ppm.
     */
-  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir)
-      .select(col("c_nationkey").cast("long").as("nationkey"),
-        floor(col("c_acctbal") / lit(1000d)).as("bal_band"),
-        col("c_mktsegment"))
-      .groupBy(col("nationkey"), col("bal_band"))
-      .agg(countDistinct(col("c_mktsegment")).as("l_distinct"),
-        count(lit(1)).as("n_members"))
-      .groupBy(col("l_distinct"))
-      .agg(count(lit(1)).as("n_groups"), sum(col("n_members")).as("n_customers"))
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame = {
+    // the |distinct l|-row summary materializes once (one corpus scan);
+    // the share denominator is then a broadcast one-row total instead of
+    // a SUM() OVER () — keeping the registry free of unpartitioned
+    // window nodes entirely.
+    val grouped = graft.functions.Iterate.checkpoint(
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          floor(col("c_acctbal") / lit(1000d)).as("bal_band"),
+          col("c_mktsegment"))
+        .groupBy(col("nationkey"), col("bal_band"))
+        .agg(countDistinct(col("c_mktsegment")).as("l_distinct"),
+          count(lit(1)).as("n_members"))
+        .groupBy(col("l_distinct"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_members")).as("n_customers")))
+    val tot = grouped.agg(sum(col("n_groups")).as("__all_groups"))
+    grouped.crossJoin(broadcast(tot))
       .withColumn("groups_share_ppm",
-        expr("(n_groups * 1000000) div " +
-          "(sum(n_groups) over ())"))
+        expr("(n_groups * 1000000) div __all_groups"))
+      .drop("__all_groups")
+  }
 
   val lDiversityAuditOracle: String = """
     WITH g AS (

@@ -374,33 +374,44 @@ object RelationalExt {
   /** 2-D skyline (Pareto frontier) over the part catalogue — the
     * multi-objective SELECT Spark has no native operator for: every
     * part not DOMINATED on (retail price ↓, size ↑), i.e. the
-    * cheapest-for-its-size frontier. Computed in O(n log n) with ONE
-    * sort instead of the textbook O(n²) dominance self-join, in two
-    * window tests: a row survives iff (a) its size strictly exceeds the
-    * running max size over all STRICTLY-cheaper rows (the range frame
-    * on price), and (b) it carries the max size WITHIN its equal-price
-    * group — an equal-price peer with strictly larger size dominates
-    * (equal price + equal size rows tie and both survive). Exact
-    * integer cents; both engines evaluate the identical windows.
+    * cheapest-for-its-size frontier. A row survives iff (a) its size
+    * strictly exceeds the best size over all STRICTLY-cheaper rows and
+    * (b) it carries the max size WITHIN its equal-price group — an
+    * equal-price peer with strictly larger size dominates (equal price
+    * + equal size rows tie and both survive). Exact integer cents.
     *
-    * Scale: the single-axis sort is the intrinsic exact-skyline cost
-    * (quantile_normalize documents the same bound); the distributed
-    * refinement — local skyline per partition, then merge — drops out
-    * of the same window once the data is range-partitioned on price.
+    * Scale — no corpus sort, no corpus-scale window, ONE aggregate
+    * shuffle: the dominance test only needs the per-price max size, so
+    * the corpus first folds to its price cells (map-side combined
+    * groupBy, cardinality = the PRICE RANGE, not the row count). The
+    * "best strictly-cheaper" frontier over those cells is an exclusive
+    * prefix MAX — associative, so
+    * [[graft.functions.Ranks.withExclusivePrefixMax]] computes it with
+    * range-bucketed cells from the broadcast [min, max] span, never an
+    * unpartitioned window. The surviving frontier cells number at most
+    * |distinct sizes| (sizes strictly increase along the frontier — a
+    * DIMENSION bound), so the join back to the corpus broadcasts.
     */
   def skyline2d(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
       .select(col("p_partkey").cast("long").as("part_key"),
         floor(col("p_retailprice") * 100 + lit(0.5)).cast("bigint").as("price_cents"),
         col("p_size").cast("long").as("size"))
-    val w = Window.orderBy(col("price_cents").asc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wEq = Window.partitionBy(col("price_cents"))
+    val cells = parts.groupBy(col("price_cents"))
+      .agg(max(col("size")).as("best_at_price"))
+    val span = cells.agg(min(col("price_cents")).as("__vmin"),
+      max(col("price_cents")).as("__vmax"))
+    val frontier = graft.functions.Ranks.withExclusivePrefixMax(
+        cells.crossJoin(broadcast(span)),
+        expr("((price_cents - __vmin) * 1024) div (__vmax - __vmin + 1)"),
+        Seq(col("price_cents").asc),
+        Seq(col("best_at_price") -> "best_cheaper"))
+      .filter(col("best_cheaper").isNull
+        || col("best_at_price") > col("best_cheaper"))
+      .select(col("price_cents"), col("best_at_price"))
     parts
-      .withColumn("best_cheaper", max(col("size")).over(w))
-      .withColumn("best_at_price", max(col("size")).over(wEq))
-      .filter((col("best_cheaper").isNull || col("size") > col("best_cheaper"))
-        && col("size") === col("best_at_price"))
+      .join(broadcast(frontier), Seq("price_cents"))
+      .filter(col("size") === col("best_at_price"))
       .select(col("part_key"), col("price_cents"), col("size"))
   }
 
@@ -436,11 +447,20 @@ object RelationalExt {
       .withColumn("gap_w", expr("(d - lag(d, 1) over (partition by o_custkey " +
         "order by d asc, o_orderkey asc)) div 7"))
       .filter(col("gap_w").isNotNull)
-    gaps.groupBy(col("gap_w"))
-      .agg(count(lit(1)).as("n_gaps"))
-      .withColumn("cum_ppm", expr(
-        "(sum(n_gaps) over (order by gap_w asc rows unbounded preceding) " +
-          "* 1000000) div (sum(n_gaps) over ())"))
+    // gap-week histogram (weeks-bounded) materialized once: the total
+    // and the cumulative both read it without re-scanning orders, and
+    // the cumulative rides the bucketed exclusive prefix (cell =
+    // 8-week block — already integer and monotone) so the registry-wide
+    // no-unpartitioned-window invariant holds.
+    val hist = graft.functions.Iterate.checkpoint(
+      gaps.groupBy(col("gap_w")).agg(count(lit(1)).as("n_gaps")))
+    val tot = hist.agg(sum(col("n_gaps")).as("__n_all"))
+    graft.functions.Ranks.withExclusivePrefix(hist,
+        expr("gap_w div 8"), Seq(col("gap_w").asc),
+        Seq(col("n_gaps") -> "__n_before"))
+      .crossJoin(broadcast(tot))
+      .select(col("gap_w"), col("n_gaps"),
+        expr("((__n_before + n_gaps) * 1000000) div __n_all").as("cum_ppm"))
   }
 
   val repurchaseCurveOracle: String = """

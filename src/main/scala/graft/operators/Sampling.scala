@@ -713,10 +713,17 @@ object Sampling {
     val scored = TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"),
         floor(col("quality_score") * lit(1024.0)).cast("bigint").as("cell"))
-    val wBase = Window.orderBy(col("cell").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = scored.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-      .withColumn("base", coalesce(sum(col("c")).over(wBase), lit(0L)))
+    // quality cells are resolution-bounded (≤1025), but the serial base
+    // still rides the bucketed exclusive prefix (cells ordered DESC —
+    // best first — so the bucket key counts down from the max) to keep
+    // the no-unpartitioned-window invariant registry-wide.
+    val hist = scored.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val span = hist.agg(min(col("cell")).as("__vmin"),
+      max(col("cell")).as("__vmax"))
+    val bases = graft.functions.Ranks.withExclusivePrefix(
+        hist.crossJoin(broadcast(span)),
+        expr("((__vmax - cell) * 64) div (__vmax - __vmin + 1)"),
+        Seq(col("cell").desc), Seq(col("c") -> "base"))
       .select(col("cell"), col("base"))
     val tot = scored.agg(count(lit(1)).as("n_total"))
     val wCell = Window.partitionBy(col("cell")).orderBy(col("doc_id"))

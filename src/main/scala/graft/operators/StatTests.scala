@@ -48,11 +48,18 @@ object StatTests {
     val cells = tagged.groupBy(col("n_chars"))
       .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
         sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy(col("n_chars").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = cells
-      .withColumn("cdf1", sum(col("c1")).over(w))
-      .withColumn("cdf2", sum(col("c2")).over(w))
+    // length support is max-doc-length-bounded, but the CDFs still ride
+    // the bucketed exclusive prefix — the no-unpartitioned-window
+    // invariant is registry-wide (PlanSpec pins all plans).
+    val span = cells.agg(min(col("n_chars")).as("__vmin"),
+      max(col("n_chars")).as("__vmax"))
+    val cdf = graft.functions.Ranks.withExclusivePrefix(
+        cells.crossJoin(broadcast(span)),
+        expr("((n_chars - __vmin) * 256) div (__vmax - __vmin + 1)"),
+        Seq(col("n_chars").asc),
+        Seq(col("c1") -> "c1_before", col("c2") -> "c2_before"))
+      .withColumn("cdf1", col("c1_before") + col("c1"))
+      .withColumn("cdf2", col("c2_before") + col("c2"))
     val totals = cdf.agg(max(col("cdf1")).as("n1"), max(col("cdf2")).as("n2"))
     cdf.crossJoin(broadcast(totals))
       .select(col("n_chars"), col("n1"), col("n2"),
@@ -269,10 +276,14 @@ object StatTests {
       .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
         sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2"))
       .withColumn("c", col("c1") + col("c2"))
-    val w = Window.orderBy(col("n_chars").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = cells
-      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+    // same registry-wide discipline as ksStatistic: bucketed exclusive
+    // prefix over the length support cells, no unpartitioned window
+    val span = cells.agg(min(col("n_chars")).as("__vmin"),
+      max(col("n_chars")).as("__vmax"))
+    val ranked = graft.functions.Ranks.withExclusivePrefix(
+        cells.crossJoin(broadcast(span)),
+        expr("((n_chars - __vmin) * 256) div (__vmax - __vmin + 1)"),
+        Seq(col("n_chars").asc), Seq(col("c") -> "cum_before"))
       // doubled tie-averaged rank for every member of this cell
       .withColumn("r2", lit(2L) * col("cum_before") + col("c") + 1L)
     val agg = ranked.agg(

@@ -848,14 +848,21 @@ object TextAnalysis {
     // Three branches read the cells frame (histogram, total, verdict):
     // checkpoint materializes the lm scoring once, blocks free via GC
     // (the semdedup discipline).
-    import org.apache.spark.sql.expressions.Window
     val cells = graft.functions.Iterate.checkpoint(
       lmScore(spark, dir).select(col("doc_id"),
         floor(col("lm_score") * lit(CcnetCellScale)).cast("long").as("cell")))
     val hist = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    val wc = Window.orderBy(col("cell"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("n")).over(wc))
+    // score cells are resolution-bounded (≤ CcnetCellScale+1), but the
+    // cumulative still rides the bucketed exclusive prefix so the
+    // no-unpartitioned-window invariant holds REGISTRY-WIDE, not just
+    // where cardinality forces it (PlanSpec pins all 264 plans).
+    val hspan = hist.agg(min(col("cell")).as("__vmin"),
+      max(col("cell")).as("__vmax"))
+    val cum = graft.functions.Ranks.withExclusivePrefix(
+        hist.crossJoin(broadcast(hspan)),
+        expr("((cell - __vmin) * 64) div (__vmax - __vmin + 1)"),
+        Seq(col("cell").asc), Seq(col("n") -> "n_before"))
+      .withColumn("cum", col("n_before") + col("n"))
     val tot = cells.agg(count(lit(1)).as("n_total"))
     val th = cum.crossJoin(broadcast(tot))
       .agg(

@@ -94,4 +94,69 @@ class RanksSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "two-level exclusive prefix diverged from the window form")
   }
+
+  test("withExclusivePrefixMax equals the exclusive window running max") {
+    // row-level (not cell-aggregated) input, heavy ties on v, so the
+    // within-cell frame, the cross-cell carry, and the NULL-first-row
+    // edge are all exercised; prefix-max of k and of k*7 both checked.
+    val df = base
+    val w = Window.orderBy(col("v").asc, col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("m1", max(col("k")).over(w))
+      .withColumn("m2", max(col("k") % 97).over(w))
+      .select(col("k"), col("m1"), col("m2"))
+    val bounds = df.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val got = Ranks.withExclusivePrefixMax(
+        df.crossJoin(broadcast(bounds)),
+        expr("((v - __lo) * 512) div (__hi - __lo + 1)"),
+        Seq(col("v").asc, col("k").asc),
+        Seq(col("k") -> "m1", (col("k") % 97) -> "m2"))
+      .select(col("k"), col("m1"), col("m2"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "two-level exclusive prefix max diverged from the window form")
+    // the global first row must be NULL, not a sentinel
+    val nFirstNull = got.filter(col("m1").isNull).count()
+    assert(nFirstNull == 1L, s"expected exactly one NULL prefix max row, got $nFirstNull")
+  }
+
+  test("empty sums/maxes and empty order are rejected loudly") {
+    val df = base
+    val eSums = intercept[IllegalArgumentException] {
+      Ranks.withExclusivePrefix(df, col("v"), Seq(col("v").asc), Nil)
+    }
+    assert(eSums.getMessage.contains("at least one"))
+    val eMax = intercept[IllegalArgumentException] {
+      Ranks.withExclusivePrefixMax(df, col("v"), Seq(col("v").asc), Nil)
+    }
+    assert(eMax.getMessage.contains("at least one"))
+    val eOrd = intercept[IllegalArgumentException] {
+      Ranks.withGlobalRank(df, "r", col("v"), Nil)
+    }
+    assert(eOrd.getMessage.contains("order"))
+  }
+
+  test("spark.graft.validateRankCells catches a non-monotone cell") {
+    spark.conf.set("spark.graft.validateRankCells", "true")
+    try {
+      // monotone cell under the conf: must pass untroubled
+      val bounds = base.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+      Ranks.withGlobalRank(base.crossJoin(broadcast(bounds)), "r",
+        expr("((v - __lo) * 64) div (__hi - __lo + 1)"),
+        Seq(col("v").asc, col("k").asc)).count()
+      // v % 7 interleaves order-key ranges across cells — the exact
+      // silent-wrong-answer contract breach the conf exists to catch
+      val e = intercept[IllegalArgumentException] {
+        Ranks.withGlobalRank(base, "r", col("v") % 7,
+          Seq(col("v").asc, col("k").asc)).count()
+      }
+      assert(e.getMessage.contains("not monotone"), e.getMessage)
+      // descending order direction is validated too
+      val eDesc = intercept[IllegalArgumentException] {
+        Ranks.withExclusivePrefix(base, col("v") % 7,
+          Seq(col("v").desc, col("k").desc), Seq(col("k") -> "p")).count()
+      }
+      assert(eDesc.getMessage.contains("not monotone"), eDesc.getMessage)
+    } finally spark.conf.unset("spark.graft.validateRankCells")
+  }
 }

@@ -123,10 +123,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // windows live in the eager codebook checkpoints, not this plan).
   check("pq_encode", 2)(operators.Quantization.pqEncode(spark, sfDir))
   // ccnet_buckets: lm scoring lives in the checkpointed cells frame;
-  // this plan is the cell histogram + its cumulative window + the
-  // single-row total/threshold folds riding broadcast back onto the
-  // checkpoint scan.
-  check("ccnet_buckets", 4)(operators.TextAnalysis.ccnetBuckets(spark, sfDir))
+  // this plan is the cell histogram + the Ranks bucketed exclusive
+  // prefix (bucket histogram, bases fold, join-back — all over score
+  // cells, metadata scale) + the single-row total/threshold folds
+  // riding broadcast back onto the checkpoint scan. Zero corpus
+  // shuffles, zero unpartitioned windows.
+  check("ccnet_buckets", 9)(operators.TextAnalysis.ccnetBuckets(spark, sfDir))
   // dup_span_report: the digest hotness aggregate + the bounded top-k +
   // the (doc,start) recovery join (broadcast via dimHint locally; the
   // budget covers the shuffle form).
@@ -169,11 +171,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // frames broadcast at test scale but are legitimate corpus shuffle
   // joins at 100 TB — budget covers that form (+3).
   check("quality_calibration", 8)(operators.TextAnalysis.qualityCalibration(spark, sfDir))
-  // curriculum_order: the cell histogram + its tiny single-partition
-  // base window (aggregated rows only) + the ONE corpus within-cell
-  // row_number window + the one-row total fold. The base join-back
-  // rides stateHint, not budgeted as a shuffle.
-  check("curriculum_order", 4)(operators.Sampling.curriculumOrder(spark, sfDir))
+  // curriculum_order: the ONE corpus shuffle is the within-cell
+  // row_number window; the serial bases now ride the Ranks bucketed
+  // exclusive prefix over the ≤1025-cell histogram (its histogram,
+  // bases fold, and join-back are metadata-scale exchanges), plus the
+  // one-row total fold — no unpartitioned window anywhere.
+  check("curriculum_order", 9)(operators.Sampling.curriculumOrder(spark, sfDir))
   // char_class_stats: pure per-row regex counting, scan speed.
   check("char_class_stats", 0)(operators.TextAnalysis.charClassStats(spark, sfDir))
   // embedding_norm_audit: exactly the one label-keyed aggregate.
@@ -216,10 +219,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // corpus shuffle; the variant rollup is 2 rows.
   check("ab_test_metrics", 2)(operators.EventOps.abTestMetrics(spark, sfDir))
   // rfm_segmentation: the corpus shuffle (per-user purchase aggregate)
-  // lives in the eager checkpoint job; this plan is 3 dims × (cell
-  // histogram + its tiny single-partition cumulative window) + the
-  // one-row total fold — all over user-level AGGREGATED rows.
-  check("rfm_segmentation", 7)(operators.EventOps.rfmSegmentation(spark, sfDir))
+  // lives in the eager checkpoint job; this plan is 3 dims × the Ranks
+  // bucketed exclusive prefix over the dimension's cell histogram
+  // (~6 metadata-scale exchanges each — the m-dimension's cells grow
+  // with the spend RANGE, hence no unpartitioned cumulative) + the
+  // one-row total fold. Many exchanges, all over AGGREGATED cells.
+  check("rfm_segmentation", 23)(operators.EventOps.rfmSegmentation(spark, sfDir))
   // mmr_rerank: the corpus-wide pool construction (broadcast queries +
   // per-query top-k window) lives in the checkpoint jobs; the greedy
   // rounds' exchanges (anti joins, per-candidate max-sim aggregates,
@@ -241,8 +246,9 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("col_stats_histogram", 2)(
     operators.Lakehouse.colStatsHistogram(spark, sfDir))
   // compaction_plan: the DATA shuffles once (per-day count); the
-  // packing window + group fold run on the metadata-scale inventory.
-  check("compaction_plan", 3)(operators.Lakehouse.compactionPlan(spark, sfDir))
+  // packing prefix (Ranks, cell = calendar month) + group fold run on
+  // the metadata-scale inventory.
+  check("compaction_plan", 6)(operators.Lakehouse.compactionPlan(spark, sfDir))
   // event_debounce: one composite-key window shuffle, no self-join.
   check("event_debounce", 1)(operators.EventOps.eventDebounce(spark, sfDir))
   // readability_score: pure per-row projection — scan speed, ZERO
@@ -346,7 +352,9 @@ class ShuffleBudgetSpec extends SparkSpec {
   // benford: one 9-group fold per measure scan + the share window on
   // the 18-row profile.
   check("benford_audit", 3)(operators.Quality.benfordAudit(spark, sfDir))
-  check("l_diversity_audit", 4)(operators.Quality.lDiversityAudit(spark, sfDir))
+  // l_diversity_audit: both group-bys live in the eager checkpoint;
+  // this plan is the one-row total fold broadcast onto the ≤|l| frame.
+  check("l_diversity_audit", 2)(operators.Quality.lDiversityAudit(spark, sfDir))
   check("group_kfold", 3)(operators.Sampling.groupKfold(spark, sfDir))
   // bm25: ONE tokenize scan into the per-doc fold; the stats row is a
   // single-partition fold; top-20 is TakeOrdered (no exchange).
@@ -376,8 +384,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("clustering_coefficient", 2)(
     operators.GraphExt.clusteringCoefficient(spark, sfDir))
   check("dp_noisy_counts", 1)(operators.Quality.dpNoisyCounts(spark, sfDir))
-  check("ks_statistic", 3)(operators.StatTests.ksStatistic(spark, sfDir))
-  check("mann_whitney_auc", 3)(operators.StatTests.mannWhitneyAuc(spark, sfDir))
+  // ks/mw: ONE corpus shuffle each (the length-support cell aggregate);
+  // the CDFs ride the Ranks bucketed exclusive prefix, whose histogram/
+  // bases/join-back exchanges move support-cell rows only (the cells
+  // frame feeds two branches, so AQE materializes its subtree twice).
+  check("ks_statistic", 10)(operators.StatTests.ksStatistic(spark, sfDir))
+  check("mann_whitney_auc", 9)(operators.StatTests.mannWhitneyAuc(spark, sfDir))
   // chi_square: 8 of the 9 exchanges move ≤|cells| (125) rows — the
   // margin folds, countDistinct expands, and scalar broadcasts; the one
   // corpus-scale shuffle is the contingency aggregate.
@@ -406,8 +418,15 @@ class ShuffleBudgetSpec extends SparkSpec {
   // exchanges, none serial.
   check("hilbert_layout", 12)(operators.Lakehouse.hilbertLayout(spark, sfDir))
   check("acf_daily", 3)(operators.EventScience.acfDaily(spark, sfDir))
-  check("skyline_2d", 1)(operators.RelationalExt.skyline2d(spark, sfDir))
-  check("repurchase_curve", 3)(operators.RelationalExt.repurchaseCurve(spark, sfDir))
+  // skyline_2d: ONE corpus shuffle (the per-price max-size fold); the
+  // frontier test rides the Ranks exclusive prefix MAX over price
+  // cells and the survivor set (≤|distinct sizes|) broadcasts back —
+  // the corpus is never sorted and never windowed.
+  check("skyline_2d", 7)(operators.RelationalExt.skyline2d(spark, sfDir))
+  // repurchase_curve: gap window + gap-week histogram live in the eager
+  // checkpoint; this plan is the Ranks prefix over the ≤weeks-count
+  // histogram + the one-row total fold.
+  check("repurchase_curve", 5)(operators.RelationalExt.repurchaseCurve(spark, sfDir))
   check("fano_factor", 2)(operators.EventScience.fanoFactor(spark, sfDir))
   check("daily_novelty", 3)(operators.EventScience.dailyNovelty(spark, sfDir))
   // user_concentration: corpus → per-user fold once; the decile
