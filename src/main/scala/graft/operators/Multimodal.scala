@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus a batched decode/feature-extract
   * stage.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic STUB ([[decodeStub]]); everything around
-  * it — binary column construction, schema, partition-preserving batched
-  * mapPartitions plumbing, feature array shape — is real and tested
-  * (MultimodalSpec). Swapping the stub for a JNI/codec call changes no
-  * plan shape.
+  * Raster formats the JDK bundles readers for (PNG/JPEG/GIF/BMP) decode
+  * and resample FOR REAL via `javax.imageio` ([[decodeImage]],
+  * [[resampleImage]]); everything else (audio/video — the container has
+  * no such codecs) rides a clearly-marked deterministic STUB
+  * ([[stubRow]]) so a mixed corpus degrades instead of failing. The
+  * plumbing — binary column construction, schema, partition-preserving
+  * batched mapPartitions, feature array shape — is identical on both
+  * branches and tested (MultimodalSpec); swapping in a heavier codec
+  * changes no plan shape.
   */
 object Multimodal {
 
@@ -190,13 +193,33 @@ object Multimodal {
 
   /** Driver-contract wrapper for the REAL-codec stage ([[decodeReal]]):
     * identical schema; on the text-backed synthetic corpus no payload
-    * parses as raster (verified by the stub-parity spec), so every row
-    * rides the stub fallback and the stage hash-matches the same oracle
-    * — the raster branch itself is exercised by MultimodalSpec on real
-    * in-memory PNG/JPEG bytes.
+    * parses as raster, so every row rides the stub fallback and the
+    * stage hash-matches the same oracle — the raster branch itself is
+    * exercised by MultimodalSpec on real in-memory PNG/JPEG bytes.
+    * Stub parity is a DATA property, not a structural one, so this
+    * oracle-checked wrapper asserts it in the plan: a corpus payload
+    * that unexpectedly decodes as a real raster fails LOUD with this
+    * message instead of surfacing as an inscrutable hash mismatch.
+    * Production callers wanting the raster branch use [[decodeReal]] /
+    * [[decodeFeatures]] directly.
     */
   def multimodalDecodeReal(spark: SparkSession, dir: String): DataFrame =
-    flattenFeatures(decodeReal(spark, dir))
+    stubParityGuard(flattenFeatures(decodeReal(spark, dir)),
+      "image/decoded", "multimodal_decode_real")
+
+  /** The loud stub-parity assertion shared by the oracle-checked REAL
+    * wrappers: any row whose media_type proves the raster branch ran
+    * fails the job with a clear message (assert_true in the plan, the
+    * ngram_jaccard idiom) instead of surfacing as a hash mismatch
+    * against the stub oracle.
+    */
+  private[graft] def stubParityGuard(df: DataFrame, banned: String,
+      op: String): DataFrame =
+    df.filter(assert_true(col("media_type") =!= lit(banned),
+      concat(lit(s"$op: doc_id "), col("doc_id"),
+        lit(s" took the real raster branch (media_type $banned) — the " +
+          "stub-parity oracle no longer applies to this corpus; check " +
+          "the payload or re-register against a raster-aware oracle"))).isNull)
 
   val multimodalDecodeOracle: String = {
     val feats = (0 until 8).map { i =>
@@ -317,12 +340,158 @@ object Multimodal {
         ${sqlStubHeight("OCTET_LENGTH(ENCODE(text))")} AS height
       FROM documents)"""
 
+  /** Typed record for the resampled-media stage. */
+  final case class ResizedMedia(
+      doc_id: Long, media_type: String, width: Int, height: Int,
+      out_width: Int, out_height: Int, features: Array[Float])
+
+  /** The fit-box output geometry as pure integer arithmetic — the one
+    * shared formula for the JVM resampler, the SQL geometry plan, and
+    * the oracle (`dim · box div max(w, h)`, floored at 1; images smaller
+    * than the box upscale, matching [[multimodalResize]]'s plan).
+    */
+  private[graft] def fitBox(w: Int, h: Int, box: Long): (Int, Int) = {
+    val m = math.max(w, h).toLong
+    (math.max(1L, w.toLong * box / m).toInt,
+      math.max(1L, h.toLong * box / m).toInt)
+  }
+
+  /** REAL pixel resample via the same `javax.imageio` raster branch as
+    * [[decodeImage]]: decode, fit-box the geometry, then AREA-AVERAGE
+    * each output pixel over its source block in pure integer arithmetic
+    * (block bounds `x·w div ow`, channel means by integer division,
+    * Rec.601 integer luminance) — deterministic bit-for-bit across
+    * JVMs, no float resampling kernel. Returns the source dims, output
+    * dims, and the 8-bin luminance histogram OF THE RESAMPLED raster
+    * (shares over out_width·out_height pixels — the feature that proves
+    * pixels were actually touched, and what a downstream embedding
+    * stage would consume). On upscale a source block clamps to ≥1 pixel
+    * (nearest-neighbor degenerate case). `None` for payloads that don't
+    * sniff/parse as raster — callers fall back to the stub geometry.
+    */
+  private[graft] def resampleImage(bytes: Array[Byte], box: Long)
+      : Option[(Int, Int, Int, Int, Array[Float])] =
+    if (!isRaster(bytes)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val (ow, oh) = fitBox(w, h, box)
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < oh) {
+          val sy0 = (y.toLong * h / oh).toInt
+          val sy1 = math.max(sy0 + 1, ((y + 1).toLong * h / oh).toInt)
+          var x = 0
+          while (x < ow) {
+            val sx0 = (x.toLong * w / ow).toInt
+            val sx1 = math.max(sx0 + 1, ((x + 1).toLong * w / ow).toInt)
+            var rs = 0L; var gs = 0L; var bs = 0L; var n = 0L
+            var sy = sy0
+            while (sy < sy1) {
+              var sx = sx0
+              while (sx < sx1) {
+                val rgb = img.getRGB(sx, sy)
+                rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff
+                bs += rgb & 0xff; n += 1
+                sx += 1
+              }
+              sy += 1
+            }
+            val lum = ((rs / n) * 299 + (gs / n) * 587 + (bs / n) * 114) / 1000
+            hist(math.min(7, (lum / 32).toInt)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val total = ow.toLong * oh
+        var i = 0
+        while (i < 8) { hist(i) /= total; i += 1 }
+        Some((w, h, ow, oh, hist))
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched resize over binary payloads — the REAL pixel path:
+    * `mapPartitions` batching, [[resampleImage]] for raster payloads
+    * (true dims, fit-box output dims, resampled-luminance features,
+    * media_type `image/resized`), stub geometry + stub features for
+    * everything else — same mixed-media contract as [[decodeFeatures]].
+    */
+  def resizeFeatures(payloads: Dataset[(Long, Array[Byte])])
+      : Dataset[ResizedMedia] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        resampleImage(bytes, ResizeBox) match {
+          case Some((w, h, ow, oh, feats)) =>
+            ResizedMedia(id, "image/resized", w, h, ow, oh, feats)
+          case None =>
+            val s = stubRow(id, bytes)
+            val (ow, oh) = fitBox(s.width, s.height, ResizeBox)
+            ResizedMedia(id, s.media_type, s.width, s.height, ow, oh,
+              s.features)
+        }
+      }
+    }
+  }
+
+  /** Driver-contract wrapper for the REAL resample stage: geometry AND
+    * the per-item feature columns (f0..f7 — resampled-luminance shares
+    * on the raster branch, stub byte features on the fallback). On the
+    * text-backed corpus every row rides the stub fallback, making the
+    * stage oracle-checkable — and, as with [[multimodalDecodeReal]],
+    * that DATA property is asserted in the plan so a payload that
+    * unexpectedly resamples for real fails loud, not as a hash
+    * mismatch. MultimodalSpec drives the raster branch with in-memory
+    * images and pins the resampled histogram against an independent
+    * reference computation.
+    */
+  def multimodalResizeReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stubParityGuard(
+        resizeFeatures(
+          Tables.documents(spark, dir)
+            .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+            .as[(Long, Array[Byte])])
+          .toDF(),
+        "image/resized", "multimodal_resize_real")
+      .select(Seq(col("doc_id"), col("media_type"), col("width"),
+        col("height"), col("out_width"), col("out_height")) ++
+        (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+  }
+
+  lazy val multimodalResizeRealOracle: String = {
+    val feats = (0 until 8).map { i =>
+      s"CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN CAST(0 AS FLOAT) ELSE " +
+        s"CAST(UNICODE(SUBSTR(text, ($i % GREATEST(OCTET_LENGTH(ENCODE(text)), 1)) + 1, 1)) AS FLOAT)" +
+        s" / CAST(127 AS FLOAT) END AS f$i"
+    }.mkString(",\n      ")
+    s"""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+      CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+      CAST(GREATEST(1, (width * $ResizeBox) // GREATEST(width, height))
+        AS INTEGER) AS out_width,
+      CAST(GREATEST(1, (height * $ResizeBox) // GREATEST(width, height))
+        AS INTEGER) AS out_height,
+      $feats
+    FROM (
+      SELECT doc_id, text,
+        ${sqlStubWidth("OCTET_LENGTH(ENCODE(text))")} AS width,
+        ${sqlStubHeight("OCTET_LENGTH(ENCODE(text))")} AS height
+      FROM documents)"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> QueryDef.sql(multimodalMeta, multimodalMetaOracle),
     "multimodal_decode" -> QueryDef.sql(multimodalDecode, multimodalDecodeOracle),
     "multimodal_decode_real" ->
       QueryDef.sql(multimodalDecodeReal, multimodalDecodeOracle),
     "multimodal_frame_sample" -> QueryDef.sql(multimodalFrameSample, multimodalFrameSampleOracle),
-    "multimodal_resize" -> QueryDef.sql(multimodalResize, multimodalResizeOracle)
+    "multimodal_resize" -> QueryDef.sql(multimodalResize, multimodalResizeOracle),
+    "multimodal_resize_real" ->
+      QueryDef.sql(multimodalResizeReal, multimodalResizeRealOracle)
   )
 }

@@ -118,4 +118,101 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
     assert(a == b, "real-codec stage diverged from stub on non-raster corpus")
   }
+
+  test("resizeFeatures: integer-multiple downscale equals the disjoint-block " +
+      "average (independent reference arithmetic)") {
+    import spark.implicits._
+    // 128×96 fits the 64-box at exactly 64×48: every output pixel owns a
+    // disjoint 2×2 source block, so a straightforward block-mean is an
+    // INDEPENDENT reference for the area-average resampler.
+    val w = 128; val h = 96
+    val bytes = imageBytes(w, h, "png")
+    val out = Multimodal.resizeFeatures(Seq(1L -> bytes).toDS()).collect().head
+    assert(out.media_type == "image/resized")
+    assert((out.width, out.height) == ((w, h)))
+    assert((out.out_width, out.out_height) == ((64, 48)), "fit-box dims")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val ref = new Array[Float](8)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (dy <- 0 until 2; dx <- 0 until 2) {
+        val rgb = img.getRGB(x * 2 + dx, y * 2 + dy)
+        rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+      }
+      val lum = ((rs / 4) * 299 + (gs / 4) * 587 + (bs / 4) * 114) / 1000
+      ref(math.min(7, (lum / 32).toInt)) += 1f / (64 * 48)
+    }
+    (0 until 8).foreach { i =>
+      assert(math.abs(out.features(i) - ref(i)) < 1e-6f,
+        s"bin $i: got ${out.features(i)}, reference ${ref(i)}")
+    }
+  }
+
+  test("resizeFeatures: upscale clamps blocks to nearest-neighbor, shares sum to 1") {
+    import spark.implicits._
+    // 10×5 → box 64: m=10 ⇒ 64×32 output, source blocks degenerate
+    val out = Multimodal.resizeFeatures(
+      Seq(2L -> imageBytes(10, 5, "png")).toDS()).collect().head
+    assert((out.width, out.height) == ((10, 5)))
+    assert((out.out_width, out.out_height) == ((64, 32)), "upscale fit-box dims")
+    assert(out.features.forall(_ >= 0f)
+      && math.abs(out.features.sum - 1f) < 1e-3)
+  }
+
+  test("resizeFeatures: non-raster and corrupt payloads ride the stub geometry") {
+    import spark.implicits._
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x00, 0x01)
+    val text = "not an image".getBytes("UTF-8")
+    val out = Multimodal.resizeFeatures(Seq(7L -> corrupt, 8L -> text).toDS())
+      .collect().map(m => m.doc_id -> m).toMap
+    out.values.foreach { m =>
+      assert(m.media_type != "image/resized", "stub fallback expected")
+      assert(m.width == 16 + (if (m.doc_id == 7L) corrupt.length else text.length) % 64)
+      assert(math.max(m.out_width, m.out_height) == 64
+        && m.out_width >= 1 && m.out_height >= 1, "stub fit-box geometry")
+    }
+  }
+
+  test("multimodal_resize_real agrees with the geometry plan and stub " +
+      "features on the text-backed corpus") {
+    val geo = Multimodal.multimodalResize(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("out_width"), r.getAs[Long]("out_height"))).toMap
+    val real = Multimodal.multimodalResizeReal(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h, ow, oh) = geo(id)
+      assert((r.getAs[Int]("width").toLong, r.getAs[Int]("height").toLong,
+        r.getAs[Int]("out_width").toLong, r.getAs[Int]("out_height").toLong)
+        == ((w, h, ow, oh)), s"geometry drift for doc $id")
+    }
+    // features equal the decode stub's byte features row-for-row
+    val stubF = Multimodal.multimodalDecode(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(i => r.getAs[Float](s"f$i"))).toMap
+    real.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((0 until 8).map(i => r.getAs[Float](s"f$i")) == stubF(id),
+        s"stub feature drift for doc $id")
+    }
+  }
+
+  test("stubParityGuard fails loud when a row proves the real branch ran") {
+    import spark.implicits._
+    val df = Seq((1L, "image/png"), (2L, "image/resized"))
+      .toDF("doc_id", "media_type")
+    val e = intercept[Exception] {
+      Multimodal.stubParityGuard(df, "image/resized", "op_under_test").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("op_under_test")
+      || m.contains("stub-parity")), s"unclear guard failure: ${messages(e)}")
+    // and passes silently when the corpus property holds
+    assert(Multimodal.stubParityGuard(
+      Seq((1L, "image/png")).toDF("doc_id", "media_type"),
+      "image/resized", "op_under_test").count() == 1L)
+  }
 }
