@@ -116,6 +116,9 @@ object GraphSink {
   def writeBatches(df: DataFrame, outDir: String, table: String,
       batchSize: Int = 500): Unit =
     df.write.mode("overwrite")
+      // a session-level codec would emit .json.gz part files, which
+      // applyLoad's .json filter would silently skip — pin plain text
+      .option("compression", "none")
       .option("maxRecordsPerFile", batchSize.toLong)
       .json(s"$outDir/$table")
 
@@ -151,9 +154,18 @@ object GraphSink {
       require(dir.isDirectory,
         s"no staged payload dir for table '${u.table}' at $dir — " +
           "stage the load (stageLoad/writeBatches) before applying it")
+      val files = dir.listFiles().toSeq
+      val payloads = files.filter(_.getName.endsWith(".json"))
+      // an empty graph load must be LOUD, not a silent 0-batch success:
+      // no .json part files means either the table staged zero rows or
+      // (if part files exist under another suffix) a codec crept in
+      require(payloads.nonEmpty,
+        s"no .json payload files staged for table '${u.table}' at $dir " +
+          s"(found: ${files.map(_.getName).filterNot(n =>
+            n.startsWith("_") || n.startsWith(".")).sorted.mkString(", ")}) — " +
+          "an empty or re-compressed staging would load nothing")
       var batches = 0L
-      dir.listFiles().toSeq
-        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      payloads.sortBy(_.getName)
         .foreach { f =>
           val lines = java.nio.file.Files.readAllLines(f.toPath)
           if (!lines.isEmpty) {
@@ -162,6 +174,10 @@ object GraphSink {
             batches += 1
           }
         }
+      require(batches > 0,
+        s"table '${u.table}' staged only empty payload files at $dir — " +
+          "the load would apply 0 batches; a graph load unit with no " +
+          "rows is a staging bug, not a no-op")
       u.table -> batches
     }.toMap
 }

@@ -160,7 +160,13 @@ object EventStreams {
     * unreported by design; the batch twin restricted to each user's
     * non-final sessions is the exact-agreement surface the
     * StreamingSpec pins. Same µs gap arithmetic and (time, event_id)
-    * within-batch tie order as the batch `sessionize`.
+    * within-batch tie order as the batch `sessionize`. Cross-batch
+    * late data never REGRESSES the state (the frontier takes
+    * max(lastTs, t), the session start min(firstTs, t)), but exact
+    * split-for-split agreement with the globally-sorted batch
+    * sessionize still requires per-user in-order arrival ACROSS
+    * micro-batches: an already-emitted close cannot be retracted if
+    * late data would have bridged the gap.
     *
     * CONTRACT: the gap rule here must stay identical to
     * `EventOps.sessionAssigned` (the canonical batch frame bounce_rate
@@ -187,7 +193,15 @@ object EventStreams {
               out += ClosedSession(userId, st.sessionId, st.nEv,
                 st.firstTsUs / DayUs)
               st = SessRollState(st.sessionId + 1, t, t, 1L)
-            } else st = st.copy(lastTsUs = t, nEv = st.nEv + 1)
+            } else st = st.copy(
+              // cross-batch late data must not REGRESS the state: an
+              // event from a later micro-batch with t < lastTsUs (but
+              // within the gap) extends the session without moving its
+              // frontier backwards — and may move its START earlier,
+              // which is what the batch view would record
+              lastTsUs = math.max(st.lastTsUs, t),
+              firstTsUs = math.min(st.firstTsUs, t),
+              nEv = st.nEv + 1)
           }
           state.update(st)
           out.iterator
@@ -331,26 +345,42 @@ object EventStreams {
   /** Shared with the batch twin — equivalence requires one constant. */
   private val FunnelWindowUs = graft.operators.EventOps.FunnelWindowUs
 
-  final case class FirstTouch(user_id: Long, first_ts: java.sql.Timestamp)
+  final case class FirstTouch(
+      user_id: Long, first_ts: java.sql.Timestamp, delta: Long)
+
+  /** Exact inverse of [[epochMicros]] — reconstructs the Timestamp a
+    * stored µs state value came from, so a correction row retracts
+    * precisely the first-touch that was emitted.
+    */
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val millis = java.lang.Math.floorDiv(us, 1000L)
+    val t = new java.sql.Timestamp(millis)
+    t.setNanos((java.lang.Math.floorMod(millis, 1000L) * 1000000L
+      + java.lang.Math.floorMod(us, 1000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming new-user counter — the stream twin of the batch
-    * `daily_novelty` first-touch fold: per-user state records the first
-    * sight, each micro-batch's group folds over its (ts, id)-SORTED
-    * events (a bare dropDuplicates would keep the first event in
-    * PROCESSING order — partition-order-dependent; the sort makes the
-    * pick deterministic WITHIN a micro-batch, same as the MG fold), and
-    * the emitted first-touches aggregate into
-    * 1-day tumbling new-user counts (flatMapGroupsWithState in append
-    * mode composes with a downstream aggregation). State is one tiny
-    * row per DISTINCT user — identity-scale and unbounded by design:
-    * "new EVER" needs the full identity set.
+    * `daily_novelty` first-touch fold: per-user state records the
+    * earliest event time seen (µs), each micro-batch's group folds over
+    * its (ts, id)-SORTED events (a bare dropDuplicates would keep the
+    * first event in PROCESSING order — partition-order-dependent; the
+    * sort makes the pick deterministic WITHIN a micro-batch, same as
+    * the MG fold), and the emitted first-touches aggregate into 1-day
+    * tumbling new-user counts (flatMapGroupsWithState in append mode
+    * composes with a downstream aggregation). State is one tiny row per
+    * DISTINCT user — identity-scale and unbounded by design: "new EVER"
+    * needs the full identity set.
     *
-    * Cross-batch late data is NOT corrected: once a user's state exists,
-    * an earlier-event-time record arriving in a LATER micro-batch is
-    * ignored (the day bucket keeps the first SEEN batch's minimum) —
-    * append mode cannot retract the already-emitted first-touch, so the
-    * guarantee is exact agreement with the batch twin under
-    * per-user-in-order arrival, and within-batch replay tolerance only.
+    * Cross-batch late data IS corrected: each first-touch row carries a
+    * signed `delta`, and when an event with a STRICTLY earlier event
+    * time arrives in a later micro-batch the fold emits a −1 retraction
+    * for the previously-reported first_ts plus a +1 for the corrected
+    * one — the downstream windowed SUM then converges to the batch
+    * twin's counts under ANY arrival order (a replay-absorbing
+    * changelog, the same discipline as the MG candidates). A day whose
+    * corrections net to zero reports n_new = 0 rather than disappearing
+    * — complete-mode aggregations cannot retract whole groups.
     */
   def noveltyStream(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
@@ -359,16 +389,22 @@ object EventStreams {
       .flatMapGroupsWithState[Long, FirstTouch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[Long]) =>
-          if (state.exists) Iterator.empty
-          else {
-            val first = batch.minBy(e => (epochMicros(e.ts), e.event_id))
-            state.update(1L)
-            Iterator.single(FirstTouch(userId, first.ts))
+          val first = batch.minBy(e => (epochMicros(e.ts), e.event_id))
+          val t = epochMicros(first.ts)
+          state.getOption match {
+            case None =>
+              state.update(t)
+              Iterator.single(FirstTouch(userId, first.ts, 1L))
+            case Some(prev) if t < prev =>
+              state.update(t)
+              Iterator(FirstTouch(userId, tsOfMicros(prev), -1L),
+                FirstTouch(userId, first.ts, 1L))
+            case Some(_) => Iterator.empty
           }
       }
     firsts
       .groupBy(window(col("first_ts"), "1 day"))
-      .agg(count(lit(1)).as("n_new"))
+      .agg(sum(col("delta")).as("n_new"))
       .select(col("window.start").as("window_start"), col("n_new"))
   }
 

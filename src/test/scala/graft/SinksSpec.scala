@@ -224,4 +224,41 @@ class SinksSpec extends SparkSpec {
     assert(lastNodeCall < firstEdgeCall,
       "edges must not replay before their endpoint nodes")
   }
+
+  test("graph sink: an empty or re-compressed staging fails loud, " +
+      "never a silent 0-batch load") {
+    import graft.sources.GraphSink
+    import graft.sources.GraphSink.LoadUnit
+    val out = java.nio.file.Files.createTempDirectory("graft_graph_empty").toString
+    val unit = LoadUnit("ghosts",
+      GraphSink.nodeMergeStatement("Ghost", "id", Nil))
+    // a staged dir with no .json payload files (codec suffix) — the
+    // filter must not silently skip it
+    val dir = new java.io.File(out, "ghosts"); dir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "part-0000.json.gz").toPath, "not-json")
+    val eGz = intercept[IllegalArgumentException] {
+      GraphSink.applyLoad(out, Seq(unit), (_, _) => ())
+    }
+    assert(eGz.getMessage.contains("no .json payload files")
+      && eGz.getMessage.contains("part-0000.json.gz"), eGz.getMessage)
+    // a staging whose only payload file is EMPTY (zero rows written)
+    java.nio.file.Files.delete(new java.io.File(dir, "part-0000.json.gz").toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "part-0000.json").toPath, "")
+    val eEmpty = intercept[IllegalArgumentException] {
+      GraphSink.applyLoad(out, Seq(unit), (_, _) => ())
+    }
+    assert(eEmpty.getMessage.contains("0 batches"), eEmpty.getMessage)
+    // and writeBatches itself pins compression off, so a configured
+    // codec cannot produce the .gz staging in the first place
+    val ok = java.nio.file.Files.createTempDirectory("graft_graph_codec").toString
+    GraphSink.writeBatches(
+      Tables.region(spark, sfDir).select(col("r_regionkey").as("id")),
+      ok, "regions")
+    val names = new java.io.File(ok, "regions").listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(names.nonEmpty && names.forall(_.endsWith(".json")),
+      s"staged files not plain .json: ${names.mkString(", ")}")
+  }
 }

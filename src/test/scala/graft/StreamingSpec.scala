@@ -146,14 +146,45 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("novelty_sf")
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
+    // days whose corrections net to zero report 0 in the changelog sum
+    // (complete mode can't retract a group); the batch twin simply has
+    // no such day — compare the positive support
     val streamed = spark.table("novelty_sf").collect()
       .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime / 86400000L ->
-        r.getAs[Long]("n_new")).toMap
+        r.getAs[Long]("n_new")).filter(_._2 > 0).toMap
     val batch = operators.EventScience.dailyNovelty(spark, sfDir).collect()
       .map(r => r.getAs[Long]("day_ord") -> r.getAs[Long]("n_new"))
       .filter(_._2 > 0).toMap
     assert(streamed == batch,
       s"streaming first-touch diverged: stream=$streamed batch=$batch")
+  }
+
+  test("noveltyStream corrects a late-arriving earlier first touch across " +
+      "micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.noveltyStream(input.toDS())
+      .writeStream.format("memory").queryName("novelty_corr")
+      .outputMode("complete").start()
+    def counts(): Map[Long, Long] = spark.table("novelty_corr").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime / 86400000L ->
+        r.getAs[Long]("n_new")).toMap
+    try {
+      // micro-batch 1: user 1's first sight lands on day 2
+      input.addData(Event(10, new Timestamp(2 * 86400000L + 1000L), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(counts() == Map(2L -> 1L), s"pre-correction: ${counts()}")
+      // micro-batch 2: a LATE event for user 1 with an EARLIER event
+      // time (day 0), plus a genuinely new user on day 1 — the fold must
+      // retract user 1 from day 2, credit day 0, and count user 2 once
+      input.addData(
+        Event(9, new Timestamp(1000L), 1, "view", 1.0),
+        Event(11, new Timestamp(86400000L + 1000L), 2, "click", 1.0))
+      q.processAllAvailable()
+      assert(counts() == Map(0L -> 1L, 1L -> 1L, 2L -> 0L),
+        s"post-correction: ${counts()}")
+    } finally q.stop()
   }
 
   test("dauWordsStream reconstructs the batch stickiness_dau_mau exactly") {
