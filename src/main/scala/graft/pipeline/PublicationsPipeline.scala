@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.Tables
 import graft.functions.Exact
 import graft.operators.{Analytics, Cleaning, Dwh}
-import graft.sources.Sinks
+import graft.sources.{GraphSink, Sinks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -156,6 +156,22 @@ object PublicationsPipeline {
     * failed. Returns the run report (per-task state + attempts) and
     * the manifest of staged row counts.
     */
+  /** The collaboration-graph load units — the
+    * create_collaboration_graph.cql semantics as replay-idempotent
+    * MERGE statements: supplier nodes keyed on supp_id (name SET from
+    * the payload) and COLLABORATED_WITH edges carrying the
+    * pre-aggregated collab_count. One definition shared by the DAG's
+    * load stage and its replay ([[runAllDag]]'s stage7 stages the
+    * payloads; [[GraphSink.applyLoad]] + a bolt transport drives them).
+    */
+  def collabGraphUnits: Seq[GraphSink.LoadUnit] = Seq(
+    GraphSink.LoadUnit("suppliers",
+      GraphSink.nodeMergeStatement("Supplier", "supp_id", Seq("name"))),
+    GraphSink.LoadUnit("collab_edges",
+      GraphSink.edgeMergeStatement("Supplier", "supp_id", "Supplier",
+        "supp_id", "COLLABORATED_WITH", "supp_a", "supp_b",
+        Seq("collab_count"))))
+
   def runAllDag(spark: SparkSession, dataDir: String, outDir: String,
       resume: Boolean = false,
       onRetry: (String, Int) => Unit = (_, _) => ())
@@ -200,6 +216,26 @@ object PublicationsPipeline {
         Analytics.authorSpecialization(spark, dataDir)),
       staged("stage6_institution_collab", Seq("stage5_collab_graph"))(
         Analytics.institutionCollab(spark, dataDir)),
+      // Stage 7: the Neo4j load itself (databases.py:185-416 batched
+      // UNWIND inserts) — stage GraphSink payload batches for the
+      // collaboration graph from the STAGED stage-5 mart. The bolt
+      // transport is the declared swap-in; the staged batches plus
+      // statements.cypher are the complete, replayable load artifact.
+      TaskDef("stage7_graph_load", Seq("stage5_collab_graph"), retries = 1,
+        skipIf = () => resume && exists("stage7_graph_load")) { () =>
+        val edges = spark.read.parquet(s"$outDir/stage5_collab_graph")
+        val nodes = Tables.supplier(spark, dataDir)
+          .select(col("s_suppkey").cast("long").as("supp_id"),
+            col("s_name").as("name"))
+        GraphSink.stageLoad(s"$outDir/stage7_graph_load",
+          Seq("Supplier" -> "supp_id"),
+          collabGraphUnits.zip(Seq(nodes, edges)))
+        // _SUCCESS marker so resume treats the staging like any other
+        // staged stage (the payload dirs carry their own markers)
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(
+          s"$outDir/stage7_graph_load/_SUCCESS"), "")
+        manifest += "stage7_graph_load" -> (nodes.count() + edges.count())
+      },
       TaskDef("check_orphan_fact_rows",
         Seq("stage4_fact_sales", "stage4_dim_customer"),
         retries = 1, rule = AllDone) { () =>
@@ -214,7 +250,11 @@ object PublicationsPipeline {
     // resumed run's manifest matches a fresh run's.
     report.states.foreach {
       case (name, Orchestrator.Resumed) if exists(name) =>
-        manifest += name -> spark.read.parquet(s"$outDir/$name").count()
+        manifest += name -> (if (name == "stage7_graph_load")
+          // JSONL staging, not parquet: count the staged payload lines
+          spark.read.textFile(s"$outDir/$name/suppliers",
+            s"$outDir/$name/collab_edges").count()
+        else spark.read.parquet(s"$outDir/$name").count())
       case _ => ()
     }
     (report, manifest.toMap)

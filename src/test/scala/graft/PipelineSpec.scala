@@ -303,4 +303,43 @@ class PipelineSpec extends SparkSpec {
       else assert(st == Resumed, s"$name should resume from staging, was $st")
     }
   }
+
+  test("runAllDag stage7: GraphSink payloads replay the collaboration " +
+      "graph, identically across a resumed DAG") {
+    val out = Files.createTempDirectory("graft_dag_graph").toString
+    val (report, manifest) = PublicationsPipeline.runAllDag(spark, sfDir, out)
+    assert(report.allSucceeded, s"states: ${report.states}")
+    assert(new java.io.File(s"$out/stage7_graph_load/statements.cypher").isFile,
+      "the staged load must carry its statement manifest")
+    def replay(): Seq[(String, Seq[String])] = {
+      val calls = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+      graft.sources.GraphSink.applyLoad(s"$out/stage7_graph_load",
+        PublicationsPipeline.collabGraphUnits,
+        (stmt, batch) => calls += ((stmt, batch)))
+      calls.toSeq
+    }
+    val first = replay()
+    // every staged row reaches the transport exactly once, and the
+    // manifest count is that same total
+    val nEdges = spark.read.parquet(s"$out/stage5_collab_graph").count()
+    val nNodes = Tables.supplier(spark, sfDir).count()
+    assert(first.map(_._2.size.toLong).sum == nNodes + nEdges,
+      s"transport rows ${first.map(_._2.size).sum} != $nNodes + $nEdges")
+    assert(manifest("stage7_graph_load") == nNodes + nEdges)
+    // MERGE statements only (replay-idempotent load), endpoints before edges
+    assert(first.forall { case (stmt, _) => stmt.contains("MERGE") })
+    val firstEdge = first.indexWhere(_._1.contains("COLLABORATED_WITH"))
+    val lastNode = first.lastIndexWhere(_._1.contains("MERGE (n:Supplier"))
+    assert(lastNode >= 0 && firstEdge > lastNode,
+      "edges must not replay before their endpoint nodes")
+    // a RESUMED DAG leaves the staging intact, recounts it into the
+    // manifest, and replays batch-identically
+    val (resumed, manifest2) =
+      PublicationsPipeline.runAllDag(spark, sfDir, out, resume = true)
+    assert(resumed.states("stage7_graph_load") ==
+      graft.pipeline.Orchestrator.Resumed)
+    assert(manifest2("stage7_graph_load") == nNodes + nEdges,
+      "resumed manifest must recount the staged payload lines")
+    assert(replay() == first, "replay after resume must be batch-identical")
+  }
 }
