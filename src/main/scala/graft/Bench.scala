@@ -232,7 +232,18 @@ object Bench {
     val errs = results.flatMap(_._3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cal = s"[$cal0,$cal1,$cal2]"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}""")
+    // The per-query map comes FIRST so the driver's tail-truncated
+    // capture keeps the summary fields (total/errors/calibration) even
+    // when the ~280-entry map overflows the window, and the full line
+    // is ALSO written to a stable repo path so round-over-round
+    // per-query regressions stay diffable from artifacts alone.
+    val json = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_FULL_LATEST.json: $e")
+    }
     spark.stop()
   }
 }
