@@ -239,10 +239,12 @@ object Bench {
     // per-query regressions stay diffable from artifacts alone.
     val json = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL_LATEST.json") // cwd-relative: sbt runs from the repo root
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL_LATEST.json"), json + "\n")
+      java.nio.file.Paths.get(fullPath), json + "\n")
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_FULL_LATEST.json: $e")
+      System.err.println(s"[bench] could not write $fullPath: $e")
     }
     spark.stop()
   }

@@ -153,6 +153,56 @@ object Ranks {
     withMaxes.drop("__pm_cell" +: maxes.indices.map(i => s"__pm_b$i"): _*)
   }
 
+  /** Shared span-probe bucketing behind the `withBucketed*` forms: tags
+    * the BIGINT value, probes its broadcastable [min, max] span over
+    * `df` itself, and derives the range-bucket cell — inverted for
+    * descending orders so the cell stays monotone ALONG the order. The
+    * monotonicity-critical formula lives HERE, once, instead of being
+    * re-spelled at every call site (where a hand-copied desc inversion
+    * or an off-by-one denominator would silently mis-rank).
+    */
+  private def spanBucketed(df: DataFrame, value: Column, ascending: Boolean,
+      buckets: Int): (DataFrame, Column, Seq[Column]) = {
+    require(buckets > 0, s"Ranks: buckets must be positive, got $buckets")
+    val tagged0 = df.withColumn("__sb_v", value.cast("bigint"))
+    val span = tagged0.agg(min(col("__sb_v")).as("__sb_lo"),
+      max(col("__sb_v")).as("__sb_hi"))
+    val tagged = tagged0.crossJoin(broadcast(span))
+    val cell =
+      if (ascending)
+        expr(s"((__sb_v - __sb_lo) * $buckets) div (__sb_hi - __sb_lo + 1)")
+      else
+        expr(s"((__sb_hi - __sb_v) * $buckets) div (__sb_hi - __sb_lo + 1)")
+    (tagged,
+      cell,
+      Seq(if (ascending) col("__sb_v").asc else col("__sb_v").desc))
+  }
+
+  private val SpanCols = Seq("__sb_v", "__sb_lo", "__sb_hi")
+
+  /** [[withExclusivePrefix]] over an integer `value` whose distinct
+    * support spans an arbitrary range (spend cents, price cells, score
+    * cells): cells come from `buckets` equal range slices of the
+    * broadcast [min, max] span, ordered by `value` alone (callers pass
+    * frames where `value` is distinct per row — a histogram key).
+    * `ascending = false` runs the prefix best-first down the value
+    * order (curriculum bases).
+    */
+  def withBucketedExclusivePrefix(df: DataFrame, value: Column,
+      ascending: Boolean, buckets: Int,
+      sums: Seq[(Column, String)]): DataFrame = {
+    val (tagged, cell, order) = spanBucketed(df, value, ascending, buckets)
+    withExclusivePrefix(tagged, cell, order, sums).drop(SpanCols: _*)
+  }
+
+  /** [[withExclusivePrefixMax]] with the same span-bucketed cells. */
+  def withBucketedExclusivePrefixMax(df: DataFrame, value: Column,
+      ascending: Boolean, buckets: Int,
+      maxes: Seq[(Column, String)]): DataFrame = {
+    val (tagged, cell, order) = spanBucketed(df, value, ascending, buckets)
+    withExclusivePrefixMax(tagged, cell, order, maxes).drop(SpanCols: _*)
+  }
+
   /** Debug-mode contract check (opt-in: `spark.graft.validateRankCells`
     * = true): the helpers silently produce wrong answers if the
     * caller's cell is NOT monotone along the order, so under the conf

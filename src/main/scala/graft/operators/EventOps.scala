@@ -787,12 +787,9 @@ object EventOps {
     // broadcast [min, max] span), never an unpartitioned window.
     def thresholds(dim: String): DataFrame = {
       val cells = users.groupBy(col(dim).as("cell")).agg(count(lit(1)).as("n"))
-      val span = cells.agg(min(col("cell")).as("__vmin"),
-        max(col("cell")).as("__vmax"))
-      val cum = graft.functions.Ranks.withExclusivePrefix(
-          cells.crossJoin(broadcast(span)),
-          expr("((cell - __vmin) * 1024) div (__vmax - __vmin + 1)"),
-          Seq(col("cell").asc), Seq(col("n") -> "n_before"))
+      val cum = graft.functions.Ranks.withBucketedExclusivePrefix(
+          cells, col("cell"), ascending = true, 1024,
+          Seq(col("n") -> "n_before"))
         .withColumn("cum", col("n_before") + col("n"))
       cum.crossJoin(broadcast(tot)).agg(
         min(when(col("cum") * 5 >= col("n_total"), col("cell"))).as(s"${dim}_t1"),

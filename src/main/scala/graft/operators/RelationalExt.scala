@@ -399,12 +399,8 @@ object RelationalExt {
         col("p_size").cast("long").as("size"))
     val cells = parts.groupBy(col("price_cents"))
       .agg(max(col("size")).as("best_at_price"))
-    val span = cells.agg(min(col("price_cents")).as("__vmin"),
-      max(col("price_cents")).as("__vmax"))
-    val frontier = graft.functions.Ranks.withExclusivePrefixMax(
-        cells.crossJoin(broadcast(span)),
-        expr("((price_cents - __vmin) * 1024) div (__vmax - __vmin + 1)"),
-        Seq(col("price_cents").asc),
+    val frontier = graft.functions.Ranks.withBucketedExclusivePrefixMax(
+        cells, col("price_cents"), ascending = true, 1024,
         Seq(col("best_at_price") -> "best_cheaper"))
       .filter(col("best_cheaper").isNull
         || col("best_at_price") > col("best_cheaper"))

@@ -718,12 +718,8 @@ object Sampling {
     // best first — so the bucket key counts down from the max) to keep
     // the no-unpartitioned-window invariant registry-wide.
     val hist = scored.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-    val span = hist.agg(min(col("cell")).as("__vmin"),
-      max(col("cell")).as("__vmax"))
-    val bases = graft.functions.Ranks.withExclusivePrefix(
-        hist.crossJoin(broadcast(span)),
-        expr("((__vmax - cell) * 64) div (__vmax - __vmin + 1)"),
-        Seq(col("cell").desc), Seq(col("c") -> "base"))
+    val bases = graft.functions.Ranks.withBucketedExclusivePrefix(
+        hist, col("cell"), ascending = false, 64, Seq(col("c") -> "base"))
       .select(col("cell"), col("base"))
     val tot = scored.agg(count(lit(1)).as("n_total"))
     val wCell = Window.partitionBy(col("cell")).orderBy(col("doc_id"))

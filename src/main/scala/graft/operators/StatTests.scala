@@ -51,12 +51,8 @@ object StatTests {
     // length support is max-doc-length-bounded, but the CDFs still ride
     // the bucketed exclusive prefix — the no-unpartitioned-window
     // invariant is registry-wide (PlanSpec pins all plans).
-    val span = cells.agg(min(col("n_chars")).as("__vmin"),
-      max(col("n_chars")).as("__vmax"))
-    val cdf = graft.functions.Ranks.withExclusivePrefix(
-        cells.crossJoin(broadcast(span)),
-        expr("((n_chars - __vmin) * 256) div (__vmax - __vmin + 1)"),
-        Seq(col("n_chars").asc),
+    val cdf = graft.functions.Ranks.withBucketedExclusivePrefix(
+        cells, col("n_chars"), ascending = true, 256,
         Seq(col("c1") -> "c1_before", col("c2") -> "c2_before"))
       .withColumn("cdf1", col("c1_before") + col("c1"))
       .withColumn("cdf2", col("c2_before") + col("c2"))
@@ -123,7 +119,7 @@ object StatTests {
     * globally sorts — and since cent-exact lifetime spends are
     * near-unique (distinct cells approach CUSTOMER cardinality at 1e8
     * users), even the cell prefix avoids an unpartitioned window:
-    * [[graft.functions.Ranks.withExclusivePrefix]] buckets the cells
+    * [[graft.functions.Ranks.withBucketedExclusivePrefix]] buckets the cells
     * into 1024 value ranges from the broadcast [min, max] span and
     * runs both running sums partitioned by bucket. BIGINT headroom:
     * nᵢxᵢ·N < 9.2e18 holds to ~1e8 customers at 1e6-cent spends;
@@ -135,12 +131,8 @@ object StatTests {
       .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
         .as("cents"))
     val cells = spend.groupBy(col("cents")).agg(count(lit(1)).as("nc"))
-    val span = cells.agg(min(col("cents")).as("__vmin"),
-      max(col("cents")).as("__vmax"))
-    val folded = graft.functions.Ranks.withExclusivePrefix(
-        cells.crossJoin(broadcast(span)),
-        expr("((cents - __vmin) * 1024) div (__vmax - __vmin + 1)"),
-        Seq(col("cents").asc),
+    val folded = graft.functions.Ranks.withBucketedExclusivePrefix(
+        cells, col("cents"), ascending = true, 1024,
         Seq(col("nc") -> "n_before",
           (col("nc") * col("cents")) -> "s_before"))
       .agg(sum(col("nc")).as("n_customers"),
@@ -278,12 +270,9 @@ object StatTests {
       .withColumn("c", col("c1") + col("c2"))
     // same registry-wide discipline as ksStatistic: bucketed exclusive
     // prefix over the length support cells, no unpartitioned window
-    val span = cells.agg(min(col("n_chars")).as("__vmin"),
-      max(col("n_chars")).as("__vmax"))
-    val ranked = graft.functions.Ranks.withExclusivePrefix(
-        cells.crossJoin(broadcast(span)),
-        expr("((n_chars - __vmin) * 256) div (__vmax - __vmin + 1)"),
-        Seq(col("n_chars").asc), Seq(col("c") -> "cum_before"))
+    val ranked = graft.functions.Ranks.withBucketedExclusivePrefix(
+        cells, col("n_chars"), ascending = true, 256,
+        Seq(col("c") -> "cum_before"))
       // doubled tie-averaged rank for every member of this cell
       .withColumn("r2", lit(2L) * col("cum_before") + col("c") + 1L)
     val agg = ranked.agg(

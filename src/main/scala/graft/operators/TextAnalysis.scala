@@ -856,12 +856,9 @@ object TextAnalysis {
     // cumulative still rides the bucketed exclusive prefix so the
     // no-unpartitioned-window invariant holds REGISTRY-WIDE, not just
     // where cardinality forces it (PlanSpec pins all 264 plans).
-    val hspan = hist.agg(min(col("cell")).as("__vmin"),
-      max(col("cell")).as("__vmax"))
-    val cum = graft.functions.Ranks.withExclusivePrefix(
-        hist.crossJoin(broadcast(hspan)),
-        expr("((cell - __vmin) * 64) div (__vmax - __vmin + 1)"),
-        Seq(col("cell").asc), Seq(col("n") -> "n_before"))
+    val cum = graft.functions.Ranks.withBucketedExclusivePrefix(
+        hist, col("cell"), ascending = true, 64,
+        Seq(col("n") -> "n_before"))
       .withColumn("cum", col("n_before") + col("n"))
     val tot = cells.agg(count(lit(1)).as("n_total"))
     val th = cum.crossJoin(broadcast(tot))

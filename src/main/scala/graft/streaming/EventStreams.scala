@@ -135,7 +135,12 @@ object EventStreams {
           val out = sorted.map { e =>
             val t = epochMicros(e.ts)
             val newSession = st.lastTsUs == Long.MinValue || t - st.lastTsUs > SessionGapUs
-            st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, t)
+            // same non-regression rule as closedSessions: a within-gap
+            // event from a later micro-batch extends the session without
+            // moving its frontier backwards (a regressed frontier would
+            // split sessions the globally-sorted batch rule keeps)
+            st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId,
+              if (newSession) t else math.max(st.lastTsUs, t))
             SessionAssignment(e.event_id, userId, st.sessionId)
           }
           state.update(st)
@@ -197,10 +202,16 @@ object EventStreams {
               // cross-batch late data must not REGRESS the state: an
               // event from a later micro-batch with t < lastTsUs (but
               // within the gap) extends the session without moving its
-              // frontier backwards — and may move its START earlier,
-              // which is what the batch view would record
+              // frontier backwards. It may move the session START
+              // earlier — but only within one gap of the current start
+              // (that is what the batch view would record); a stray
+              // event older than that belongs to some ALREADY-CLOSED
+              // session in the batch view, so it must count into the
+              // open session (the stream cannot reopen the past)
+              // WITHOUT re-dating its day attribution
               lastTsUs = math.max(st.lastTsUs, t),
-              firstTsUs = math.min(st.firstTsUs, t),
+              firstTsUs = if (st.firstTsUs - t <= SessionGapUs)
+                math.min(st.firstTsUs, t) else st.firstTsUs,
               nEv = st.nEv + 1)
           }
           state.update(st)

@@ -120,6 +120,43 @@ class RanksSpec extends SparkSpec {
     assert(nFirstNull == 1L, s"expected exactly one NULL prefix max row, got $nFirstNull")
   }
 
+  test("withBucketedExclusivePrefix(+Max) equal the explicit span-cell forms, " +
+      "ascending and descending") {
+    // distinct-value histogram, the wrappers' declared input shape
+    val cells = base.groupBy(col("v")).agg(count(lit(1)).as("nc"))
+    val bounds = cells.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val wantAsc = Ranks.withExclusivePrefix(
+        cells.crossJoin(broadcast(bounds)),
+        expr("((v - __lo) * 512) div (__hi - __lo + 1)"),
+        Seq(col("v").asc), Seq(col("nc") -> "p"))
+      .select(col("v"), col("p"))
+    val gotAsc = Ranks.withBucketedExclusivePrefix(
+        cells, col("v"), ascending = true, 512, Seq(col("nc") -> "p"))
+      .select(col("v"), col("p"))
+    assert(gotAsc.exceptAll(wantAsc).isEmpty && wantAsc.exceptAll(gotAsc).isEmpty,
+      "bucketed asc wrapper diverged from the explicit form")
+    val wantDesc = Ranks.withExclusivePrefix(
+        cells.crossJoin(broadcast(bounds)),
+        expr("((__hi - v) * 512) div (__hi - __lo + 1)"),
+        Seq(col("v").desc), Seq(col("nc") -> "p"))
+      .select(col("v"), col("p"))
+    val gotDesc = Ranks.withBucketedExclusivePrefix(
+        cells, col("v"), ascending = false, 512, Seq(col("nc") -> "p"))
+      .select(col("v"), col("p"))
+    assert(gotDesc.exceptAll(wantDesc).isEmpty && wantDesc.exceptAll(gotDesc).isEmpty,
+      "bucketed desc wrapper diverged from the explicit form")
+    val wantMax = Ranks.withExclusivePrefixMax(
+        cells.crossJoin(broadcast(bounds)),
+        expr("((v - __lo) * 512) div (__hi - __lo + 1)"),
+        Seq(col("v").asc), Seq(col("nc") -> "m"))
+      .select(col("v"), col("m"))
+    val gotMax = Ranks.withBucketedExclusivePrefixMax(
+        cells, col("v"), ascending = true, 512, Seq(col("nc") -> "m"))
+      .select(col("v"), col("m"))
+    assert(gotMax.exceptAll(wantMax).isEmpty && wantMax.exceptAll(gotMax).isEmpty,
+      "bucketed max wrapper diverged from the explicit form")
+  }
+
   test("empty sums/maxes and empty order are rejected loudly") {
     val df = base
     val eSums = intercept[IllegalArgumentException] {

@@ -268,6 +268,66 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 3L))
   }
 
+  test("sessionized: a within-gap late event never regresses the frontier " +
+      "into a spurious split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionized(input.toDS())
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: frontier at 10:00
+      input.addData(Event(1, ts(600), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: late 09:35 (within gap — merges), then 10:08. The batch
+      // rule over the sorted stream (09:35, 10:00, 10:08 — gaps 25 and
+      // 8 min) keeps ONE session; a frontier regressed to 09:35 would
+      // split at 10:08 (33 min from the regressed frontier).
+      input.addData(
+        Event(2, ts(575), 1, "view", 1.0),
+        Event(3, ts(608), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_late").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("session_id"))).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+        s"late within-gap event split the session: $out")
+    } finally q.stop()
+  }
+
+  test("closedSessions: late data re-dates the session start only within " +
+      "one gap; an out-of-gap stray never re-dates the day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dayMin(d: Long, m: Long) = ts(d * 1440 + m)
+    val input = MemoryStream[Event]
+    val q = EventStreams.closedSessions(input.toDS())
+      .writeStream.format("memory").queryName("closed_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: open session starts day 10, 12:00
+      input.addData(Event(1, dayMin(10, 720), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: late 11:45 same day (within gap BEFORE the start — the
+      // batch view re-dates the start); and a stray from day 3 (out of
+      // gap — merges into the open session without re-dating it)
+      input.addData(
+        Event(2, dayMin(10, 705), 1, "view", 1.0),
+        Event(3, dayMin(3, 0), 1, "view", 1.0))
+      q.processAllAvailable()
+      // close the session with a >30-min-later event, then drain: the
+      // emitted ClosedSession must carry day 10 (not day 3) and all 3
+      // merged events
+      input.addData(Event(4, dayMin(10, 800), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("closed_late").collect()
+        .map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_ev"),
+          r.getAs[Long]("day_ord")))
+      assert(out.toSeq == Seq((1L, 3L, 10L)),
+        s"closed session mis-dated or mis-counted: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("dedupedStream drops repeated event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
