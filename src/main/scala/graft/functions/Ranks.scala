@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   * the corpus — ≤ ~4k cells keeps the triangular histogram join under
   * 16M metadata pairs while giving 4k-way rank parallelism).
   *
+  * The family: [[withGlobalRank]] (row_number), [[withExclusivePrefix]]
+  * / [[withExclusivePrefixMax]] (running SUM / MAX — any associative
+  * fold decomposes the same way), [[withNtile]] (arithmetic NTILE from
+  * a rank), and the `withBucketed*` wrappers that derive the cell from
+  * a broadcast [min, max] span probe so call sites never hand-spell the
+  * monotonicity-critical bucket formula. `spark.graft.validateRankCells
+  * = true` adds an eager debug check of the monotone-cell contract.
   * The same trick powers curriculum_order / sequence_pack (Sampling
   * .scala); this is the shared, reusable form. Reference analog: the
   * course pipelines rank in pandas on one node

@@ -173,6 +173,24 @@ class RanksSpec extends SparkSpec {
     assert(eOrd.getMessage.contains("order"))
   }
 
+  test("production Ranks call sites pass the monotone-cell validation") {
+    // run representative operators (sum asc, max asc, desc bases, rank
+    // cells) with the debug validation ON — a mis-derived bucket formula
+    // at any site fails HERE, not as a wrong rank in production
+    spark.conf.set("spark.graft.validateRankCells", "true")
+    try {
+      Seq(
+        "gini_concentration" -> operators.StatTests.giniConcentration(spark, sfDir),
+        "skyline_2d" -> operators.RelationalExt.skyline2d(spark, sfDir),
+        "curriculum_order" -> operators.Sampling.curriculumOrder(spark, sfDir),
+        "quantile_normalize" -> operators.Retrieval.quantileNormalize(spark, sfDir),
+        "rfm_segmentation" -> operators.EventOps.rfmSegmentation(spark, sfDir)
+      ).foreach { case (name, df) =>
+        assert(df.count() > 0, s"$name under validation")
+      }
+    } finally spark.conf.unset("spark.graft.validateRankCells")
+  }
+
   test("spark.graft.validateRankCells catches a non-monotone cell") {
     spark.conf.set("spark.graft.validateRankCells", "true")
     try {
