@@ -42,10 +42,18 @@ object Tables {
     * files — the conf only applies to NANOS-precision parquet columns.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    ensureNanosReadable(spark)
+    normalizeEventTs(load(spark, dir, "events"))
+  }
+
+  /** The defensive set-if-unset described above, shared with every other
+    * entry point that touches the events parquet directly (the streaming
+    * reader's schema probe fails the same way batch reads would).
+    */
+  private[graft] def ensureNanosReadable(spark: SparkSession): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.getOption(key).forall(_ != "true"))
       spark.conf.set(key, "true")
-    normalizeEventTs(load(spark, dir, "events"))
   }
 
   /** Normalize an events frame's `ts` to the repo-wide epoch-nanos

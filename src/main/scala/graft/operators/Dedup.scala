@@ -207,16 +207,22 @@ object Dedup {
     * form; same band→candidate→verify shape).
     */
   private[graft] def minhashPairsDf(documents: DataFrame): DataFrame = {
-    val bands = lshBandsDf(documents).persist()
+    // eager checkpoint, NOT persist: both frames are read twice inside
+    // this one plan, but a persist() here would outlive the call — the
+    // rolling ingestion (StreamingCuration.ingestBatch) builds a fresh
+    // pairs frame EVERY micro-batch, and CacheManager holds persisted
+    // plans by strong reference, so a long-running stream would
+    // accumulate cached frames without bound. Checkpoint blocks are
+    // GC-freed once the returned frame is unreachable.
+    val bands = graft.functions.Iterate.checkpoint(lshBandsDf(documents))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band_key") === col("b.band_key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val docs = documents
+    val docs = graft.functions.Iterate.checkpoint(documents
       .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .persist()
+      .withColumn("sz", size(col("sh"))))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
         col("sz").as("sza")), Seq("doc_a"))

@@ -187,11 +187,15 @@ object CurationPipeline {
     * set, never the whole corpus).
     */
   def probeLshIndex(spark: SparkSession, indexPath: String,
-      corpusDocs: DataFrame, batch: DataFrame): DataFrame = {
+      corpusDocs: DataFrame, batch: DataFrame,
+      precomputedBands: Option[DataFrame] = None): DataFrame = {
     import graft.functions.TextOps
     val index = spark.read.parquet(indexPath)
       .select(col("doc_id").as("indexed_doc"), col("band_key"))
-    val batchBands = Dedup.lshBandsDf(batch)
+    // callers that already banded the batch (the rolling ingestion bands
+    // once per micro-batch) pass the frame in; re-banding here would
+    // re-run the shingle+minhash expressions over the full batch text
+    val batchBands = precomputedBands.getOrElse(Dedup.lshBandsDf(batch))
       .select(col("doc_id").as("new_doc"), col("band_key"))
     val cand = index.join(broadcast(batchBands), Seq("band_key"))
       .select(col("indexed_doc"), col("new_doc")).distinct()

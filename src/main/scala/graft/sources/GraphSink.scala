@@ -134,6 +134,9 @@ object GraphSink {
     val statements =
       indexes.map { case (l, p) => indexStatement(l, p) } ++
         units.map { case (u, _) => s"// table: ${u.table}\n${u.statement}" }
+    // an index-only load (no units) writes no payload dirs, so nothing
+    // has created outDir yet — the manifest write must not assume it
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val path = java.nio.file.Paths.get(outDir, "statements.cypher")
     java.nio.file.Files.writeString(path,
       statements.mkString("", ";\n\n", ";\n"))

@@ -312,8 +312,17 @@ object Ingest {
         col("source"))
       .unionByName(v1.filter(col("doc_id") % 17 === 7)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+    // per-field hashes with explicit null flags, then one hash over the
+    // fixed-length parts: a raw delimiter join (md5(text || '|' ||
+    // source)) aliases distinct rows whenever the data contains the
+    // delimiter (text 'a|b'/source 'c' vs 'a'/'b|c'), and silently
+    // skips NULL fields — both real hazards on real snapshots
+    def fieldDigest(c: org.apache.spark.sql.Column) =
+      concat(when(c.isNull, lit("n")).otherwise(lit("v")),
+        md5(coalesce(c, lit(""))))
     def digest(df: DataFrame, h: String) =
-      df.select(col("doc_id"), md5(concat_ws("|", col("text"), col("source"))).as(h))
+      df.select(col("doc_id"),
+        md5(concat(fieldDigest(col("text")), fieldDigest(col("source")))).as(h))
     digest(v1, "h1").join(digest(v2, "h2"), Seq("doc_id"), "full_outer")
       .filter(col("h1").isNull || col("h2").isNull || col("h1") =!= col("h2"))
       .select(col("doc_id"),
@@ -331,8 +340,14 @@ object Ingest {
       FROM v1 WHERE doc_id % 17 <> 3
       UNION ALL
       SELECT doc_id + 1000000, text, source FROM v1 WHERE doc_id % 17 = 7),
-    h1 AS (SELECT doc_id, MD5(text || '|' || source) AS h FROM v1),
-    h2 AS (SELECT doc_id, MD5(text || '|' || source) AS h FROM v2)
+    h1 AS (SELECT doc_id, MD5(
+      CASE WHEN text IS NULL THEN 'n' ELSE 'v' END || MD5(COALESCE(text, ''))
+      || CASE WHEN source IS NULL THEN 'n' ELSE 'v' END
+      || MD5(COALESCE(source, ''))) AS h FROM v1),
+    h2 AS (SELECT doc_id, MD5(
+      CASE WHEN text IS NULL THEN 'n' ELSE 'v' END || MD5(COALESCE(text, ''))
+      || CASE WHEN source IS NULL THEN 'n' ELSE 'v' END
+      || MD5(COALESCE(source, ''))) AS h FROM v2)
     SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id,
       CASE WHEN h1.h IS NULL THEN 'added'
            WHEN h2.h IS NULL THEN 'removed'

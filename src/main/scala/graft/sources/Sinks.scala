@@ -74,38 +74,68 @@ object Sinks {
         .groupBy(keys.map(col): _*)
         .agg(max(struct(nonKey.map(col): _*)).as("_r"))
         .select(keys.map(col) ++ nonKey.map(c => col(s"_r.$c").as(c)): _*)
-    val target = new java.io.File(path)
+    recoverSwap(spark, path)
+    val (fs, target) = fsFor(spark, path)
     val merged =
-      if (target.exists())
+      if (fs.exists(target))
         spark.read.parquet(path).join(batch, keys, "left_anti")
           .unionByName(batch)
       else batch
     commitSwap(merged, path)
   }
 
+  /** The table path on its OWN filesystem — local disk here, HDFS/S3 on
+    * a cluster. Existence probes and the commit renames must hit the
+    * same store Spark's writers do; `java.io.File` would silently probe
+    * the driver's local disk against a remote defaultFS.
+    */
+  private def fsFor(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Recover from a commitSwap interrupted between its two renames: that
+    * crash window leaves the ONLY full copy at `<path>.old` with the
+    * target missing, and without recovery the next upsert would treat
+    * the table as empty, merge nothing, and delete the survivor — a
+    * silent loss of the whole table. Every mutator calls this first:
+    * `.old` without a live target is restored by rename; `.old` beside
+    * a live target is garbage from a crash after the second rename and
+    * is deleted.
+    */
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val (fs, target) = fsFor(spark, path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(old)) {
+      if (!fs.exists(target)) {
+        if (!fs.rename(old, target))
+          throw new java.io.IOException(
+            s"cannot recover interrupted swap: $old -> $target")
+      } else fs.delete(old, true): Unit
+    }
+  }
+
   /** Stage `merged` beside `path`, then swap it in with filesystem
     * renames: the old table vanishes only after the new one is fully on
     * disk, readers never observe a half-written table, and Spark's
     * cannot-overwrite-a-path-being-read restriction never triggers. (On
-    * HDFS/S3 this is the same two-rename commit pattern
-    * FileOutputCommitter v1 uses.)
+    * HDFS this is the same rename-commit pattern FileOutputCommitter v1
+    * uses; the crash window between the two renames is covered by
+    * [[recoverSwap]] on the next mutation.)
     */
   private def commitSwap(merged: DataFrame, path: String): Unit = {
-    val target = new java.io.File(path)
-    val staging = path + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val old = new java.io.File(path + ".old")
-    deleteRecursively(old)
-    if (target.exists() && !target.renameTo(old))
+    val spark = merged.sparkSession
+    val (fs, target) = fsFor(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"cannot stage out old table at $path")
-    if (!new java.io.File(staging).renameTo(target))
+    if (!fs.rename(staging, target))
       throw new java.io.IOException(s"cannot commit staged table at $staging")
-    deleteRecursively(old)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    if (f.exists()) f.delete(): Unit
+    fs.delete(old, true): Unit
   }
 
   /** SCD2 MERGE into a parquet dimension — the versioned twin of
@@ -147,7 +177,9 @@ object Sinks {
         lit(batchTs).as("valid_from") :+
         lit(openEnd).as("valid_to") :+
         lit(true).as("is_current"): _*)
-    if (!new java.io.File(path).exists()) { commitSwap(fresh, path); return }
+    recoverSwap(spark, path)
+    val (tfs, tpath) = fsFor(spark, path)
+    if (!tfs.exists(tpath)) { commitSwap(fresh, path); return }
 
     val target = spark.read.parquet(path)
     val current = target.filter(col("is_current"))
@@ -189,13 +221,15 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20): Int = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, path)
+    val (fs, hPath) = fsFor(spark, path)
     val bytes = fs.getContentSummary(hPath).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
     val merged =
-      if (parts < df.rdd.getNumPartitions) df.coalesce(parts)
+      // <= : the equal-partitions case is a shuffle-free rewrite too —
+      // repartition would hash every row for the same file count
+      if (parts <= df.rdd.getNumPartitions) df.coalesce(parts)
       else df.repartition(parts)
     commitSwap(merged, path)
     parts

@@ -301,6 +301,9 @@ object EventStreams {
     * read.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // same defensive conf as Tables.events: a session built outside
+    // this library must still be able to read nanos-precision files
+    graft.Tables.ensureNanosReadable(spark)
     // the SF layout stores each table as one FILE — the file-stream
     // source wants a directory, so stream the dir with a glob filter
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

@@ -133,11 +133,17 @@ object StreamingCuration {
       .select(col("doc_b").as("doc_id")).distinct()
     val batchClean = fresh.join(batchLosers, Seq("doc_id"), "left_anti")
       .persist()
+    // the cleaned batch's band keys, computed AT MOST ONCE per
+    // micro-batch (lazy eager-checkpoint): the key-collision probe, the
+    // index probe, and the step-5 index append all read this frame —
+    // re-banding at each site would re-run the shingle+minhash
+    // expressions over the full batch text three times
+    lazy val cleanBands = graft.functions.Iterate.checkpoint(
+      Dedup.lshBandsDf(batchClean))
     val survivors =
       if (!hasIndex) batchClean
       else {
-        val batchKeys = Dedup.lshBandsDf(batchClean)
-          .select(col("band_key")).distinct()
+        val batchKeys = cleanBands.select(col("band_key")).distinct()
         val candIdFrame = spark.read.parquet(indexPath)
           .join(broadcast(batchKeys), Seq("band_key"))
           .select(col("doc_id")).distinct()
@@ -154,7 +160,8 @@ object StreamingCuration {
                 .filter(col("doc_id").isin(capped.toSeq: _*))
             else candidateDocs(spark, corpusPath, candIdFrame)
           val nearDups = CurationPipeline
-            .probeLshIndex(spark, indexPath, candDocs, batchClean)
+            .probeLshIndex(spark, indexPath, candDocs, batchClean,
+              Some(cleanBands))
             .select(col("new_doc").as("doc_id")).distinct()
           batchClean.join(nearDups, Seq("doc_id"), "left_anti")
         }
@@ -166,7 +173,10 @@ object StreamingCuration {
     val n = out.count()
     if (n > 0) {
       out.write.mode("append").parquet(corpusPath)
-      Dedup.lshBandsDf(out).write.mode("append").parquet(indexPath)
+      // survivors ⊆ batchClean, so their band rows are a semi-join of
+      // the already-banded frame — never a third banding pass
+      cleanBands.join(out.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(indexPath)
       out.select(md5(col("text")).as("content_hash"))
         .write.mode("append").parquet(hashesPath(corpusPath))
     }

@@ -61,6 +61,37 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(path + ".old").exists())
   }
 
+  test("upsertParquet recovers a table stranded by an interrupted swap — " +
+      "never silently losing the accumulated table") {
+    val dir = Files.createTempDirectory("graft_swap").toString
+    val path = s"$dir/tbl"
+    import spark.implicits._
+    Sinks.upsertParquet(Seq((1, "a"), (2, "b")).toDF("k", "v"), path, Seq("k"))
+    // crash window B: target→.old done, staging→target never happened —
+    // the ONLY full copy now lives at <path>.old
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    assert(!new java.io.File(path).exists())
+    // the next upsert must restore the survivor and merge INTO it (the
+    // unrecovered behavior treated the table as empty and deleted .old)
+    Sinks.upsertParquet(Seq((3, "c")).toDF("k", "v"), path, Seq("k"))
+    val after = Sinks.readParquet(spark, path).orderBy("k")
+      .as[(Int, String)].collect().toSeq
+    assert(after == Seq((1, "a"), (2, "b"), (3, "c")),
+      s"accumulated rows lost across the interrupted swap: $after")
+    assert(!new java.io.File(path + ".old").exists())
+    // crash window C: both target and a stale .old exist — the stale
+    // copy is garbage and must be cleared without touching the table
+    val stale = new java.io.File(path + ".old"); stale.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stale, "junk").toPath, "junk")
+    Sinks.upsertParquet(Seq((4, "d")).toDF("k", "v"), path, Seq("k"))
+    val after2 = Sinks.readParquet(spark, path).orderBy("k")
+      .as[(Int, String)].collect().toSeq
+    assert(after2 == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    assert(!new java.io.File(path + ".old").exists(),
+      "stale .old must be cleared on the next mutation")
+  }
+
   test("upsertScd2: changed attrs version, unchanged rows never churn, history survives") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
