@@ -18,25 +18,34 @@ import org.apache.spark.sql.functions._
   *      along the global sort order (a value prefix, a range bucket from
   *      broadcast min/max — anything whose boundaries respect the order);
   *   2. a per-cell histogram (bounded, dimension-scale) whose exclusive
-  *      prefix sums give each cell its serial BASE — computed via a
+  *      prefix folds give each cell its serial BASE — computed via a
   *      triangular join over the histogram rather than a window, so even
   *      the metadata pass carries no unpartitioned WindowExec;
-  *   3. a within-cell `row_number` PARTITIONED by cell.
+  *   3. a within-cell window PARTITIONED by cell.
   *
-  * global rank = base + local rank, identical to the global window
-  * because partition boundaries cannot change a prefix count. Parallelism
-  * scales with the data (a hot cell bounds one partition; callers choose
-  * cells wide enough to stay dimension-scale and narrow enough to spread
-  * the corpus — ≤ ~4k cells keeps the triangular histogram join under
-  * 16M metadata pairs while giving 4k-way rank parallelism).
+  * global result = base ⊕ local fold, identical to the global window
+  * because partition boundaries cannot change a prefix fold of an
+  * associative operation. Parallelism scales with the data (a hot cell
+  * bounds one partition; callers choose cells wide enough to stay
+  * dimension-scale and narrow enough to spread the corpus — ≤ ~4k cells
+  * keeps the triangular histogram join under 16M metadata pairs while
+  * giving 4k-way rank parallelism).
   *
   * The family: [[withGlobalRank]] (row_number), [[withExclusivePrefix]]
   * / [[withExclusivePrefixMax]] (running SUM / MAX — any associative
-  * fold decomposes the same way), [[withNtile]] (arithmetic NTILE from
-  * a rank), and the `withBucketed*` wrappers that derive the cell from
-  * a broadcast [min, max] span probe so call sites never hand-spell the
-  * monotonicity-critical bucket formula. `spark.graft.validateRankCells
-  * = true` adds an eager debug check of the monotone-cell contract.
+  * fold decomposes the same way, and both share one private core),
+  * [[withNtile]] (arithmetic NTILE from a rank), and the `withBucketed*`
+  * wrappers that derive the cell from a broadcast [min, max] span probe
+  * so call sites never hand-spell the monotonicity-critical bucket
+  * formula. `spark.graft.validateRankCells = true` adds an eager debug
+  * check of the monotone-cell contract; a NULL cell always fails loud
+  * (it would otherwise silently drop its row at the bases join).
+  *
+  * Evaluation contract: each helper reads its input up to three times —
+  * the main branch, the cell histogram, and the histogram's triangular
+  * self-join — so callers pass CHEAP frames (aggregated cells) or
+  * checkpoint expensive lineages first, as gini/ccnet/repurchase do.
+  *
   * The same trick powers curriculum_order / sequence_pack (Sampling
   * .scala); this is the shared, reusable form. Reference analog: the
   * course pipelines rank in pandas on one node
@@ -44,6 +53,18 @@ import org.apache.spark.sql.functions._
   * must distribute.
   */
 object Ranks {
+
+  /** Tag the integer cell and make NULL cells LOUD: a NULL join key
+    * never matches, so a NULL-celled row would silently vanish from the
+    * ranked output at the bases equi-join — the one failure mode worse
+    * than a wrong rank.
+    */
+  private def tagCell(df: DataFrame, cellCol: String, cell: Column,
+      helper: String): DataFrame =
+    df.withColumn(cellCol, cell.cast("bigint"))
+      .filter(assert_true(col(cellCol).isNotNull,
+        lit(s"Ranks.$helper: cell expression evaluated to NULL — the row " +
+          "would silently drop from the ranked output")).isNull)
 
   /** Adds BIGINT column `out` = exact `row_number() OVER (ORDER BY
     * order...)` (1-based). `cell` MUST be an integer expression monotone
@@ -54,7 +75,7 @@ object Ranks {
   def withGlobalRank(df: DataFrame, out: String, cell: Column,
       order: Seq[Column]): DataFrame = {
     require(order.nonEmpty, "Ranks.withGlobalRank: order must be non-empty")
-    val tagged = df.withColumn("__gr_cell", cell.cast("bigint"))
+    val tagged = tagCell(df, "__gr_cell", cell, "withGlobalRank")
     validateMonotoneCells(tagged, "__gr_cell", order, "withGlobalRank")
     val hist = tagged.groupBy(col("__gr_cell")).agg(count(lit(1)).as("__gr_c"))
     // exclusive prefix over the bounded histogram, as a triangular join
@@ -74,91 +95,75 @@ object Ranks {
       .drop("__gr_cell", "__gr_rn", "__gr_base")
   }
 
+  /** The shared two-level exclusive fold behind the prefix SUM and MAX
+    * forms: per-cell totals via `aggFn`, cross-cell bases via `baseFold`
+    * over the triangular metadata join, a cell-PARTITIONED exclusive
+    * window of `aggFn`, and `combine(base, window)` per item. The two
+    * public variants differ ONLY in those three functions — one audited
+    * copy of the monotonicity-critical scaffolding.
+    */
+  private def exclusiveFold(df: DataFrame, cell: Column, order: Seq[Column],
+      items: Seq[(Column, String)], helper: String,
+      aggFn: Column => Column,
+      baseFold: Column => Column,
+      combine: (Column, Column) => Column): DataFrame = {
+    require(items.nonEmpty,
+      s"Ranks.$helper: must carry at least one (expr, name)")
+    require(order.nonEmpty, s"Ranks.$helper: order must be non-empty")
+    val tagged = tagCell(df, "__xf_cell", cell, helper)
+    validateMonotoneCells(tagged, "__xf_cell", order, helper)
+    val hist = tagged.groupBy(col("__xf_cell"))
+      .agg(aggFn(items.head._1).as("__xf_t0"),
+        items.tail.zipWithIndex.map { case ((e, _), i) =>
+          aggFn(e).as(s"__xf_t${i + 1}") }: _*)
+    val lower = hist.select(col("__xf_cell").as("__xf_cell_lo") +:
+      items.indices.map(i => col(s"__xf_t$i").as(s"__xf_lo$i")): _*)
+    val bases = hist
+      .join(lower, col("__xf_cell_lo") < col("__xf_cell"), "left")
+      .groupBy(col("__xf_cell"))
+      .agg(baseFold(col("__xf_lo0")).as("__xf_b0"),
+        items.indices.tail.map(i =>
+          baseFold(col(s"__xf_lo$i")).as(s"__xf_b$i")): _*)
+    val wCell = Window.partitionBy(col("__xf_cell")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val joined = tagged.join(graft.Tables.stateHint(bases), Seq("__xf_cell"))
+    val out = items.zipWithIndex.foldLeft(joined) {
+      case (d, ((e, name), i)) =>
+        d.withColumn(name, combine(col(s"__xf_b$i"), aggFn(e).over(wCell)))
+    }
+    out.drop("__xf_cell" +: items.indices.map(i => s"__xf_b$i"): _*)
+  }
+
   /** Adds exclusive-prefix-sum columns over a total order WITHOUT an
     * unpartitioned window — the [[withGlobalRank]] shape applied to
-    * running sums: per-cell totals of each summand, cell bases from the
-    * triangular metadata join, then a cell-PARTITIONED exclusive
-    * running sum. For each `(expr, name)` in `sums` the output gains
+    * running sums. For each `(expr, name)` in `sums` the output gains
     * `name` = Σ expr over all rows STRICTLY before the current one in
     * the global order (0 for the first row). Same contract as the rank
     * helper: `cell` integer and monotone non-decreasing along `order`,
     * `order` a total order.
     */
   def withExclusivePrefix(df: DataFrame, cell: Column, order: Seq[Column],
-      sums: Seq[(Column, String)]): DataFrame = {
-    require(sums.nonEmpty,
-      "Ranks.withExclusivePrefix: sums must carry at least one (expr, name)")
-    require(order.nonEmpty, "Ranks.withExclusivePrefix: order must be non-empty")
-    val tagged = df.withColumn("__px_cell", cell.cast("bigint"))
-    validateMonotoneCells(tagged, "__px_cell", order, "withExclusivePrefix")
-    val hist = tagged.groupBy(col("__px_cell"))
-      .agg(sum(sums.head._1).as("__px_t0"),
-        sums.tail.zipWithIndex.map { case ((e, _), i) =>
-          sum(e).as(s"__px_t${i + 1}") }: _*)
-    val lower = hist.select(col("__px_cell").as("__px_cell_lo") +:
-      sums.indices.map(i => col(s"__px_t$i").as(s"__px_lo$i")): _*)
-    val bases = hist
-      .join(lower, col("__px_cell_lo") < col("__px_cell"), "left")
-      .groupBy(col("__px_cell"))
-      .agg(coalesce(sum(col("__px_lo0")), lit(0L)).as("__px_b0"),
-        sums.indices.tail.map(i =>
-          coalesce(sum(col(s"__px_lo$i")), lit(0L)).as(s"__px_b$i")): _*)
-    val wCell = Window.partitionBy(col("__px_cell")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val joined = tagged.join(graft.Tables.stateHint(bases), Seq("__px_cell"))
-    val withSums = sums.zipWithIndex.foldLeft(joined) {
-      case (d, ((e, name), i)) =>
-        d.withColumn(name,
-          col(s"__px_b$i") + coalesce(sum(e).over(wCell), lit(0L)))
-    }
-    withSums.drop("__px_cell" +: sums.indices.map(i => s"__px_b$i"): _*)
-  }
+      sums: Seq[(Column, String)]): DataFrame =
+    exclusiveFold(df, cell, order, sums, "withExclusivePrefix",
+      sum(_), c => coalesce(sum(c), lit(0L)),
+      (base, win) => base + coalesce(win, lit(0L)))
 
   /** Adds exclusive-prefix-MAX columns over a total order WITHOUT an
     * unpartitioned window — [[withExclusivePrefix]] with the associative
-    * fold swapped from `+` to `max`: per-cell maxima, a cross-cell carry
-    * from the triangular metadata join, then a cell-PARTITIONED
-    * exclusive running max. For each `(expr, name)` in `maxes` the
-    * output gains `name` = MAX expr over all rows STRICTLY before the
-    * current one in the global order — NULL (not a sentinel) for the
-    * first row, exactly like `max(e) OVER (... ROWS UNBOUNDED PRECEDING
-    * TO 1 PRECEDING)`. Same contract: `cell` integer and monotone
-    * non-decreasing along `order`, `order` a total order. This is the
-    * skyline/frontier primitive (skyline_2d's "best strictly-cheaper
-    * size" test).
+    * fold swapped from `+` to `max`. For each `(expr, name)` in `maxes`
+    * the output gains `name` = MAX expr over all rows STRICTLY before
+    * the current one in the global order — NULL (not a sentinel) for
+    * the first row, exactly like `max(e) OVER (... ROWS UNBOUNDED
+    * PRECEDING TO 1 PRECEDING)`; greatest() skips NULLs, so carry-NULL
+    * (no lower cell) and frame-NULL (first row of its cell) combine
+    * exactly like the single-window max over a possibly-empty frame.
+    * This is the skyline/frontier primitive (skyline_2d's "best
+    * strictly-cheaper size" test).
     */
   def withExclusivePrefixMax(df: DataFrame, cell: Column, order: Seq[Column],
-      maxes: Seq[(Column, String)]): DataFrame = {
-    require(maxes.nonEmpty,
-      "Ranks.withExclusivePrefixMax: maxes must carry at least one (expr, name)")
-    require(order.nonEmpty,
-      "Ranks.withExclusivePrefixMax: order must be non-empty")
-    val tagged = df.withColumn("__pm_cell", cell.cast("bigint"))
-    validateMonotoneCells(tagged, "__pm_cell", order, "withExclusivePrefixMax")
-    val hist = tagged.groupBy(col("__pm_cell"))
-      .agg(max(maxes.head._1).as("__pm_t0"),
-        maxes.tail.zipWithIndex.map { case ((e, _), i) =>
-          max(e).as(s"__pm_t${i + 1}") }: _*)
-    val lower = hist.select(col("__pm_cell").as("__pm_cell_lo") +:
-      maxes.indices.map(i => col(s"__pm_t$i").as(s"__pm_lo$i")): _*)
-    val bases = hist
-      .join(lower, col("__pm_cell_lo") < col("__pm_cell"), "left")
-      .groupBy(col("__pm_cell"))
-      .agg(max(col("__pm_lo0")).as("__pm_b0"),
-        maxes.indices.tail.map(i =>
-          max(col(s"__pm_lo$i")).as(s"__pm_b$i")): _*)
-    val wCell = Window.partitionBy(col("__pm_cell")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val joined = tagged.join(graft.Tables.stateHint(bases), Seq("__pm_cell"))
-    // greatest() skips NULLs, so carry-NULL (no lower cell) and
-    // frame-NULL (first row of its cell) combine exactly like the
-    // single-window max over a possibly-empty frame.
-    val withMaxes = maxes.zipWithIndex.foldLeft(joined) {
-      case (d, ((e, name), i)) =>
-        d.withColumn(name, greatest(col(s"__pm_b$i"), max(e).over(wCell)))
-    }
-    withMaxes.drop("__pm_cell" +: maxes.indices.map(i => s"__pm_b$i"): _*)
-  }
+      maxes: Seq[(Column, String)]): DataFrame =
+    exclusiveFold(df, cell, order, maxes, "withExclusivePrefixMax",
+      max(_), max(_), (base, win) => greatest(base, win))
 
   /** Shared span-probe bucketing behind the `withBucketed*` forms: tags
     * the BIGINT value, probes its broadcastable [min, max] span over
@@ -166,7 +171,11 @@ object Ranks {
     * descending orders so the cell stays monotone ALONG the order. The
     * monotonicity-critical formula lives HERE, once, instead of being
     * re-spelled at every call site (where a hand-copied desc inversion
-    * or an off-by-one denominator would silently mis-rank).
+    * or an off-by-one denominator would silently mis-rank). The cell is
+    * computed WIDTH-FIRST — `(v − lo) div (span div buckets + 1)` — so
+    * the offset is never multiplied: the multiply-first spelling
+    * `((v − lo) · buckets) div (span + 1)` wraps past 2^63 for spans
+    * over ~2^51 (hash-derived keys), silently breaking monotonicity.
     */
   private def spanBucketed(df: DataFrame, value: Column, ascending: Boolean,
       buckets: Int): (DataFrame, Column, Seq[Column]) = {
@@ -175,11 +184,10 @@ object Ranks {
     val span = tagged0.agg(min(col("__sb_v")).as("__sb_lo"),
       max(col("__sb_v")).as("__sb_hi"))
     val tagged = tagged0.crossJoin(broadcast(span))
+    val width = s"((__sb_hi - __sb_lo) div $buckets + 1)"
     val cell =
-      if (ascending)
-        expr(s"((__sb_v - __sb_lo) * $buckets) div (__sb_hi - __sb_lo + 1)")
-      else
-        expr(s"((__sb_hi - __sb_v) * $buckets) div (__sb_hi - __sb_lo + 1)")
+      if (ascending) expr(s"(__sb_v - __sb_lo) div $width")
+      else expr(s"(__sb_hi - __sb_v) div $width")
     (tagged,
       cell,
       Seq(if (ascending) col("__sb_v").asc else col("__sb_v").desc))
@@ -215,10 +223,14 @@ object Ranks {
     * caller's cell is NOT monotone along the order, so under the conf
     * each call eagerly verifies that adjacent cells' order-key ranges
     * do not overlap (pairwise-adjacent suffices by transitivity of
-    * `max(cell i) ≤ min(cell i+1)`). The metadata frame here is the
-    * bounded cell histogram, so the debug window is dimension-scale;
-    * mixed-direction orders are skipped (no current call site uses
-    * one). Costs one extra aggregate per call — debug only.
+    * `max(cell i) ≤ min(cell i+1)`). Uniform-direction orders validate
+    * on the full order tuple; MIXED directions (user_concentration's
+    * `n desc, user_id asc`) fall back to the LEADING key alone — sound
+    * whenever the cell is a function of the leading sort key, which
+    * every such call site is, and boundary ties stay allowed. The
+    * metadata frame here is the bounded cell histogram, so the debug
+    * window is dimension-scale. Costs one extra aggregate per call —
+    * debug only.
     */
   private def validateMonotoneCells(tagged: DataFrame, cellCol: String,
       order: Seq[Column], helper: String): Unit = {
@@ -230,13 +242,14 @@ object Ranks {
       case s: SortOrder => s
       case e => SortOrder(e, Ascending)
     })
-    if (sos.map(_.direction).distinct.size != 1) return
-    val key = struct(sos.map(s => GraftBridge.column(s.child)): _*)
+    val checked =
+      if (sos.map(_.direction).distinct.size == 1) sos else sos.take(1)
+    val key = struct(checked.map(s => GraftBridge.column(s.child)): _*)
     val ranges = tagged.groupBy(col(cellCol))
       .agg(min(key).as("__vr_lo"), max(key).as("__vr_hi"))
     val wAdj = Window.orderBy(col(cellCol).asc)
     val bad =
-      if (sos.head.direction == Ascending)
+      if (checked.head.direction == Ascending)
         ranges.withColumn("__vr_prev", lag(col("__vr_hi"), 1).over(wAdj))
           .filter(col("__vr_prev").isNotNull && col("__vr_prev") > col("__vr_lo"))
       else
