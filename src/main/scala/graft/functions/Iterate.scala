@@ -16,12 +16,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Iterate {
 
   /** Eagerly checkpoint: reliable if a checkpoint dir is set, local
-    * otherwise.
+    * otherwise. Scans the pre-materialization plan for unpartitioned
+    * Windows ([[PlanGuard]]) — a checkpoint boundary would otherwise
+    * hide a single-reducer sort from the registry-wide PlanSpec scan;
+    * sites whose window input is provably bounded declare it via the
+    * two-arg overload.
     */
-  def checkpoint(df: DataFrame): DataFrame =
+  def checkpoint(df: DataFrame): DataFrame = checkpoint(df, None)
+
+  /** [[checkpoint]] with a declared-bounded unpartitioned window —
+    * `allowWindow` is the greppable justification (see [[PlanGuard]]).
+    */
+  def checkpoint(df: DataFrame, allowWindow: Option[String]): DataFrame = {
+    PlanGuard.assertNoUnpartitionedWindow(df, "Iterate.checkpoint", allowWindow)
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+  }
 
   /** Partition count for per-round loop STATE (edge lists, label/rank
     * vectors) — derived from the session's shuffle parallelism, never a

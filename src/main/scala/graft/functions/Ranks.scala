@@ -41,6 +41,15 @@ import org.apache.spark.sql.functions._
   * check of the monotone-cell contract; a NULL cell always fails loud
   * (it would otherwise silently drop its row at the bases join).
   *
+  * The ≤4k-cell discipline is ENFORCED, not advisory: the triangular
+  * histogram join is O(cells²) metadata pairs, so a hand-built cell
+  * with corpus-proportional cardinality would silently turn the
+  * metadata pass into the bottleneck. `spark.graft.maxRankCells`
+  * (default 4096) caps it — statically for the `withBucketed*` forms
+  * (the bucket count is known at plan time) and via a plan-embedded
+  * assert on the triangular pair count for hand-built cells, which
+  * fails the job loud the moment the histogram exceeds the cap.
+  *
   * Evaluation contract: each helper reads its input up to three times —
   * the main branch, the cell histogram, and the histogram's triangular
   * self-join — so callers pass CHEAP frames (aggregated cells) or
@@ -53,6 +62,26 @@ import org.apache.spark.sql.functions._
   * must distribute.
   */
 object Ranks {
+
+  /** The enforced ceiling on cell cardinality (see object doc). */
+  private def cellCap(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.graft.maxRankCells", "4096").toInt
+
+  /** Plan-embedded cap check for HAND-BUILT cells: the per-cell row
+    * count of the triangular left join is max(1, #strictly-lower
+    * cells), so its maximum over cells is exactly n_cells − 1 — a cap
+    * on that count IS a cap on the histogram cardinality, checked with
+    * zero extra jobs and zero extra input reads (the count rides the
+    * bases aggregate the join produces anyway).
+    */
+  private def capPairs(bases: DataFrame, pairCol: String, helper: String,
+      cap: Int): DataFrame =
+    bases.filter(assert_true(col(pairCol) <= lit(cap.toLong - 1L),
+        lit(s"Ranks.$helper: cell histogram exceeds " +
+          s"spark.graft.maxRankCells=$cap — the triangular metadata join " +
+          "is O(cells^2); widen the cells (or raise the conf) so the " +
+          "histogram stays dimension-scale")).isNull)
+      .drop(pairCol)
 
   /** Tag the integer cell and make NULL cells LOUD: a NULL join key
     * never matches, so a NULL-celled row would silently vanish from the
@@ -83,10 +112,12 @@ object Ranks {
     // with an empty partition spec anywhere in the plan
     val lower = hist.select(col("__gr_cell").as("__gr_cell_lo"),
       col("__gr_c").as("__gr_c_lo"))
-    val bases = hist
+    val bases = capPairs(hist
       .join(lower, col("__gr_cell_lo") < col("__gr_cell"), "left")
       .groupBy(col("__gr_cell"))
-      .agg(coalesce(sum(col("__gr_c_lo")), lit(0L)).as("__gr_base"))
+      .agg(coalesce(sum(col("__gr_c_lo")), lit(0L)).as("__gr_base"),
+        count(lit(1)).as("__gr_np")),
+      "__gr_np", "withGlobalRank", cellCap(df))
     val wCell = Window.partitionBy(col("__gr_cell")).orderBy(order: _*)
     tagged
       .withColumn("__gr_rn", row_number().over(wCell).cast("long"))
@@ -118,12 +149,14 @@ object Ranks {
           aggFn(e).as(s"__xf_t${i + 1}") }: _*)
     val lower = hist.select(col("__xf_cell").as("__xf_cell_lo") +:
       items.indices.map(i => col(s"__xf_t$i").as(s"__xf_lo$i")): _*)
-    val bases = hist
+    val bases = capPairs(hist
       .join(lower, col("__xf_cell_lo") < col("__xf_cell"), "left")
       .groupBy(col("__xf_cell"))
       .agg(baseFold(col("__xf_lo0")).as("__xf_b0"),
         items.indices.tail.map(i =>
-          baseFold(col(s"__xf_lo$i")).as(s"__xf_b$i")): _*)
+          baseFold(col(s"__xf_lo$i")).as(s"__xf_b$i"))
+          :+ count(lit(1)).as("__xf_np"): _*),
+      "__xf_np", helper, cellCap(df))
     val wCell = Window.partitionBy(col("__xf_cell")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val joined = tagged.join(graft.Tables.stateHint(bases), Seq("__xf_cell"))
@@ -180,6 +213,11 @@ object Ranks {
   private def spanBucketed(df: DataFrame, value: Column, ascending: Boolean,
       buckets: Int): (DataFrame, Column, Seq[Column]) = {
     require(buckets > 0, s"Ranks: buckets must be positive, got $buckets")
+    val cap = cellCap(df)
+    require(buckets <= cap,
+      s"Ranks: buckets=$buckets exceeds spark.graft.maxRankCells=$cap — " +
+        "the triangular metadata join is O(cells^2); keep the bucket " +
+        "count dimension-scale (or raise the conf)")
     val tagged0 = df.withColumn("__sb_v", value.cast("bigint"))
     val span = tagged0.agg(min(col("__sb_v")).as("__sb_lo"),
       max(col("__sb_v")).as("__sb_hi"))
@@ -225,9 +263,12 @@ object Ranks {
     * do not overlap (pairwise-adjacent suffices by transitivity of
     * `max(cell i) ≤ min(cell i+1)`). Uniform-direction orders validate
     * on the full order tuple; MIXED directions (user_concentration's
-    * `n desc, user_id asc`) fall back to the LEADING key alone — sound
-    * whenever the cell is a function of the leading sort key, which
-    * every such call site is, and boundary ties stay allowed. The
+    * `n desc, user_id asc`) fall back to the longest UNIFORM-DIRECTION
+    * PREFIX of the tuple — sound whenever the cell is a function of
+    * those prefix keys (every such call site derives its cell from the
+    * leading key), and the failure message names the unchecked suffix
+    * so a pass never reads as full-tuple coverage. Boundary ties stay
+    * allowed. The
     * metadata frame here is the bounded cell histogram, so the debug
     * window is dimension-scale. Costs one extra aggregate per call —
     * debug only.
@@ -242,8 +283,7 @@ object Ranks {
       case s: SortOrder => s
       case e => SortOrder(e, Ascending)
     })
-    val checked =
-      if (sos.map(_.direction).distinct.size == 1) sos else sos.take(1)
+    val checked = sos.takeWhile(_.direction == sos.head.direction)
     val key = struct(checked.map(s => GraftBridge.column(s.child)): _*)
     val ranges = tagged.groupBy(col(cellCol))
       .agg(min(key).as("__vr_lo"), max(key).as("__vr_hi"))
@@ -256,9 +296,13 @@ object Ranks {
         ranges.withColumn("__vr_prev", lag(col("__vr_lo"), 1).over(wAdj))
           .filter(col("__vr_prev").isNotNull && col("__vr_prev") < col("__vr_hi"))
     val n = bad.count()
+    val scope = if (checked.size == sos.size) "" else
+      s" (mixed-direction order: only the leading ${checked.size} " +
+        s"uniform-direction key(s) of ${sos.size} were validated — a cell " +
+        "derived from a later key is outside this check's coverage)"
     require(n == 0, s"Ranks.$helper: cell is not monotone along the order — " +
       s"$n adjacent cell pair(s) have overlapping order-key ranges; " +
-      "ranks/prefixes computed from this cell would be wrong")
+      s"ranks/prefixes computed from this cell would be wrong$scope")
   }
 
   /** Adds BIGINT column `out` = exact `NTILE(k) OVER (ORDER BY ...)`

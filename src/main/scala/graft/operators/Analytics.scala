@@ -493,8 +493,8 @@ object Analytics {
     val raw = collabPairs(spark, dir)
       .filter(col("collab_count") >= StrongEdgeThreshold)
       .select(col("supp_a").as("lo"), col("supp_b").as("hi"))
-      .persist()
-    val capped = dropHubs(raw, MaxWedgeDegree).persist()
+      .transform(graft.functions.PlanGuard.persist(_))
+    val capped = dropHubs(raw, MaxWedgeDegree).transform(graft.functions.PlanGuard.persist(_))
     capped.count()
     raw.unpersist()
     capped

@@ -113,7 +113,9 @@ object Clustering {
     */
   private[graft] def finalCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    var cents = seedCentroids(e, deriveK(e)).transform(graft.functions.Iterate.checkpoint)
+    var cents = seedCentroids(e, deriveK(e)).transform(
+      graft.functions.Iterate.checkpoint(_,
+        Some("seed rank over the k-row post-LIMIT TakeOrdered frame")))
     for (_ <- 1 until Iters)
       cents = update(assign(e, cents)).transform(graft.functions.Iterate.checkpoint)
     cents

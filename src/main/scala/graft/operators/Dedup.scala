@@ -77,7 +77,7 @@ object Dedup {
         TextOps.sortedShingles3(col("text")).as("sh"))
       .withColumn("sz", size(col("sh")))
       .withColumn("bucket", floor(col("n_chars") / 33))
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     val a = s.select(col("doc_id").as("doc_a"), col("source"),
         col("n_chars").as("ca"), col("sh").as("sha"), col("sz").as("sza"),
         explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
@@ -323,7 +323,7 @@ object Dedup {
     * index build's problem (exactly how a rolling dedup service works).
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir).persist()
+    val bands = lshBands(spark, dir).transform(graft.functions.PlanGuard.persist(_))
     val index = bands.filter(col("doc_id") % 10 =!= 7)
       .select(col("doc_id").as("indexed_doc"), col("band_key"))
     val batch = bands.filter(col("doc_id") % 10 === 7)
@@ -390,7 +390,7 @@ object Dedup {
     val withFp = Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextOps.simhash64(TextOps.shingleHash60(col("text"))).as("simhash"))
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     val bandCols = (0 until SimBands).map { i =>
       struct(lit(i).as("band_id"),
         expr(s"(simhash >> ${i * SimBandBits}) & 65535").as("band_key"))
@@ -562,7 +562,7 @@ object Dedup {
     // Both branches (benchmark + corpus) read the same shingled frame.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     decontaminateDf(
       docs.filter(col("doc_id") >= 5),
       docs.filter(col("doc_id") < 5))
@@ -614,7 +614,7 @@ object Dedup {
   def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     val bench = docs.filter(col("doc_id") < 5)
     val benchSh = bench
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
@@ -693,7 +693,7 @@ object Dedup {
       bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     val mightContain = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.graft.BloomMightContain(
         org.apache.spark.sql.GraftBridge.expression(col("shingle")), bloom))
@@ -860,7 +860,7 @@ object Dedup {
     val sh = Tables.documents(spark, dir)
       .select(col("source"), explode(TextOps.sortedShingles3(col("text"))).as("shingle"))
       .distinct()
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
@@ -922,7 +922,7 @@ object Dedup {
       .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     val docFreq = s.select(explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_a"))

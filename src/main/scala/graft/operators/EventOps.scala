@@ -442,7 +442,7 @@ object EventOps {
       "event_type", "vc", "medc2")
     val d = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("dc2", abs(lit(2) * col("vc") - col("medc2")))
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     val mad = groupMedian2(d.select(col("event_type"), col("dc2")),
       "event_type", "dc2", "mad4")
     d.join(broadcast(mad), Seq("event_type"))
@@ -1402,8 +1402,12 @@ object EventOps {
     val byDay = Window.partitionBy(col("day_id"))
     val run = byDay.orderBy(col("t").asc, col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val dayNet = bounds.groupBy(col("day_id").as("d"))
-      .agg(sum(col("delta")).as("net"))
+    // checkpointed: the day-count frame's lineage is the full session
+    // assignment — Ranks' documented triple read would re-sessionize
+    // the events three times for a |days|-row frame.
+    val dayNet = graft.functions.Iterate.checkpoint(
+      bounds.groupBy(col("day_id").as("d"))
+        .agg(sum(col("delta")).as("net")))
     // day-count frame, but the opening balance still rides the bucketed
     // exclusive prefix (cell = 32-day epoch block — already integer and
     // monotone, no span probe needed): registry-wide invariant.

@@ -763,8 +763,13 @@ object EventScience {
     * left runs on the 10-row decile profile.
     */
   def userConcentration(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(spark, dir)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    // checkpointed (the rfm_segmentation treatment): the per-user frame
+    // is user-scale, and both the span probe and Ranks' documented
+    // triple read consume it — without materialization the events
+    // aggregate would run four times.
+    val perUser = graft.functions.Iterate.checkpoint(
+      Tables.events(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n")))
     val tot = perUser.agg(count(lit(1)).as("__n_total"),
       min(col("n")).as("__nmin"), max(col("n")).as("__nmax"))
     graft.functions.Ranks.withNtile(

@@ -47,10 +47,14 @@ object Lakehouse {
     * bucketed exclusive prefix like every other cumulative in the repo.
     */
   def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
-    val inv = Tables.lineitem(spark, dir)
-      .groupBy(to_date(col("l_shipdate")).as("day"))
-      .agg(count(lit(1)).as("n_rows"))
-      .withColumn("bytes", col("n_rows") * lit(128L))
+    // checkpointed: the inventory's lineage is a full lineitem count —
+    // Ranks' documented triple read (main branch, histogram, triangular
+    // join) would re-scan the lake three times for a ~2.5k-row frame.
+    val inv = graft.functions.Iterate.checkpoint(
+      Tables.lineitem(spark, dir)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("bytes", col("n_rows") * lit(128L)))
     // metadata-scale inventory, but the packing prefix still rides the
     // bucketed exclusive prefix (cell = calendar month — integer and
     // monotone in day): registry-wide no-unpartitioned-window invariant.

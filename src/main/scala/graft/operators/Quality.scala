@@ -36,7 +36,7 @@ object Quality {
         'extendedprice_positive', c_price) AS (rule, n_violations)""")
     // Four orphan rules anti-join the same orders key set — materialize
     // the (narrow) key frame once instead of re-scanning orders per rule.
-    val okeys = o.select(col("o_orderkey")).persist()
+    val okeys = o.select(col("o_orderkey")).transform(graft.functions.PlanGuard.persist(_))
     val orphans = rule("lineitem_orphans",
       l.join(okeys, col("l_orderkey") === col("o_orderkey"), "left_anti"))
     val dupKeys = rule("duplicate_line_keys",
@@ -47,7 +47,7 @@ object Quality {
     // The bridge feeds two rules — materialize it once. Orphan rules
     // count DISTINCT violating keys (not violating rows) so a
     // three-author orphaned publication is one violation, not three.
-    val bridge = Dwh.bridgeAuthor(spark, dir).persist()
+    val bridge = Dwh.bridgeAuthor(spark, dir).transform(graft.functions.PlanGuard.persist(_))
     val bridgeOrphans = rule("bridge_orphan_publications",
       bridge.select(col("publication_key")).distinct()
         .join(okeys, col("publication_key") === col("o_orderkey"), "left_anti"))
@@ -74,7 +74,7 @@ object Quality {
     // suite reads the STAGED dim tables the DWH pipeline already wrote;
     // re-deriving per rule is the operator-form concession, so at least
     // never derive the same dim twice).
-    val pubVersion = Dwh.dimPubVersion(spark, dir).persist()
+    val pubVersion = Dwh.dimPubVersion(spark, dir).transform(graft.functions.PlanGuard.persist(_))
     val versionDupKeys = rule("pub_version_duplicate_keys",
       pubVersion
         .groupBy(col("pid"), col("vid"))

@@ -109,7 +109,9 @@ object Quantization {
     */
   private[graft] def finalCodebook(e: DataFrame): DataFrame = {
     val subv = subvectors(e)
-    var cb = seedCodebook(e).transform(graft.functions.Iterate.checkpoint)
+    var cb = seedCodebook(e).transform(
+      graft.functions.Iterate.checkpoint(_,
+        Some("seed rank over the KSub-row post-LIMIT TakeOrdered frame")))
     for (_ <- 1 until PqIters)
       cb = update(assign(subv, cb)).transform(graft.functions.Iterate.checkpoint)
     cb

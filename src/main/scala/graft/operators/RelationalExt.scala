@@ -397,8 +397,12 @@ object RelationalExt {
       .select(col("p_partkey").cast("long").as("part_key"),
         floor(col("p_retailprice") * 100 + lit(0.5)).cast("bigint").as("price_cents"),
         col("p_size").cast("long").as("size"))
-    val cells = parts.groupBy(col("price_cents"))
-      .agg(max(col("size")).as("best_at_price"))
+    // checkpointed: the price-cell frame's lineage is a full part
+    // aggregate — Ranks' documented triple read would re-scan part
+    // three times for a |distinct prices|-row frame.
+    val cells = graft.functions.Iterate.checkpoint(
+      parts.groupBy(col("price_cents"))
+        .agg(max(col("size")).as("best_at_price")))
     val frontier = graft.functions.Ranks.withBucketedExclusivePrefixMax(
         cells, col("price_cents"), ascending = true, 1024,
         Seq(col("best_at_price") -> "best_cheaper"))

@@ -222,7 +222,8 @@ object Sampling {
       .select(col("source")).distinct()
       .withColumn("src_idx",
         row_number().over(Window.orderBy(col("source"))) - 1)
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_, allowWindow =
+        Some("source-index rank over the ≤|sources| distinct-source frame")))
     val nSrc = srcIdx.agg(count(lit(1)).cast("bigint").as("n_src"))
     val perSource = Window.partitionBy(col("source"))
       .orderBy(graft.functions.TextOps.hash24(
@@ -717,11 +718,16 @@ object Sampling {
     // still rides the bucketed exclusive prefix (cells ordered DESC —
     // best first — so the bucket key counts down from the max) to keep
     // the no-unpartitioned-window invariant registry-wide.
-    val hist = scored.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    // checkpointed: the ≤1025-row histogram's lineage is the full
+    // quality-score pass — Ranks' documented triple read would re-score
+    // the corpus three times; the total row count then folds over the
+    // materialized histogram instead of a fourth corpus pass.
+    val hist = graft.functions.Iterate.checkpoint(
+      scored.groupBy(col("cell")).agg(count(lit(1)).as("c")))
     val bases = graft.functions.Ranks.withBucketedExclusivePrefix(
         hist, col("cell"), ascending = false, 64, Seq(col("c") -> "base"))
       .select(col("cell"), col("base"))
-    val tot = scored.agg(count(lit(1)).as("n_total"))
+    val tot = hist.agg(sum(col("c")).as("n_total"))
     val wCell = Window.partitionBy(col("cell")).orderBy(col("doc_id"))
     scored
       .withColumn("rn", row_number().over(wCell).cast("bigint"))

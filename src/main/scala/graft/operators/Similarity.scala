@@ -48,7 +48,7 @@ object Similarity {
     val bands = e.select(col("vec_id"), col("label"),
         explode(array((0 until DedupBands).map(b =>
           bandBucket(col("embedding"), b)): _*)).as("bucket"))
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket")

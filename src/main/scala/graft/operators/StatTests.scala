@@ -45,9 +45,16 @@ object StatTests {
         Window.orderBy(col("n").desc, col("source").asc)))
     val tagged = docs.join(broadcast(top2), Seq("source"))
       .select(col("rank"), col("n_chars"))
-    val cells = tagged.groupBy(col("n_chars"))
-      .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2"))
+    // checkpointed: Ranks reads its input three times (main branch,
+    // histogram, triangular join — the documented contract), and this
+    // cell frame's lineage re-scans documents AND re-derives top2 on
+    // every read; materializing the length-support-bounded cells once
+    // cuts the corpus cost to a single scan.
+    val cells = graft.functions.Iterate.checkpoint(
+      tagged.groupBy(col("n_chars"))
+        .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2")),
+      Some("rank over the 2-row post-LIMIT top-2 source frame"))
     // length support is max-doc-length-bounded, but the CDFs still ride
     // the bucketed exclusive prefix — the no-unpartitioned-window
     // invariant is registry-wide (PlanSpec pins all plans).
@@ -130,7 +137,11 @@ object StatTests {
       .groupBy(col("o_custkey"))
       .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
         .as("cents"))
-    val cells = spend.groupBy(col("cents")).agg(count(lit(1)).as("nc"))
+    // checkpointed: the value cells' lineage is the full per-customer
+    // spend aggregate over orders — without materialization Ranks'
+    // documented triple read re-scans orders three times.
+    val cells = graft.functions.Iterate.checkpoint(
+      spend.groupBy(col("cents")).agg(count(lit(1)).as("nc")))
     val folded = graft.functions.Ranks.withBucketedExclusivePrefix(
         cells, col("cents"), ascending = true, 1024,
         Seq(col("nc") -> "n_before",
@@ -263,11 +274,16 @@ object StatTests {
       .orderBy(col("n").desc, col("source").asc).limit(2)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("source").asc)))
-    val cells = docs.join(broadcast(top2), Seq("source"))
-      .groupBy(col("n_chars"))
-      .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2"))
-      .withColumn("c", col("c1") + col("c2"))
+    // checkpointed for the same reason as ksStatistic's cells: Ranks'
+    // triple read would otherwise re-scan documents (and re-derive
+    // top2) three times over.
+    val cells = graft.functions.Iterate.checkpoint(
+      docs.join(broadcast(top2), Seq("source"))
+        .groupBy(col("n_chars"))
+        .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2"))
+        .withColumn("c", col("c1") + col("c2")),
+      Some("rank over the 2-row post-LIMIT top-2 source frame"))
     // same registry-wide discipline as ksStatistic: bucketed exclusive
     // prefix over the length support cells, no unpartitioned window
     val ranked = graft.functions.Ranks.withBucketedExclusivePrefix(

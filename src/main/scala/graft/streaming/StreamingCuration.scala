@@ -132,7 +132,7 @@ object StreamingCuration {
     val batchLosers = Dedup.minhashPairsDf(fresh)
       .select(col("doc_b").as("doc_id")).distinct()
     val batchClean = fresh.join(batchLosers, Seq("doc_id"), "left_anti")
-      .persist()
+      .transform(graft.functions.PlanGuard.persist(_))
     // the cleaned batch's band keys, computed AT MOST ONCE per
     // micro-batch (lazy eager-checkpoint): the key-collision probe, the
     // index probe, and the step-5 index append all read this frame —
@@ -169,7 +169,7 @@ object StreamingCuration {
 
     // 5. append survivors' rows, band keys, and content hashes; all
     // three side tables are current for the next micro-batch.
-    val out = survivors.persist()
+    val out = survivors.transform(graft.functions.PlanGuard.persist(_))
     val n = out.count()
     if (n > 0) {
       out.write.mode("append").parquet(corpusPath)

@@ -382,11 +382,14 @@ class PlanSpec extends SparkSpec {
     * invariant is asserted over EVERY registered query's optimized
     * plan, with an explicit allowlist of sites whose window input is
     * provably bounded (post-LIMIT frames, per-stratum ranks over a
-    * dimension's cardinality). Caveat: the scan sees the plan AFTER
-    * localCheckpoint/persist boundaries, so windows inside eagerly
-    * materialized sub-stages are invisible here — those stages are
-    * metadata-scale frames materialized precisely because they are
-    * small, and their operators' own specs pin their shapes.
+    * dimension's cardinality). The scan sees the plan AFTER
+    * localCheckpoint/persist boundaries — windows inside eagerly
+    * materialized sub-stages are invisible here — so the SAME invariant
+    * is enforced at the boundary itself: Iterate.checkpoint and
+    * PlanGuard.persist scan every frame's pre-materialization plan and
+    * fail loud unless the site declares its window bounded (PlanGuard
+    * .scala; guard behavior pinned below). Between the two scans no
+    * materialization can hide a single-reducer sort.
     */
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
@@ -398,9 +401,10 @@ class PlanSpec extends SparkSpec {
     // operator -> why its unpartitioned window cannot grow with the data
     // (counts are not pinned: plan-subtree duplication under self-joins
     // makes node counts an artifact of CTE materialization, not of scale)
+    // (ks_statistic / mann_whitney_auc moved off this list in r12: their
+    // 2-row top-2 rank now sits behind the checkpointed cell frame and is
+    // declared bounded at the Iterate.checkpoint site instead)
     val allow = Map(
-      "ks_statistic" -> "rank over the 2-row post-LIMIT top-2 source frame",
-      "mann_whitney_auc" -> "rank over the 2-row post-LIMIT top-2 source frame",
       "neyman_allocation" -> "largest-remainder rank over |event_type| strata",
       "rrf_fusion" -> "ranks over two ≤20-row post-LIMIT top-k frames",
       "zipf_coverage" -> "rank over the ≤1000-row post-LIMIT vocabulary head",
@@ -418,5 +422,35 @@ class PlanSpec extends SparkSpec {
     // registry (a renamed operator can't leave a stale exemption behind)
     val stale = allow.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlist entries for unknown operators: $stale")
+  }
+
+  test("checkpoint/persist boundaries cannot hide an unpartitioned Window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // the exact shape the registry scan cannot see: a single-reducer
+    // rank inside a frame about to be eagerly materialized
+    val hidden = spark.range(100).toDF("id")
+      .withColumn("r", row_number().over(Window.orderBy(col("id"))))
+    val eCp = intercept[IllegalArgumentException] {
+      functions.Iterate.checkpoint(hidden)
+    }
+    assert(eCp.getMessage.contains("unpartitioned"), eCp.getMessage)
+    val ePs = intercept[IllegalArgumentException] {
+      functions.PlanGuard.persist(hidden)
+    }
+    assert(ePs.getMessage.contains("unpartitioned"), ePs.getMessage)
+    // a site-declared bounded window passes — and the declaration is a
+    // string at the call site, greppable like the registry allowlist
+    val cp = functions.Iterate.checkpoint(hidden,
+      Some("spec: rank over a 100-row literal range"))
+    assert(cp.count() === 100)
+    val ps = functions.PlanGuard.persist(hidden,
+      Some("spec: rank over a 100-row literal range"))
+    assert(ps.count() === 100)
+    ps.unpersist()
+    // window-free frames checkpoint/persist untroubled
+    val clean = functions.PlanGuard.persist(spark.range(10).toDF("id"))
+    assert(clean.count() === 10)
+    clean.unpersist()
   }
 }

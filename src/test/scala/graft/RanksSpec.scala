@@ -173,6 +173,37 @@ class RanksSpec extends SparkSpec {
     assert(eOrd.getMessage.contains("order"))
   }
 
+  test("spark.graft.maxRankCells fails an over-wide cell count loud") {
+    spark.conf.set("spark.graft.maxRankCells", "8")
+    try {
+      // bucketed forms: the bucket count is known at plan time, so the
+      // cap is a static require — no job ever launches
+      val eStatic = intercept[IllegalArgumentException] {
+        Ranks.withBucketedExclusivePrefix(base, col("v"),
+          ascending = true, 9, Seq(col("k") -> "p"))
+      }
+      assert(eStatic.getMessage.contains("maxRankCells"), eStatic.getMessage)
+      // hand-built cells: cardinality is data-dependent, so the cap is
+      // a plan-embedded assert on the triangular pair count — the job
+      // fails loud instead of silently grinding O(cells^2)
+      val wide = spark.range(100).select(col("id").as("k"), col("id").as("v"))
+      val eRun = intercept[Exception] {
+        Ranks.withExclusivePrefix(wide, col("v"), Seq(col("v").asc),
+          Seq(col("k") -> "p")).count()
+      }
+      assert(eRun.getMessage.contains("maxRankCells"), eRun.getMessage)
+      val eRank = intercept[Exception] {
+        Ranks.withGlobalRank(wide, "r", col("v"), Seq(col("v").asc)).count()
+      }
+      assert(eRank.getMessage.contains("maxRankCells"), eRank.getMessage)
+      // at-the-cap cell counts stay fine (8 cells, cap 8)
+      val ok = Ranks.withExclusivePrefix(
+        spark.range(64).select(col("id").as("k"), (col("id") / 8).cast("bigint").as("c")),
+        col("c"), Seq(col("c").asc, col("k").asc), Seq(lit(1L) -> "p"))
+      assert(ok.count() === 64)
+    } finally spark.conf.unset("spark.graft.maxRankCells")
+  }
+
   test("production Ranks call sites pass the monotone-cell validation") {
     // run representative operators (sum asc, max asc, desc bases, rank
     // cells) with the debug validation ON — a mis-derived bucket formula
