@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming jobs over the events stream (§2.F).
   *
@@ -374,52 +374,126 @@ object EventStreams {
     t
   }
 
-  /** Streaming new-user counter — the stream twin of the batch
-    * `daily_novelty` first-touch fold: per-user state records the
-    * earliest event time seen (µs), each micro-batch's group folds over
-    * its (ts, id)-SORTED events (a bare dropDuplicates would keep the
-    * first event in PROCESSING order — partition-order-dependent; the
-    * sort makes the pick deterministic WITHIN a micro-batch, same as
-    * the MG fold), and the emitted first-touches aggregate into 1-day
-    * tumbling new-user counts (flatMapGroupsWithState in append mode
-    * composes with a downstream aggregation). State is one tiny row per
-    * DISTINCT user — identity-scale and unbounded by design: "new EVER"
-    * needs the full identity set.
+  /** Per-user novelty state, as a VERSIONED struct. The version field
+    * exists so state-meaning changes fail LOUD at restart instead of
+    * silently misreading: pre-r12 checkpoints stored a bare LongType
+    * (originally a seen-flag, then first-touch µs) — resuming one of
+    * those against this struct schema fails Spark's state-schema
+    * compatibility check immediately (a fresh checkpoint dir is
+    * required across that boundary), and any future SAME-SCHEMA
+    * semantic change must bump [[NoveltyStateVersion]] so old rows trip
+    * the version require in the fold rather than degrade corrections.
+    */
+  final case class NoveltyState(version: Int, first_us: Long)
+  private val NoveltyStateVersion = 1
+
+  /** The first-touch CHANGELOG behind [[noveltyStream]] /
+    * [[noveltyToTable]]: per-user state records the earliest event time
+    * seen (µs), each micro-batch's group folds over its (ts, id)-SORTED
+    * events (a bare dropDuplicates would keep the first event in
+    * PROCESSING order — partition-order-dependent; the sort makes the
+    * pick deterministic WITHIN a micro-batch, same as the MG fold).
+    * State is one tiny row per DISTINCT user — identity-scale and
+    * unbounded by design: "new EVER" needs the full identity set.
     *
     * Cross-batch late data IS corrected: each first-touch row carries a
     * signed `delta`, and when an event with a STRICTLY earlier event
     * time arrives in a later micro-batch the fold emits a −1 retraction
     * for the previously-reported first_ts plus a +1 for the corrected
-    * one — the downstream windowed SUM then converges to the batch
+    * one — any downstream additive consumer then converges to the batch
     * twin's counts under ANY arrival order (a replay-absorbing
-    * changelog, the same discipline as the MG candidates). A day whose
-    * corrections net to zero reports n_new = 0 rather than disappearing
-    * — complete-mode aggregations cannot retract whole groups.
+    * changelog, the same discipline as the MG candidates).
     */
-  def noveltyStream(events: Dataset[Event]): DataFrame = {
+  private[graft] def noveltyFirsts(events: Dataset[Event]): Dataset[FirstTouch] = {
     import events.sparkSession.implicits._
-    val firsts = events
+    events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, FirstTouch](
+      .flatMapGroupsWithState[NoveltyState, FirstTouch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+        (userId: Long, batch: Iterator[Event], state: GroupState[NoveltyState]) =>
           val first = batch.minBy(e => (epochMicros(e.ts), e.event_id))
           val t = epochMicros(first.ts)
           state.getOption match {
             case None =>
-              state.update(t)
+              state.update(NoveltyState(NoveltyStateVersion, t))
               Iterator.single(FirstTouch(userId, first.ts, 1L))
-            case Some(prev) if t < prev =>
-              state.update(t)
-              Iterator(FirstTouch(userId, tsOfMicros(prev), -1L),
-                FirstTouch(userId, first.ts, 1L))
-            case Some(_) => Iterator.empty
+            case Some(s) =>
+              require(s.version == NoveltyStateVersion,
+                s"noveltyFirsts: state version ${s.version} from an older " +
+                  s"checkpoint (expected $NoveltyStateVersion) — restart " +
+                  "from a fresh checkpoint dir; silently reinterpreting " +
+                  "old state would disable late-data corrections")
+              if (t < s.first_us) {
+                state.update(NoveltyState(NoveltyStateVersion, t))
+                Iterator(FirstTouch(userId, tsOfMicros(s.first_us), -1L),
+                  FirstTouch(userId, first.ts, 1L))
+              } else Iterator.empty
           }
       }
-    firsts
+  }
+
+  /** Streaming new-user counter — the stream twin of the batch
+    * `daily_novelty` first-touch fold: the [[noveltyFirsts]] changelog
+    * aggregated into 1-day tumbling new-user counts
+    * (flatMapGroupsWithState in append mode composes with a downstream
+    * aggregation). A day whose corrections net to zero reports
+    * n_new = 0 rather than disappearing — complete-mode aggregations
+    * cannot retract whole groups.
+    */
+  def noveltyStream(events: Dataset[Event]): DataFrame =
+    noveltyFirsts(events)
       .groupBy(window(col("first_ts"), "1 day"))
       .agg(sum(col("delta")).as("n_new"))
       .select(col("window.start").as("window_start"), col("n_new"))
+
+  /** The retraction CONSUMER contract for [[noveltyFirsts]], wired end
+    * to end: each micro-batch's signed first-touch rows fold additively
+    * into a persistent per-day new-user parquet table via the
+    * idempotent-upsert sink, so the lake table (not just an in-memory
+    * aggregation) converges to the batch twin's counts under late data.
+    *
+    * Exactly-once despite foreachBatch's at-least-once delivery: every
+    * row of the rewritten table carries `last_batch_id`, and a batch
+    * whose id is ≤ the table's watermark is skipped — the watermark and
+    * the folded counts commit ATOMICALLY because the upsert sink swaps
+    * the whole table in with one filesystem rename (Sinks.commitSwap,
+    * crash windows covered by its recovery path). A replayed batch
+    * therefore either sees none of its fold (and redoes it) or all of
+    * it (and skips) — never half.
+    */
+  def noveltyToTable(events: Dataset[Event], path: String): StreamingQuery =
+    noveltyFirsts(events).toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldNoveltyBatch(batch, batchId, path); ()
+      }
+      .start()
+
+  /** One [[noveltyToTable]] fold — exposed so the spec can drive the
+    * replay-skip path directly.
+    */
+  private[graft] def foldNoveltyBatch(batch: DataFrame, batchId: Long,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    val applied = existing.flatMap(df =>
+      Option(df.agg(max(col("last_batch_id"))).head.get(0))
+        .map(_.asInstanceOf[Long]))
+    if (applied.exists(_ >= batchId)) return
+    val deltas = batch
+      .groupBy(window(col("first_ts"), "1 day"))
+      .agg(sum(col("delta")).as("n_new"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("n_new"))
+    val merged = existing
+      .map(_.select(col("day"), col("n_new")).unionByName(deltas)
+        .groupBy(col("day")).agg(sum(col("n_new")).as("n_new")))
+      .getOrElse(deltas)
+      .withColumn("last_batch_id", lit(batchId))
+    graft.sources.Sinks.upsertParquet(merged, path, Seq("day"))
   }
 
   final case class MgState(counters: Map[Long, Long], nSeen: Long)
