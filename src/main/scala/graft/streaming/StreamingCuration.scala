@@ -33,14 +33,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *      corpus slice);
   *   5. append survivors' rows, band keys, and content hashes.
   *
-  * Replay safety: foreachBatch is at-least-once — a replayed batch
-  * re-enters stage 3, where every previously-appended doc now
-  * hash-matches and drops out, so full-batch replays are absorbed at
-  * the CONTENT level (spec-proven). The residue is the crash window
-  * BETWEEN the three appends (corpus landed, hashes not): that batch
-  * would re-append on replay. Production closes it by running the
-  * appends as one transaction on an ACID table format; the engine-side
-  * semantics here are the same either way.
+  * Replay safety — two independent layers:
+  *
+  *   - CONTENT level: foreachBatch is at-least-once, and a replayed
+  *     batch re-enters stage 3, where every previously-appended doc
+  *     hash-matches and drops out — full-batch replays are absorbed
+  *     even with no batch identity at all (spec-proven; this is the
+  *     whole story for direct [[ingestBatch]] callers).
+  *   - BATCH level (closes the former crash-window residue): when a
+  *     batch id is supplied (the [[start]] wiring always does), the
+  *     three appends run through a per-batch LEDGER. Survivor rows,
+  *     band keys, and content hashes are first STAGED to a
+  *     batch-scoped pending dir (recompute-safe: overwrite mode), a
+  *     `staged` marker records the batch, and only then are the staged
+  *     part files PUBLISHED by per-file rename into the live tables,
+  *     followed by a `committed` marker. A crash anywhere resolves on
+  *     replay: before `staged` → recompute from scratch (live tables
+  *     untouched); between `staged` and `committed` — the exact
+  *     corpus-landed-hashes-missing window that used to re-append —
+  *     → the drain RESUMES from the surviving staged files (each file
+  *     moves at most once, so the live tables end with exactly one
+  *     copy; the batch is never recomputed once staged, so no
+  *     second-generation files can land beside published ones); after
+  *     `committed` → the batch is skipped outright and returns its
+  *     recorded survivor count. (An ACID table format replaces the
+  *     ledger with one transactional append; the semantics match.)
   */
 object StreamingCuration {
 
@@ -53,6 +70,97 @@ object StreamingCuration {
     * corpus: one `content_hash` column, appended batch-by-batch.
     */
   private def hashesPath(corpusPath: String): String = corpusPath + "_hashes"
+
+  /** Batch-ledger layout (see the replay-safety note above): markers in
+    * `<corpus>_ledger/`, staged outputs in `<corpus>_pending/b<id>/`.
+    */
+  private def ledgerDir(corpusPath: String): String = corpusPath + "_ledger"
+  private def pendingDir(corpusPath: String, batchId: Long): String =
+    s"${corpusPath}_pending/b$batchId"
+
+  private def fsFor(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Write marker `name` with content `n` — temp-file + rename so a
+    * half-written marker is never taken for a real one.
+    */
+  private def writeMarker(spark: SparkSession, corpusPath: String,
+      name: String, n: Long): Unit = {
+    val (fs, dir) = fsFor(spark, ledgerDir(corpusPath))
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, name + ".tmp")
+    val fin = new org.apache.hadoop.fs.Path(dir, name)
+    val out = fs.create(tmp, true)
+    try out.writeBytes(n.toString) finally out.close()
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"cannot commit ledger marker $fin")
+  }
+
+  private def readMarker(spark: SparkSession, corpusPath: String,
+      name: String): Option[Long] = {
+    val (fs, dir) = fsFor(spark, ledgerDir(corpusPath))
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        Some(buf.readLine().trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Spec-only crash injection: set `spark.graft.failpoint` to a window
+    * name to kill the publish sequence at that exact point.
+    */
+  private def failpoint(spark: SparkSession, name: String): Unit =
+    if (spark.conf.get("spark.graft.failpoint", "") == name)
+      throw new RuntimeException(s"injected crash at failpoint '$name'")
+
+  /** Publish one staged table by PER-FILE rename into the live dir,
+    * batch-prefixing the names so batches never collide. Rename is
+    * atomic per file and each staged file moves at most once, so a
+    * resumed drain (src gone → skip; src present → move) converges to
+    * exactly one live copy of every staged file.
+    */
+  private def publishDir(spark: SparkSession, src: String, dst: String,
+      batchId: Long): Unit = {
+    val (fs, srcP) = fsFor(spark, src)
+    if (!fs.exists(srcP)) return
+    val (_, dstP) = fsFor(spark, dst)
+    fs.mkdirs(dstP)
+    fs.listStatus(srcP).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .foreach { s =>
+        val to = new org.apache.hadoop.fs.Path(dstP,
+          s"b$batchId-${s.getPath.getName}")
+        if (fs.exists(to)) fs.delete(s.getPath, false): Unit
+        else if (!fs.rename(s.getPath, to))
+          throw new java.io.IOException(s"cannot publish ${s.getPath} -> $to")
+      }
+  }
+
+  /** Drain all three staged tables into the live ones, commit the
+    * ledger marker, clean up. Safe to call again after a crash at any
+    * point — see [[publishDir]].
+    */
+  private def publishStaged(spark: SparkSession, corpusPath: String,
+      indexPath: String, batchId: Long, n: Long): Unit = {
+    val pend = pendingDir(corpusPath, batchId)
+    publishDir(spark, s"$pend/corpus", corpusPath, batchId)
+    failpoint(spark, "after-corpus-publish")
+    publishDir(spark, s"$pend/index", indexPath, batchId)
+    failpoint(spark, "after-index-publish")
+    publishDir(spark, s"$pend/hashes", hashesPath(corpusPath), batchId)
+    writeMarker(spark, corpusPath, s"committed-b$batchId", n)
+    val (fs, pendP) = fsFor(spark, pend)
+    fs.delete(pendP, true): Unit
+  }
 
   /** Max candidate ids the near-dup probe may materialize on the driver
     * for the isin fast path. Under the cap, a literal id filter reaches
@@ -83,10 +191,38 @@ object StreamingCuration {
   /** Curate ONE batch of documents against the standing corpus + index
     * at `corpusPath` / `indexPath` (created on first use). Returns the
     * number of surviving (appended) documents — the per-batch manifest
-    * line.
+    * line. This batch-id-less form relies on CONTENT-level replay
+    * absorption only (see the object doc); the streaming wiring calls
+    * the ledgered overload.
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
-      corpusPath: String, indexPath: String): Long = {
+      corpusPath: String, indexPath: String): Long =
+    ingestBatch(spark, batch, corpusPath, indexPath, None)
+
+  /** [[ingestBatch]] with a stable batch identity: the three appends
+    * run through the per-batch stage→publish→commit ledger, so a crash
+    * BETWEEN appends is absorbed on replay (batch-level exactly-once —
+    * the object doc's replay-safety note).
+    */
+  def ingestBatch(spark: SparkSession, batch: DataFrame,
+      corpusPath: String, indexPath: String, batchId: Option[Long]): Long = {
+    val replayed: Option[Long] = batchId.flatMap { id =>
+      readMarker(spark, corpusPath, s"committed-b$id").map { n =>
+        // fully applied before (replay of a committed batch, or a crash
+        // after commit but before pending cleanup): skip outright
+        val (fs, pendP) = fsFor(spark, pendingDir(corpusPath, id))
+        fs.delete(pendP, true)
+        n
+      }.orElse(readMarker(spark, corpusPath, s"staged-b$id").map { n =>
+        // crashed between appends — the exact window that used to
+        // re-append on replay: RESUME the drain from the surviving
+        // staged files; never recompute a staged batch (a recompute
+        // could land second-generation files beside published ones)
+        publishStaged(spark, corpusPath, indexPath, id, n)
+        n
+      })
+    }
+    if (replayed.isDefined) return replayed.get
     // 1. within-batch exact dedup: keep the min-id copy per hash.
     val keepers = Dedup.dedupExactDf(batch)
       .select(col("keeper_doc_id").as("doc_id"))
@@ -171,29 +307,46 @@ object StreamingCuration {
     // three side tables are current for the next micro-batch.
     val out = survivors.transform(graft.functions.PlanGuard.persist(_))
     val n = out.count()
-    if (n > 0) {
-      out.write.mode("append").parquet(corpusPath)
-      // survivors ⊆ batchClean, so their band rows are a semi-join of
-      // the already-banded frame — never a third banding pass
-      cleanBands.join(out.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .write.mode("append").parquet(indexPath)
-      out.select(md5(col("text")).as("content_hash"))
-        .write.mode("append").parquet(hashesPath(corpusPath))
+    // survivors ⊆ batchClean, so their band rows are a semi-join of
+    // the already-banded frame — never a third banding pass
+    def survivorBands = cleanBands
+      .join(out.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    def survivorHashes = out.select(md5(col("text")).as("content_hash"))
+    try batchId match {
+      case None =>
+        if (n > 0) {
+          out.write.mode("append").parquet(corpusPath)
+          survivorBands.write.mode("append").parquet(indexPath)
+          survivorHashes.write.mode("append").parquet(hashesPath(corpusPath))
+        }
+      case Some(id) =>
+        // stage → mark staged → publish → mark committed (crash at any
+        // point resolves on replay; see the object doc)
+        val pend = pendingDir(corpusPath, id)
+        if (n > 0) {
+          out.write.mode("overwrite").parquet(s"$pend/corpus")
+          survivorBands.write.mode("overwrite").parquet(s"$pend/index")
+          survivorHashes.write.mode("overwrite").parquet(s"$pend/hashes")
+        }
+        writeMarker(spark, corpusPath, s"staged-b$id", n)
+        publishStaged(spark, corpusPath, indexPath, id, n)
+    } finally {
+      out.unpersist()
+      batchClean.unpersist()
     }
-    out.unpersist()
-    batchClean.unpersist()
     n
   }
 
   /** Wire [[ingestBatch]] behind a streaming documents source: each
-    * micro-batch curates and appends (see replay note in the object
-    * doc).
+    * micro-batch curates and appends through the per-batch ledger —
+    * foreachBatch's epoch id is stable across replays, which is exactly
+    * the identity the batch-level exactly-once protocol needs.
     */
   def start(spark: SparkSession, docs: DataFrame,
       corpusPath: String, indexPath: String): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(spark, batch, corpusPath, indexPath); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, corpusPath, indexPath, Some(batchId)); ()
       }
       .start()
 }

@@ -151,6 +151,68 @@ class StreamingCurationSpec extends SparkSpec {
       .isEmpty, "dup row landed in the corpus")
   }
 
+  test("streaming curation: a crash between the three appends converges on " +
+      "replay to the exact non-crashed state") {
+    import spark.implicits._
+    val rows = docRows()
+    val b1 = rows.take(15).toSeq
+    val b2 = rows.slice(15, 30).toSeq
+    val b3 = rows.slice(30, 40).toSeq
+
+    // reference run: same batches, no crashes
+    val ref = Files.createTempDirectory("graft_ledger_ref").toString
+    val refN = Seq(0L -> b1, 1L -> b2, 2L -> b3).map { case (id, b) =>
+      id -> StreamingCuration.ingestBatch(spark, b.toDF(),
+        s"$ref/corpus", s"$ref/index", Some(id))
+    }.toMap
+
+    // crashed run: batch 1 killed after the corpus publish (index +
+    // hashes stranded in staging), batch 2 killed after the index
+    // publish — both windows of the former at-least-once residue
+    val out = Files.createTempDirectory("graft_ledger").toString
+    val corpusPath = s"$out/corpus"
+    val indexPath = s"$out/index"
+    def ingest(id: Long, b: Seq[StreamDoc]): Long =
+      StreamingCuration.ingestBatch(spark, b.toDF(), corpusPath, indexPath,
+        Some(id))
+    val n0 = ingest(0L, b1)
+    assert(n0 > 0)
+    Seq("after-corpus-publish" -> (1L, b2), "after-index-publish" -> (2L, b3))
+      .foreach { case (fp, (id, b)) =>
+        spark.conf.set("spark.graft.failpoint", fp)
+        val e = intercept[RuntimeException] { ingest(id, b) }
+        assert(e.getMessage.contains(fp), e.getMessage)
+        spark.conf.unset("spark.graft.failpoint")
+        // the kill landed INSIDE the append sequence: staged but not
+        // committed — exactly the window that used to re-append
+        // (replay must RESUME the drain, not recompute)
+        val ledger = new java.io.File(s"${corpusPath}_ledger")
+        assert(ledger.listFiles().exists(_.getName == s"staged-b$id"))
+        assert(!ledger.listFiles().exists(_.getName == s"committed-b$id"))
+        val nReplay = ingest(id, b)
+        assert(nReplay == refN(id),
+          s"replay of killed batch $id returned $nReplay, expected ${refN(id)}")
+      }
+
+    // converged state ≡ the non-crashed reference run, table by table
+    def rows3(base: String) = (
+      spark.read.parquet(s"$base/corpus").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq,
+      spark.read.parquet(s"$base/index").select("band_key", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq,
+      spark.read.parquet(s"${base}/corpus_hashes").select("content_hash")
+        .collect().map(_.getString(0)).sorted.toSeq)
+    assert(rows3(out) == rows3(ref),
+      "crashed-and-replayed run diverged from the non-crashed run")
+
+    // a replay of a COMMITTED batch short-circuits on the ledger,
+    // returns the recorded survivor count, and changes nothing
+    val before = rows3(out)
+    assert(ingest(2L, b3) == refN(2L), "committed replay must return the " +
+      "recorded survivor count")
+    assert(rows3(out) == before, "committed replay mutated a table")
+  }
+
   test("streaming curation: the foreachBatch wiring drives batches end to end") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
