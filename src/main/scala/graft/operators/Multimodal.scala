@@ -290,6 +290,134 @@ object Multimodal {
         UNNEST(RANGE(0, n_frames, $FrameStride)) AS t(frame_idx)
       WHERE n_frames >= 1)"""
 
+  /** One sampled frame — shared row shape of the real-codec and stub
+    * frame branches ([[frameSamples]]).
+    */
+  final case class SampledFrame(doc_id: Long, media_type: String,
+      frame_idx: Long, n_frames: Long, frame_md5: String, f0: Double)
+
+  /** GIF magic — the one multi-frame container the JDK-bundled ImageIO
+    * reads without extra codecs.
+    */
+  private[graft] def isGif(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  /** The stub/oracle f0 formula (first md5 byte as a 0..1 share),
+    * computed JVM-side — identical to the plan's
+    * `conv(substr(md5,1,2),16,10) / 255.0`.
+    */
+  private def md5F0(md5: String): Double =
+    java.lang.Long.parseLong(md5.substring(0, 2), 16).toDouble / 255.0
+
+  /** REAL multi-frame extraction via `javax.imageio`: every
+    * [[FrameStride]]-th stored GIF frame, fingerprinted by the md5 of
+    * its ARGB pixel words — frame content AS THE CODEC STORES IT (no
+    * disposal compositing: fingerprint semantics, not playback).
+    * `None` for payloads that don't sniff/parse as GIF — callers fall
+    * back to the char-frame stub, same mixed-media contract as
+    * [[decodeImage]]/[[resampleImage]].
+    */
+  private[graft] def gifFrameSamples(bytes: Array[Byte])
+      : Option[Seq[(Long, Long, String)]] =
+    if (!isGif(bytes)) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          if (n < 1) None
+          else Some((0 until n by FrameStride).map { i =>
+            val img = r.read(i)
+            val w = img.getWidth; val h = img.getHeight
+            val buf = java.nio.ByteBuffer.allocate(w * h * 4)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { buf.putInt(img.getRGB(x, y)); x += 1 }
+              y += 1
+            }
+            (i.toLong, n.toLong, md5Hex(buf.array))
+          })
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+
+  /** The char-frame stub as a JVM-side row iterator — bit-identical to
+    * [[multimodalFrameSample]]'s plan (and its oracle): frames are CODE
+    * POINTS, not UTF-16 units, because Spark's `substr`/`length` and
+    * DuckDB both count code points — a Java `String.substring` slice
+    * would misalign on astral characters.
+    */
+  private[graft] def stubFrameSamples(id: Long,
+      bytes: Array[Byte]): Iterator[SampledFrame] = {
+    val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
+    val n = cps.length / FrameChars
+    if (n < 1) Iterator.empty
+    else (0 until n by FrameStride).iterator.map { i =>
+      val md5 = md5Hex(new String(cps, i * FrameChars, FrameChars)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      SampledFrame(id, "text/frames", i.toLong, n.toLong, md5, md5F0(md5))
+    }
+  }
+
+  /** Batched frame sampling over binary payloads — the REAL codec path:
+    * `mapPartitions` batching, [[gifFrameSamples]] for GIF payloads
+    * (true stored frames, media_type `video/gif-frames`), the
+    * char-frame stub for everything else — same mixed-media contract
+    * as [[decodeFeatures]]/[[resizeFeatures]]. Scale: flatMap is linear
+    * in sampled frames, per-row only — no shuffle at any SF.
+    */
+  def frameSamples(payloads: Dataset[(Long, Array[Byte])])
+      : Dataset[SampledFrame] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        gifFrameSamples(bytes) match {
+          case Some(frames) => frames.iterator.map { case (i, n, md5) =>
+            SampledFrame(id, "video/gif-frames", i, n, md5, md5F0(md5))
+          }
+          case None => stubFrameSamples(id, bytes)
+        }
+      }
+    }
+  }
+
+  /** Driver-contract wrapper for the REAL frame-sampling stage: same
+    * column set (and oracle) as [[multimodalFrameSample]]. On the
+    * text-backed corpus no payload sniffs as GIF, so every row rides
+    * the char-frame stub — asserted in the plan via the shared
+    * stub-parity guard, exactly like [[multimodalDecodeReal]] /
+    * [[multimodalResizeReal]]; MultimodalSpec drives the GIF branch
+    * with an in-memory animated GIF through the same mapPartitions
+    * plumbing.
+    */
+  def multimodalFrameSampleReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stubParityGuard(
+        frameSamples(
+          Tables.documents(spark, dir)
+            .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+            .as[(Long, Array[Byte])])
+          .toDF(),
+        "video/gif-frames", "multimodal_frame_sample_real")
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("frame_md5"), col("f0"))
+  }
+
   /** Target bounding box for the stub resize. */
   private val ResizeBox = 64L
 
@@ -490,6 +618,8 @@ object Multimodal {
     "multimodal_decode_real" ->
       QueryDef.sql(multimodalDecodeReal, multimodalDecodeOracle),
     "multimodal_frame_sample" -> QueryDef.sql(multimodalFrameSample, multimodalFrameSampleOracle),
+    "multimodal_frame_sample_real" ->
+      QueryDef.sql(multimodalFrameSampleReal, multimodalFrameSampleOracle),
     "multimodal_resize" -> QueryDef.sql(multimodalResize, multimodalResizeOracle),
     "multimodal_resize_real" ->
       QueryDef.sql(multimodalResizeReal, multimodalResizeRealOracle)

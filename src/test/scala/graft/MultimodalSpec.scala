@@ -199,6 +199,71 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Encode an animated GIF (n distinct frames) to bytes in memory. */
+  private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until n) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 7 + y * 13 + f * 41) % 256) * 0x010101)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  test("frameSamples: a real animated GIF yields every 4th stored frame " +
+      "with distinct pixel fingerprints") {
+    import spark.implicits._
+    val nFrames = 10
+    val payloads = Seq(
+      1L -> gifBytes(16, 12, nFrames),
+      2L -> ("x" * 200).getBytes("UTF-8"))
+    val out = Multimodal.frameSamples(payloads.toDS()).collect()
+      .groupBy(_.doc_id)
+    val gif = out(1L).sortBy(_.frame_idx)
+    assert(gif.forall(_.media_type == "video/gif-frames"))
+    assert(gif.map(_.frame_idx).toSeq == Seq(0L, 4L, 8L),
+      s"stride-4 sampling of $nFrames frames: ${gif.map(_.frame_idx).toSeq}")
+    assert(gif.forall(_.n_frames == nFrames.toLong))
+    // distinct frame content → distinct pixel fingerprints, and f0 is
+    // the shared md5-derived share in [0, 1]
+    assert(gif.map(_.frame_md5).distinct.length == 3, "frame md5 collided")
+    assert(gif.forall(f => f.f0 >= 0.0 && f.f0 <= 1.0))
+    // decoding is deterministic: same payload, same fingerprints
+    val again = Multimodal.frameSamples(payloads.toDS()).collect()
+      .groupBy(_.doc_id)(1L).sortBy(_.frame_idx)
+    assert(again.map(_.frame_md5).toSeq == gif.map(_.frame_md5).toSeq)
+    // the text payload rides the char-frame stub in the same stage
+    val stub = out(2L)
+    assert(stub.forall(_.media_type == "text/frames")
+      && stub.map(_.frame_idx).sorted.toSeq == Seq(0L, 4L),
+      "200 chars = 6 full frames, sampled at 0 and 4")
+    // corrupt GIF bytes degrade to the stub, never crash the task
+    val corrupt = "GIF8" + ""
+    val deg = Multimodal.frameSamples(
+      Seq(3L -> (corrupt * 20).getBytes("UTF-8")).toDS()).collect()
+    assert(deg.forall(_.media_type == "text/frames"))
+  }
+
+  test("multimodal_frame_sample_real equals the stub stage on the " +
+      "text-backed corpus") {
+    val a = Multimodal.multimodalFrameSample(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) -> r.toSeq)
+      .toMap
+    val b = Multimodal.multimodalFrameSampleReal(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) -> r.toSeq)
+      .toMap
+    assert(a == b, "real-codec frame stage diverged from stub on the corpus")
+  }
+
   test("stubParityGuard fails loud when a row proves the real branch ran") {
     import spark.implicits._
     val df = Seq((1L, "image/png"), (2L, "image/resized"))
