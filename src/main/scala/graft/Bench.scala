@@ -239,10 +239,19 @@ object Bench {
     // per-query regressions stay diffable from artifacts alone.
     val json = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL_LATEST.json") // cwd-relative: sbt runs from the repo root
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullPath), json + "\n")
+    // default path anchors to the repo ROOT (nearest ancestor holding
+    // build.sbt), not the bare cwd — a runMain launched from a subdir
+    // or a forked-JVM working dir would otherwise scatter the artifact;
+    // SPARK_GRAFT_BENCH_OUT overrides for CI captures
+    def repoRoot(p: java.nio.file.Path): java.nio.file.Path =
+      if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
+      else Option(p.getParent).map(repoRoot).getOrElse(
+        java.nio.file.Paths.get("").toAbsolutePath)
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(repoRoot(java.nio.file.Paths.get("").toAbsolutePath)
+        .resolve("BENCH_FULL_LATEST.json"))
+    try java.nio.file.Files.writeString(fullPath, json + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $fullPath: $e")
     }

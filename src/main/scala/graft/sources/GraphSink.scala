@@ -114,13 +114,28 @@ object GraphSink {
     * in parallel by every task instead of a driver loop).
     */
   def writeBatches(df: DataFrame, outDir: String, table: String,
-      batchSize: Int = 500): Unit =
+      batchSize: Int = 500): Unit = {
     df.write.mode("overwrite")
       // a session-level codec would emit .json.gz part files, which
       // applyLoad's .json filter would silently skip — pin plain text
       .option("compression", "none")
       .option("maxRecordsPerFile", batchSize.toLong)
       .json(s"$outDir/$table")
+    // a legitimately empty unit (a mart that filters to nothing at this
+    // SF) is DECLARED at staging time, so applyLoad can tell a no-op
+    // load from a staging bug: the marker is written only when the
+    // staging itself produced zero payload rows (fs-listing check — no
+    // extra Spark job)
+    val staged = new java.io.File(outDir, table)
+    val hasRows = Option(staged.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.getName.endsWith(".json") && f.length() > 0)
+    if (!hasRows)
+      java.nio.file.Files.writeString(
+        new java.io.File(staged, EmptyMarker).toPath, "0 rows staged\n"): Unit
+  }
+
+  /** Staged-empty declaration — see [[writeBatches]]/[[applyLoad]]. */
+  private[graft] val EmptyMarker = "_EMPTY"
 
   /** Stage a full graph load: per-unit payload batches + a manifest of
     * statements (indexes first — databases.py creates indexes before the
@@ -159,10 +174,15 @@ object GraphSink {
           "stage the load (stageLoad/writeBatches) before applying it")
       val files = dir.listFiles().toSeq
       val payloads = files.filter(_.getName.endsWith(".json"))
-      // an empty graph load must be LOUD, not a silent 0-batch success:
-      // no .json part files means either the table staged zero rows or
-      // (if part files exist under another suffix) a codec crept in
-      require(payloads.nonEmpty,
+      // a unit that DECLARED itself empty at staging time (writeBatches'
+      // marker) is a legitimate no-op — a mart can filter to nothing at
+      // a small SF without making the whole load unreplayable
+      val declaredEmpty = files.exists(_.getName == EmptyMarker)
+      // otherwise an empty graph load must be LOUD, not a silent
+      // 0-batch success: no .json part files means either the table
+      // staged zero rows unexpectedly or (if part files exist under
+      // another suffix) a codec crept in
+      require(payloads.nonEmpty || declaredEmpty,
         s"no .json payload files staged for table '${u.table}' at $dir " +
           s"(found: ${files.map(_.getName).filterNot(n =>
             n.startsWith("_") || n.startsWith(".")).sorted.mkString(", ")}) — " +
@@ -177,10 +197,11 @@ object GraphSink {
             batches += 1
           }
         }
-      require(batches > 0,
+      require(batches > 0 || declaredEmpty,
         s"table '${u.table}' staged only empty payload files at $dir — " +
-          "the load would apply 0 batches; a graph load unit with no " +
-          "rows is a staging bug, not a no-op")
+          "the load would apply 0 batches; an UNDECLARED zero-row unit " +
+          "is a staging bug, not a no-op (writeBatches declares real " +
+          "empties with its marker)")
       u.table -> batches
     }.toMap
 }

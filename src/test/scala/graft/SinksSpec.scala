@@ -292,4 +292,24 @@ class SinksSpec extends SparkSpec {
     assert(names.nonEmpty && names.forall(_.endsWith(".json")),
       s"staged files not plain .json: ${names.mkString(", ")}")
   }
+
+  test("graph sink: a unit that legitimately stages zero rows is a " +
+      "declared no-op, not an unreplayable load") {
+    import graft.sources.GraphSink
+    import graft.sources.GraphSink.LoadUnit
+    val out = java.nio.file.Files.createTempDirectory("graft_graph_noop").toString
+    // a mart that filters to nothing at this SF — the advice case
+    GraphSink.writeBatches(
+      Tables.region(spark, sfDir).select(col("r_regionkey").as("id"))
+        .filter(col("id") < 0),
+      out, "ghosts")
+    val unit = LoadUnit("ghosts", GraphSink.nodeMergeStatement("Ghost", "id", Nil))
+    var calls = 0
+    val applied = GraphSink.applyLoad(out, Seq(unit), (_, _) => calls += 1)
+    assert(applied == Map("ghosts" -> 0L) && calls == 0,
+      s"declared-empty unit must no-op: applied=$applied calls=$calls")
+    // the declaration is what makes it legal: the same zero-row staging
+    // WITHOUT the marker still fails loud (covered by the test above)
+    assert(new java.io.File(s"$out/ghosts", "_EMPTY").isFile)
+  }
 }

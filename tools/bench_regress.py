@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate.
+
+Compares two full bench maps (graft.Bench JSON lines: min-of-two-passes
+per query) and fails on real >THRESHOLDx per-query regressions:
+
+    python3 tools/bench_regress.py BENCH_LOCAL_r11.json BENCH_FULL_LATEST.json
+
+Trusted-min rule (the repo's round-over-round discipline): the shared
+bench box shows 2-3x calibration spread under contention, so when
+either run's calibration spread (max/min of the three probes) exceeds
+1.5 the box was contended and regressions downgrade to WARN -- only
+queries whose plans actually changed are worth chasing from a
+contended sweep. Exit codes: 0 ok/warn-only, 1 real regressions on a
+quiet box, 2 queries disappeared from the map.
+"""
+import json
+import sys
+
+THRESHOLD = 2.0   # flag a query past this ratio
+FLOOR_SEC = 0.05  # ignore sub-50ms entries: pure scheduler noise
+SPREAD_OK = 1.5   # calibration max/min above this = contended box
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def spread(doc):
+    cal = [c for c in (doc.get("calibration") or []) if c > 0]
+    return (max(cal) / min(cal)) if cal else 1.0
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    threshold = THRESHOLD
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold="):
+            threshold = float(a.split("=", 1)[1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old_doc, new_doc = load(args[0]), load(args[1])
+    oq, nq = old_doc["queries"], new_doc["queries"]
+    contended = spread(old_doc) > SPREAD_OK or spread(new_doc) > SPREAD_OK
+
+    regressions = []
+    for name in sorted(set(oq) & set(nq)):
+        o, n = oq[name], nq[name]
+        if o >= FLOOR_SEC and n > 0 and n / o > threshold:
+            regressions.append((name, o, n, n / o))
+    removed = sorted(set(oq) - set(nq))
+    added = sorted(set(nq) - set(oq))
+
+    tag = "WARN" if contended else "FAIL"
+    for name, o, n, r in sorted(regressions, key=lambda t: -t[3]):
+        print(f"{tag} {name}: {o:.2f}s -> {n:.2f}s ({r:.1f}x)")
+    if added:
+        print("new queries: " + ", ".join(added))
+    if removed:
+        print("REMOVED queries (coverage loss): " + ", ".join(removed))
+    shared_o = sum(v for k, v in oq.items() if k in nq and v > 0)
+    shared_n = sum(v for k, v in nq.items() if k in oq and v > 0)
+    print(f"shared-query total: {shared_o:.1f}s -> {shared_n:.1f}s; "
+          f"calibration spread old={spread(old_doc):.2f} "
+          f"new={spread(new_doc):.2f}"
+          + (" (contended box: regressions downgraded to WARN -- "
+             "re-check queries whose plans changed)" if contended else ""))
+    if removed:
+        sys.exit(2)
+    if regressions and not contended:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
