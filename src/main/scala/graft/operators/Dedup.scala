@@ -528,6 +528,52 @@ object Dedup {
       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
     FROM sizes GROUP BY 1"""
 
+  /** Quality-aware cluster representatives — the Dolma/RefinedWeb
+    * refinement of [[dedupApply]]'s min-id rule: per transitive near-dup
+    * cluster keep the HIGHEST-QUALITY member (quality_score desc, lower
+    * doc_id on ties), so dedup stops discarding the best-written copy
+    * of a template family just because it has a higher id. One row per
+    * cluster: the keeper, its score, and the cluster size.
+    *
+    * Scale shape: the component map is near-dup-cluster-scale (a tiny
+    * fraction of the corpus), so it BROADCASTS onto the documents scan
+    * and only cluster MEMBERS pay the quality-regex projection — the
+    * argmax is then a struct-max aggregate over cluster-scale rows
+    * (no window, deterministic tie-break via (quality, −doc_id)
+    * lexicographic struct order). Reference analog: the course pipeline
+    * drops pandas duplicates positionally (utils/utils.py drop rules);
+    * a curation engine must pick WHICH copy survives.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(spark, dir)
+      .select(col("doc_id"), col("component"))
+    val members = Tables.documents(spark, dir)
+      .join(broadcast(comp), Seq("doc_id"))
+    TextAnalysis.qualityScoreDf(members)
+      .join(broadcast(comp), Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nid")))
+          .as("best"))
+      .select(col("component"), col("n_members"),
+        (-col("best.nid")).as("keeper_doc_id"),
+        col("best.q").as("keeper_quality"))
+  }
+
+  lazy val dedupKeepBestOracle: String = s"""
+    WITH comp AS ($dedupComponentsOracle),
+    q AS (SELECT doc_id, quality_score
+          FROM (${TextAnalysis.qualityScoreOracle}) qq),
+    j AS (SELECT c.component, c.doc_id, q.quality_score
+          FROM comp c JOIN q USING (doc_id))
+    SELECT component, n_members, keeper_doc_id, keeper_quality FROM (
+      SELECT component, doc_id AS keeper_doc_id,
+        quality_score AS keeper_quality,
+        CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+        ROW_NUMBER() OVER (PARTITION BY component
+          ORDER BY quality_score DESC, doc_id ASC) AS rn
+      FROM j) WHERE rn = 1"""
+
   /** Dedup applied: the surviving corpus after near-dup clustering —
     * every cluster keeps only its canonical (min-id) document, plus all
     * unclustered documents untouched. This is the step that turns pair
@@ -1227,6 +1273,7 @@ object Dedup {
     // final rows are deterministic and identical to `decontaminate`'s.
     "decontaminate_bloom" -> QueryDef.sql(decontaminateBloom, decontaminateOracle),
     "dedup_components" -> QueryDef.sql(dedupComponents, dedupComponentsOracle),
+    "dedup_keep_best" -> QueryDef.sql(dedupKeepBest, dedupKeepBestOracle),
     "dup_cluster_sizes" -> QueryDef.sql(dupClusterSizes, dupClusterSizesOracle),
     "dedup_incremental" -> QueryDef.sql(dedupIncremental, dedupIncrementalOracle),
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),

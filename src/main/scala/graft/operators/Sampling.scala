@@ -332,6 +332,87 @@ object Sampling {
     * Scale: one map-side-combinable count per source (tiny — broadcast
     * back), then a scan-speed filter. Nothing shuffles the corpus.
     */
+  /** Max epochs granted to the SCARCEST source — the upsampling cap of
+    * the temperature plan below (the mT5 recipe caps how often the
+    * rarest data may repeat before it memorizes).
+    */
+  private val BudgetEpochCap = 4.0
+
+  /** Per-source token-budget planner — the "how many epochs of each
+    * source does the training run read" table that turns the α = 1/2
+    * temperature mix ([[sampleTemperature]]) into an actual token plan:
+    * the scarcest source trains [[BudgetEpochCap]] epochs, every other
+    * source scales by √(n_min/n_s) (so planned tokens ∝ √n_s — the
+    * temperature distribution exactly), and each row reports planned
+    * epochs, target tokens, and its exact-ppm share of the implied
+    * total budget. Token counts are [[TextAnalysis.tokenCount]]'s
+    * BPE-ish regex rule, summed per source.
+    *
+    * FP discipline: α = 1/2 via correctly-rounded `sqrt` only (the
+    * sample_temperature rule); the epoch expression is spelled
+    * IDENTICALLY in both engines (`cap·√n_min / √n_s` — the scarcest
+    * source divides two equal doubles, so its epochs are EXACTLY the
+    * cap), target tokens floor a same-operand-order product to BIGINT,
+    * and the share avoids both float division and BIGINT overflow with
+    * the gini ppm treatment (multiply-first ≤ 9e12, denominator/1e6
+    * past it). No cross-row double sum anywhere — the only cross-source
+    * folds are an exact BIGINT min and an exact BIGINT sum.
+    *
+    * Scale: one corpus scan into a per-source (count, token-sum)
+    * aggregate — map-side combined, |sources| rows, checkpointed; the
+    * min and budget folds run over the checkpointed frame and broadcast
+    * back. Nothing shuffles the corpus.
+    */
+  def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = graft.functions.Iterate.checkpoint(
+      Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+            .cast("bigint")).as("n_tokens")))
+    val mn = perSrc.agg(min(col("n_tokens")).as("n_tok_min"))
+    val planned = perSrc.crossJoin(broadcast(mn))
+      .withColumn("epochs",
+        lit(BudgetEpochCap) * sqrt(col("n_tok_min").cast("double"))
+          / sqrt(col("n_tokens").cast("double")))
+      .withColumn("target_tokens",
+        floor(col("epochs") * col("n_tokens").cast("double")).cast("bigint"))
+    val tot = planned.agg(sum(col("target_tokens")).as("budget_tokens"))
+    planned.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("epochs"),
+        col("target_tokens"),
+        when(col("budget_tokens") <= lit(9000000000000L),
+          expr("(target_tokens * 1000000) div budget_tokens"))
+          .otherwise(expr("target_tokens div (budget_tokens div 1000000)"))
+          .as("share_ppm"),
+        (col("epochs") >= lit(BudgetEpochCap)).as("at_epoch_cap"))
+  }
+
+  val tokenBudgetPlanOracle: String = s"""
+    WITH per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+          AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    mn AS (SELECT MIN(n_tokens) AS n_tok_min FROM per_src),
+    planned AS (
+      SELECT source, n_docs, n_tokens,
+        $BudgetEpochCap * SQRT(CAST(n_tok_min AS DOUBLE))
+          / SQRT(CAST(n_tokens AS DOUBLE)) AS epochs
+      FROM per_src CROSS JOIN mn),
+    planned2 AS (
+      SELECT *, CAST(FLOOR(epochs * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+        AS target_tokens
+      FROM planned),
+    tot AS (SELECT CAST(SUM(target_tokens) AS BIGINT) AS budget_tokens
+            FROM planned2)
+    SELECT source, n_docs, n_tokens, epochs, target_tokens,
+      CASE WHEN budget_tokens <= 9000000000000
+        THEN (target_tokens * 1000000) // budget_tokens
+        ELSE target_tokens // (budget_tokens // 1000000) END AS share_ppm,
+      (epochs >= $BudgetEpochCap) AS at_epoch_cap
+    FROM planned2 CROSS JOIN tot"""
+
   def mixRebalance(spark: SparkSession, dir: String): DataFrame =
     mixRebalanceDf(spark, Tables.documents(spark, dir))
 
@@ -806,6 +887,7 @@ object Sampling {
     "sample_weighted" -> QueryDef.sql(sampleWeighted, sampleWeightedOracle),
     "mix_rebalance" -> QueryDef.sql(mixRebalance, mixRebalanceOracle),
     "sample_temperature" -> QueryDef.sql(sampleTemperature, sampleTemperatureOracle),
+    "token_budget_plan" -> QueryDef.sql(tokenBudgetPlan, tokenBudgetPlanOracle),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
     "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle),
     "dataset_card" -> QueryDef.sql(datasetCard, datasetCardOracle),

@@ -36,7 +36,15 @@ object TextAnalysis {
     */
   private val stopPattern = "\\b(the|a|of|and|to|in|is|it)\\b"
 
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreDf(Tables.documents(spark, dir))
+
+  /** [[qualityScore]] over an arbitrary documents frame — the df-form
+    * composed by operators that score a PRUNED slice (dedup_keep_best
+    * scores only the near-dup members) instead of paying the regex scan
+    * over the whole corpus.
+    */
+  def qualityScoreDf(documents: DataFrame): DataFrame = {
     val nWords = size(split(col("text"), "\\s+")).cast("double")
     val nStop = regexp_count(col("text"), lit(stopPattern)).cast("double")
     val avgLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
@@ -44,7 +52,7 @@ object TextAnalysis {
     val score = lit(0.4) * least(nWords / lit(100.0), lit(1.0)) +
       lit(0.4) * (lit(1.0) - stopRatio) +
       lit(0.2) * least(avgLen / lit(8.0), lit(1.0))
-    Tables.documents(spark, dir)
+    documents
       .select(
         col("doc_id"),
         nWords.as("n_words"),

@@ -261,6 +261,70 @@ class OperatorSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("token_budget_plan: scarcest source pins the epoch cap, epochs follow " +
+      "the temperature law, shares sum to one") {
+    val out = operators.Sampling.tokenBudgetPlan(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val minTok = out.map(_.getAs[Long]("n_tokens")).min
+    out.foreach { r =>
+      val epochs = r.getAs[Double]("epochs")
+      assert(epochs > 0.0 && epochs <= 4.0, s"epochs out of range in $r")
+      // the cap flag marks exactly the scarcest source(s) — whose two
+      // equal sqrt operands divide to EXACTLY 1.0
+      assert(r.getAs[Boolean]("at_epoch_cap")
+        == (r.getAs[Long]("n_tokens") == minTok), s"cap flag drifted in $r")
+      if (r.getAs[Long]("n_tokens") == minTok)
+        assert(epochs == 4.0, s"scarcest source must train exactly 4 epochs: $r")
+      // target = floor(epochs · n_tokens): planned tokens ∝ √n_s
+      assert(r.getAs[Long]("target_tokens")
+        == math.floor(epochs * r.getAs[Long]("n_tokens").toDouble).toLong)
+    }
+    // exact-ppm shares of the implied budget sum to 1e6 up to the
+    // per-row floor loss
+    val ppm = out.map(_.getAs[Long]("share_ppm")).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - out.length,
+      s"shares sum to $ppm ppm over ${out.length} sources")
+    // temperature monotonicity: more raw tokens never plans FEWER tokens
+    val byTok = out.sortBy(_.getAs[Long]("n_tokens"))
+    byTok.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("target_tokens") <= b.getAs[Long]("target_tokens"),
+          s"planned tokens not monotone in corpus size: $a vs $b")
+      case _ => ()
+    }
+  }
+
+  test("dedup_keep_best: the keeper is its cluster's quality argmax, one " +
+      "row per multi-member cluster") {
+    val best = operators.Dedup.dedupKeepBest(spark, sfDir).collect()
+    val comp = operators.Dedup.dedupComponents(spark, sfDir)
+      .select(col("doc_id"), col("component")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = operators.TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = comp.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    assert(best.map(_.getAs[Long]("component")).sorted.toSeq
+      == members.keys.toSeq.sorted, "one output row per component")
+    best.foreach { r =>
+      val ms = members(r.getAs[Long]("component"))
+      assert(r.getAs[Long]("n_members") == ms.length.toLong)
+      assert(ms.length >= 2, "pair-graph components have >= 2 members")
+      val keeper = r.getAs[Long]("keeper_doc_id")
+      assert(ms.contains(keeper), "keeper must be a member")
+      // argmax with deterministic lower-id tie-break
+      val want = ms.map(id => (quality(id), -id)).max
+      assert((r.getAs[Double]("keeper_quality"), -keeper) == want,
+        s"keeper is not the quality argmax for component ${r}")
+    }
+    // the refinement must matter on real data: at least one cluster's
+    // best-quality copy is NOT its min-id copy (else this operator is
+    // indistinguishable from dedup_apply's rule and the test is vacuous)
+    assert(best.exists(r => r.getAs[Long]("keeper_doc_id")
+      != members(r.getAs[Long]("component")).min),
+      "corpus exercises only the min-id tie-break path")
+  }
+
   test("contamination_report: one row per benchmark doc; threshold and count invariants hold") {
     val out = operators.Dedup.contaminationReport(spark, sfDir).persist()
     val rows = out.collect()
