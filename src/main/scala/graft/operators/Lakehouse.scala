@@ -55,12 +55,16 @@ object Lakehouse {
         .groupBy(to_date(col("l_shipdate")).as("day"))
         .agg(count(lit(1)).as("n_rows"))
         .withColumn("bytes", col("n_rows") * lit(128L)))
-    // metadata-scale inventory, but the packing prefix still rides the
-    // bucketed exclusive prefix (cell = calendar month — integer and
-    // monotone in day): registry-wide no-unpartitioned-window invariant.
-    graft.functions.Ranks.withExclusivePrefix(inv,
-        expr("year(day) * 12 + month(day)"), Seq(col("day").asc),
-        Seq(col("bytes") -> "cum_before"))
+    // The packing prefix runs over the CALENDAR-bounded day inventory
+    // (~36.5k rows per century at any lake size), so a single bounded
+    // window over the checkpointed inventory is the scalable plan —
+    // r11's two-level prefix here tripled local wall time for zero
+    // scale benefit on a domain-bounded frame (PlanSpec's allowlist
+    // documents the bound).
+    val wDay = org.apache.spark.sql.expressions.Window.orderBy(col("day").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    inv
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(wDay), lit(0L)))
       .withColumn("out_group", expr(s"cum_before div $TargetBytes"))
       .groupBy(col("out_group"))
       .agg(

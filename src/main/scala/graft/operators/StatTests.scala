@@ -55,14 +55,18 @@ object StatTests {
         .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
           sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2")),
       Some("rank over the 2-row post-LIMIT top-2 source frame"))
-    // length support is max-doc-length-bounded, but the CDFs still ride
-    // the bucketed exclusive prefix — the no-unpartitioned-window
-    // invariant is registry-wide (PlanSpec pins all plans).
-    val cdf = graft.functions.Ranks.withBucketedExclusivePrefix(
-        cells, col("n_chars"), ascending = true, 256,
-        Seq(col("c1") -> "c1_before", col("c2") -> "c2_before"))
-      .withColumn("cdf1", col("c1_before") + col("c1"))
-      .withColumn("cdf2", col("c2_before") + col("c2"))
+    // The CDF window is DOMAIN-bounded, not corpus-bounded: its input
+    // is one row per distinct n_chars ≤ max document length at ANY
+    // corpus size, so a single bounded window over the checkpointed
+    // cells beats the two-level Ranks machinery (r11 ran the bucketed
+    // prefix here for uniformity; its ~8 extra metadata stages doubled
+    // local wall time for zero scale benefit on a support-bounded
+    // frame — PlanSpec's allowlist documents the bound).
+    val wLen = Window.orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = cells
+      .withColumn("cdf1", sum(col("c1")).over(wLen))
+      .withColumn("cdf2", sum(col("c2")).over(wLen))
     val totals = cdf.agg(max(col("cdf1")).as("n1"), max(col("cdf2")).as("n2"))
     cdf.crossJoin(broadcast(totals))
       .select(col("n_chars"), col("n1"), col("n2"),
@@ -284,11 +288,14 @@ object StatTests {
           sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2"))
         .withColumn("c", col("c1") + col("c2")),
       Some("rank over the 2-row post-LIMIT top-2 source frame"))
-    // same registry-wide discipline as ksStatistic: bucketed exclusive
-    // prefix over the length support cells, no unpartitioned window
-    val ranked = graft.functions.Ranks.withBucketedExclusivePrefix(
-        cells, col("n_chars"), ascending = true, 256,
-        Seq(col("c") -> "cum_before"))
+    // same domain-bounded shape as ksStatistic's CDF: the exclusive
+    // cumulative runs over ≤ max-doc-length support cells at any corpus
+    // size, so a single bounded window over the checkpointed cells is
+    // the scalable plan (PlanSpec's allowlist documents the bound)
+    val wLen = Window.orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wLen), lit(0L)))
       // doubled tie-averaged rank for every member of this cell
       .withColumn("r2", lit(2L) * col("cum_before") + col("c") + 1L)
     val agg = ranked.agg(

@@ -401,10 +401,16 @@ class PlanSpec extends SparkSpec {
     // operator -> why its unpartitioned window cannot grow with the data
     // (counts are not pinned: plan-subtree duplication under self-joins
     // makes node counts an artifact of CTE materialization, not of scale)
-    // (ks_statistic / mann_whitney_auc moved off this list in r12: their
-    // 2-row top-2 rank now sits behind the checkpointed cell frame and is
-    // declared bounded at the Iterate.checkpoint site instead)
+    // ks/mw/compaction re-entered this list in r12 with DOMAIN-bound
+    // justifications: their cumulative windows run over support frames
+    // that cannot grow with the corpus (distinct doc lengths; calendar
+    // days), where r11's two-level Ranks uniformity cost 2-3x local
+    // wall time for zero scale benefit. Their 2-row top-2 rank sits
+    // behind the checkpointed cell frame, declared at that site.
     val allow = Map(
+      "ks_statistic" -> "CDF over ≤max-doc-length distinct-length cells",
+      "mann_whitney_auc" -> "rank cumulative over the same length cells",
+      "compaction_plan" -> "packing prefix over the calendar-bounded day inventory",
       "neyman_allocation" -> "largest-remainder rank over |event_type| strata",
       "rrf_fusion" -> "ranks over two ≤20-row post-LIMIT top-k frames",
       "zipf_coverage" -> "rank over the ≤1000-row post-LIMIT vocabulary head",
