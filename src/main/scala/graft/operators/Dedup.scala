@@ -574,6 +574,67 @@ object Dedup {
           ORDER BY quality_score DESC, doc_id ASC) AS rn
       FROM j) WHERE rn = 1"""
 
+  /** Mixture-shift audit of the dedup pass: per source, doc counts and
+    * exact-ppm corpus shares BEFORE vs AFTER [[dedupApply]]'s drop, and
+    * the signed shift. Dedup is not mixture-neutral — template-heavy
+    * sources (mirrors, generated pages) lose disproportionately, so a
+    * mix tuned pre-dedup silently trains on a different distribution;
+    * this is the one-table check that catches it (and the number
+    * [[graft.operators.Sampling]] mix_rebalance should be re-run on).
+    *
+    * Scale shape: the loser set is near-dup-cluster-scale and
+    * BROADCASTS onto one documents scan (source column + a null-check
+    * — no corpus shuffle); the |sources|-row result is checkpointed and
+    * the totals fold over it. Shares stay BIGINT via the overflow-safe
+    * ppm treatment; shift is exact integer ppm.
+    */
+  def dedupMixShift(spark: SparkSession, dir: String): DataFrame = {
+    val losers = dedupComponents(spark, dir)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"), lit(1L).as("lost"))
+    val per = graft.functions.Iterate.checkpoint(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(losers), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("lost").isNull, 1L).otherwise(0L)).as("n_after")))
+    val tot = per.agg(sum(col("n_before")).as("t_before"),
+      sum(col("n_after")).as("t_after"))
+    def ppm(n: String, t: String): Column =
+      when(col(t) <= lit(9000000000000L), expr(s"($n * 1000000) div $t"))
+        .otherwise(expr(s"$n div ($t div 1000000)"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_before"), col("n_after"),
+        ppm("n_before", "t_before").as("share_before_ppm"),
+        ppm("n_after", "t_after").as("share_after_ppm"),
+        (ppm("n_after", "t_after") - ppm("n_before", "t_before"))
+          .as("shift_ppm"))
+  }
+
+  lazy val dedupMixShiftOracle: String = s"""
+    WITH comp AS ($dedupComponentsOracle),
+    losers AS (SELECT doc_id FROM comp WHERE NOT is_canonical),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before,
+        CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_after
+      FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_before) AS BIGINT) AS t_before,
+                   CAST(SUM(n_after) AS BIGINT) AS t_after FROM per)
+    SELECT source, n_before, n_after, share_before_ppm, share_after_ppm,
+      share_after_ppm - share_before_ppm AS shift_ppm
+    FROM (
+      SELECT source, n_before, n_after,
+        CASE WHEN t_before <= 9000000000000
+          THEN (n_before * 1000000) // t_before
+          ELSE n_before // (t_before // 1000000) END AS share_before_ppm,
+        CASE WHEN t_after <= 9000000000000
+          THEN (n_after * 1000000) // t_after
+          ELSE n_after // (t_after // 1000000) END AS share_after_ppm
+      FROM per CROSS JOIN tot)"""
+
   /** Dedup applied: the surviving corpus after near-dup clustering —
     * every cluster keeps only its canonical (min-id) document, plus all
     * unclustered documents untouched. This is the step that turns pair
@@ -1274,6 +1335,7 @@ object Dedup {
     "decontaminate_bloom" -> QueryDef.sql(decontaminateBloom, decontaminateOracle),
     "dedup_components" -> QueryDef.sql(dedupComponents, dedupComponentsOracle),
     "dedup_keep_best" -> QueryDef.sql(dedupKeepBest, dedupKeepBestOracle),
+    "dedup_mix_shift" -> QueryDef.sql(dedupMixShift, dedupMixShiftOracle),
     "dup_cluster_sizes" -> QueryDef.sql(dupClusterSizes, dupClusterSizesOracle),
     "dedup_incremental" -> QueryDef.sql(dedupIncremental, dedupIncrementalOracle),
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),

@@ -246,6 +246,53 @@ object TextAnalysis {
         FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS w
               FROM documents)))"""
 
+  /** Boilerplate-template detection — the C4-style "same header stamped
+    * across a source" audit: documents sharing an identical leading
+    * 32-character prefix within one source are template families
+    * (mirrors, footers, generated pages), reported per (source, prefix
+    * fingerprint) with the doc count and its exact-ppm share of the
+    * source. Downstream cleaning strips or collapses these before
+    * training; this is the measurement that finds them.
+    *
+    * Scale shape: the prefix is HASHED at the scan (md5 of the 32-char
+    * slice), so the group-by shuffles narrow (source, 32-hex) keys —
+    * never prefix text; the per-source totals aggregate reads ONLY the
+    * source column (column pruning) and broadcasts back. Share stays
+    * BIGINT via the overflow-safe ppm treatment.
+    */
+  def boilerplateDetect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perSrc = graft.functions.Iterate.checkpoint(
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_src")))
+    docs
+      .select(col("source"),
+        md5(substring(col("text"), 1, 32).cast("binary")).as("prefix_md5"))
+      .groupBy(col("source"), col("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .join(broadcast(perSrc), Seq("source"))
+      .select(col("source"), col("prefix_md5"), col("n_docs"),
+        when(col("n_src") <= lit(9000000000000L),
+          expr("(n_docs * 1000000) div n_src"))
+          .otherwise(expr("n_docs div (n_src div 1000000)"))
+          .as("share_ppm"))
+  }
+
+  val boilerplateDetectOracle: String = """
+    WITH per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM documents GROUP BY 1),
+    g AS (
+      SELECT source, MD5(SUBSTR(text, 1, 32)) AS prefix_md5,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2)
+    SELECT source, prefix_md5, n_docs,
+      CASE WHEN n_src <= 9000000000000
+        THEN (n_docs * 1000000) // n_src
+        ELSE n_docs // (n_src // 1000000) END AS share_ppm
+    FROM g JOIN per_src USING (source)
+    WHERE n_docs >= 2"""
+
   /** PII scrubbing — redact emails and URLs before training (the
     * compliance pass every corpus gets). The lake text is synthetic and
     * clean, so the operator first derives a PII-bearing column the way
@@ -1416,6 +1463,7 @@ object TextAnalysis {
     "doc_fingerprint" -> QueryDef.sql(docFingerprint, docFingerprintOracle),
     "repetition_score" -> QueryDef.sql(repetitionScore, repetitionScoreOracle),
     "pii_scrub" -> QueryDef.sql(piiScrub, piiScrubOracle),
+    "boilerplate_detect" -> QueryDef.sql(boilerplateDetect, boilerplateDetectOracle),
     "doc_chunk" -> QueryDef.sql(docChunk, docChunkOracle)
   )
 }

@@ -460,6 +460,11 @@ object EventStreams {
     * crash windows covered by its recovery path). A replayed batch
     * therefore either sees none of its fold (and redoes it) or all of
     * it (and skips) — never half.
+    *
+    * The day table is bound to ONE streaming-checkpoint lineage:
+    * restarting the query from a FRESH checkpoint dir resets epoch ids
+    * to 0, which the table's watermark would silently skip — pair a new
+    * checkpoint dir with a new (or deleted) table path.
     */
   def noveltyToTable(events: Dataset[Event], path: String): StreamingQuery =
     noveltyFirsts(events).toDF()

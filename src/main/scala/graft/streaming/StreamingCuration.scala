@@ -145,9 +145,21 @@ object StreamingCuration {
       }
   }
 
+  /** How many committed markers the ledger retains behind the newest
+    * one. foreachBatch only ever replays the most recent uncommitted
+    * epochs, so old markers are dead weight — at one batch a minute an
+    * unbounded ledger is half a million files a year in one directory.
+    * A replay arriving for a PRUNED id (outside anything Structured
+    * Streaming actually does) recomputes the batch and falls through to
+    * the CONTENT-level hash absorption — the layer-1 safety net — so
+    * retention bounds the ledger without opening a correctness hole.
+    */
+  private val LedgerRetain = 64L
+
   /** Drain all three staged tables into the live ones, commit the
-    * ledger marker, clean up. Safe to call again after a crash at any
-    * point — see [[publishDir]].
+    * ledger marker, clean up (including the now-redundant staged marker
+    * and any committed markers past the retention window). Safe to call
+    * again after a crash at any point — see [[publishDir]].
     */
   private def publishStaged(spark: SparkSession, corpusPath: String,
       indexPath: String, batchId: Long, n: Long): Unit = {
@@ -159,7 +171,26 @@ object StreamingCuration {
     publishDir(spark, s"$pend/hashes", hashesPath(corpusPath), batchId)
     writeMarker(spark, corpusPath, s"committed-b$batchId", n)
     val (fs, pendP) = fsFor(spark, pend)
-    fs.delete(pendP, true): Unit
+    fs.delete(pendP, true)
+    pruneLedger(spark, corpusPath, batchId)
+  }
+
+  /** Drop the staged marker of the just-committed batch and any
+    * markers `LedgerRetain`+ batches behind it.
+    */
+  private def pruneLedger(spark: SparkSession, corpusPath: String,
+      batchId: Long): Unit = {
+    val (fs, dir) = fsFor(spark, ledgerDir(corpusPath))
+    val Marker = "(staged|committed)-b([0-9]+)".r
+    fs.listStatus(dir).foreach { s =>
+      s.getPath.getName match {
+        case Marker(kind, id)
+            if id.toLong + (if (kind == "staged") 0L else LedgerRetain)
+              <= batchId =>
+          fs.delete(s.getPath, false): Unit
+        case _ => ()
+      }
+    }
   }
 
   /** Max candidate ids the near-dup probe may materialize on the driver

@@ -325,6 +325,60 @@ class OperatorSpec extends SparkSpec {
       "corpus exercises only the min-id tie-break path")
   }
 
+  test("dedup_mix_shift: drops reconcile with dedup_apply, shares balance, " +
+      "and the shift is non-vacuous") {
+    val out = operators.Dedup.dedupMixShift(spark, sfDir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("share_before_ppm") <= 1000000L
+        && r.getAs[Long]("share_after_ppm") <= 1000000L)
+      assert(r.getAs[Long]("shift_ppm")
+        == r.getAs[Long]("share_after_ppm") - r.getAs[Long]("share_before_ppm"))
+    }
+    // survivors reconcile exactly with the applied dedup
+    assert(out.map(_.getAs[Long]("n_after")).sum
+      == operators.Dedup.dedupApply(spark, sfDir).count())
+    assert(out.map(_.getAs[Long]("n_before")).sum
+      == Tables.documents(spark, sfDir).count())
+    // floor-ppm shares sum to 1e6 up to per-source rounding, each side
+    Seq("share_before_ppm", "share_after_ppm").foreach { c =>
+      val s = out.map(_.getAs[Long](c)).sum
+      assert(s <= 1000000L && s > 1000000L - out.length, s"$c sums to $s")
+    }
+    // the audit must have something to report on real data: dedup drops
+    // docs from at least one source, so the mixture genuinely moves
+    assert(out.exists(r => r.getAs[Long]("n_after") < r.getAs[Long]("n_before")),
+      "corpus has no near-dup drops — shift audit is vacuous")
+    assert(out.exists(_.getAs[Long]("shift_ppm") != 0L),
+      "every source shifted by exactly zero ppm")
+  }
+
+  test("boilerplate_detect: reported groups equal a direct prefix recount") {
+    val out = operators.TextAnalysis.boilerplateDetect(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("prefix_md5"))
+        -> (r.getAs[Long]("n_docs"), r.getAs[Long]("share_ppm"))).toMap
+    assert(out.nonEmpty, "corpus has no template families — detector vacuous")
+    // independent recount: group the collected corpus by (source,
+    // 32-codepoint prefix) in plain Scala
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val srcTotals = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val want = docs.groupBy { case (s, t) =>
+      val cps = t.codePoints().toArray
+      (s, new String(cps, 0, math.min(32, cps.length)))
+    }.filter(_._2.length >= 2)
+    assert(out.size == want.size, s"group count ${out.size} != ${want.size}")
+    want.foreach { case ((s, _), ms) =>
+      val hits = out.filter(_._1._1 == s)
+        .filter(_._2._1 == ms.length.toLong)
+      assert(hits.nonEmpty, s"missing template group for source $s")
+      hits.foreach { case (_, (n, ppm)) =>
+        assert(ppm == n * 1000000L / srcTotals(s), "share_ppm drifted")
+      }
+    }
+  }
+
   test("contamination_report: one row per benchmark doc; threshold and count invariants hold") {
     val out = operators.Dedup.contaminationReport(spark, sfDir).persist()
     val rows = out.collect()

@@ -211,6 +211,23 @@ class StreamingCurationSpec extends SparkSpec {
     assert(ingest(2L, b3) == refN(2L), "committed replay must return the " +
       "recorded survivor count")
     assert(rows3(out) == before, "committed replay mutated a table")
+
+    // ledger hygiene: staged markers are pruned once their batch
+    // commits (only committed markers persist, bounded by retention)
+    val ledger = new java.io.File(s"${corpusPath}_ledger").listFiles()
+      .map(_.getName).filterNot(_.endsWith(".tmp")).sorted
+    assert(ledger.count(_.startsWith("staged-")) == 0,
+      s"stale staged markers survive commit: ${ledger.mkString(", ")}")
+    assert(ledger.count(_.startsWith("committed-")) == 3)
+
+    // a replay whose committed marker was PRUNED (outside anything
+    // Structured Streaming actually does) recomputes and falls through
+    // to the CONTENT-level hash absorption: nothing re-appends
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"${corpusPath}_ledger", "committed-b2"))
+    assert(ingest(2L, b3) == 0L,
+      "pruned-ledger replay must be absorbed at the content level")
+    assert(rows3(out) == before, "pruned-ledger replay mutated a table")
   }
 
   test("streaming curation: the foreachBatch wiring drives batches end to end") {
