@@ -176,7 +176,7 @@ class ShuffleBudgetSpec extends SparkSpec {
   // exclusive prefix over the ≤1025-cell histogram (its histogram,
   // bases fold, and join-back are metadata-scale exchanges), plus the
   // one-row total fold — no unpartitioned window anywhere.
-  check("curriculum_order", 9)(operators.Sampling.curriculumOrder(spark, sfDir))
+  check("curriculum_order", 6)(operators.Sampling.curriculumOrder(spark, sfDir))
   // char_class_stats: pure per-row regex counting, scan speed.
   check("char_class_stats", 0)(operators.TextAnalysis.charClassStats(spark, sfDir))
   // embedding_norm_audit: exactly the one label-keyed aggregate.
@@ -245,10 +245,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // three columns never cost three scans.
   check("col_stats_histogram", 2)(
     operators.Lakehouse.colStatsHistogram(spark, sfDir))
-  // compaction_plan: the DATA shuffles once (per-day count); the
-  // packing prefix (Ranks, cell = calendar month) + group fold run on
-  // the metadata-scale inventory.
-  check("compaction_plan", 6)(operators.Lakehouse.compactionPlan(spark, sfDir))
+  // compaction_plan: the lake aggregates inside the eager inventory
+  // checkpoint; the visible plan carries ONE exchange — the bounded
+  // window + group fold over the calendar-bounded inventory (r11's
+  // two-level form budgeted 6 here).
+  check("compaction_plan", 1)(operators.Lakehouse.compactionPlan(spark, sfDir))
   // event_debounce: one composite-key window shuffle, no self-join.
   check("event_debounce", 1)(operators.EventOps.eventDebounce(spark, sfDir))
   // readability_score: pure per-row projection — scan speed, ZERO
@@ -324,7 +325,7 @@ class ShuffleBudgetSpec extends SparkSpec {
   // exchange; the sweep re-keys by day once; the opening-balance
   // carry runs on the days-count frame and broadcasts back — the
   // global prefix sum never pays a global sort.
-  check("concurrency_peaks", 6)(
+  check("concurrency_peaks", 5)(
     operators.EventOps.concurrencyPeaks(spark, sfDir))
   // compression_estimate: one stacked scan, the per-column run window
   // and the per-column fold share the col_name exchange.
@@ -384,12 +385,13 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("clustering_coefficient", 2)(
     operators.GraphExt.clusteringCoefficient(spark, sfDir))
   check("dp_noisy_counts", 1)(operators.Quality.dpNoisyCounts(spark, sfDir))
-  // ks/mw: ONE corpus shuffle each (the length-support cell aggregate);
-  // the CDFs ride the Ranks bucketed exclusive prefix, whose histogram/
-  // bases/join-back exchanges move support-cell rows only (the cells
-  // frame feeds two branches, so AQE materializes its subtree twice).
-  check("ks_statistic", 10)(operators.StatTests.ksStatistic(spark, sfDir))
-  check("mann_whitney_auc", 9)(operators.StatTests.mannWhitneyAuc(spark, sfDir))
+  // ks/mw: the corpus aggregates inside the eager cell checkpoint, so
+  // the visible plan carries ONE exchange — the single-partition window
+  // over the DOMAIN-bounded (≤ max-doc-length) support cells. r11's
+  // two-level form budgeted 10/9 exchanges here; the r12 bounded-window
+  // revert collapsed both to 1.
+  check("ks_statistic", 1)(operators.StatTests.ksStatistic(spark, sfDir))
+  check("mann_whitney_auc", 1)(operators.StatTests.mannWhitneyAuc(spark, sfDir))
   // chi_square: 8 of the 9 exchanges move ≤|cells| (125) rows — the
   // margin folds, countDistinct expands, and scalar broadcasts; the one
   // corpus-scale shuffle is the contingency aggregate.
@@ -405,7 +407,7 @@ class ShuffleBudgetSpec extends SparkSpec {
   // two-level exclusive prefix (1024-bucket histogram + bases +
   // bucket-partitioned running sums) and the scalar fold — no
   // unpartitioned window even over the near-customer-cardinality cells.
-  check("gini_concentration", 8)(operators.StatTests.giniConcentration(spark, sfDir))
+  check("gini_concentration", 5)(operators.StatTests.giniConcentration(spark, sfDir))
   check("neyman_allocation", 4)(operators.StatTests.neymanAllocation(spark, sfDir))
   check("snippet_extract", 1)(operators.Retrieval.snippetExtract(spark, sfDir))
   check("rrf_fusion", 2)(operators.Retrieval.rrfFusion(spark, sfDir))
@@ -422,18 +424,18 @@ class ShuffleBudgetSpec extends SparkSpec {
   // frontier test rides the Ranks exclusive prefix MAX over price
   // cells and the survivor set (≤|distinct sizes|) broadcasts back —
   // the corpus is never sorted and never windowed.
-  check("skyline_2d", 7)(operators.RelationalExt.skyline2d(spark, sfDir))
+  check("skyline_2d", 4)(operators.RelationalExt.skyline2d(spark, sfDir))
   // repurchase_curve: gap window + gap-week histogram live in the eager
   // checkpoint; this plan is the Ranks prefix over the ≤weeks-count
   // histogram + the one-row total fold.
-  check("repurchase_curve", 5)(operators.RelationalExt.repurchaseCurve(spark, sfDir))
+  check("repurchase_curve", 4)(operators.RelationalExt.repurchaseCurve(spark, sfDir))
   check("fano_factor", 2)(operators.EventScience.fanoFactor(spark, sfDir))
   check("daily_novelty", 3)(operators.EventScience.dailyNovelty(spark, sfDir))
   // user_concentration: corpus → per-user fold once; the decile
   // assignment is the two-level exact NTILE over user-scale rows (cell
   // histogram + bases + cell-partitioned window), and the one global
   // window left runs on the 10-row decile profile.
-  check("user_concentration", 9)(
+  check("user_concentration", 7)(
     operators.EventScience.userConcentration(spark, sfDir))
   // stickiness: corpus → bitmap fold + the dense-grid densify joins;
   // AQE flips one grid-scale join between broadcast and shuffle run to
@@ -442,4 +444,19 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("stickiness_dau_mau", 5)(
     operators.EventScience.stickinessDauMau(spark, sfDir))
   check("bounce_rate", 2)(operators.EventScience.bounceRate(spark, sfDir))
+  // frame sampling is a pure mapPartitions flatMap — scan speed, ZERO
+  // exchanges at any SF.
+  check("multimodal_frame_sample_real", 0)(
+    operators.Multimodal.multimodalFrameSampleReal(spark, sfDir))
+  // token_budget_plan: the corpus aggregates inside the checkpoint; the
+  // visible plan folds the |sources|-row planned frame twice (budget
+  // fold + final projection join), both metadata-scale.
+  check("token_budget_plan", 2)(operators.Sampling.tokenBudgetPlan(spark, sfDir))
+  // keep_best/mix_shift: the component map broadcasts; the one exchange
+  // each is the cluster-scale argmax / |sources|-row share aggregate.
+  check("dedup_keep_best", 1)(operators.Dedup.dedupKeepBest(spark, sfDir))
+  check("dedup_mix_shift", 1)(operators.Dedup.dedupMixShift(spark, sfDir))
+  // boilerplate_detect: ONE corpus shuffle — the (source, prefix-md5)
+  // narrow-key aggregate; source totals broadcast.
+  check("boilerplate_detect", 1)(operators.TextAnalysis.boilerplateDetect(spark, sfDir))
 }
