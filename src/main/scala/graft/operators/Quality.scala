@@ -362,6 +362,92 @@ object Quality {
         // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS groups_share_ppm
     FROM g GROUP BY 1"""
 
+  /** t-closeness audit — the third leg of the privacy-gate trio
+    * ([[kAnonymityAudit]] bounds group size, [[lDiversityAudit]] bounds
+    * sensitive-value variety, this bounds sensitive-value SKEW): per
+    * quasi-identifier group (nation × balance band), the total
+    * variation distance between the group's mktsegment distribution
+    * and the GLOBAL one — a group can be k-anonymous and l-diverse yet
+    * still leak via a segment mix far from baseline. Unordered
+    * categories make TVD the canonical t-closeness distance
+    * (equal-ground-distance EMD).
+    *
+    * Integer-exact via the ks cross-multiplication: |c_gs/n_g − C_s/N|
+    * = |c_gs·N − C_s·n_g| / (n_g·N), so t·2·n_g·N = Σ_s |c_gs·N −
+    * C_s·n_g| folds in BIGINT; t_ppm divides once with the gini
+    * overflow treatment, and the classic 0.2 breach flag compares the
+    * ALREADY-REDUCED t_ppm (same value both engines, so the flag is
+    * deterministic; ≤1 ppm truncation at the exact boundary). BIGINT
+    * headroom: c_gs·N < 9.2e18 to ~3e9 customers; past that the fold
+    * (not the data) moves to DECIMAL(38).
+    *
+    * Scale: ONE corpus scan into the (group × segment) cell aggregate
+    * — bounded by |nations|·|bands|·|segments|, checkpointed; the
+    * group/segment/global margins all fold over the checkpointed cells
+    * and broadcast back onto the complete grid (absent segments must
+    * contribute |0 − C_s·n_g|, so the grid is groups ⨯ segments, both
+    * dimension-scale).
+    */
+  def tClosenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.functions.Iterate.checkpoint(
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          floor(col("c_acctbal") / lit(1000d)).as("bal_band"),
+          col("c_mktsegment").as("mktsegment"))
+        .groupBy(col("nationkey"), col("bal_band"), col("mktsegment"))
+        .agg(count(lit(1)).as("c")))
+    val groups = cells.groupBy(col("nationkey"), col("bal_band"))
+      .agg(sum(col("c")).as("n_g"))
+    val segs = cells.groupBy(col("mktsegment")).agg(sum(col("c")).as("c_s"))
+    val tot = segs.agg(sum(col("c_s")).as("n_tot"))
+    groups.crossJoin(broadcast(segs))
+      .join(cells, Seq("nationkey", "bal_band", "mktsegment"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        abs(coalesce(col("c"), lit(0L)) * col("n_tot")
+          - col("c_s") * col("n_g")))
+      .groupBy(col("nationkey"), col("bal_band"), col("n_g"), col("n_tot"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("nationkey"), col("bal_band"), col("n_g").as("n_members"),
+        when(col("n_g") * col("n_tot") <= lit(4500000000000L),
+          expr("(num * 1000000) div (2 * n_g * n_tot)"))
+          .otherwise(expr("num div ((2 * n_g * n_tot) div 1000000)"))
+          .as("t_ppm"))
+      .withColumn("breach_02", col("t_ppm") > lit(200000L))
+  }
+
+  val tClosenessAuditOracle: String = """
+    WITH cells AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        c_mktsegment AS mktsegment, CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3),
+    groups AS (
+      SELECT nationkey, bal_band, CAST(SUM(c) AS BIGINT) AS n_g
+      FROM cells GROUP BY 1, 2),
+    segs AS (
+      SELECT mktsegment, CAST(SUM(c) AS BIGINT) AS c_s
+      FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_tot FROM segs),
+    grid AS (
+      SELECT g.nationkey, g.bal_band, g.n_g, s.mktsegment, s.c_s, t.n_tot,
+        ABS(COALESCE(c.c, 0) * t.n_tot - s.c_s * g.n_g) AS term
+      FROM groups g CROSS JOIN segs s CROSS JOIN tot t
+      LEFT JOIN cells c ON c.nationkey = g.nationkey
+        AND c.bal_band = g.bal_band AND c.mktsegment = s.mktsegment),
+    folded AS (
+      SELECT nationkey, bal_band, n_g, n_tot,
+        CAST(SUM(term) AS BIGINT) AS num
+      FROM grid GROUP BY 1, 2, 3, 4)
+    SELECT nationkey, bal_band, n_g AS n_members,
+      t_ppm, (t_ppm > 200000) AS breach_02
+    FROM (
+      SELECT nationkey, bal_band, n_g,
+        CASE WHEN n_g * n_tot <= 4500000000000
+          THEN (num * 1000000) // (2 * n_g * n_tot)
+          ELSE num // ((2 * n_g * n_tot) // 1000000) END AS t_ppm
+      FROM folded)"""
+
   /** Differentially-private-shaped release counts via the BINOMIAL
     * mechanism (Dwork et al. 2006's original noise — binomial(n, ½)
     * approximates the Gaussian mechanism): each (nation, segment) count
@@ -413,6 +499,7 @@ object Quality {
     "k_anonymity_audit" -> QueryDef.sql(kAnonymityAudit, kAnonymityAuditOracle),
     "right_to_erasure" -> QueryDef.sql(rightToErasure, rightToErasureOracle),
     "benford_audit" -> QueryDef.sql(benfordAudit, benfordAuditOracle),
-    "l_diversity_audit" -> QueryDef.sql(lDiversityAudit, lDiversityAuditOracle)
+    "l_diversity_audit" -> QueryDef.sql(lDiversityAudit, lDiversityAuditOracle),
+    "t_closeness_audit" -> QueryDef.sql(tClosenessAudit, tClosenessAuditOracle)
   )
 }

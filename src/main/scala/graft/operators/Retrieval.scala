@@ -34,12 +34,17 @@ object Retrieval {
     * explosion); the (N, Σdl, df_t) stats row broadcasts back; top-20
     * is a TakeOrdered (per-partition heads, never a global sort).
     */
-  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
-    // ONE tokenize pass: per-doc row carries dl + one tf column per query
-    // term (a 3-term query is 3 conditional counts, not a per-term row
-    // explosion). The frame is CHECKPOINTED because both the stats fold
-    // and the scoring projection consume it — without materialization
-    // each consumer re-runs the tokenize scan (PlanSpec pins this).
+  /** The BM25-scored hit frame shared by [[bm25Topk]] and [[ndcgEval]]:
+    * (doc_id, tf_<term>..., score) for every doc matching ≥1 query
+    * term, score rounded to 1e-6 (the cross-engine float discipline).
+    * ONE tokenize pass: per-doc row carries dl + one tf column per
+    * query term (a 3-term query is 3 conditional counts, not a
+    * per-term row explosion). The frame is CHECKPOINTED because both
+    * the stats fold and the scoring projection consume it — without
+    * materialization each consumer re-runs the tokenize scan (PlanSpec
+    * pins this).
+    */
+  private def bm25ScoredDf(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = graft.functions.Iterate.checkpoint(
       Tables.documents(spark, dir)
         .select(col("doc_id"),
@@ -68,10 +73,13 @@ object Retrieval {
       .filter(col("score") > 0.0)
       .withColumn("score",
         floor(col("score") * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6))
+  }
+
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoredDf(spark, dir)
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(20)
-  }
 
   val bm25TopkOracle: String = {
     val tfCols = QueryTerms.map(t =>
@@ -107,6 +115,158 @@ object Retrieval {
       CAST(FLOOR(score * 1.0e6 + 0.5) AS DOUBLE) / 1.0e6 AS score
     FROM scored WHERE score > 0.0
     ORDER BY score DESC, doc_id ASC LIMIT 20"""
+  }
+
+  /** NDCG@k cutoff. */
+  private val NdcgK = 10
+
+  /** 1/log2(r+1) discount weights for ranks 1..k — TEN literal doubles,
+    * not a runtime log call: `log`/`pow` are not correctly-rounded
+    * across engines (the repo's 1-ulp oracle-drift lesson), but a rank
+    * cutoff makes the discount table FINITE, and Scala's shortest
+    * round-trip Double.toString parses back to the identical double in
+    * both engines. Interpolated into query AND oracle from this one
+    * sequence so they cannot desync.
+    */
+  private val DcgW: Seq[Double] =
+    (1 to NdcgK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Ranking-quality evaluation of the engine's own BM25 ranking —
+    * NDCG@10 against a deterministic GRADED relevance label (rel = how
+    * many distinct query terms the document contains, gain 2^rel − 1:
+    * 1/3/7): the eval harness every retrieval stack ships next to its
+    * ranker, with the label rule playing the human judgment. One row:
+    * graded-corpus composition, DCG@10, ideal DCG@10 (best 10 gains
+    * the whole corpus could order), and NDCG in exact ppm.
+    *
+    * FP discipline: gains are INTEGER and land in per-rank columns via
+    * order-independent one-hot sums; both DCG folds are EXPLICIT
+    * left-associated 10-term expressions over the literal discount
+    * table (never a SUM over rows — cross-row double summation order
+    * is engine/partition dependent); the ideal gains derive from the
+    * three broadcast rel counts by integer CASE. Every intermediate
+    * double is therefore bit-identical across engines.
+    *
+    * Scale: rides [[bm25ScoredDf]]'s one tokenize pass (checkpointed);
+    * the eval itself folds a ≤k-row TakeOrdered frame and three
+    * broadcast counts — metadata-scale at any SF. The top-k rank is a
+    * post-LIMIT ≤10-row window (PlanSpec allowlist).
+    */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.functions.Iterate.checkpoint(
+      bm25ScoredDf(spark, dir).withColumn("rel",
+        QueryTerms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+          .reduceLeft(_ + _)))
+    val relCounts = scored.agg(
+      sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n_rel3"),
+      sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n_rel2"),
+      sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n_rel1"))
+    val top = scored
+      .orderBy(col("score").desc, col("doc_id").asc).limit(NdcgK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .withColumn("gain", when(col("rel") === 3, 7L)
+        .when(col("rel") === 2, 3L).otherwise(1L))
+    val gRow = top.agg(
+      sum(when(col("rank") === 1, col("gain")).otherwise(0L)).as("g_1"),
+      (2 to NdcgK).map(r =>
+        sum(when(col("rank") === r, col("gain")).otherwise(0L)).as(s"g_$r")): _*)
+    val dcg = (1 to NdcgK)
+      .map(r => col(s"g_$r").cast("double") * lit(DcgW(r - 1)))
+      .reduceLeft(_ + _)
+    def idealGain(r: Int) =
+      when(lit(r.toLong) <= col("n_rel3"), 7L)
+        .when(lit(r.toLong) <= col("n_rel3") + col("n_rel2"), 3L)
+        .when(lit(r.toLong) <= col("n_rel3") + col("n_rel2") + col("n_rel1"), 1L)
+        .otherwise(0L)
+    val idcg = (1 to NdcgK)
+      .map(r => idealGain(r).cast("double") * lit(DcgW(r - 1)))
+      .reduceLeft(_ + _)
+    gRow.crossJoin(broadcast(relCounts))
+      .withColumn("dcg", dcg)
+      .withColumn("idcg", idcg)
+      .select(col("n_rel1"), col("n_rel2"), col("n_rel3"),
+        floor(col("dcg") * lit(1.0e6) + lit(0.5)).cast("bigint").as("dcg_x1e6"),
+        floor(col("idcg") * lit(1.0e6) + lit(0.5)).cast("bigint").as("idcg_x1e6"),
+        when(col("idcg") > 0.0,
+          floor(col("dcg") / col("idcg") * lit(1.0e6)).cast("bigint"))
+          .as("ndcg_ppm"))
+  }
+
+  lazy val ndcgEvalOracle: String = {
+    // rebuilt from the same generators as bm25TopkOracle (tf/df/partial
+    // are interpolated from QueryTerms/K1/B so the two cannot desync),
+    // with the scored CTE additionally carrying the graded rel label
+    val tfCols = QueryTerms.map(t =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n        ")
+    val dfCols = QueryTerms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n        ")
+    def partial(t: String) =
+      s"""CASE WHEN tf_$t > 0 THEN
+        ((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+          / (CAST(df_$t AS DOUBLE) + 0.5))
+        * (CAST(tf_$t AS DOUBLE) * ${K1 + 1.0})
+        / (CAST(tf_$t AS DOUBLE)
+          + $K1 * ((1.0 - $B) + $B * CAST(dl AS DOUBLE)
+            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        ELSE CAST(0.0 AS DOUBLE) END"""
+    val base = s"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term FROM documents),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+        $tfCols
+      FROM terms GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+        $dfCols
+      FROM perdoc),
+    scored_rel AS (
+      SELECT doc_id,
+        ${QueryTerms.map(partial).mkString("\n        + ")} AS score,
+        ${QueryTerms.map(t => s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")} AS rel
+      FROM perdoc CROSS JOIN stats),"""
+    val gCols = (1 to NdcgK).map(r =>
+      s"CAST(SUM(CASE WHEN rank = $r THEN gain ELSE 0 END) AS BIGINT) AS g_$r")
+      .mkString(",\n        ")
+    val dcgSql = (1 to NdcgK)
+      .map(r => s"CAST(g_$r AS DOUBLE) * ${DcgW(r - 1)}").mkString("\n        + ")
+    val idcgSql = (1 to NdcgK).map(r =>
+      s"""CAST(CASE WHEN $r <= n_rel3 THEN 7
+           WHEN $r <= n_rel3 + n_rel2 THEN 3
+           WHEN $r <= n_rel3 + n_rel2 + n_rel1 THEN 1
+           ELSE 0 END AS DOUBLE) * ${DcgW(r - 1)}""").mkString("\n        + ")
+    s"""$base
+    kept AS (
+      SELECT doc_id,
+        CAST(FLOOR(score * 1.0e6 + 0.5) AS DOUBLE) / 1.0e6 AS score, rel
+      FROM scored_rel WHERE score > 0.0),
+    rc AS (
+      SELECT CAST(SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel3,
+        CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel2,
+        CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel1
+      FROM kept),
+    top AS (
+      SELECT CASE WHEN rel = 3 THEN 7 WHEN rel = 2 THEN 3 ELSE 1 END AS gain,
+        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM kept ORDER BY score DESC, doc_id ASC LIMIT $NdcgK),
+    g AS (
+      SELECT $gCols
+      FROM top),
+    d AS (
+      SELECT n_rel1, n_rel2, n_rel3,
+        $dcgSql AS dcg,
+        $idcgSql AS idcg
+      FROM g CROSS JOIN rc)
+    SELECT n_rel1, n_rel2, n_rel3,
+      CAST(FLOOR(dcg * 1.0e6 + 0.5) AS BIGINT) AS dcg_x1e6,
+      CAST(FLOOR(idcg * 1.0e6 + 0.5) AS BIGINT) AS idcg_x1e6,
+      CASE WHEN idcg > 0.0
+        THEN CAST(FLOOR(dcg / idcg * 1.0e6) AS BIGINT) END AS ndcg_ppm
+    FROM d"""
   }
 
   /** Quantile normalization of per-source document-length distributions
@@ -445,6 +605,7 @@ object Retrieval {
     "rrf_fusion" -> QueryDef.sql(rrfFusion, rrfFusionOracle),
     "contrastive_pairs" -> QueryDef.sql(contrastivePairs, contrastivePairsOracle),
     "bm25_topk" -> QueryDef.sql(bm25Topk, bm25TopkOracle),
+    "ndcg_eval" -> QueryDef.sql(ndcgEval, ndcgEvalOracle),
     "quantile_normalize" -> QueryDef.sql(quantileNormalize, quantileNormalizeOracle),
     "theilsen_trend" -> QueryDef.sql(theilsenTrend, theilsenTrendOracle)
   )

@@ -379,6 +379,71 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("t_closeness_audit: t equals an independent exact TVD recount per group") {
+    val out = operators.Quality.tClosenessAudit(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("nationkey"), r.getAs[Long]("bal_band"))
+        -> (r.getAs[Long]("n_members"), r.getAs[Long]("t_ppm"),
+          r.getAs[Boolean]("breach_02"))).toMap
+    assert(out.nonEmpty)
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") / lit(1000d)).cast("long"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = rows.length.toLong
+    val segTotals = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val groups = rows.groupBy(t => (t._1, t._2))
+    assert(out.keySet == groups.keySet, "one row per quasi-identifier group")
+    groups.foreach { case (k, ms) =>
+      val nG = ms.length.toLong
+      // exact integer TVD numerator: sum over ALL segments of
+      // |c_gs*N - C_s*n_g|
+      val num = segTotals.map { case (s, cS) =>
+        math.abs(ms.count(_._3 == s).toLong * n - cS * nG)
+      }.sum
+      val tPpm = num * 1000000L / (2L * nG * n)
+      val (gotN, gotT, gotB) = out(k)
+      assert(gotN == nG && gotT == tPpm, s"group $k: got ($gotN,$gotT) want ($nG,$tPpm)")
+      assert(gotB == (tPpm > 200000L), s"breach flag drifted for $k")
+      assert(gotT <= 1000000L)
+    }
+    // the audit must discriminate on real data: both flag values occur
+    assert(out.values.exists(_._3) && out.values.exists(!_._3),
+      "t-closeness flag is constant across all groups — vacuous audit")
+  }
+
+  test("ndcg_eval: reconciles with an independent float DCG over the " +
+      "engine's own top-k") {
+    val r = operators.Retrieval.ndcgEval(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val dcg = row.getAs[Long]("dcg_x1e6") / 1e6
+    val idcg = row.getAs[Long]("idcg_x1e6") / 1e6
+    val ndcg = row.getAs[Long]("ndcg_ppm")
+    assert(dcg > 0.0 && idcg >= dcg, s"DCG $dcg must not exceed ideal $idcg")
+    assert(ndcg >= 0L && ndcg <= 1000000L)
+    // independent recompute: rel from raw text, ranking from the
+    // oracle-green bm25_topk output, discounts via runtime math.log
+    val terms = Seq("spark", "hash", "merge")
+    val rel = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map { d =>
+        val toks = d.getString(1).split("\\s+").toSet
+        d.getLong(0) -> terms.count(toks.contains).toLong
+      }.toMap
+    val top = operators.Retrieval.bm25Topk(spark, sfDir).collect()
+      .map(_.getLong(0)).take(10)
+    def w(rank: Int) = 1.0 / (math.log(rank + 1.0) / math.log(2.0))
+    val wantDcg = top.zipWithIndex.map { case (id, i) =>
+      ((1L << rel(id)) - 1L).toDouble * w(i + 1)
+    }.sum
+    val idealGains = rel.values.filter(_ > 0).toSeq.sortBy(-_).take(10)
+    val wantIdcg = idealGains.zipWithIndex.map { case (g, i) =>
+      ((1L << g) - 1L).toDouble * w(i + 1)
+    }.sum
+    assert(math.abs(dcg - wantDcg) < 1e-4, s"DCG $dcg vs recount $wantDcg")
+    assert(math.abs(idcg - wantIdcg) < 1e-4, s"IDCG $idcg vs recount $wantIdcg")
+    assert(math.abs(ndcg / 1e6 - wantDcg / wantIdcg) < 1e-4)
+  }
+
   test("contamination_report: one row per benchmark doc; threshold and count invariants hold") {
     val out = operators.Dedup.contaminationReport(spark, sfDir).persist()
     val rows = out.collect()

@@ -459,4 +459,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // boilerplate_detect: ONE corpus shuffle — the (source, prefix-md5)
   // narrow-key aggregate; source totals broadcast.
   check("boilerplate_detect", 1)(operators.TextAnalysis.boilerplateDetect(spark, sfDir))
+  // t_closeness: the corpus aggregates inside the cell checkpoint; the
+  // three visible exchanges fold/join DIMENSION-scale frames only
+  // (group margin, grid join, final fold — all |groups|x|segments|).
+  check("t_closeness_audit", 3)(operators.Quality.tClosenessAudit(spark, sfDir))
+  // ndcg_eval: the tokenize pass lives in the bm25 checkpoint; the one
+  // exchange is the single-row one-hot gain fold (TakeOrdered + a
+  // ≤10-row window are exchange-light).
+  check("ndcg_eval", 1)(operators.Retrieval.ndcgEval(spark, sfDir))
 }
