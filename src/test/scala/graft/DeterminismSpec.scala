@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Partitioning-invariance proofs: the repo's FP/hash discipline claims
+  * bit-reproducible results "at any partitioning" all over its
+  * Scaladoc — integer-exact folds, hash-gated sampling, fixed-order
+  * float expressions, no cross-row double sums. This spec TESTS the
+  * claim instead of asserting it: each listed operator is built and
+  * collected under two different shuffle widths (4 — the suite
+  * default — and 13, which moves every hash-partition boundary and
+  * with it aggregation merge order, join sides' arrival order, and
+  * task scheduling), and the full row multisets must match EXACTLY —
+  * doubles included, via each row's shortest-round-trip rendering, so
+  * a 1-ulp drift fails. An operator whose result depended on partition
+  * fold order (a naive float SUM, a first()-style pick, an
+  * accumulation in arrival order) passes the DuckDB oracle only by
+  * luck of one fixed plan; it fails here the moment the plan width
+  * changes — which is exactly what a 1000-executor deployment does.
+  *
+  * The list targets the operators whose construction LEANS on the
+  * discipline: hash-gated samplers, integer-cell rank machinery,
+  * float-expression scorers, iterative broadcast-state graph folds,
+  * and the sketch mergers whose merge must commute.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val ops = Seq(
+    // hash-gated sampling / mixing (a rate or bucket derived per row)
+    "sample_temperature", "mix_rebalance", "dataset_split",
+    "sample_stratified", "token_budget_plan",
+    // integer-cell rank machinery (two-level folds must equal the
+    // single-window oracle under ANY cell-to-partition placement)
+    "gini_concentration", "ks_statistic", "skyline_2d",
+    "curriculum_order", "sequence_pack", "user_concentration",
+    // float-expression scorers with fixed-order folds
+    "bm25_topk", "ndcg_eval", "quality_score", "ewma_smooth",
+    // candidate generation (the pair SET must not depend on which
+    // partition saw a band first)
+    "dedup_minhash_lsh", "dedup_simhash", "winnow_fingerprint",
+    // iterative broadcast-state folds (per-round aggregates must
+    // commute) and mergeable sketches
+    "pagerank", "quantile_sketch_merge", "hll_window_merge",
+    "heavy_hitters")
+
+  ops.foreach { name =>
+    test(s"$name is bit-identical across shuffle widths (4 vs 13)") {
+      val q = SparkEntry.queries(name)
+      val at4 = rows(q(spark, sfDir))
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      try {
+        val at13 = rows(q(spark, sfDir))
+        assert(at4 == at13,
+          s"$name drifted across shuffle widths: " +
+            s"${at4.diff(at13).take(3)} vs ${at13.diff(at4).take(3)}")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+}
