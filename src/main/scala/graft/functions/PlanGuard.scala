@@ -36,20 +36,28 @@ object PlanGuard {
         w.windowExpressions.map(_.name).mkString(",")
     }
 
-  /** Fails loud if `df` contains an unpartitioned Window and the call
-    * site did not declare it bounded.
+  /** Fails loud if `df` contains an unpartitioned Window the call site
+    * did not declare bounded. A declaration excuses exactly ONE window
+    * node — every current declared site has exactly one, and a blanket
+    * pass would reopen the blind spot at that site the moment a later
+    * edit slips a second, corpus-scale window into the same lineage.
     */
   def assertNoUnpartitionedWindow(df: DataFrame, site: String,
       allowWindow: Option[String]): Unit = {
-    if (allowWindow.isDefined) return
-    val ws = unpartitionedWindows(df)
-    require(ws.isEmpty,
+    val allowed = if (allowWindow.isDefined) 1 else 0
+    lazy val ws = unpartitionedWindows(df)
+    require(allowWindow.isDefined || ws.isEmpty,
       s"$site: pre-materialization plan contains ${ws.size} unpartitioned " +
         s"Window node(s) [${ws.mkString("; ")}] — a single-reducer sort " +
         "hidden behind a checkpoint/persist boundary, invisible to the " +
         "registry-wide PlanSpec scan. Route it through graft.functions." +
         "Ranks, or declare the window's input provably bounded with " +
         "allowWindow = Some(\"<why it cannot grow with the data>\")")
+    require(ws.size <= allowed,
+      s"$site: the allowWindow declaration covers ONE unpartitioned " +
+        s"Window, but the plan contains ${ws.size} [${ws.mkString("; ")}] " +
+        s"— declared: '${allowWindow.getOrElse("")}'; the extra window is " +
+        "undeclared and may be a single-reducer sort at scale")
   }
 
   /** `df.persist()` with the pre-materialization window scan — use this

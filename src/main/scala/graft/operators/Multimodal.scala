@@ -329,30 +329,35 @@ object Multimodal {
       : Option[Seq[(Long, Long, String)]] =
     if (!isGif(bytes)) None
     else try {
+      // the stream must CLOSE on every path: with ImageIO's default
+      // disk cache it is backed by an open temp file, and a per-row
+      // leak exhausts task fds long before the corpus ends
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          val n = r.getNumImages(true)
-          if (n < 1) None
-          else Some((0 until n by FrameStride).map { i =>
-            val img = r.read(i)
-            val w = img.getWidth; val h = img.getHeight
-            val buf = java.nio.ByteBuffer.allocate(w * h * 4)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { buf.putInt(img.getRGB(x, y)); x += 1 }
-              y += 1
-            }
-            (i.toLong, n.toLong, md5Hex(buf.array))
-          })
-        } finally r.dispose()
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n < 1) None
+            else Some((0 until n by FrameStride).map { i =>
+              val img = r.read(i)
+              val w = img.getWidth; val h = img.getHeight
+              val buf = java.nio.ByteBuffer.allocate(w * h * 4)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { buf.putInt(img.getRGB(x, y)); x += 1 }
+                y += 1
+              }
+              (i.toLong, n.toLong, md5Hex(buf.array))
+            })
+          } finally r.dispose()
+        }
+      } finally iis.close()
     } catch { case _: Exception => None }
 
   /** The char-frame stub as a JVM-side row iterator — bit-identical to

@@ -363,26 +363,40 @@ object Sampling {
     * min and budget folds run over the checkpointed frame and broadcast
     * back. Nothing shuffles the corpus.
     */
-  def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
+  def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetPlanDf(Tables.documents(spark, dir))
+
+  /** [[tokenBudgetPlan]] over an arbitrary documents frame. Total on
+    * degenerate corpora: a ZERO-token source would make the naive
+    * sqrt ratio 0/0 = NaN (whose BIGINT cast is engine-divergent —
+    * Spark nulls, DuckDB errors), so the floor folds over POSITIVE
+    * token counts only and zero-token sources plan 0 epochs / 0 tokens
+    * / not-at-cap, staying in the report instead of poisoning it.
+    */
+  def tokenBudgetPlanDf(documents: DataFrame): DataFrame = {
     val perSrc = graft.functions.Iterate.checkpoint(
-      Tables.documents(spark, dir)
+      documents
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
             .cast("bigint")).as("n_tokens")))
-    val mn = perSrc.agg(min(col("n_tokens")).as("n_tok_min"))
+    val mn = perSrc.agg(
+      min(when(col("n_tokens") > 0, col("n_tokens"))).as("n_tok_min"))
     val planned = perSrc.crossJoin(broadcast(mn))
       .withColumn("epochs",
-        lit(BudgetEpochCap) * sqrt(col("n_tok_min").cast("double"))
-          / sqrt(col("n_tokens").cast("double")))
+        when(col("n_tokens") > 0,
+          lit(BudgetEpochCap) * sqrt(col("n_tok_min").cast("double"))
+            / sqrt(col("n_tokens").cast("double")))
+          .otherwise(lit(0.0)))
       .withColumn("target_tokens",
         floor(col("epochs") * col("n_tokens").cast("double")).cast("bigint"))
     val tot = planned.agg(sum(col("target_tokens")).as("budget_tokens"))
     planned.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("epochs"),
         col("target_tokens"),
-        when(col("budget_tokens") <= lit(9000000000000L),
-          expr("(target_tokens * 1000000) div budget_tokens"))
+        when(col("budget_tokens") <= lit(0L), lit(0L))
+          .when(col("budget_tokens") <= lit(9000000000000L),
+            expr("(target_tokens * 1000000) div budget_tokens"))
           .otherwise(expr("target_tokens div (budget_tokens div 1000000)"))
           .as("share_ppm"),
         (col("epochs") >= lit(BudgetEpochCap)).as("at_epoch_cap"))
@@ -394,11 +408,14 @@ object Sampling {
         CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
           AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1),
-    mn AS (SELECT MIN(n_tokens) AS n_tok_min FROM per_src),
+    mn AS (SELECT MIN(CASE WHEN n_tokens > 0 THEN n_tokens END)
+             AS n_tok_min FROM per_src),
     planned AS (
       SELECT source, n_docs, n_tokens,
-        $BudgetEpochCap * SQRT(CAST(n_tok_min AS DOUBLE))
-          / SQRT(CAST(n_tokens AS DOUBLE)) AS epochs
+        CASE WHEN n_tokens > 0 THEN
+          $BudgetEpochCap * SQRT(CAST(n_tok_min AS DOUBLE))
+            / SQRT(CAST(n_tokens AS DOUBLE))
+        ELSE CAST(0.0 AS DOUBLE) END AS epochs
       FROM per_src CROSS JOIN mn),
     planned2 AS (
       SELECT *, CAST(FLOOR(epochs * CAST(n_tokens AS DOUBLE)) AS BIGINT)
@@ -407,7 +424,8 @@ object Sampling {
     tot AS (SELECT CAST(SUM(target_tokens) AS BIGINT) AS budget_tokens
             FROM planned2)
     SELECT source, n_docs, n_tokens, epochs, target_tokens,
-      CASE WHEN budget_tokens <= 9000000000000
+      CASE WHEN budget_tokens <= 0 THEN 0
+        WHEN budget_tokens <= 9000000000000
         THEN (target_tokens * 1000000) // budget_tokens
         ELSE target_tokens // (budget_tokens // 1000000) END AS share_ppm,
       (epochs >= $BudgetEpochCap) AS at_epoch_cap

@@ -114,24 +114,36 @@ object GraphSink {
     * in parallel by every task instead of a driver loop).
     */
   def writeBatches(df: DataFrame, outDir: String, table: String,
-      batchSize: Int = 500): Unit = {
+      batchSize: Int = 500, expectEmpty: Boolean = false): Unit = {
     df.write.mode("overwrite")
       // a session-level codec would emit .json.gz part files, which
       // applyLoad's .json filter would silently skip — pin plain text
       .option("compression", "none")
       .option("maxRecordsPerFile", batchSize.toLong)
       .json(s"$outDir/$table")
-    // a legitimately empty unit (a mart that filters to nothing at this
-    // SF) is DECLARED at staging time, so applyLoad can tell a no-op
-    // load from a staging bug: the marker is written only when the
-    // staging itself produced zero payload rows (fs-listing check — no
-    // extra Spark job)
-    val staged = new java.io.File(outDir, table)
-    val hasRows = Option(staged.listFiles()).getOrElse(Array.empty)
-      .exists(f => f.getName.endsWith(".json") && f.length() > 0)
-    if (!hasRows)
-      java.nio.file.Files.writeString(
-        new java.io.File(staged, EmptyMarker).toPath, "0 rows staged\n"): Unit
+    // The empty-unit decision needs CALLER INTENT, not just the
+    // outcome: a marker stamped on every zero-row staging would turn
+    // any upstream bug (broken join key, over-eager filter) into a
+    // silent 0-batch load. A caller that KNOWS its mart may filter to
+    // nothing declares expectEmpty — only then does a zero-row staging
+    // get the marker applyLoad honors as a no-op; undeclared empties
+    // fail RIGHT HERE, at staging time, where the bug is. The listing
+    // goes through the staging path's own Hadoop filesystem —
+    // java.io.File would probe the driver's local disk against a
+    // remote defaultFS (the Sinks.fsFor lesson).
+    val dir = new org.apache.hadoop.fs.Path(s"$outDir/$table")
+    val fs = dir.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val hasRows = fs.listStatus(dir)
+      .exists(s => s.getPath.getName.endsWith(".json") && s.getLen > 0)
+    if (!hasRows) {
+      require(expectEmpty,
+        s"writeBatches: table '$table' staged ZERO payload rows at $dir " +
+          "and the caller did not declare expectEmpty — an undeclared " +
+          "empty graph unit is a staging bug, not a no-op")
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, EmptyMarker), true)
+      try out.writeBytes("0 rows staged\n") finally out.close()
+    }
   }
 
   /** Staged-empty declaration — see [[writeBatches]]/[[applyLoad]]. */

@@ -41,6 +41,31 @@ object Sinks {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a swap-managed table if it exists, RECOVERING an interrupted
+    * swap first. Any reader that probes existence of a table the swap
+    * writers maintain must go through this: between commitSwap's two
+    * renames the only full copy sits at `<path>.old` with the target
+    * missing, and a bare `fs.exists(path)` there reads as "no table" —
+    * a consumer would then rebuild from scratch and the next mutation
+    * would clobber the accumulated state.
+    */
+  def readParquetIfExists(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    recoverSwap(spark, path)
+    val (fs, target) = fsFor(spark, path)
+    if (fs.exists(target)) Some(spark.read.parquet(path)) else None
+  }
+
+  /** Atomic full-table REPLACE with the same staging-swap + recovery
+    * discipline as [[upsertParquet]] — for writers that have already
+    * merged the complete next state (e.g. an additive fold over the
+    * whole table) and need exactly "swap this in", not a key-merge.
+    */
+  def replaceParquet(df: DataFrame, path: String): Unit = {
+    recoverSwap(df.sparkSession, path)
+    commitSwap(df, path)
+  }
+
   /** Idempotent MERGE into a parquet table — the lake-path analog of the
     * reference's Cypher `MERGE` (create_collaboration_graph.cql:3) and
     * the re-runnable warehouse stages (databases.py:342-389 re-inserts

@@ -480,10 +480,12 @@ object EventStreams {
   private[graft] def foldNoveltyBatch(batch: DataFrame, batchId: Long,
       path: String): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    // the existence probe MUST run the swap recovery first: between the
+    // sink's two commit renames the only full copy sits at <path>.old,
+    // and a bare exists() there would read "no table", skip the
+    // watermark, and let this batch's bare deltas REPLACE the
+    // accumulated counts on replay
+    val existing = graft.sources.Sinks.readParquetIfExists(spark, path)
     val applied = existing.flatMap(df =>
       Option(df.agg(max(col("last_batch_id"))).head.get(0))
         .map(_.asInstanceOf[Long]))
@@ -498,7 +500,10 @@ object EventStreams {
         .groupBy(col("day")).agg(sum(col("n_new")).as("n_new")))
       .getOrElse(deltas)
       .withColumn("last_batch_id", lit(batchId))
-    graft.sources.Sinks.upsertParquet(merged, path, Seq("day"))
+    // merged IS the complete next state (every existing day re-folded),
+    // so the write is an atomic replace — an upsert's key-merge would
+    // re-read the table a third time only to discover it has no work
+    graft.sources.Sinks.replaceParquet(merged, path)
   }
 
   final case class MgState(counters: Map[Long, Long], nSeen: Long)

@@ -294,6 +294,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("token_budget_plan: a zero-token source plans zero instead of " +
+      "NaN-poisoning the budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "srcA"),
+      (2L, "one two three four five six", "srcA"),
+      (3L, "", "srcB"),
+      (4L, "   ", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = operators.Sampling.tokenBudgetPlanDf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val b = out("srcB")
+    assert(b.getAs[Long]("n_tokens") == 0L)
+    assert(b.getAs[Double]("epochs") == 0.0
+      && b.getAs[Long]("target_tokens") == 0L
+      && b.getAs[Long]("share_ppm") == 0L
+      && !b.getAs[Boolean]("at_epoch_cap"),
+      s"zero-token source must plan zero: $b")
+    // the positive source is now the scarcest: exactly the cap, whole
+    // budget
+    val a = out("srcA")
+    assert(a.getAs[Double]("epochs") == 4.0 && a.getAs[Boolean]("at_epoch_cap"))
+    assert(a.getAs[Long]("share_ppm") == 1000000L)
+  }
+
   test("dedup_keep_best: the keeper is its cluster's quality argmax, one " +
       "row per multi-member cluster") {
     val best = operators.Dedup.dedupKeepBest(spark, sfDir).collect()

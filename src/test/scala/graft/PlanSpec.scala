@@ -459,5 +459,15 @@ class PlanSpec extends SparkSpec {
     val clean = functions.PlanGuard.persist(spark.range(10).toDF("id"))
     assert(clean.count() === 10)
     clean.unpersist()
+    // a declaration excuses exactly ONE window: a second one slipped
+    // into the same lineage is undeclared and must still fail — a
+    // blanket pass would reopen the blind spot at every declared site
+    val twoHidden = hidden
+      .withColumn("r2", row_number().over(Window.orderBy(col("r").desc)))
+    val eTwo = intercept[IllegalArgumentException] {
+      functions.Iterate.checkpoint(twoHidden,
+        Some("spec: only ONE declared bounded window"))
+    }
+    assert(eTwo.getMessage.contains("ONE unpartitioned"), eTwo.getMessage)
   }
 }

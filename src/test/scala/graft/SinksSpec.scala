@@ -298,18 +298,30 @@ class SinksSpec extends SparkSpec {
     import graft.sources.GraphSink
     import graft.sources.GraphSink.LoadUnit
     val out = java.nio.file.Files.createTempDirectory("graft_graph_noop").toString
-    // a mart that filters to nothing at this SF — the advice case
-    GraphSink.writeBatches(
-      Tables.region(spark, sfDir).select(col("r_regionkey").as("id"))
-        .filter(col("id") < 0),
-      out, "ghosts")
+    val emptyMart = Tables.region(spark, sfDir)
+      .select(col("r_regionkey").as("id")).filter(col("id") < 0)
+    // an UNDECLARED zero-row staging is a bug and fails AT STAGING TIME
+    // — the intent, not the outcome, decides (a marker stamped on every
+    // empty would silently absorb a broken join key)
+    val eUndeclared = intercept[IllegalArgumentException] {
+      GraphSink.writeBatches(emptyMart, out, "ghosts")
+    }
+    assert(eUndeclared.getMessage.contains("expectEmpty"),
+      eUndeclared.getMessage)
+    // a mart the caller KNOWS may filter to nothing declares it — the
+    // advice case: staged marker, 0-batch no-op load, replayable
+    GraphSink.writeBatches(emptyMart, out, "ghosts", expectEmpty = true)
     val unit = LoadUnit("ghosts", GraphSink.nodeMergeStatement("Ghost", "id", Nil))
     var calls = 0
     val applied = GraphSink.applyLoad(out, Seq(unit), (_, _) => calls += 1)
     assert(applied == Map("ghosts" -> 0L) && calls == 0,
       s"declared-empty unit must no-op: applied=$applied calls=$calls")
-    // the declaration is what makes it legal: the same zero-row staging
-    // WITHOUT the marker still fails loud (covered by the test above)
     assert(new java.io.File(s"$out/ghosts", "_EMPTY").isFile)
+    // declaring expectEmpty on a NONEMPTY mart stamps no marker and
+    // loads normally — the declaration widens, never weakens
+    GraphSink.writeBatches(
+      Tables.region(spark, sfDir).select(col("r_regionkey").as("id")),
+      out, "real", expectEmpty = true)
+    assert(!new java.io.File(s"$out/real", "_EMPTY").exists())
   }
 }

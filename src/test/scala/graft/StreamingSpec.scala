@@ -232,6 +232,19 @@ class StreamingSpec extends SparkSpec {
         Seq(EventStreams.FirstTouch(99L, new Timestamp(3 * 86400000L + 5L), 1L))
           .toDF(), batchId = 100L, path)
       assert(table()("1970-01-04") == 1L)
+      // the sink's commit crash window: between its two renames the
+      // only full copy sits at <path>.old — the next fold must RECOVER
+      // it (via the sink's recovery-aware read) and keep accumulating;
+      // a bare exists() probe would see "no table" and let bare deltas
+      // replace the accumulated counts
+      val beforeCrash = table()
+      java.nio.file.Files.move(java.nio.file.Paths.get(path),
+        java.nio.file.Paths.get(path + ".old"))
+      EventStreams.foldNoveltyBatch(
+        Seq(EventStreams.FirstTouch(77L, new Timestamp(4 * 86400000L + 5L), 1L))
+          .toDF(), batchId = 101L, path)
+      assert(table() == beforeCrash + ("1970-01-05" -> 1L),
+        s"mid-swap crash lost accumulated counts: ${table()}")
     } finally q.stop()
   }
 

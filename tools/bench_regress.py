@@ -18,7 +18,10 @@ import json
 import sys
 
 THRESHOLD = 2.0   # flag a query past this ratio
-FLOOR_SEC = 0.05  # ignore sub-50ms entries: pure scheduler noise
+FLOOR_SEC = 0.05  # baselines below this are clamped UP to it (scheduler
+                  # noise must not suppress a tiny->large regression:
+                  # 0.04s -> 30s is 600x against the clamped floor and
+                  # still fails, while 0.02s -> 0.09s jitter passes)
 SPREAD_OK = 1.5   # calibration max/min above this = contended box
 
 
@@ -47,7 +50,7 @@ def main():
     regressions = []
     for name in sorted(set(oq) & set(nq)):
         o, n = oq[name], nq[name]
-        if o >= FLOOR_SEC and n > 0 and n / o > threshold:
+        if o > 0 and n > 0 and n / max(o, FLOOR_SEC) > threshold:
             regressions.append((name, o, n, n / o))
     removed = sorted(set(oq) - set(nq))
     added = sorted(set(nq) - set(oq))
