@@ -157,6 +157,58 @@ object Dedup {
       AND ABS(a.n_chars - b.n_chars) <= 32
     WHERE ${TextOps.sqlJaccard("a.sh", "b.sh")} >= 0.5"""
 
+  /** The Jaccard cuts [[dedupThresholdSweep]] tabulates — one literal
+    * sequence interpolated into query AND oracle so they cannot desync
+    * (shortest round-trip Double strings parse identically in both
+    * engines). 0.5 is [[ngramJaccard]]'s own floor.
+    */
+  private val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Threshold-sensitivity table for the near-dup cut — pair volume and
+    * docs-touched at each candidate Jaccard threshold, from ONE pass
+    * over [[ngramJaccard]]'s exact blocked pair set: the tuning table a
+    * team reads before committing a 100 TB dedup run to a threshold
+    * (how many more docs does 0.7 drop than 0.8? is the curve flat or
+    * a cliff?). Thresholds are literal doubles compared against the
+    * already-hash-verified exact jaccard (one IEEE division) — the
+    * same doubles in both engines, so the cut is deterministic.
+    *
+    * Scale: rides the blocked, census-guarded audit pair set (the
+    * quadratic-block guard is IN ngramJaccard's plan); the pair frame
+    * is checkpointed because both the pair census and the docs-touched
+    * census consume it; everything downstream is |pairs|·5 narrow rows
+    * into two map-side-combinable aggregates.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.functions.Iterate.checkpoint(ngramJaccard(spark, dir))
+    val tagged = pairs.select(col("doc_a"), col("doc_b"),
+        explode(array(SweepThresholds.map(lit(_)): _*)).as("threshold"),
+        col("jaccard"))
+      .filter(col("jaccard") >= col("threshold"))
+    val nPairs = tagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = tagged
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("d")).as("n_docs_touched"))
+    nPairs.join(nDocs, Seq("threshold"))
+      .select(col("threshold"), col("n_pairs"), col("n_docs_touched"))
+  }
+
+  lazy val dedupThresholdSweepOracle: String = s"""
+    WITH p AS ($ngramJaccardOracle),
+    thr AS (SELECT UNNEST([${SweepThresholds.mkString(", ")}]) AS threshold),
+    t AS (
+      SELECT threshold, doc_a, doc_b
+      FROM p, thr WHERE p.jaccard >= thr.threshold),
+    np AS (SELECT threshold, COUNT(*) AS n_pairs FROM t GROUP BY 1),
+    nd AS (
+      SELECT threshold, COUNT(DISTINCT d) AS n_docs_touched
+      FROM (SELECT threshold, UNNEST([doc_a, doc_b]) AS d FROM t)
+      GROUP BY 1)
+    SELECT np.threshold, np.n_pairs, nd.n_docs_touched
+    FROM np JOIN nd USING (threshold)"""
+
   /** MinHash + LSH near-dup detection, the full pipeline:
     * 12 minhashes per doc (per-row fold, no corpus explode) → 6 bands of
     * r=2 → band-bucket self-join for candidates → exact Jaccard verify at
@@ -1340,6 +1392,8 @@ object Dedup {
     "dedup_incremental" -> QueryDef.sql(dedupIncremental, dedupIncrementalOracle),
     "dedup_exact" -> QueryDef.sql(dedupExact, dedupExactOracle),
     "ngram_jaccard" -> QueryDef.sql(ngramJaccard, ngramJaccardOracle),
+    "dedup_threshold_sweep" ->
+      QueryDef.sql(dedupThresholdSweep, dedupThresholdSweepOracle),
     "dedup_minhash_lsh" -> QueryDef.sql(dedupMinhashLsh, dedupMinhashLshOracle),
     "minhash_recall_audit" -> QueryDef.sql(minhashRecallAudit, minhashRecallAuditOracle),
     "lsh_band_stats" -> QueryDef.sql(lshBandStats, lshBandStatsOracle),

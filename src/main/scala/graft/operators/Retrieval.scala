@@ -600,12 +600,111 @@ object Retrieval {
     FROM scored"""
   }
 
+  /** Precision/recall/MRR@10 of the engine's own BM25 ranking — the
+    * set-metric companion [[ndcgEval]] ships next to (NDCG grades the
+    * ORDER of what ranked; P/R@k grade what made the cut at all, and
+    * RR@k how fast the first good hit arrives — the triple every
+    * retrieval eval harness reports together). Relevant = rel ≥ 2
+    * (document contains ≥2 distinct query terms — the same graded
+    * label rule as NDCG, binarized at the grade a human skimmer would
+    * accept). ALL-INTEGER: hit counts are conditional sums, P@10 =
+    * hits·1e5, R@10 = hits·1e6 div max(n_relevant, 1), RR = 1e6 div
+    * first-relevant-rank (0 when no relevant doc makes the top 10) —
+    * no float accumulates anywhere.
+    *
+    * Scale: rides [[bm25ScoredDf]]'s one tokenize pass (checkpointed);
+    * the relevant-total is a broadcast one-row aggregate; the top-k
+    * rank is a post-LIMIT ≤10-row window (PlanSpec allowlist).
+    */
+  def retrievalEvalPk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.functions.Iterate.checkpoint(
+      bm25ScoredDf(spark, dir).withColumn("rel",
+        QueryTerms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+          .reduceLeft(_ + _)))
+    val relTot = scored.agg(
+      sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("n_relevant"))
+    val top = scored
+      .orderBy(col("score").desc, col("doc_id").asc).limit(NdcgK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+    val hits = top.agg(
+      sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("hits_at_10"),
+      min(when(col("rel") >= 2, col("rank"))).as("first_rel_rank"))
+    hits.crossJoin(broadcast(relTot)).select(
+      col("n_relevant"), col("hits_at_10"),
+      (col("hits_at_10") * lit(100000L)).as("p_at_10_ppm"),
+      expr("(hits_at_10 * 1000000) div greatest(n_relevant, 1)")
+        .as("r_at_10_ppm"),
+      coalesce(expr("1000000 div cast(first_rel_rank as bigint)"), lit(0L))
+        .as("rr_ppm"))
+  }
+
+  lazy val retrievalEvalPkOracle: String = {
+    // same tf/df/partial generators as ndcgEvalOracle — interpolated
+    // from QueryTerms/K1/B so ranking and eval cannot desync
+    val tfCols = QueryTerms.map(t =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n        ")
+    val dfCols = QueryTerms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n        ")
+    def partial(t: String) =
+      s"""CASE WHEN tf_$t > 0 THEN
+        ((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+          / (CAST(df_$t AS DOUBLE) + 0.5))
+        * (CAST(tf_$t AS DOUBLE) * ${K1 + 1.0})
+        / (CAST(tf_$t AS DOUBLE)
+          + $K1 * ((1.0 - $B) + $B * CAST(dl AS DOUBLE)
+            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        ELSE CAST(0.0 AS DOUBLE) END"""
+    s"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term FROM documents),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+        $tfCols
+      FROM terms GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+        $dfCols
+      FROM perdoc),
+    scored_rel AS (
+      SELECT doc_id,
+        ${QueryTerms.map(partial).mkString("\n        + ")} AS score,
+        ${QueryTerms.map(t => s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")} AS rel
+      FROM perdoc CROSS JOIN stats),
+    kept AS (
+      SELECT doc_id,
+        CAST(FLOOR(score * 1.0e6 + 0.5) AS DOUBLE) / 1.0e6 AS score, rel
+      FROM scored_rel WHERE score > 0.0),
+    rt AS (
+      SELECT CAST(SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_relevant
+      FROM kept),
+    top AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM kept ORDER BY score DESC, doc_id ASC LIMIT $NdcgK),
+    h AS (
+      SELECT CAST(SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS hits_at_10,
+        MIN(CASE WHEN rel >= 2 THEN rank END) AS first_rel_rank
+      FROM top)
+    SELECT n_relevant, hits_at_10,
+      CAST(hits_at_10 * 100000 AS BIGINT) AS p_at_10_ppm,
+      CAST((hits_at_10 * 1000000) // GREATEST(n_relevant, 1) AS BIGINT)
+        AS r_at_10_ppm,
+      CAST(COALESCE(1000000 // first_rel_rank, 0) AS BIGINT) AS rr_ppm
+    FROM h CROSS JOIN rt"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "snippet_extract" -> QueryDef.sql(snippetExtract, snippetExtractOracle),
     "rrf_fusion" -> QueryDef.sql(rrfFusion, rrfFusionOracle),
     "contrastive_pairs" -> QueryDef.sql(contrastivePairs, contrastivePairsOracle),
     "bm25_topk" -> QueryDef.sql(bm25Topk, bm25TopkOracle),
     "ndcg_eval" -> QueryDef.sql(ndcgEval, ndcgEvalOracle),
+    "retrieval_eval_pk" -> QueryDef.sql(retrievalEvalPk, retrievalEvalPkOracle),
     "quantile_normalize" -> QueryDef.sql(quantileNormalize, quantileNormalizeOracle),
     "theilsen_trend" -> QueryDef.sql(theilsenTrend, theilsenTrendOracle)
   )

@@ -507,8 +507,272 @@ object StatTests {
         AS rho_ppm
     FROM f"""
 
+  /** Kendall's τ-b between order value and order priority — the
+    * tie-robust ordinal-association companion to [[spearmanCorr]]
+    * (Spearman needs a total order and breaks ties by key; priority is
+    * a 5-level ordinal where almost EVERY pair ties on one axis, which
+    * is exactly the regime τ-b's tie-corrected denominator is for).
+    * Concordance is counted WITHOUT the O(n²) pair join: per
+    * (cents, priority-class) histogram cells, a pair is concordant iff
+    * one doc has strictly smaller cents AND strictly smaller priority,
+    * so C = Σ_cells Σ_k n_k · Σ_{k'<k} p_k' where p_k' is the
+    * exclusive cents-prefix count of class k' — five integer prefix
+    * sums riding [[graft.functions.Ranks.withBucketedExclusivePrefix]]
+    * (1024 span buckets, never an unpartitioned window). D mirrors with
+    * k' > k; ties are closed-form from cell and class totals. All
+    * counts BIGINT-exact (C ≤ N²/2: exact to N ≈ 4.2e9, past that the
+    * fold moves to DECIMAL(38) — the gini headroom discipline); τ-b
+    * itself is the one double expression 2(C−D)·1e6 ÷ (√(2n0−2Tx) ·
+    * √(2n0−2Ty)), IEEE-identical in both engines, NULL when an axis is
+    * fully tied. The corpus never sorts — only its distinct-cents
+    * histogram does, bucket-partitioned.
+    */
+  def kendallTauB(spark: SparkSession, dir: String): DataFrame = {
+    val ks = 1 to 5
+    val base = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint")
+        .as("cents"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("prio"))
+    // checkpointed: Ranks reads its input three times (documented
+    // contract) and the cells' lineage is a full orders scan
+    val cells = graft.functions.Iterate.checkpoint(
+      base.groupBy(col("cents"))
+        .agg(sum(when(col("prio") === ks.head, 1L).otherwise(0L)).as("n1"),
+          ks.tail.map(k =>
+            sum(when(col("prio") === k, 1L).otherwise(0L)).as(s"n$k")): _*))
+    val prefixed = graft.functions.Ranks.withBucketedExclusivePrefix(
+      cells, col("cents"), ascending = true, 1024,
+      ks.map(k => col(s"n$k") -> s"p$k"))
+    def below(k: Int) = (1 until k).map(j => col(s"p$j"))
+      .foldLeft(lit(0L).cast("bigint"))(_ + _)
+    def above(k: Int) = ((k + 1) to 5).map(j => col(s"p$j"))
+      .foldLeft(lit(0L).cast("bigint"))(_ + _)
+    val conc = ks.map(k => col(s"n$k") * below(k)).reduce(_ + _)
+    val disc = ks.map(k => col(s"n$k") * above(k)).reduce(_ + _)
+    val nc = ks.map(k => col(s"n$k")).reduce(_ + _)
+    val aggCols =
+      Seq(sum(conc).as("n_concordant"), sum(disc).as("n_discordant"),
+        sum(nc * (nc - 1)).as("tied_x_x2")) ++
+        ks.map(k => sum(col(s"n$k")).as(s"t$k"))
+    val a = prefixed.agg(sum(nc).as("n"), aggCols: _*)
+    val tiedY = ks.map(k => col(s"t$k") * (col(s"t$k") - 1)).reduce(_ + _)
+    a.withColumn("tied_y_x2", tiedY)
+      .withColumn("ax2", col("n") * (col("n") - 1) - col("tied_x_x2"))
+      .withColumn("bx2", col("n") * (col("n") - 1) - col("tied_y_x2"))
+      .select(col("n"), col("n_concordant"), col("n_discordant"),
+        col("tied_x_x2"), col("tied_y_x2"),
+        when(col("ax2") === 0 || col("bx2") === 0, lit(null).cast("bigint"))
+          .otherwise(floor(
+            lit(2.0) * (col("n_concordant") - col("n_discordant")).cast("double")
+              * lit(1000000.0)
+              / (sqrt(col("ax2").cast("double")) * sqrt(col("bx2").cast("double"))))
+            .cast("bigint"))
+          .as("tau_b_ppm"))
+  }
+
+  val kendallTauBOracle: String = {
+    val ks = 1 to 5
+    val nCols = ks.map(k =>
+      s"CAST(SUM(CASE WHEN prio = $k THEN 1 ELSE 0 END) AS BIGINT) AS n$k")
+      .mkString(",\n        ")
+    val pCols = ks.map(k =>
+      s"COALESCE(CAST(SUM(n$k) OVER w AS BIGINT), 0) AS p$k")
+      .mkString(",\n        ")
+    val ncSql = ks.map(k => s"n$k").mkString(" + ")
+    val concSql = ks.map(k =>
+      s"n$k * (${(1 until k).map(j => s"p$j").padTo(1, "0").mkString(" + ")})")
+      .mkString(" + ")
+    val discSql = ks.map(k =>
+      s"n$k * (${((k + 1) to 5).map(j => s"p$j").padTo(1, "0").mkString(" + ")})")
+      .mkString(" + ")
+    val tCols = ks.map(k => s"CAST(SUM(n$k) AS BIGINT) AS t$k")
+      .mkString(",\n        ")
+    val tiedY = ks.map(k => s"t$k * (t$k - 1)").mkString(" + ")
+    s"""
+    WITH base AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS prio
+      FROM orders),
+    cells AS (
+      SELECT cents,
+        $nCols
+      FROM base GROUP BY 1),
+    pre AS (
+      SELECT cents, n1, n2, n3, n4, n5,
+        $pCols
+      FROM cells
+      WINDOW w AS (ORDER BY cents ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    a AS (
+      SELECT CAST(SUM($ncSql) AS BIGINT) AS n,
+        CAST(SUM($concSql) AS BIGINT) AS n_concordant,
+        CAST(SUM($discSql) AS BIGINT) AS n_discordant,
+        CAST(SUM(($ncSql) * (($ncSql) - 1)) AS BIGINT) AS tied_x_x2,
+        $tCols
+      FROM pre),
+    b AS (
+      SELECT n, n_concordant, n_discordant, tied_x_x2,
+        $tiedY AS tied_y_x2,
+        n * (n - 1) - tied_x_x2 AS ax2,
+        n * (n - 1) - ($tiedY) AS bx2
+      FROM a)
+    SELECT n, n_concordant, n_discordant, tied_x_x2, tied_y_x2,
+      CASE WHEN ax2 = 0 OR bx2 = 0 THEN NULL
+        ELSE CAST(FLOOR(
+          2.0 * CAST(n_concordant - n_discordant AS DOUBLE) * 1000000.0
+          / (SQRT(CAST(ax2 AS DOUBLE)) * SQRT(CAST(bx2 AS DOUBLE))))
+          AS BIGINT) END AS tau_b_ppm
+    FROM b"""
+  }
+
+  /** χ²(df) 5% critical values ×1e6 for df = 1..20 — the standard
+    * published table as literals (the Benford/chi-square treatment: a
+    * runtime quantile function would not be cross-engine-identical).
+    */
+  private val Chi2Crit5PctX1e6: Seq[Long] = Seq(
+    3841459L, 5991465L, 7814728L, 9487729L, 11070498L,
+    12591587L, 14067140L, 15507313L, 16918978L, 18307038L,
+    19675138L, 21026070L, 22362032L, 23684791L, 24995790L,
+    26296228L, 27587112L, 28869299L, 30143527L, 31410433L)
+
+  /** Kruskal-Wallis H across ALL sources' document-length distributions
+    * — the k-sample extension of [[mannWhitneyAuc]] (MW answers "do the
+    * top TWO sources differ?"; this answers "does ANY source differ?"
+    * before anyone runs k² pairwise tests). Same support-cell shape as
+    * KS/MW: tie-averaged ranks stay integer in DOUBLED units (r2 =
+    * 2·cum_before + c + 1 per distinct-length cell), per-source doubled
+    * rank sums are exact BIGINT folds, and H = 3/(N(N+1))·ΣR2ᵢ²/nᵢ −
+    * 3(N+1) is assembled from PER-SOURCE fixed-pointed terms (each
+    * term ×1e6 floor'd to BIGINT before the cross-source sum — the
+    * neyman/chi² discipline; ≤k µ-units of floor bias, documented).
+    * The tie correction 1 − Σ(t³−t)/(N³−N) reports its numerator
+    * exactly (BIGINT — exact while the largest tie cell stays ≤ 2e6
+    * docs; past that the fold moves to DECIMAL(38)) and divides in
+    * DOUBLE. The 5% decision reads the literal χ² table at df = k−1
+    * (NULL past df = 20). The corpus never sorts — the one cumulative
+    * window runs over ≤max-doc-length distinct-length cells (PlanSpec
+    * allowlist, the ks_statistic bound).
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // checkpointed: both the rank frame and the tie/total fold read the
+    // cells, and their lineage is a full documents scan
+    val cellsTot = graft.functions.Iterate.checkpoint(
+      docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c")))
+    val wLen = Window.orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = cellsTot
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wLen), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum_before") + col("c") + 1L)
+      .select(col("n_chars"), col("r2"))
+    val perSrc = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("ci"))
+      .join(Tables.stateHint(r2), Seq("n_chars"))
+      .groupBy(col("source"))
+      .agg(sum(col("ci")).as("n_i"), sum(col("ci") * col("r2")).as("r2_i"))
+    val totals = cellsTot.agg(sum(col("c")).as("n_total"),
+      sum(col("c") * (col("c") * col("c") - 1)).as("tie_num"))
+    val terms = perSrc.crossJoin(broadcast(totals))
+      .withColumn("term_fx", floor(
+        lit(3.0) * col("r2_i").cast("double") * col("r2_i").cast("double")
+          * lit(1.0e6)
+          / (col("n_i").cast("double") * col("n_total").cast("double")
+            * (col("n_total") + 1).cast("double"))).cast("bigint"))
+    val folded = terms.agg(max(col("n_total")).as("n_total"),
+      count(lit(1)).as("k_groups"), sum(col("term_fx")).as("sum_term_fx"),
+      max(col("tie_num")).as("tie_num"))
+      .withColumn("h_x1e6",
+        col("sum_term_fx") - lit(3000000L) * (col("n_total") + 1))
+    val nd = col("n_total").cast("double")
+    val denomA = nd * nd * nd - nd
+    val denomB = denomA - col("tie_num").cast("double")
+    val crit = Chi2Crit5PctX1e6.zipWithIndex.foldLeft(
+      lit(null).cast("bigint")) { case (acc, (v, i)) =>
+      when(col("k_groups") - 1 === (i + 1), lit(v)).otherwise(acc)
+    }
+    folded.select(col("n_total"), col("k_groups"), col("h_x1e6"),
+      col("tie_num"),
+      when(col("tie_num").cast("double") === denomA,
+        lit(null).cast("bigint"))
+        .otherwise(floor(col("h_x1e6").cast("double") * denomA / denomB)
+          .cast("bigint"))
+        .as("h_corrected_x1e6"),
+      when(crit.isNull, lit(null).cast("boolean"))
+        .when(col("tie_num").cast("double") === denomA,
+          lit(null).cast("boolean"))
+        .otherwise(floor(col("h_x1e6").cast("double") * denomA / denomB)
+          .cast("bigint") > crit)
+        .as("reject_h0_5pct"))
+  }
+
+  val kruskalWallisOracle: String = {
+    val critCase = Chi2Crit5PctX1e6.zipWithIndex
+      .map { case (v, i) => s"WHEN k_groups - 1 = ${i + 1} THEN $v" }
+      .mkString("\n        ")
+    s"""
+    WITH cells AS (
+      SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+    r2f AS (
+      SELECT n_chars,
+        2 * COALESCE(CAST(SUM(c) OVER (ORDER BY n_chars ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          + c + 1 AS r2
+      FROM cells),
+    persrc AS (
+      SELECT source, CAST(SUM(ci) AS BIGINT) AS n_i,
+        CAST(SUM(ci * r2) AS BIGINT) AS r2_i
+      FROM (SELECT source, n_chars, COUNT(*) AS ci
+            FROM documents GROUP BY 1, 2) s
+      JOIN r2f USING (n_chars)
+      GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        CAST(SUM(c * (c * c - 1)) AS BIGINT) AS tie_num
+      FROM cells),
+    terms AS (
+      SELECT CAST(FLOOR(
+          3.0 * CAST(r2_i AS DOUBLE) * CAST(r2_i AS DOUBLE) * 1.0e6
+          / (CAST(n_i AS DOUBLE) * CAST(n_total AS DOUBLE)
+            * CAST(n_total + 1 AS DOUBLE))) AS BIGINT) AS term_fx,
+        n_total, tie_num
+      FROM persrc CROSS JOIN tot),
+    f AS (
+      SELECT MAX(n_total) AS n_total, COUNT(*) AS k_groups,
+        CAST(SUM(term_fx) AS BIGINT) - 3000000 * (MAX(n_total) + 1)
+          AS h_x1e6,
+        MAX(tie_num) AS tie_num
+      FROM terms)
+    SELECT n_total, k_groups, h_x1e6, tie_num,
+      CASE WHEN CAST(tie_num AS DOUBLE) =
+          CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+            * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE) THEN NULL
+        ELSE CAST(FLOOR(CAST(h_x1e6 AS DOUBLE)
+          * (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+            * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))
+          / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+            * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)
+            - CAST(tie_num AS DOUBLE))) AS BIGINT) END
+        AS h_corrected_x1e6,
+      CASE WHEN CAST(tie_num AS DOUBLE) =
+          CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+            * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE) THEN NULL
+        ELSE CASE
+        $critCase
+        ELSE NULL END <
+          CAST(FLOOR(CAST(h_x1e6 AS DOUBLE)
+          * (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+            * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))
+          / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+            * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)
+            - CAST(tie_num AS DOUBLE))) AS BIGINT) END
+        AS reject_h0_5pct
+    FROM f"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "spearman_corr" -> QueryDef.sql(spearmanCorr, spearmanCorrOracle),
+    "kendall_tau_b" -> QueryDef.sql(kendallTauB, kendallTauBOracle),
+    "kruskal_wallis" -> QueryDef.sql(kruskalWallis, kruskalWallisOracle),
     "mann_whitney_auc" -> QueryDef.sql(mannWhitneyAuc, mannWhitneyAucOracle),
     "chi_square_independence" ->
       QueryDef.sql(chiSquareIndependence, chiSquareIndependenceOracle),

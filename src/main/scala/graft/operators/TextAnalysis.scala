@@ -49,16 +49,26 @@ object TextAnalysis {
     val nStop = regexp_count(col("text"), lit(stopPattern)).cast("double")
     val avgLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
     val stopRatio = nStop / nWords
-    val score = lit(0.4) * least(nWords / lit(100.0), lit(1.0)) +
-      lit(0.4) * (lit(1.0) - stopRatio) +
-      lit(0.2) * least(avgLen / lit(8.0), lit(1.0))
     documents
       .select(
         col("doc_id"),
         nWords.as("n_words"),
         avgLen.as("avg_word_len"),
         stopRatio.as("stopword_ratio"),
-        score.as("quality_score"))
+        qualityScoreExpr.as("quality_score"))
+  }
+
+  /** The [[qualityScoreDf]] score as a bare expression over `text` —
+    * shared with [[filterAgreementKappa]] so the two can never desync
+    * (the operand tree, hence the IEEE rounding, is identical).
+    */
+  private def qualityScoreExpr: Column = {
+    val nWords = size(split(col("text"), "\\s+")).cast("double")
+    val nStop = regexp_count(col("text"), lit(stopPattern)).cast("double")
+    val avgLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
+    lit(0.4) * least(nWords / lit(100.0), lit(1.0)) +
+      lit(0.4) * (lit(1.0) - nStop / nWords) +
+      lit(0.2) * least(avgLen / lit(8.0), lit(1.0))
   }
 
   val qualityScoreOracle: String = {
@@ -472,24 +482,8 @@ object TextAnalysis {
   def gopherRulesDf(documents: DataFrame): DataFrame = {
     val w = split(col("text"), "\\s+")
     val nWords = size(w).cast("bigint")
-    val nDistinct = size(array_distinct(w)).cast("bigint")
-    val nChars = length(col("text")).cast("bigint")
-    // Case-insensitive classes: capitalized text must not count as
-    // symbols, and sentence-initial stopwords must still match (the
-    // other text ops keep lowercase classes because this corpus is
-    // lowercase; a QUALITY gate has to be robust to real casing).
-    val nAlnumSp = regexp_count(col("text"), lit("[a-zA-Z0-9 ]")).cast("bigint")
-    val nStop = regexp_count(col("text"), lit("(?i)" + stopPattern)).cast("bigint")
-    // mean word length ∈ [3, 10] ⟺ 3·n_words ≤ letter_chars ≤ 10·n_words
-    val letterChars = length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
-    val rWordCount = nWords.between(50, 10000)
-    val rMeanWordLen =
-      letterChars >= nWords * 3 && letterChars <= nWords * 10
-    // symbol ratio < 10% ⟺ 10·symbols < chars (integer-exact)
-    val rSymbolRatio = (nChars - nAlnumSp) * 10 < nChars
-    val rStopwords = nStop >= 2
-    // vocabulary diversity: 5·distinct > n_words (> 20% distinct)
-    val rDiversity = nDistinct * 5 > nWords
+    val Seq(rWordCount, rMeanWordLen, rSymbolRatio, rStopwords, rDiversity) =
+      gopherRuleExprs
     documents
       .select(
         col("doc_id"), nWords.as("n_words"),
@@ -500,6 +494,33 @@ object TextAnalysis {
         rDiversity.as("r_diversity"),
         (rWordCount && rMeanWordLen && rSymbolRatio && rStopwords && rDiversity)
           .as("pass"))
+  }
+
+  /** The five [[gopherRulesDf]] rule predicates as bare expressions over
+    * `text`, in report order — shared with [[filterAgreementKappa]] so
+    * the gate and its agreement audit can never desync.
+    */
+  private def gopherRuleExprs: Seq[Column] = {
+    val w = split(col("text"), "\\s+")
+    val nWords = size(w).cast("bigint")
+    val nDistinct = size(array_distinct(w)).cast("bigint")
+    val nChars = length(col("text")).cast("bigint")
+    // Case-insensitive classes: capitalized text must not count as
+    // symbols, and sentence-initial stopwords must still match (the
+    // other text ops keep lowercase classes because this corpus is
+    // lowercase; a QUALITY gate has to be robust to real casing).
+    val nAlnumSp = regexp_count(col("text"), lit("[a-zA-Z0-9 ]")).cast("bigint")
+    val nStop = regexp_count(col("text"), lit("(?i)" + stopPattern)).cast("bigint")
+    // mean word length ∈ [3, 10] ⟺ 3·n_words ≤ letter_chars ≤ 10·n_words
+    val letterChars = length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
+    Seq(
+      nWords.between(50, 10000),
+      letterChars >= nWords * 3 && letterChars <= nWords * 10,
+      // symbol ratio < 10% ⟺ 10·symbols < chars (integer-exact)
+      (nChars - nAlnumSp) * 10 < nChars,
+      nStop >= 2,
+      // vocabulary diversity: 5·distinct > n_words (> 20% distinct)
+      nDistinct * 5 > nWords)
   }
 
   val gopherRulesOracle: String = {
@@ -525,6 +546,91 @@ object TextAnalysis {
       ($rWc AND $rMwl AND $rSym AND $rStop AND $rDiv) AS pass
     FROM documents"""
   }
+
+  /** Cohen's κ between the corpus's two quality gates — gopher's
+    * rule-conjunction pass and the weighted [[qualityScoreDf]] score at
+    * the 0.8 cut: the inter-rater agreement audit every multi-filter
+    * curation stack needs before it ANDs its gates (high κ ⇒ the
+    * second gate is redundant; κ near 0 ⇒ the gates disagree beyond
+    * chance and their intersection is a much sharper cut than either
+    * documented alone). Both predicates are the SHARED expressions the
+    * production gates compile ([[gopherRuleExprs]],
+    * [[qualityScoreExpr]]) — one corpus scan, four conditional counts,
+    * shuffle-free to a single row. κ = (po−pe)/(1−pe) in exact integer
+    * cross-multiplication: ppm = ((a+d)·N − pe_num)·1e6 ÷ (N² −
+    * pe_num), truncation-toward-zero spelled identically in both
+    * engines (DuckDB `//` floors, so the negative-κ branch negates an
+    * all-nonnegative quotient), with the gini overflow treatment past
+    * N² > 9e12 (divide the denominator by 1e6 first, ≤1 ppm bias).
+    */
+  def filterAgreementKappa(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.documents(spark, dir).select(
+      gopherRuleExprs.reduce(_ && _).as("ap"),
+      (qualityScoreExpr > lit(0.8)).as("bp"))
+    flags.agg(
+        sum(when(col("ap") && col("bp"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ap") && !col("bp"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ap") && col("bp"), 1L).otherwise(0L)).as("cc"),
+        sum(when(!col("ap") && !col("bp"), 1L).otherwise(0L)).as("d"))
+      .withColumn("nn", expr("a + b + cc + d"))
+      .withColumn("po_num", expr("a + d"))
+      .withColumn("pe_num",
+        expr("(a + b) * (a + cc) + (cc + d) * (b + d)"))
+      .select(col("nn").as("n_docs"), col("a").as("n_both_pass"),
+        col("b").as("n_gopher_only"), col("cc").as("n_quality_only"),
+        col("d").as("n_both_fail"),
+        expr("""CASE
+          WHEN nn * nn - pe_num = 0 THEN CAST(NULL AS BIGINT)
+          WHEN nn * nn <= 9000000000000 THEN
+            CASE WHEN po_num * nn - pe_num >= 0
+              THEN ((po_num * nn - pe_num) * 1000000)
+                div (nn * nn - pe_num)
+              ELSE -(((pe_num - po_num * nn) * 1000000)
+                div (nn * nn - pe_num)) END
+          WHEN (nn * nn - pe_num) div 1000000 = 0 THEN CAST(NULL AS BIGINT)
+          ELSE
+            CASE WHEN po_num * nn - pe_num >= 0
+              THEN (po_num * nn - pe_num)
+                div ((nn * nn - pe_num) div 1000000)
+              ELSE -((pe_num - po_num * nn)
+                div ((nn * nn - pe_num) div 1000000)) END
+          END""").as("kappa_ppm"))
+  }
+
+  lazy val filterAgreementKappaOracle: String = s"""
+    WITH g AS ($gopherRulesOracle),
+    q AS ($qualityScoreOracle),
+    j AS (
+      SELECT g.pass AS ap, q.quality_score > 0.8 AS bp
+      FROM g JOIN q ON g.doc_id = q.doc_id),
+    cnt AS (
+      SELECT
+        CAST(SUM(CASE WHEN ap AND bp THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN ap AND NOT bp THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT ap AND bp THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+        CAST(SUM(CASE WHEN NOT ap AND NOT bp THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM j),
+    f AS (
+      SELECT a, b, cc, d, a + b + cc + d AS nn, a + d AS po_num,
+        (a + b) * (a + cc) + (cc + d) * (b + d) AS pe_num
+      FROM cnt)
+    SELECT nn AS n_docs, a AS n_both_pass, b AS n_gopher_only,
+      cc AS n_quality_only, d AS n_both_fail,
+      CASE
+        WHEN nn * nn - pe_num = 0 THEN NULL
+        WHEN nn * nn <= 9000000000000 THEN
+          CASE WHEN po_num * nn - pe_num >= 0
+            THEN ((po_num * nn - pe_num) * 1000000) // (nn * nn - pe_num)
+            ELSE -(((pe_num - po_num * nn) * 1000000) // (nn * nn - pe_num))
+            END
+        WHEN (nn * nn - pe_num) // 1000000 = 0 THEN NULL
+        ELSE
+          CASE WHEN po_num * nn - pe_num >= 0
+            THEN (po_num * nn - pe_num) // ((nn * nn - pe_num) // 1000000)
+            ELSE -((pe_num - po_num * nn) // ((nn * nn - pe_num) // 1000000))
+            END
+        END AS kappa_ppm
+    FROM f"""
 
   /** Corpus composition report per source — the summary every pipeline
     * run logs: document count, token volume, language mix, size profile.
@@ -1456,6 +1562,8 @@ object TextAnalysis {
     "token_count" -> QueryDef.sql(tokenCount, tokenCountOracle),
     "quality_score" -> QueryDef.sql(qualityScore, qualityScoreOracle),
     "gopher_rules" -> QueryDef.sql(gopherRules, gopherRulesOracle),
+    "filter_agreement_kappa" ->
+      QueryDef.sql(filterAgreementKappa, filterAgreementKappaOracle),
     "source_quality_matrix" ->
       QueryDef.sql(sourceQualityMatrix, sourceQualityMatrixOracle),
     "lang_id" -> QueryDef.sql(langId, langIdOracle),

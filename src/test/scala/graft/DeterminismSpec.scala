@@ -36,8 +36,10 @@ class DeterminismSpec extends SparkSpec {
     // single-window oracle under ANY cell-to-partition placement)
     "gini_concentration", "ks_statistic", "skyline_2d",
     "curriculum_order", "sequence_pack", "user_concentration",
+    "kendall_tau_b", "kruskal_wallis",
     // float-expression scorers with fixed-order folds
     "bm25_topk", "ndcg_eval", "quality_score", "ewma_smooth",
+    "filter_agreement_kappa", "retrieval_eval_pk",
     // candidate generation (the pair SET must not depend on which
     // partition saw a band first)
     "dedup_minhash_lsh", "dedup_simhash", "winnow_fingerprint",

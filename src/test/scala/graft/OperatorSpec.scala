@@ -1609,4 +1609,85 @@ class OperatorSpec extends SparkSpec {
       assert(r.getAs[Long]("cnt_a") > 0 && r.getAs[Long]("cnt_b") > 0)
     }
   }
+
+  test("retrieval_eval_pk: reconciles with rel labels from raw text and " +
+      "the oracle-green bm25 ranking") {
+    val r = operators.Retrieval.retrievalEvalPk(spark, sfDir).collect().head
+    val terms = Seq("spark", "hash", "merge")
+    val rel = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map { d =>
+        val toks = d.getString(1).split("\\s+").toSet
+        d.getLong(0) -> terms.count(toks.contains)
+      }.toMap
+    val top10 = operators.Retrieval.bm25Topk(spark, sfDir).collect()
+      .map(_.getLong(0)).take(10)
+    val nRelevant = rel.values.count(_ >= 2).toLong
+    val hits = top10.count(id => rel(id) >= 2).toLong
+    val firstRank = top10.zipWithIndex.collectFirst {
+      case (id, i) if rel(id) >= 2 => (i + 1).toLong
+    }
+    assert(r.getAs[Long]("n_relevant") == nRelevant)
+    assert(r.getAs[Long]("hits_at_10") == hits)
+    assert(r.getAs[Long]("p_at_10_ppm") == hits * 100000L)
+    assert(r.getAs[Long]("r_at_10_ppm") ==
+      hits * 1000000L / math.max(nRelevant, 1L))
+    assert(r.getAs[Long]("rr_ppm") == firstRank.map(1000000L / _).getOrElse(0L))
+  }
+
+  test("filter_agreement_kappa: counts and kappa reconcile with the two " +
+      "production gates") {
+    val r = operators.TextAnalysis.filterAgreementKappa(spark, sfDir)
+      .collect().head
+    val docs = Tables.documents(spark, sfDir)
+    val g = operators.TextAnalysis.gopherRulesDf(docs)
+      .select(col("doc_id"), col("pass")).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    val q = operators.TextAnalysis.qualityScoreDf(docs)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1) > 0.8)).toMap
+    val a = g.count { case (id, ap) => ap && q(id) }.toLong
+    val b = g.count { case (id, ap) => ap && !q(id) }.toLong
+    val c = g.count { case (id, ap) => !ap && q(id) }.toLong
+    val d = g.count { case (id, ap) => !ap && !q(id) }.toLong
+    val n = a + b + c + d
+    assert(r.getAs[Long]("n_docs") == n && n == g.size.toLong)
+    assert(r.getAs[Long]("n_both_pass") == a)
+    assert(r.getAs[Long]("n_gopher_only") == b)
+    assert(r.getAs[Long]("n_quality_only") == c)
+    assert(r.getAs[Long]("n_both_fail") == d)
+    val peNum = BigInt(a + b) * BigInt(a + c) + BigInt(c + d) * BigInt(b + d)
+    val num = BigInt(a + d) * n - peNum
+    val den = BigInt(n) * n - peNum
+    val want = if (den == 0) None
+      else Some(((num * 1000000) / den).toLong) // BigInt / truncates to zero
+    assert(Option(r.getAs[Long]("kappa_ppm")).filter(_ => !r.isNullAt(5)) ==
+      want, s"kappa recount: want $want")
+    // the audit must discriminate: not everything lands in one cell
+    assert(Seq(a, b, c, d).count(_ > 0) >= 2, "degenerate agreement grid")
+  }
+
+  test("dedup_threshold_sweep: per-threshold counts recount from the " +
+      "exact pair set and are monotone") {
+    val pairs = operators.Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(p => (p.getLong(0), p.getLong(1), p.getDouble(2)))
+    val rows = operators.Dedup.dedupThresholdSweep(spark, sfDir).collect()
+      .map(r => r.getDouble(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_touched"))).toMap
+    val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val want = thresholds.map { t =>
+      val kept = pairs.filter(_._3 >= t)
+      t -> (kept.length.toLong,
+        kept.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }.filter(_._2._1 > 0).toMap
+    assert(rows == want, s"sweep recount: got $rows want $want")
+    // pair volume can only shrink as the threshold rises
+    val present = thresholds.filter(want.contains)
+    present.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        assert(want(lo)._1 >= want(hi)._1 && want(lo)._2 >= want(hi)._2)
+      case _ =>
+    }
+    assert(want.nonEmpty && want(0.5)._1 == pairs.length.toLong,
+      "0.5 row must carry the full exact pair set")
+  }
 }

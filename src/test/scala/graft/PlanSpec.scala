@@ -410,6 +410,8 @@ class PlanSpec extends SparkSpec {
     val allow = Map(
       "ks_statistic" -> "CDF over ≤max-doc-length distinct-length cells",
       "mann_whitney_auc" -> "rank cumulative over the same length cells",
+      "kruskal_wallis" -> "rank cumulative over the same length cells",
+      "retrieval_eval_pk" -> "rank over the ≤10-row post-LIMIT top-k frame",
       "compaction_plan" -> "packing prefix over the calendar-bounded day inventory",
       "neyman_allocation" -> "largest-remainder rank over |event_type| strata",
       "rrf_fusion" -> "ranks over two ≤20-row post-LIMIT top-k frames",

@@ -364,4 +364,60 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_pairs") == k * (k - 1) / 2)
     }
   }
+
+  test("kendall_tau_b: matches a brute-force O(n²) pair recount") {
+    val r = operators.StatTests.kendallTauB(spark, sfDir).collect().head
+    val pts = Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"),
+        substring(col("o_orderpriority"), 1, 1).cast("int"))
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    var conc = 0L; var disc = 0L; var tx2 = 0L; var ty2 = 0L
+    for (i <- pts.indices; j <- pts.indices if i != j) {
+      val ((xi, yi), (xj, yj)) = (pts(i), pts(j))
+      if (xi == xj) tx2 += 1
+      if (yi == yj) ty2 += 1
+      if (xi < xj && yi < yj) conc += 1
+      else if (xi < xj && yi > yj) disc += 1
+    }
+    val n = pts.length.toLong
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n_concordant") == conc, "concordant recount")
+    assert(r.getAs[Long]("n_discordant") == disc, "discordant recount")
+    assert(r.getAs[Long]("tied_x_x2") == tx2 && r.getAs[Long]("tied_y_x2") == ty2)
+    val want = math.floor(2.0 * (conc - disc).toDouble * 1000000.0 /
+      (math.sqrt((n * (n - 1) - tx2).toDouble)
+        * math.sqrt((n * (n - 1) - ty2).toDouble))).toLong
+    assert(r.getAs[Long]("tau_b_ppm") == want, "tau-b formula recount")
+    assert(math.abs(r.getAs[Long]("tau_b_ppm")) <= 1000000L)
+  }
+
+  test("kruskal_wallis: H matches a midrank recomputation within floor bias") {
+    val r = operators.StatTests.kruskalWallis(spark, sfDir).collect().head
+    val pts = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val n = pts.length.toLong
+    assert(r.getAs[Long]("n_total") == n)
+    val k = pts.map(_._1).distinct.length.toLong
+    assert(r.getAs[Long]("k_groups") == k)
+    // midranks via sort: rank of a tie cell = mean of its positions
+    val sorted = pts.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1).view
+      .mapValues(v => v.map(_._2 + 1).sum.toDouble / v.length).toMap
+    val bySrc = pts.groupBy(_._1)
+    val sumTerm = bySrc.values.map { docs =>
+      val ri = docs.map(x => rankOf(x._2)).sum
+      12.0 * ri * ri / docs.length / (n * (n + 1))
+    }.sum
+    val h = sumTerm - 3.0 * (n + 1)
+    // per-source fixed-point floors bias the engine sum by ≤ k µ-units
+    assert(math.abs(r.getAs[Long]("h_x1e6") / 1e6 - h) <= (k + 1) / 1e6,
+      s"H ${r.getAs[Long]("h_x1e6") / 1e6} vs recount $h")
+    val tieNum = sorted.groupBy(identity).values
+      .map(g => g.length.toLong).map(t => t * t * t - t).sum
+    assert(r.getAs[Long]("tie_num") == tieNum, "tie numerator recount")
+    val corr = 1.0 - tieNum.toDouble / (n.toDouble * n * n - n)
+    assert(math.abs(r.getAs[Long]("h_corrected_x1e6") / 1e6 - h / corr)
+      <= (k + 2) / 1e6, "tie-corrected H recount")
+  }
 }

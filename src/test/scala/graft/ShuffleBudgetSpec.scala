@@ -467,4 +467,26 @@ class ShuffleBudgetSpec extends SparkSpec {
   // exchange is the single-row one-hot gain fold (TakeOrdered + a
   // ≤10-row window are exchange-light).
   check("ndcg_eval", 1)(operators.Retrieval.ndcgEval(spark, sfDir))
+  // kendall_tau_b: the orders scan aggregates inside the cents-cell
+  // checkpoint; the five visible exchanges are the gini-shaped Ranks
+  // two-level machinery over the HISTOGRAM (bucket window partition,
+  // bucket histogram, triangular offsets, join-back, final one-row
+  // fold) — all cell-scale, the corpus never re-shuffles.
+  check("kendall_tau_b", 5)(operators.StatTests.kendallTauB(spark, sfDir))
+  // kruskal_wallis: one narrow (source, n_chars) corpus aggregate; the
+  // other four exchanges fold SUPPORT- or |sources|-scale frames (the
+  // ks-bounded rank window, per-source fold, tie/total fold, final row).
+  check("kruskal_wallis", 5)(operators.StatTests.kruskalWallis(spark, sfDir))
+  // kappa: one single-row conditional-count fold over a pure per-row
+  // gate projection — scan speed at any SF.
+  check("filter_agreement_kappa", 1)(
+    operators.TextAnalysis.filterAgreementKappa(spark, sfDir))
+  // same shape as ndcg_eval: tokenize lives in the bm25 checkpoint,
+  // one single-row fold past the TakeOrdered top-k.
+  check("retrieval_eval_pk", 1)(
+    operators.Retrieval.retrievalEvalPk(spark, sfDir))
+  // threshold sweep: the blocked pair join lives in the checkpoint; the
+  // three visible exchanges aggregate/join the 5-row threshold census.
+  check("dedup_threshold_sweep", 3)(
+    operators.Dedup.dedupThresholdSweep(spark, sfDir))
 }
