@@ -98,6 +98,67 @@ object Similarity {
     WHERE ${VectorOps.sqlCosine("ea.embedding", "eb.embedding")} >= 0.3"""
   }
 
+  /** The cosine floor above which a corpus vector counts as
+    * semantically contaminated by a benchmark vector — the same 0.3
+    * verify floor as [[dedupEmbedding]] (this embedding space plants
+    * its near-duplicate structure there), one literal shared by query
+    * and oracle.
+    */
+  private val SemDecontamThreshold = 0.3
+
+  /** Semantic benchmark decontamination — the paraphrase-robust
+    * companion to the shingle-based `decontaminate` (an eval item
+    * reworded shares no 3-shingle but still lands next to its source
+    * in embedding space; n-gram screens miss exactly the leakage this
+    * catches). Benchmark = vectors 0–4 (the decontaminate convention
+    * transposed to the embeddings table); every corpus vector whose
+    * exact cosine against ANY benchmark vector reaches the floor is
+    * flagged with its closest benchmark (max cosine, smallest-id
+    * tiebreak) — the review queue an eval owner walks before a
+    * training run freezes its corpus.
+    *
+    * Scale: the benchmark side is tiny and BROADCAST — a map-side
+    * nested-loop against the corpus scan, no corpus shuffle (the
+    * annTopk shape); the argmax window partitions by the flagged
+    * vector id over ≤|bench| rows each. At a real benchmark's size the
+    * broadcast still holds (thousands of rows); past that the banded
+    * LSH path (dedupEmbedding's bucketing) generates the candidates
+    * instead.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val bench = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("bench_id").asc)
+    corpus.crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        VectorOps.cosine(col("embedding"), col("be")).as("cosine"))
+      .filter(col("cosine") >= SemDecontamThreshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("bench_id").as("closest_bench"), col("cosine"))
+  }
+
+  val decontaminateSemanticOracle: String = s"""
+    WITH b AS (
+      SELECT vec_id AS bench_id, embedding AS be
+      FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    p AS (
+      SELECT vec_id, bench_id,
+        ${VectorOps.sqlCosine("c.embedding", "b.be")} AS cosine
+      FROM c CROSS JOIN b),
+    hit AS (
+      SELECT vec_id, bench_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cosine DESC, bench_id ASC) AS rank
+      FROM p WHERE cosine >= $SemDecontamThreshold)
+    SELECT vec_id, bench_id AS closest_bench, cosine
+    FROM hit WHERE rank = 1"""
+
   /** Brute-force cosine top-k: for each query vector (vec_id < 10), the
     * 5 nearest neighbors over the whole corpus (excluding self), ranked
     * with a deterministic tiebreak. The correctness baseline for ANN.
@@ -721,6 +782,8 @@ object Similarity {
     "ann_recall_audit" -> QueryDef.sql(annRecallAudit, annRecallAuditOracle),
     "embedding_quantize" -> QueryDef.sql(embeddingQuantize, embeddingQuantizeOracle),
     "dedup_embedding" -> QueryDef.sql(dedupEmbedding, dedupEmbeddingOracle),
+    "decontaminate_semantic" ->
+      QueryDef.sql(decontaminateSemantic, decontaminateSemanticOracle),
     "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),
     "ann_lsh" -> QueryDef.sql(annLsh, annLshOracle),
     "ann_refine" -> QueryDef.sql(annRefine, annRefineOracle),

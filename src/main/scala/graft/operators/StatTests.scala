@@ -769,10 +769,88 @@ object StatTests {
     FROM f"""
   }
 
+  private val NsPerDay = 86400L * 1000 * 1000 * 1000
+
+  /** Cochran–Armitage trend test: does the purchase share TREND across
+    * the week (ordinal day-of-week scores 1..7), rather than merely
+    * vary ([[chiSquareIndependence]]'s question)? The one-df trend
+    * decomposition is the right test when the grouping is ORDERED —
+    * it concentrates the power a plain χ² smears over k−1 df. Weekday
+    * from the dow_seasonality integer epoch arithmetic ((epoch_day+4)
+    * mod 7 — no calendar functions, engines cannot disagree on
+    * locale). All five inner sums are exact BIGINT (Σw·r ≤ 7N, Σw²·n
+    * ≤ 49N); the trend numerator N·Σwr − R·Σwn is BIGINT-exact to
+    * N ≈ 1.1e9 (7N² < 2⁶³ — past that the fold moves to DECIMAL(38),
+    * the gini discipline); Z² itself is one fixed-order DOUBLE
+    * expression over those integers (exact casts, identical rounding
+    * both engines), floor-fixed-pointed ×1e6, decided against the
+    * df=1 entry of the literal χ² table. One map-side-combinable
+    * aggregate to 7 cells; everything after is a single row.
+    */
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir).select(
+      (((expr(s"ts div $NsPerDay") + 4) % 7) + 1).as("w"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("s"))
+    val g = base.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_i"), sum(col("s")).as("r_i"))
+    val f = g.agg(sum(col("n_i")).as("nn"), sum(col("r_i")).as("rr"),
+      sum(col("w") * col("r_i")).as("swr"),
+      sum(col("w") * col("n_i")).as("swn"),
+      sum(col("w") * col("w") * col("n_i")).as("sw2n"))
+    val numD = (col("nn") * col("swr") - col("rr") * col("swn")).cast("double")
+    val varD = col("nn").cast("double") * col("sw2n").cast("double") -
+      col("swn").cast("double") * col("swn").cast("double")
+    val z2x = floor(col("nn").cast("double") * numD * numD
+      / (col("rr").cast("double") * (col("nn") - col("rr")).cast("double")
+        * varD) * lit(1.0e6)).cast("bigint")
+    f.select(col("nn").as("n_total"), col("rr").as("n_success"),
+      (col("nn") * col("swr") - col("rr") * col("swn")).as("trend_num"),
+      when(col("rr") === 0 || col("rr") === col("nn") || varD === 0.0,
+        lit(null).cast("bigint")).otherwise(z2x).as("z2_x1e6"),
+      when(col("rr") === 0 || col("rr") === col("nn") || varD === 0.0,
+        lit(null).cast("boolean"))
+        .otherwise(z2x > lit(Chi2Crit5PctX1e6.head))
+        .as("reject_h0_5pct"))
+  }
+
+  val cochranArmitageOracle: String = s"""
+    WITH base AS (
+      SELECT ((EPOCH_NS(ts) // $NsPerDay + 4) % 7) + 1 AS w,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      FROM events),
+    g AS (
+      SELECT w, COUNT(*) AS n_i, CAST(SUM(s) AS BIGINT) AS r_i
+      FROM base GROUP BY 1),
+    f AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS nn, CAST(SUM(r_i) AS BIGINT) AS rr,
+        CAST(SUM(w * r_i) AS BIGINT) AS swr,
+        CAST(SUM(w * n_i) AS BIGINT) AS swn,
+        CAST(SUM(w * w * n_i) AS BIGINT) AS sw2n
+      FROM g),
+    z AS (
+      SELECT nn, rr, nn * swr - rr * swn AS trend_num,
+        CAST(nn AS DOUBLE) * CAST(sw2n AS DOUBLE)
+          - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE) AS var_d,
+        CAST(FLOOR(CAST(nn AS DOUBLE)
+          * CAST(nn * swr - rr * swn AS DOUBLE)
+          * CAST(nn * swr - rr * swn AS DOUBLE)
+          / (CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE)
+            * (CAST(nn AS DOUBLE) * CAST(sw2n AS DOUBLE)
+              - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)))
+          * 1.0e6) AS BIGINT) AS z2x
+      FROM f)
+    SELECT nn AS n_total, rr AS n_success, trend_num,
+      CASE WHEN rr = 0 OR rr = nn OR var_d = 0.0 THEN NULL
+        ELSE z2x END AS z2_x1e6,
+      CASE WHEN rr = 0 OR rr = nn OR var_d = 0.0 THEN NULL
+        ELSE z2x > ${Chi2Crit5PctX1e6.head} END AS reject_h0_5pct
+    FROM z"""
+
   def defs: Map[String, QueryDef] = Map(
     "spearman_corr" -> QueryDef.sql(spearmanCorr, spearmanCorrOracle),
     "kendall_tau_b" -> QueryDef.sql(kendallTauB, kendallTauBOracle),
     "kruskal_wallis" -> QueryDef.sql(kruskalWallis, kruskalWallisOracle),
+    "cochran_armitage" -> QueryDef.sql(cochranArmitage, cochranArmitageOracle),
     "mann_whitney_auc" -> QueryDef.sql(mannWhitneyAuc, mannWhitneyAucOracle),
     "chi_square_independence" ->
       QueryDef.sql(chiSquareIndependence, chiSquareIndependenceOracle),

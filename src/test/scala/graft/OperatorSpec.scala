@@ -1666,6 +1666,67 @@ class OperatorSpec extends SparkSpec {
     assert(Seq(a, b, c, d).count(_ > 0) >= 2, "degenerate agreement grid")
   }
 
+  test("decontaminate_semantic: flags exactly the corpus vectors a " +
+      "driver-side cosine recount puts at or above the floor") {
+    val rows = operators.Similarity.decontaminateSemantic(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val bench = all.filter(_._1 < 5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val want = all.filter(_._1 >= 5).flatMap { case (id, v) =>
+      val scored = bench.toSeq.map { case (bid, bv) => (bid, cos(bv, v)) }
+        .filter(_._2 >= 0.3 - 1e-9)
+      if (scored.isEmpty) None
+      else Some(id -> scored.minBy { case (bid, c) => (-c, bid) })
+    }
+    // the engine's fused float-dot cosine and this double recount can
+    // disagree only within float rounding — compare sets at a tolerance
+    // wide enough for that and tight enough to catch a wrong pair
+    val borderline = want.values.exists(c => math.abs(c._2 - 0.3) < 1e-6)
+    if (!borderline) {
+      assert(rows.keySet == want.keySet, "flagged-vector set recount")
+      rows.foreach { case (id, (bid, c)) =>
+        assert(bid == want(id)._1, s"closest bench for $id")
+        assert(math.abs(c - want(id)._2) < 1e-6, s"cosine for $id")
+        assert(c >= 0.3 && id >= 5 && bid < 5)
+      }
+    }
+    assert(rows.nonEmpty, "threshold must flag something at this SF")
+  }
+
+  test("cochran_armitage: Z² matches an exact integer-moment recount") {
+    val r = operators.StatTests.cochranArmitage(spark, sfDir).collect().head
+    val nsPerDay = 86400L * 1000 * 1000 * 1000
+    val pts = Tables.events(spark, sfDir)
+      .select(col("ts").cast("long"), col("event_type")).collect()
+      .map { x =>
+        // Tables.events normalizes ts to LONG NANOS (nanosAsLong)
+        val w = (x.getLong(0) / nsPerDay + 4) % 7 + 1
+        (w, if (x.getString(1) == "purchase") 1L else 0L)
+      }
+    val nn = pts.length.toLong
+    val rr = pts.map(_._2).sum
+    val swr = pts.map(p => p._1 * p._2).sum
+    val swn = pts.map(_._1).sum
+    val sw2n = pts.map(p => p._1 * p._1).sum
+    assert(r.getAs[Long]("n_total") == nn && r.getAs[Long]("n_success") == rr)
+    assert(r.getAs[Long]("trend_num") == nn * swr - rr * swn)
+    val num = (nn * swr - rr * swn).toDouble
+    val varD = nn.toDouble * sw2n - swn.toDouble * swn
+    val z2x = math.floor(nn.toDouble * num * num /
+      (rr.toDouble * (nn - rr).toDouble * varD) * 1.0e6).toLong
+    assert(r.getAs[Long]("z2_x1e6") == z2x, "Z² recount")
+    assert(r.getAs[Boolean]("reject_h0_5pct") == (z2x > 3841459L))
+  }
+
   test("dedup_threshold_sweep: per-threshold counts recount from the " +
       "exact pair set and are monotone") {
     val pairs = operators.Dedup.ngramJaccard(spark, sfDir).collect()

@@ -489,4 +489,13 @@ class ShuffleBudgetSpec extends SparkSpec {
   // three visible exchanges aggregate/join the 5-row threshold census.
   check("dedup_threshold_sweep", 3)(
     operators.Dedup.dedupThresholdSweep(spark, sfDir))
+  // decontaminate_semantic: the benchmark side broadcasts (map-side
+  // nested loop over the corpus scan); the one exchange partitions the
+  // FLAGGED candidates by vec_id for the ≤|bench|-row argmax window.
+  check("decontaminate_semantic", 1)(
+    operators.Similarity.decontaminateSemantic(spark, sfDir))
+  // cochran_armitage: one map-side-combinable 7-cell weekday aggregate
+  // plus the single-row moment fold.
+  check("cochran_armitage", 2)(
+    operators.StatTests.cochranArmitage(spark, sfDir))
 }
