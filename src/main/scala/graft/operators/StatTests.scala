@@ -846,11 +846,83 @@ object StatTests {
         ELSE z2x > ${Chi2Crit5PctX1e6.head} END AS reject_h0_5pct
     FROM z"""
 
+  /** Mann–Kendall trend test over the daily event-count series — the
+    * significance companion to theilsen_trend (Theil–Sen answers "what
+    * slope?"; MK answers "is there a monotone trend at all?", with no
+    * distributional assumption and the same outlier robustness): S =
+    * Σ sign(n_j − n_i) over all day pairs, the tie-corrected variance
+    * Var(S) = [N(N−1)(2N+5) − Σt(t−1)(2t+5)]/18, and the
+    * continuity-corrected Z = (S∓1)/√Var — S, N, and both variance
+    * numerators exact BIGINT (days ≤ 1e5 keeps N(N−1)(2N+5) < 1e16),
+    * Z one fixed-order double expression (IEEE sqrt/divide), decided
+    * two-sided against the literal 1.959964. The pair expansion runs
+    * on the CALENDAR-bounded daily aggregate (the theilsen_trend
+    * discipline — the corpus itself never pairs), checkpointed because
+    * both pair sides and the tie census read it.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.functions.Iterate.checkpoint(
+      Tables.events(spark, dir)
+        .select(expr(s"ts div $NsPerDay").as("day_ord"))
+        .groupBy(col("day_ord")).agg(count(lit(1)).as("n")))
+    val pairs = daily.as("a")
+      .join(broadcast(daily.as("b")), col("a.day_ord") < col("b.day_ord"))
+      .select(when(col("b.n") > col("a.n"), 1L)
+        .when(col("b.n") < col("a.n"), -1L).otherwise(0L).as("sgn"))
+    val sAgg = pairs.agg(sum(col("sgn")).as("s_stat"))
+    val ties = daily.groupBy(col("n")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tie_num"), sum(col("t")).as("n_days"))
+    val f = sAgg.crossJoin(broadcast(ties))
+      .withColumn("var_num",
+        col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+          - col("tie_num"))
+    val zD = (when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+      .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+      .otherwise(lit(0.0))) / sqrt(col("var_num").cast("double") / lit(18.0))
+    f.select(col("n_days"), col("s_stat"), col("tie_num"),
+      when(col("var_num") === 0, lit(null).cast("bigint"))
+        .otherwise(floor(zD * lit(1.0e6)).cast("bigint")).as("z_x1e6"),
+      when(col("var_num") === 0, lit(null).cast("boolean"))
+        .otherwise(zD > lit(1.959964) || zD < lit(-1.959964))
+        .as("reject_h0_5pct"))
+  }
+
+  val mannKendallOracle: String = {
+    val zSql = """(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+          ELSE 0.0 END / SQRT(CAST(var_num AS DOUBLE) / 18.0))"""
+    s"""
+    WITH daily AS (
+      SELECT EPOCH_NS(ts) // $NsPerDay AS day_ord, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    p AS (
+      SELECT CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END
+        AS sgn
+      FROM daily a JOIN daily b ON a.day_ord < b.day_ord),
+    s AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat FROM p),
+    t AS (
+      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num,
+        CAST(SUM(t) AS BIGINT) AS n_days
+      FROM (SELECT n, COUNT(*) AS t FROM daily GROUP BY 1)),
+    f AS (
+      SELECT s_stat, tie_num, n_days,
+        n_days * (n_days - 1) * (2 * n_days + 5) - tie_num AS var_num
+      FROM s CROSS JOIN t)
+    SELECT n_days, s_stat, tie_num,
+      CASE WHEN var_num = 0 THEN NULL
+        ELSE CAST(FLOOR($zSql * 1.0e6) AS BIGINT) END AS z_x1e6,
+      CASE WHEN var_num = 0 THEN NULL
+        ELSE $zSql > 1.959964 OR $zSql < -1.959964 END AS reject_h0_5pct
+    FROM f"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "spearman_corr" -> QueryDef.sql(spearmanCorr, spearmanCorrOracle),
     "kendall_tau_b" -> QueryDef.sql(kendallTauB, kendallTauBOracle),
     "kruskal_wallis" -> QueryDef.sql(kruskalWallis, kruskalWallisOracle),
     "cochran_armitage" -> QueryDef.sql(cochranArmitage, cochranArmitageOracle),
+    "mann_kendall" -> QueryDef.sql(mannKendall, mannKendallOracle),
     "mann_whitney_auc" -> QueryDef.sql(mannWhitneyAuc, mannWhitneyAucOracle),
     "chi_square_independence" ->
       QueryDef.sql(chiSquareIndependence, chiSquareIndependenceOracle),

@@ -563,15 +563,36 @@ object TextAnalysis {
     * all-nonnegative quotient), with the gini overflow treatment past
     * N² > 9e12 (divide the denominator by 1e6 first, ≤1 ppm bias).
     */
-  def filterAgreementKappa(spark: SparkSession, dir: String): DataFrame = {
-    val flags = Tables.documents(spark, dir).select(
-      gopherRuleExprs.reduce(_ && _).as("ap"),
-      (qualityScoreExpr > lit(0.8)).as("bp"))
-    flags.agg(
+  /** The 2×2 agreement grid of the two quality gates (one corpus scan,
+    * four conditional counts, one row) — shared by
+    * [[filterAgreementKappa]] (symmetric agreement) and [[mcnemarTest]]
+    * (disagreement DIRECTION), so the two audits always read the same
+    * grid.
+    */
+  private def gateGrid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        gopherRuleExprs.reduce(_ && _).as("ap"),
+        (qualityScoreExpr > lit(0.8)).as("bp"))
+      .agg(
         sum(when(col("ap") && col("bp"), 1L).otherwise(0L)).as("a"),
         sum(when(col("ap") && !col("bp"), 1L).otherwise(0L)).as("b"),
         sum(when(!col("ap") && col("bp"), 1L).otherwise(0L)).as("cc"),
         sum(when(!col("ap") && !col("bp"), 1L).otherwise(0L)).as("d"))
+
+  /** SQL twin of [[gateGrid]], shared by the kappa and McNemar oracles. */
+  private lazy val gateGridSql: String = s"""
+      SELECT
+        CAST(SUM(CASE WHEN ap AND bp THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN ap AND NOT bp THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT ap AND bp THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+        CAST(SUM(CASE WHEN NOT ap AND NOT bp THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM (
+        SELECT g.pass AS ap, q.quality_score > 0.8 AS bp
+        FROM ($gopherRulesOracle) g
+        JOIN ($qualityScoreOracle) q ON g.doc_id = q.doc_id)"""
+
+  def filterAgreementKappa(spark: SparkSession, dir: String): DataFrame = {
+    gateGrid(spark, dir)
       .withColumn("nn", expr("a + b + cc + d"))
       .withColumn("po_num", expr("a + d"))
       .withColumn("pe_num",
@@ -598,18 +619,7 @@ object TextAnalysis {
   }
 
   lazy val filterAgreementKappaOracle: String = s"""
-    WITH g AS ($gopherRulesOracle),
-    q AS ($qualityScoreOracle),
-    j AS (
-      SELECT g.pass AS ap, q.quality_score > 0.8 AS bp
-      FROM g JOIN q ON g.doc_id = q.doc_id),
-    cnt AS (
-      SELECT
-        CAST(SUM(CASE WHEN ap AND bp THEN 1 ELSE 0 END) AS BIGINT) AS a,
-        CAST(SUM(CASE WHEN ap AND NOT bp THEN 1 ELSE 0 END) AS BIGINT) AS b,
-        CAST(SUM(CASE WHEN NOT ap AND bp THEN 1 ELSE 0 END) AS BIGINT) AS cc,
-        CAST(SUM(CASE WHEN NOT ap AND NOT bp THEN 1 ELSE 0 END) AS BIGINT) AS d
-      FROM j),
+    WITH cnt AS ($gateGridSql),
     f AS (
       SELECT a, b, cc, d, a + b + cc + d AS nn, a + d AS po_num,
         (a + b) * (a + cc) + (cc + d) * (b + d) AS pe_num
@@ -631,6 +641,56 @@ object TextAnalysis {
             END
         END AS kappa_ppm
     FROM f"""
+
+  /** McNemar's test on the same gate grid — the DIRECTION audit
+    * [[filterAgreementKappa]] cannot give: κ says how much the two
+    * gates agree; McNemar says whether their DISAGREEMENT is
+    * one-sided (gopher strictly stricter than the score cut, or vice
+    * versa — the discordant cells b vs c), which decides whether
+    * swapping gates would shift corpus volume. χ²_M = (b−c)²/(b+c)
+    * with the continuity-corrected (|b−c|−1)²/(b+c) twin, both exact
+    * integer cross-multiplication fixed-pointed ×1e6 (gini overflow
+    * guard past (b−c)² > 9e12: divide the denominator by 1e6 first),
+    * decided against the literal χ²(1) 5% value; NULL when the gates
+    * never disagree. Same one-scan grid, single row.
+    */
+  def mcnemarTest(spark: SparkSession, dir: String): DataFrame =
+    gateGrid(spark, dir)
+      .select(col("b").as("n_gopher_only"), col("cc").as("n_quality_only"),
+        expr("""CASE WHEN b + cc = 0 THEN CAST(NULL AS BIGINT)
+          WHEN (b - cc) * (b - cc) <= 9000000000000 THEN
+            ((b - cc) * (b - cc) * 1000000) div (b + cc)
+          ELSE (b - cc) * (b - cc) div ((b + cc) div 1000000) END""")
+          .as("chi2_x1e6"),
+        expr("""CASE WHEN b + cc = 0 THEN CAST(NULL AS BIGINT)
+          WHEN (abs(b - cc) - 1) * (abs(b - cc) - 1) <= 9000000000000 THEN
+            ((abs(b - cc) - 1) * (abs(b - cc) - 1) * 1000000) div (b + cc)
+          ELSE (abs(b - cc) - 1) * (abs(b - cc) - 1)
+            div ((b + cc) div 1000000) END""").as("chi2_cc_x1e6"),
+        expr(s"""CASE WHEN b + cc = 0 THEN CAST(NULL AS BOOLEAN)
+          WHEN (b - cc) * (b - cc) <= 9000000000000 THEN
+            ((b - cc) * (b - cc) * 1000000) div (b + cc) > 3841459
+          ELSE (b - cc) * (b - cc) div ((b + cc) div 1000000) > 3841459
+          END""").as("reject_symmetry_5pct"))
+
+  lazy val mcnemarTestOracle: String = s"""
+    WITH cnt AS ($gateGridSql)
+    SELECT b AS n_gopher_only, cc AS n_quality_only,
+      CASE WHEN b + cc = 0 THEN NULL
+        WHEN (b - cc) * (b - cc) <= 9000000000000 THEN
+          ((b - cc) * (b - cc) * 1000000) // (b + cc)
+        ELSE (b - cc) * (b - cc) // ((b + cc) // 1000000) END AS chi2_x1e6,
+      CASE WHEN b + cc = 0 THEN NULL
+        WHEN (ABS(b - cc) - 1) * (ABS(b - cc) - 1) <= 9000000000000 THEN
+          ((ABS(b - cc) - 1) * (ABS(b - cc) - 1) * 1000000) // (b + cc)
+        ELSE (ABS(b - cc) - 1) * (ABS(b - cc) - 1)
+          // ((b + cc) // 1000000) END AS chi2_cc_x1e6,
+      CASE WHEN b + cc = 0 THEN NULL
+        WHEN (b - cc) * (b - cc) <= 9000000000000 THEN
+          ((b - cc) * (b - cc) * 1000000) // (b + cc) > 3841459
+        ELSE (b - cc) * (b - cc) // ((b + cc) // 1000000) > 3841459
+        END AS reject_symmetry_5pct
+    FROM cnt"""
 
   /** Corpus composition report per source — the summary every pipeline
     * run logs: document count, token volume, language mix, size profile.
@@ -1564,6 +1624,7 @@ object TextAnalysis {
     "gopher_rules" -> QueryDef.sql(gopherRules, gopherRulesOracle),
     "filter_agreement_kappa" ->
       QueryDef.sql(filterAgreementKappa, filterAgreementKappaOracle),
+    "mcnemar_test" -> QueryDef.sql(mcnemarTest, mcnemarTestOracle),
     "source_quality_matrix" ->
       QueryDef.sql(sourceQualityMatrix, sourceQualityMatrixOracle),
     "lang_id" -> QueryDef.sql(langId, langIdOracle),

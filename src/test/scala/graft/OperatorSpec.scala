@@ -1727,6 +1727,50 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Boolean]("reject_h0_5pct") == (z2x > 3841459L))
   }
 
+  test("mcnemar_test: reads the same grid as kappa and the chi2 " +
+      "formulas recount exactly") {
+    val k = operators.TextAnalysis.filterAgreementKappa(spark, sfDir)
+      .collect().head
+    val m = operators.TextAnalysis.mcnemarTest(spark, sfDir).collect().head
+    val b = k.getAs[Long]("n_gopher_only")
+    val c = k.getAs[Long]("n_quality_only")
+    assert(m.getAs[Long]("n_gopher_only") == b &&
+      m.getAs[Long]("n_quality_only") == c, "both audits read one grid")
+    assert(b + c > 0, "gates never disagree — vacuous McNemar")
+    assert(m.getAs[Long]("chi2_x1e6") == (b - c) * (b - c) * 1000000L / (b + c))
+    val cc = (math.abs(b - c) - 1) * (math.abs(b - c) - 1)
+    assert(m.getAs[Long]("chi2_cc_x1e6") == cc * 1000000L / (b + c))
+    assert(m.getAs[Boolean]("reject_symmetry_5pct") ==
+      (m.getAs[Long]("chi2_x1e6") > 3841459L))
+  }
+
+  test("mann_kendall: S, ties, and Z recount from driver-side day pairs") {
+    val r = operators.StatTests.mannKendall(spark, sfDir).collect().head
+    val nsPerDay = 86400L * 1000 * 1000 * 1000
+    val daily = Tables.events(spark, sfDir)
+      .select(col("ts").cast("long")).collect()
+      .map(_.getLong(0) / nsPerDay)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy(_._1).map(_._2)
+    val n = daily.length.toLong
+    assert(r.getAs[Long]("n_days") == n)
+    val s = (for (i <- daily.indices; j <- daily.indices if i < j)
+      yield java.lang.Long.signum(daily(j) - daily(i)).toLong).sum
+    assert(r.getAs[Long]("s_stat") == s, "S recount")
+    val tieNum = daily.groupBy(identity).values
+      .map(g => g.size.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(r.getAs[Long]("tie_num") == tieNum, "tie numerator recount")
+    val varNum = n * (n - 1) * (2 * n + 5) - tieNum
+    if (varNum > 0) {
+      val z = (if (s > 0) (s - 1).toDouble else if (s < 0) (s + 1).toDouble
+        else 0.0) / math.sqrt(varNum.toDouble / 18.0)
+      assert(r.getAs[Long]("z_x1e6") == math.floor(z * 1.0e6).toLong,
+        "Z recount")
+      assert(r.getAs[Boolean]("reject_h0_5pct") ==
+        (z > 1.959964 || z < -1.959964))
+    }
+  }
+
   test("dedup_threshold_sweep: per-threshold counts recount from the " +
       "exact pair set and are monotone") {
     val pairs = operators.Dedup.ngramJaccard(spark, sfDir).collect()

@@ -498,4 +498,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // plus the single-row moment fold.
   check("cochran_armitage", 2)(
     operators.StatTests.cochranArmitage(spark, sfDir))
+  // mcnemar: the kappa gate grid — one single-row conditional-count
+  // fold over a per-row gate projection, scan speed at any SF.
+  check("mcnemar_test", 1)(operators.TextAnalysis.mcnemarTest(spark, sfDir))
+  // mann_kendall: the corpus aggregates inside the daily checkpoint;
+  // the three visible exchanges fold CALENDAR-scale frames (pair-sign
+  // sum, tie census, single-row join).
+  check("mann_kendall", 3)(operators.StatTests.mannKendall(spark, sfDir))
 }
