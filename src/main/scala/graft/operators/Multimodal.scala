@@ -617,6 +617,222 @@ object Multimodal {
       FROM documents)"""
   }
 
+  // ---- perceptual-hash near-dup (image dedup via dHash) ----
+
+  /** dHash grid geometry: 5×13 luminance samples → 5 rows × 12
+    * horizontal gradients = 60 fingerprint bits (positive BIGINT), cut
+    * into 4 bands × 15 bits for the LSH-style candidate join. Hamming
+    * ≤ 10 (of 60) is the near-dup verdict — dHash's standard "same
+    * image, re-encoded/resized/brightness-shifted" regime (gradient
+    * signs survive monotone tone changes; see the invariance spec).
+    */
+  private val PhashRows = 5
+  private val PhashCols = 13
+  private val PhashBands = 4
+  private val PhashBandBits = 15
+  private val PhashHammingMax = 10L
+
+  /** Scalar stub fingerprint over the TEXT characters (this corpus is
+    * pure ASCII, so chars ≡ UTF-8 bytes): 65 stride-sampled codepoints
+    * play the luminance grid. MUST mirror [[phashExprSql]] exactly —
+    * the parity is spec-pinned.
+    */
+  private[graft] def phashStub(text: String): Long = {
+    val samples = PhashRows * PhashCols
+    val n = text.length
+    if (n == 0) 0L
+    else {
+      val stride = math.max(1, n / samples)
+      def v(i: Int): Int = text.charAt((i * stride) % n).toInt
+      var fp = 0L
+      var r = 0
+      while (r < PhashRows) {
+        var c = 0
+        while (c < PhashCols - 1) {
+          if (v(r * PhashCols + c) > v(r * PhashCols + c + 1))
+            fp |= 1L << (r * (PhashCols - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      fp
+    }
+  }
+
+  /** The stub fingerprint as generated SQL over (text, n_chars) — one
+    * template serves Spark (`divOp = "div"`) and DuckDB (`"//"`), so
+    * query and oracle cannot desync.
+    */
+  private[graft] def phashExprSql(divOp: String): String = {
+    val samples = PhashRows * PhashCols
+    val stride = s"GREATEST(1, n_chars $divOp $samples)"
+    def v(i: Int) =
+      s"ASCII(SUBSTRING(text, (($i * $stride) % n_chars) + 1, 1))"
+    (for (r <- 0 until PhashRows; c <- 0 until PhashCols - 1) yield
+      s"(CASE WHEN ${v(r * PhashCols + c)} > ${v(r * PhashCols + c + 1)} " +
+        s"THEN CAST(${1L << (r * (PhashCols - 1) + c)} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n        + ")
+  }
+
+  /** REAL dHash via the same `javax.imageio` branch as [[decodeImage]]:
+    * integer area-average luminance into the 5×13 grid (block bounds
+    * `c·w div cols`, Rec.601 integer weights — bit-reproducible across
+    * JVMs), gradient bits from horizontal comparisons. None for
+    * non-raster payloads — callers fall back to [[phashStub]].
+    */
+  private[graft] def phashImage(bytes: Array[Byte]): Option[Long] =
+    if (!isRaster(bytes)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val cell = Array.ofDim[Long](PhashRows, PhashCols)
+        var r = 0
+        while (r < PhashRows) {
+          var c = 0
+          while (c < PhashCols) {
+            val x0 = c * w / PhashCols
+            val x1 = math.max(x0 + 1, (c + 1) * w / PhashCols)
+            val y0 = r * h / PhashRows
+            val y1 = math.max(y0 + 1, (r + 1) * h / PhashRows)
+            var s = 0L; var n = 0L
+            var y = y0
+            while (y < y1 && y < h) {
+              var x = x0
+              while (x < x1 && x < w) {
+                val rgb = img.getRGB(x, y)
+                s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587
+                  + (rgb & 0xff) * 114) / 1000
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            cell(r)(c) = if (n > 0) s / n else 0L
+            c += 1
+          }
+          r += 1
+        }
+        var fp = 0L
+        r = 0
+        while (r < PhashRows) {
+          var c = 0
+          while (c < PhashCols - 1) {
+            if (cell(r)(c) > cell(r)(c + 1))
+              fp |= 1L << (r * (PhashCols - 1) + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(fp)
+      }
+    } catch { case _: Exception => None }
+
+  /** Banded Hamming near-dup pairs over a (doc_id, phash) frame — the
+    * dedup_minhash_lsh discipline on fingerprint bits: candidates share
+    * at least one 15-bit band (the band key lives IN the join key —
+    * never an all-pairs product), verified with exact `bit_count(xor)`
+    * ≤ [[PhashHammingMax]]. Pigeonhole: 4 bands × 15 bits means any
+    * pair within Hamming 3 ALWAYS shares a clean band; beyond that
+    * recall follows the banding curve — the same bands × bits knob a
+    * 100 TB image-dedup pass tunes.
+    */
+  private def phashPairs(fps: DataFrame): DataFrame = {
+    val bandStructs = (0 until PhashBands).map { b =>
+      struct(lit(b).as("band"), lit(1L << (b * PhashBandBits)).as("dv"))
+    }
+    val banded = fps
+      .select(col("doc_id"), col("phash"),
+        explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("phash"),
+        col("bd.band").as("band"), col("bd.dv").as("dv"))
+      .withColumn("chunk", expr(s"(phash div dv) % ${1 << PhashBandBits}"))
+      .drop("dv")
+    val a = banded.select(col("doc_id").as("doc_a"), col("phash").as("fa"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("phash").as("fb"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(fa ^ fb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .distinct()
+  }
+
+  /** Perceptual-hash image near-dup pairs, stub form (oracle-checked):
+    * the dHash fingerprint over the deterministic stub grid, banded
+    * candidates, exact Hamming verify — image dedup's answer to
+    * dedup_simhash (simhash near-dups TOKENS; this near-dups the
+    * RASTER, robust to re-encode/resize/brightness, the multimodal
+    * twin every image-bearing corpus runs before training).
+    *
+    * Scale: fingerprints are scan-speed (one pass, no shuffle); the
+    * candidate join shuffles only (doc_id, phash, band, chunk) tuples
+    * with the band key in the join key; verification is one integer
+    * xor/popcount per candidate.
+    */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), expr(phashExprSql("div")).as("phash")))
+
+  lazy val multimodalPhashOracle: String = {
+    val divisors = (0 until PhashBands)
+      .map(b => s"WHEN $b THEN CAST(${1L << (b * PhashBandBits)} AS BIGINT)")
+      .mkString(" ")
+    s"""
+    WITH f AS (
+      SELECT doc_id,
+        ${phashExprSql("//")} AS phash
+      FROM documents WHERE n_chars > 0),
+    b AS (
+      SELECT doc_id, phash,
+        UNNEST([${(0 until PhashBands).mkString(", ")}]) AS band
+      FROM f),
+    k AS (
+      SELECT doc_id, phash, band,
+        (phash // (CASE band $divisors END)) % ${1 << PhashBandBits} AS chunk
+      FROM b),
+    p AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.phash AS fa, b.phash AS fb
+      FROM k a JOIN k b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(BIT_COUNT(XOR(fa, fb)) AS BIGINT) AS hamming
+    FROM p WHERE BIT_COUNT(XOR(fa, fb)) <= $PhashHammingMax"""
+  }
+
+  /** [[multimodalPhash]] with the REAL raster branch attempted first
+    * (javax.imageio dHash, [[phashImage]]) and the stub fallback for
+    * everything else — the decode_real/resize_real pattern: this
+    * corpus's payloads are text, so every row falls back and the stub
+    * oracle applies, with [[stubParityGuard]] failing LOUD in-plan if a
+    * payload ever takes the raster branch. The real branch itself is
+    * spec-pinned against constructed in-memory rasters (identity,
+    * brightness-shift invariance, content sensitivity).
+    */
+  def multimodalPhashReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        phashImage(bytes) match {
+          case Some(fp) => (id, fp, "image/phash")
+          case None => (id, phashStub(text),
+            if (id % 2 == 0) "image/png" else "audio/wav")
+        }
+      }).toDF("doc_id", "phash", "media_type")
+    phashPairs(
+      stubParityGuard(fps, "image/phash", "multimodal_phash_real")
+        .drop("media_type"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> QueryDef.sql(multimodalMeta, multimodalMetaOracle),
     "multimodal_decode" -> QueryDef.sql(multimodalDecode, multimodalDecodeOracle),
@@ -627,6 +843,9 @@ object Multimodal {
       QueryDef.sql(multimodalFrameSampleReal, multimodalFrameSampleOracle),
     "multimodal_resize" -> QueryDef.sql(multimodalResize, multimodalResizeOracle),
     "multimodal_resize_real" ->
-      QueryDef.sql(multimodalResizeReal, multimodalResizeRealOracle)
+      QueryDef.sql(multimodalResizeReal, multimodalResizeRealOracle),
+    "multimodal_phash" -> QueryDef.sql(multimodalPhash, multimodalPhashOracle),
+    "multimodal_phash_real" ->
+      QueryDef.sql(multimodalPhashReal, multimodalPhashOracle)
   )
 }

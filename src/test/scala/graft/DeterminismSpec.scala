@@ -44,6 +44,7 @@ class DeterminismSpec extends SparkSpec {
     // candidate generation (the pair SET must not depend on which
     // partition saw a band first)
     "dedup_minhash_lsh", "dedup_simhash", "winnow_fingerprint",
+    "multimodal_phash",
     // iterative broadcast-state folds (per-round aggregates must
     // commute) and mergeable sketches
     "pagerank", "quantile_sketch_merge", "hll_window_merge",

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Exercises the multimodal binary-column pipeline: schema, determinism,
   * and batch shape of the (stubbed) decode stage.
@@ -279,5 +280,68 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.stubParityGuard(
       Seq((1L, "image/png")).toDF("doc_id", "media_type"),
       "image/resized", "op_under_test").count() == 1L)
+  }
+
+  /** A raster with controllable gradient content for the phash pins. */
+  private def gradientImage(w: Int, h: Int, base: Int, slope: Int,
+      fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      // keep channels in [base, base+|slope|·w] ≪ 255 so a brightness
+      // shift cannot clamp and perturb gradient SIGNS
+      val v = math.min(255, math.max(0, base + x * slope / math.max(1, w / 8)))
+      img.setRGB(x, y, v * 0x010101)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("phashImage: re-encode and brightness-shift invariant, content " +
+      "sensitive, text falls through") {
+    val a = Multimodal.phashImage(gradientImage(96, 40, 40, 12, "png"))
+    assert(a.nonEmpty, "PNG must take the raster branch")
+    // identical pixels, different container → identical fingerprint
+    val bmp = Multimodal.phashImage(gradientImage(96, 40, 40, 12, "bmp"))
+    assert(bmp == a, "dHash must survive re-encoding")
+    // uniform brightness shift preserves every gradient sign → same fp
+    val brighter = Multimodal.phashImage(gradientImage(96, 40, 90, 12, "png"))
+    assert(brighter == a, "dHash must survive a uniform brightness shift")
+    // reversed gradient flips every horizontal comparison → far apart
+    val reversed = Multimodal.phashImage(gradientImage(96, 40, 160, -12, "png"))
+    assert(reversed.nonEmpty && reversed != a)
+    val ham = java.lang.Long.bitCount(a.get ^ reversed.get)
+    assert(ham > 10, s"reversed gradient landed within the near-dup cut: $ham")
+    // non-raster bytes refuse the branch (stub fallback at the call site)
+    assert(Multimodal.phashImage("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("phashStub: the scalar and the generated SQL expression agree " +
+      "character-for-character") {
+    import spark.implicits._
+    val texts = Seq("a", "ab", "the quick brown fox jumps over the lazy dog",
+      "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg",
+      ("lorem ipsum dolor sit amet " * 40).trim)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val got = df.select(col("doc_id"),
+        expr(Multimodal.phashExprSql("div")).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == Multimodal.phashStub(t),
+        s"stub parity broke for text #$i")
+    }
+  }
+
+  test("multimodal_phash_real ≡ multimodal_phash on a text-only corpus") {
+    val stub = Multimodal.multimodalPhash(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val real = Multimodal.multimodalPhashReal(spark, sfDir).collect()
+      .map(_.toString).sorted
+    assert(stub.nonEmpty, "phash must find near-dup pairs at this SF")
+    assert(stub.sameElements(real),
+      "the raster-aware form must equal the stub form when nothing rasters")
   }
 }

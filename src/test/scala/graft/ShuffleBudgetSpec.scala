@@ -505,4 +505,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // the three visible exchanges fold CALENDAR-scale frames (pair-sign
   // sum, tie census, single-row join).
   check("mann_kendall", 3)(operators.StatTests.mannKendall(spark, sfDir))
+  // phash: fingerprints are scan-speed; the ONE exchange is the banded
+  // candidate self-join keyed on (band, chunk) — narrow tuples, the
+  // band key in the join key (distinct+verify ride the same exchange
+  // at this width; AQE reuses the build side).
+  check("multimodal_phash", 1)(
+    operators.Multimodal.multimodalPhash(spark, sfDir))
+  check("multimodal_phash_real", 1)(
+    operators.Multimodal.multimodalPhashReal(spark, sfDir))
 }
