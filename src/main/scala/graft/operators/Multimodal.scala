@@ -617,6 +617,116 @@ object Multimodal {
       FROM documents)"""
   }
 
+  // ---- audio metadata / energy (javax.sound.sampled real branch) ----
+
+  /** WAV magic sniff (RIFF....WAVE) — the audio twin of [[isRaster]]:
+    * keeps the decoder off payloads that cannot be WAV containers.
+    */
+  private[graft] def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+      b(3) == 'F'.toByte && b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+      b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK-bundled, public —
+    * the audio analog of the imageio raster branch): container sample
+    * rate, frame count, integer duration, and the signal's integer RMS
+    * over 16-bit signed little-endian PCM samples (Σs² is an exact
+    * BIGINT fold; the one IEEE sqrt floors to a long — reproducible
+    * bit-for-bit across JVMs). None for payloads that don't sniff/parse
+    * as WAV — callers fall back to the stub.
+    */
+  private[graft] def decodeWav(bytes: Array[Byte])
+      : Option[(Long, Long, Long, Long)] =
+    if (!isWav(bytes)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val rate = fmt.getSampleRate.toLong
+        val frames = in.getFrameLength
+        if (rate <= 0 || frames < 0) None
+        else {
+          val durationMs = frames * 1000L / rate
+          // 16-bit signed little-endian PCM RMS (the format the spec
+          // writes; other encodings report rms = 0 rather than guess)
+          val rms =
+            if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) {
+              val data = in.readAllBytes()
+              var i = 0; var n = 0L; var ss = 0L
+              while (i + 1 < data.length) {
+                val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
+                ss += s * s; n += 1; i += 2
+              }
+              if (n == 0) 0L else math.floor(math.sqrt(ss.toDouble / n)).toLong
+            } else 0L
+          Some((rate, frames, durationMs, rms))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Audio metadata/energy, stub form (oracle-checked): deterministic
+    * container facts from the payload bytes — the audio row every
+    * media manifest carries (rate, frames, duration, signal energy),
+    * with the stub standing in for the codec exactly like
+    * [[multimodalDecode]]'s image stub. Per-row, shuffle-free.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+        col("text"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("image/png"))
+          .otherwise(lit("audio/wav")).as("media_type"),
+        (lit(8000L) + (length(col("payload")).cast("bigint") % 8) * 1000L)
+          .as("sample_rate"),
+        length(col("payload")).cast("bigint").as("n_frames"))
+      .withColumn("duration_ms",
+        expr("(n_frames * 1000) div sample_rate"))
+      .withColumn("rms", lit(0L))
+
+  val multimodalAudioOracle: String = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+        AS media_type,
+      8000 + (CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) % 8) * 1000
+        AS sample_rate,
+      CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_frames,
+      (CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) * 1000)
+        // (8000 + (CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) % 8) * 1000)
+        AS duration_ms,
+      CAST(0 AS BIGINT) AS rms
+    FROM documents"""
+
+  /** [[multimodalAudio]] with the REAL `javax.sound.sampled` branch
+    * attempted first ([[decodeWav]]) and the stub fallback for
+    * everything else — this corpus's payloads are text, so every row
+    * falls back and the stub oracle applies ([[stubParityGuard]] fails
+    * loud in-plan otherwise); the WAV branch is spec-pinned against
+    * constructed in-memory PCM with hand-computed rate/frames/RMS.
+    */
+  def multimodalAudioReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        decodeWav(bytes) match {
+          case Some((rate, frames, durMs, rms)) =>
+            (id, "audio/decoded", rate, frames, durMs, rms)
+          case None =>
+            val n = bytes.length.toLong
+            val rate = 8000L + (n % 8) * 1000L
+            (id, if (id % 2 == 0) "image/png" else "audio/wav",
+              rate, n, n * 1000L / rate, 0L)
+        }
+      }).toDF("doc_id", "media_type", "sample_rate", "n_frames",
+        "duration_ms", "rms")
+    stubParityGuard(rows, "audio/decoded", "multimodal_audio_real")
+  }
+
   // ---- perceptual-hash near-dup (image dedup via dHash) ----
 
   /** dHash grid geometry: 5×13 luminance samples → 5 rows × 12
@@ -846,6 +956,9 @@ object Multimodal {
       QueryDef.sql(multimodalResizeReal, multimodalResizeRealOracle),
     "multimodal_phash" -> QueryDef.sql(multimodalPhash, multimodalPhashOracle),
     "multimodal_phash_real" ->
-      QueryDef.sql(multimodalPhashReal, multimodalPhashOracle)
+      QueryDef.sql(multimodalPhashReal, multimodalPhashOracle),
+    "multimodal_audio" -> QueryDef.sql(multimodalAudio, multimodalAudioOracle),
+    "multimodal_audio_real" ->
+      QueryDef.sql(multimodalAudioReal, multimodalAudioOracle)
   )
 }

@@ -335,6 +335,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** 16-bit signed little-endian mono WAV bytes from a PCM sample seq. */
+  private def wavBytes(rate: Float, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeWav: rate/frames/duration/RMS pin against hand-built PCM; " +
+      "text refuses the branch") {
+    // a constant-amplitude square wave has a CLOSED-FORM RMS = |amp|
+    val square = Array.tabulate(8000)(i =>
+      if (i % 2 == 0) 1000.toShort else (-1000).toShort)
+    val got = Multimodal.decodeWav(wavBytes(8000f, square))
+    assert(got.contains((8000L, 8000L, 1000L, 1000L)),
+      s"square-wave pin: $got")
+    // silence: same container facts, zero energy
+    val silence = Multimodal.decodeWav(wavBytes(16000f, new Array[Short](4000)))
+    assert(silence.contains((16000L, 4000L, 250L, 0L)), s"silence pin: $silence")
+    // mixed amplitudes: RMS = floor(sqrt(mean of squares)) exactly
+    val mixed = Array[Short](300, -400, 0, 500)
+    val wantRms = math.floor(math.sqrt(
+      mixed.map(s => s.toLong * s).sum.toDouble / mixed.length)).toLong
+    assert(Multimodal.decodeWav(wavBytes(8000f, mixed))
+      .exists(_._4 == wantRms))
+    // non-WAV bytes refuse the branch (stub fallback at the call site)
+    assert(Multimodal.decodeWav("not audio at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("multimodal_audio_real ≡ multimodal_audio on a text-only corpus") {
+    val stub = Multimodal.multimodalAudio(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val real = Multimodal.multimodalAudioReal(spark, sfDir).collect()
+      .map(_.toString).sorted
+    assert(stub.nonEmpty && stub.sameElements(real),
+      "the codec-aware form must equal the stub form when nothing decodes")
+  }
+
   test("multimodal_phash_real ≡ multimodal_phash on a text-only corpus") {
     val stub = Multimodal.multimodalPhash(spark, sfDir).collect()
       .map(_.toString).sorted

@@ -513,4 +513,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     operators.Multimodal.multimodalPhash(spark, sfDir))
   check("multimodal_phash_real", 1)(
     operators.Multimodal.multimodalPhashReal(spark, sfDir))
+  // audio meta/energy is a pure per-row projection / mapPartitions —
+  // scan speed, ZERO exchanges at any SF.
+  check("multimodal_audio", 0)(
+    operators.Multimodal.multimodalAudio(spark, sfDir))
+  check("multimodal_audio_real", 0)(
+    operators.Multimodal.multimodalAudioReal(spark, sfDir))
 }
