@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -350,8 +350,13 @@ object Retrieval {
     * C(#months, 2) ≈ 3.5k rows for a 7-year series — metadata-scale at
     * any corpus size); the corpus shuffles once into the monthly grid.
     */
-  def theilsenTrend(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables.orders(spark, dir)
+  /** Exact-cents monthly revenue per nation — the trend family's shared
+    * series ([[theilsenTrend]] fits its robust slope, [[olsTrend]] the
+    * classical LS line, over the SAME frame so the two fits are
+    * comparable point-for-point).
+    */
+  private def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)
         .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
         .transform(Tables.dimHint)), Seq("o_custkey"))
@@ -360,6 +365,9 @@ object Retrieval {
           .cast("long").as("mon"))
       .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
         .as("cents"))
+
+  def theilsenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = monthlyRevenue(spark, dir)
     val a = monthly.select(col("nationkey"), col("mon").as("m1"), col("cents").as("c1"))
     val b = monthly.select(col("nationkey"), col("mon").as("m2"), col("cents").as("c2"))
     val slopes = a.join(b, Seq("nationkey")).filter(col("m1") < col("m2"))
@@ -375,6 +383,93 @@ object Retrieval {
         (floor(col("slope") * lit(1.0e4) + lit(0.5)).cast("double") / lit(1.0e4))
           .as("median_slope_cents"))
   }
+
+  /** Classical least-squares trend per nation over the shared monthly
+    * revenue series — the parametric companion to [[theilsenTrend]]
+    * (Theil–Sen is the robust fit; OLS adds the intercept and R², the
+    * goodness number that says whether a linear story holds at all —
+    * reading both catches the case where outlier months drag OLS off
+    * the Theil–Sen line). All five moments are EXACT: x-moments BIGINT
+    * (month ordinals are small), y-moments DECIMAL(38,0) (HUGEINT in
+    * the oracle — Σcents² passes 2⁶³ long before 100 TB, the
+    * corpus_divergence headroom treatment); slope/intercept/R² are
+    * fixed-order DOUBLE expressions over those exact integers (a cast
+    * of the same integer rounds identically in both engines), slope
+    * rounded to 1e-4 like theilsen, intercept to whole cents, R² in
+    * floor'd ppm. Degenerate frames report NULL (single month ⇒ no
+    * slope; constant revenue ⇒ no R²), never a fake 0. One
+    * broadcast-dim join + one months-scale aggregate; nothing after
+    * touches more than |nations| rows.
+    */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val m = monthlyRevenue(spark, dir)
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mon")).as("sx"),
+        sum(col("mon") * col("mon")).as("sx2"),
+        sum(dec(col("cents"))).as("sy"),
+        sum(dec(col("mon")) * dec(col("cents"))).as("sxy"),
+        sum(dec(col("cents")) * dec(col("cents"))).as("sy2"))
+    val denx = (col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
+    val deny = (dec(col("n")) * col("sy2") - col("sy") * col("sy"))
+      .cast("double")
+    val num = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
+      .cast("double")
+    val slope = num / denx
+    val intercept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
+      col("n").cast("double")
+    val r2 = num * num / (denx * deny)
+    m.select(col("nationkey"), col("n").as("n_months"),
+      when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(floor(slope * lit(1.0e4) + lit(0.5)).cast("double")
+          / lit(1.0e4))
+        .as("slope_cents"),
+      when(col("n") < 2, lit(null).cast("bigint"))
+        .otherwise(floor(intercept + lit(0.5)).cast("bigint"))
+        .as("intercept_cents"),
+      when(col("n") < 2 || deny === 0.0, lit(null).cast("bigint"))
+        .otherwise(floor(r2 * lit(1.0e6)).cast("bigint"))
+        .as("r2_ppm"))
+  }
+
+  val olsTrendOracle: String = """
+    WITH monthly AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+          + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS mon,
+        CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    m AS (
+      SELECT nationkey, COUNT(*) AS n,
+        CAST(SUM(mon) AS BIGINT) AS sx,
+        CAST(SUM(mon * mon) AS BIGINT) AS sx2,
+        SUM(CAST(cents AS HUGEINT)) AS sy,
+        SUM(CAST(mon AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxy,
+        SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sy2
+      FROM monthly GROUP BY 1),
+    f AS (
+      SELECT nationkey, n,
+        CAST(n * sx2 - sx * sx AS DOUBLE) AS denx,
+        CAST(CAST(n AS HUGEINT) * sy2 - sy * sy AS DOUBLE) AS deny,
+        CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+          AS num,
+        CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      FROM m)
+    SELECT nationkey, n AS n_months,
+      CASE WHEN n < 2 THEN NULL
+        ELSE CAST(FLOOR((num / denx) * 1.0e4 + 0.5) AS DOUBLE) / 1.0e4 END
+        AS slope_cents,
+      CASE WHEN n < 2 THEN NULL
+        ELSE CAST(FLOOR((syd - (num / denx) * sxd) / CAST(n AS DOUBLE) + 0.5)
+          AS BIGINT) END AS intercept_cents,
+      CASE WHEN n < 2 OR deny = 0.0 THEN NULL
+        ELSE CAST(FLOOR(num * num / (denx * deny) * 1.0e6) AS BIGINT) END
+        AS r2_ppm
+    FROM f"""
 
   val theilsenTrendOracle: String = """
     WITH monthly AS (
@@ -706,6 +801,7 @@ object Retrieval {
     "ndcg_eval" -> QueryDef.sql(ndcgEval, ndcgEvalOracle),
     "retrieval_eval_pk" -> QueryDef.sql(retrievalEvalPk, retrievalEvalPkOracle),
     "quantile_normalize" -> QueryDef.sql(quantileNormalize, quantileNormalizeOracle),
-    "theilsen_trend" -> QueryDef.sql(theilsenTrend, theilsenTrendOracle)
+    "theilsen_trend" -> QueryDef.sql(theilsenTrend, theilsenTrendOracle),
+    "ols_trend" -> QueryDef.sql(olsTrend, olsTrendOracle)
   )
 }

@@ -365,6 +365,52 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ols_trend: matches a driver-side exact OLS over the same monthly frame") {
+    val rows = operators.Retrieval.olsTrend(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("nationkey") -> r).toMap
+    val monthly = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nk"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+        .as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("nk"), r.getAs[Long]("m"), r.getAs[Long]("cents")))
+      .groupBy(_._1)
+    assert(rows.keySet == monthly.keySet)
+    monthly.foreach { case (nk, pts) =>
+      val r = rows(nk)
+      val n = pts.length
+      assert(r.getAs[Long]("n_months") == n.toLong)
+      if (n >= 2) {
+        // Exact integer moments mirror the operator's BIGINT/DECIMAL path.
+        val sx = pts.map(p => BigInt(p._2)).sum
+        val sx2 = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum
+        val sy = pts.map(p => BigInt(p._3)).sum
+        val sxy = pts.map(p => BigInt(p._2) * BigInt(p._3)).sum
+        val sy2 = pts.map(p => BigInt(p._3) * BigInt(p._3)).sum
+        val denx = (BigInt(n) * sx2 - sx * sx).toDouble
+        val deny = (BigInt(n) * sy2 - sy * sy).toDouble
+        val num = (BigInt(n) * sxy - sx * sy).toDouble
+        val slope = num / denx
+        assert(r.getAs[Double]("slope_cents") ==
+          math.floor(slope * 1.0e4 + 0.5) / 1.0e4)
+        assert(r.getAs[Long]("intercept_cents") ==
+          math.floor((sy.toDouble - slope * sx.toDouble) / n + 0.5).toLong)
+        if (deny != 0.0) {
+          val ppm = r.getAs[Long]("r2_ppm")
+          assert(ppm == math.floor(num * num / (denx * deny) * 1.0e6).toLong)
+          assert(ppm >= 0L && ppm <= 1000000L)
+        } else assert(r.isNullAt(r.fieldIndex("r2_ppm")))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("slope_cents")))
+        assert(r.isNullAt(r.fieldIndex("intercept_cents")))
+      }
+    }
+  }
+
   test("kendall_tau_b: matches a brute-force O(n²) pair recount") {
     val r = operators.StatTests.kendallTauB(spark, sfDir).collect().head
     val pts = Tables.orders(spark, sfDir)
