@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -917,8 +917,254 @@ object StatTests {
     FROM f"""
   }
 
+  /** Welch's unequal-variance t-test between the two largest sources'
+    * document lengths — the parametric companion to [[mannWhitneyAuc]]
+    * over the SAME two groups (MW compares whole distributions
+    * rank-wise; Welch asks specifically whether the MEANS differ, and
+    * does not assume equal variances — the realistic case for corpus
+    * sources, where a web crawl and a books dump never share a length
+    * variance). Everything reduces to six exact per-source moments in
+    * ONE aggregate over the broadcast-gated top-2 subset: n BIGINT,
+    * Σx BIGINT, Σx² DECIMAL(38,0) (HUGEINT in the oracle — the
+    * [[Retrieval.olsTrend]] headroom treatment, since Σlen² passes 2⁶³
+    * long before 100 TB). Means, Welch variances, t and the
+    * Welch–Satterthwaite df are then fixed-order DOUBLE expressions
+    * over those exact integers on a one-row frame (each IEEE op is
+    * correctly rounded, so both engines produce the identical bits);
+    * t and df are reported floor'd ×1e6, means as half-up centi-chars.
+    * The 5% decision is two-sided against the literal z 1.959964,
+    * valid as the t→z limit — gated on df ≥ 30 and reported NULL below
+    * it (never a silently-wrong small-sample call). Degenerate frames
+    * (a single qualifying source, n < 2, or zero pooled variance)
+    * report NULL stats rather than fake zeros.
+    */
+  def welchTtest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val docs = Tables.documents(spark, dir)
+    val top2 = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("source").asc).limit(2)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("source").asc)))
+    val m = docs
+      .join(broadcast(top2.select(col("source"), col("rank"))), Seq("source"))
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+        sum(dec(col("n_chars")) * dec(col("n_chars"))).as("q"))
+    val p = m.agg(
+      max(when(col("rank") === 1, col("n"))).as("n1"),
+      max(when(col("rank") === 2, col("n"))).as("n2"),
+      max(when(col("rank") === 1, col("s"))).as("s1"),
+      max(when(col("rank") === 2, col("s"))).as("s2"),
+      max(when(col("rank") === 1, col("q"))).as("q1"),
+      max(when(col("rank") === 2, col("q"))).as("q2"))
+    def d(name: String) = col(name).cast("double")
+    val ok = col("n1").isNotNull && col("n2").isNotNull &&
+      col("n1") > 1 && col("n2") > 1
+    val m1 = d("s1") / d("n1")
+    val m2 = d("s2") / d("n2")
+    val v1 = (d("q1") - d("s1") * d("s1") / d("n1")) /
+      (col("n1") - 1).cast("double")
+    val v2 = (d("q2") - d("s2") * d("s2") / d("n2")) /
+      (col("n2") - 1).cast("double")
+    val a = v1 / d("n1")
+    val b = v2 / d("n2")
+    val t = (m1 - m2) / sqrt(a + b)
+    val dfDen = a * a / (col("n1") - 1).cast("double") +
+      b * b / (col("n2") - 1).cast("double")
+    val df = (a + b) * (a + b) / dfDen
+    p.select(col("n1"), col("n2"),
+      when(ok, floor(m1 * lit(100.0) + lit(0.5)).cast("bigint"))
+        .as("mean1_x100"),
+      when(ok, floor(m2 * lit(100.0) + lit(0.5)).cast("bigint"))
+        .as("mean2_x100"),
+      when(ok && a + b > 0.0, floor(t * lit(1.0e6)).cast("bigint"))
+        .as("t_x1e6"),
+      when(ok && dfDen > 0.0, floor(df * lit(1.0e6)).cast("bigint"))
+        .as("df_x1e6"),
+      // BIGINT 1/0, NULL when the z-limit gate fails: a boolean here
+      // would be all-NULL at small SFs, and a NULL bool round-trips as
+      // None (Spark) vs NaN (DuckDB) in the driver's pandas compare —
+      // the int path degrades to float64 NaN identically on both sides
+      when(ok && a + b > 0.0 && dfDen > 0.0 && df >= 30.0,
+        when(t > lit(1.959964) || t < lit(-1.959964), 1L).otherwise(0L))
+        .otherwise(lit(null).cast("bigint"))
+        .as("reject_h0_5pct"))
+  }
+
+  val welchTtestOracle: String = """
+    WITH top2 AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY n DESC, source ASC) AS rank
+      FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1)
+      ORDER BY n DESC, source ASC LIMIT 2),
+    m AS (
+      SELECT rank, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s,
+        SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS q
+      FROM documents d JOIN top2 t ON d.source = t.source GROUP BY 1),
+    p AS (
+      SELECT MAX(CASE WHEN rank = 1 THEN n END) AS n1,
+        MAX(CASE WHEN rank = 2 THEN n END) AS n2,
+        MAX(CASE WHEN rank = 1 THEN s END) AS s1,
+        MAX(CASE WHEN rank = 2 THEN s END) AS s2,
+        MAX(CASE WHEN rank = 1 THEN q END) AS q1,
+        MAX(CASE WHEN rank = 2 THEN q END) AS q2
+      FROM m),
+    e AS (
+      SELECT n1, n2,
+        n1 IS NOT NULL AND n2 IS NOT NULL AND n1 > 1 AND n2 > 1 AS ok,
+        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+          / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)
+          / CAST(n1 AS DOUBLE) AS a,
+        (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+          / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)
+          / CAST(n2 AS DOUBLE) AS b
+      FROM p),
+    f AS (
+      SELECT n1, n2, ok, m1, m2, a, b,
+        (m1 - m2) / SQRT(a + b) AS t,
+        a * a / CAST(n1 - 1 AS DOUBLE) + b * b / CAST(n2 - 1 AS DOUBLE)
+          AS dfden,
+        (a + b) * (a + b)
+          / (a * a / CAST(n1 - 1 AS DOUBLE) + b * b / CAST(n2 - 1 AS DOUBLE))
+          AS df
+      FROM e)
+    SELECT n1, n2,
+      CASE WHEN ok THEN CAST(FLOOR(m1 * 100.0 + 0.5) AS BIGINT) END
+        AS mean1_x100,
+      CASE WHEN ok THEN CAST(FLOOR(m2 * 100.0 + 0.5) AS BIGINT) END
+        AS mean2_x100,
+      CASE WHEN ok AND a + b > 0.0
+        THEN CAST(FLOOR(t * 1.0e6) AS BIGINT) END AS t_x1e6,
+      CASE WHEN ok AND dfden > 0.0
+        THEN CAST(FLOOR(df * 1.0e6) AS BIGINT) END AS df_x1e6,
+      CASE WHEN ok AND a + b > 0.0 AND dfden > 0.0 AND df >= 30.0
+        THEN CASE WHEN t > 1.959964 OR t < -1.959964 THEN 1 ELSE 0 END
+        END AS reject_h0_5pct
+    FROM f"""
+
+  /** One-way ANOVA F across ALL sources' document lengths — the
+    * parametric companion to [[kruskalWallis]] (KW asks "does any
+    * source's length DISTRIBUTION differ, rank-wise?"; this asks
+    * "does any source's MEAN length differ?", and adds η² — the share
+    * of length variance explained by source, the effect-size number a
+    * mix designer actually reads). Per-source moments are exact in one
+    * aggregate (n BIGINT, Σx BIGINT, Σx² DECIMAL(38,0)/HUGEINT); the
+    * between/within sums of squares are assembled from PER-SOURCE
+    * fixed-pointed µ-unit terms (floor(1e6·Sᵢ²/nᵢ) and floor(1e6·Σx²ᵢ)
+    * as BIGINT before the cross-source sum — the [[kruskalWallis]]
+    * discipline, ≤k µ-units of floor bias, so the fold is
+    * order-independent and shuffle-width-invariant), and F / η² are
+    * fixed-order doubles over those integers. The 5% decision uses the
+    * F(df₁,∞) = χ²(df₁)/df₁ limit against the literal table — gated on
+    * n−k ≥ 1000 residual df and NULL below it or past df₁ = 20; the
+    * comparison (k−1)·f_x1e6 > crit differs from the unfloored product
+    * by < k−1 µ, documented. Zero within-variance frames report NULL.
+    */
+  def anovaOneway(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val docs = Tables.documents(spark, dir)
+    val grp = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_i"), sum(col("n_chars")).as("s_i"),
+        sum(dec(col("n_chars")) * dec(col("n_chars"))).as("q_i"))
+    val terms = grp.select(
+      col("n_i"),
+      floor(lit(1.0e6) * col("s_i").cast("double") * col("s_i").cast("double")
+        / col("n_i").cast("double")).cast("bigint").as("term_fx"),
+      floor(lit(1.0e6) * col("q_i").cast("double")).cast("bigint").as("q_fx"),
+      dec(col("s_i")).as("s_dec"))
+    val f = terms.agg(count(lit(1)).as("k_groups"),
+      sum(col("n_i")).as("n_total"), sum(col("s_dec")).as("s_all"),
+      sum(col("term_fx")).as("sum_term_fx"), sum(col("q_fx")).as("sum_q_fx"))
+      .withColumn("gfx", floor(lit(1.0e6)
+        * col("s_all").cast("double") * col("s_all").cast("double")
+        / col("n_total").cast("double")).cast("bigint"))
+      .withColumn("ssb_fx", col("sum_term_fx") - col("gfx"))
+      .withColumn("ssw_fx", col("sum_q_fx") - col("sum_term_fx"))
+    val ok = col("k_groups") > 1 && col("n_total") > col("k_groups") &&
+      col("ssw_fx") > 0
+    val fStat = col("ssb_fx").cast("double") /
+      (col("k_groups") - 1).cast("double") /
+      (col("ssw_fx").cast("double") /
+        (col("n_total") - col("k_groups")).cast("double"))
+    val crit = Chi2Crit5PctX1e6.zipWithIndex.foldLeft(
+      lit(null).cast("bigint")) { case (acc, (v, i)) =>
+      when(col("k_groups") - 1 === (i + 1), lit(v)).otherwise(acc)
+    }
+    f.select(col("n_total"), col("k_groups"), col("ssb_fx"), col("ssw_fx"),
+      when(ok, floor(fStat * lit(1.0e6)).cast("bigint")).as("f_x1e6"),
+      when(ok && col("ssb_fx") + col("ssw_fx") > 0,
+        floor(col("ssb_fx").cast("double") * lit(1.0e6)
+          / (col("ssb_fx") + col("ssw_fx")).cast("double")).cast("bigint"))
+        .as("eta2_ppm"),
+      // BIGINT 1/0/NULL for the same pandas NULL-repr reason as
+      // [[welchTtest]]'s decision column
+      when(ok && crit.isNotNull &&
+        col("n_total") - col("k_groups") >= 1000,
+        when((col("k_groups") - 1)
+          * floor(fStat * lit(1.0e6)).cast("bigint") > crit, 1L)
+          .otherwise(0L))
+        .otherwise(lit(null).cast("bigint"))
+        .as("reject_h0_5pct"))
+  }
+
+  val anovaOnewayOracle: String = {
+    val critCase = Chi2Crit5PctX1e6.zipWithIndex
+      .map { case (v, i) => s"WHEN k_groups - 1 = ${i + 1} THEN $v" }
+      .mkString("\n        ")
+    s"""
+    WITH grp AS (
+      SELECT source, COUNT(*) AS n_i, CAST(SUM(n_chars) AS BIGINT) AS s_i,
+        SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS q_i
+      FROM documents GROUP BY 1),
+    terms AS (
+      SELECT n_i,
+        CAST(FLOOR(1.0e6 * CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+          / CAST(n_i AS DOUBLE)) AS BIGINT) AS term_fx,
+        CAST(FLOOR(1.0e6 * CAST(q_i AS DOUBLE)) AS BIGINT) AS q_fx,
+        CAST(s_i AS HUGEINT) AS s_dec
+      FROM grp),
+    f AS (
+      SELECT COUNT(*) AS k_groups, CAST(SUM(n_i) AS BIGINT) AS n_total,
+        SUM(s_dec) AS s_all,
+        CAST(SUM(term_fx) AS BIGINT) AS sum_term_fx,
+        CAST(SUM(q_fx) AS BIGINT) AS sum_q_fx
+      FROM terms),
+    g AS (
+      SELECT k_groups, n_total, sum_term_fx, sum_q_fx,
+        sum_term_fx - CAST(FLOOR(1.0e6
+          * CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+          / CAST(n_total AS DOUBLE)) AS BIGINT) AS ssb_fx,
+        sum_q_fx - sum_term_fx AS ssw_fx
+      FROM f),
+    h AS (
+      SELECT n_total, k_groups, ssb_fx, ssw_fx,
+        k_groups > 1 AND n_total > k_groups AND ssw_fx > 0 AS ok,
+        CAST(ssb_fx AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE)
+          / (CAST(ssw_fx AS DOUBLE) / CAST(n_total - k_groups AS DOUBLE))
+          AS fstat
+      FROM g)
+    SELECT n_total, k_groups, ssb_fx, ssw_fx,
+      CASE WHEN ok THEN CAST(FLOOR(fstat * 1.0e6) AS BIGINT) END AS f_x1e6,
+      CASE WHEN ok AND ssb_fx + ssw_fx > 0
+        THEN CAST(FLOOR(CAST(ssb_fx AS DOUBLE) * 1.0e6
+          / CAST(ssb_fx + ssw_fx AS DOUBLE)) AS BIGINT) END AS eta2_ppm,
+      CASE WHEN ok AND n_total - k_groups >= 1000 AND (CASE
+        $critCase
+        ELSE NULL END) IS NOT NULL
+        THEN CASE WHEN (k_groups - 1) * CAST(FLOOR(fstat * 1.0e6) AS BIGINT)
+          > (CASE
+        $critCase
+        ELSE NULL END) THEN 1 ELSE 0 END END AS reject_h0_5pct
+    FROM h"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "spearman_corr" -> QueryDef.sql(spearmanCorr, spearmanCorrOracle),
+    "welch_ttest" -> QueryDef.sql(welchTtest, welchTtestOracle),
+    "anova_oneway" -> QueryDef.sql(anovaOneway, anovaOnewayOracle),
     "kendall_tau_b" -> QueryDef.sql(kendallTauB, kendallTauBOracle),
     "kruskal_wallis" -> QueryDef.sql(kruskalWallis, kruskalWallisOracle),
     "cochran_armitage" -> QueryDef.sql(cochranArmitage, cochranArmitageOracle),

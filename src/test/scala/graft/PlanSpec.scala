@@ -410,6 +410,7 @@ class PlanSpec extends SparkSpec {
     val allow = Map(
       "ks_statistic" -> "CDF over ≤max-doc-length distinct-length cells",
       "mann_whitney_auc" -> "rank cumulative over the same length cells",
+      "welch_ttest" -> "rank over the 2-row post-LIMIT top-2 source frame",
       "kruskal_wallis" -> "rank cumulative over the same length cells",
       "retrieval_eval_pk" -> "rank over the ≤10-row post-LIMIT top-k frame",
       "compaction_plan" -> "packing prefix over the calendar-bounded day inventory",

@@ -437,6 +437,74 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("tau_b_ppm")) <= 1000000L)
   }
 
+  test("welch_ttest: t and df match an exact-moment driver recomputation") {
+    val r = operators.StatTests.welchTtest(spark, sfDir).collect().head
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val top2 = bySrc.toSeq.sortBy { case (s, v) => (-v.length, s) }.take(2)
+    val Seq((_, x1), (_, x2)) = top2.map(identity)
+    assert(r.getAs[Long]("n1") == x1.length.toLong)
+    assert(r.getAs[Long]("n2") == x2.length.toLong)
+    def mom(xs: Array[Long]) =
+      (xs.length.toLong, xs.map(BigInt(_)).sum, xs.map(x => BigInt(x) * x).sum)
+    val (n1, s1, q1) = mom(x1); val (n2, s2, q2) = mom(x2)
+    // same fixed order as the operator: each step correctly rounded
+    val m1 = s1.toDouble / n1.toDouble
+    val m2 = s2.toDouble / n2.toDouble
+    val a = (q1.toDouble - s1.toDouble * s1.toDouble / n1.toDouble) /
+      (n1 - 1).toDouble / n1.toDouble
+    val b = (q2.toDouble - s2.toDouble * s2.toDouble / n2.toDouble) /
+      (n2 - 1).toDouble / n2.toDouble
+    assert(r.getAs[Long]("mean1_x100") == math.floor(m1 * 100.0 + 0.5).toLong)
+    assert(r.getAs[Long]("mean2_x100") == math.floor(m2 * 100.0 + 0.5).toLong)
+    val t = (m1 - m2) / math.sqrt(a + b)
+    val dfDen = a * a / (n1 - 1).toDouble + b * b / (n2 - 1).toDouble
+    val df = (a + b) * (a + b) / dfDen
+    assert(r.getAs[Long]("t_x1e6") == math.floor(t * 1.0e6).toLong)
+    assert(r.getAs[Long]("df_x1e6") == math.floor(df * 1.0e6).toLong)
+    if (df >= 30.0)
+      assert((r.getAs[Long]("reject_h0_5pct") == 1L) == (math.abs(t) > 1.959964))
+    else assert(r.isNullAt(r.fieldIndex("reject_h0_5pct")))
+  }
+
+  test("anova_oneway: F and eta2 match a classical SS recomputation within floor bias") {
+    val r = operators.StatTests.anovaOneway(spark, sfDir).collect().head
+    val pts = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val n = pts.length.toLong
+    val k = pts.map(_._1).distinct.length.toLong
+    assert(r.getAs[Long]("n_total") == n)
+    assert(r.getAs[Long]("k_groups") == k)
+    val grand = pts.map(_._2.toDouble).sum / n
+    val bySrc = pts.groupBy(_._1).values
+    val ssb = bySrc.map { g =>
+      val m = g.map(_._2.toDouble).sum / g.length
+      g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = bySrc.map { g =>
+      val m = g.map(_._2.toDouble).sum / g.length
+      g.map(x => (x._2 - m) * (x._2 - m)).sum
+    }.sum
+    // per-source fixed-point floors bias each µ-unit sum by ≤ 1 per
+    // group (two fixed-pointed columns + the grand term); the driver
+    // recount itself carries relative double error, hence the 1e-9 term
+    val tol = (2 * k + 2) / 1e6 + 1e-9 * (ssb + ssw)
+    assert(math.abs(r.getAs[Long]("ssb_fx") / 1e6 - ssb) <= tol,
+      s"SSB ${r.getAs[Long]("ssb_fx") / 1e6} vs recount $ssb")
+    assert(math.abs(r.getAs[Long]("ssw_fx") / 1e6 - ssw) <= tol,
+      s"SSW ${r.getAs[Long]("ssw_fx") / 1e6} vs recount $ssw")
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(r.getAs[Long]("f_x1e6") / 1e6 - f) < 1e-3,
+      s"F ${r.getAs[Long]("f_x1e6") / 1e6} vs recount $f")
+    val eta2 = ssb / (ssb + ssw)
+    assert(math.abs(r.getAs[Long]("eta2_ppm") / 1e6 - eta2) < 1e-4)
+    if (n - k >= 1000 && k - 1 <= 20)
+      assert(!r.isNullAt(r.fieldIndex("reject_h0_5pct")))
+  }
+
   test("kruskal_wallis: H matches a midrank recomputation within floor bias") {
     val r = operators.StatTests.kruskalWallis(spark, sfDir).collect().head
     val pts = Tables.documents(spark, sfDir)

@@ -392,6 +392,14 @@ class ShuffleBudgetSpec extends SparkSpec {
   // revert collapsed both to 1.
   check("ks_statistic", 1)(operators.StatTests.ksStatistic(spark, sfDir))
   check("mann_whitney_auc", 1)(operators.StatTests.mannWhitneyAuc(spark, sfDir))
+  // welch_ttest: ONE corpus-scale exchange (the per-rank moment
+  // aggregate over the broadcast-gated top-2 subset); the rest are the
+  // |sources| top-2 fold, its 2-row post-LIMIT window, and the scalar
+  // pivot — all metadata-scale.
+  check("welch_ttest", 4)(operators.StatTests.welchTtest(spark, sfDir))
+  // anova_oneway: the per-source moment aggregate is the one
+  // corpus-scale shuffle; the |sources|-row term fold is the other.
+  check("anova_oneway", 2)(operators.StatTests.anovaOneway(spark, sfDir))
   // chi_square: 8 of the 9 exchanges move ≤|cells| (125) rows — the
   // margin folds, countDistinct expands, and scalar broadcasts; the one
   // corpus-scale shuffle is the contingency aggregate.
