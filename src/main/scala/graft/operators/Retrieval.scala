@@ -44,6 +44,22 @@ object Retrieval {
     * materialization each consumer re-runs the tokenize scan (PlanSpec
     * pins this).
     */
+  /** One term's BM25 partial score over the scored frame's
+    * (tf_t, dl, n_docs, sum_dl, df_t) columns — shared by the full-query
+    * scorer and [[mapEval]]'s truncated-query re-scoring so the two
+    * cannot desync on the formula.
+    */
+  private def bm25Partial(t: String): Column = {
+    val idf = (col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
+      (col(s"df_$t").cast("double") + lit(0.5))
+    when(col(s"tf_$t") > 0,
+      idf * (col(s"tf_$t").cast("double") * lit(K1 + 1.0))
+        / (col(s"tf_$t").cast("double")
+          + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double")
+            / (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
+      .otherwise(lit(0.0))
+  }
+
   private def bm25ScoredDf(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = graft.functions.Iterate.checkpoint(
       Tables.documents(spark, dir)
@@ -57,19 +73,9 @@ object Retrieval {
       QueryTerms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val stats = perDoc.agg(count(lit(1)).as("n_docs"), statCols: _*)
-    def partial(t: String) = {
-      val idf = (col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
-        (col(s"df_$t").cast("double") + lit(0.5))
-      when(col(s"tf_$t") > 0,
-        idf * (col(s"tf_$t").cast("double") * lit(K1 + 1.0))
-          / (col(s"tf_$t").cast("double")
-            + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double")
-              / (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
-        .otherwise(lit(0.0))
-    }
     perDoc.crossJoin(broadcast(stats))
       .withColumn("score",
-        QueryTerms.map(partial).reduceLeft(_ + _))
+        QueryTerms.map(bm25Partial).reduceLeft(_ + _))
       .filter(col("score") > 0.0)
       .withColumn("score",
         floor(col("score") * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6))
@@ -735,6 +741,135 @@ object Retrieval {
         .as("rr_ppm"))
   }
 
+  /** The truncated query [[mapEval]] ranks by — the first two of the
+    * three [[QueryTerms]], playing the under-specified query a real
+    * user types while relevance still demands the FULL information
+    * need.
+    */
+  private val EvalQueryTerms = QueryTerms.take(2)
+
+  /** Average Precision@10 of a truncated-query BM25 ranking against the
+    * full information need — the order-sensitive companion to
+    * [[retrievalEvalPk]] (P@10 is blind to WHERE in the top-10 the
+    * relevant docs sit; AP integrates precision at every relevant rank
+    * — the single number TREC-style evaluations aggregate into MAP).
+    * The ranker sees only [[EvalQueryTerms]] (the first two query
+    * terms — an under-specified query), while a doc is relevant only
+    * when it carries ALL THREE [[QueryTerms]]: scoring the engine's
+    * full-query ranking against a term-presence label is vacuously
+    * AP = 1 (BM25 puts all-terms docs on top by construction); the
+    * truncated query is the realistic setup where the ranker must
+    * surface fully-relevant docs from partial evidence, and AP < 1
+    * measures how well tf/idf/length evidence on two terms predicts
+    * the third. Re-scoring reuses the SAME checkpointed tf/df frame
+    * and [[bm25Partial]] formula — one tokenize pass, no desync. AP
+    * stays EXACT-INTEGER end to end: P@r = hits_≤r/r are rationals
+    * with denominators 1..10, so the fold Σ [rel_r]·P@r runs in
+    * lcm(1..10) = 2520 units — per-rank one-hot BIGINT columns h_r,
+    * cumulative hits as literal prefix sums, ap_num_x2520 =
+    * Σ h_r·cum_r·(2520/r); the ppm report divides by 2520·min(R,10)
+    * with integer floor division (NULL when R = 0 — no relevant docs
+    * means AP is undefined, not zero). Scale: the eval folds a ≤10-row
+    * TakeOrdered frame plus one broadcast count.
+    */
+  def mapEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.functions.Iterate.checkpoint(
+      bm25ScoredDf(spark, dir)
+        .withColumn("rel",
+          QueryTerms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+            .reduceLeft(_ + _))
+        .withColumn("score2",
+          EvalQueryTerms.map(bm25Partial).reduceLeft(_ + _))
+        .filter(col("score2") > 0.0)
+        .withColumn("score2",
+          floor(col("score2") * lit(1.0e6) + lit(0.5)).cast("double")
+            / lit(1.0e6)))
+    val relTot = scored.agg(
+      sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n_relevant"))
+    val top = scored
+      .orderBy(col("score2").desc, col("doc_id").asc).limit(NdcgK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score2").desc, col("doc_id").asc)))
+    val hRow = top.agg(
+      sum(when(col("rank") === 1 && col("rel") === 3, 1L).otherwise(0L))
+        .as("h_1"),
+      (2 to NdcgK).map(r =>
+        sum(when(col("rank") === r && col("rel") === 3, 1L).otherwise(0L))
+          .as(s"h_$r")): _*)
+    def cum(r: Int) = (1 to r).map(i => col(s"h_$i")).reduceLeft(_ + _)
+    val apNum = (1 to NdcgK)
+      .map(r => col(s"h_$r") * cum(r) * lit((2520 / r).toLong))
+      .reduceLeft(_ + _)
+    hRow.crossJoin(broadcast(relTot))
+      .withColumn("ap_num_x2520", apNum)
+      .select(col("n_relevant"), cum(NdcgK).as("hits_at_10"),
+        col("ap_num_x2520"),
+        when(col("n_relevant") > 0,
+          expr(s"(ap_num_x2520 * 1000000) div (2520 * least(n_relevant, $NdcgK))"))
+          .as("ap_at_10_ppm"))
+  }
+
+  lazy val mapEvalOracle: String = {
+    val tfCols = QueryTerms.map(t =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n        ")
+    val dfCols = QueryTerms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n        ")
+    def partial(t: String) =
+      s"""CASE WHEN tf_$t > 0 THEN
+        ((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+          / (CAST(df_$t AS DOUBLE) + 0.5))
+        * (CAST(tf_$t AS DOUBLE) * ${K1 + 1.0})
+        / (CAST(tf_$t AS DOUBLE)
+          + $K1 * ((1.0 - $B) + $B * CAST(dl AS DOUBLE)
+            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        ELSE CAST(0.0 AS DOUBLE) END"""
+    val hCols = (1 to NdcgK).map(r =>
+      s"CAST(SUM(CASE WHEN rank = $r AND rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h_$r")
+      .mkString(",\n        ")
+    def cumSql(r: Int) = (1 to r).map(i => s"h_$i").mkString(" + ")
+    val apNumSql = (1 to NdcgK)
+      .map(r => s"h_$r * (${cumSql(r)}) * ${2520 / r}").mkString("\n        + ")
+    s"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term FROM documents),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+        $tfCols
+      FROM terms GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+        $dfCols
+      FROM perdoc),
+    scored_rel AS (
+      SELECT doc_id,
+        ${QueryTerms.map(partial).mkString("\n        + ")} AS score,
+        ${EvalQueryTerms.map(partial).mkString("\n        + ")} AS score2,
+        ${QueryTerms.map(t => s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")} AS rel
+      FROM perdoc CROSS JOIN stats),
+    kept AS (
+      SELECT doc_id,
+        CAST(FLOOR(score2 * 1.0e6 + 0.5) AS DOUBLE) / 1.0e6 AS score2, rel
+      FROM scored_rel WHERE score > 0.0 AND score2 > 0.0),
+    rt AS (
+      SELECT CAST(SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_relevant FROM kept),
+    top AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY score2 DESC, doc_id ASC) AS rank
+      FROM kept ORDER BY score2 DESC, doc_id ASC LIMIT $NdcgK),
+    h AS (
+      SELECT $hCols
+      FROM top)
+    SELECT n_relevant, ${cumSql(NdcgK)} AS hits_at_10,
+      CAST($apNumSql AS BIGINT) AS ap_num_x2520,
+      CASE WHEN n_relevant > 0 THEN
+        CAST(($apNumSql) * 1000000 // (2520 * LEAST(n_relevant, $NdcgK))
+          AS BIGINT) END AS ap_at_10_ppm
+    FROM h CROSS JOIN rt"""
+  }
+
   lazy val retrievalEvalPkOracle: String = {
     // same tf/df/partial generators as ndcgEvalOracle — interpolated
     // from QueryTerms/K1/B so ranking and eval cannot desync
@@ -802,6 +937,7 @@ object Retrieval {
     "retrieval_eval_pk" -> QueryDef.sql(retrievalEvalPk, retrievalEvalPkOracle),
     "quantile_normalize" -> QueryDef.sql(quantileNormalize, quantileNormalizeOracle),
     "theilsen_trend" -> QueryDef.sql(theilsenTrend, theilsenTrendOracle),
-    "ols_trend" -> QueryDef.sql(olsTrend, olsTrendOracle)
+    "ols_trend" -> QueryDef.sql(olsTrend, olsTrendOracle),
+    "map_eval" -> QueryDef.sql(mapEval, mapEvalOracle)
   )
 }

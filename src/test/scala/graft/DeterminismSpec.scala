@@ -41,7 +41,7 @@ class DeterminismSpec extends SparkSpec {
     "bm25_topk", "ndcg_eval", "quality_score", "ewma_smooth",
     "filter_agreement_kappa", "retrieval_eval_pk",
     "decontaminate_semantic", "cochran_armitage", "mann_kendall",
-    "welch_ttest", "anova_oneway", "ols_trend",
+    "welch_ttest", "anova_oneway", "ols_trend", "map_eval",
     // candidate generation (the pair SET must not depend on which
     // partition saw a band first)
     "dedup_minhash_lsh", "dedup_simhash", "winnow_fingerprint",

@@ -1634,6 +1634,53 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Long]("rr_ppm") == firstRank.map(1000000L / _).getOrElse(0L))
   }
 
+  test("map_eval: AP@10 matches a full driver-side truncated-query BM25 " +
+      "recompute") {
+    val r = operators.Retrieval.mapEval(spark, sfDir).collect().head
+    val terms = Seq("spark", "hash", "merge")
+    val evalTerms = terms.take(2)
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(d => d.getLong(0) -> d.getString(1).split("\\s+"))
+    val nDocs = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val tf = docs.map { case (id, toks) =>
+      id -> terms.map(t => t -> toks.count(_ == t).toLong).toMap
+    }.toMap
+    val df = terms.map(t => t -> tf.values.count(_(t) > 0).toLong).toMap
+    def score(id: Long, qs: Seq[String]) = qs.map { t =>
+      val tfi = tf(id)(t)
+      if (tfi == 0) 0.0
+      else {
+        val idf = (nDocs.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5)
+        val dl = docs.find(_._1 == id).get._2.length.toDouble
+        idf * (tfi.toDouble * (k1 + 1.0)) /
+          (tfi.toDouble + k1 * ((1.0 - b) + b * dl / (sumDl.toDouble / nDocs.toDouble)))
+      }
+    }.sum
+    val kept = docs.map(_._1)
+      .filter(id => score(id, terms) > 0.0 && score(id, evalTerms) > 0.0)
+      .map(id => (id, math.floor(score(id, evalTerms) * 1.0e6 + 0.5) / 1.0e6,
+        terms.count(t => tf(id)(t) > 0)))
+    val nRel = kept.count(_._3 == 3).toLong
+    assert(r.getAs[Long]("n_relevant") == nRel)
+    val top = kept.sortBy { case (id, s, _) => (-s, id) }.take(10)
+    val hs = top.map(_._3 == 3)
+    assert(r.getAs[Long]("hits_at_10") == hs.count(identity).toLong)
+    var cumHits = 0L; var apNum = 0L
+    hs.zipWithIndex.foreach { case (h, i) =>
+      if (h) { cumHits += 1; apNum += cumHits * (2520 / (i + 1)) }
+    }
+    assert(r.getAs[Long]("ap_num_x2520") == apNum,
+      s"AP numerator $apNum vs ${r.getAs[Long]("ap_num_x2520")}")
+    assert(r.getAs[Long]("ap_at_10_ppm") ==
+      apNum * 1000000L / (2520L * math.min(nRel, 10L)))
+    // the truncated-query design must stay non-vacuous: the label is
+    // strictly harder than the query, so a perfect score means the
+    // oracle stopped measuring ordering at all
+    assert(r.getAs[Long]("ap_at_10_ppm") < 1000000L)
+  }
+
   test("filter_agreement_kappa: counts and kappa reconcile with the two " +
       "production gates") {
     val r = operators.TextAnalysis.filterAgreementKappa(spark, sfDir)

@@ -417,6 +417,7 @@ class PlanSpec extends SparkSpec {
       "neyman_allocation" -> "largest-remainder rank over |event_type| strata",
       "rrf_fusion" -> "ranks over two ≤20-row post-LIMIT top-k frames",
       "ndcg_eval" -> "rank over the ≤10-row post-LIMIT top-k frame",
+      "map_eval" -> "rank over the ≤10-row post-LIMIT top-k frame",
       "zipf_coverage" -> "rank over the ≤1000-row post-LIMIT vocabulary head",
       "user_concentration" -> "decile share over ≤10 aggregated rows",
       "group_kfold" -> "fold share over ≤k aggregated fold rows")

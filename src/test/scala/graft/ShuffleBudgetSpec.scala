@@ -475,6 +475,7 @@ class ShuffleBudgetSpec extends SparkSpec {
   // exchange is the single-row one-hot gain fold (TakeOrdered + a
   // ≤10-row window are exchange-light).
   check("ndcg_eval", 1)(operators.Retrieval.ndcgEval(spark, sfDir))
+  check("map_eval", 1)(operators.Retrieval.mapEval(spark, sfDir))
   // kendall_tau_b: the orders scan aggregates inside the cents-cell
   // checkpoint; the five visible exchanges are the gini-shaped Ranks
   // two-level machinery over the HISTOGRAM (bucket window partition,
