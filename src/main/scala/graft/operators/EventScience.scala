@@ -149,6 +149,97 @@ object EventScience {
         AS seasonal_idx_ppm
     FROM g"""
 
+  /** Classical additive seasonal decomposition of the daily event-count
+    * series: observed = trend + seasonal + residual, per calendar day —
+    * the standard time-series triage BEFORE anomaly/changepoint work
+    * ([[EventOps]]' cusum/anomaly_mad flag residual spikes far more
+    * cleanly once the weekday wave and the slow trend are removed;
+    * [[dowSeasonality]] reports the weekday SHARE, this removes it from
+    * the series). Exactness: the series is the zero-filled calendar
+    * grid (a day with no events is a 0, not a hole — the
+    * timeseries_fill spine idiom); the centered 7-day moving-average
+    * trend stays INTEGER in ×7 units (trend_x7 = Σ window counts, NULL
+    * on the 3-day edges where the window is partial — never a
+    * shortened-window fake); the per-weekday seasonal is the mean
+    * detrended value in ×7e6 units via FLOOR division (negative
+    * numerators are real here, and Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors — the explicit a−((a%b+b)%b) remainder
+    * form makes the numerator exactly divisible, so both engines
+    * divide exactly); the residual is pure integer subtraction in the
+    * same units. Scale: one corpus-scale shuffle into daily counts;
+    * everything after runs on the calendar-bounded day grid
+    * (checkpointed — the trend window, the seasonal fold, and the
+    * final projection all read it), with the 7-row seasonal profile
+    * broadcast back.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr(s"ts div $NsPerDay").as("day_ord"))
+    val observed = ev.groupBy(col("day_ord")).agg(count(lit(1)).as("n_events"))
+    val span = ev.agg(min(col("day_ord")).as("d0"), max(col("day_ord")).as("d1"))
+    val spine = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day_ord"))
+    val wMa = Window.orderBy(col("day_ord")).rangeBetween(-3, 3)
+    val daily = graft.functions.Iterate.checkpoint(
+      spine.join(observed, Seq("day_ord"), "left")
+        .select(col("day_ord"),
+          ((col("day_ord") + 4) % 7).as("dow"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .withColumn("trend_x7",
+          when(count(lit(1)).over(wMa) === 7, sum(col("n_events")).over(wMa)))
+        .withColumn("det_x7",
+          when(col("trend_x7").isNotNull,
+            lit(7L) * col("n_events") - col("trend_x7"))),
+      Some("moving average over the calendar-bounded day grid"))
+    val seas = daily.filter(col("det_x7").isNotNull)
+      .groupBy(col("dow"))
+      .agg(sum(col("det_x7")).as("sd"), count(lit(1)).as("cnt"))
+      .withColumn("num", col("sd") * 1000000L)
+      .withColumn("seasonal_x7e6",
+        expr("(num - ((num % cnt + cnt) % cnt)) div cnt"))
+      .select(col("dow"), col("seasonal_x7e6"))
+    daily.join(broadcast(seas), Seq("dow"), "left")
+      .select(col("day_ord"), col("dow"), col("n_events"), col("trend_x7"),
+        col("seasonal_x7e6"),
+        when(col("det_x7").isNotNull && col("seasonal_x7e6").isNotNull,
+          col("det_x7") * 1000000L - col("seasonal_x7e6"))
+          .as("resid_x7e6"))
+  }
+
+  val seasonalDecomposeOracle: String = s"""
+    WITH ev AS (
+      SELECT EPOCH_NS(ts) // $NsPerDay AS day_ord FROM events),
+    observed AS (
+      SELECT day_ord, COUNT(*) AS n_events FROM ev GROUP BY 1),
+    span AS (SELECT MIN(day_ord) AS d0, MAX(day_ord) AS d1 FROM ev),
+    spine AS (SELECT UNNEST(RANGE(d0, d1 + 1)) AS day_ord FROM span),
+    daily0 AS (
+      SELECT s.day_ord, (s.day_ord + 4) % 7 AS dow,
+        COALESCE(o.n_events, 0) AS n_events
+      FROM spine s LEFT JOIN observed o ON s.day_ord = o.day_ord),
+    daily AS (
+      SELECT day_ord, dow, n_events,
+        CASE WHEN COUNT(*) OVER w = 7
+          THEN CAST(SUM(n_events) OVER w AS BIGINT) END AS trend_x7
+      FROM daily0
+      WINDOW w AS (ORDER BY day_ord RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT day_ord, dow, n_events, trend_x7,
+        CASE WHEN trend_x7 IS NOT NULL
+          THEN 7 * n_events - trend_x7 END AS det_x7
+      FROM daily),
+    seas AS (
+      SELECT dow,
+        (num - ((num % cnt + cnt) % cnt)) // cnt AS seasonal_x7e6
+      FROM (
+        SELECT dow, CAST(SUM(det_x7) * 1000000 AS BIGINT) AS num,
+          COUNT(*) AS cnt
+        FROM det WHERE det_x7 IS NOT NULL GROUP BY 1))
+    SELECT d.day_ord, d.dow, d.n_events, d.trend_x7, s.seasonal_x7e6,
+      CASE WHEN d.det_x7 IS NOT NULL AND s.seasonal_x7e6 IS NOT NULL
+        THEN d.det_x7 * 1000000 - s.seasonal_x7e6 END AS resid_x7e6
+    FROM det d LEFT JOIN seas s ON d.dow = s.dow"""
+
   private val SketchBins = 32
   private val BinWidth = 16L // covers value ∈ [0, 512); overflow clamps to top bin
 
@@ -899,6 +990,8 @@ object EventScience {
     "bitmap_overlap" -> QueryDef.sql(bitmapOverlap, bitmapOverlapOracle),
     "bot_detect" -> QueryDef.sql(botDetect, botDetectOracle),
     "dow_seasonality" -> QueryDef.sql(dowSeasonality, dowSeasonalityOracle),
+    "seasonal_decompose" ->
+      QueryDef.sql(seasonalDecompose, seasonalDecomposeOracle),
     "quantile_sketch_merge" -> QueryDef.sql(quantileSketchMerge, quantileSketchMergeOracle),
     "behavior_gini" -> QueryDef.sql(behaviorGini, behaviorGiniOracle),
     "drift_tvd" -> QueryDef.sql(driftTvd, driftTvdOracle)

@@ -96,6 +96,41 @@ class GraphEventExtSpec extends SparkSpec {
     assert(total == Tables.events(spark, sfDir).count())
   }
 
+  test("seasonal_decompose: grid complete, trend/seasonal/residual reconcile") {
+    val rows = operators.EventScience.seasonalDecompose(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("day_ord"))
+    // complete calendar grid: consecutive day ordinals, counts reconcile
+    val days = rows.map(_.getAs[Long]("day_ord"))
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 })
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    val n = rows.map(r => r.getAs[Long]("day_ord") -> r.getAs[Long]("n_events")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day_ord")
+      assert(r.getAs[Long]("dow") == (d + 4) % 7)
+      val edge = d - days.head < 3 || days.last - d < 3
+      if (edge) assert(r.isNullAt(r.fieldIndex("trend_x7")), s"edge day $d")
+      else {
+        // trend is the exact 7-day sum around d
+        val want = (-3 to 3).map(o => n(d + o)).sum
+        assert(r.getAs[Long]("trend_x7") == want)
+        // decomposition identity in x7e6 units: 7e6*n = 1e6*trend + seasonal + resid
+        assert(7000000L * r.getAs[Long]("n_events") ==
+          1000000L * r.getAs[Long]("trend_x7") +
+            r.getAs[Long]("seasonal_x7e6") + r.getAs[Long]("resid_x7e6"))
+      }
+    }
+    // per-dow seasonal: the mean interior residual-free detrended value,
+    // and interior residuals per dow sum to ~0 (floor-div bias < cnt)
+    rows.filter(!_.isNullAt(rows.head.fieldIndex("trend_x7")))
+      .groupBy(_.getAs[Long]("dow")).foreach { case (_, rs) =>
+        // Σresid = (Σdet·1e6) mod cnt — the exact floor-division remainder
+        val residSum = rs.map(_.getAs[Long]("resid_x7e6")).sum
+        assert(residSum >= 0 && residSum < rs.length.toLong,
+          s"interior residuals should cancel per dow, got $residSum")
+      }
+  }
+
   test("kcenter_coreset: 8 distinct centers, non-increasing cover radius") {
     val rows = operators.Coreset.kcenterCoreset(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("sel_round"))

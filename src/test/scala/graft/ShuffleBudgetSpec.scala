@@ -341,6 +341,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // profile-scale windows, never a second corpus shuffle.
   check("bot_detect", 3)(operators.EventScience.botDetect(spark, sfDir))
   check("dow_seasonality", 3)(operators.EventScience.dowSeasonality(spark, sfDir))
+  // seasonal_decompose: the corpus-scale daily aggregate lives inside
+  // the eager grid checkpoint; the visible exchanges are the 7-row
+  // seasonal fold and its broadcast join back onto the day grid.
+  check("seasonal_decompose", 2)(
+    operators.EventScience.seasonalDecompose(spark, sfDir))
   check("behavior_gini", 2)(operators.EventScience.behaviorGini(spark, sfDir))
   check("drift_tvd", 4)(operators.EventScience.driftTvd(spark, sfDir))
   // bitmap_overlap: distinct → word fold → word_idx join → pair fold;
