@@ -120,6 +120,84 @@ object StatTests {
           * CAST(n1 + n2 AS DOUBLE)) AS reject_h0_5pct
     FROM d"""
 
+  /** Quantile–quantile comparison of the two largest sources' length
+    * distributions at the 5..95 percent grid — the WHERE companion to
+    * [[ksStatistic]]/[[mannWhitneyAuc]] (KS says the distributions
+    * differ and MW says which is larger on average; the QQ table says
+    * at WHICH quantiles the gap lives — tail-only vs body-wide is the
+    * difference between trimming a source and reweighting it).
+    * Quantiles are NEAREST-RANK (q(p) = min value with CDF ≥
+    * ⌈p·n/100⌉), so every reported value is an actual n_chars from the
+    * data and both engines agree exactly — no interpolation, no float.
+    * The ceil is (p·n + 99) div 100 on positive integers (identical
+    * truncation both engines). Scale: the same checkpointed
+    * length-support cells as KS (one corpus scan); the 19-row percent
+    * grid joins against ≤max-doc-length CDF cells — metadata-scale —
+    * and the quantile pick is a conditional MIN fold, not a sort.
+    */
+  def qqCompare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val top2 = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("source").asc).limit(2)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("source").asc)))
+    val cells = graft.functions.Iterate.checkpoint(
+      docs.join(broadcast(top2), Seq("source"))
+        .groupBy(col("n_chars"))
+        .agg(sum(when(col("rank") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("rank") === 2, 1L).otherwise(0L)).as("c2")),
+      Some("rank over the 2-row post-LIMIT top-2 source frame"))
+    // same DOMAIN-bounded CDF window as ksStatistic (PlanSpec allowlist)
+    val wLen = Window.orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = cells
+      .withColumn("cdf1", sum(col("c1")).over(wLen))
+      .withColumn("cdf2", sum(col("c2")).over(wLen))
+    val totals = cdf.agg(max(col("cdf1")).as("n1"), max(col("cdf2")).as("n2"))
+    val pct = totals.select(col("n1"), col("n2"),
+      explode(sequence(lit(1L), lit(19L))).as("i"))
+      .select((col("i") * 5L).as("p"),
+        expr("(i * 5 * n1 + 99) div 100").as("t1"),
+        expr("(i * 5 * n2 + 99) div 100").as("t2"))
+    cdf.crossJoin(broadcast(pct))
+      .groupBy(col("p"))
+      .agg(min(when(col("cdf1") >= col("t1"), col("n_chars"))).as("q1_chars"),
+        min(when(col("cdf2") >= col("t2"), col("n_chars"))).as("q2_chars"))
+      .withColumn("qq_gap", col("q1_chars") - col("q2_chars"))
+  }
+
+  val qqCompareOracle: String = """
+    WITH top2 AS (
+      SELECT source, n, ROW_NUMBER() OVER (ORDER BY n DESC, source ASC) AS rank
+      FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1)
+      ORDER BY n DESC, source ASC LIMIT 2),
+    cells AS (
+      SELECT n_chars,
+        CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN rank = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM documents d JOIN top2 t ON d.source = t.source
+      GROUP BY 1),
+    cdf AS (
+      SELECT n_chars,
+        CAST(SUM(c1) OVER (ORDER BY n_chars ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cdf1,
+        CAST(SUM(c2) OVER (ORDER BY n_chars ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cdf2
+      FROM cells),
+    t AS (SELECT MAX(cdf1) AS n1, MAX(cdf2) AS n2 FROM cdf),
+    pct AS (
+      SELECT i * 5 AS p,
+        (i * 5 * n1 + 99) // 100 AS t1,
+        (i * 5 * n2 + 99) // 100 AS t2
+      FROM (SELECT UNNEST(RANGE(1, 20)) AS i) CROSS JOIN t)
+    SELECT p,
+      MIN(CASE WHEN cdf1 >= t1 THEN n_chars END) AS q1_chars,
+      MIN(CASE WHEN cdf2 >= t2 THEN n_chars END) AS q2_chars,
+      MIN(CASE WHEN cdf1 >= t1 THEN n_chars END)
+        - MIN(CASE WHEN cdf2 >= t2 THEN n_chars END) AS qq_gap
+    FROM cdf CROSS JOIN pct
+    GROUP BY p"""
+
   /** Gini concentration of customer revenue — the one-number inequality
     * audit behind "do a few whales carry the corpus?" (rfm_segmentation
     * locates them; this measures how much they dominate). Computed from
@@ -1173,6 +1251,7 @@ object StatTests {
     "chi_square_independence" ->
       QueryDef.sql(chiSquareIndependence, chiSquareIndependenceOracle),
     "ks_statistic" -> QueryDef.sql(ksStatistic, ksStatisticOracle),
+    "qq_compare" -> QueryDef.sql(qqCompare, qqCompareOracle),
     "gini_concentration" -> QueryDef.sql(giniConcentration, giniConcentrationOracle),
     "neyman_allocation" -> QueryDef.sql(neymanAllocation, neymanAllocationOracle)
   )

@@ -409,6 +409,7 @@ class PlanSpec extends SparkSpec {
     // behind the checkpointed cell frame, declared at that site.
     val allow = Map(
       "ks_statistic" -> "CDF over ≤max-doc-length distinct-length cells",
+      "qq_compare" -> "CDF over ≤max-doc-length distinct-length cells",
       "mann_whitney_auc" -> "rank cumulative over the same length cells",
       "welch_ttest" -> "rank over the 2-row post-LIMIT top-2 source frame",
       "kruskal_wallis" -> "rank cumulative over the same length cells",

@@ -437,6 +437,31 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("tau_b_ppm")) <= 1000000L)
   }
 
+  test("qq_compare: nearest-rank quantiles match a driver-side sort") {
+    val rows = operators.StatTests.qqCompare(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("p") -> r).toMap
+    assert(rows.keySet == (1 to 19).map(_ * 5L).toSet)
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val Seq(x1, x2) = bySrc.toSeq.sortBy { case (s, v) => (-v.length, s) }
+      .take(2).map(_._2)
+    def q(xs: Array[Long], p: Long) = xs(((p * xs.length + 99) / 100 - 1).toInt)
+    rows.foreach { case (p, r) =>
+      assert(r.getAs[Long]("q1_chars") == q(x1, p), s"q1 at p=$p")
+      assert(r.getAs[Long]("q2_chars") == q(x2, p), s"q2 at p=$p")
+      assert(r.getAs[Long]("qq_gap") ==
+        r.getAs[Long]("q1_chars") - r.getAs[Long]("q2_chars"))
+    }
+    // monotone in p: nearest-rank quantiles never decrease
+    val ps = (1 to 19).map(_ * 5L)
+    ps.zip(ps.tail).foreach { case (a, b) =>
+      assert(rows(a).getAs[Long]("q1_chars") <= rows(b).getAs[Long]("q1_chars"))
+      assert(rows(a).getAs[Long]("q2_chars") <= rows(b).getAs[Long]("q2_chars"))
+    }
+  }
+
   test("welch_ttest: t and df match an exact-moment driver recomputation") {
     val r = operators.StatTests.welchTtest(spark, sfDir).collect().head
     val bySrc = Tables.documents(spark, sfDir)

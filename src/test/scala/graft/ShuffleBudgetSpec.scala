@@ -397,6 +397,10 @@ class ShuffleBudgetSpec extends SparkSpec {
   // revert collapsed both to 1.
   check("ks_statistic", 1)(operators.StatTests.ksStatistic(spark, sfDir))
   check("mann_whitney_auc", 1)(operators.StatTests.mannWhitneyAuc(spark, sfDir))
+  // qq_compare: the ks cell checkpoint hides the corpus scan; visible
+  // exchanges are the bounded CDF window, the scalar totals broadcast,
+  // and the 19-row percent-grid fold.
+  check("qq_compare", 3)(operators.StatTests.qqCompare(spark, sfDir))
   // welch_ttest: ONE corpus-scale exchange (the per-rank moment
   // aggregate over the broadcast-gated top-2 subset); the rest are the
   // |sources| top-2 fold, its 2-row post-LIMIT window, and the scalar
