@@ -463,6 +463,77 @@ object StatTests {
           * lit(1.0e4) + lit(0.5)).cast("bigint").as("cramers_v_x10000"))
   }
 
+  /** Per-cell ADJUSTED standardized residuals for the same nation ×
+    * market-segment contingency grid as [[chiSquareIndependence]] —
+    * the WHICH companion to its one-number verdict (χ² says the grid
+    * is dependent; the residual table says which cells carry it, the
+    * thing an analyst actually acts on): rᵢⱼ = (O−E) / √(E·(1−r/N)·
+    * (1−c/N)) is asymptotically N(0,1) under independence, so cells
+    * past ±1.959964 are the 5% drivers. All margins exact BIGINT; each
+    * residual is a fixed-order double expression on its own cell row
+    * (no cross-row float fold anywhere), reported half-up ×1e4.
+    * Degenerate margins (a row or column that IS the whole table, E =
+    * 0 impossible here since cells exist only where O > 0 but guarded
+    * anyway) report NULL. Scale: the grid is |nations|×|segments| —
+    * metadata — after one corpus-scale aggregate; margins ride
+    * state-hinted joins like chi²'s.
+    */
+  def chi2Residuals(spark: SparkSession, dir: String): DataFrame = {
+    val cellsDf = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("o"))
+    val rowM = cellsDf.groupBy(col("nationkey")).agg(sum(col("o")).as("r"))
+    val colM = cellsDf.groupBy(col("seg")).agg(sum(col("o")).as("cm"))
+    val n = cellsDf.agg(sum(col("o")).as("nn"))
+    def d(name: String) = col(name).cast("double")
+    val e = d("r") * d("cm") / d("nn")
+    val den = sqrt(e * (lit(1.0) - d("r") / d("nn"))
+      * (lit(1.0) - d("cm") / d("nn")))
+    val resid = (d("o") - e) / den
+    cellsDf
+      .join(Tables.stateHint(rowM), Seq("nationkey"))
+      .join(Tables.stateHint(colM), Seq("seg"))
+      .crossJoin(broadcast(n))
+      .select(col("nationkey"), col("seg"), col("o"),
+        floor(e * lit(100.0) + lit(0.5)).cast("bigint").as("expected_x100"),
+        when(col("r") < col("nn") && col("cm") < col("nn"),
+          floor(resid * lit(1.0e4) + lit(0.5)).cast("bigint"))
+          .as("adj_resid_x1e4"),
+        when(col("r") < col("nn") && col("cm") < col("nn"),
+          when(resid > lit(1.959964) || resid < lit(-1.959964), 1L)
+            .otherwise(0L))
+          .as("driver_5pct"))
+  }
+
+  val chi2ResidualsOracle: String = """
+    WITH cells AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS seg,
+        COUNT(*) AS o
+      FROM customer GROUP BY 1, 2),
+    rm AS (SELECT nationkey, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cm AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS cmv FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+    f AS (
+      SELECT c.nationkey, c.seg, c.o, rm.r, cm.cmv, nn.nn,
+        CAST(r AS DOUBLE) * CAST(cmv AS DOUBLE) / CAST(nn AS DOUBLE) AS e
+      FROM cells c JOIN rm ON c.nationkey = rm.nationkey
+      JOIN cm ON c.seg = cm.seg CROSS JOIN nn),
+    g AS (
+      SELECT nationkey, seg, o, r, cmv, nn, e,
+        (CAST(o AS DOUBLE) - e)
+          / SQRT(e * (1.0 - CAST(r AS DOUBLE) / CAST(nn AS DOUBLE))
+            * (1.0 - CAST(cmv AS DOUBLE) / CAST(nn AS DOUBLE))) AS resid
+      FROM f)
+    SELECT nationkey, seg, o,
+      CAST(FLOOR(e * 100.0 + 0.5) AS BIGINT) AS expected_x100,
+      CASE WHEN r < nn AND cmv < nn
+        THEN CAST(FLOOR(resid * 1.0e4 + 0.5) AS BIGINT) END AS adj_resid_x1e4,
+      CASE WHEN r < nn AND cmv < nn
+        THEN CASE WHEN resid > 1.959964 OR resid < -1.959964
+          THEN 1 ELSE 0 END END AS driver_5pct
+    FROM g"""
+
   val chiSquareIndependenceOracle: String = """
     WITH cells AS (
       SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS seg,
@@ -1250,6 +1321,7 @@ object StatTests {
     "mann_whitney_auc" -> QueryDef.sql(mannWhitneyAuc, mannWhitneyAucOracle),
     "chi_square_independence" ->
       QueryDef.sql(chiSquareIndependence, chiSquareIndependenceOracle),
+    "chi2_residuals" -> QueryDef.sql(chi2Residuals, chi2ResidualsOracle),
     "ks_statistic" -> QueryDef.sql(ksStatistic, ksStatisticOracle),
     "qq_compare" -> QueryDef.sql(qqCompare, qqCompareOracle),
     "gini_concentration" -> QueryDef.sql(giniConcentration, giniConcentrationOracle),

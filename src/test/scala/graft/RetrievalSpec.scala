@@ -437,6 +437,31 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("tau_b_ppm")) <= 1000000L)
   }
 
+  test("chi2_residuals: every cell matches an exact driver recompute") {
+    val rows = operators.StatTests.chi2Residuals(spark, sfDir).collect()
+    val cells = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").cast("long").as("nk"), col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("o")).collect()
+      .map(r => (r.getAs[Long]("nk"), r.getAs[String]("seg")) -> r.getAs[Long]("o"))
+      .toMap
+    assert(rows.length == cells.size)
+    val rowM = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colM = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    assert(rows.map(_.getAs[Long]("o")).sum == n)
+    rows.foreach { rr =>
+      val k = (rr.getAs[Long]("nationkey"), rr.getAs[String]("seg"))
+      val (o, r, c) = (cells(k), rowM(k._1), colM(k._2))
+      val e = r.toDouble * c.toDouble / n.toDouble
+      assert(rr.getAs[Long]("expected_x100") == math.floor(e * 100.0 + 0.5).toLong)
+      val resid = (o.toDouble - e) /
+        math.sqrt(e * (1.0 - r.toDouble / n.toDouble) * (1.0 - c.toDouble / n.toDouble))
+      assert(rr.getAs[Long]("adj_resid_x1e4") ==
+        math.floor(resid * 1.0e4 + 0.5).toLong, s"residual at $k")
+      assert((rr.getAs[Long]("driver_5pct") == 1L) == (math.abs(resid) > 1.959964))
+    }
+  }
+
   test("qq_compare: nearest-rank quantiles match a driver-side sort") {
     val rows = operators.StatTests.qqCompare(spark, sfDir).collect()
       .map(r => r.getAs[Long]("p") -> r).toMap

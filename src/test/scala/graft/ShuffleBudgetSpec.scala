@@ -412,6 +412,9 @@ class ShuffleBudgetSpec extends SparkSpec {
   // chi_square: 8 of the 9 exchanges move ≤|cells| (125) rows — the
   // margin folds, countDistinct expands, and scalar broadcasts; the one
   // corpus-scale shuffle is the contingency aggregate.
+  // chi2_residuals: same margin plumbing as chi², minus the final
+  // verdict folds — all but the contingency aggregate move ≤|cells| rows.
+  check("chi2_residuals", 7)(operators.StatTests.chi2Residuals(spark, sfDir))
   check("chi_square_independence", 9)(
     operators.StatTests.chiSquareIndependence(spark, sfDir))
   // spearman_corr: two INDEPENDENT two-level ranks over the
