@@ -301,9 +301,79 @@ object Clustering {
       FROM tf JOIN cdf ON tf.term = cdf.term CROSS JOIN n)
     WHERE rank <= 3"""
 
+  /** Label purity of the trained k-means cells — the classifier-free
+    * LABEL-NOISE audit over the embedding space (Confident-Learning's
+    * cheap cousin: if geometry clusters cleanly but a cell's labels
+    * don't agree, either the labels are noisy or the classes genuinely
+    * overlap — both are exactly what a training-data owner wants
+    * surfaced per REGION, not as one global accuracy number; semdedup
+    * prunes within these same cells, so low-purity cells also flag
+    * where near-dup pruning crosses class lines). Per cell: size,
+    * distinct labels, majority label (count DESC, label ASC ties —
+    * deterministic both engines), purity and Gini impurity
+    * 1 − Σp² — both EXACT integer ppm (Σcnt²·1e6 div n², no float
+    * fold). Scale: rides the same broadcast-state assignment as
+    * cluster_kmeans (one corpus pass); everything after is a
+    * (cell, label)-keyed aggregate — ≤ k·|labels| rows — and the
+    * majority window partitions by cell.
+    */
+  def clusterLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val assigned = assign(e.select(col("vec_id"), col("embedding")),
+      finalCentroids(spark, dir))
+    val lc = assigned.select(col("vec_id"), col("cid"))
+      .join(e.select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("cnt"))
+    val per = lc.groupBy(col("cid"))
+      .agg(sum(col("cnt")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        sum(col("cnt") * col("cnt")).as("sumsq"))
+    val major = lc.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("cnt").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("label").as("majority_label"),
+        col("cnt").as("n_majority"))
+    per.join(major, Seq("cid"))
+      .select(col("cid"), col("n_vecs"), col("n_labels"),
+        col("majority_label"), col("n_majority"),
+        expr("(n_majority * 1000000) div n_vecs").as("purity_ppm"),
+        (lit(1000000L) - expr("(sumsq * 1000000) div (n_vecs * n_vecs)"))
+          .as("gini_impurity_ppm"))
+  }
+
+  lazy val clusterLabelPurityOracle: String = s"""
+    WITH $kmeansCtes,
+    cents AS MATERIALIZED (
+      SELECT cid, cv FROM $kmeansFinalRel),
+    assigned AS (${assignSql("cents")}),
+    lc AS (
+      SELECT a.cid, CAST(e.label AS BIGINT) AS label, COUNT(*) AS cnt
+      FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+      GROUP BY 1, 2),
+    per AS (
+      SELECT cid, CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+        COUNT(*) AS n_labels,
+        CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+      FROM lc GROUP BY 1),
+    major AS (
+      SELECT cid, label, cnt,
+        ROW_NUMBER() OVER (PARTITION BY cid
+          ORDER BY cnt DESC, label ASC) AS rn
+      FROM lc)
+    SELECT p.cid, p.n_vecs, p.n_labels,
+      m.label AS majority_label, m.cnt AS n_majority,
+      (m.cnt * 1000000) // p.n_vecs AS purity_ppm,
+      1000000 - (p.sumsq * 1000000) // (p.n_vecs * p.n_vecs)
+        AS gini_impurity_ppm
+    FROM per p JOIN (SELECT * FROM major WHERE rn = 1) m ON p.cid = m.cid"""
+
   def defs: Map[String, QueryDef] = Map(
     "cluster_kmeans" -> QueryDef.sql(clusterKmeans, clusterKmeansOracle),
     "semdedup" -> QueryDef.sql(semdedup, semdedupOracle),
+    "cluster_label_purity" ->
+      QueryDef.sql(clusterLabelPurity, clusterLabelPurityOracle),
     "cluster_topics" -> QueryDef.sql(clusterTopics, clusterTopicsOracle)
   )
 }

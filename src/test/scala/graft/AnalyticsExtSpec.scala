@@ -228,6 +228,35 @@ class AnalyticsExtSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("d2") >= -1e-9))
   }
 
+  test("cluster_label_purity: reconciles exactly with cluster_kmeans + labels") {
+    val rows = operators.Clustering.clusterLabelPurity(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("cid") -> r).toMap
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val byCell = operators.Clustering.clusterKmeans(spark, sfDir)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getAs[Int]("cluster"), labels(r.getAs[Long]("vec_id"))))
+      .groupBy(_._1)
+    assert(rows.keySet == byCell.keySet)
+    byCell.foreach { case (cid, members) =>
+      val r = rows(cid)
+      val n = members.length.toLong
+      val cnts = members.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("n_labels") == cnts.size.toLong)
+      val (mLabel, mCnt) = cnts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Long]("majority_label") == mLabel)
+      assert(r.getAs[Long]("n_majority") == mCnt)
+      assert(r.getAs[Long]("purity_ppm") == mCnt * 1000000L / n)
+      val sumsq = cnts.values.map(c => c * c).sum
+      assert(r.getAs[Long]("gini_impurity_ppm") ==
+        1000000L - sumsq * 1000000L / (n * n))
+    }
+    // non-vacuous on this corpus: purity must actually vary by cell
+    assert(rows.values.map(_.getAs[Long]("purity_ppm")).toSet.size > 1)
+  }
+
   test("triangle_count: exactly matches an independent adjacency recomputation") {
     val rows = operators.Analytics.triangleCount(spark, sfDir).collect()
     assert(rows.nonEmpty)
