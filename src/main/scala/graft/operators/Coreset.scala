@@ -193,6 +193,111 @@ object Coreset {
           .cast("double") / lit(1.0e4)).as("lambda_est"))
   }
 
+  /** Per-element fixed point for the scatter moments (the [[GramFx]]
+    * discipline at first power: |x| < 1 in this corpus, so x·1e7 sits
+    * comfortably in BIGINT and the squared sums in DECIMAL(38)).
+    */
+  private val SepFx = 1.0e7
+
+  /** Fisher class-separability of the labeled embedding space —
+    * between-class vs within-class scatter per label (the LDA
+    * criterion read as a DATA audit: a label whose between/within
+    * ratio sits near zero is not linearly separable from the rest in
+    * this embedding — either the labels are noisy or the embedding
+    * doesn't encode the class; [[Clustering.clusterLabelPurity]] asks
+    * the same question from geometry's side, this asks it from the
+    * labels' side). All moments are EXACT integers in one pass over
+    * the exploded (label, dim) grid: per-element fixed point
+    * fx = ⌊x·1e7 + ½⌋ (BIGINT), per-(label,dim) Σfx (BIGINT) and Σfx²
+    * (DECIMAL(38,0)/HUGEINT), then within W_l = Σfx² − Σ_d S_ld²/n_l
+    * and between B_l = Σ_d (S_ld·N − G_d·n_l)² / (n_l·N²) as
+    * fixed-order doubles over those integers — the cross-dim folds sum
+    * INTEGER terms, never doubles, so shuffle order cannot perturb a
+    * bit. Reported as mean within/between scatter in original units²
+    * ×1e6 and the Fisher ratio in ppm (NULL when within-scatter is
+    * zero). Scale: the explode is scan-speed and map-side combines
+    * into |labels|·dim cells; everything after is metadata-scale.
+    */
+  def classSeparability(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x").cast("double") * lit(SepFx) + lit(0.5))
+          .cast("bigint").as("fx"))
+    // checkpointed: both the global-dim fold and the term join read the
+    // (label, dim) moments — without materialization each re-runs the
+    // corpus explode-aggregate, the only corpus-scale stage here
+    val ld = graft.functions.Iterate.checkpoint(
+      ex.groupBy(col("label"), col("d"))
+        .agg(count(lit(1)).as("n_l"), sum(col("fx")).as("s_ld"),
+          sum(dec(col("fx")) * dec(col("fx"))).as("q_ld")))
+    val gd = ld.groupBy(col("d"))
+      .agg(sum(col("s_ld")).as("g_d"), sum(col("n_l")).as("n_tot"))
+    val bdiff = dec(col("s_ld")) * dec(col("n_tot")) -
+      dec(col("g_d")) * dec(col("n_l"))
+    val terms = ld.join(broadcast(gd), Seq("d"))
+      .withColumn("ssq_term", dec(col("s_ld")) * dec(col("s_ld")))
+      .withColumn("b_term", bdiff * bdiff)
+    val per = terms.groupBy(col("label"))
+      .agg(max(col("n_l")).as("n_vecs"), max(col("n_tot")).as("n_tot"),
+        sum(col("q_ld")).as("q_l"), sum(col("ssq_term")).as("ssq_l"),
+        sum(col("b_term")).as("bnum_l"))
+    def d8(name: String) = col(name).cast("double")
+    val wl = d8("q_l") - d8("ssq_l") / d8("n_vecs")
+    val bl = d8("bnum_l") / (d8("n_vecs") * d8("n_tot") * d8("n_tot"))
+    per.select(col("label"), col("n_vecs"),
+      floor(wl / d8("n_vecs") / lit(SepFx) / lit(SepFx) * lit(1.0e6))
+        .cast("bigint").as("within_ms_x1e6"),
+      floor(bl / d8("n_vecs") / lit(SepFx) / lit(SepFx) * lit(1.0e6))
+        .cast("bigint").as("between_ms_x1e6"),
+      when(wl > 0.0, floor(bl / wl * lit(1.0e6)).cast("bigint"))
+        .as("fisher_ppm"))
+  }
+
+  val classSeparabilityOracle: String = s"""
+    WITH ex AS (
+      SELECT CAST(label AS BIGINT) AS label, dd.range AS d,
+        CAST(FLOOR(CAST(embedding[dd.range + 1] AS DOUBLE) * $SepFx + 0.5)
+          AS BIGINT) AS fx
+      FROM embeddings CROSS JOIN range(0, $Dim) dd),
+    ld AS (
+      SELECT label, d, COUNT(*) AS n_l, CAST(SUM(fx) AS BIGINT) AS s_ld,
+        SUM(CAST(fx AS HUGEINT) * CAST(fx AS HUGEINT)) AS q_ld
+      FROM ex GROUP BY 1, 2),
+    gd AS (
+      SELECT d, CAST(SUM(s_ld) AS BIGINT) AS g_d,
+        CAST(SUM(n_l) AS BIGINT) AS n_tot
+      FROM ld GROUP BY 1),
+    terms AS (
+      SELECT label, n_l, n_tot, q_ld,
+        CAST(s_ld AS HUGEINT) * CAST(s_ld AS HUGEINT) AS ssq_term,
+        (CAST(s_ld AS HUGEINT) * n_tot - CAST(g_d AS HUGEINT) * n_l)
+          * (CAST(s_ld AS HUGEINT) * n_tot - CAST(g_d AS HUGEINT) * n_l)
+          AS b_term
+      FROM ld JOIN gd USING (d)),
+    per AS (
+      SELECT label, MAX(n_l) AS n_vecs, MAX(n_tot) AS n_tot,
+        SUM(q_ld) AS q_l, SUM(ssq_term) AS ssq_l, SUM(b_term) AS bnum_l
+      FROM terms GROUP BY 1),
+    f AS (
+      SELECT label, n_vecs,
+        CAST(q_l AS DOUBLE) - CAST(ssq_l AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+          AS wl,
+        CAST(bnum_l AS DOUBLE) / (CAST(n_vecs AS DOUBLE)
+          * CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)) AS bl
+      FROM per)
+    SELECT label, n_vecs,
+      CAST(FLOOR(wl / CAST(n_vecs AS DOUBLE) / $SepFx / $SepFx * 1.0e6)
+        AS BIGINT) AS within_ms_x1e6,
+      CAST(FLOOR(bl / CAST(n_vecs AS DOUBLE) / $SepFx / $SepFx * 1.0e6)
+        AS BIGINT) AS between_ms_x1e6,
+      CASE WHEN wl > 0.0 THEN CAST(FLOOR(bl / wl * 1.0e6) AS BIGINT) END
+        AS fisher_ppm
+    FROM f"""
+
   val pcaPowerIterationOracle: String = {
     val rounds = (1 to PowerRounds).map { r =>
       s"""w$r AS MATERIALIZED (
@@ -224,6 +329,8 @@ object Coreset {
 
   def defs: Map[String, QueryDef] = Map(
     "kcenter_coreset" -> QueryDef.sql(kcenterCoreset, kcenterCoresetOracle),
-    "pca_power_iteration" -> QueryDef.sql(pcaPowerIteration, pcaPowerIterationOracle)
+    "pca_power_iteration" -> QueryDef.sql(pcaPowerIteration, pcaPowerIterationOracle),
+    "class_separability" ->
+      QueryDef.sql(classSeparability, classSeparabilityOracle)
   )
 }

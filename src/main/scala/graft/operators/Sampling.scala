@@ -366,6 +366,84 @@ object Sampling {
   def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame =
     tokenBudgetPlanDf(Tables.documents(spark, dir))
 
+  /** Quality-ordered source frontier — the table a mix designer reads
+    * BEFORE committing to a token budget: sources ranked by mean
+    * production quality score, with cumulative tokens and cumulative
+    * mean quality down the ranking ("taking the top-k sources buys T
+    * tokens at average quality Q" — every row is one candidate
+    * cutoff; [[tokenBudgetPlan]] then shapes the chosen prefix with
+    * √-temperature epochs). The per-doc score is the SHARED
+    * [[TextAnalysis.qualityScoreDf]] expression and the token count is
+    * token_count's whitespace definition — the frontier cannot desync
+    * from the gates it summarizes. Quality mass folds as
+    * DECIMAL(28,6), cross-row AND through the cumulative window —
+    * both engines window-sum decimals exactly, where a double cumsum
+    * would expose DuckDB's segment-tree association order. Ranking is
+    * by the ROUNDED integer mean (source ASC ties), never a raw
+    * double. Scale: one scan into |sources| rows; the frontier window
+    * runs over that aggregated frame (PlanSpec allowlist).
+    */
+  def mixQualityFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.qualityScoreDf(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("toks")),
+        Seq("doc_id"))
+    val per = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
+        sum(col("quality_score").cast(DecimalType(28, 6))).as("q_dec"))
+      .withColumn("mean_q_x1e6",
+        floor(col("q_dec").cast("double") / col("n_docs").cast("double")
+          * lit(1.0e6) + lit(0.5)).cast("bigint"))
+    val w = Window.orderBy(col("mean_q_x1e6").desc, col("source").asc)
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(wcum))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wcum))
+      .withColumn("cum_mean_q_x1e6",
+        floor(sum(col("q_dec")).over(wcum).cast("double")
+          / col("cum_docs").cast("double") * lit(1.0e6) + lit(0.5))
+          .cast("bigint"))
+      .select(col("source"), col("rank"), col("n_docs"), col("tokens"),
+        col("mean_q_x1e6"), col("cum_tokens"), col("cum_docs"),
+        col("cum_mean_q_x1e6"))
+  }
+
+  lazy val mixQualityFrontierOracle: String = s"""
+    WITH q AS (${TextAnalysis.qualityScoreOracle}),
+    scored AS (
+      SELECT d.source,
+        CAST(LEN(STRING_SPLIT_REGEX(d.text, '\\s+')) AS BIGINT) AS toks,
+        q.quality_score
+      FROM documents d JOIN q ON d.doc_id = q.doc_id),
+    per AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+        SUM(CAST(quality_score AS DECIMAL(28, 6))) AS q_dec
+      FROM scored GROUP BY 1),
+    r AS (
+      SELECT source, n_docs, tokens, q_dec,
+        CAST(FLOOR(CAST(q_dec AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          * 1.0e6 + 0.5) AS BIGINT) AS mean_q_x1e6
+      FROM per),
+    f AS (
+      SELECT source, n_docs, tokens, mean_q_x1e6,
+        CAST(ROW_NUMBER() OVER (ORDER BY mean_q_x1e6 DESC, source ASC)
+          AS BIGINT) AS rank,
+        CAST(SUM(tokens) OVER w AS BIGINT) AS cum_tokens,
+        CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+        SUM(q_dec) OVER w AS cum_q
+      FROM r
+      WINDOW w AS (ORDER BY mean_q_x1e6 DESC, source ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT source, rank, n_docs, tokens, mean_q_x1e6, cum_tokens, cum_docs,
+      CAST(FLOOR(CAST(cum_q AS DOUBLE) / CAST(cum_docs AS DOUBLE)
+        * 1.0e6 + 0.5) AS BIGINT) AS cum_mean_q_x1e6
+    FROM f"""
+
   /** [[tokenBudgetPlan]] over an arbitrary documents frame. Total on
     * degenerate corpora: a ZERO-token source would make the naive
     * sqrt ratio 0/0 = NaN (whose BIGINT cast is engine-divergent —
@@ -906,6 +984,8 @@ object Sampling {
     "mix_rebalance" -> QueryDef.sql(mixRebalance, mixRebalanceOracle),
     "sample_temperature" -> QueryDef.sql(sampleTemperature, sampleTemperatureOracle),
     "token_budget_plan" -> QueryDef.sql(tokenBudgetPlan, tokenBudgetPlanOracle),
+    "mix_quality_frontier" ->
+      QueryDef.sql(mixQualityFrontier, mixQualityFrontierOracle),
     "sample_stratified" -> QueryDef.sql(sampleStratified, sampleStratifiedOracle),
     "dataset_split" -> QueryDef.sql(datasetSplit, datasetSplitOracle),
     "dataset_card" -> QueryDef.sql(datasetCard, datasetCardOracle),

@@ -257,6 +257,41 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(rows.values.map(_.getAs[Long]("purity_ppm")).toSet.size > 1)
   }
 
+  test("class_separability: matches an exact-moment driver recompute") {
+    val rows = operators.Coreset.classSeparability(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 1.0e7 + 0.5).toLong)))
+    val dim = vecs.head._2.length
+    val nTot = vecs.length.toLong
+    val byLabel = vecs.groupBy(_._1)
+    assert(rows.keySet == byLabel.keySet)
+    val gD = Array.tabulate(dim)(d => vecs.map(v => BigInt(v._2(d))).sum)
+    byLabel.foreach { case (l, vs) =>
+      val r = rows(l)
+      val nL = vs.length.toLong
+      assert(r.getAs[Long]("n_vecs") == nL)
+      val sLd = Array.tabulate(dim)(d => vs.map(v => BigInt(v._2(d))).sum)
+      val qL = vs.flatMap(_._2).map(x => BigInt(x) * x).sum
+      val ssqL = sLd.map(s => s * s).sum
+      val bnumL = (0 until dim).map { d =>
+        val diff = sLd(d) * nTot - gD(d) * nL
+        diff * diff
+      }.sum
+      val wl = qL.toDouble - ssqL.toDouble / nL.toDouble
+      val bl = bnumL.toDouble / (nL.toDouble * nTot.toDouble * nTot.toDouble)
+      assert(r.getAs[Long]("within_ms_x1e6") ==
+        math.floor(wl / nL.toDouble / 1.0e7 / 1.0e7 * 1.0e6).toLong)
+      assert(r.getAs[Long]("between_ms_x1e6") ==
+        math.floor(bl / nL.toDouble / 1.0e7 / 1.0e7 * 1.0e6).toLong)
+      if (wl > 0.0)
+        assert(r.getAs[Long]("fisher_ppm") ==
+          math.floor(bl / wl * 1.0e6).toLong)
+    }
+  }
+
   test("triangle_count: exactly matches an independent adjacency recomputation") {
     val rows = operators.Analytics.triangleCount(spark, sfDir).collect()
     assert(rows.nonEmpty)

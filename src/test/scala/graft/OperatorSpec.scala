@@ -1634,6 +1634,40 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Long]("rr_ppm") == firstRank.map(1000000L / _).getOrElse(0L))
   }
 
+  test("mix_quality_frontier: reconciles with per-source recounts and is " +
+      "monotone") {
+    val rows = operators.Sampling.mixQualityFrontier(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    val docs = Tables.documents(spark, sfDir)
+    val qs = operators.TextAnalysis.qualityScoreDf(docs)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val perSrc = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("toks")).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.length == perSrc.size)
+    rows.foreach { r =>
+      val g = perSrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+      assert(r.getAs[Long]("tokens") == g.map(_._3).sum)
+      val qsum = g.map(x => qs(x._2)).sum
+      assert(r.getAs[Long]("mean_q_x1e6") ==
+        math.floor(qsum.toDouble / g.length * 1.0e6 + 0.5).toLong)
+    }
+    // ranking is by mean quality desc; the running mean can then never
+    // rise (within the ±1µ of independent half-up roundings)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("mean_q_x1e6") >= b.getAs[Long]("mean_q_x1e6"))
+      assert(a.getAs[Long]("cum_mean_q_x1e6") + 1 >=
+        b.getAs[Long]("cum_mean_q_x1e6"))
+      assert(a.getAs[Long]("cum_tokens") + b.getAs[Long]("tokens") ==
+        b.getAs[Long]("cum_tokens"))
+    }
+    assert(rows.last.getAs[Long]("cum_docs") == docs.count())
+  }
+
   test("map_eval: AP@10 matches a full driver-side truncated-query BM25 " +
       "recompute") {
     val r = operators.Retrieval.mapEval(spark, sfDir).collect().head

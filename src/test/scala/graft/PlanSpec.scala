@@ -421,7 +421,8 @@ class PlanSpec extends SparkSpec {
       "map_eval" -> "rank over the ≤10-row post-LIMIT top-k frame",
       "zipf_coverage" -> "rank over the ≤1000-row post-LIMIT vocabulary head",
       "user_concentration" -> "decile share over ≤10 aggregated rows",
-      "group_kfold" -> "fold share over ≤k aggregated fold rows")
+      "group_kfold" -> "fold share over ≤k aggregated fold rows",
+      "mix_quality_frontier" -> "frontier over |sources| aggregated rows")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val n = unpartitionedWindows(fn(spark, sfDir))

@@ -390,6 +390,15 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("clustering_coefficient", 2)(
     operators.GraphExt.clusteringCoefficient(spark, sfDir))
   check("dp_noisy_counts", 1)(operators.Quality.dpNoisyCounts(spark, sfDir))
+  // class_separability: the corpus-scale (label, dim) moment aggregate
+  // lives inside the eager checkpoint (read by both the global-dim fold
+  // and the term join); visible exchanges are the |labels|·dim folds.
+  check("class_separability", 2)(
+    operators.Coreset.classSeparability(spark, sfDir))
+  // mix_quality_frontier: the doc_id score join + per-source aggregate
+  // are corpus-scale; the frontier window runs on |sources| rows.
+  check("mix_quality_frontier", 4)(
+    operators.Sampling.mixQualityFrontier(spark, sfDir))
   // ks/mw: the corpus aggregates inside the eager cell checkpoint, so
   // the visible plan carries ONE exchange — the single-partition window
   // over the DOMAIN-bounded (≤ max-doc-length) support cells. r11's
