@@ -901,6 +901,92 @@ object EventScience {
     * exact per-day distinct from the same words. Exact integers; one
     * corpus shuffle into the (day, word) bitmap.
     */
+  /** Daily growth accounting — every active user classified NEW /
+    * RETAINED / RESURRECTED per day, plus the CHURNED count (active
+    * yesterday, silent today), the standard growth ledger
+    * ([[retentionCohorts]] follows a cohort forward; this reads one
+    * day across all cohorts — the DAU delta decomposed into the four
+    * flows a growth chart is made of, with n_active ≡ new + retained
+    * + resurrected as a built-in reconciliation). All-integer: the
+    * per-(user, day) active frame takes one distinct aggregate, then
+    * LAG of the previous active day per user classifies each user-day
+    * locally (prev = d−1 → retained; no prev → new; prev < d−1 →
+    * resurrected); CHURN needs no second corpus pass at all — it is
+    * the ledger identity churn(d) = active(d−1) − retained(d), read
+    * off the zero-filled calendar spine via a day−1 self-join (the
+    * first day churns nobody by construction, and the censored
+    * last-plus-one day is simply not on the spine). A fully-silent
+    * day reports explicit zeros. Scale: one shuffle of the distinct
+    * user-days onto user_id for the lag window (partitioned BY USER —
+    * never global) feeding one day-keyed aggregate; everything after
+    * is calendar-scale.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(expr(s"ts div $NsPerDay").as("day_ord"), col("user_id"))
+      .distinct()
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("day_ord").asc)
+    val flows = ud
+      .withColumn("prev_d", lag(col("day_ord"), 1).over(wu))
+      .groupBy(col("day_ord"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev_d").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_d") === col("day_ord") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev_d").isNotNull && col("prev_d") < col("day_ord") - 1,
+          1L).otherwise(0L)).as("n_resurrected"))
+    val span = flows.agg(min(col("day_ord")).as("d0"),
+      max(col("day_ord")).as("d1"))
+    val spine = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day_ord"))
+    val filled = spine.join(flows, Seq("day_ord"), "left")
+      .select(col("day_ord"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"))
+    filled.join(
+        filled.select((col("day_ord") + 1).as("day_ord"),
+          col("n_active").as("prev_active")),
+        Seq("day_ord"), "left")
+      .select(col("day_ord"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+  }
+
+  val growthAccountingOracle: String = s"""
+    WITH ud AS (
+      SELECT DISTINCT EPOCH_NS(ts) // $NsPerDay AS day_ord, user_id
+      FROM events),
+    flows AS (
+      SELECT day_ord, COUNT(*) AS n_active,
+        CAST(SUM(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(SUM(CASE WHEN prev_d = day_ord - 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_retained,
+        CAST(SUM(CASE WHEN prev_d IS NOT NULL AND prev_d < day_ord - 1
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM (
+        SELECT day_ord, user_id,
+          LAG(day_ord) OVER (PARTITION BY user_id ORDER BY day_ord ASC)
+            AS prev_d
+        FROM ud)
+      GROUP BY 1),
+    span AS (SELECT MIN(day_ord) AS d0, MAX(day_ord) AS d1 FROM flows),
+    spine AS (SELECT UNNEST(RANGE(d0, d1 + 1)) AS day_ord FROM span),
+    filled AS (
+      SELECT s.day_ord,
+        COALESCE(f.n_active, 0) AS n_active,
+        COALESCE(f.n_new, 0) AS n_new,
+        COALESCE(f.n_retained, 0) AS n_retained,
+        COALESCE(f.n_resurrected, 0) AS n_resurrected
+      FROM spine s LEFT JOIN flows f ON s.day_ord = f.day_ord)
+    SELECT a.day_ord, a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+      COALESCE(p.n_active, 0) - a.n_retained AS n_churned
+    FROM filled a
+    LEFT JOIN filled p ON a.day_ord = p.day_ord + 1"""
+
   def stickinessDauMau(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.events(spark, dir)
       .select(expr(s"ts div $NsPerDay").as("day_ord"), col("user_id")).distinct()
@@ -979,6 +1065,8 @@ object EventScience {
 
   def defs: Map[String, QueryDef] = Map(
     "stickiness_dau_mau" -> QueryDef.sql(stickinessDauMau, stickinessDauMauOracle),
+    "growth_accounting" ->
+      QueryDef.sql(growthAccounting, growthAccountingOracle),
     "bounce_rate" -> QueryDef.sql(bounceRate, bounceRateOracle),
     "fano_factor" -> QueryDef.sql(fanoFactor, fanoFactorOracle),
     "daily_novelty" -> QueryDef.sql(dailyNovelty, dailyNoveltyOracle),

@@ -96,6 +96,39 @@ class GraphEventExtSpec extends SparkSpec {
     assert(total == Tables.events(spark, sfDir).count())
   }
 
+  test("growth_accounting: flows reconcile with a driver-side user-day recount") {
+    val rows = operators.EventScience.growthAccounting(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day_ord") -> r).toMap
+    val byUser = Tables.events(spark, sfDir)
+      .select(expr("ts div 86400000000000").as("d"), col("user_id")).distinct()
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val allDays = byUser.values.flatten.toSet
+    val (d0, d1) = (allDays.min, allDays.max)
+    assert(rows.keySet == (d0 to d1).toSet, "complete calendar spine")
+    (d0 to d1).foreach { d =>
+      val r = rows(d)
+      val active = byUser.filter(_._2.contains(d)).keySet
+      val newU = active.filter(u => byUser(u).min == d)
+      val retained = active.filter(u => byUser(u).contains(d - 1))
+      val resurrected = active -- newU -- retained
+      val churned =
+        if (d == d0) Set.empty[Long]
+        else byUser.filter(_._2.contains(d - 1)).keySet.filterNot(active.contains)
+      assert(r.getAs[Long]("n_active") == active.size.toLong, s"active at $d")
+      assert(r.getAs[Long]("n_new") == newU.size.toLong, s"new at $d")
+      assert(r.getAs[Long]("n_retained") == retained.size.toLong)
+      assert(r.getAs[Long]("n_resurrected") == resurrected.size.toLong)
+      assert(r.getAs[Long]("n_churned") == churned.size.toLong, s"churned at $d")
+      // ledger identities
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_new")
+        + r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+      if (d > d0)
+        assert(r.getAs[Long]("n_retained") + r.getAs[Long]("n_churned") ==
+          rows(d - 1).getAs[Long]("n_active"))
+    }
+  }
+
   test("seasonal_decompose: grid complete, trend/seasonal/residual reconcile") {
     val rows = operators.EventScience.seasonalDecompose(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("day_ord"))

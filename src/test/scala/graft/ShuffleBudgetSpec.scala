@@ -341,6 +341,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // profile-scale windows, never a second corpus shuffle.
   check("bot_detect", 3)(operators.EventScience.botDetect(spark, sfDir))
   check("dow_seasonality", 3)(operators.EventScience.dowSeasonality(spark, sfDir))
+  // growth_accounting: the distinct user-day aggregate and the per-USER
+  // lag window are the corpus-scale exchanges feeding one day-keyed
+  // fold; the spine and day−1 self-joins are calendar-scale.
+  check("growth_accounting", 6)(
+    operators.EventScience.growthAccounting(spark, sfDir))
   // seasonal_decompose: the corpus-scale daily aggregate lives inside
   // the eager grid checkpoint; the visible exchanges are the 7-row
   // seasonal fold and its broadcast join back onto the day grid.
