@@ -240,6 +240,80 @@ object EventScience {
         THEN d.det_x7 * 1000000 - s.seasonal_x7e6 END AS resid_x7e6
     FROM det d LEFT JOIN seas s ON d.dow = s.dow"""
 
+  /** Deseasonalized day-level anomaly detection — the MAD rule applied
+    * to [[seasonalDecompose]]'s residuals (the reason the decomposition
+    * exists: a Sunday dip is NOT an anomaly, a Tuesday that deviates
+    * from trend+weekday-wave IS; [[EventOps]]' anomaly_mad flags raw
+    * VALUES, this flags whole days after the calendar structure is
+    * removed). Entirely INTEGER: residuals arrive in exact ×7e6 units,
+    * both medians are nearest-rank LOWER medians (rank ⌊(n+1)/2⌋ of
+    * the sorted frame — an actual data value, no interpolation), the
+    * robust z is an integer floor division ×1e4, and the flag is
+    * z > 2.5 as BIGINT 1/0 (NULL when MAD = 0 — a constant-residual
+    * series has no scale to judge against). Scale: the corpus cost is
+    * seasonalDecompose's one daily shuffle; the interior-day frame is
+    * calendar-bounded, checkpointed (three reads: two median ranks +
+    * the final projection), and its rank windows run at that bounded
+    * scale (PlanSpec allowlist).
+    */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val interior = graft.functions.Iterate.checkpoint(
+      seasonalDecompose(spark, dir)
+        .filter(col("resid_x7e6").isNotNull)
+        .select(col("day_ord"), col("n_events"), col("resid_x7e6")))
+    val n = interior.agg(count(lit(1)).as("n_days"))
+    def lowerMedian(df: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(col(c).asc, col("day_ord").asc)
+      df.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n_days + 1) div 2"))
+        .select(col(c).as("med"))
+    }
+    val med = lowerMedian(interior, "resid_x7e6")
+    val dev = interior.crossJoin(broadcast(med))
+      .withColumn("abs_dev_x7e6", abs(col("resid_x7e6") - col("med")))
+    val mad = lowerMedian(
+      dev.select(col("day_ord"), col("abs_dev_x7e6")), "abs_dev_x7e6")
+      .select(col("med").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day_ord"), col("n_events"), col("resid_x7e6"),
+        col("abs_dev_x7e6"),
+        when(col("mad") > 0,
+          expr("(abs_dev_x7e6 * 10000) div mad")).as("z_x1e4"),
+        when(col("mad") > 0,
+          when(expr("(abs_dev_x7e6 * 10000) div mad") > 25000L, 1L)
+            .otherwise(0L)).as("anomaly"))
+  }
+
+  val seasonalAnomalyOracle: String = s"""
+    WITH dec AS ($seasonalDecomposeOracle),
+    interior AS (
+      SELECT day_ord, n_events, resid_x7e6 FROM dec
+      WHERE resid_x7e6 IS NOT NULL),
+    nn AS (SELECT COUNT(*) AS n_days FROM interior),
+    med AS (
+      SELECT resid_x7e6 AS med FROM (
+        SELECT resid_x7e6, ROW_NUMBER() OVER (
+          ORDER BY resid_x7e6 ASC, day_ord ASC) AS rn
+        FROM interior) CROSS JOIN nn
+      WHERE rn = (n_days + 1) // 2),
+    dev AS (
+      SELECT day_ord, n_events, resid_x7e6,
+        ABS(resid_x7e6 - med) AS abs_dev_x7e6
+      FROM interior CROSS JOIN med),
+    mad AS (
+      SELECT abs_dev_x7e6 AS mad FROM (
+        SELECT abs_dev_x7e6, day_ord, ROW_NUMBER() OVER (
+          ORDER BY abs_dev_x7e6 ASC, day_ord ASC) AS rn
+        FROM dev) CROSS JOIN nn
+      WHERE rn = (n_days + 1) // 2)
+    SELECT day_ord, n_events, resid_x7e6, abs_dev_x7e6,
+      CASE WHEN mad > 0 THEN (abs_dev_x7e6 * 10000) // mad END AS z_x1e4,
+      CASE WHEN mad > 0 THEN
+        CASE WHEN (abs_dev_x7e6 * 10000) // mad > 25000 THEN 1 ELSE 0 END
+        END AS anomaly
+    FROM dev CROSS JOIN mad"""
+
   private val SketchBins = 32
   private val BinWidth = 16L // covers value ∈ [0, 512); overflow clamps to top bin
 
@@ -1080,6 +1154,7 @@ object EventScience {
     "dow_seasonality" -> QueryDef.sql(dowSeasonality, dowSeasonalityOracle),
     "seasonal_decompose" ->
       QueryDef.sql(seasonalDecompose, seasonalDecomposeOracle),
+    "seasonal_anomaly" -> QueryDef.sql(seasonalAnomaly, seasonalAnomalyOracle),
     "quantile_sketch_merge" -> QueryDef.sql(quantileSketchMerge, quantileSketchMergeOracle),
     "behavior_gini" -> QueryDef.sql(behaviorGini, behaviorGiniOracle),
     "drift_tvd" -> QueryDef.sql(driftTvd, driftTvdOracle)

@@ -164,6 +164,34 @@ class GraphEventExtSpec extends SparkSpec {
       }
   }
 
+  test("seasonal_anomaly: MAD z-scores match a driver-side median recount") {
+    val rows = operators.EventScience.seasonalAnomaly(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day_ord") -> r).toMap
+    val interior = operators.EventScience.seasonalDecompose(spark, sfDir)
+      .filter(col("resid_x7e6").isNotNull)
+      .select(col("day_ord"), col("resid_x7e6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.keySet == interior.map(_._1).toSet)
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length + 1) / 2 - 1)
+    }
+    val med = lowerMedian(interior.map(_._2))
+    val devs = interior.map { case (d, r) => (d, math.abs(r - med)) }
+    val mad = lowerMedian(devs.map(_._2))
+    assert(mad > 0, "constant-residual series would make this test vacuous")
+    var flagged = 0
+    devs.foreach { case (d, dev) =>
+      val r = rows(d)
+      assert(r.getAs[Long]("abs_dev_x7e6") == dev)
+      val z = dev * 10000L / mad
+      assert(r.getAs[Long]("z_x1e4") == z, s"z at day $d")
+      assert(r.getAs[Long]("anomaly") == (if (z > 25000L) 1L else 0L))
+      if (z > 25000L) flagged += 1
+    }
+    assert(flagged > 0, "no anomalies at this SF — vacuous flag column")
+  }
+
   test("kcenter_coreset: 8 distinct centers, non-increasing cover radius") {
     val rows = operators.Coreset.kcenterCoreset(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("sel_round"))

@@ -422,7 +422,8 @@ class PlanSpec extends SparkSpec {
       "zipf_coverage" -> "rank over the ≤1000-row post-LIMIT vocabulary head",
       "user_concentration" -> "decile share over ≤10 aggregated rows",
       "group_kfold" -> "fold share over ≤k aggregated fold rows",
-      "mix_quality_frontier" -> "frontier over |sources| aggregated rows")
+      "mix_quality_frontier" -> "frontier over |sources| aggregated rows",
+      "seasonal_anomaly" -> "median ranks over the calendar-bounded interior-day frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val n = unpartitionedWindows(fn(spark, sfDir))

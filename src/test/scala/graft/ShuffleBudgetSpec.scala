@@ -351,6 +351,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // seasonal fold and its broadcast join back onto the day grid.
   check("seasonal_decompose", 2)(
     operators.EventScience.seasonalDecompose(spark, sfDir))
+  // seasonal_anomaly: the decomposition runs inside the interior-day
+  // checkpoint; visible exchanges are the two median-rank windows and
+  // the scalar broadcasts, all calendar-scale.
+  check("seasonal_anomaly", 5)(
+    operators.EventScience.seasonalAnomaly(spark, sfDir))
   check("behavior_gini", 2)(operators.EventScience.behaviorGini(spark, sfDir))
   check("drift_tvd", 4)(operators.EventScience.driftTvd(spark, sfDir))
   // bitmap_overlap: distinct → word fold → word_idx join → pair fold;
