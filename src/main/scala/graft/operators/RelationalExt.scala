@@ -483,7 +483,82 @@ object RelationalExt {
         // CAST(SUM(n_gaps) OVER () AS BIGINT) AS cum_ppm
     FROM h"""
 
+  /** Order-to-ship lag percentiles per order priority — the fulfilment
+    * SLA table (q4 counts LATE orders against a fixed cutoff; this
+    * reports the whole lag DISTRIBUTION per priority as nearest-rank
+    * p50/p90/p99, the numbers an SLA is actually written against —
+    * and whether URGENT really ships faster than LOW is read straight
+    * off the p90 column). Lag is integer days (datediff — both engines
+    * truncate the timestamp to its date first); percentiles are
+    * NEAREST-RANK (min lag with CDF ≥ ⌈p·n/100⌉, ceil as (p·n+99) div
+    * 100 on positives — every reported value is an actual lag).
+    * Scale: ONE corpus-scale shuffle (the orderkey join feeding the
+    * (priority, lag) cells — the lag support is physically bounded,
+    * ~weeks of days, so the cell frame is metadata at any SF,
+    * checkpointed for its three readers); the CDF window partitions BY
+    * PRIORITY and the quantile pick is a conditional MIN fold.
+    */
+  def shippingLagPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+    val cells = graft.functions.Iterate.checkpoint(
+      li.join(oi, Seq("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint")
+            .as("lag_days"))
+        .groupBy(col("priority"), col("lag_days"))
+        .agg(count(lit(1)).as("c")))
+    val wp = Window.partitionBy(col("priority")).orderBy(col("lag_days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = cells.withColumn("cdf", sum(col("c")).over(wp))
+    val tot = cells.groupBy(col("priority"))
+      .agg(sum(col("c")).as("n_items"), max(col("lag_days")).as("max_days"))
+    cdf.join(Tables.stateHint(tot), Seq("priority"))
+      .groupBy(col("priority"))
+      .agg(max(col("n_items")).as("n_items"),
+        min(when(col("cdf") >= expr("(50 * n_items + 99) div 100"),
+          col("lag_days"))).as("p50_days"),
+        min(when(col("cdf") >= expr("(90 * n_items + 99) div 100"),
+          col("lag_days"))).as("p90_days"),
+        min(when(col("cdf") >= expr("(99 * n_items + 99) div 100"),
+          col("lag_days"))).as("p99_days"),
+        max(col("max_days")).as("max_days"))
+  }
+
+  val shippingLagPercentilesOracle: String = """
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+        DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+          CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    cells AS (
+      SELECT priority, CAST(lag_days AS BIGINT) AS lag_days, COUNT(*) AS c
+      FROM lag GROUP BY 1, 2),
+    cdf AS (
+      SELECT priority, lag_days, c,
+        CAST(SUM(c) OVER (PARTITION BY priority ORDER BY lag_days ASC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cdf
+      FROM cells),
+    tot AS (
+      SELECT priority, CAST(SUM(c) AS BIGINT) AS n_items,
+        MAX(lag_days) AS max_days
+      FROM cells GROUP BY 1)
+    SELECT priority, MAX(n_items) AS n_items,
+      MIN(CASE WHEN cdf >= (50 * n_items + 99) // 100 THEN lag_days END)
+        AS p50_days,
+      MIN(CASE WHEN cdf >= (90 * n_items + 99) // 100 THEN lag_days END)
+        AS p90_days,
+      MIN(CASE WHEN cdf >= (99 * n_items + 99) // 100 THEN lag_days END)
+        AS p99_days,
+      MAX(max_days) AS max_days
+    FROM cdf JOIN tot USING (priority)
+    GROUP BY priority"""
+
   def defs: Map[String, QueryDef] = Map(
+    "shipping_lag_percentiles" ->
+      QueryDef.sql(shippingLagPercentiles, shippingLagPercentilesOracle),
     "repurchase_curve" -> QueryDef.sql(repurchaseCurve, repurchaseCurveOracle),
     "skyline_2d" -> QueryDef.sql(skyline2d, skyline2dOracle),
     "entity_resolution" ->

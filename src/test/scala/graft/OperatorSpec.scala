@@ -1634,6 +1634,33 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Long]("rr_ppm") == firstRank.map(1000000L / _).getOrElse(0L))
   }
 
+  test("shipping_lag_percentiles: matches a driver-side sorted recount") {
+    val rows = operators.RelationalExt.shippingLagPercentiles(spark, sfDir)
+      .collect().map(r => r.getAs[String]("priority") -> r).toMap
+    val lags = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.keySet == lags.keySet)
+    def q(xs: Array[Long], p: Long) = xs(((p * xs.length + 99) / 100 - 1).toInt)
+    lags.foreach { case (prio, xs) =>
+      val r = rows(prio)
+      assert(r.getAs[Long]("n_items") == xs.length.toLong)
+      assert(r.getAs[Long]("p50_days") == q(xs, 50), s"p50 for $prio")
+      assert(r.getAs[Long]("p90_days") == q(xs, 90), s"p90 for $prio")
+      assert(r.getAs[Long]("p99_days") == q(xs, 99), s"p99 for $prio")
+      assert(r.getAs[Long]("max_days") == xs.last)
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days")
+        && r.getAs[Long]("p90_days") <= r.getAs[Long]("p99_days")
+        && r.getAs[Long]("p99_days") <= r.getAs[Long]("max_days"))
+    }
+  }
+
   test("mix_quality_frontier: reconciles with per-source recounts and is " +
       "monotone") {
     val rows = operators.Sampling.mixQualityFrontier(spark, sfDir).collect()

@@ -416,6 +416,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // revert collapsed both to 1.
   check("ks_statistic", 1)(operators.StatTests.ksStatistic(spark, sfDir))
   check("mann_whitney_auc", 1)(operators.StatTests.mannWhitneyAuc(spark, sfDir))
+  // shipping_lag_percentiles: the orderkey join + (priority, lag) cells
+  // live inside the checkpoint; visible exchanges are the per-priority
+  // CDF window, the totals fold, and the final fold — all cell-scale.
+  check("shipping_lag_percentiles", 4)(
+    operators.RelationalExt.shippingLagPercentiles(spark, sfDir))
   // qq_compare: the ks cell checkpoint hides the corpus scan; visible
   // exchanges are the bounded CDF window, the scalar totals broadcast,
   // and the 19-row percent-grid fold.
