@@ -369,11 +369,89 @@ object Clustering {
         AS gini_impurity_ppm
     FROM per p JOIN (SELECT * FROM major WHERE rn = 1) m ON p.cid = m.cid"""
 
+  /** Within-cell distance outliers — every vector's centroid distance
+    * judged against ITS OWN cell's robust scale (the data-cleaning
+    * read of the k-means geometry: a vector 3 MADs beyond its cell's
+    * median distance is a corrupt embedding, a mislabeled modality, or
+    * a genuinely novel point — exactly what gets hand-reviewed before
+    * training; [[semdedup]] prunes the over-DENSE side of a cell, this
+    * flags the over-SPARSE side). The per-cell median and MAD are
+    * nearest-rank LOWER medians (rank ⌊(n+1)/2⌋ — actual d² values, so
+    * both engines pick the identical double; d² itself is the
+    * hash-checked [[clusterKmeans]] quantity), the robust z is one
+    * fixed-order double division reported floor'd ×1e4, and the flag
+    * is z > 3 as BIGINT 1/0 (NULL when MAD = 0). Scale: rides the one
+    * broadcast-state assignment (checkpointed — the two median ranks
+    * and the final projection all read it); every window partitions BY
+    * CELL.
+    */
+  def clusterOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val assigned = graft.functions.Iterate.checkpoint(
+      assign(e, finalCentroids(spark, dir))
+        .select(col("vec_id"), col("cid"), col("d2")))
+    val nPer = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_c"))
+    def cellMedian(df: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("cid")).orderBy(col(c).asc, col("vec_id").asc)
+      df.withColumn("rn", row_number().over(w))
+        .join(Tables.stateHint(nPer), Seq("cid"))
+        .filter(col("rn") === expr("(n_c + 1) div 2"))
+        .select(col("cid"), col(c).as(out))
+    }
+    val med = cellMedian(assigned, "d2", "med_d2")
+    val dev = assigned.join(Tables.stateHint(med), Seq("cid"))
+      .withColumn("abs_dev", abs(col("d2") - col("med_d2")))
+    val mad = cellMedian(
+      dev.select(col("cid"), col("vec_id"), col("abs_dev")), "abs_dev", "mad_d2")
+    dev.join(Tables.stateHint(mad), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        floor(col("d2") * lit(1.0e6) + lit(0.5)).cast("bigint").as("d2_x1e6"),
+        when(col("mad_d2") > 0.0,
+          floor((col("d2") - col("med_d2")) / col("mad_d2") * lit(1.0e4))
+            .cast("bigint")).as("z_x1e4"),
+        when(col("mad_d2") > 0.0,
+          when((col("d2") - col("med_d2")) / col("mad_d2") > lit(3.0), 1L)
+            .otherwise(0L)).as("outlier"))
+  }
+
+  lazy val clusterOutliersOracle: String = s"""
+    WITH $kmeansCtes,
+    cents AS MATERIALIZED (
+      SELECT cid, cv FROM $kmeansFinalRel),
+    assigned AS (${assignSql("cents")}),
+    np AS (SELECT cid, COUNT(*) AS n_c FROM assigned GROUP BY 1),
+    med AS (
+      SELECT cid, d2 AS med_d2 FROM (
+        SELECT a.cid, a.d2, ROW_NUMBER() OVER (PARTITION BY a.cid
+          ORDER BY a.d2 ASC, a.vec_id ASC) AS rn, np.n_c
+        FROM assigned a JOIN np ON a.cid = np.cid)
+      WHERE rn = (n_c + 1) // 2),
+    dev AS (
+      SELECT a.vec_id, a.cid, a.d2, ABS(a.d2 - m.med_d2) AS abs_dev,
+        m.med_d2
+      FROM assigned a JOIN med m ON a.cid = m.cid),
+    mad AS (
+      SELECT cid, abs_dev AS mad_d2 FROM (
+        SELECT d.cid, d.abs_dev, ROW_NUMBER() OVER (PARTITION BY d.cid
+          ORDER BY d.abs_dev ASC, d.vec_id ASC) AS rn, np.n_c
+        FROM dev d JOIN np ON d.cid = np.cid)
+      WHERE rn = (n_c + 1) // 2)
+    SELECT d.vec_id, d.cid,
+      CAST(FLOOR(d.d2 * 1.0e6 + 0.5) AS BIGINT) AS d2_x1e6,
+      CASE WHEN m.mad_d2 > 0.0
+        THEN CAST(FLOOR((d.d2 - d.med_d2) / m.mad_d2 * 1.0e4) AS BIGINT)
+        END AS z_x1e4,
+      CASE WHEN m.mad_d2 > 0.0 THEN
+        CASE WHEN (d.d2 - d.med_d2) / m.mad_d2 > 3.0 THEN 1 ELSE 0 END
+        END AS outlier
+    FROM dev d JOIN mad m ON d.cid = m.cid"""
+
   def defs: Map[String, QueryDef] = Map(
     "cluster_kmeans" -> QueryDef.sql(clusterKmeans, clusterKmeansOracle),
     "semdedup" -> QueryDef.sql(semdedup, semdedupOracle),
     "cluster_label_purity" ->
       QueryDef.sql(clusterLabelPurity, clusterLabelPurityOracle),
+    "cluster_outliers" -> QueryDef.sql(clusterOutliers, clusterOutliersOracle),
     "cluster_topics" -> QueryDef.sql(clusterTopics, clusterTopicsOracle)
   )
 }

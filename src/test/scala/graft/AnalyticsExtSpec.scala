@@ -257,6 +257,36 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(rows.values.map(_.getAs[Long]("purity_ppm")).toSet.size > 1)
   }
 
+  test("cluster_outliers: MAD z per cell matches a driver-side recount") {
+    val rows = operators.Clustering.clusterOutliers(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val assigned = operators.Clustering.clusterKmeans(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Double]("d2")))
+    assert(rows.keySet == assigned.map(_._1).toSet)
+    var flagged = 0
+    assigned.groupBy(_._2).foreach { case (_, members) =>
+      def lowerMedian(xs: Seq[(Double, Long)]): Double = {
+        val s = xs.sortBy(identity)
+        s((s.length + 1) / 2 - 1)._1
+      }
+      val med = lowerMedian(members.map(m => (m._3, m._1)).toSeq)
+      val mad = lowerMedian(members.map(m => (math.abs(m._3 - med), m._1)).toSeq)
+      members.foreach { case (id, _, d2) =>
+        val r = rows(id)
+        assert(r.getAs[Long]("d2_x1e6") == math.floor(d2 * 1.0e6 + 0.5).toLong)
+        if (mad > 0.0) {
+          val z = (d2 - med) / mad
+          assert(r.getAs[Long]("z_x1e4") == math.floor(z * 1.0e4).toLong,
+            s"z for vec $id")
+          assert(r.getAs[Long]("outlier") == (if (z > 3.0) 1L else 0L))
+          if (z > 3.0) flagged += 1
+        } else assert(r.isNullAt(r.fieldIndex("z_x1e4")))
+      }
+    }
+    assert(flagged > 0, "no outliers at this SF — vacuous flag column")
+  }
+
   test("class_separability: matches an exact-moment driver recompute") {
     val rows = operators.Coreset.classSeparability(spark, sfDir).collect()
       .map(r => r.getAs[Long]("label") -> r).toMap
