@@ -556,9 +556,68 @@ object RelationalExt {
     FROM cdf JOIN tot USING (priority)
     GROUP BY priority"""
 
+  /** Herfindahl–Hirschman supplier concentration per nation — the
+    * market-concentration audit beside [[graft.operators.StatTests]]'
+    * gini (Gini reads INEQUALITY of the whole distribution; HHI reads
+    * how close the market is to a monopoly, Σshare², the number
+    * antitrust thresholds are written against — 0.25 "highly
+    * concentrated" maps to 250 000 ppm here): per-supplier lifetime
+    * revenue in exact half-up cents, then HHI_ppm = Σcᵢ²·1e6 div
+    * (Σcᵢ)² — EXACT integer arithmetic with the squares in
+    * DECIMAL(38,0)/HUGEINT (Σc² passes 2⁶³ long before 100 TB, the
+    * olsTrend headroom treatment) — plus the top supplier's share.
+    * Scale: one corpus-scale supplier aggregate (map-side combined),
+    * the |suppliers|-row frame joins the broadcast supplier dim for
+    * nation, and the nation fold is metadata.
+    */
+  def marketHhi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("bigint"))
+        .as("cents"))
+    val dim = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey").cast("long").as("nationkey"))
+      .transform(Tables.dimHint)
+    perSupp.join(broadcast(dim), Seq("l_suppkey"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents")).as("total_cents"),
+        sum(dec(col("cents")) * dec(col("cents"))).as("sumsq"),
+        max(col("cents")).as("top_cents"))
+      .select(col("nationkey"), col("n_suppliers"), col("total_cents"),
+        expr("cast((sumsq * 1000000) div (cast(total_cents as decimal(38,0))"
+          + " * cast(total_cents as decimal(38,0))) as bigint)").as("hhi_ppm"),
+        expr("(top_cents * 1000000) div total_cents").as("top_share_ppm"))
+  }
+
+  val marketHhiOracle: String = """
+    WITH per_supp AS (
+      SELECT l_suppkey,
+        CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+          AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey, p.cents
+      FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey),
+    g AS (
+      SELECT nationkey, COUNT(*) AS n_suppliers,
+        CAST(SUM(cents) AS BIGINT) AS total_cents,
+        SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sumsq,
+        MAX(cents) AS top_cents
+      FROM j GROUP BY 1)
+    SELECT nationkey, n_suppliers, total_cents,
+      CAST((sumsq * 1000000) // (CAST(total_cents AS HUGEINT)
+        * CAST(total_cents AS HUGEINT)) AS BIGINT) AS hhi_ppm,
+      (top_cents * 1000000) // total_cents AS top_share_ppm
+    FROM g"""
+
   def defs: Map[String, QueryDef] = Map(
     "shipping_lag_percentiles" ->
       QueryDef.sql(shippingLagPercentiles, shippingLagPercentilesOracle),
+    "market_hhi" -> QueryDef.sql(marketHhi, marketHhiOracle),
     "repurchase_curve" -> QueryDef.sql(repurchaseCurve, repurchaseCurveOracle),
     "skyline_2d" -> QueryDef.sql(skyline2d, skyline2dOracle),
     "entity_resolution" ->

@@ -44,7 +44,7 @@ class DeterminismSpec extends SparkSpec {
     "welch_ttest", "anova_oneway", "ols_trend", "map_eval",
     "seasonal_decompose", "qq_compare", "chi2_residuals",
     "class_separability", "mix_quality_frontier", "growth_accounting",
-    "seasonal_anomaly", "shipping_lag_percentiles",
+    "seasonal_anomaly", "shipping_lag_percentiles", "market_hhi",
     // candidate generation (the pair SET must not depend on which
     // partition saw a band first)
     "dedup_minhash_lsh", "dedup_simhash", "winnow_fingerprint",

@@ -1634,6 +1634,36 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Long]("rr_ppm") == firstRank.map(1000000L / _).getOrElse(0L))
   }
 
+  test("market_hhi: matches an exact driver-side share recount") {
+    val rows = operators.RelationalExt.marketHhi(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("nationkey") -> r).toMap
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("bigint"))
+        .as("cents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nation = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byNation = perSupp.toSeq.flatMap { case (s, c) =>
+      nation.get(s).map(n => (n, c))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.keySet == byNation.keySet)
+    byNation.foreach { case (n, cs) =>
+      val r = rows(n)
+      val total = cs.map(BigInt(_)).sum
+      assert(r.getAs[Long]("n_suppliers") == cs.length.toLong)
+      assert(r.getAs[Long]("total_cents") == total.toLong)
+      val sumsq = cs.map(c => BigInt(c) * c).sum
+      assert(r.getAs[Long]("hhi_ppm") == (sumsq * 1000000 / (total * total)).toLong)
+      assert(r.getAs[Long]("top_share_ppm") ==
+        BigInt(cs.max) * 1000000 / total)
+      // HHI is bounded below by the equal-share floor 1/n and above by 1e6
+      assert(r.getAs[Long]("hhi_ppm") >= 1000000L / cs.length)
+      assert(r.getAs[Long]("hhi_ppm") <= 1000000L)
+    }
+  }
+
   test("shipping_lag_percentiles: matches a driver-side sorted recount") {
     val rows = operators.RelationalExt.shippingLagPercentiles(spark, sfDir)
       .collect().map(r => r.getAs[String]("priority") -> r).toMap
