@@ -715,6 +715,97 @@ object Similarity {
       ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
     GROUP BY t.query_id"""
 
+  /** IVF nprobe tuning curve — recall@3 of the TRAINED-quantizer index
+    * at nprobe = 1..4, against the exact cosine top-3 ([[annIvfTrained]]
+    * ships nprobe = 2 as policy; this table is the evidence the policy
+    * is read off — the dedup_threshold_sweep discipline applied to the
+    * ANN index: one pass, every candidate setting priced, and "does
+    * probing a third cell buy anything?" answered with a number).
+    * Mechanics: queries rank ALL cells by the same L2-argmin metric as
+    * the index assignment (smaller-cid ties), the probe set at level
+    * np is cells ranked ≤ np, per-(query, np) exact-cosine re-rank to
+    * top-3, hits counted against the brute-force truth. All-integer
+    * reporting (hits, truth size, recall ppm via floor division) per
+    * nprobe level. Scale: the assignment is the shared broadcast-state
+    * pass (checkpointed — all four probe levels read it); the per-level
+    * candidate volume is nprobe·corpus/k per query, the windows
+    * partition by (query, level), and the 10-query truth join is the
+    * audit's documented brute-force cost (the same 10-probe frame every
+    * ANN audit here uses).
+    */
+  def annNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = Clustering.finalCentroids(spark, dir)
+    val assigned = graft.functions.Iterate.checkpoint(
+      Clustering.assign(e, cents)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          col("cid")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2").asc, col("cid").asc)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(graft.Tables.stateHint(cents))
+      .withColumn("cd2", Clustering.d2(col("qe"), col("cv")))
+      .withColumn("cell_rank", row_number().over(wProbe))
+      .filter(col("cell_rank") <= 4)
+      .select(col("query_id"), col("qe"), col("cid"), col("cell_rank"))
+    val levels = spark.range(1, 5).select(col("id").as("np"))
+    val wTop = Window.partitionBy(col("query_id"), col("np"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approx = broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .crossJoin(broadcast(levels))
+      .filter(col("cell_rank") <= col("np"))
+      .select(col("np"), col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("cv")).as("cosine"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+    val truth = annTopk(spark, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("in_truth"))
+    approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("np"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_returned"),
+        count(col("in_truth")).as("n_hits"))
+      .withColumn("recall_ppm",
+        expr("(n_hits * 1000000) div (n_queries * 3)"))
+  }
+
+  lazy val annNprobeSweepOracle: String = s"""
+    WITH ${Clustering.kmeansCtes},
+    cents AS MATERIALIZED (
+      SELECT cid, cv FROM ${Clustering.kmeansFinalRel}),
+    assigned AS (${Clustering.assignSql("cents")}),
+    probes AS (
+      SELECT query_id, qe, cid, cell_rank FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${Clustering.sqlD2("e.embedding", "c.cv")} ASC,
+              c.cid ASC) AS cell_rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) e
+        CROSS JOIN cents c)
+      WHERE cell_rank <= 4),
+    approx AS (
+      SELECT np, query_id, neighbor_id FROM (
+        SELECT l.np, p.query_id, a.vec_id AS neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY p.query_id, l.np
+            ORDER BY ${VectorOps.sqlCosine("p.qe", "a.embedding")} DESC,
+              a.vec_id ASC) AS rn
+        FROM probes p JOIN assigned a ON p.cid = a.cid
+        CROSS JOIN (SELECT UNNEST(RANGE(1, 5)) AS np) l
+        WHERE p.query_id <> a.vec_id AND p.cell_rank <= l.np)
+      WHERE rn <= 3),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ($annTopkOracle) t WHERE rank <= 3)
+    SELECT np, COUNT(DISTINCT a.query_id) AS n_queries,
+      COUNT(*) AS n_returned,
+      CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+      (CAST(COUNT(t.neighbor_id) AS BIGINT) * 1000000)
+        // (COUNT(DISTINCT a.query_id) * 3) AS recall_ppm
+    FROM approx a LEFT JOIN truth t
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY np"""
+
   /** Embedding-distribution drift audit — the training/serving-skew
     * check an ML platform runs between two cohorts of the same
     * embedding column (here: even vs odd vec_ids as the two "windows";
@@ -780,6 +871,7 @@ object Similarity {
     "mmr_rerank" -> QueryDef.sql(mmrRerank, mmrRerankOracle),
     "embedding_norm_audit" -> QueryDef.sql(embeddingNormAudit, embeddingNormAuditOracle),
     "ann_recall_audit" -> QueryDef.sql(annRecallAudit, annRecallAuditOracle),
+    "ann_nprobe_sweep" -> QueryDef.sql(annNprobeSweep, annNprobeSweepOracle),
     "embedding_quantize" -> QueryDef.sql(embeddingQuantize, embeddingQuantizeOracle),
     "dedup_embedding" -> QueryDef.sql(dedupEmbedding, dedupEmbeddingOracle),
     "decontaminate_semantic" ->

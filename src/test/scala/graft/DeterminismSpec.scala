@@ -52,7 +52,8 @@ class DeterminismSpec extends SparkSpec {
     // iterative broadcast-state folds (per-round aggregates must
     // commute) and mergeable sketches
     "pagerank", "quantile_sketch_merge", "hll_window_merge",
-    "heavy_hitters", "cluster_label_purity", "cluster_outliers")
+    "heavy_hitters", "cluster_label_purity", "cluster_outliers",
+    "ann_nprobe_sweep")
 
   ops.foreach { name =>
     test(s"$name is bit-identical across shuffle widths (4 vs 13)") {

@@ -1105,6 +1105,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ann_nprobe_sweep: recall monotone in nprobe, np=2 reconciles with " +
+      "ann_ivf_trained") {
+    val rows = operators.Similarity.annNprobeSweep(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("np") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    (1L to 4L).foreach { np =>
+      val r = rows(np)
+      assert(r.getAs[Long]("n_returned") == r.getAs[Long]("n_queries") * 3,
+        "every probe level must fill its top-3")
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_returned"))
+    }
+    (1L to 3L).foreach { np =>
+      assert(rows(np).getAs[Long]("n_hits") <= rows(np + 1).getAs[Long]("n_hits"),
+        "probing more cells can only add candidates — recall is monotone")
+    }
+    // cross-check: the shipped nprobe=2 index (ann_ivf_trained) must
+    // score exactly the sweep's np=2 hit count against the same truth
+    val truth = operators.Similarity.annTopk(spark, sfDir)
+      .filter(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfHits = operators.Similarity.annIvfTrained(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .count(r => truth((r.getLong(0), r.getLong(1)))).toLong
+    assert(rows(2L).getAs[Long]("n_hits") == ivfHits,
+      "sweep np=2 must equal the shipped index's recall")
+    // non-vacuous: the curve must not be flat at zero
+    assert(rows(4L).getAs[Long]("n_hits") > 0)
+  }
+
   test("ann_recall_audit: one row per query, hits bounded by truth") {
     val rows = operators.Similarity.annRecallAudit(spark, sfDir).collect()
     assert(rows.length == 10)
