@@ -247,10 +247,15 @@ object Bench {
       if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
       else Option(p.getParent).map(repoRoot).getOrElse(
         java.nio.file.Paths.get("").toAbsolutePath)
+    // a SPARK_GRAFT_ONLY subset run must never clobber the FULL map
+    // (the regression gate's round-over-round comparand) — subset
+    // timings land in a sibling scratch file instead
+    val defaultName =
+      if (only.isDefined) "BENCH_SUBSET_LATEST.json" else "BENCH_FULL_LATEST.json"
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Paths.get(_))
       .getOrElse(repoRoot(java.nio.file.Paths.get("").toAbsolutePath)
-        .resolve("BENCH_FULL_LATEST.json"))
+        .resolve(defaultName))
     try java.nio.file.Files.writeString(fullPath, json + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $fullPath: $e")
