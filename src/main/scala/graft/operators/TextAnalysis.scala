@@ -1599,7 +1599,119 @@ object TextAnalysis {
           AS n_vowel_groups
       FROM documents)"""
 
+  /** Per-document marginal novelty — how much NEW content each document
+    * adds to the corpus, in first-appearance order: the share of a
+    * doc's distinct word trigrams whose global first occurrence (min
+    * doc_id) is this doc. The curation metric behind "is this source
+    * still contributing, or re-serving what we already have?" —
+    * [[graft.operators.Dedup]]'s ngram_containment prices pairwise
+    * overlap, this prices each doc's marginal value against the WHOLE
+    * preceding corpus in one pass (production substitutes ingestion
+    * order for doc_id). Exact integers throughout: type counts and a
+    * ppm floor division. Scale: n_shingles is a per-row projection
+    * (scan speed — the shingle set is never re-joined to the corpus);
+    * the novel side is one trigram-keyed first-toucher aggregate
+    * (map-side combinable) folded to a ≤|docs| frame, joined back
+    * doc-keyed. The corpus text is exploded exactly once.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.shingles3(TextOps.words(col("text"))).as("sh"))
+    val perDoc = d.select(col("doc_id"),
+      size(col("sh")).cast("bigint").as("n_shingles"))
+    val novel = d.select(col("doc_id"), explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        when(col("n_shingles") > 0,
+          expr("(n_novel * 1000000) div n_shingles")))
+  }
+
+  val ngramNoveltyOracle: String = {
+    val sh = TextOps.sqlShingles3("w")
+    s"""
+    WITH d AS (
+      SELECT doc_id, $sh AS sh FROM (
+        SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS w
+        FROM documents)),
+    per AS (
+      SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_shingles FROM d),
+    tg AS (SELECT doc_id, UNNEST(sh) AS t FROM d),
+    firsts AS (SELECT t, MIN(doc_id) AS fd FROM tg GROUP BY 1),
+    novel AS (SELECT fd AS doc_id, COUNT(*) AS n_novel FROM firsts
+      GROUP BY 1)
+    SELECT p.doc_id, p.n_shingles,
+      COALESCE(n.n_novel, 0) AS n_novel,
+      CASE WHEN p.n_shingles > 0
+        THEN (COALESCE(n.n_novel, 0) * 1000000) // p.n_shingles
+      END AS novelty_ppm
+    FROM per p LEFT JOIN novel n ON p.doc_id = n.doc_id"""
+  }
+
+  /** Corpus collocations — the top-20 word bigrams whose components
+    * co-occur far beyond chance, ranked by the DICE coefficient
+    * 2·c(xy) / (c(x)+c(y)) in exact ppm (Smadja's collocation measure;
+    * chosen over PMI because Dice's numerator 2·c(xy)·10⁶ stays inside
+    * BIGINT at any corpus size, while PMI's cross-multiplied
+    * c(xy)·N·10⁶ needs int128 — the unigram counts are reported so PMI
+    * is derivable downstream). The tokenizer-curation companion to
+    * [[ngramFreq]]: raw frequency surfaces "of the"; Dice surfaces the
+    * pairs that behave as ONE unit — merge candidates for a BPE vocab
+    * ([[graft.operators.Tokenizer]] learns merges from pair counts,
+    * this audits which learned pairs are statistically real). A
+    * min-count floor of 5 removes one-off flukes. Scale: two corpus
+    * explodes (unigram, bigram — both map-side-combinable counts), the
+    * vocab frame checkpointed once and joined twice word-keyed (never
+    * broadcast — vocabulary grows with the corpus), top-k is
+    * TakeOrdered with a total-order tiebreak.
+    */
+  def collocationsDice(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val uni = graft.functions.Iterate.checkpoint(
+      d.select(explode(TextOps.words(col("text"))).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("c")))
+    val bigrams = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.Bigrams(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    d.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("u").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("u").as("y"), col("c").as("c_y")), Seq("y"))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("(2 * c_xy * 1000000) div (c_x + c_y)").as("dice_ppm"))
+      .orderBy(col("dice_ppm").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val collocationsDiceOracle: String = """
+    WITH w AS (
+      SELECT STRING_SPLIT_REGEX(text, '\s+') AS w FROM documents),
+    cu AS (
+      SELECT u, COUNT(*) AS c FROM (SELECT UNNEST(w) AS u FROM w)
+      GROUP BY 1),
+    cb AS (
+      SELECT b, COUNT(*) AS c_xy FROM (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w), 1)),
+          i -> w[i] || ' ' || w[i+1])) AS b FROM w)
+      GROUP BY 1 HAVING COUNT(*) >= 5)
+    SELECT cb.b AS bigram, cb.c_xy, cx.c AS c_x, cy.c AS c_y,
+      (2 * cb.c_xy * 1000000) // (cx.c + cy.c) AS dice_ppm
+    FROM cb
+    JOIN cu cx ON cx.u = STRING_SPLIT(cb.b, ' ')[1]
+    JOIN cu cy ON cy.u = STRING_SPLIT(cb.b, ' ')[2]
+    ORDER BY dice_ppm DESC, bigram ASC LIMIT 20"""
+
   def defs: Map[String, QueryDef] = Map(
+    "ngram_novelty" -> QueryDef.sql(ngramNovelty, ngramNoveltyOracle),
+    "collocations_dice" ->
+      QueryDef.sql(collocationsDice, collocationsDiceOracle),
     "readability_score" ->
       QueryDef.sql(readabilityScore, readabilityScoreOracle),
     "corpus_stats" -> QueryDef.sql(corpusStats, corpusStatsOracle),

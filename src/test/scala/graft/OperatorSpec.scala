@@ -1213,6 +1213,58 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("ngram_novelty: first doc fully novel, novel mass equals distinct " +
+      "trigram types") {
+    val rows = operators.TextAnalysis.ngramNovelty(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "one row per document")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"),
+        "a doc cannot introduce more types than it contains")
+    }
+    // the minimum doc_id is first-toucher for ALL of its trigrams
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L)
+    // conservation: every distinct trigram type is novel in exactly one doc
+    val totalTypes = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextOps.shingles3(
+        graft.functions.TextOps.words(col("text")))).as("t"))
+      .select(col("t")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == totalTypes)
+    // non-vacuous: novelty must actually vary on this corpus
+    assert(rows.map(_.getAs[Long]("novelty_ppm")).distinct.length > 1)
+  }
+
+  test("collocations_dice: ordered top-20, counts reconcile with a direct " +
+      "recount") {
+    val rows = operators.TextAnalysis.collocationsDice(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val dice = rows.map(_.getAs[Long]("dice_ppm"))
+    assert(dice.zip(dice.tail).forall { case (a, b) => a >= b },
+      "rows must arrive ranked by dice_ppm desc")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_xy") >= 5, "min-count floor")
+      assert(r.getAs[Long]("dice_ppm") <= 1000000L,
+        "dice is bounded by 1: c(xy) <= min(c_x, c_y)")
+      assert(r.getAs[Long]("dice_ppm") ==
+        2L * r.getAs[Long]("c_xy") * 1000000L /
+          (r.getAs[Long]("c_x") + r.getAs[Long]("c_y")))
+    }
+    // recount the top bigram's three frequencies straight off the corpus
+    val top = rows.head
+    val Array(x, y) = top.getAs[String]("bigram").split(" ")
+    val words = Tables.documents(spark, sfDir)
+      .select(split(col("text"), "\\s+").as("w"))
+    val cXy = words.select(explode(expr(
+      "transform(sequence(1, greatest(size(w) - 1, 1)), " +
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+      .as("b")).filter(col("b") === top.getAs[String]("bigram")).count()
+    val uni = words.select(explode(col("w")).as("u"))
+    assert(cXy == top.getAs[Long]("c_xy"))
+    assert(uni.filter(col("u") === x).count() == top.getAs[Long]("c_x"))
+    assert(uni.filter(col("u") === y).count() == top.getAs[Long]("c_y"))
+  }
+
   test("vocab_growth: both curves monotone, final milestone covers the corpus") {
     val rows = operators.TextAnalysis.vocabGrowth(spark, sfDir)
       .orderBy(col("milestone")).collect()
