@@ -1310,7 +1310,115 @@ object StatTests {
     FROM h"""
   }
 
+  /** Poisson(1) inverse-CDF thresholds in 2²⁴ units (floor of the
+    * cumulative mass at k = 0..6) — a uniform 24-bit hash draw below
+    * threshold k maps to bootstrap weight k; draws past the last
+    * threshold cap at 7 (P < 10⁻⁴ per row, identical truncation both
+    * engines so exactness is unaffected).
+    */
+  private val PoissonThresholds = Seq(6171992L, 12343985L, 15429982L,
+    16458647L, 16715813L, 16767247L, 16775819L)
+  private val BootB = 64
+
+  /** Distributed bootstrap CI of the mean order value — the POISSON
+    * bootstrap (Hanley & MacGibbon 2006; the form used at cluster scale
+    * because classical resampling needs global coordinated draws while
+    * Poisson(1) weights are a pure per-row function): each of B = 64
+    * resamples weights every order by an independent deterministic
+    * Poisson(1) draw (inverse CDF over a 24-bit salt-keyed hash — the
+    * repo's seedless-determinism idiom, so reruns and both engines
+    * agree bit-for-bit), each resample's mean is exact integer
+    * millicents, and the 90% CI is nearest-rank over the B resample
+    * means (ranks 4 and 61: ⌈0.05·64⌉ and ⌈0.95·64⌉). The inferential
+    * companion to [[welchTtest]]: that tests a difference given
+    * normality, this prices the uncertainty of the mean itself with no
+    * distributional assumption. Scale: the corpus is scanned once into
+    * a ×B narrow (b, weight, cents) explode — the documented bootstrap
+    * cost — whose per-b partial aggregation collapses map-side to B
+    * rows; the only window ranks the constant B-row resample frame.
+    */
+  /** The per-resample weighted moments behind [[bootstrapMeanCi]] —
+    * public so the spec can reconcile one resample's Poisson weights
+    * against a driver-side md5 recount.
+    */
+  def bootstrapResampleMeans(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val u = graft.functions.TextOps.hash24(concat(
+      col("o_orderkey").cast("string"), lit(":"), col("b").cast("string")))
+    val w = PoissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(7L)) { case (acc, (t, k)) =>
+        when(col("u") < t, lit(k.toLong)).otherwise(acc)
+      }
+    o.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(1), lit(BootB))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_w"), sum(col("w") * col("cents")).as("s_w"))
+      .withColumn("mean_millicents", expr("(s_w * 1000) div n_w"))
+  }
+
+  def bootstrapMeanCi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val perB = bootstrapResampleMeans(spark, dir)
+    val ranked = graft.functions.Iterate.checkpoint(
+      perB.withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_millicents").asc, col("b").asc))),
+      Some(s"rank over the constant B=$BootB bootstrap resample frame"))
+    val ci = ranked.agg(
+      max(when(col("rk") === 4, col("mean_millicents")))
+        .as("ci_lo_millicents"),
+      max(when(col("rk") === 61, col("mean_millicents")))
+        .as("ci_hi_millicents"),
+      count(lit(1)).as("n_resamples"))
+    o.agg(count(lit(1)).as("n_orders"),
+        expr("(CAST(SUM(cents) AS BIGINT) * 1000) div COUNT(*)")
+          .as("mean_millicents"))
+      .crossJoin(broadcast(ci))
+  }
+
+  val bootstrapMeanCiOracle: String = {
+    val ladder = PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+    s"""
+    WITH o AS (
+      SELECT o_orderkey,
+        CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    rs AS (
+      SELECT b.b, o.cents,
+        CAST('0x' || SUBSTR(MD5(CAST(o.o_orderkey AS VARCHAR) || ':'
+          || CAST(b.b AS VARCHAR)), 1, 6) AS BIGINT) AS u
+      FROM o CROSS JOIN (SELECT UNNEST(RANGE(1, ${BootB + 1})) AS b) b),
+    per AS (
+      SELECT b, CAST(SUM(w) AS BIGINT) AS n_w,
+        CAST(SUM(w * cents) AS BIGINT) AS s_w
+      FROM (SELECT b, cents, $ladder AS w FROM rs)
+      GROUP BY 1),
+    rk AS (
+      SELECT (s_w * 1000) // n_w AS mean_millicents,
+        ROW_NUMBER() OVER (ORDER BY (s_w * 1000) // n_w ASC, b ASC) AS rk
+      FROM per),
+    ci AS (
+      SELECT MAX(CASE WHEN rk = 4 THEN mean_millicents END)
+          AS ci_lo_millicents,
+        MAX(CASE WHEN rk = 61 THEN mean_millicents END)
+          AS ci_hi_millicents,
+        COUNT(*) AS n_resamples
+      FROM rk)
+    SELECT COUNT(*) AS n_orders,
+      (CAST(SUM(cents) AS BIGINT) * 1000) // COUNT(*) AS mean_millicents,
+      ci.ci_lo_millicents, ci.ci_hi_millicents, ci.n_resamples
+    FROM o CROSS JOIN ci
+    GROUP BY 3, 4, 5"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "bootstrap_mean_ci" ->
+      QueryDef.sql(bootstrapMeanCi, bootstrapMeanCiOracle),
     "spearman_corr" -> QueryDef.sql(spearmanCorr, spearmanCorrOracle),
     "welch_ttest" -> QueryDef.sql(welchTtest, welchTtestOracle),
     "anova_oneway" -> QueryDef.sql(anovaOneway, anovaOnewayOracle),

@@ -53,7 +53,7 @@ class DeterminismSpec extends SparkSpec {
     // commute) and mergeable sketches
     "pagerank", "quantile_sketch_merge", "hll_window_merge",
     "heavy_hitters", "cluster_label_purity", "cluster_outliers",
-    "ann_nprobe_sweep")
+    "ann_nprobe_sweep", "bootstrap_mean_ci", "ngram_novelty")
 
   ops.foreach { name =>
     test(s"$name is bit-identical across shuffle widths (4 vs 13)") {

@@ -1213,6 +1213,38 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("bootstrap_mean_ci: CI brackets the point estimate, resample b=1 " +
+      "recomputes exactly") {
+    val r = operators.StatTests.bootstrapMeanCi(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (lo, pt, hi) = (row.getAs[Long]("ci_lo_millicents"),
+      row.getAs[Long]("mean_millicents"), row.getAs[Long]("ci_hi_millicents"))
+    assert(row.getAs[Long]("n_resamples") == 64)
+    assert(lo < hi, "a 90% interval over varying resamples cannot be a point")
+    assert(lo <= pt && pt <= hi,
+      "at this SF the point estimate sits inside its own 90% CI")
+    // independent recompute of resample b=1: same salt-keyed hash ladder
+    val ths = Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+      16767247L, 16775819L)
+    val (nW, sW) = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+      .foldLeft((0L, 0L)) { case ((n, s), o) =>
+        val key = s"${o.getAs[Long]("o_orderkey")}:1"
+        val u = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5").digest(
+            key.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString, 16)
+        val w = ths.indexWhere(u < _) match { case -1 => 7L; case k => k.toLong }
+        (n + w, s + w * o.getAs[Long]("cents"))
+      }
+    val b1 = operators.StatTests.bootstrapResampleMeans(spark, sfDir)
+      .filter(col("b") === 1).collect()(0)
+    assert(b1.getAs[Long]("n_w") == nW && b1.getAs[Long]("s_w") == sW,
+      "resample 1's Poisson weights must match a driver-side md5 recount")
+  }
+
   test("ngram_novelty: first doc fully novel, novel mass equals distinct " +
       "trigram types") {
     val rows = operators.TextAnalysis.ngramNovelty(spark, sfDir).collect()
