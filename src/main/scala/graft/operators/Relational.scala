@@ -798,6 +798,58 @@ object Relational {
     unchanged.unionByName(closed).unionByName(fresh)
   }
 
+  /** Point-in-time (as-of) fact→SCD2-dim join — THE query pattern an
+    * SCD2 dimension exists for ([[scd2Merge]] builds the validity
+    * windows; this consumes them): every order joins the dim row whose
+    * [valid_from, valid_to) window contains its order date, so revenue
+    * lands in the segment the customer was in WHEN THEY ORDERED, not
+    * the one they hold today. The cut sits inside the order-date span
+    * (1998-01-01; negative-balance customers re-segment to DELINQUENT
+    * then), so both validity windows carry real orders. Dates compare
+    * as ISO strings (lexicographic ≡ chronological — the repo's
+    * timestamp-portability discipline). Scale: the dim has ≤2 rows per
+    * key, so this plans as an EQUI-join on custkey with the window as
+    * a residual filter — never a range join; one fact-keyed shuffle,
+    * one small aggregate.
+    */
+  def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1998-01-01"
+    val base = Tables.customer(spark, dir)
+    val delinquent = col("c_acctbal") < 0
+    val dim = base.select(col("c_custkey"), col("c_mktsegment"),
+        lit("1970-01-01").as("valid_from"),
+        when(delinquent, lit(cut)).otherwise(lit("9999-12-31")).as("valid_to"))
+      .unionByName(base.filter(delinquent).select(col("c_custkey"),
+        lit("DELINQUENT").as("c_mktsegment"),
+        lit(cut).as("valid_from"), lit("9999-12-31").as("valid_to")))
+    val facts = Tables.orders(spark, dir).select(col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+      expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    facts.join(dim, facts("o_custkey") === dim("c_custkey")
+        && col("od") >= col("valid_from") && col("od") < col("valid_to"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+  }
+
+  val scd2PointInTimeOracle: String = """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, '1970-01-01' AS valid_from,
+        CASE WHEN c_acctbal < 0 THEN '1998-01-01'
+             ELSE '9999-12-31' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'DELINQUENT', '1998-01-01', '9999-12-31'
+      FROM customer WHERE c_acctbal < 0),
+    f AS (
+      SELECT o_custkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS od,
+        CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+    SELECT d.c_mktsegment, COUNT(*) AS n_orders,
+      CAST(SUM(f.cents) AS BIGINT) AS revenue_cents
+    FROM f JOIN dim d ON f.o_custkey = d.c_custkey
+      AND f.od >= d.valid_from AND f.od < d.valid_to
+    GROUP BY 1"""
+
   val scd2MergeOracle: String = """
     WITH dim AS (
       SELECT c_custkey, c_name, c_mktsegment,
@@ -1156,6 +1208,8 @@ object Relational {
     "q12_priority_class" -> QueryDef.sql(q12PriorityClass, q12PriorityClassOracle),
     "q14_promo_share" -> QueryDef.sql(q14PromoShare, q14PromoShareOracle),
     "scd2_merge" -> QueryDef.sql(scd2Merge, scd2MergeOracle),
+    "scd2_point_in_time" ->
+      QueryDef.sql(scd2PointInTime, scd2PointInTimeOracle),
     "q3_shipping" -> QueryDef.sql(q3Shipping, q3ShippingOracle),
     "q5_local" -> QueryDef.sql(q5Local, q5LocalOracle),
     "window_rank" -> QueryDef.sql(windowRank, windowRankOracle),

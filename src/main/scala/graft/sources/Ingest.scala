@@ -355,7 +355,58 @@ object Ingest {
     FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id
     WHERE h1.h IS NULL OR h2.h IS NULL OR h1.h <> h2.h"""
 
+  /** CDC changelog collapse — the Debezium-style ingestion primitive
+    * ([[snapshotDiff]] DERIVES a changelog from two snapshots; this
+    * APPLIES one): the events stream read as an ordered change log
+    * (LSN = event_id, key = user_id, op I/U/D from the event type —
+    * signup inserts, error tombstones, activity updates), collapsed to
+    * the current table state by LATEST-LSN-WINS with delete tombstones
+    * removing their key. Out-of-order tolerant by construction: the
+    * winner is an associative struct-max over (lsn, op, payload), so
+    * arrival order, shuffle order, and partial/merge order are all
+    * irrelevant — the exact property a distributed CDC apply needs
+    * (a "last writer" picked by processing order would be
+    * nondeterministic). Scale: ONE key-partitioned map-side-combinable
+    * aggregate; no window, no sort — per-key state is one struct
+    * regardless of changelog depth. The reference's DB-sync analog is
+    * the per-row Postgres upsert loop (utils/databases.py); this is
+    * the set-based form a lake applies per micro-batch.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(spark, dir).select(
+      col("event_id").as("lsn"), col("user_id"),
+      when(col("event_type") === "signup", lit("I"))
+        .when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U")).as("op"),
+      expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    log.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_changes"),
+        max(struct(col("lsn"), col("op"), col("cents"))).as("last"))
+      .filter(col("last.op") =!= "D")
+      .select(col("user_id"), col("last.op").as("last_op"),
+        col("last.cents").as("value_cents"), col("last.lsn").as("last_lsn"),
+        col("n_changes"))
+  }
+
+  val cdcApplyOracle: String = """
+    WITH log AS (
+      SELECT event_id AS lsn, user_id,
+        CASE WHEN event_type = 'signup' THEN 'I'
+             WHEN event_type = 'error' THEN 'D'
+             ELSE 'U' END AS op,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    latest AS (
+      SELECT user_id, lsn, op, cents,
+        COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM log)
+    SELECT user_id, op AS last_op, cents AS value_cents, lsn AS last_lsn,
+      n_changes
+    FROM latest WHERE rn = 1 AND op <> 'D'"""
+
   def defs: Map[String, QueryDef] = Map(
+    "cdc_apply" -> QueryDef.sql(cdcApply, cdcApplyOracle),
     "snapshot_diff" -> QueryDef.sql(snapshotDiff, snapshotDiffOracle),
     "zorder_layout" -> QueryDef.sql(zorderLayout, zorderLayoutOracle),
     "ingest_jsonl" -> QueryDef.sql(ingestJsonl, ingestJsonlOracle),

@@ -1213,6 +1213,45 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("cdc_apply: latest-LSN-wins, tombstones drop keys, change mass " +
+      "conserved") {
+    val out = sources.Ingest.cdcApply(spark, sfDir).collect()
+    // independent recompute: per-user latest event via a driver-side sort
+    val byUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    val expectSurvivors = byUser.filter { case (_, evs) =>
+      evs.maxBy(_.getAs[Long]("event_id")).getAs[String]("event_type") != "error"
+    }
+    assert(out.length == expectSurvivors.size)
+    out.foreach { r =>
+      val evs = byUser(r.getAs[Long]("user_id"))
+      val last = evs.maxBy(_.getAs[Long]("event_id"))
+      assert(r.getAs[Long]("last_lsn") == last.getAs[Long]("event_id"))
+      assert(r.getAs[Long]("value_cents") ==
+        math.floor(last.getAs[Double]("value") * 100 + 0.5).toLong)
+      assert(r.getAs[Long]("n_changes") == evs.length,
+        "n_changes counts the FULL changelog depth for the key")
+      assert(r.getAs[String]("last_op") != "D")
+    }
+    // non-vacuous: some keys must actually be tombstoned at this SF
+    assert(out.length < byUser.size)
+  }
+
+  test("scd2_point_in_time: validity windows tile time — every order lands " +
+      "in exactly one segment") {
+    val rows = operators.Relational.scd2PointInTime(spark, sfDir).collect()
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders,
+      "as-of windows must partition the fact table: no drops, no fan-out")
+    val totalCents = Tables.orders(spark, sfDir)
+      .agg(sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("revenue_cents")).sum == totalCents)
+    assert(rows.exists(_.getAs[String]("c_mktsegment") == "DELINQUENT"),
+      "the cut sits inside the order span, so the new window carries orders")
+  }
+
   test("bootstrap_mean_ci: CI brackets the point estimate, resample b=1 " +
       "recomputes exactly") {
     val r = operators.StatTests.bootstrapMeanCi(spark, sfDir).collect()
