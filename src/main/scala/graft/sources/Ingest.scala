@@ -372,21 +372,33 @@ object Ingest {
     * the per-row Postgres upsert loop (utils/databases.py); this is
     * the set-based form a lake applies per micro-batch.
     */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val log = Tables.events(spark, dir).select(
-      col("event_id").as("lsn"), col("user_id"),
-      when(col("event_type") === "signup", lit("I"))
-        .when(col("event_type") === "error", lit("D"))
-        .otherwise(lit("U")).as("op"),
-      expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
-    log.groupBy(col("user_id"))
+  def cdcApply(spark: SparkSession, dir: String): DataFrame =
+    cdcCollapse(Tables.events(spark, dir))
+      .filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("last_op"), col("value_cents"),
+        col("last_lsn"), col("n_changes"))
+
+  /** The changelog-collapse fold behind [[cdcApply]], over any events
+    * frame — shared with the streaming twin
+    * ([[graft.streaming.EventStreams.cdcToTable]]), whose per-batch
+    * state merge is THIS fold's associativity made load-bearing.
+    * Tombstones are RETAINED (last_op = 'D') so a caller holding
+    * partial data can still merge later slices correctly; [[cdcApply]]
+    * drops them at the end where the log is known complete.
+    */
+  def cdcCollapse(events: DataFrame): DataFrame =
+    events.select(
+        col("event_id").as("lsn"), col("user_id"),
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_changes"),
         max(struct(col("lsn"), col("op"), col("cents"))).as("last"))
-      .filter(col("last.op") =!= "D")
-      .select(col("user_id"), col("last.op").as("last_op"),
-        col("last.cents").as("value_cents"), col("last.lsn").as("last_lsn"),
+      .select(col("user_id"), col("last.lsn").as("last_lsn"),
+        col("last.op").as("last_op"), col("last.cents").as("value_cents"),
         col("n_changes"))
-  }
 
   val cdcApplyOracle: String = """
     WITH log AS (

@@ -333,6 +333,67 @@ object EventStreams {
         graft.sources.Sinks.upsertParquet(batch.toDF(), path, keys)
     }
 
+  /** Streaming CDC apply — the standing twin of the batch
+    * [[graft.sources.Ingest.cdcApply]]: each micro-batch of changelog
+    * events folds into a parquet state table by latest-LSN-wins with
+    * delete tombstones. Correctness across batches leans on two
+    * properties the batch fold already has: (1) the winner is an
+    * associative struct-max, so folding (state ∪ batch) per batch
+    * equals folding the whole log at once — out-of-order arrivals
+    * ACROSS batches (a late update older than an applied tombstone)
+    * resolve identically; (2) tombstones are RETAINED in the table
+    * (last_op = 'D') precisely so that late lower-LSN updates cannot
+    * resurrect a deleted key — [[cdcCurrentState]] is the read view
+    * that hides them. Replay-safe via the in-table last_batch_id
+    * watermark (the [[noveltyToTable]] idiom): a re-delivered batch id
+    * is a no-op, and the watermark commits atomically with the state
+    * through the swap-recovery sink.
+    */
+  def cdcToTable(events: Dataset[Event], path: String): StreamingQuery =
+    events.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldCdcBatch(batch, batchId, path); ()
+      }
+      .start()
+
+  /** One [[cdcToTable]] fold — exposed so the spec can drive replay. */
+  private[graft] def foldCdcBatch(batch: DataFrame, batchId: Long,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val existing = graft.sources.Sinks.readParquetIfExists(spark, path)
+    val applied = existing.flatMap(df =>
+      Option(df.agg(max(col("last_batch_id"))).head.get(0))
+        .map(_.asInstanceOf[Long]))
+    if (applied.exists(_ >= batchId)) return
+    val delta = graft.sources.Ingest.cdcCollapse(batch)
+    val merged = existing
+      .map { df =>
+        df.select(col("user_id"), col("last_lsn"), col("last_op"),
+            col("value_cents"), col("n_changes"))
+          .unionByName(delta)
+          .groupBy(col("user_id"))
+          .agg(sum(col("n_changes")).as("n_changes"),
+            max(struct(col("last_lsn"), col("last_op"), col("value_cents")))
+              .as("last"))
+          .select(col("user_id"), col("last.last_lsn").as("last_lsn"),
+            col("last.last_op").as("last_op"),
+            col("last.value_cents").as("value_cents"), col("n_changes"))
+      }
+      .getOrElse(delta)
+      .withColumn("last_batch_id", lit(batchId))
+    graft.sources.Sinks.replaceParquet(merged, path)
+  }
+
+  /** The queryable face of [[cdcToTable]]'s state table: current rows
+    * only — tombstones stay in the table (they are load-bearing for
+    * late-arrival correctness) but never in the view.
+    */
+  def cdcCurrentState(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Sinks.readParquet(spark, path)
+      .filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("last_op"), col("value_cents"),
+        col("last_lsn"), col("n_changes"))
+
   /** Stream-stream interval join: attribute each purchase to the same
     * user's clicks in the preceding 30 minutes. Watermarks on BOTH sides
     * bound the join state (clicks retire once no purchase can still

@@ -187,6 +187,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcToTable: cross-batch late updates lose to applied tombstones, " +
+      "state equals the batch collapse, replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_tbl")
+    val path = dir.resolve("state").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.cdcToTable(input.toDS(), path)
+    val b1 = Seq(
+      Event(5, ts(1), 1, "click", 2.0),
+      Event(10, ts(2), 2, "error", 0.0),  // tombstone for user 2
+      Event(7, ts(3), 3, "signup", 1.0))
+    val b2 = Seq(
+      Event(9, ts(4), 2, "purchase", 4.0), // LATE update, lsn < tombstone
+      Event(6, ts(5), 1, "error", 0.0),    // tombstone for user 1
+      Event(8, ts(6), 3, "view", 3.0))
+    def current() = EventStreams.cdcCurrentState(spark, path).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("last_op"), r.getAs[Long]("value_cents"),
+          r.getAs[Long]("last_lsn"), r.getAs[Long]("n_changes"))).toMap
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(current() == Map(
+        1L -> (("U", 200L, 5L, 1L)), 3L -> (("I", 100L, 7L, 1L))))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // user 2's late lsn-9 update must NOT resurrect the lsn-10 delete;
+      // user 1 dies; user 3 advances with its full changelog depth
+      assert(current() == Map(3L -> (("U", 300L, 8L, 2L))))
+      // batch agreement: the standing table equals the one-shot collapse
+      // over the union of both batches (including tombstoned keys)
+      val twin = graft.sources.Ingest.cdcCollapse((b1 ++ b2).toDF())
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("last_op"), r.getAs[Long]("value_cents"),
+            r.getAs[Long]("last_lsn"), r.getAs[Long]("n_changes"))).toMap
+      val full = spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("last_op"), r.getAs[Long]("value_cents"),
+            r.getAs[Long]("last_lsn"), r.getAs[Long]("n_changes"))).toMap
+      assert(full == twin, s"table=$full batch=$twin")
+      // replay: an already-applied batch id must not double-count
+      val before = full
+      EventStreams.foldCdcBatch(b1.toDF(), batchId = 0L, path)
+      val after = spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("last_op"), r.getAs[Long]("value_cents"),
+            r.getAs[Long]("last_lsn"), r.getAs[Long]("n_changes"))).toMap
+      assert(after == before, "replayed batch id must be skipped")
+    } finally {
+      q.stop()
+    }
+  }
+
   test("noveltyToTable folds retractions into a day table that equals the " +
       "batch first-touch counts after late data") {
     import spark.implicits._
