@@ -59,6 +59,7 @@ object Bench {
       "stream_bench_funnel", "stream_bench_debounce",
       "stream_bench_histogram", "stream_bench_heavyhitters",
       "stream_bench_novelty", "stream_bench_dauwords", "stream_bench_bounce",
+      "stream_bench_cdc",
       "curation_pipeline_e2e", "stream_curation_e2e",
       "ann_index_probe_e2e")
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
@@ -177,6 +178,16 @@ object Bench {
               .as[streaming.EventStreams.Event])
           .writeStream.format("memory").queryName(uniq)
           .outputMode("append").start(), uniq)
+      }),
+      ("stream_bench_cdc", { (_: String) =>
+        import spark.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft_bench_cdc")
+        val q = streaming.EventStreams.cdcToTable(
+          streaming.EventStreams.eventsStream(spark, sfDir)
+            .as[streaming.EventStreams.Event],
+          out.resolve("state").toString)
+        try q.processAllAvailable()
+        finally { q.stop(); rmTree(out) }
       }),
       ("curation_pipeline_e2e", { (_: String) =>
         val out = java.nio.file.Files.createTempDirectory("graft_bench_curation")

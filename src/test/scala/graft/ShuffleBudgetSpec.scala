@@ -75,6 +75,14 @@ class ShuffleBudgetSpec extends SparkSpec {
   // over the checkpointed frame (1 exchange each); top-1 is
   // TakeOrdered, exchange-free. 3 profiles ⇒ 3.
   check("skew_diagnose", 3)(operators.Relational.skewDiagnose(spark, sfDir))
+  // cdc_apply: ONE key-partitioned aggregate (struct-max collapse) —
+  // the whole point of the associative form; a window/sort creeping in
+  // would break the changelog-depth-independence claim.
+  check("cdc_apply", 1)(sources.Ingest.cdcApply(spark, sfDir))
+  // scd2_point_in_time: facts + dim key-shuffles for the equi-join
+  // (the dim must NOT force a range join) + the segment rollup.
+  check("scd2_point_in_time", 3)(
+    operators.Relational.scd2PointInTime(spark, sfDir))
   // dedup_lines: the two-phase distinct-doc-freq aggregate (2 exchanges)
   // + the per-doc reassembly aggregate + the boiler join-back. AQE
   // auto-broadcasts the boiler side at test scale (3 exchanges), but the
