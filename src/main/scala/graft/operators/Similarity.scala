@@ -866,7 +866,81 @@ object Similarity {
     WHERE c0 > 0 AND c1 > 0
     GROUP BY 1"""
 
+  /** Nearest-centroid confusion matrix over the labeled embedding
+    * space — the per-class companion to the scalar Fisher
+    * separability (class_separability says HOW separable the space
+    * is; this says WHICH classes collide and where the mass goes):
+    * every vector is classified to its nearest class centroid
+    * (exact µ-unit integer centroids via the [[embeddingDrift]]
+    * quantization idiom — both engines' integer division truncates
+    * toward zero, verified, so the centroid is bit-identical), and
+    * the (true, predicted) matrix reports counts plus each row's
+    * share in exact ppm. The audit behind "are these labels worth
+    * conditioning a model on?". Scale: one corpus×dims explode feeds
+    * both the (label, dim)-keyed centroid fold (tiny, checkpointed,
+    * broadcast back) and the scoring pass; distance sums and the
+    * argmin are map-side-combinable aggregates keyed by vec_id —
+    * no window touches corpus-scale rows (the only window ranks the
+    * ≤\|labels\|² confusion cells).
+    */
+  def centroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("true_label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v_fp",
+        floor(col("v").cast("double") * lit(1000000d) + lit(0.5d)))
+    val cents = graft.functions.Iterate.checkpoint(
+      dims.groupBy(col("true_label").as("cand"), col("dim"))
+        .agg(expr("SUM(v_fp) div COUNT(*)").as("c_fp")))
+    val wRow = Window.partitionBy(col("true_label"))
+    dims.join(broadcast(cents), Seq("dim"))
+      .withColumn("e", col("v_fp") - col("c_fp"))
+      .groupBy(col("vec_id"), col("true_label"), col("cand"))
+      .agg(sum(col("e") * col("e")).as("d2"))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(min(struct(col("d2"), col("cand"))).as("best"))
+      .groupBy(col("true_label"), col("best.cand").as("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("row_total", sum(col("n_vecs")).over(wRow))
+      .withColumn("share_ppm", expr("(n_vecs * 1000000) div row_total"))
+      .drop("row_total")
+  }
+
+  val centroidConfusionOracle: String = """
+    WITH dims AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS true_label, d.dim,
+        CAST(FLOOR(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000
+          + 0.5) AS BIGINT) AS v_fp
+      FROM embeddings
+      CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS dim) d),
+    cents AS (
+      SELECT true_label AS cand, dim,
+        CAST(SUM(v_fp) AS BIGINT) // COUNT(*) AS c_fp
+      FROM dims GROUP BY 1, 2),
+    d2 AS (
+      SELECT x.vec_id, x.true_label, c.cand,
+        CAST(SUM((x.v_fp - c.c_fp) * (x.v_fp - c.c_fp)) AS BIGINT) AS d2
+      FROM dims x JOIN cents c ON x.dim = c.dim
+      GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT vec_id, true_label, cand AS pred_label FROM (
+        SELECT vec_id, true_label, cand,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2 ASC, cand ASC) AS rn
+        FROM d2)
+      WHERE rn = 1),
+    conf AS (
+      SELECT true_label, pred_label, COUNT(*) AS n_vecs
+      FROM pred GROUP BY 1, 2)
+    SELECT true_label, pred_label, n_vecs,
+      (n_vecs * 1000000)
+        // CAST(SUM(n_vecs) OVER (PARTITION BY true_label) AS BIGINT)
+        AS share_ppm
+    FROM conf"""
+
   def defs: Map[String, QueryDef] = Map(
+    "centroid_confusion" ->
+      QueryDef.sql(centroidConfusion, centroidConfusionOracle),
     "embedding_drift" -> QueryDef.sql(embeddingDrift, embeddingDriftOracle),
     "mmr_rerank" -> QueryDef.sql(mmrRerank, mmrRerankOracle),
     "embedding_norm_audit" -> QueryDef.sql(embeddingNormAudit, embeddingNormAuditOracle),

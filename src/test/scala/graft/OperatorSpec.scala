@@ -1213,6 +1213,28 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("centroid_confusion: matrix conserves the corpus, diagonal beats " +
+      "chance, row shares telescope") {
+    val rows = operators.Similarity.centroidConfusion(spark, sfDir).collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs,
+      "every vector classifies to exactly one centroid")
+    val labels = rows.map(_.getAs[Long]("true_label")).distinct
+    val diag = rows.filter(r =>
+        r.getAs[Long]("true_label") == r.getAs[Long]("pred_label"))
+      .map(_.getAs[Long]("n_vecs")).sum
+    assert(diag * labels.length > nVecs,
+      "nearest-centroid accuracy must beat uniform chance — otherwise " +
+        "the labels carry no geometry and the audit is vacuous")
+    labels.foreach { l =>
+      val row = rows.filter(_.getAs[Long]("true_label") == l)
+      val shareSum = row.map(_.getAs[Long]("share_ppm")).sum
+      assert(shareSum <= 1000000L && shareSum > 1000000L - row.length,
+        s"label $l: floor-divided shares must telescope to 1e6 within " +
+          s"one ulp per cell, got $shareSum over ${row.length} cells")
+    }
+  }
+
   test("cdc_apply: latest-LSN-wins, tombstones drop keys, change mass " +
       "conserved") {
     val out = sources.Ingest.cdcApply(spark, sfDir).collect()
