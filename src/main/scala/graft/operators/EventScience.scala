@@ -162,10 +162,12 @@ object EventScience {
     * on the 3-day edges where the window is partial — never a
     * shortened-window fake); the per-weekday seasonal is the mean
     * detrended value in ×7e6 units via FLOOR division (negative
-    * numerators are real here, and Spark's `div` truncates toward zero
-    * while DuckDB's `//` floors — the explicit a−((a%b+b)%b) remainder
-    * form makes the numerator exactly divisible, so both engines
-    * divide exactly); the residual is pure integer subtraction in the
+    * numerators are real here; both engines' integer division
+    * truncates toward zero — verified, DuckDB −7 // 2 = −3, not a
+    * floor — but truncation is the wrong semantics for a MEAN of
+    * signed values, so the explicit a−((a%b+b)%b) remainder form
+    * makes the numerator exactly divisible and both engines produce
+    * the true floor); the residual is pure integer subtraction in the
     * same units. Scale: one corpus-scale shuffle into daily counts;
     * everything after runs on the calendar-bounded day grid
     * (checkpointed — the trend window, the seasonal fold, and the

@@ -559,8 +559,11 @@ object TextAnalysis {
     * shuffle-free to a single row. κ = (po−pe)/(1−pe) in exact integer
     * cross-multiplication: ppm = ((a+d)·N − pe_num)·1e6 ÷ (N² −
     * pe_num), truncation-toward-zero spelled identically in both
-    * engines (DuckDB `//` floors, so the negative-κ branch negates an
-    * all-nonnegative quotient), with the gini overflow treatment past
+    * engines (both `div` and DuckDB's `//` truncate toward zero —
+    * verified, −7 // 2 = −3 — and the negative-κ branch still negates
+    * an all-nonnegative quotient so the rounding DIRECTION of a
+    * negative κ is pinned by construction, not by engine
+    * coincidence), with the gini overflow treatment past
     * N² > 9e12 (divide the denominator by 1e6 first, ≤1 ppm bias).
     */
   /** The 2×2 agreement grid of the two quality gates (one corpus scan,
