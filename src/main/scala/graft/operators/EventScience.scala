@@ -1139,6 +1139,87 @@ object EventScience {
         // COUNT(*) AS bounce_ppm
     FROM per_session GROUP BY 1"""
 
+  /** Holt's linear-trend exponential smoothing of the daily event
+    * series (α = 0.2, β = 0.1) — the level+trend step up from
+    * [[graft.operators.EventOps]]' level-only EWMA, with the one-step-
+    * ahead SSE carried through the fold so the fit is priced on the
+    * same pass ([[forecastBacktest]] prices naive/seasonal-naive; this
+    * adds the first real smoother to beat). Portability: exponential
+    * smoothing is an inherently SEQUENTIAL recursion, so it runs as an
+    * explicit left fold over the zero-filled calendar grid
+    * (`aggregate` here, LIST_REDUCE in the oracle) with the SAME
+    * expression tree per step in both engines — IEEE doubles in a
+    * fixed evaluation order are bit-portable where a parallel float
+    * reduction is not; literals are written in e-notation because
+    * DuckDB parses bare decimals as DECIMAL and decimal arithmetic
+    * would diverge. Scale: one corpus-keyed daily aggregate; the fold
+    * runs over the calendar-bounded array (≤ span days at any corpus
+    * size) in a single bounded-size aggregate — the corpus never
+    * sorts, never collects.
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr(s"ts div $NsPerDay").as("day_ord"))
+    val obs = ev.groupBy(col("day_ord")).agg(count(lit(1)).as("n"))
+    val daily = ev.agg(min(col("day_ord")).as("d0"), max(col("day_ord")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day_ord"))
+      .join(obs, Seq("day_ord"), "left")
+      .select(col("day_ord"), coalesce(col("n"), lit(0L)).cast("double").as("v"))
+    daily
+      .agg(sort_array(collect_list(struct(col("day_ord"), col("v")))).as("dv"))
+      .select(size(col("dv")).cast("bigint").as("n_days"),
+        expr("transform(dv, p -> p.v)").as("vals"))
+      .select(col("n_days"), expr("""
+        aggregate(slice(vals, 2, size(vals) - 1),
+          named_struct('l', element_at(vals, 1),
+            't', cast(0 as double), 'sse', cast(0 as double)),
+          (acc, x) -> named_struct(
+            'l', 2e-1 * x + 8e-1 * (acc.l + acc.t),
+            't', 1e-1 * ((2e-1 * x + 8e-1 * (acc.l + acc.t)) - acc.l)
+              + 9e-1 * acc.t,
+            'sse', acc.sse + (x - (acc.l + acc.t)) * (x - (acc.l + acc.t))))
+        """).as("st"))
+      .select(col("n_days"), col("st.l").as("level"), col("st.t").as("trend"),
+        expr("st.l + 7e0 * st.t").as("forecast_7"),
+        col("st.sse").as("sse_one_step"))
+  }
+
+  /** The oracle folds the same recursion through a RECURSIVE CTE
+    * rather than LIST_REDUCE: DuckDB 1.0.0's LIST_REDUCE corrupts a
+    * STRUCT accumulator whose fields share subexpressions across steps
+    * (verified: the identical lambda applied once outside the reduce is
+    * correct, the second reduce step is not) — the recursive CTE
+    * carries the state as plain columns and evaluates the identical
+    * expression tree per step, so the IEEE sequence matches Spark's
+    * `aggregate` bit for bit.
+    */
+  val holtForecastOracle: String = s"""
+    WITH RECURSIVE ev AS (
+      SELECT EPOCH_NS(ts) // $NsPerDay AS day_ord FROM events),
+    obs AS (SELECT day_ord, COUNT(*) AS n FROM ev GROUP BY 1),
+    span AS (SELECT MIN(day_ord) AS d0, MAX(day_ord) AS d1 FROM ev),
+    spine AS (SELECT UNNEST(RANGE(d0, d1 + 1)) AS day_ord FROM span),
+    daily AS (
+      SELECT s.day_ord, CAST(COALESCE(o.n, 0) AS DOUBLE) AS v
+      FROM spine s LEFT JOIN obs o ON s.day_ord = o.day_ord),
+    arr AS (
+      SELECT LIST(v ORDER BY day_ord) AS vals,
+        CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily),
+    rec AS (
+      SELECT 1 AS i, vals[1] AS l, CAST(0 AS DOUBLE) AS t,
+        CAST(0 AS DOUBLE) AS sse
+      FROM arr
+      UNION ALL
+      SELECT i + 1,
+        2e-1 * vals[i + 1] + 8e-1 * (l + t),
+        1e-1 * ((2e-1 * vals[i + 1] + 8e-1 * (l + t)) - l) + 9e-1 * t,
+        sse + (vals[i + 1] - (l + t)) * (vals[i + 1] - (l + t))
+      FROM rec, arr WHERE i < n_days)
+    SELECT n_days, l AS level, t AS trend,
+      l + 7e0 * t AS forecast_7, sse AS sse_one_step
+    FROM rec, arr WHERE i = n_days"""
+
   def defs: Map[String, QueryDef] = Map(
     "stickiness_dau_mau" -> QueryDef.sql(stickinessDauMau, stickinessDauMauOracle),
     "growth_accounting" ->
@@ -1150,6 +1231,7 @@ object EventScience {
     "acf_daily" -> QueryDef.sql(acfDaily, acfDailyOracle),
     "attribution_linear" -> QueryDef.sql(attributionLinear, attributionLinearOracle),
     "forecast_backtest" -> QueryDef.sql(forecastBacktest, forecastBacktestOracle),
+    "holt_forecast" -> QueryDef.sql(holtForecast, holtForecastOracle),
     "cohort_ltv" -> QueryDef.sql(cohortLtv, cohortLtvOracle),
     "bitmap_overlap" -> QueryDef.sql(bitmapOverlap, bitmapOverlapOracle),
     "bot_detect" -> QueryDef.sql(botDetect, botDetectOracle),

@@ -1213,6 +1213,34 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("holt_forecast: fold matches a driver-side recursion bit for bit") {
+    val r = operators.EventScience.holtForecast(spark, sfDir).collect()(0)
+    // rebuild the zero-filled daily series and run the recursion in
+    // plain Scala — same IEEE ops in the same order must agree exactly
+    val nsDay = 86400L * 1000 * 1000 * 1000
+    val counts = Tables.events(spark, sfDir)
+      .select(expr(s"ts div $nsDay").as("d")).groupBy(col("d")).count()
+      .collect().map(row => row.getAs[Long]("d") -> row.getAs[Long]("count"))
+      .toMap
+    val d0 = counts.keys.min
+    val d1 = counts.keys.max
+    val vals = (d0 to d1).map(d => counts.getOrElse(d, 0L).toDouble)
+    var l = vals.head; var t = 0.0; var sse = 0.0
+    vals.tail.foreach { x =>
+      val nl = 2e-1 * x + 8e-1 * (l + t)
+      val nt = 1e-1 * ((2e-1 * x + 8e-1 * (l + t)) - l) + 9e-1 * t
+      sse = sse + (x - (l + t)) * (x - (l + t))
+      l = nl; t = nt
+    }
+    assert(r.getAs[Long]("n_days") == vals.length)
+    assert(r.getAs[Double]("level") == l, "level must match bit for bit")
+    assert(r.getAs[Double]("trend") == t)
+    assert(r.getAs[Double]("sse_one_step") == sse)
+    assert(r.getAs[Double]("forecast_7") == l + 7e0 * t)
+    // non-vacuous: a flat series would have zero one-step error
+    assert(sse > 0.0)
+  }
+
   test("centroid_confusion: matrix conserves the corpus, diagonal beats " +
       "chance, row shares telescope") {
     val rows = operators.Similarity.centroidConfusion(spark, sfDir).collect()
