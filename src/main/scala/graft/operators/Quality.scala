@@ -493,7 +493,101 @@ object Quality {
         - 24, 0) AS noisy_count
     FROM g"""
 
+  /** SCD2 validity-window conformance audit — the DQ gate for the one
+    * dimension property point-in-time joins silently DEPEND on
+    * ([[graft.operators.Relational]] scd2_point_in_time's tiling
+    * invariant holds only if the dim is conformant): per key, sorted
+    * validity windows must not OVERLAP (double-counted facts), must not
+    * leave a GAP (dropped facts), and the chain must end OPEN at the
+    * 9999 sentinel (future facts need a home). The audited dim is
+    * derived from customer with DETERMINISTIC defect injection (the
+    * snapshot_diff self-synthesis idiom — swap a real dim in for
+    * production): every key ≡4 (mod 13) gains a duplicate window
+    * (overlap), delinquent keys ≡9 re-open late (gap), non-delinquent
+    * keys ≡2 truncate their only window (unclosed) — classes disjoint
+    * and non-empty at every SF, so each detector is provably exercised.
+    * Scale: one key-partitioned lag window over the DIM (dimension-
+    * scale, never the facts) + two aggregates.
+    */
+  def scd2Conformance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(spark, dir)
+    val delinquent = col("c_acctbal") < 0
+    val hist = base.select(col("c_custkey"),
+      lit("1970-01-01").as("valid_from"),
+      when(delinquent, lit("1998-01-01"))
+        .when(col("c_custkey") % 13 === 2, lit("1998-01-01"))
+        .otherwise(lit("9999-12-31")).as("valid_to"))
+    val fresh = base.filter(delinquent).select(col("c_custkey"),
+      when(col("c_custkey") % 13 === 9, lit("1998-07-01"))
+        .otherwise(lit("1998-01-01")).as("valid_from"),
+      lit("9999-12-31").as("valid_to"))
+    val dup = base.filter(col("c_custkey") % 13 === 4)
+      .select(col("c_custkey"), lit("1997-06-01").as("valid_from"),
+        lit("9999-12-31").as("valid_to"))
+    val dim = hist.unionByName(fresh).unionByName(dup)
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("valid_from"), col("valid_to"))
+    dim.withColumn("prev_to", lag(col("valid_to"), 1).over(w))
+      .groupBy(col("c_custkey"))
+      .agg(
+        max(when(col("prev_to").isNotNull
+          && col("valid_from") < col("prev_to"), 1L).otherwise(0L))
+          .as("has_overlap"),
+        max(when(col("prev_to").isNotNull
+          && col("valid_from") > col("prev_to"), 1L).otherwise(0L))
+          .as("has_gap"),
+        max(when(col("valid_to") === "9999-12-31", 1L).otherwise(0L))
+          .as("has_open"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("has_overlap")).as("n_overlap_keys"),
+        sum(col("has_gap")).as("n_gap_keys"),
+        sum(lit(1L) - col("has_open")).as("n_unclosed_keys"),
+        sum(when(col("has_overlap") === 0 && col("has_gap") === 0
+          && col("has_open") === 1, 1L).otherwise(0L)).as("n_clean_keys"))
+  }
+
+  val scd2ConformanceOracle: String = """
+    WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+    dim AS (
+      SELECT c_custkey, '1970-01-01' AS valid_from,
+        CASE WHEN c_acctbal < 0 THEN '1998-01-01'
+             WHEN c_custkey % 13 = 2 THEN '1998-01-01'
+             ELSE '9999-12-31' END AS valid_to
+      FROM base
+      UNION ALL
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 13 = 9 THEN '1998-07-01'
+             ELSE '1998-01-01' END,
+        '9999-12-31'
+      FROM base WHERE c_acctbal < 0
+      UNION ALL
+      SELECT c_custkey, '1997-06-01', '9999-12-31'
+      FROM base WHERE c_custkey % 13 = 4),
+    flagged AS (
+      SELECT c_custkey, valid_from, valid_to,
+        LAG(valid_to, 1) OVER (PARTITION BY c_custkey
+          ORDER BY valid_from, valid_to) AS prev_to
+      FROM dim),
+    per_key AS (
+      SELECT c_custkey,
+        MAX(CASE WHEN prev_to IS NOT NULL AND valid_from < prev_to
+          THEN 1 ELSE 0 END) AS has_overlap,
+        MAX(CASE WHEN prev_to IS NOT NULL AND valid_from > prev_to
+          THEN 1 ELSE 0 END) AS has_gap,
+        MAX(CASE WHEN valid_to = '9999-12-31' THEN 1 ELSE 0 END) AS has_open
+      FROM flagged GROUP BY 1)
+    SELECT COUNT(*) AS n_keys,
+      CAST(SUM(has_overlap) AS BIGINT) AS n_overlap_keys,
+      CAST(SUM(has_gap) AS BIGINT) AS n_gap_keys,
+      CAST(SUM(1 - has_open) AS BIGINT) AS n_unclosed_keys,
+      CAST(SUM(CASE WHEN has_overlap = 0 AND has_gap = 0 AND has_open = 1
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_keys
+    FROM per_key"""
+
   def defs: Map[String, QueryDef] = Map(
+    "scd2_conformance" ->
+      QueryDef.sql(scd2Conformance, scd2ConformanceOracle),
     "dp_noisy_counts" -> QueryDef.sql(dpNoisyCounts, dpNoisyCountsOracle),
     "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle),
     "k_anonymity_audit" -> QueryDef.sql(kAnonymityAudit, kAnonymityAuditOracle),

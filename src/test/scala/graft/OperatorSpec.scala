@@ -1213,6 +1213,28 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("scd2_conformance: every injected defect class detected exactly, " +
+      "classes partition the keys") {
+    val r = operators.Quality.scd2Conformance(spark, sfDir).collect()(0)
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+    val nOverlap = c.count(_.getAs[Long]("c_custkey") % 13 == 4).toLong
+    val nGap = c.count(x => x.getAs[Double]("c_acctbal") < 0
+      && x.getAs[Long]("c_custkey") % 13 == 9).toLong
+    val nUnclosed = c.count(x => x.getAs[Double]("c_acctbal") >= 0
+      && x.getAs[Long]("c_custkey") % 13 == 2).toLong
+    assert(r.getAs[Long]("n_keys") == c.length)
+    assert(r.getAs[Long]("n_overlap_keys") == nOverlap)
+    assert(r.getAs[Long]("n_gap_keys") == nGap)
+    assert(r.getAs[Long]("n_unclosed_keys") == nUnclosed)
+    assert(r.getAs[Long]("n_clean_keys") ==
+      c.length - nOverlap - nGap - nUnclosed,
+      "defect classes are disjoint by construction, so they partition")
+    Seq("n_overlap_keys", "n_gap_keys", "n_unclosed_keys").foreach { k =>
+      assert(r.getAs[Long](k) > 0, s"$k: every detector must be exercised")
+    }
+  }
+
   test("holt_forecast: fold matches a driver-side recursion bit for bit") {
     val r = operators.EventScience.holtForecast(spark, sfDir).collect()(0)
     // rebuild the zero-filled daily series and run the recursion in
