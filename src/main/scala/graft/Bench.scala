@@ -59,7 +59,7 @@ object Bench {
       "stream_bench_funnel", "stream_bench_debounce",
       "stream_bench_histogram", "stream_bench_heavyhitters",
       "stream_bench_novelty", "stream_bench_dauwords", "stream_bench_bounce",
-      "stream_bench_cdc",
+      "stream_bench_cdc", "stream_bench_drift",
       "curation_pipeline_e2e", "stream_curation_e2e",
       "ann_index_probe_e2e")
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
@@ -186,6 +186,18 @@ object Bench {
           streaming.EventStreams.eventsStream(spark, sfDir)
             .as[streaming.EventStreams.Event],
           out.resolve("state").toString)
+        try q.processAllAvailable()
+        finally { q.stop(); rmTree(out) }
+      }),
+      ("stream_bench_drift", { (_: String) =>
+        import spark.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft_bench_drift")
+        val ref = Map("click" -> 200000L, "signup" -> 200000L,
+          "error" -> 200000L, "view" -> 200000L, "purchase" -> 200000L)
+        val q = streaming.EventStreams.driftToTable(
+          streaming.EventStreams.eventsStream(spark, sfDir)
+            .as[streaming.EventStreams.Event],
+          ref, out.resolve("days").toString)
         try q.processAllAvailable()
         finally { q.stop(); rmTree(out) }
       }),

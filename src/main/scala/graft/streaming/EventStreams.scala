@@ -384,6 +384,73 @@ object EventStreams {
     graft.sources.Sinks.replaceParquet(merged, path)
   }
 
+  /** Streaming source-mix drift monitor — the ingest-time DQ gate the
+    * batch `drift_tvd` runs after the fact: every micro-batch folds
+    * per-(day, event_type) counts ADDITIVELY into a parquet day table,
+    * and each write re-derives the day's mix shares and its total-
+    * variation distance against a fixed REFERENCE profile (yesterday's
+    * accepted mix in production; injected here) in exact ppm — the
+    * alarm reads `tvd_ppm` per day as data lands, instead of
+    * discovering a source flip in tomorrow's batch profile. Additive
+    * counts make replay idempotence the only hard part, and the
+    * in-table last_batch_id watermark (the [[noveltyToTable]] idiom)
+    * closes it: counts and watermark commit atomically in the sink's
+    * single-rename swap. Reference types missing from a day still
+    * contribute |0 − ref| to the TVD through the outer join with the
+    * reference frame, so a VANISHED source raises the alarm too.
+    */
+  def driftToTable(events: Dataset[Event], refPpm: Map[String, Long],
+      path: String): StreamingQuery =
+    events.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldDriftBatch(batch, batchId, refPpm, path); ()
+      }
+      .start()
+
+  /** One [[driftToTable]] fold — exposed so the spec can drive replay. */
+  private[graft] def foldDriftBatch(batch: DataFrame, batchId: Long,
+      refPpm: Map[String, Long], path: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val existing = graft.sources.Sinks.readParquetIfExists(spark, path)
+    val applied = existing.flatMap(df =>
+      Option(df.agg(max(col("last_batch_id"))).head.get(0))
+        .map(_.asInstanceOf[Long]))
+    if (applied.exists(_ >= batchId)) return
+    val deltas = batch
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"))
+    val counts = existing
+      .map(_.select(col("day"), col("event_type"), col("n_events"))
+        .unionByName(deltas)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events")))
+      .getOrElse(deltas)
+    val ref = refPpm.toSeq.toDF("event_type", "ref_ppm")
+    val wDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"))
+    // TVD per day over the UNION of observed and reference types:
+    // observed rows carry |share − ref|; reference types with zero
+    // observations for a day have no row, so their mass enters as
+    // (refTotal − Σ seen ref) — each absent type contributes
+    // |0 − ref| = ref.
+    val refTotal = refPpm.values.sum
+    val merged = counts.join(broadcast(ref), Seq("event_type"), "left")
+      .select(col("day"), col("event_type"), col("n_events"),
+        coalesce(col("ref_ppm"), lit(0L)).as("ref_ppm"))
+      .withColumn("day_total", sum(col("n_events")).over(wDay))
+      .withColumn("share_ppm", expr("(n_events * 1000000) div day_total"))
+      .withColumn("seen_ref_ppm", sum(col("ref_ppm")).over(wDay))
+      .withColumn("tvd_ppm",
+        expr(s"(sum(abs(share_ppm - ref_ppm)) over " +
+          s"(partition by day) + ($refTotal - seen_ref_ppm)) div 2"))
+      .drop("day_total", "seen_ref_ppm")
+      .withColumn("last_batch_id", lit(batchId))
+    graft.sources.Sinks.replaceParquet(merged, path)
+  }
+
   /** The queryable face of [[cdcToTable]]'s state table: current rows
     * only — tombstones stay in the table (they are load-bearing for
     * late-arrival correctness) but never in the view.

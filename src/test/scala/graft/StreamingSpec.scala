@@ -187,6 +187,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftToTable: per-day mix TVD converges under late data, vanished " +
+      "and novel sources both alarm, replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("drift_tbl")
+    val path = dir.resolve("days").toString
+    val ref = Map("click" -> 500000L, "view" -> 500000L)
+    val input = MemoryStream[Event]
+    val q = EventStreams.driftToTable(input.toDS(), ref, path)
+    val b1 = Seq(
+      Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 2, "click", 1.0),
+      Event(3, ts(3), 3, "click", 1.0), Event(4, ts(4), 4, "view", 1.0))
+    val b2 = Seq(
+      Event(5, ts(5), 5, "view", 1.0), Event(6, ts(6), 6, "view", 1.0),
+      // day 2 is a complete source flip: a type the reference has
+      // never seen, while both reference types vanish
+      Event(7, ts(1441), 7, "purchase", 1.0),
+      Event(8, ts(1442), 8, "purchase", 1.0))
+    def tvd() = spark.read.parquet(path).select(col("day"), col("tvd_ppm"))
+      .distinct().collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("tvd_ppm")).toMap
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // 3:1 click:view against 1:1 → (250000 + 250000) / 2
+      assert(tvd() == Map("1970-01-01" -> 250000L), s"got ${tvd()}")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // late views even day 1 out; day 2 flips completely → TVD = 1
+      assert(tvd() == Map("1970-01-01" -> 0L, "1970-01-02" -> 1000000L),
+        s"got ${tvd()}")
+      // share rows carry the evidence: purchase is 100% of day 2
+      val d2 = spark.read.parquet(path)
+        .filter(col("day") === "1970-01-02").collect()
+      assert(d2.length == 1 &&
+        d2(0).getAs[String]("event_type") == "purchase" &&
+        d2(0).getAs[Long]("share_ppm") == 1000000L &&
+        d2(0).getAs[Long]("ref_ppm") == 0L)
+      // replay: an applied batch id must not double the counts
+      val before = spark.read.parquet(path).collect().toSet
+      EventStreams.foldDriftBatch(b1.toDF(), batchId = 0L, ref, path)
+      assert(spark.read.parquet(path).collect().toSet == before)
+    } finally {
+      q.stop()
+    }
+  }
+
   test("cdcToTable: cross-batch late updates lose to applied tombstones, " +
       "state equals the batch collapse, replay is a no-op") {
     import spark.implicits._
