@@ -1372,7 +1372,89 @@ object Dedup {
       COALESCE(p.longest_span, 0) AS longest_span
     FROM w LEFT JOIN per p USING (doc_id)"""
 
+  /** Content-defined chunking dedup — the STORAGE-layer dedup measure
+    * (rsync/LBFS/backup-system lineage) beside the document-level
+    * scrubs: each doc splits at content-anchored boundaries (a word
+    * whose 24-bit hash ≡ 0 mod 4 ends a chunk — boundaries move WITH
+    * the content, so a shared run of words produces the same chunks
+    * regardless of where it sits in its document, which is exactly what
+    * fixed-size blocks cannot do), and the corpus-wide chunk store is
+    * priced: total vs distinct chunks, total vs distinct word mass, and
+    * the storage savings in exact ppm. The modulus is small because
+    * this corpus's documents are short; production uses 2⁶–2¹¹ (KB-scale
+    * chunks) with the same plan. Scale: chunking is a per-row
+    * projection over the native [[TextOps.hashes]] pass (scan speed,
+    * corpus text exploded exactly once into chunks); the only shuffle
+    * is the chunk-keyed count (map-side combinable), folded to one
+    * summary row.
+    */
+  /** The content-defined chunk list of a word array — public so the
+    * spec can prove the anchoring property (an insertion far from a
+    * chunk does not change it) on crafted documents.
+    */
+  def contentChunks(df: DataFrame, wordsCol: String): DataFrame =
+    df.withColumn("hs", TextOps.hashes(col(wordsCol)))
+      .withColumn("bounds", expr(
+        s"concat(array(0), filter(sequence(1, size($wordsCol)), " +
+          "i -> element_at(hs, i) % 4 = 0), array(size(" + wordsCol + ")))"))
+      .withColumn("chunks", expr(
+        s"filter(transform(sequence(1, size(bounds) - 1), j -> " +
+          s"concat_ws(' ', slice($wordsCol, element_at(bounds, j) + 1, " +
+          "element_at(bounds, j + 1) - element_at(bounds, j)))), " +
+          "s -> s != '')"))
+      .drop("hs", "bounds")
+
+  def contentChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val perChunk = contentChunks(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), TextOps.words(col("text")).as("w")), "w")
+      .select(explode(col("chunks")).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("reps"))
+      .withColumn("wlen", size(split(col("chunk"), " ")).cast("bigint"))
+    perChunk.agg(
+        sum(col("reps")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("reps") * col("wlen")).as("chunk_words_total"),
+        sum(col("wlen")).as("chunk_words_distinct"))
+      .withColumn("savings_ppm", expr(
+        "((chunk_words_total - chunk_words_distinct) * 1000000) " +
+          "div chunk_words_total"))
+  }
+
+  val contentChunkDedupOracle: String = """
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS w FROM documents),
+    h AS (
+      SELECT doc_id, w,
+        LIST_TRANSFORM(w, x -> CAST('0x' || SUBSTR(MD5(x), 1, 6) AS BIGINT))
+          AS hs
+      FROM d),
+    b AS (
+      SELECT doc_id, w,
+        LIST_PREPEND(0, LIST_FILTER(RANGE(1, LEN(w) + 1),
+          i -> hs[i] % 4 = 0) || [LEN(w)]) AS bounds
+      FROM h),
+    c AS (
+      SELECT UNNEST(LIST_FILTER(LIST_TRANSFORM(RANGE(1, LEN(bounds)),
+        j -> ARRAY_TO_STRING(w[bounds[j] + 1 : bounds[j + 1]], ' ')),
+        s -> s <> '')) AS chunk
+      FROM b),
+    per AS (
+      SELECT chunk, COUNT(*) AS reps,
+        CAST(LEN(STRING_SPLIT(chunk, ' ')) AS BIGINT) AS wlen
+      FROM c GROUP BY 1)
+    SELECT CAST(SUM(reps) AS BIGINT) AS n_chunks,
+      COUNT(*) AS n_distinct_chunks,
+      CAST(SUM(reps * wlen) AS BIGINT) AS chunk_words_total,
+      CAST(SUM(wlen) AS BIGINT) AS chunk_words_distinct,
+      ((CAST(SUM(reps * wlen) AS BIGINT) - CAST(SUM(wlen) AS BIGINT))
+        * 1000000) // CAST(SUM(reps * wlen) AS BIGINT) AS savings_ppm
+    FROM per"""
+
   def defs: Map[String, QueryDef] = Map(
+    "content_chunk_dedup" ->
+      QueryDef.sql(contentChunkDedup, contentChunkDedupOracle),
     "longest_dup_span" -> QueryDef.sql(longestDupSpan, longestDupSpanOracle),
     "cross_source_overlap" -> QueryDef.sql(crossSourceOverlap, crossSourceOverlapOracle),
     "dedup_substring" -> QueryDef.sql(dedupSubstring, dedupSubstringOracle),

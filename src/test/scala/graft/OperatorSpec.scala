@@ -1213,6 +1213,39 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("content_chunk_dedup: word mass conserved, savings formula exact, " +
+      "chunks are content-anchored") {
+    val r = operators.Dedup.contentChunkDedup(spark, sfDir).collect()(0)
+    val totalWords = Tables.documents(spark, sfDir)
+      .agg(sum(size(split(col("text"), "\\s+")).cast("bigint")))
+      .collect()(0).getLong(0)
+    assert(r.getAs[Long]("chunk_words_total") == totalWords,
+      "chunk spans partition every document's word list exactly")
+    assert(r.getAs[Long]("chunk_words_distinct") <=
+      r.getAs[Long]("chunk_words_total"))
+    assert(r.getAs[Long]("savings_ppm") ==
+      (r.getAs[Long]("chunk_words_total") -
+        r.getAs[Long]("chunk_words_distinct")) * 1000000L /
+        r.getAs[Long]("chunk_words_total"))
+    assert(r.getAs[Long]("savings_ppm") > 0,
+      "this corpus must actually share chunks or the measure is vacuous")
+    // THE content-defined property: perturbing a document's head does
+    // not change chunks past the first boundary — fixed-size blocks
+    // would shift every block after the insertion
+    import spark.implicits._
+    val doc = Tables.documents(spark, sfDir).select(col("text"))
+      .head().getString(0)
+    val shifted = "zzzinserted " + doc
+    def chunksOf(s: String): Seq[String] =
+      operators.Dedup.contentChunks(
+          Seq(s).toDF("text").select(split(col("text"), "\\s+").as("w")), "w")
+        .select(col("chunks")).collect()(0).getSeq[String](0)
+    val a = chunksOf(doc)
+    val b = chunksOf(shifted)
+    assert(a.drop(1).toSet.subsetOf(b.toSet),
+      "all chunks after the first boundary must survive a head insertion")
+  }
+
   test("scd2_conformance: every injected defect class detected exactly, " +
       "classes partition the keys") {
     val r = operators.Quality.scd2Conformance(spark, sfDir).collect()(0)
