@@ -1220,7 +1220,88 @@ object EventScience {
       l + 7e0 * t AS forecast_7, sse AS sse_one_step
     FROM rec, arr WHERE i = n_days"""
 
+  /** [[holtForecast]] per event type — the grouped form whose PLAN is
+    * the point: a million independent series smooth in ONE key-parallel
+    * pass (groupBy key → per-key bounded array → per-key fold), no
+    * window, no cross-key coordination, because each fold is sealed
+    * inside its group's aggregate. Each series is zero-filled over its
+    * OWN [first, last] day span (a type absent for a day counts 0; a
+    * type that starts late is not charged for days before it existed).
+    * Same α/β, same IEEE fold, same recursive-CTE oracle treatment —
+    * per key.
+    */
+  def holtByType(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"ts div $NsPerDay").as("day_ord"))
+    val obs = ev.groupBy(col("event_type"), col("day_ord"))
+      .agg(count(lit(1)).as("n"))
+    val daily = ev.groupBy(col("event_type"))
+      .agg(min(col("day_ord")).as("d0"), max(col("day_ord")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day_ord"))
+      .join(obs, Seq("event_type", "day_ord"), "left")
+      .select(col("event_type"), col("day_ord"),
+        coalesce(col("n"), lit(0L)).cast("double").as("v"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day_ord"), col("v"))))
+        .as("dv"))
+      .select(col("event_type"),
+        size(col("dv")).cast("bigint").as("n_days"),
+        expr("transform(dv, p -> p.v)").as("vals"))
+      .select(col("event_type"), col("n_days"), expr("""
+        aggregate(slice(vals, 2, size(vals) - 1),
+          named_struct('l', element_at(vals, 1),
+            't', cast(0 as double), 'sse', cast(0 as double)),
+          (acc, x) -> named_struct(
+            'l', 2e-1 * x + 8e-1 * (acc.l + acc.t),
+            't', 1e-1 * ((2e-1 * x + 8e-1 * (acc.l + acc.t)) - acc.l)
+              + 9e-1 * acc.t,
+            'sse', acc.sse + (x - (acc.l + acc.t)) * (x - (acc.l + acc.t))))
+        """).as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level"), col("st.t").as("trend"),
+        expr("st.l + 7e0 * st.t").as("forecast_7"),
+        col("st.sse").as("sse_one_step"))
+  }
+
+  val holtByTypeOracle: String = s"""
+    WITH RECURSIVE ev AS (
+      SELECT event_type, EPOCH_NS(ts) // $NsPerDay AS day_ord FROM events),
+    obs AS (
+      SELECT event_type, day_ord, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    span AS (
+      SELECT event_type, MIN(day_ord) AS d0, MAX(day_ord) AS d1
+      FROM ev GROUP BY 1),
+    spine AS (
+      SELECT event_type, UNNEST(RANGE(d0, d1 + 1)) AS day_ord FROM span),
+    daily AS (
+      SELECT s.event_type, s.day_ord, CAST(COALESCE(o.n, 0) AS DOUBLE) AS v
+      FROM spine s LEFT JOIN obs o
+        ON s.event_type = o.event_type AND s.day_ord = o.day_ord),
+    arr AS (
+      SELECT event_type, LIST(v ORDER BY day_ord) AS vals,
+        CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1),
+    rec AS (
+      SELECT event_type, 1 AS i, vals[1] AS l, CAST(0 AS DOUBLE) AS t,
+        CAST(0 AS DOUBLE) AS sse
+      FROM arr
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+        2e-1 * a.vals[r.i + 1] + 8e-1 * (r.l + r.t),
+        1e-1 * ((2e-1 * a.vals[r.i + 1] + 8e-1 * (r.l + r.t)) - r.l)
+          + 9e-1 * r.t,
+        r.sse + (a.vals[r.i + 1] - (r.l + r.t))
+          * (a.vals[r.i + 1] - (r.l + r.t))
+      FROM rec r JOIN arr a ON r.event_type = a.event_type
+      WHERE r.i < a.n_days)
+    SELECT r.event_type, a.n_days, r.l AS level, r.t AS trend,
+      r.l + 7e0 * r.t AS forecast_7, r.sse AS sse_one_step
+    FROM rec r JOIN arr a ON r.event_type = a.event_type
+    WHERE r.i = a.n_days"""
+
   def defs: Map[String, QueryDef] = Map(
+    "holt_by_type" -> QueryDef.sql(holtByType, holtByTypeOracle),
     "stickiness_dau_mau" -> QueryDef.sql(stickinessDauMau, stickinessDauMauOracle),
     "growth_accounting" ->
       QueryDef.sql(growthAccounting, growthAccountingOracle),

@@ -938,7 +938,84 @@ object Similarity {
         AS share_ppm
     FROM conf"""
 
+  /** Johnson–Lindenstrauss projection distortion audit — the check run
+    * BEFORE committing an ANN index to a cheaper projected space: the
+    * 10-probe set projects from 64 to k = 16 dimensions through a
+    * deterministic ±1 sign matrix (the Achlioptas construction with
+    * signs drawn from the salt-keyed hash — seedless, both engines
+    * derive the identical matrix), and every probe pair reports its
+    * projected-vs-original squared-distance ratio in exact ppm
+    * (E[d̂²] = k·d², so ratio = d_proj²·10⁶ ÷ (k·d_orig²) concentrates
+    * at 10⁶; coordinates quantize to integer milli-units so every
+    * distance is exact BIGINT — µ-units would overflow the ratio's
+    * cross-multiplication). Scale: everything is probe-set-sized (the
+    * documented brute-force frame every ANN audit here shares); the
+    * corpus is never touched beyond the 10-probe read.
+    */
+  def jlProjectionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("v").cast("double") * lit(1000d) + lit(0.5d)).as("v_m"))
+    val sign = when(graft.functions.TextOps.hash24(
+        concat(lit("jl|"), col("dim").cast("string"),
+          lit("|"), col("j").cast("string"))) % 2 === 0, lit(1L))
+      .otherwise(lit(-1L))
+    val proj = dims
+      .crossJoin(broadcast(spark.range(0, 16).select(col("id").as("j"))))
+      .withColumn("s", sign)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("s") * col("v_m")).as("p"))
+    def pairs(df: DataFrame, key: String, value: String) = {
+      val a = df.select(col("vec_id").as("a"), col(key).as("k"),
+        col(value).as("va"))
+      val b = df.select(col("vec_id").as("b"), col(key).as("k"),
+        col(value).as("vb"))
+      a.join(b, Seq("k")).filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum((col("va") - col("vb")) * (col("va") - col("vb")))
+          .as(s"d_${value}_sq"))
+    }
+    pairs(dims, "dim", "v_m").join(pairs(proj, "j", "p"), Seq("a", "b"))
+      .select(col("a"), col("b"),
+        col("d_v_m_sq").as("d_orig_sq"), col("d_p_sq").as("d_proj_sq"))
+      .withColumn("ratio_ppm",
+        expr("(d_proj_sq * 1000000) div (16 * d_orig_sq)"))
+  }
+
+  val jlProjectionAuditOracle: String = """
+    WITH dims AS (
+      SELECT vec_id, d.dim,
+        CAST(FLOOR(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000 + 0.5)
+          AS BIGINT) AS v_m
+      FROM embeddings
+      CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS dim) d
+      WHERE vec_id < 10),
+    proj AS (
+      SELECT vec_id, j.j,
+        CAST(SUM(CASE WHEN CAST('0x' || SUBSTR(MD5('jl|' ||
+            CAST(dim AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 6)
+            AS BIGINT) % 2 = 0 THEN v_m ELSE -v_m END) AS BIGINT) AS p
+      FROM dims CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS j) j
+      GROUP BY 1, 2),
+    po AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+        CAST(SUM((x.v_m - y.v_m) * (x.v_m - y.v_m)) AS BIGINT) AS d_orig_sq
+      FROM dims x JOIN dims y ON x.dim = y.dim AND x.vec_id < y.vec_id
+      GROUP BY 1, 2),
+    pp AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+        CAST(SUM((x.p - y.p) * (x.p - y.p)) AS BIGINT) AS d_proj_sq
+      FROM proj x JOIN proj y ON x.j = y.j AND x.vec_id < y.vec_id
+      GROUP BY 1, 2)
+    SELECT po.a, po.b, po.d_orig_sq, pp.d_proj_sq,
+      (pp.d_proj_sq * 1000000) // (16 * po.d_orig_sq) AS ratio_ppm
+    FROM po JOIN pp ON po.a = pp.a AND po.b = pp.b"""
+
   def defs: Map[String, QueryDef] = Map(
+    "jl_projection_audit" ->
+      QueryDef.sql(jlProjectionAudit, jlProjectionAuditOracle),
     "centroid_confusion" ->
       QueryDef.sql(centroidConfusion, centroidConfusionOracle),
     "embedding_drift" -> QueryDef.sql(embeddingDrift, embeddingDriftOracle),

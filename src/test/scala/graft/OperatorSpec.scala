@@ -1213,6 +1213,59 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("jl_projection_audit: all probe pairs, unbiased-estimator ratios " +
+      "concentrate, distances recompute") {
+    val rows = operators.Similarity.jlProjectionAudit(spark, sfDir).collect()
+    assert(rows.length == 45, "C(10,2) probe pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d_orig_sq") > 0 && r.getAs[Long]("d_proj_sq") > 0)
+    }
+    // the estimator is unbiased, so the MEAN ratio over 45 pairs must
+    // sit near 1e6 even though single pairs scatter (JL concentration)
+    val mean = rows.map(_.getAs[Long]("ratio_ppm")).sum / rows.length
+    assert(mean > 700000L && mean < 1400000L,
+      s"mean distortion ratio $mean ppm is too far from the unbiased 1e6")
+    // recompute one pair's original distance straight off the vectors
+    val vecs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 2)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    val expected = vecs(0).zip(vecs(1)).map { case (x, y) =>
+      val d = math.floor(x.toDouble * 1000 + 0.5).toLong -
+        math.floor(y.toDouble * 1000 + 0.5).toLong
+      d * d
+    }.sum
+    val pair01 = rows.find(r =>
+      r.getAs[Long]("a") == 0 && r.getAs[Long]("b") == 1).get
+    assert(pair01.getAs[Long]("d_orig_sq") == expected)
+  }
+
+  test("holt_by_type: every per-key fold matches its driver-side recursion") {
+    val rows = operators.EventScience.holtByType(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val nsDay = 86400L * 1000 * 1000 * 1000
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr(s"ts div $nsDay").as("d"))
+      .groupBy(col("event_type"), col("d")).count().collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(rows.keySet == byType.keySet, "one smoothed row per series")
+    byType.foreach { case (tpe, days) =>
+      val m = days.map(r => r.getAs[Long]("d") -> r.getAs[Long]("count")).toMap
+      val vals = (m.keys.min to m.keys.max).map(d => m.getOrElse(d, 0L).toDouble)
+      var l = vals.head; var t = 0.0; var sse = 0.0
+      vals.tail.foreach { x =>
+        val nl = 2e-1 * x + 8e-1 * (l + t)
+        val nt = 1e-1 * ((2e-1 * x + 8e-1 * (l + t)) - l) + 9e-1 * t
+        sse = sse + (x - (l + t)) * (x - (l + t))
+        l = nl; t = nt
+      }
+      val r = rows(tpe)
+      assert(r.getAs[Long]("n_days") == vals.length, s"$tpe day span")
+      assert(r.getAs[Double]("level") == l, s"$tpe level bit-exact")
+      assert(r.getAs[Double]("trend") == t, s"$tpe trend bit-exact")
+      assert(r.getAs[Double]("sse_one_step") == sse, s"$tpe sse bit-exact")
+    }
+  }
+
   test("content_chunk_dedup: word mass conserved, savings formula exact, " +
       "chunks are content-anchored") {
     val r = operators.Dedup.contentChunkDedup(spark, sfDir).collect()(0)
