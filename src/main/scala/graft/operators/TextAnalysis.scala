@@ -1711,7 +1711,75 @@ object TextAnalysis {
     JOIN cu cy ON cy.u = STRING_SPLIT(cb.b, ' ')[2]
     ORDER BY dice_ppm DESC, bigram ASC LIMIT 20"""
 
+  /** Fleiss' κ across the THREE quality raters (gopher rules, the
+    * weighted quality score at 0.8, and the repetition gate at 0.2) —
+    * the m-rater generalization of [[filterAgreementKappa]]'s 2×2:
+    * when a curation pipeline stacks gates, pairwise κ misses
+    * three-way structure (two gates can each disagree with the third
+    * in opposite directions and still pairwise-agree), and Fleiss is
+    * the standard multi-rater chance-corrected agreement. All exact
+    * integer: per doc the positive-vote count x ∈ [0,3], P̄ from
+    * S1 = Σ[x(x−1)+(3−x)(2−x)], Pe from the pooled vote share, κ by
+    * BIGINT cross-multiplication in ppm (both engines' integer
+    * division truncates toward zero — verified — so the negative-κ
+    * branch needs no special casing; past ~7·10⁵ docs the
+    * cross-products need the gini divide-the-denominator-first
+    * treatment). The repetition vote is the integer form
+    * 5·n_distinct ≥ 4·n_bigrams ⟺ repetition ≤ 0.2 — no float
+    * threshold can drift. One corpus scan, one row.
+    */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val bg = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.Bigrams(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    val x = when(gopherRuleExprs.reduce(_ && _), 1L).otherwise(0L) +
+      when(qualityScoreExpr > 0.8, 1L).otherwise(0L) +
+      when(size(array_distinct(bg)).cast("bigint") * 5 >=
+        size(bg).cast("bigint") * 4, 1L).otherwise(0L)
+    Tables.documents(spark, dir).select(x.as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
+        sum(expr("x * (x - 1) + (3 - x) * (2 - x)")).as("s1"))
+      .select(col("n").as("n_docs"), col("t").as("votes_pos"),
+        expr("(s1 * 1000000) div (6 * n)").as("pbar_ppm"),
+        expr("((t * t + (3 * n - t) * (3 * n - t)) * 1000000) " +
+          "div (9 * n * n)").as("pe_ppm"),
+        expr("""CASE
+          WHEN 2 * (9 * n * n - t * t - (3 * n - t) * (3 * n - t)) = 0
+            THEN CAST(NULL AS BIGINT)
+          ELSE ((3 * s1 * n - 2 * (t * t + (3 * n - t) * (3 * n - t)))
+            * 1000000)
+            div (2 * (9 * n * n - t * t - (3 * n - t) * (3 * n - t)))
+          END""").as("kappa_ppm"))
+  }
+
+  lazy val fleissKappaOracle: String = s"""
+    WITH votes AS (
+      SELECT (CASE WHEN g.pass THEN 1 ELSE 0 END
+            + CASE WHEN q.quality_score > 0.8 THEN 1 ELSE 0 END
+            + CASE WHEN r.n_distinct * 5 >= r.n_bigrams * 4
+                THEN 1 ELSE 0 END) AS x
+      FROM ($gopherRulesOracle) g
+      JOIN ($qualityScoreOracle) q ON g.doc_id = q.doc_id
+      JOIN ($repetitionScoreOracle) r ON g.doc_id = r.doc_id),
+    agg AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS t,
+        CAST(SUM(x * (x - 1) + (3 - x) * (2 - x)) AS BIGINT) AS s1
+      FROM votes)
+    SELECT n AS n_docs, t AS votes_pos,
+      (s1 * 1000000) // (6 * n) AS pbar_ppm,
+      ((t * t + (3 * n - t) * (3 * n - t)) * 1000000)
+        // (9 * n * n) AS pe_ppm,
+      CASE
+        WHEN 2 * (9 * n * n - t * t - (3 * n - t) * (3 * n - t)) = 0
+          THEN NULL
+        ELSE ((3 * s1 * n - 2 * (t * t + (3 * n - t) * (3 * n - t)))
+          * 1000000)
+          // (2 * (9 * n * n - t * t - (3 * n - t) * (3 * n - t)))
+        END AS kappa_ppm
+    FROM agg"""
+
   def defs: Map[String, QueryDef] = Map(
+    "fleiss_kappa" -> QueryDef.sql(fleissKappa, fleissKappaOracle),
     "ngram_novelty" -> QueryDef.sql(ngramNovelty, ngramNoveltyOracle),
     "collocations_dice" ->
       QueryDef.sql(collocationsDice, collocationsDiceOracle),

@@ -1213,6 +1213,39 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("fleiss_kappa: exact agreement with a driver-side recount over the " +
+      "three public gates") {
+    val r = operators.TextAnalysis.fleissKappa(spark, sfDir).collect()(0)
+    val g = operators.TextAnalysis.gopherRules(spark, sfDir)
+      .select(col("doc_id"), col("pass")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("pass")).toMap
+    val q = operators.TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("quality_score") > 0.8)).toMap
+    val rep = operators.TextAnalysis.repetitionScore(spark, sfDir)
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_distinct") * 5 >= x.getAs[Long]("n_bigrams") * 4))
+      .toMap
+    val xs = g.keys.toSeq.map { id =>
+      Seq(g(id), q(id), rep(id)).count(identity).toLong
+    }
+    val n = xs.length.toLong
+    val t = xs.sum
+    val s1 = xs.map(x => x * (x - 1) + (3 - x) * (2 - x)).sum
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("votes_pos") == t)
+    assert(r.getAs[Long]("pbar_ppm") == s1 * 1000000L / (6 * n))
+    val peNum = t * t + (3 * n - t) * (3 * n - t)
+    assert(r.getAs[Long]("pe_ppm") == peNum * 1000000L / (9 * n * n))
+    val den = 2 * (9 * n * n - peNum)
+    assert(den != 0 && r.getAs[Long]("kappa_ppm") ==
+      (3 * s1 * n - 2 * peNum) * 1000000L / den)
+    // non-vacuous: votes must actually split (not all-0 or all-3)
+    assert(xs.distinct.length > 1)
+  }
+
   test("jl_projection_audit: all probe pairs, unbiased-estimator ratios " +
       "concentrate, distances recompute") {
     val rows = operators.Similarity.jlProjectionAudit(spark, sfDir).collect()
