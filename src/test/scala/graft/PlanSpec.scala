@@ -213,6 +213,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"chunk bases not broadcast:\n$p")
   }
 
+  test("scd2_point_in_time plans as an equi-join on the key, never a " +
+      "range/nested-loop join") {
+    val df = operators.Relational.scd2PointInTime(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the validity window must ride as a residual condition on the
+    // custkey equi-join; a nested-loop plan here would be O(facts·dim)
+    // at 100 TB
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"point-in-time join degenerated to a non-equi plan:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join found in the point-in-time plan:\n$p")
+  }
+
+  test("cdc_apply is one map-side-combinable aggregate — no window, no " +
+      "sort, no join") {
+    val df = sources.Ingest.cdcApply(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the changelog collapse must stay a pure aggregate:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"expected a two-phase hash aggregate:\n$p")
+  }
+
   test("tfidf_top_terms and cluster_topics route per-key top-k through TopKPerKeyExec") {
     // Both pay a per-key top-k over doc×term / cluster×term rows — the
     // custom heap operator replaces the full partition sort the window
