@@ -1391,18 +1391,39 @@ object Dedup {
   /** The content-defined chunk list of a word array — public so the
     * spec can prove the anchoring property (an insertion far from a
     * chunk does not change it) on crafted documents.
+    *
+    * Shape matters here: the first cut computed a `bounds` array column
+    * and indexed it from INSIDE a transform lambda — ProjectCollapse
+    * inlines the bounds expression (and the per-word md5 pass under it)
+    * into the lambda body, where it re-evaluates PER ITERATION:
+    * O(words² · chunks) hashing per row, 70× wall at sf0.1. This form
+    * is a single left fold whose lambdas touch only their own
+    * variables; the word and hash arrays appear exclusively as HOF
+    * CHILDREN (zip_with's inputs), which Spark evaluates once per row.
+    * A boundary word (hash ≡ 0 mod 4) closes its chunk; the trailing
+    * partial chunk flushes in the finish lambda.
     */
-  def contentChunks(df: DataFrame, wordsCol: String): DataFrame =
-    df.withColumn("hs", TextOps.hashes(col(wordsCol)))
-      .withColumn("bounds", expr(
-        s"concat(array(0), filter(sequence(1, size($wordsCol)), " +
-          "i -> element_at(hs, i) % 4 = 0), array(size(" + wordsCol + ")))"))
-      .withColumn("chunks", expr(
-        s"filter(transform(sequence(1, size(bounds) - 1), j -> " +
-          s"concat_ws(' ', slice($wordsCol, element_at(bounds, j) + 1, " +
-          "element_at(bounds, j + 1) - element_at(bounds, j)))), " +
-          "s -> s != '')"))
-      .drop("hs", "bounds")
+  def contentChunks(df: DataFrame, wordsCol: String): DataFrame = {
+    val emptyArr = array().cast("array<string>")
+    val pairs = zip_with(col(wordsCol), TextOps.hashes(col(wordsCol)),
+      (x, h) => struct(x.as("w"), h.as("hv")))
+    val folded = aggregate(
+      pairs,
+      struct(emptyArr.as("done"), emptyArr.as("cur")),
+      (acc, p) => when(p.getField("hv") % 4 === 0,
+          struct(
+            concat(acc.getField("done"), array(concat_ws(" ",
+              concat(acc.getField("cur"), array(p.getField("w"))))))
+              .as("done"),
+            emptyArr.as("cur")))
+        .otherwise(struct(
+          acc.getField("done").as("done"),
+          concat(acc.getField("cur"), array(p.getField("w"))).as("cur"))),
+      acc => when(size(acc.getField("cur")) === 0, acc.getField("done"))
+        .otherwise(concat(acc.getField("done"),
+          array(concat_ws(" ", acc.getField("cur"))))))
+    df.withColumn("chunks", filter(folded, s => s =!= ""))
+  }
 
   def contentChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val perChunk = contentChunks(
