@@ -1300,7 +1300,115 @@ object EventScience {
     FROM rec r JOIN arr a ON r.event_type = a.event_type
     WHERE r.i = a.n_days"""
 
+  /** Holt–Winters additive triple smoothing of the daily event series
+    * (α = 0.2, β = 0.1, γ = 0.3, weekly seasonality) — the top of the
+    * smoothing ladder (EWMA: level; [[holtForecast]]: +trend; this:
+    * +the weekday wave [[seasonalDecompose]] showed is real), with the
+    * one-step-ahead SSE carried through the fold so the three models'
+    * fits compare on the same number. Same portability discipline as
+    * Holt: a sequential fold over the calendar-bounded (value, dow)
+    * struct array with the identical IEEE expression tree per step in
+    * both engines — the seasonal state is an in-fold 7-slot array on
+    * the Spark side and seven recursive-CTE columns in the oracle
+    * (values identical; LIST_REDUCE is unusable for struct state on
+    * DuckDB 1.0). Lambdas touch only lambda variables — the inlining
+    * trap the chunker hit cannot bite. Scale: one corpus-keyed daily
+    * aggregate; the fold runs over ≤ span days.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr(s"ts div $NsPerDay").as("day_ord"))
+    val obs = ev.groupBy(col("day_ord")).agg(count(lit(1)).as("n"))
+    val daily = ev.agg(min(col("day_ord")).as("d0"), max(col("day_ord")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day_ord"))
+      .join(obs, Seq("day_ord"), "left")
+      .select(col("day_ord"), coalesce(col("n"), lit(0L)).cast("double").as("v"))
+    daily
+      .agg(sort_array(collect_list(struct(col("day_ord"), col("v")))).as("dv"))
+      .select(size(col("dv")).cast("bigint").as("n_days"),
+        expr("transform(dv, p -> named_struct(" +
+          "'v', p.v, 'dw', cast((p.day_ord + 4) % 7 as int)))").as("vals"),
+        expr("cast((element_at(dv, size(dv)).day_ord + 7 + 4) % 7 as int)")
+          .as("f_dw"))
+      .select(col("n_days"), col("f_dw"), expr("""
+        aggregate(slice(vals, 2, size(vals) - 1),
+          named_struct('l', element_at(vals, 1).v, 't', cast(0 as double),
+            's', array_repeat(cast(0 as double), 7),
+            'sse', cast(0 as double)),
+          (acc, p) -> named_struct(
+            'l', 2e-1 * (p.v - element_at(acc.s, p.dw + 1))
+              + 8e-1 * (acc.l + acc.t),
+            't', 1e-1 * ((2e-1 * (p.v - element_at(acc.s, p.dw + 1))
+              + 8e-1 * (acc.l + acc.t)) - acc.l) + 9e-1 * acc.t,
+            's', transform(sequence(0, 6), k -> if(k = p.dw,
+              3e-1 * (p.v - (2e-1 * (p.v - element_at(acc.s, p.dw + 1))
+                + 8e-1 * (acc.l + acc.t)))
+                + 7e-1 * element_at(acc.s, p.dw + 1),
+              element_at(acc.s, k + 1))),
+            'sse', acc.sse
+              + (p.v - (acc.l + acc.t + element_at(acc.s, p.dw + 1)))
+              * (p.v - (acc.l + acc.t + element_at(acc.s, p.dw + 1)))))
+        """).as("st"))
+      .select(col("n_days"), col("st.l").as("level"), col("st.t").as("trend"),
+        expr("element_at(st.s, f_dw + 1)").as("seasonal_f7"),
+        expr("st.l + 7e0 * st.t + element_at(st.s, f_dw + 1)")
+          .as("forecast_7"),
+        col("st.sse").as("sse_one_step"))
+  }
+
+  val holtWintersOracle: String = {
+    def sdw(pfx: String) =
+      s"CASE (d0 + $pfx.i + 4) % 7 WHEN 0 THEN $pfx.s0 WHEN 1 THEN $pfx.s1" +
+        s" WHEN 2 THEN $pfx.s2 WHEN 3 THEN $pfx.s3 WHEN 4 THEN $pfx.s4" +
+        s" WHEN 5 THEN $pfx.s5 ELSE $pfx.s6 END"
+    val x = "a.vals[r.i + 1]"
+    val lNew = s"2e-1 * ($x - (${sdw("r")})) + 8e-1 * (r.l + r.t)"
+    def sUpd(k: Int) =
+      s"CASE WHEN (d0 + r.i + 4) % 7 = $k THEN 3e-1 * ($x - ($lNew))" +
+        s" + 7e-1 * (${sdw("r")}) ELSE r.s$k END"
+    s"""
+    WITH RECURSIVE ev AS (
+      SELECT EPOCH_NS(ts) // $NsPerDay AS day_ord FROM events),
+    obs AS (SELECT day_ord, COUNT(*) AS n FROM ev GROUP BY 1),
+    span AS (SELECT MIN(day_ord) AS d0, MAX(day_ord) AS d1 FROM ev),
+    spine AS (SELECT UNNEST(RANGE(d0, d1 + 1)) AS day_ord FROM span),
+    daily AS (
+      SELECT s.day_ord, CAST(COALESCE(o.n, 0) AS DOUBLE) AS v
+      FROM spine s LEFT JOIN obs o ON s.day_ord = o.day_ord),
+    arr AS (
+      SELECT LIST(v ORDER BY day_ord) AS vals,
+        CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily),
+    rec AS (
+      SELECT 1 AS i, vals[1] AS l, CAST(0 AS DOUBLE) AS t,
+        CAST(0 AS DOUBLE) AS s0, CAST(0 AS DOUBLE) AS s1,
+        CAST(0 AS DOUBLE) AS s2, CAST(0 AS DOUBLE) AS s3,
+        CAST(0 AS DOUBLE) AS s4, CAST(0 AS DOUBLE) AS s5,
+        CAST(0 AS DOUBLE) AS s6, CAST(0 AS DOUBLE) AS sse
+      FROM arr
+      UNION ALL
+      SELECT r.i + 1,
+        $lNew,
+        1e-1 * (($lNew) - r.l) + 9e-1 * r.t,
+        ${(0 to 6).map(sUpd).mkString(",\n        ")},
+        r.sse + ($x - (r.l + r.t + (${sdw("r")})))
+          * ($x - (r.l + r.t + (${sdw("r")})))
+      FROM rec r, arr a, span WHERE r.i < a.n_days)
+    SELECT a.n_days, r.l AS level, r.t AS trend,
+      CASE (d0 + a.n_days - 1 + 7 + 4) % 7
+        WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+        WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+        ELSE r.s6 END AS seasonal_f7,
+      r.l + 7e0 * r.t + (CASE (d0 + a.n_days - 1 + 7 + 4) % 7
+        WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+        WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+        ELSE r.s6 END) AS forecast_7,
+      r.sse AS sse_one_step
+    FROM rec r, arr a, span WHERE r.i = a.n_days"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "holt_winters" -> QueryDef.sql(holtWinters, holtWintersOracle),
     "holt_by_type" -> QueryDef.sql(holtByType, holtByTypeOracle),
     "stickiness_dau_mau" -> QueryDef.sql(stickinessDauMau, stickinessDauMauOracle),
     "growth_accounting" ->
