@@ -417,7 +417,59 @@ object Ingest {
       n_changes
     FROM latest WHERE rn = 1 AND op <> 'D'"""
 
+  /** CDC → SCD2 history build — the companion the warehouse keeps
+    * NEXT TO [[cdcApply]]'s current table: every change event becomes
+    * a validity window ([event ts, next event ts) per key, the last
+    * window open and flagged current unless the key's final op is a
+    * tombstone — a delete CLOSES history rather than extending it).
+    * This is how a changelog becomes a point-in-time-queryable
+    * dimension ([[graft.operators.Relational]] scd2_point_in_time is
+    * the consumer shape; [[graft.operators.Quality]] scd2_conformance
+    * the DQ gate — by construction this builder can produce neither
+    * overlaps nor gaps, since consecutive windows share their
+    * boundary). Timestamps stay integer epoch-micros end to end (the
+    * repo's timestamp-portability rule). Scale: ONE key-partitioned
+    * lead window over the changelog — per-key state is a sort within
+    * the key's partition, no global sort, no join.
+    */
+  def cdcHistoryScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("lsn"))
+    Tables.events(spark, dir).select(
+        col("event_id").as("lsn"), col("user_id"),
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        expr("ts div 1000").as("ts_us"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current",
+        col("valid_to_us").isNull && col("op") =!= "D")
+      .select(col("user_id"), col("lsn"), col("op"),
+        col("cents").as("value_cents"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("is_current"))
+  }
+
+  val cdcHistoryScd2Oracle: String = """
+    SELECT user_id, lsn, op, cents AS value_cents,
+      ts_us AS valid_from_us,
+      LEAD(ts_us, 1) OVER (PARTITION BY user_id ORDER BY lsn)
+        AS valid_to_us,
+      (LEAD(ts_us, 1) OVER (PARTITION BY user_id ORDER BY lsn) IS NULL
+        AND op <> 'D') AS is_current
+    FROM (
+      SELECT event_id AS lsn, user_id,
+        CASE WHEN event_type = 'signup' THEN 'I'
+             WHEN event_type = 'error' THEN 'D'
+             ELSE 'U' END AS op,
+        EPOCH_NS(ts) // 1000 AS ts_us,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)"""
+
   def defs: Map[String, QueryDef] = Map(
+    "cdc_history_scd2" ->
+      QueryDef.sql(cdcHistoryScd2, cdcHistoryScd2Oracle),
     "cdc_apply" -> QueryDef.sql(cdcApply, cdcApplyOracle),
     "snapshot_diff" -> QueryDef.sql(snapshotDiff, snapshotDiffOracle),
     "zorder_layout" -> QueryDef.sql(zorderLayout, zorderLayoutOracle),

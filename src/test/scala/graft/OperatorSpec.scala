@@ -1213,6 +1213,33 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("cdc_history_scd2: one window per change, gapless chains, current " +
+      "rows reconcile with cdc_apply") {
+    val hist = sources.Ingest.cdcHistoryScd2(spark, sfDir).collect()
+    assert(hist.length == Tables.events(spark, sfDir).count(),
+      "every change event owns exactly one validity window")
+    // chains are gapless and boundary-shared by construction — verify
+    hist.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("lsn"))
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+          "consecutive windows must share their boundary")
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")))
+      assert(sorted.init.forall(!_.getAs[Boolean]("is_current")),
+        "only a key's last window may be current")
+    }
+    // the history's current rows ARE cdc_apply's table
+    val current = hist.filter(_.getAs[Boolean]("is_current"))
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("lsn"), r.getAs[Long]("value_cents"))).toMap
+    val applied = sources.Ingest.cdcApply(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("last_lsn"), r.getAs[Long]("value_cents"))).toMap
+    assert(current == applied,
+      "current-flagged history rows must equal the collapsed state")
+  }
+
   test("holt_winters: fold matches a driver-side recursion bit for bit, " +
       "seasonality improves on Holt's fit") {
     val r = operators.EventScience.holtWinters(spark, sfDir).collect()(0)
