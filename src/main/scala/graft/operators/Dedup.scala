@@ -1473,7 +1473,79 @@ object Dedup {
         * 1000000) // CAST(SUM(reps * wlen) AS BIGINT) AS savings_ppm
     FROM per"""
 
+  /** Cross-source chunk-sharing matrix — the PROVENANCE view on top of
+    * [[contentChunkDedup]]'s corpus totals: for every source pair, how
+    * many distinct content-defined chunks they share and the Jaccard
+    * overlap of their chunk sets in exact ppm — "who syndicates whom",
+    * the audit that finds boilerplate FLOWS between sources where the
+    * corpus-level savings number only says boilerplate exists
+    * ([[crossSourceOverlap]] is the document-shingle analog; chunks
+    * catch shared runs documents don't fully contain). Scale: distinct
+    * (source, chunk) pairs once (chunk-keyed, map-side), a chunk-keyed
+    * self-join whose fan-out is bounded by \|sources\|² per chunk —
+    * the output domain — and two \|sources\|-row broadcast join-backs.
+    */
+  def chunkSharingMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.functions.PlanGuard.persist(
+      contentChunks(
+        Tables.documents(spark, dir)
+          .select(col("source"), TextOps.words(col("text")).as("w")), "w")
+        .select(col("source"), explode(col("chunks")).as("chunk"))
+        .distinct())
+    val counts = chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"))
+    chunks.select(col("source").as("source_a"), col("chunk"))
+      .join(chunks.select(col("source").as("source_b"), col("chunk")),
+        Seq("chunk"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n_chunks").as("n_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n_chunks").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)")
+          .as("jaccard_ppm"))
+  }
+
+  val chunkSharingMatrixOracle: String = """
+    WITH d AS (
+      SELECT source, STRING_SPLIT_REGEX(text, '\s+') AS w FROM documents),
+    h AS (
+      SELECT source, w,
+        LIST_TRANSFORM(w, x -> CAST('0x' || SUBSTR(MD5(x), 1, 6) AS BIGINT))
+          AS hs
+      FROM d),
+    b AS (
+      SELECT source, w,
+        LIST_PREPEND(0, LIST_FILTER(RANGE(1, LEN(w) + 1),
+          i -> hs[i] % 4 = 0) || [LEN(w)]) AS bounds
+      FROM h),
+    c AS (
+      SELECT DISTINCT source,
+        UNNEST(LIST_FILTER(LIST_TRANSFORM(RANGE(1, LEN(bounds)),
+          j -> ARRAY_TO_STRING(w[bounds[j] + 1 : bounds[j + 1]], ' ')),
+          s -> s <> '')) AS chunk
+      FROM b),
+    counts AS (SELECT source, COUNT(*) AS n_chunks FROM c GROUP BY 1),
+    shared AS (
+      SELECT x.source AS source_a, y.source AS source_b,
+        COUNT(*) AS n_shared
+      FROM c x JOIN c y ON x.chunk = y.chunk AND x.source < y.source
+      GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b,
+      ca.n_chunks AS n_a, cb.n_chunks AS n_b, s.n_shared,
+      (s.n_shared * 1000000) // (ca.n_chunks + cb.n_chunks - s.n_shared)
+        AS jaccard_ppm
+    FROM shared s
+    JOIN counts ca ON ca.source = s.source_a
+    JOIN counts cb ON cb.source = s.source_b"""
+
   def defs: Map[String, QueryDef] = Map(
+    "chunk_sharing_matrix" ->
+      QueryDef.sql(chunkSharingMatrix, chunkSharingMatrixOracle),
     "content_chunk_dedup" ->
       QueryDef.sql(contentChunkDedup, contentChunkDedupOracle),
     "longest_dup_span" -> QueryDef.sql(longestDupSpan, longestDupSpanOracle),

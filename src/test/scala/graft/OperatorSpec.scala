@@ -1213,6 +1213,36 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("chunk_sharing_matrix: symmetric-complete pairs, shared bounded by " +
+      "both sides, one cell recounted") {
+    val rows = operators.Dedup.chunkSharingMatrix(spark, sfDir).collect()
+    val nSources = Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      "on this corpus every source pair shares at least one chunk, so " +
+        "the matrix is complete")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      assert(r.getAs[Long]("jaccard_ppm") ==
+        r.getAs[Long]("n_shared") * 1000000L /
+          (r.getAs[Long]("n_a") + r.getAs[Long]("n_b") -
+            r.getAs[Long]("n_shared")))
+    }
+    // recount one cell with independent set arithmetic over the chunker
+    val bySource = operators.Dedup.contentChunks(
+        Tables.documents(spark, sfDir)
+          .select(col("source"), split(col("text"), "\\s+").as("w")), "w")
+      .select(col("source"), explode(col("chunks")).as("c"))
+      .collect().groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[String]("c")).toSet }
+    val (sa, sb) = (rows.head.getAs[String]("source_a"),
+      rows.head.getAs[String]("source_b"))
+    assert(rows.head.getAs[Long]("n_shared") ==
+      bySource(sa).intersect(bySource(sb)).size.toLong)
+    assert(rows.head.getAs[Long]("n_a") == bySource(sa).size.toLong)
+  }
+
   test("cdc_history_scd2: one window per change, gapless chains, current " +
       "rows reconcile with cdc_apply") {
     val hist = sources.Ingest.cdcHistoryScd2(spark, sfDir).collect()
