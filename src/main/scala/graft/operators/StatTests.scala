@@ -1416,7 +1416,124 @@ object StatTests {
     GROUP BY 3, 4, 5"""
   }
 
+  /** Poisson-bootstrap 90% CI of the mean-difference on EXACTLY the
+    * contrast [[welchTtest]] tests (top-2 sources' document lengths) —
+    * the assumption-free twin: Welch assumes approximate normality of
+    * the means; the bootstrap prices the same difference from the data
+    * alone, and reading the two side by side is the standard
+    * robustness check before acting on a significance call. Same
+    * machinery as [[bootstrapMeanCi]] (B = 64 deterministic salt-keyed
+    * Poisson(1) weights — a DISTINCT salt, so the two audits' draws
+    * are independent), per-resample side means in exact integer
+    * milli-chars, nearest-rank CI over the B differences. Scale: one
+    * ×B narrow explode of the two sources' docs, collapsing map-side
+    * to 2B rows; the only window ranks the constant B-row frame.
+    */
+  def bootstrapDiffCi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val top2 = graft.functions.Iterate.checkpoint(
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("source").asc).limit(2)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("source").asc))),
+      Some("rank over the post-LIMIT 2-row top-source frame"))
+    val sides = docs.join(broadcast(top2.select(col("source"), col("rank"))),
+      Seq("source"))
+    val u = graft.functions.TextOps.hash24(concat(
+      lit("bsd|"), col("doc_id").cast("string"), lit(":"),
+      col("b").cast("string")))
+    val w = PoissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(7L)) { case (acc, (t, k)) =>
+        when(col("u") < t, lit(k.toLong)).otherwise(acc)
+      }
+    val perB = sides
+      .select(col("doc_id"), col("rank"), col("n_chars"),
+        explode(sequence(lit(1), lit(BootB))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("rank") === 1, col("w")).otherwise(0L)).as("nw1"),
+        sum(when(col("rank") === 1, col("w") * col("n_chars")))
+          .as("sw1"),
+        sum(when(col("rank") === 2, col("w")).otherwise(0L)).as("nw2"),
+        sum(when(col("rank") === 2, col("w") * col("n_chars")))
+          .as("sw2"))
+      .withColumn("diff_milli",
+        expr("(sw1 * 1000) div nw1 - (sw2 * 1000) div nw2"))
+    val ranked = graft.functions.Iterate.checkpoint(
+      perB.withColumn("rk", row_number().over(
+        Window.orderBy(col("diff_milli").asc, col("b").asc))),
+      Some(s"rank over the constant B=$BootB bootstrap resample frame"))
+    val ci = ranked.agg(
+      max(when(col("rk") === 4, col("diff_milli"))).as("ci_lo_millichars"),
+      max(when(col("rk") === 61, col("diff_milli"))).as("ci_hi_millichars"),
+      count(lit(1)).as("n_resamples"))
+    sides.groupBy(col("rank"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .agg(
+        max(when(col("rank") === 1, col("n"))).as("n_docs_a"),
+        max(when(col("rank") === 2, col("n"))).as("n_docs_b"),
+        (max(when(col("rank") === 1, expr("(s * 1000) div n"))) -
+          max(when(col("rank") === 2, expr("(s * 1000) div n"))))
+          .as("diff_millichars"))
+      .crossJoin(broadcast(ci))
+  }
+
+  val bootstrapDiffCiOracle: String = {
+    val ladder = PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+    s"""
+    WITH top2 AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source ASC)
+        AS rank
+      FROM documents GROUP BY source
+      ORDER BY COUNT(*) DESC, source ASC LIMIT 2),
+    sides AS (
+      SELECT d.doc_id, t.rank, d.n_chars
+      FROM documents d JOIN top2 t ON d.source = t.source),
+    rs AS (
+      SELECT b.b, s.rank, s.n_chars,
+        CAST('0x' || SUBSTR(MD5('bsd|' || CAST(s.doc_id AS VARCHAR) || ':'
+          || CAST(b.b AS VARCHAR)), 1, 6) AS BIGINT) AS u
+      FROM sides s CROSS JOIN (SELECT UNNEST(RANGE(1, ${BootB + 1})) AS b) b),
+    per AS (
+      SELECT b,
+        CAST(SUM(CASE WHEN rank = 1 THEN w ELSE 0 END) AS BIGINT) AS nw1,
+        CAST(SUM(CASE WHEN rank = 1 THEN w * n_chars END) AS BIGINT) AS sw1,
+        CAST(SUM(CASE WHEN rank = 2 THEN w ELSE 0 END) AS BIGINT) AS nw2,
+        CAST(SUM(CASE WHEN rank = 2 THEN w * n_chars END) AS BIGINT) AS sw2
+      FROM (SELECT b, rank, n_chars, $ladder AS w FROM rs)
+      GROUP BY 1),
+    rk AS (
+      SELECT (sw1 * 1000) // nw1 - (sw2 * 1000) // nw2 AS diff_milli,
+        ROW_NUMBER() OVER (ORDER BY
+          (sw1 * 1000) // nw1 - (sw2 * 1000) // nw2 ASC, b ASC) AS rk
+      FROM per),
+    ci AS (
+      SELECT MAX(CASE WHEN rk = 4 THEN diff_milli END) AS ci_lo_millichars,
+        MAX(CASE WHEN rk = 61 THEN diff_milli END) AS ci_hi_millichars,
+        COUNT(*) AS n_resamples
+      FROM rk),
+    pt AS (
+      SELECT
+        MAX(CASE WHEN rank = 1 THEN n END) AS n_docs_a,
+        MAX(CASE WHEN rank = 2 THEN n END) AS n_docs_b,
+        MAX(CASE WHEN rank = 1 THEN (s * 1000) // n END)
+          - MAX(CASE WHEN rank = 2 THEN (s * 1000) // n END)
+          AS diff_millichars
+      FROM (
+        SELECT rank, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s
+        FROM sides GROUP BY 1))
+    SELECT pt.n_docs_a, pt.n_docs_b, pt.diff_millichars,
+      ci.ci_lo_millichars, ci.ci_hi_millichars, ci.n_resamples
+    FROM pt CROSS JOIN ci"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "bootstrap_diff_ci" ->
+      QueryDef.sql(bootstrapDiffCi, bootstrapDiffCiOracle),
     "bootstrap_mean_ci" ->
       QueryDef.sql(bootstrapMeanCi, bootstrapMeanCiOracle),
     "spearman_corr" -> QueryDef.sql(spearmanCorr, spearmanCorrOracle),

@@ -1213,6 +1213,27 @@ class OperatorSpec extends SparkSpec {
       hits * 1000000L / math.max(truth, 1L))
   }
 
+  test("bootstrap_diff_ci: CI brackets the point difference, point diff " +
+      "recomputes from the raw sides") {
+    val r = operators.StatTests.bootstrapDiffCi(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_resamples") == 64)
+    val (lo, pt, hi) = (r.getAs[Long]("ci_lo_millichars"),
+      r.getAs[Long]("diff_millichars"), r.getAs[Long]("ci_hi_millichars"))
+    assert(lo < hi)
+    assert(lo <= pt && pt <= hi)
+    // recompute the point estimate from the raw top-2 sides
+    val bySource = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .groupBy(_.getAs[String]("source"))
+    val top2 = bySource.toSeq
+      .sortBy { case (s, rs) => (-rs.length, s) }.take(2)
+    def meanMilli(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("n_chars")).sum * 1000L / rs.length
+    assert(r.getAs[Long]("n_docs_a") == top2(0)._2.length)
+    assert(r.getAs[Long]("n_docs_b") == top2(1)._2.length)
+    assert(pt == meanMilli(top2(0)._2) - meanMilli(top2(1)._2))
+  }
+
   test("chunk_sharing_matrix: symmetric-complete pairs, shared bounded by " +
       "both sides, one cell recounted") {
     val rows = operators.Dedup.chunkSharingMatrix(spark, sfDir).collect()
