@@ -19,25 +19,36 @@ import org.apache.spark.sql.SparkSession
   * Pass structure is two full sweeps (A B C ... A B C ...), not
   * back-to-back repeats, so pass 2 never reuses pass 1's OS page cache
   * residue more than the driver's own sequential runs would.
+  *
+  * SPARK_GRAFT_RESTART_EVERY=N enables session-restart mode (rebuild +
+  * rewarm the SparkSession every N measured entries) — the drift-
+  * isolation protocol for separating session-state inflation from real
+  * plan regressions as the registry grows; its artifact defaults to
+  * BENCH_RESTART_LATEST.json so the full-map lineage stays one
+  * protocol.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/file-source paths once so the first measured
-    // query doesn't absorb session startup cost.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
-    spark.range(1000).selectExpr("sum(id)").count()
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // Warm the JVM/codegen/file-source paths once so the first
+      // measured query doesn't absorb session startup cost.
+      s.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+      s.range(1000).selectExpr("sum(id)").count()
+      s
+    }
+    var spark = newSession()
 
     def calibrate(): Double = {
       val t0 = System.nanoTime()
@@ -50,6 +61,33 @@ object Bench {
     // which made the calibration array read as contention on idle boxes.
     // One discarded run makes the three PUBLISHED probes comparable.
     calibrate()
+
+    // SESSION-RESTART MODE (drift isolation): the r12 verdict measured
+    // the shared-277-query sweep total drifting +22% diffusely as the
+    // registry grew 277 -> 331 entries in ONE long-lived session — the
+    // signature of session-state inflation (JIT/codegen caches, catalog
+    // growth, heap churn raising later queries' floor), not plan
+    // regressions. SPARK_GRAFT_RESTART_EVERY=N tears the session down
+    // and rebuilds+rewarms it every N measured entries, so a sweep's
+    // timings stop depending on how many queries ran before them and
+    // round-over-round totals stay comparable as the registry grows.
+    // getOrCreate() reuses the stopped session's SparkContext only if
+    // still alive — stop() kills it, so each restart is a genuinely
+    // fresh context. Restart cost lands between queries, never inside
+    // one.
+    val restartEvery = sys.env.get("SPARK_GRAFT_RESTART_EVERY")
+      .map(_.toInt).filter(_ > 0)
+    var sinceRestart = 0
+    def maybeRestart(): Unit = restartEvery.foreach { n =>
+      if (sinceRestart >= n) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+        calibrate() // discarded JIT warm-up, same as the sweep prologue
+        sinceRestart = 0
+      }
+    }
 
     // A query that throws must not masquerade as a fast success: failures
     // are recorded as -1 in the queries map AND listed in "errors".
@@ -68,6 +106,7 @@ object Bench {
 
     def sweep(): Seq[(String, Double, Option[String])] = selected.map {
       case (name, fn) =>
+        maybeRestart()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
@@ -78,6 +117,7 @@ object Bench {
         // Release per-operator persisted frames between queries (cache
         // accumulation would skew later queries' memory headroom).
         spark.catalog.clearCache()
+        sinceRestart += 1
         (name, if (err.isEmpty) elapsed else -1.0, err)
     }
 
@@ -93,6 +133,7 @@ object Bench {
     def extraBench(name: String, run: String => Unit)
         : (String, Double, Option[String]) = {
       extraRun += 1
+      maybeRestart()
       val t0 = System.nanoTime()
       val err = try { run(s"${name}_$extraRun"); None }
       catch { case e: Throwable =>
@@ -101,6 +142,7 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      sinceRestart += 1
       (name, if (err.isEmpty) elapsed else -1.0, err)
     }
     // After draining, the memory-sink temp view is dropped: clearCache()
@@ -130,7 +172,8 @@ object Bench {
           .writeStream.format("memory").queryName(uniq)
           .outputMode("complete").start(), uniq)),
       ("stream_bench_novelty", { (uniq: String) =>
-        import spark.implicits._
+        val sp = spark
+        import sp.implicits._
         drain(streaming.EventStreams.noveltyStream(
             streaming.EventStreams.eventsStream(spark, sfDir)
               .as[streaming.EventStreams.Event])
@@ -138,7 +181,8 @@ object Bench {
           .outputMode("complete").start(), uniq)
       }),
       ("stream_bench_heavyhitters", { (uniq: String) =>
-        import spark.implicits._
+        val sp = spark
+        import sp.implicits._
         drain(streaming.EventStreams.heavyHittersStream(
             streaming.EventStreams.eventsStream(spark, sfDir)
               .as[streaming.EventStreams.Event])
@@ -151,7 +195,8 @@ object Bench {
           .writeStream.format("memory").queryName(uniq)
           .outputMode("complete").start(), uniq)),
       ("stream_bench_bounce", { (uniq: String) =>
-        import spark.implicits._
+        val sp = spark
+        import sp.implicits._
         drain(streaming.EventStreams.bounceRateStream(
             streaming.EventStreams.eventsStream(spark, sfDir)
               .as[streaming.EventStreams.Event])
@@ -164,7 +209,8 @@ object Bench {
           .writeStream.format("memory").queryName(uniq)
           .outputMode("append").start(), uniq)),
       ("stream_bench_funnel", { (uniq: String) =>
-        import spark.implicits._
+        val sp = spark
+        import sp.implicits._
         drain(streaming.EventStreams.funnelStream(
             streaming.EventStreams.eventsStream(spark, sfDir)
               .as[streaming.EventStreams.Event])
@@ -172,7 +218,8 @@ object Bench {
           .outputMode("update").start(), uniq)
       }),
       ("stream_bench_debounce", { (uniq: String) =>
-        import spark.implicits._
+        val sp = spark
+        import sp.implicits._
         drain(streaming.EventStreams.debounced(
             streaming.EventStreams.eventsStream(spark, sfDir)
               .as[streaming.EventStreams.Event])
@@ -180,7 +227,8 @@ object Bench {
           .outputMode("append").start(), uniq)
       }),
       ("stream_bench_cdc", { (_: String) =>
-        import spark.implicits._
+        val sp = spark
+        import sp.implicits._
         val out = java.nio.file.Files.createTempDirectory("graft_bench_cdc")
         val q = streaming.EventStreams.cdcToTable(
           streaming.EventStreams.eventsStream(spark, sfDir)
@@ -190,7 +238,8 @@ object Bench {
         finally { q.stop(); rmTree(out) }
       }),
       ("stream_bench_drift", { (_: String) =>
-        import spark.implicits._
+        val sp = spark
+        import sp.implicits._
         val out = java.nio.file.Files.createTempDirectory("graft_bench_drift")
         val ref = Map("click" -> 200000L, "signup" -> 200000L,
           "error" -> 200000L, "view" -> 200000L, "purchase" -> 200000L)
@@ -260,7 +309,9 @@ object Bench {
     // when the ~280-entry map overflows the window, and the full line
     // is ALSO written to a stable repo path so round-over-round
     // per-query regressions stay diffable from artifacts alone.
-    val json = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
+    val restartField =
+      restartEvery.map(n => s""","restart_every":$n""").getOrElse("")
+    val json = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errs,"calibration":$cal$restartField,"sf":"$sfDir"}"""
     println(json)
     // default path anchors to the repo ROOT (nearest ancestor holding
     // build.sbt), not the bare cwd — a runMain launched from a subdir
@@ -272,11 +323,31 @@ object Bench {
         java.nio.file.Paths.get("").toAbsolutePath)
     // a SPARK_GRAFT_ONLY subset run must never clobber the FULL map
     // (the regression gate's round-over-round comparand) — subset
-    // timings land in a sibling scratch file instead
+    // timings land in a sibling scratch file instead; restart-mode
+    // sweeps are a different measurement protocol, so they default to
+    // their own artifact and stay out of the full-map lineage too
     val defaultName =
-      if (only.isDefined) "BENCH_SUBSET_LATEST.json" else "BENCH_FULL_LATEST.json"
+      if (only.isDefined) "BENCH_SUBSET_LATEST.json"
+      else if (restartEvery.isDefined) "BENCH_RESTART_LATEST.json"
+      else "BENCH_FULL_LATEST.json"
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Paths.get(_))
+      // even an EXPLICIT out-path must not let a subset run overwrite
+      // the full map: redirect to the subset artifact beside the
+      // requested target and say so, so the regression gate's
+      // comparand stays sweep-only
+      .map { p =>
+        if (only.isDefined
+            && p.getFileName.toString == "BENCH_FULL_LATEST.json") {
+          val redirected = Option(p.getParent)
+            .map(_.resolve("BENCH_SUBSET_LATEST.json"))
+            .getOrElse(java.nio.file.Paths.get("BENCH_SUBSET_LATEST.json"))
+          System.err.println(
+            s"[bench] SPARK_GRAFT_ONLY subset run redirected from $p to " +
+              s"$redirected (the full map is the regression-gate comparand)")
+          redirected
+        } else p
+      }
       .getOrElse(repoRoot(java.nio.file.Paths.get("").toAbsolutePath)
         .resolve(defaultName))
     try java.nio.file.Files.writeString(fullPath, json + "\n")

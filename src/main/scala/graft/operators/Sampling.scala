@@ -374,8 +374,12 @@ object Sampling {
     * cutoff; [[tokenBudgetPlan]] then shapes the chosen prefix with
     * √-temperature epochs). The per-doc score is the SHARED
     * [[TextAnalysis.qualityScoreDf]] expression and the token count is
-    * token_count's whitespace definition — the frontier cannot desync
-    * from the gates it summarizes. Quality mass folds as
+    * the SHARED [[TextAnalysis.BpeTokenRegex]] rule — the unit
+    * [[tokenBudgetPlan]] targets, so the frontier's cum_tokens and the
+    * plan's target_tokens reconcile row-for-row instead of mixing
+    * whitespace and BPE units across a documented pipeline — and the
+    * frontier cannot desync from the gates it summarizes. Quality
+    * mass folds as
     * DECIMAL(28,6), cross-row AND through the cumulative window —
     * both engines window-sum decimals exactly, where a double cumsum
     * would expose DuckDB's segment-tree association order. Ranking is
@@ -390,7 +394,7 @@ object Sampling {
     val scored = TextAnalysis.qualityScoreDf(docs)
       .select(col("doc_id"), col("quality_score"))
       .join(docs.select(col("doc_id"), col("source"),
-        size(split(col("text"), "\\s+")).cast("bigint").as("toks")),
+        TextAnalysis.bpeTokens(col("text")).as("toks")),
         Seq("doc_id"))
     val per = scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
@@ -417,7 +421,7 @@ object Sampling {
     WITH q AS (${TextAnalysis.qualityScoreOracle}),
     scored AS (
       SELECT d.source,
-        CAST(LEN(STRING_SPLIT_REGEX(d.text, '\\s+')) AS BIGINT) AS toks,
+        ${TextAnalysis.sqlBpeTokens("d.text")} AS toks,
         q.quality_score
       FROM documents d JOIN q ON d.doc_id = q.doc_id),
     per AS (
@@ -456,8 +460,7 @@ object Sampling {
       documents
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
-            .cast("bigint")).as("n_tokens")))
+          sum(TextAnalysis.bpeTokens(col("text"))).as("n_tokens")))
     val mn = perSrc.agg(
       min(when(col("n_tokens") > 0, col("n_tokens"))).as("n_tok_min"))
     val planned = perSrc.crossJoin(broadcast(mn))
@@ -483,8 +486,7 @@ object Sampling {
   val tokenBudgetPlanOracle: String = s"""
     WITH per_src AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
-          AS BIGINT) AS n_tokens
+        CAST(SUM(${TextAnalysis.sqlBpeTokens("text")}) AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1),
     mn AS (SELECT MIN(CASE WHEN n_tokens > 0 THEN n_tokens END)
              AS n_tok_min FROM per_src),

@@ -948,9 +948,11 @@ object Similarity {
     * (E[d̂²] = k·d², so ratio = d_proj²·10⁶ ÷ (k·d_orig²) concentrates
     * at 10⁶; coordinates quantize to integer milli-units so every
     * distance is exact BIGINT — µ-units would overflow the ratio's
-    * cross-multiplication). Scale: everything is probe-set-sized (the
-    * documented brute-force frame every ANN audit here shares); the
-    * corpus is never touched beyond the 10-probe read.
+    * cross-multiplication; identical probes — d_orig² = 0 — report a
+    * NULL ratio, the repo's degenerate-frame convention). Scale:
+    * everything is probe-set-sized (the documented brute-force frame
+    * every ANN audit here shares); the corpus is never touched beyond
+    * the 10-probe read.
     */
   def jlProjectionAudit(spark: SparkSession, dir: String): DataFrame = {
     val dims = Tables.embeddings(spark, dir)
@@ -981,7 +983,11 @@ object Similarity {
       .select(col("a"), col("b"),
         col("d_v_m_sq").as("d_orig_sq"), col("d_p_sq").as("d_proj_sq"))
       .withColumn("ratio_ppm",
-        expr("(d_proj_sq * 1000000) div (16 * d_orig_sq)"))
+        // degenerate-frame convention (t_closeness/HHI): two identical
+        // probes have d_orig_sq = 0 — no distortion is defined, so the
+        // ratio is NULL rather than a divide-by-zero engine edge
+        expr("CASE WHEN d_orig_sq > 0 " +
+          "THEN (d_proj_sq * 1000000) div (16 * d_orig_sq) END"))
   }
 
   val jlProjectionAuditOracle: String = """
@@ -1010,7 +1016,9 @@ object Similarity {
       FROM proj x JOIN proj y ON x.j = y.j AND x.vec_id < y.vec_id
       GROUP BY 1, 2)
     SELECT po.a, po.b, po.d_orig_sq, pp.d_proj_sq,
-      (pp.d_proj_sq * 1000000) // (16 * po.d_orig_sq) AS ratio_ppm
+      CASE WHEN po.d_orig_sq > 0
+        THEN (pp.d_proj_sq * 1000000) // (16 * po.d_orig_sq)
+      END AS ratio_ppm
     FROM po JOIN pp ON po.a = pp.a AND po.b = pp.b"""
 
   def defs: Map[String, QueryDef] = Map(

@@ -1319,6 +1319,43 @@ object StatTests {
   private val PoissonThresholds = Seq(6171992L, 12343985L, 15429982L,
     16458647L, 16715813L, 16767247L, 16775819L)
   private val BootB = 64
+  /** One md5 is 128 bits = five independent 24-bit windows (hex chars
+    * 1-6, 7-12, 13-18, 19-24, 25-30), so the B Poisson draws per row
+    * cost ⌈B/5⌉ md5s, not B — the dominant bootstrap cost, cut 5×.
+    */
+  private val DrawsPerMd5 = 5
+  private val BootGroups = (BootB + DrawsPerMd5 - 1) / DrawsPerMd5
+  /** Nearest-rank 90% CI positions, derived from B (⌈0.05·B⌉ / ⌈0.95·B⌉)
+    * and interpolated into query and oracle alike so changing B cannot
+    * silently leave the ranks stale.
+    */
+  private val CiLoRank = math.ceil(0.05 * BootB).toInt
+  private val CiHiRank = math.ceil(0.95 * BootB).toInt
+
+  /** The ×B Poisson(1)-weight explode shared by both bootstrap
+    * operators: explode the md5 GROUP index g = 1..⌈B/5⌉, digest once
+    * per group into the five 24-bit windows' weights (the compiled
+    * [[org.apache.spark.sql.graft.Md5PoissonWindows]] — direct byte
+    * slicing, no hex-string allocation, no base-16 conv scans), then
+    * posexplode into resample ids b = (g-1)·5 + p + 1, dropping the
+    * tail past B. Window p = 0 of group g = 1 is hex chars 1-6 of
+    * md5(key:1) — identical to the r12 per-b draw for b = 1, which the
+    * driver-side md5 recount spec pins. Adds columns b (resample id)
+    * and w (Poisson weight) to every input row.
+    */
+  private def poissonDraws(df: DataFrame, key: Column): DataFrame = {
+    val weights = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.Md5PoissonWindows(
+        org.apache.spark.sql.GraftBridge.expression(
+          concat(key, lit(":"), col("g").cast("string"))),
+        PoissonThresholds, DrawsPerMd5))
+    df.select(col("*"), explode(sequence(lit(1), lit(BootGroups))).as("g"))
+      .select(col("*"), posexplode(weights).as(Seq("p", "w")))
+      .withColumn("b", (col("g") - 1) * DrawsPerMd5 + col("p") + 1)
+      .filter(col("b") <= BootB)
+      .drop("g", "p")
+  }
+
 
   /** Distributed bootstrap CI of the mean order value — the POISSON
     * bootstrap (Hanley & MacGibbon 2006; the form used at cluster scale
@@ -1329,13 +1366,15 @@ object StatTests {
     * repo's seedless-determinism idiom, so reruns and both engines
     * agree bit-for-bit), each resample's mean is exact integer
     * millicents, and the 90% CI is nearest-rank over the B resample
-    * means (ranks 4 and 61: ⌈0.05·64⌉ and ⌈0.95·64⌉). The inferential
-    * companion to [[welchTtest]]: that tests a difference given
-    * normality, this prices the uncertainty of the mean itself with no
-    * distributional assumption. Scale: the corpus is scanned once into
-    * a ×B narrow (b, weight, cents) explode — the documented bootstrap
-    * cost — whose per-b partial aggregation collapses map-side to B
-    * rows; the only window ranks the constant B-row resample frame.
+    * means at the derived positions [[CiLoRank]]/[[CiHiRank]]
+    * (⌈0.05·B⌉ / ⌈0.95·B⌉). The inferential companion to
+    * [[welchTtest]]: that tests a difference given normality, this
+    * prices the uncertainty of the mean itself with no distributional
+    * assumption. Scale: the corpus is scanned once into a ×B narrow
+    * (b, weight, cents) explode via [[poissonDraws]] — ⌈B/5⌉ md5s per
+    * row, five 24-bit windows each — whose per-b partial aggregation
+    * collapses map-side to B rows; the only window ranks the constant
+    * B-row resample frame.
     */
   /** The per-resample weighted moments behind [[bootstrapMeanCi]] —
     * public so the spec can reconcile one resample's Poisson weights
@@ -1344,16 +1383,7 @@ object StatTests {
   def bootstrapResampleMeans(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"),
       expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
-    val u = graft.functions.TextOps.hash24(concat(
-      col("o_orderkey").cast("string"), lit(":"), col("b").cast("string")))
-    val w = PoissonThresholds.zipWithIndex.reverse
-      .foldLeft(lit(7L)) { case (acc, (t, k)) =>
-        when(col("u") < t, lit(k.toLong)).otherwise(acc)
-      }
-    o.select(col("o_orderkey"), col("cents"),
-        explode(sequence(lit(1), lit(BootB))).as("b"))
-      .withColumn("u", u)
-      .withColumn("w", w)
+    poissonDraws(o, col("o_orderkey").cast("string"))
       .groupBy(col("b"))
       .agg(sum(col("w")).as("n_w"), sum(col("w") * col("cents")).as("s_w"))
       .withColumn("mean_millicents", expr("(s_w * 1000) div n_w"))
@@ -1368,9 +1398,9 @@ object StatTests {
         Window.orderBy(col("mean_millicents").asc, col("b").asc))),
       Some(s"rank over the constant B=$BootB bootstrap resample frame"))
     val ci = ranked.agg(
-      max(when(col("rk") === 4, col("mean_millicents")))
+      max(when(col("rk") === CiLoRank, col("mean_millicents")))
         .as("ci_lo_millicents"),
-      max(when(col("rk") === 61, col("mean_millicents")))
+      max(when(col("rk") === CiHiRank, col("mean_millicents")))
         .as("ci_hi_millicents"),
       count(lit(1)).as("n_resamples"))
     o.agg(count(lit(1)).as("n_orders"),
@@ -1388,11 +1418,15 @@ object StatTests {
       SELECT o_orderkey,
         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders),
+    grp AS (
+      SELECT o.cents, g.g,
+        MD5(CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(g.g AS VARCHAR)) AS h
+      FROM o CROSS JOIN (SELECT UNNEST(RANGE(1, ${BootGroups + 1})) AS g) g),
     rs AS (
-      SELECT b.b, o.cents,
-        CAST('0x' || SUBSTR(MD5(CAST(o.o_orderkey AS VARCHAR) || ':'
-          || CAST(b.b AS VARCHAR)), 1, 6) AS BIGINT) AS u
-      FROM o CROSS JOIN (SELECT UNNEST(RANGE(1, ${BootB + 1})) AS b) b),
+      SELECT (g - 1) * $DrawsPerMd5 + p.p + 1 AS b, cents,
+        CAST('0x' || SUBSTR(h, p.p * 6 + 1, 6) AS BIGINT) AS u
+      FROM grp CROSS JOIN (SELECT UNNEST(RANGE(0, $DrawsPerMd5)) AS p) p
+      WHERE (g - 1) * $DrawsPerMd5 + p.p + 1 <= $BootB),
     per AS (
       SELECT b, CAST(SUM(w) AS BIGINT) AS n_w,
         CAST(SUM(w * cents) AS BIGINT) AS s_w
@@ -1403,9 +1437,9 @@ object StatTests {
         ROW_NUMBER() OVER (ORDER BY (s_w * 1000) // n_w ASC, b ASC) AS rk
       FROM per),
     ci AS (
-      SELECT MAX(CASE WHEN rk = 4 THEN mean_millicents END)
+      SELECT MAX(CASE WHEN rk = $CiLoRank THEN mean_millicents END)
           AS ci_lo_millicents,
-        MAX(CASE WHEN rk = 61 THEN mean_millicents END)
+        MAX(CASE WHEN rk = $CiHiRank THEN mean_millicents END)
           AS ci_hi_millicents,
         COUNT(*) AS n_resamples
       FROM rk)
@@ -1422,12 +1456,14 @@ object StatTests {
     * the means; the bootstrap prices the same difference from the data
     * alone, and reading the two side by side is the standard
     * robustness check before acting on a significance call. Same
-    * machinery as [[bootstrapMeanCi]] (B = 64 deterministic salt-keyed
-    * Poisson(1) weights — a DISTINCT salt, so the two audits' draws
-    * are independent), per-resample side means in exact integer
-    * milli-chars, nearest-rank CI over the B differences. Scale: one
-    * ×B narrow explode of the two sources' docs, collapsing map-side
-    * to 2B rows; the only window ranks the constant B-row frame.
+    * machinery as [[bootstrapMeanCi]] ([[poissonDraws]]' B = 64
+    * deterministic salt-keyed Poisson(1) weights at ⌈B/5⌉ md5s per doc
+    * — a DISTINCT salt, so the two audits' draws are independent),
+    * per-resample side means in exact integer milli-chars,
+    * nearest-rank CI over the B differences at the derived
+    * [[CiLoRank]]/[[CiHiRank]] positions. Scale: one ×B narrow explode
+    * of the two sources' docs, collapsing map-side to 2B rows; the
+    * only window ranks the constant B-row frame.
     */
   def bootstrapDiffCi(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1439,18 +1475,9 @@ object StatTests {
       Some("rank over the post-LIMIT 2-row top-source frame"))
     val sides = docs.join(broadcast(top2.select(col("source"), col("rank"))),
       Seq("source"))
-    val u = graft.functions.TextOps.hash24(concat(
-      lit("bsd|"), col("doc_id").cast("string"), lit(":"),
-      col("b").cast("string")))
-    val w = PoissonThresholds.zipWithIndex.reverse
-      .foldLeft(lit(7L)) { case (acc, (t, k)) =>
-        when(col("u") < t, lit(k.toLong)).otherwise(acc)
-      }
-    val perB = sides
-      .select(col("doc_id"), col("rank"), col("n_chars"),
-        explode(sequence(lit(1), lit(BootB))).as("b"))
-      .withColumn("u", u)
-      .withColumn("w", w)
+    val perB = poissonDraws(
+        sides.select(col("doc_id"), col("rank"), col("n_chars")),
+        concat(lit("bsd|"), col("doc_id").cast("string")))
       .groupBy(col("b"))
       .agg(
         sum(when(col("rank") === 1, col("w")).otherwise(0L)).as("nw1"),
@@ -1466,8 +1493,10 @@ object StatTests {
         Window.orderBy(col("diff_milli").asc, col("b").asc))),
       Some(s"rank over the constant B=$BootB bootstrap resample frame"))
     val ci = ranked.agg(
-      max(when(col("rk") === 4, col("diff_milli"))).as("ci_lo_millichars"),
-      max(when(col("rk") === 61, col("diff_milli"))).as("ci_hi_millichars"),
+      max(when(col("rk") === CiLoRank, col("diff_milli")))
+        .as("ci_lo_millichars"),
+      max(when(col("rk") === CiHiRank, col("diff_milli")))
+        .as("ci_hi_millichars"),
       count(lit(1)).as("n_resamples"))
     sides.groupBy(col("rank"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
@@ -1493,11 +1522,17 @@ object StatTests {
     sides AS (
       SELECT d.doc_id, t.rank, d.n_chars
       FROM documents d JOIN top2 t ON d.source = t.source),
+    grp AS (
+      SELECT s.rank, s.n_chars, g.g,
+        MD5('bsd|' || CAST(s.doc_id AS VARCHAR) || ':'
+          || CAST(g.g AS VARCHAR)) AS h
+      FROM sides s
+        CROSS JOIN (SELECT UNNEST(RANGE(1, ${BootGroups + 1})) AS g) g),
     rs AS (
-      SELECT b.b, s.rank, s.n_chars,
-        CAST('0x' || SUBSTR(MD5('bsd|' || CAST(s.doc_id AS VARCHAR) || ':'
-          || CAST(b.b AS VARCHAR)), 1, 6) AS BIGINT) AS u
-      FROM sides s CROSS JOIN (SELECT UNNEST(RANGE(1, ${BootB + 1})) AS b) b),
+      SELECT (g - 1) * $DrawsPerMd5 + p.p + 1 AS b, rank, n_chars,
+        CAST('0x' || SUBSTR(h, p.p * 6 + 1, 6) AS BIGINT) AS u
+      FROM grp CROSS JOIN (SELECT UNNEST(RANGE(0, $DrawsPerMd5)) AS p) p
+      WHERE (g - 1) * $DrawsPerMd5 + p.p + 1 <= $BootB),
     per AS (
       SELECT b,
         CAST(SUM(CASE WHEN rank = 1 THEN w ELSE 0 END) AS BIGINT) AS nw1,
@@ -1512,8 +1547,10 @@ object StatTests {
           (sw1 * 1000) // nw1 - (sw2 * 1000) // nw2 ASC, b ASC) AS rk
       FROM per),
     ci AS (
-      SELECT MAX(CASE WHEN rk = 4 THEN diff_milli END) AS ci_lo_millichars,
-        MAX(CASE WHEN rk = 61 THEN diff_milli END) AS ci_hi_millichars,
+      SELECT MAX(CASE WHEN rk = $CiLoRank THEN diff_milli END)
+          AS ci_lo_millichars,
+        MAX(CASE WHEN rk = $CiHiRank THEN diff_milli END)
+          AS ci_hi_millichars,
         COUNT(*) AS n_resamples
       FROM rk),
     pt AS (

@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** THE token rule (BPE-ish segmentation: letter runs / digit runs /
+    * single punctuation) — the one unit every budget-shaped operator
+    * counts in (token_count, tokenizer_fertility, token_budget_plan,
+    * mix_quality_frontier), so their tokens/target_tokens columns
+    * reconcile. Identical regex class in both engines.
+    */
+  val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** [[BpeTokenRegex]] token count of a text column, as BIGINT. */
+  def bpeTokens(text: Column): Column =
+    regexp_count(text, lit(BpeTokenRegex)).cast("bigint")
+
+  /** SQL mirror of [[bpeTokens]]. */
+  def sqlBpeTokens(text: String): String =
+    s"CAST(LEN(REGEXP_EXTRACT_ALL($text, '$BpeTokenRegex')) AS BIGINT)"
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation) + char length.
     */
@@ -20,14 +36,13 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(split(col("text"), "\\s+")).cast("bigint").as("ws_tokens"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("bigint")
-          .as("bpe_tokens"),
+        bpeTokens(col("text")).as("bpe_tokens"),
         length(col("text")).cast("bigint").as("n_chars"))
 
-  val tokenCountOracle: String = """
+  val tokenCountOracle: String = s"""
     SELECT doc_id,
-      CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT) AS ws_tokens,
-      CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+      CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS ws_tokens,
+      ${sqlBpeTokens("text")} AS bpe_tokens,
       CAST(LENGTH(text) AS BIGINT) AS n_chars
     FROM documents"""
 
@@ -1162,8 +1177,7 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("lang"),
         size(split(col("text"), "\\s+")).cast("bigint").as("ws"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("bigint")
-          .as("bpe"),
+        bpeTokens(col("text")).as("bpe"),
         length(col("text")).cast("bigint").as("nc"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

@@ -334,6 +334,32 @@ object GraftHashUtil {
     (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL))
   }
 
+  /** `windows` Poisson weights from ONE md5: the 24-bit big-endian
+    * window at bytes 3p..3p+2 (≡ hex chars 6p+1..6p+6, i.e. the
+    * oracle's `CAST('0x' || SUBSTR(MD5(x), p*6+1, 6) AS BIGINT)`) is
+    * mapped through the inverse-CDF threshold ladder: weight = first k
+    * with u < th(k), else th.length. Window p = 0 is exactly
+    * [[hash24]]'s draw, so ladders keyed on the first window reproduce
+    * the per-draw formulation bit-for-bit.
+    */
+  def poissonWindows(s: org.apache.spark.unsafe.types.UTF8String,
+      th: Array[Long], windows: Int): Array[Long] = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val out = new Array[Long](windows)
+    var p = 0
+    while (p < windows) {
+      val u = ((d(3 * p) & 0xffL) << 16) |
+        ((d(3 * p + 1) & 0xffL) << 8) | (d(3 * p + 2) & 0xffL)
+      var k = 0
+      while (k < th.length && u >= th(k)) k += 1
+      out(p) = k.toLong
+      p += 1
+    }
+    out
+  }
+
   /** First 60 bits (big-endian) of md5(bytes) — identical to parsing the
     * first 15 hex chars of the md5 hex digest, i.e. to the oracle's
     * `CAST('0x' || SUBSTR(MD5(x),1,15) AS BIGINT)`. 15 chars, not 16:
@@ -412,6 +438,41 @@ case class Hash24Array(child: Expression) extends UnaryExpression with ExpectsIn
     }
 
   override protected def withNewChildInternal(newChild: Expression): Hash24Array =
+    copy(child = newChild)
+}
+
+/** The bootstrap operators' per-key Poisson draw block: md5(key) →
+  * `windows` Poisson(1) weights via [[GraftHashUtil.poissonWindows]] —
+  * one compiled digest with direct byte slicing, replacing `windows`
+  * hex `conv(substring(md5(...)))` parses (the md5 hex-string
+  * allocation plus five string-to-long base-16 scans dominated
+  * bootstrap_mean_ci's per-draw cost). Values are EXACTLY the hex
+  * SUBSTR windows the DuckDB oracle parses, mapped through the same
+  * threshold ladder.
+  */
+case class Md5PoissonWindows(child: Expression, thresholds: Seq[Long],
+    windows: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  private lazy val th = thresholds.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(GraftHashUtil.poissonWindows(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      th, windows))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val thRef = ctx.addReferenceObj("poissonThresholds", th, "long[]")
+      s"""
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          org.apache.spark.sql.graft.GraftHashUtil.poissonWindows(
+            $s, $thRef, $windows));
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PoissonWindows =
     copy(child = newChild)
 }
 
