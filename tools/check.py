@@ -69,5 +69,40 @@ def main(sf_dir, out_dir):
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
+def bench_gate():
+    """Round-loop perf gate (r12 verdict directive 7): after correctness,
+    compare the latest full sweep against the newest committed per-round
+    map with tools/bench_regress.py. Nothing used to FORCE the regression
+    gate to run -- a quiet-box >2x regression could reach the verdict
+    unflagged. Skips (exit 0, with a note) when either artifact is
+    missing or when GRAFT_SKIP_BENCH_GATE=1 (dev loops on subsets);
+    otherwise propagates bench_regress's exit code, so a real regression
+    fails this gate exactly like a correctness FAIL does.
+    """
+    import os, re, subprocess
+    if os.environ.get("GRAFT_SKIP_BENCH_GATE") == "1":
+        print("bench gate: skipped (GRAFT_SKIP_BENCH_GATE=1)")
+        return 0
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = os.path.join(root, "BENCH_FULL_LATEST.json")
+    # Preferred baseline: BENCH_BASELINE.json, the accepted prior-round
+    # full sweep (promoted from BENCH_FULL_LATEST.json at round close,
+    # quiet-box by construction). Fallback: newest BENCH_LOCAL_r*.json
+    # (historical mid-round snapshots, often contended).
+    pinned = os.path.join(root, "BENCH_BASELINE.json")
+    rounds = sorted(glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json")),
+                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    base = pinned if os.path.exists(pinned) else (rounds[-1] if rounds else None)
+    if base is None or not os.path.exists(latest):
+        print("bench gate: skipped (no baseline or no "
+              "BENCH_FULL_LATEST.json sweep)")
+        return 0
+    print(f"bench gate: {os.path.basename(base)} vs BENCH_FULL_LATEST.json")
+    r = subprocess.run([sys.executable,
+                        os.path.join(root, "tools", "bench_regress.py"),
+                        base, latest])
+    return r.returncode
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    rc = main(sys.argv[1], sys.argv[2])
+    sys.exit(rc or bench_gate())
