@@ -12,10 +12,14 @@ import org.apache.spark.sql.SparkSession
   *   - every query runs TWICE and reports the MIN — a contention spike
   *     must hit the same query in both passes to survive into the JSON;
   *   - a fixed calibration probe (pure-CPU aggregate over spark.range,
-  *     no I/O, constant work) runs before, between, and after the two
-  *     passes; its three timings are published as "calibration" so a
-  *     reader can detect a contention window mechanically (idle box:
-  *     all three within ~20% of each other).
+  *     no I/O, constant work) runs before/between/after the two passes
+  *     AND every 32 measured entries; the full probe timeline is
+  *     published as "calibration". Spread within one array flags a
+  *     contention WINDOW; the array's median COMPARED ACROSS ROUNDS
+  *     flags a uniformly slow box (the r12 +22% "drift": probes at
+  *     ~0.26 s vs other rounds' 0.15-0.19 s on identical work —
+  *     low-spread but slow, which three probes could not distinguish
+  *     from a healthy box).
   * Pass structure is two full sweeps (A B C ... A B C ...), not
   * back-to-back repeats, so pass 2 never reuses pass 1's OS page cache
   * residue more than the driver's own sequential runs would.
@@ -62,15 +66,16 @@ object Bench {
     // One discarded run makes the three PUBLISHED probes comparable.
     calibrate()
 
-    // SESSION-RESTART MODE (drift isolation): the r12 verdict measured
-    // the shared-277-query sweep total drifting +22% diffusely as the
-    // registry grew 277 -> 331 entries in ONE long-lived session — the
-    // signature of session-state inflation (JIT/codegen caches, catalog
-    // growth, heap churn raising later queries' floor), not plan
-    // regressions. SPARK_GRAFT_RESTART_EVERY=N tears the session down
-    // and rebuilds+rewarms it every N measured entries, so a sweep's
-    // timings stop depending on how many queries ran before them and
-    // round-over-round totals stay comparable as the registry grows.
+    // SESSION-RESTART MODE (drift isolation): r13's pin experiment
+    // (BENCH_R11SUBSET_r13.json + DRIFT_PIN_r13.md) measured the r12
+    // "+22% diffuse drift" as mostly BOX SPEED (see the dense-
+    // calibration note below) with only ~4% attributable to sweep
+    // length (the 277 shared queries total 277.9 s as their own sweep
+    // vs 289.0 s inside the 331-entry sweep). SPARK_GRAFT_RESTART_EVERY=N
+    // remains available to bound the session-state term directly:
+    // it tears the session down and rebuilds+rewarms it every N
+    // measured entries, so a sweep's timings stop depending on how
+    // many queries ran before them as the registry grows.
     // getOrCreate() reuses the stopped session's SparkContext only if
     // still alive — stop() kills it, so each restart is a genuinely
     // fresh context. Restart cost lands between queries, never inside
@@ -87,6 +92,24 @@ object Bench {
         calibrate() // discarded JIT warm-up, same as the sweep prologue
         sinceRestart = 0
       }
+    }
+
+    // DENSE CALIBRATION (r13 drift pin): the r12 "+22% diffuse drift"
+    // turned out to be BOX SPEED, not plans or session state — the
+    // r12-end sweep's three probes sat uniformly at ~0.26 s where every
+    // other round's best was 0.15-0.19 s (same constant work), i.e. a
+    // low-spread array can still mean a uniformly slow box, and three
+    // probes cannot show it. A probe now runs every CalEvery measured
+    // entries (~0.2-0.4 s each, ~20 per full sweep), so the published
+    // "calibration" array carries a box-speed TIMELINE: readers compare
+    // per-query ratios against the probe median ratio before calling a
+    // regression real (tools/bench_regress.py does this mechanically).
+    val CalEvery = 32
+    val cals = scala.collection.mutable.ArrayBuffer[Double]()
+    var sinceCal = 0
+    def maybeCalibrate(): Unit = {
+      sinceCal += 1
+      if (sinceCal >= CalEvery) { cals += calibrate(); sinceCal = 0 }
     }
 
     // A query that throws must not masquerade as a fast success: failures
@@ -118,6 +141,7 @@ object Bench {
         // accumulation would skew later queries' memory headroom).
         spark.catalog.clearCache()
         sinceRestart += 1
+        maybeCalibrate()
         (name, if (err.isEmpty) elapsed else -1.0, err)
     }
 
@@ -143,6 +167,7 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       sinceRestart += 1
+      maybeCalibrate()
       (name, if (err.isEmpty) elapsed else -1.0, err)
     }
     // After draining, the memory-sink temp view is dropped: clearCache()
@@ -290,10 +315,11 @@ object Bench {
       extraEntries.map { case (n, r) => extraBench(n, r) }
 
     val cal0 = calibrate()
+    cals += cal0
     val pass1 = sweep() ++ extraSweep()
-    val cal1 = calibrate()
+    cals += calibrate()
     val pass2 = sweep() ++ extraSweep()
-    val cal2 = calibrate()
+    cals += calibrate()
 
     val results = pass1.zip(pass2).map { case ((name, t1, e1), (_, t2, e2)) =>
       val best = (if (e1.isEmpty) Seq(t1) else Nil) ++ (if (e2.isEmpty) Seq(t2) else Nil)
@@ -303,7 +329,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.flatMap(_._3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val cal = s"[$cal0,$cal1,$cal2]"
+    val cal = cals.mkString("[", ",", "]")
     // The per-query map comes FIRST so the driver's tail-truncated
     // capture keeps the summary fields (total/errors/calibration) even
     // when the ~280-entry map overflows the window, and the full line

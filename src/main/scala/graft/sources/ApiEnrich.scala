@@ -48,6 +48,54 @@ object ApiEnrich {
     }
   }
 
+  /** Real HTTP transport (api.py:5-64 consume_crossref's GET shape):
+    * one JDK HttpURLConnection per fetch against `baseUrl/<doi>`.
+    * 200 → Some(body); 404 → permanent miss (None); anything else
+    * (429/5xx) → IOException, i.e. transient — [[retrying]] backs off
+    * and re-fetches, which is where a Retry-After pause belongs (the
+    * response's hint is carried in the exception message for the
+    * caller's backoff policy). Selected by conf (see [[clientFactory]]);
+    * NEVER the default — this sandbox is zero-egress, so the stub
+    * remains the shipped transport and the spec drives this class
+    * against an in-process fixture to prove transport parity.
+    */
+  final class HttpMetadataClient(baseUrl: String,
+      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 10000)
+    extends MetadataClient {
+    override def fetch(doi: String): Option[String] = {
+      val conn = new java.net.URL(s"$baseUrl/$doi").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod("GET")
+      try {
+        conn.getResponseCode match {
+          case 200 =>
+            Some(new String(conn.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8))
+          case 404 => None
+          case code =>
+            val hint = Option(conn.getHeaderField("Retry-After"))
+              .map(s => s"; Retry-After=$s").getOrElse("")
+            throw new java.io.IOException(s"HTTP $code for $doi$hint")
+        }
+      } finally conn.disconnect()
+    }
+  }
+
+  /** Conf-selected transport: `spark.graft.api.transport=http` (with
+    * `spark.graft.api.baseUrl`) swaps the real client in; the default
+    * — and anything unrecognized — is the deterministic stub, so
+    * sandbox behavior is unchanged unless explicitly opted in.
+    */
+  def clientFactory(spark: SparkSession): () => MetadataClient =
+    spark.conf.get("spark.graft.api.transport", "stub") match {
+      case "http" =>
+        val base = spark.conf.get("spark.graft.api.baseUrl")
+        () => new HttpMetadataClient(base)
+      case _ => () => new StubMetadataClient
+    }
+
   /** Simple token-interval rate limiter: at most `perSecond` acquisitions
     * per second within one task (api.py sleeps on Retry-After; production
     * pacing belongs client-side, before the request). `perSecond <= 0`
@@ -129,6 +177,8 @@ object ApiEnrich {
     FROM (SELECT o_orderkey, MD5(CAST(o_orderkey AS VARCHAR)) AS doi FROM orders)"""
 
   def defs: Map[String, QueryDef] = Map(
-    "enrich_api" -> QueryDef.sql(enrichViaApi(_, _), enrichViaApiOracle)
+    "enrich_api" -> QueryDef.sql(
+      (s: SparkSession, d: String) => enrichViaApi(s, d, clientFactory(s)),
+      enrichViaApiOracle)
   )
 }

@@ -18,17 +18,30 @@ import org.apache.spark.sql.DataFrame
   * luck of one fixed plan; it fails here the moment the plan width
   * changes — which is exactly what a 1000-executor deployment does.
   *
-  * The list targets the operators whose construction LEANS on the
-  * discipline: hash-gated samplers, integer-cell rank machinery,
-  * float-expression scorers, iterative broadcast-state graph folds,
-  * and the sketch mergers whose merge must commute.
+  * Coverage is REGISTRY-WIDE (every SparkEntry.queries key, at
+  * sf0.001 so the two-width sweep stays cheap): r12 proved the 52
+  * operators whose construction leans hardest on the discipline; the
+  * remaining operators relied on it holding by construction, which is
+  * exactly the kind of claim this suite exists to replace with a
+  * test. The historical 52 are kept below as documentation of the
+  * leaned-on classes; `ops` itself is the full registry. The
+  * order-free allowlist is EMPTY: results are collected as a sorted
+  * row multiset, so output order never matters and every operator —
+  * including samplers and sketches — must produce the identical
+  * multiset at any shuffle width. An operator that cannot is a
+  * cluster-portability bug, not an allowlist candidate.
   */
 class DeterminismSpec extends SparkSpec {
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  private val ops = Seq(
+  private val ops = SparkEntry.queries.keys.toSeq.sorted
+
+  /** r12's curated high-lean classes, kept as documentation (all are
+    * members of the registry-wide `ops` above).
+    */
+  private val leanedOnClasses = Seq(
     // hash-gated sampling / mixing (a rate or bucket derived per row)
     "sample_temperature", "mix_rebalance", "dataset_split",
     "sample_stratified", "token_budget_plan",
@@ -58,6 +71,11 @@ class DeterminismSpec extends SparkSpec {
     // exactly the class a shuffle-width change would expose
     "holt_forecast", "holt_by_type", "content_chunk_dedup",
     "centroid_confusion")
+
+  test("the documented leaned-on classes are all registry members") {
+    val missing = leanedOnClasses.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"stale documentation entries: $missing")
+  }
 
   ops.foreach { name =>
     test(s"$name is bit-identical across shuffle widths (4 vs 13)") {

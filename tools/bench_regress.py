@@ -35,6 +35,17 @@ def spread(doc):
     return (max(cal) / min(cal)) if cal else 1.0
 
 
+def cal_median(doc):
+    """Median of the sweep's constant-work probe timeline -- the box-speed
+    index. The r13 drift pin (DRIFT_PIN_r13.md) showed a LOW-SPREAD probe
+    array can still mean a uniformly slow box (r12-end: ~0.26s probes vs
+    0.15-0.19s in every other round), inflating every query ~1.2x with no
+    plan change. Ratios are therefore judged both raw and box-normalized.
+    """
+    cal = sorted(c for c in (doc.get("calibration") or []) if c > 0)
+    return cal[len(cal) // 2] if cal else None
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     threshold = THRESHOLD
@@ -47,17 +58,30 @@ def main():
     oq, nq = old_doc["queries"], new_doc["queries"]
     contended = spread(old_doc) > SPREAD_OK or spread(new_doc) > SPREAD_OK
 
-    regressions = []
+    # Box-speed normalization: if the new sweep's probe median is f x the
+    # old one's, every query is EXPECTED ~f x slower on identical plans.
+    # A regression must clear the threshold RAW and NORMALIZED to FAIL;
+    # raw-only overruns print as box-speed WARNs.
+    co, cn = cal_median(old_doc), cal_median(new_doc)
+    box = (cn / co) if (co and cn) else 1.0
+
+    regressions, box_only = [], []
     for name in sorted(set(oq) & set(nq)):
         o, n = oq[name], nq[name]
         if o > 0 and n > 0 and n / max(o, FLOOR_SEC) > threshold:
-            regressions.append((name, o, n, n / o))
+            if n / (max(o, FLOOR_SEC) * max(box, 1.0)) > threshold:
+                regressions.append((name, o, n, n / o))
+            else:
+                box_only.append((name, o, n, n / o))
     removed = sorted(set(oq) - set(nq))
     added = sorted(set(nq) - set(oq))
 
     tag = "WARN" if contended else "FAIL"
     for name, o, n, r in sorted(regressions, key=lambda t: -t[3]):
         print(f"{tag} {name}: {o:.2f}s -> {n:.2f}s ({r:.1f}x)")
+    for name, o, n, r in sorted(box_only, key=lambda t: -t[3]):
+        print(f"WARN {name}: {o:.2f}s -> {n:.2f}s ({r:.1f}x raw; within "
+              f"threshold after /{box:.2f} box-speed normalization)")
     if added:
         print("new queries: " + ", ".join(added))
     if removed:
@@ -66,7 +90,8 @@ def main():
     shared_n = sum(v for k, v in nq.items() if k in oq and v > 0)
     print(f"shared-query total: {shared_o:.1f}s -> {shared_n:.1f}s; "
           f"calibration spread old={spread(old_doc):.2f} "
-          f"new={spread(new_doc):.2f}"
+          f"new={spread(new_doc):.2f}; box-speed ratio "
+          f"(probe medians) {box:.2f}"
           + (" (contended box: regressions downgraded to WARN -- "
              "re-check queries whose plans changed)" if contended else ""))
     if removed:
