@@ -29,6 +29,9 @@ object SparkEntry {
       operators.Tokenizer.defs ++
       operators.Lakehouse.defs ++
       operators.StatTests.defs ++
+      operators.Inference.defs ++
+      operators.CorpusExt.defs ++
+      operators.EventExt.defs ++
       sources.Ingest.defs ++
       sources.ApiEnrich.defs
 

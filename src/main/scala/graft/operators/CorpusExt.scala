@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 corpus-quality statistics — the lexical-health panel a
+  * training-data curator reads next to quality_score/gopher_rules:
+  * type-token diversity, trigram hapax mass, and rare-n-gram
+  * (memorization-tail) mass. All three are one- or two-shuffle count
+  * aggregates (map-side combinable, BIGINT-exact ratios in ppm) —
+  * scan-speed at 100 TB — plus a PII inventory that REPORTS what
+  * pii_scrub would redact (counts per class per source; the governance
+  * evidence that decides whether scrubbing is even needed).
+  */
+object CorpusExt {
+
+  /** Type-token ratio per source — lexical diversity, the cheap
+    * gibberish/boilerplate tell (template floods have low TTR; random
+    * noise has TTR ≈ 1). Per-doc TTR is exact ppm over the whitespace
+    * words; the source row reports the token-weighted corpus form
+    * (Σ distinct ÷ Σ tokens, immune to doc-length mix) AND the mean of
+    * per-doc ratios (the form quality gates threshold on). One scan,
+    * one narrow aggregate.
+    */
+  def ttrDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), "\\s+")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(w).cast("bigint").as("toks"),
+        size(array_distinct(w)).cast("bigint").as("types"))
+      .withColumn("ttr_ppm", expr("(types * 1000000) div toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens"),
+        sum(col("types")).as("type_occurrences"),
+        sum(col("ttr_ppm")).as("ttr_sum"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr("(type_occurrences * 1000000) div tokens")
+          .as("weighted_ttr_ppm"),
+        expr("ttr_sum div n_docs").as("mean_doc_ttr_ppm"))
+  }
+
+  val ttrDiversityOracle: String = """
+    WITH d AS (
+      SELECT source,
+        CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT) AS toks,
+        CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(text, '\s+'))) AS BIGINT)
+          AS types
+      FROM documents),
+    p AS (SELECT source, toks, types,
+        (types * 1000000) // toks AS ttr_ppm FROM d)
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+      (CAST(SUM(types) AS BIGINT) * 1000000) // CAST(SUM(toks) AS BIGINT)
+        AS weighted_ttr_ppm,
+      CAST(SUM(ttr_ppm) AS BIGINT) // COUNT(*) AS mean_doc_ttr_ppm
+    FROM p GROUP BY source"""
+
+  /** Non-distinct 3-word shingles of a whitespace word array — the
+    * occurrence stream (shingles3 is the distinct TYPE set; tail-mass
+    * statistics need every occurrence). `w` MUST be a materialized
+    * attribute, never an inline split(...) expression: the lambda body
+    * references it, and an inlined defining expression re-evaluates
+    * per shingle (the r12 chunker trap — see
+    * engine-portability-traps / Dedup.contentChunks).
+    */
+  private def triOccurrences(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  private val SqlTriOccurrences: String =
+    "CASE WHEN LEN(w) >= 3 THEN LIST_TRANSFORM(RANGE(1, LEN(w) - 1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END"
+
+  /** Hapax share per source over TRIGRAM shingles — the content-tail
+    * audit: a high hapax share of the shingle mass means heavy-tailed
+    * novel phrasing; a low one means templated text. The unit is the
+    * 3-word shingle (the dedup/novelty unit), NOT single words — this
+    * synthetic corpus has a closed 31-word vocabulary with zero word
+    * hapax at every SF, so a word-level version would be the
+    * constant-zero operator the repo's non-vacuity rule rejects.
+    * One (source, shingle)-keyed aggregate; map-side combinable.
+    */
+  def hapaxRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), "\\s+").as("w"))
+      .select(col("source"), explode(triOccurrences(col("w"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("cnt")).as("occurrences"))
+      .select(col("source"), col("vocab"), col("hapax"), col("occurrences"),
+        expr("(hapax * 1000000) div vocab").as("hapax_vocab_ppm"),
+        expr("(hapax * 1000000) div occurrences").as("hapax_mass_ppm"))
+
+  val hapaxRatioOracle: String = s"""
+    WITH d AS (
+      SELECT source, STRING_SPLIT_REGEX(text, '\\s+') AS w FROM documents),
+    s AS (
+      SELECT source, UNNEST($SqlTriOccurrences) AS t FROM d),
+    c AS (SELECT source, t, COUNT(*) AS cnt FROM s GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS vocab,
+      CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      CAST(SUM(cnt) AS BIGINT) AS occurrences,
+      (CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        // COUNT(*) AS hapax_vocab_ppm,
+      (CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        // CAST(SUM(cnt) AS BIGINT) AS hapax_mass_ppm
+    FROM c GROUP BY source"""
+
+  /** Minimum corpus frequency for a shingle to count as common. */
+  private val RareMinFreq = 5
+
+  /** Rare-n-gram mass per source — the memorization-risk tail: the
+    * share of a source's trigram occurrences whose CORPUS frequency is
+    * below 5. High rare mass means content the model can only learn by
+    * memorizing (and that near-dup passes cannot protect); low rare
+    * mass means the source is covered by common phrasing. The trigram
+    * is the unit for the same non-vacuity reason as [[hapaxRatio]].
+    * Two shingle-keyed aggregates (global counts checkpointed once —
+    * corpus state, not per-source work) and one shingle-keyed join;
+    * all counts map-side combinable.
+    */
+  def rareNgramMass(spark: SparkSession, dir: String): DataFrame = {
+    val tris = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), "\\s+").as("w"))
+      .select(col("source"), explode(triOccurrences(col("w"))).as("t"))
+    val global = graft.functions.Iterate.checkpoint(
+      tris.groupBy(col("t")).agg(count(lit(1)).as("gcnt")),
+      Some("corpus shingle counts, read per source afterwards"))
+    tris.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(global, Seq("t"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("occurrences"),
+        sum(when(col("gcnt") < RareMinFreq, col("cnt")).otherwise(0L))
+          .as("rare_occurrences"),
+        countDistinct(when(col("gcnt") < RareMinFreq, col("t")))
+          .as("rare_types"))
+      .select(col("source"), col("occurrences"), col("rare_occurrences"),
+        col("rare_types"),
+        expr("(rare_occurrences * 1000000) div occurrences")
+          .as("rare_mass_ppm"))
+  }
+
+  val rareNgramMassOracle: String = s"""
+    WITH d AS (
+      SELECT source, STRING_SPLIT_REGEX(text, '\\s+') AS w FROM documents),
+    s AS (
+      SELECT source, UNNEST($SqlTriOccurrences) AS t FROM d),
+    g AS (SELECT t, COUNT(*) AS gcnt FROM s GROUP BY 1),
+    c AS (SELECT source, t, COUNT(*) AS cnt FROM s GROUP BY 1, 2)
+    SELECT c.source, CAST(SUM(c.cnt) AS BIGINT) AS occurrences,
+      CAST(SUM(CASE WHEN g.gcnt < $RareMinFreq THEN c.cnt ELSE 0 END)
+        AS BIGINT) AS rare_occurrences,
+      CAST(COUNT(DISTINCT CASE WHEN g.gcnt < $RareMinFreq THEN c.t END)
+        AS BIGINT) AS rare_types,
+      (CAST(SUM(CASE WHEN g.gcnt < $RareMinFreq THEN c.cnt ELSE 0 END)
+        AS BIGINT) * 1000000) // CAST(SUM(c.cnt) AS BIGINT) AS rare_mass_ppm
+    FROM c JOIN g ON c.t = g.t
+    GROUP BY c.source"""
+
+  /** PII inventory per source — the REPORT side of pii_scrub (scrub
+    * redacts; this counts what WOULD be redacted, per class, which is
+    * the governance table that decides whether a source needs the scrub
+    * pass at all). The corpus is synthetic, so PII is INJECTED
+    * deterministically (pii_scrub's email/URL on every doc, a phone on
+    * doc_id % 3 = 0, an IPv4 on doc_id % 5 = 0) and then detected with
+    * the production regexes — the detectors are what is under test.
+    * Counts are per-row regexp_count folds: scan speed, one tiny
+    * source-keyed aggregate.
+    */
+  def piiInventory(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com via https://ex.io/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" tel: +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" ip: 192.168."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), dirty.as("dirty"))
+      .select(col("source"),
+        regexp_count(col("dirty"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+          .cast("bigint").as("emails"),
+        regexp_count(col("dirty"), lit("https?://[^ ]+"))
+          .cast("bigint").as("urls"),
+        regexp_count(col("dirty"), lit("\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"))
+          .cast("bigint").as("phones"),
+        regexp_count(col("dirty"),
+          lit("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"))
+          .cast("bigint").as("ips"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("emails")).as("emails"), sum(col("urls")).as("urls"),
+        sum(col("phones")).as("phones"), sum(col("ips")).as("ips"))
+      .withColumn("pii_per_doc_ppm",
+        expr("((emails + urls + phones + ips) * 1000000) div n_docs"))
+  }
+
+  val piiInventoryOracle: String = """
+    WITH d AS (
+      SELECT source,
+        text || ' contact: user' || CAST(doc_id AS VARCHAR)
+          || '@example.com via https://ex.io/p/' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 3 = 0
+              THEN ' tel: +1-555-'
+                || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0
+              THEN ' ip: 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE '' END) AS dirty
+      FROM documents),
+    c AS (
+      SELECT source,
+        CAST(LEN(REGEXP_EXTRACT_ALL(dirty,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS emails,
+        CAST(LEN(REGEXP_EXTRACT_ALL(dirty, 'https?://[^ ]+')) AS BIGINT)
+          AS urls,
+        CAST(LEN(REGEXP_EXTRACT_ALL(dirty,
+          '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS phones,
+        CAST(LEN(REGEXP_EXTRACT_ALL(dirty,
+          '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS ips
+      FROM d)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(emails) AS BIGINT) AS emails,
+      CAST(SUM(urls) AS BIGINT) AS urls,
+      CAST(SUM(phones) AS BIGINT) AS phones,
+      CAST(SUM(ips) AS BIGINT) AS ips,
+      ((CAST(SUM(emails) AS BIGINT) + CAST(SUM(urls) AS BIGINT)
+        + CAST(SUM(phones) AS BIGINT) + CAST(SUM(ips) AS BIGINT)) * 1000000)
+        // COUNT(*) AS pii_per_doc_ppm
+    FROM c GROUP BY source"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "ttr_diversity" -> QueryDef.sql(ttrDiversity, ttrDiversityOracle),
+    "hapax_ratio" -> QueryDef.sql(hapaxRatio, hapaxRatioOracle),
+    "rare_ngram_mass" -> QueryDef.sql(rareNgramMass, rareNgramMassOracle),
+    "pii_inventory" -> QueryDef.sql(piiInventory, piiInventoryOracle)
+  )
+}

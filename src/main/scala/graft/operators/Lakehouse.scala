@@ -812,7 +812,110 @@ object Lakehouse {
     SELECT * FROM (${prof("hilbert", "hilbert")})"""
   }
 
+  /** Q-error of histogram-based selectivity estimation — the planner-
+    * stats audit beside join_cardinality_est (that one grades JOIN
+    * estimates; this grades the FILTER estimates CBO range-prunes
+    * with): a 32-bucket equi-width histogram over exact order cents is
+    * asked to estimate `price > T` at five thresholds spanning the
+    * domain, against the exact answer from one conditional scan. The
+    * estimator interpolates uniformly inside the partial bucket —
+    * integer-exact per-bucket contributions (cnt·overlap·1e6 div
+    * width), so both engines produce the identical estimate. q_ppm =
+    * max(est/act, act/est)·1e6, the standard planner-quality metric
+    * (1e6 = perfect). Scale: one scan for the histogram (checkpointed,
+    * read per threshold), one scan for the five actuals, 32×5
+    * arithmetic rows in between.
+    */
+  def selectivityQerror(spark: SparkSession, dir: String): DataFrame = {
+    val NB = 32
+    val o = Tables.orders(spark, dir)
+      .select(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+    val mm = o.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    val hist = graft.functions.Iterate.checkpoint(
+      o.crossJoin(broadcast(mm))
+        .withColumn("b",
+          least(lit(NB - 1), expr(s"((c - mn) * $NB) div (mx - mn + 1)")))
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt")),
+      Some("32-bucket cents histogram, probed once per threshold"))
+    val ks = spark.range(1, 10, 2).select(col("id").as("k")) // 1,3,5,7,9
+    val est = hist.crossJoin(broadcast(mm)).crossJoin(broadcast(ks))
+      .withColumn("r", col("mx") - col("mn") + 1)
+      .withColumn("t", col("mn") + expr("((mx - mn) * k) div 10"))
+      .withColumn("lo", col("mn") + expr(s"(b * r) div $NB"))
+      .withColumn("hi", col("mn") + expr(s"((b + 1) * r) div $NB"))
+      .withColumn("width", col("hi") - col("lo"))
+      .withColumn("overlap",
+        greatest(lit(0L), col("hi") - greatest(col("lo"), col("t") + 1)))
+      .withColumn("contrib_x1e6",
+        when(col("width") > 0,
+          expr("(cnt * overlap * 1000000) div width")).otherwise(0L))
+      .groupBy(col("k"), col("t"))
+      .agg(expr("sum(contrib_x1e6) div 1000000").as("est_rows"))
+    val actAggs = (1 to 9 by 2).map(k => sum(
+      when(col("c") > col("mn") + expr(s"((mx - mn) * $k) div 10"), 1L)
+        .otherwise(0L)).as(s"a_$k"))
+    val actRow = o.crossJoin(broadcast(mm))
+      .agg(actAggs.head, actAggs.tail: _*)
+    val act = actRow.select(expr("stack(5, " +
+      (1 to 9 by 2).map(k => s"CAST($k AS BIGINT), a_$k").mkString(", ") +
+      ") AS (k, actual_rows)"))
+    est.join(act, Seq("k"))
+      .select(col("k").as("decile_threshold"),
+        col("t").as("threshold_cents"),
+        col("est_rows"), col("actual_rows"),
+        when(col("est_rows") > 0 && col("actual_rows") > 0,
+          greatest(expr("(est_rows * 1000000) div actual_rows"),
+            expr("(actual_rows * 1000000) div est_rows")))
+          .as("q_ppm"))
+  }
+
+  val selectivityQerrorOracle: String = {
+    val actCols = (1 to 9 by 2).map(k =>
+      s"CAST(SUM(CASE WHEN c > mn + ((mx - mn) * $k) // 10 THEN 1 ELSE 0 END) AS BIGINT) AS a_$k")
+      .mkString(",\n        ")
+    val actRows = (1 to 9 by 2).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS k, a_$k AS actual_rows FROM actrow")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH o AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders),
+    mm AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM o),
+    hist AS (
+      SELECT LEAST(31, ((c - mn) * 32) // (mx - mn + 1)) AS b,
+        COUNT(*) AS cnt
+      FROM o CROSS JOIN mm GROUP BY 1),
+    ks AS (SELECT UNNEST([1, 3, 5, 7, 9]) AS k),
+    est AS (
+      SELECT k, t, CAST(SUM(contrib_x1e6) // 1000000 AS BIGINT) AS est_rows
+      FROM (
+        SELECT ks.k,
+          mn + ((mx - mn) * ks.k) // 10 AS t,
+          CASE WHEN (mn + ((b + 1) * (mx - mn + 1)) // 32)
+              - (mn + (b * (mx - mn + 1)) // 32) > 0
+            THEN (cnt * GREATEST(0, (mn + ((b + 1) * (mx - mn + 1)) // 32)
+              - GREATEST(mn + (b * (mx - mn + 1)) // 32,
+                  mn + ((mx - mn) * ks.k) // 10 + 1)) * 1000000)
+              // ((mn + ((b + 1) * (mx - mn + 1)) // 32)
+                - (mn + (b * (mx - mn + 1)) // 32))
+            ELSE 0 END AS contrib_x1e6
+        FROM hist CROSS JOIN mm CROSS JOIN ks)
+      GROUP BY 1, 2),
+    actrow AS (
+      SELECT $actCols
+      FROM o CROSS JOIN mm),
+    act AS ($actRows)
+    SELECT est.k AS decile_threshold, est.t AS threshold_cents,
+      est.est_rows, act.actual_rows,
+      CASE WHEN est.est_rows > 0 AND act.actual_rows > 0 THEN
+        GREATEST((est.est_rows * 1000000) // act.actual_rows,
+          (act.actual_rows * 1000000) // est.est_rows) END AS q_ppm
+    FROM est JOIN act ON est.k = act.k"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "selectivity_qerror" ->
+      QueryDef.sql(selectivityQerror, selectivityQerrorOracle),
     "hilbert_layout" -> QueryDef.sql(hilbertLayout, hilbertLayoutOracle),
     "compression_estimate" ->
       QueryDef.sql(compressionEstimate, compressionEstimateOracle),

@@ -849,7 +849,14 @@ object Multimodal {
     * recall follows the banding curve — the same bands × bits knob a
     * 100 TB image-dedup pass tunes.
     */
-  private def phashPairs(fps: DataFrame): DataFrame = {
+  private def phashPairs(fps: DataFrame): DataFrame =
+    phashBandedPairs(fps, cut = Some(PhashHammingMax))
+
+  /** The shared banded candidate join: band key IN the join key, exact
+    * bit_count verify, and — when `cut` is set — the Hamming ceiling
+    * applied BEFORE the distinct so dedup only pays for survivors.
+    */
+  private def phashBandedPairs(fps: DataFrame, cut: Option[Long]): DataFrame = {
     val bandStructs = (0 until PhashBands).map { b =>
       struct(lit(b).as("band"), lit(1L << (b * PhashBandBits)).as("dv"))
     }
@@ -864,11 +871,11 @@ object Multimodal {
       col("band"), col("chunk"))
     val b = banded.select(col("doc_id").as("doc_b"), col("phash").as("fb"),
       col("band"), col("chunk"))
-    a.join(b, Seq("band", "chunk"))
+    val verified = a.join(b, Seq("band", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("cast(bit_count(fa ^ fb) as bigint)").as("hamming"))
-      .filter(col("hamming") <= PhashHammingMax)
+    cut.fold(verified)(h => verified.filter(col("hamming") <= h))
       .distinct()
   }
 
@@ -943,7 +950,205 @@ object Multimodal {
         .drop("media_type"))
   }
 
+  /** Banding-threshold tuning table for the phash near-dup pass — the
+    * image twin of dedup_threshold_sweep: from ONE banded candidate
+    * pass (the same 4×15-bit band join as [[multimodalPhash]], WITHOUT
+    * the verify cut), the pair count at every Hamming ceiling
+    * h ∈ {2,4,…,12} — the table that justifies (or moves) the shipped
+    * ≤ 10 verdict before an image-dedup pass runs at corpus scale.
+    * Pair counts are conditional sums over the distinct candidate set;
+    * recall context is the banding pigeonhole documented at
+    * [[multimodalPhash]] (h ≤ 3 is exhaustive; above, the banding
+    * curve applies to every column of this table equally).
+    */
+  def phashHammingSweep(spark: SparkSession, dir: String): DataFrame = {
+    val cand = phashCandidates(Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), expr(phashExprSql("div")).as("phash")))
+    val sums = cand.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      PhashSweepCeilings.map(h =>
+        sum(when(col("hamming") <= h, 1L).otherwise(0L)).as(s"n_$h")): _*)
+    val stackArgs = PhashSweepCeilings
+      .map(h => s"CAST($h AS BIGINT), n_$h").mkString(", ")
+    sums.select(
+      expr(s"stack(${PhashSweepCeilings.size}, $stackArgs) " +
+        "AS (hamming_max, n_pairs)"),
+      col("n_candidate_pairs"))
+  }
+
+  private val PhashSweepCeilings = Seq(2L, 4L, 6L, 8L, 10L, 12L)
+
+  /** [[phashPairs]]' candidate machinery without the Hamming cut — the
+    * full banded candidate set the sweep grades (distinct applies after
+    * no cut, so every ceiling column reads off one shared set).
+    */
+  private def phashCandidates(fps: DataFrame): DataFrame =
+    phashBandedPairs(fps, cut = None)
+
+  lazy val phashHammingSweepOracle: String = {
+    val divisors = (0 until PhashBands)
+      .map(b => s"WHEN $b THEN CAST(${1L << (b * PhashBandBits)} AS BIGINT)")
+      .mkString(" ")
+    val sumCols = PhashSweepCeilings.map(h =>
+      s"CAST(SUM(CASE WHEN hamming <= $h THEN 1 ELSE 0 END) AS BIGINT) AS n_$h")
+      .mkString(",\n        ")
+    val rows = PhashSweepCeilings.map(h =>
+      s"SELECT CAST($h AS BIGINT) AS hamming_max, n_$h AS n_pairs, " +
+        "n_candidate_pairs FROM s").mkString("\n      UNION ALL ")
+    s"""
+    WITH f AS (
+      SELECT doc_id,
+        ${phashExprSql("//")} AS phash
+      FROM documents WHERE n_chars > 0),
+    b AS (
+      SELECT doc_id, phash,
+        UNNEST([${(0 until PhashBands).mkString(", ")}]) AS band
+      FROM f),
+    k AS (
+      SELECT doc_id, phash, band,
+        (phash // (CASE band $divisors END)) % ${1 << PhashBandBits} AS chunk
+      FROM b),
+    p AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(BIT_COUNT(XOR(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM k a JOIN k b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+    s AS (
+      SELECT COUNT(*) AS n_candidate_pairs,
+        $sumCols
+      FROM p)
+    SELECT hamming_max, n_pairs, n_candidate_pairs FROM ($rows)"""
+  }
+
+  /** 16-bit PCM clipping threshold: |s| at or past this counts as a
+    * clipped sample (32760 of 32767 — the standard near-full-scale
+    * margin that survives dither).
+    */
+  private[graft] val ClipAbs = 32760L
+
+  /** Clipped-sample statistics over a WAV payload: (n_samples,
+    * n_clipped at |s| ≥ [[ClipAbs]]) — the audio-QA fold behind
+    * [[multimodalAudioClipReal]]. None when the payload isn't PCM-16
+    * WAV (callers fall back to the stub rule).
+    */
+  private[graft] def clipStats(bytes: Array[Byte]): Option[(Long, Long)] =
+    if (!isWav(bytes)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val data = in.readAllBytes()
+          var i = 0; var n = 0L; var clipped = 0L
+          while (i + 1 < data.length) {
+            val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
+            if (math.abs(s) >= ClipAbs) clipped += 1
+            n += 1; i += 2
+          }
+          Some((n, clipped))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Clipping detection per source, stub form (oracle-checked): the
+    * audio-QA gate that rejects hard-limited/overdriven recordings
+    * before they enter a speech corpus. The stub plays the payload
+    * bytes as 8-bit samples with codes ≥ 120 "clipped" (the top of
+    * this corpus's ASCII amplitude range — non-vacuous: z/{|}~ appear
+    * unevenly across sources); reported per source as sample counts,
+    * clip ppm, and the count of DOCS past 1% clipping (the per-asset
+    * reject rule). Scan-speed regexp folds + one tiny aggregate.
+    */
+  def multimodalAudioClip(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        length(encode(col("text"), "utf-8")).cast("bigint").as("n_samples"),
+        regexp_count(col("text"), lit("[x-z{|}~]")).cast("bigint")
+          .as("clipped"))
+      .withColumn("doc_clip_ppm",
+        when(col("n_samples") > 0,
+          expr("(clipped * 1000000) div n_samples")).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("clipped")).as("clipped"),
+        sum(when(col("doc_clip_ppm") > 10000, 1L).otherwise(0L))
+          .as("clipped_docs"))
+      .withColumn("clip_ppm",
+        when(col("n_samples") > 0,
+          expr("(clipped * 1000000) div n_samples")).otherwise(0L))
+
+  val multimodalAudioClipOracle: String = """
+    WITH d AS (
+      SELECT source,
+        CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_samples,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[x-z{|}~]')) AS BIGINT)
+          AS clipped
+      FROM documents),
+    p AS (
+      SELECT source, n_samples, clipped,
+        CASE WHEN n_samples > 0 THEN (clipped * 1000000) // n_samples
+          ELSE 0 END AS doc_clip_ppm
+      FROM d)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+      CAST(SUM(clipped) AS BIGINT) AS clipped,
+      CAST(SUM(CASE WHEN doc_clip_ppm > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS clipped_docs,
+      CASE WHEN CAST(SUM(n_samples) AS BIGINT) > 0
+        THEN (CAST(SUM(clipped) AS BIGINT) * 1000000)
+          // CAST(SUM(n_samples) AS BIGINT) ELSE 0 END AS clip_ppm
+    FROM p GROUP BY source"""
+
+  /** [[multimodalAudioClip]] with the REAL PCM branch attempted first
+    * ([[clipStats]]: |s| ≥ [[ClipAbs]] over 16-bit LE samples) and the
+    * stub byte rule as fallback — the decode_real pattern: this corpus
+    * is text so every row falls back and the stub oracle applies
+    * (plan-asserted); the PCM branch is spec-pinned against hand-built
+    * clipped/clean WAVs.
+    */
+  def multimodalAudioClipReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        clipStats(bytes) match {
+          case Some((n, clipped)) => (id, src, "audio/decoded", n, clipped)
+          case None =>
+            val n = bytes.length.toLong
+            // stub amplitude rule: byte codes 120..126 ([x-z{|}~])
+            val clipped = bytes.count(b => b >= 120 && b <= 126).toLong
+            (id, src, if (id % 2 == 0) "image/png" else "audio/wav",
+              n, clipped)
+        }
+      }).toDF("doc_id", "source", "media_type", "n_samples", "clipped")
+    stubParityGuard(rows, "audio/decoded", "multimodal_audio_clip_real")
+      .withColumn("doc_clip_ppm",
+        when(col("n_samples") > 0,
+          expr("(clipped * 1000000) div n_samples")).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("clipped")).as("clipped"),
+        sum(when(col("doc_clip_ppm") > 10000, 1L).otherwise(0L))
+          .as("clipped_docs"))
+      .withColumn("clip_ppm",
+        when(col("n_samples") > 0,
+          expr("(clipped * 1000000) div n_samples")).otherwise(0L))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "multimodal_phash_sweep" ->
+      QueryDef.sql(phashHammingSweep, phashHammingSweepOracle),
+    "multimodal_audio_clip" ->
+      QueryDef.sql(multimodalAudioClip, multimodalAudioClipOracle),
+    "multimodal_audio_clip_real" ->
+      QueryDef.sql(multimodalAudioClipReal, multimodalAudioClipOracle),
     "multimodal_meta" -> QueryDef.sql(multimodalMeta, multimodalMetaOracle),
     "multimodal_decode" -> QueryDef.sql(multimodalDecode, multimodalDecodeOracle),
     "multimodal_decode_real" ->

@@ -140,6 +140,11 @@ object Objectives {
     * samples the two cut points uniformly; here they are the exact
     * thirds so the transform is deterministic and oracle-mirrorable (a
     * production run would salt them per doc_id the dataset_split way).
+    * Bench note (r12 WARN, confirmed noise r13): this op costs
+    * 0.09-0.25 s at sf0.1 across rounds — at the scheduler noise floor,
+    * where bench_regress's clamped-baseline rule intentionally
+    * over-flags; the plan is one scan-speed projection and has not
+    * changed since r12.
     */
   def fimSplit(spark: SparkSession, dir: String): DataFrame = {
     val w = col("w")

@@ -938,6 +938,125 @@ object Retrieval {
     "quantile_normalize" -> QueryDef.sql(quantileNormalize, quantileNormalizeOracle),
     "theilsen_trend" -> QueryDef.sql(theilsenTrend, theilsenTrendOracle),
     "ols_trend" -> QueryDef.sql(olsTrend, olsTrendOracle),
-    "map_eval" -> QueryDef.sql(mapEval, mapEvalOracle)
+    "map_eval" -> QueryDef.sql(mapEval, mapEvalOracle),
+    "mrr_eval" -> QueryDef.sql(mrrEval, mrrEvalOracle)
   )
+
+  /** Mean reciprocal rank of the eval ranking — the third leg of the
+    * battery (ndcg grades the whole list, AP the relevant mass, MRR the
+    * TIME-TO-FIRST-ANSWER — the metric a "find me one good passage" RAG
+    * consumer actually feels). Same frames and guards as [[mapEval]]:
+    * 2-term eval ranking, 3-term relevance oracle, rel = 3 counts as
+    * relevant; rr is exact ×2520 integer arithmetic (2520 = lcm(1..10),
+    * so 2520/r is integral at every rank) with the first-hit flag
+    * h_r · [cum(r) = 1] — no window beyond the constant K-row frame.
+    */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.functions.Iterate.checkpoint(
+      bm25ScoredDf(spark, dir)
+        .withColumn("rel",
+          QueryTerms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+            .reduceLeft(_ + _))
+        .withColumn("score2",
+          EvalQueryTerms.map(bm25Partial).reduceLeft(_ + _))
+        .filter(col("score2") > 0.0)
+        .withColumn("score2",
+          floor(col("score2") * lit(1.0e6) + lit(0.5)).cast("double")
+            / lit(1.0e6)))
+    val relTot = scored.agg(
+      sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n_relevant"))
+    val top = scored
+      .orderBy(col("score2").desc, col("doc_id").asc).limit(NdcgK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score2").desc, col("doc_id").asc)))
+    val hRow = top.agg(
+      sum(when(col("rank") === 1 && col("rel") === 3, 1L).otherwise(0L))
+        .as("h_1"),
+      (2 to NdcgK).map(r =>
+        sum(when(col("rank") === r && col("rel") === 3, 1L).otherwise(0L))
+          .as(s"h_$r")): _*)
+    def cum(r: Int) = (1 to r).map(i => col(s"h_$i")).reduceLeft(_ + _)
+    val rrNum = (1 to NdcgK)
+      .map(r => when(col(s"h_$r") === 1 && cum(r) === 1,
+        lit((2520 / r).toLong)).otherwise(0L))
+      .reduceLeft(_ + _)
+    val firstRank = (1 to NdcgK)
+      .map(r => when(col(s"h_$r") === 1 && cum(r) === 1, lit(r.toLong)))
+      .reduceLeft((a, b) => coalesce(a, b))
+    hRow.crossJoin(broadcast(relTot))
+      .select(col("n_relevant"),
+        firstRank.as("first_rel_rank"),
+        rrNum.as("rr_x2520"))
+      .withColumn("mrr_ppm",
+        when(col("n_relevant") > 0, expr("(rr_x2520 * 1000000) div 2520")))
+  }
+
+  lazy val mrrEvalOracle: String = {
+    val tfCols = QueryTerms.map(t =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n        ")
+    val dfCols = QueryTerms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n        ")
+    def partial(t: String) =
+      s"""CASE WHEN tf_$t > 0 THEN
+        ((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+          / (CAST(df_$t AS DOUBLE) + 0.5))
+        * (CAST(tf_$t AS DOUBLE) * ${K1 + 1.0})
+        / (CAST(tf_$t AS DOUBLE)
+          + $K1 * ((1.0 - $B) + $B * CAST(dl AS DOUBLE)
+            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        ELSE CAST(0.0 AS DOUBLE) END"""
+    val hCols = (1 to NdcgK).map(r =>
+      s"CAST(SUM(CASE WHEN rank = $r AND rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h_$r")
+      .mkString(",\n        ")
+    def cumSql(r: Int) = (1 to r).map(i => s"h_$i").mkString(" + ")
+    val rrSql = (1 to NdcgK)
+      .map(r => s"(CASE WHEN h_$r = 1 AND ${cumSql(r)} = 1 "
+        + s"THEN ${2520 / r} ELSE 0 END)")
+      .mkString("\n        + ")
+    val firstSql = "COALESCE(" + (1 to NdcgK)
+      .map(r => s"(CASE WHEN h_$r = 1 AND ${cumSql(r)} = 1 "
+        + s"THEN CAST($r AS BIGINT) END)")
+      .mkString(", ") + ")"
+    s"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term
+      FROM documents),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+        $tfCols
+      FROM terms GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+        $dfCols
+      FROM perdoc),
+    scored_rel AS (
+      SELECT doc_id,
+        ${QueryTerms.map(partial).mkString("\n        + ")} AS score,
+        ${EvalQueryTerms.map(partial).mkString("\n        + ")} AS score2,
+        ${QueryTerms.map(t => s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")} AS rel
+      FROM perdoc CROSS JOIN stats),
+    kept AS (
+      SELECT doc_id,
+        CAST(FLOOR(score2 * 1.0e6 + 0.5) AS DOUBLE) / 1.0e6 AS score2, rel
+      FROM scored_rel WHERE score > 0.0 AND score2 > 0.0),
+    rt AS (
+      SELECT CAST(SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_relevant FROM kept),
+    top AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY score2 DESC, doc_id ASC) AS rank
+      FROM kept ORDER BY score2 DESC, doc_id ASC LIMIT $NdcgK),
+    h AS (
+      SELECT $hCols
+      FROM top)
+    SELECT n_relevant,
+      $firstSql AS first_rel_rank,
+      CAST($rrSql AS BIGINT) AS rr_x2520,
+      CASE WHEN n_relevant > 0 THEN
+        CAST(CAST($rrSql AS BIGINT) * 1000000 // 2520 AS BIGINT) END
+        AS mrr_ppm
+    FROM h CROSS JOIN rt"""
+  }
 }

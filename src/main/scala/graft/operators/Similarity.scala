@@ -1021,7 +1021,107 @@ object Similarity {
       END AS ratio_ppm
     FROM po JOIN pp ON po.a = pp.a AND po.b = pp.b"""
 
+  /** k-occurrence (hubness) audit over the 40-vector probe frame — the
+    * intrinsic-dimensionality pathology check run BEFORE trusting any
+    * ANN index: in high effective dimension a few "hub" vectors appear
+    * in everyone's top-k (and "anti-hubs" in nobody's), which silently
+    * skews dedup_embedding and retrieval evals. Each probe's exact
+    * top-5 over the other probes (the shared brute-force audit frame);
+    * every probe then reports how many LISTS it appears in — expected
+    * occupancy is exactly k = 5 under uniformity, so hub_ratio_ppm =
+    * occ·1e6 ÷ 5 reads directly as skew. Anti-hubs (occ = 0) are kept
+    * via the left join — their count is half the signal. Scale:
+    * probe-set-sized throughout.
+    */
+  def hubnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.embeddings(spark, dir).filter(col("vec_id") < 40)
+    val q = probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val c = probes.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val occ = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("k_occ"))
+    probes.select(col("vec_id"))
+      .join(occ, col("vec_id") === col("neighbor_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("k_occ"), lit(0L)).as("k_occurrences"))
+      .withColumn("hub_ratio_ppm",
+        expr("(k_occurrences * 1000000) div 5"))
+  }
+
+  val hubnessAuditOracle: String = s"""
+    WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+    ranked AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${VectorOps.sqlCosine("q.embedding", "c.embedding")} DESC,
+            c.vec_id ASC) AS rank
+      FROM p q JOIN p c ON q.vec_id <> c.vec_id),
+    occ AS (
+      SELECT neighbor_id, COUNT(*) AS k_occ FROM ranked
+      WHERE rank <= 5 GROUP BY 1)
+    SELECT p.vec_id, COALESCE(o.k_occ, 0) AS k_occurrences,
+      (COALESCE(o.k_occ, 0) * 1000000) // 5 AS hub_ratio_ppm
+    FROM p LEFT JOIN occ o ON p.vec_id = o.neighbor_id"""
+
+  /** Rank-1-to-rank-k margin per probe — the "is approximate search
+    * safe here?" table: a wide cosine margin between the best and the
+    * k-th neighbor means an ANN pass that perturbs ranks still returns
+    * the same working set; margins near zero mean nprobe/banding knobs
+    * must be conservative. Same exact brute-force frame as ann_topk;
+    * the margin is floored to exact ×1e6 integers.
+    */
+  def knnMarginAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("rank") === 1, col("cosine"))).as("cos_at_1"),
+        max(when(col("rank") === 5, col("cosine"))).as("cos_at_k"))
+      .withColumn("margin_x1e6",
+        floor((col("cos_at_1") - col("cos_at_k")) * lit(1.0e6))
+          .cast("bigint"))
+  }
+
+  val knnMarginAuditOracle: String = s"""
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id,
+        ${VectorOps.sqlCosine("q.embedding", "c.embedding")} AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${VectorOps.sqlCosine("q.embedding", "c.embedding")} DESC,
+            c.vec_id ASC) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      JOIN embeddings c ON q.vec_id <> c.vec_id)
+    SELECT query_id,
+      MAX(CASE WHEN rank = 1 THEN cosine END) AS cos_at_1,
+      MAX(CASE WHEN rank = 5 THEN cosine END) AS cos_at_k,
+      CAST(FLOOR((MAX(CASE WHEN rank = 1 THEN cosine END)
+        - MAX(CASE WHEN rank = 5 THEN cosine END)) * 1.0e6) AS BIGINT)
+        AS margin_x1e6
+    FROM ranked WHERE rank <= 5
+    GROUP BY query_id"""
+
   def defs: Map[String, QueryDef] = Map(
+    "hubness_audit" -> QueryDef.sql(hubnessAudit, hubnessAuditOracle),
+    "knn_margin_audit" ->
+      QueryDef.sql(knnMarginAudit, knnMarginAuditOracle),
     "jl_projection_audit" ->
       QueryDef.sql(jlProjectionAudit, jlProjectionAuditOracle),
     "centroid_confusion" ->

@@ -222,8 +222,88 @@ object Tokenizer {
     FROM enc"""
   }
 
+  /** Corpus token count after applying the first k merges, for every
+    * k = 0..[[MergeRounds]] — the VOCAB-SIZE TUNING CURVE (each row is
+    * "one more merge buys this much compression"); a tokenizer team
+    * reads the flattening point to stop growing the vocabulary.
+    * Monotone by construction (a merge can only shrink a word's symbol
+    * count). One corpus scan computes all the counts as parallel
+    * per-row folds against the broadcast merge row; `stack` unpivots
+    * the single aggregate row. compression_ppm is tokens·1e6 ÷ the
+    * k = 0 character-symbol baseline — exact BIGINT.
+    */
+  def bpeCompressionCurve(spark: SparkSession, dir: String): DataFrame = {
+    def mergeFold(sym: Column, a: Column, b: Column): Column = aggregate(
+      split(sym, " "), lit(""), (acc, x) =>
+        when(acc === "", x)
+          .when(x === b && acc === a, concat(a, b))
+          .when(x === b && acc.endsWith(concat(lit(" "), a)),
+            concat(acc.substr(lit(1), length(acc) - length(a) - 1),
+              lit(" "), a, b))
+          .otherwise(concat(acc, lit(" "), x)))
+    val pivots = (1 to MergeRounds).flatMap(i => Seq(
+      max(when(col("merge_rank") === i, col("lhs"))).as(s"l$i"),
+      max(when(col("merge_rank") === i, col("rhs"))).as(s"r$i")))
+    val mrow = bpeMerges(spark, dir).agg(pivots.head, pivots.tail: _*)
+    def tokensAfter(k: Int): Column =
+      aggregate(split(col("text"), "\\s+"), lit(0L), (acc, word) =>
+        acc + size(split(
+          (1 to k).foldLeft(
+            array_join(regexp_extract_all(word, lit("."), lit(0)), " ")) {
+            (sym, i) => mergeFold(sym, col(s"l$i"), col(s"r$i"))
+          }, " ")).cast("long"))
+    val row = Tables.documents(spark, dir)
+      .crossJoin(broadcast(mrow))
+      .agg(sum(tokensAfter(0)).as("n_0"),
+        (1 to MergeRounds).map(k => sum(tokensAfter(k)).as(s"n_$k")): _*)
+    val stackArgs = (0 to MergeRounds)
+      .map(k => s"CAST($k AS BIGINT), n_$k").mkString(", ")
+    row.select(
+        expr(s"stack(${MergeRounds + 1}, $stackArgs) " +
+          "AS (merges_applied, corpus_tokens)"),
+        col("n_0").as("baseline_syms"))
+      .withColumn("compression_ppm",
+        expr("(corpus_tokens * 1000000) div baseline_syms"))
+  }
+
+  val bpeCompressionCurveOracle: String = {
+    def sqlMergeFold(sym: String, i: Int): String = s"""
+      LIST_REDUCE(LIST_PREPEND('', STRING_SPLIT($sym, ' ')), (acc$i, x$i) ->
+        CASE WHEN acc$i = '' THEN x$i
+             WHEN x$i = r$i AND acc$i = l$i THEN l$i || r$i
+             WHEN x$i = r$i AND ENDS_WITH(acc$i, ' ' || l$i)
+               THEN LEFT(acc$i, LEN(acc$i) - LEN(l$i) - 1) || ' ' || l$i || r$i
+             ELSE acc$i || ' ' || x$i END)"""
+    def enc(k: Int) = (1 to k).foldLeft(
+      "ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(word, '.'), ' ')")(
+      (sym, i) => sqlMergeFold(sym, i))
+    def nK(k: Int) =
+      s"""CAST(COALESCE(SUM(LIST_SUM(LIST_TRANSFORM(
+        STRING_SPLIT_REGEX(text, '\\s+'), word ->
+          LEN(STRING_SPLIT(${enc(k)}, ' '))))), 0) AS BIGINT) AS n_$k"""
+    val unionAll = (1 to MergeRounds).map(i =>
+      s"SELECT $i AS merge_rank, lhs, rhs, freq FROM t$i").mkString(" UNION ALL ")
+    val pivots = (1 to MergeRounds).map(i =>
+      s"MAX(CASE WHEN merge_rank = $i THEN lhs END) AS l$i, " +
+        s"MAX(CASE WHEN merge_rank = $i THEN rhs END) AS r$i").mkString(", ")
+    val rows = (0 to MergeRounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merges_applied, n_$k AS corpus_tokens, " +
+        s"n_0 AS baseline_syms FROM agg").mkString("\n      UNION ALL ")
+    s"""
+    WITH $sqlTrainingCtes,
+    m AS (SELECT $pivots FROM ($unionAll)),
+    agg AS (
+      SELECT ${(0 to MergeRounds).map(nK).mkString(",\n        ")}
+      FROM documents CROSS JOIN m)
+    SELECT merges_applied, corpus_tokens, baseline_syms,
+      (corpus_tokens * 1000000) // baseline_syms AS compression_ppm
+    FROM ($rows)"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "bpe_merges" -> QueryDef.sql(bpeMerges, bpeMergesOracle),
-    "bpe_encode" -> QueryDef.sql(bpeEncode, bpeEncodeOracle)
+    "bpe_encode" -> QueryDef.sql(bpeEncode, bpeEncodeOracle),
+    "bpe_compression_curve" ->
+      QueryDef.sql(bpeCompressionCurve, bpeCompressionCurveOracle)
   )
 }

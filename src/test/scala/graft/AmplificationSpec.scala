@@ -180,15 +180,30 @@ class AmplificationSpec extends SparkSpec {
   private lazy val rowDirHi = amplifiedDir("row16",
     Map("documents" -> docsRows(16), "events" -> eventsRows(16)))
 
-  /** text-cost operators: per-document length is the axis. */
+  /** text-cost operators: per-document length is the axis.
+    * r13 additions: the trigram-tail pair (hapax_ratio /
+    * rare_ngram_mass — whose shingle lambda is exactly the shape the
+    * r12 trap bites if the word array is ever inlined), ttr_diversity,
+    * the BPE curve (per-word folds × 4 merge levels), and the byte-rate
+    * audio clip scan.
+    */
   private val lengthChecked = Seq(
     "content_chunk_dedup", "boilerplate_detect", "ngram_novelty",
-    "collocations_dice")
+    "collocations_dice",
+    "hapax_ratio", "rare_ngram_mass", "ttr_diversity",
+    "bpe_compression_curve", "multimodal_audio_clip")
 
-  /** population-cost operators: row count is the axis. */
+  /** population-cost operators: row count is the axis.
+    * r13 additions: the phash sweep (banded candidate volume must stay
+    * banding-bounded), interarrival (user-partitioned lag), the CDC
+    * conflict cells, and the inference trio whose moment folds must
+    * stay single-pass.
+    */
   private val rowChecked = Seq(
     "dedup_threshold_sweep", "dedup_minhash_lsh", "sessionize",
-    "burst_detect")
+    "burst_detect",
+    "multimodal_phash_sweep", "interarrival_stats", "cdc_conflict_audit",
+    "friedman_test", "pii_inventory")
 
   private def smoke(names: Seq[String], lo: String, hi: String): Unit =
     names.foreach { name =>
