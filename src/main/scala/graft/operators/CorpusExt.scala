@@ -245,7 +245,89 @@ object CorpusExt {
         // COUNT(*) AS pii_per_doc_ppm
     FROM c GROUP BY source"""
 
+  /** Simpson diversity per source — the collision-probability view of
+    * lexical concentration (the chance two random tokens are the SAME
+    * word), exactly computable where entropy would need libm: D =
+    * Σ nᵢ(nᵢ−1) ÷ N(N−1) in exact BIGINT ppm, diversity = 1 − D.
+    * Complements [[ttrDiversity]]: TTR counts the type inventory,
+    * Simpson weighs its usage balance (a source can have all 31 types
+    * and still hammer one of them). One word-keyed aggregate.
+    */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n")).as("tokens"),
+        sum(col("n") * (col("n") - 1)).as("coll"))
+      .select(col("source"), col("n_types"), col("tokens"),
+        expr("(coll * 1000000) div (tokens * (tokens - 1))")
+          .as("simpson_ppm"))
+      .withColumn("diversity_ppm", lit(1000000L) - col("simpson_ppm"))
+
+  val simpsonDiversityOracle: String = """
+    WITH w AS (
+      SELECT source, UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS word
+      FROM documents),
+    c AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    s AS (
+      SELECT source, COUNT(*) AS n_types, CAST(SUM(n) AS BIGINT) AS tokens,
+        CAST(SUM(n * (n - 1)) AS BIGINT) AS coll
+      FROM c GROUP BY 1)
+    SELECT source, n_types, tokens,
+      (coll * 1000000) // (tokens * (tokens - 1)) AS simpson_ppm,
+      1000000 - (coll * 1000000) // (tokens * (tokens - 1))
+        AS diversity_ppm
+    FROM s"""
+
+  /** Skip-gram co-occurrence pairs (window ±2) — the word2vec-style
+    * training-pair generator, run as a corpus statistic: unordered
+    * word pairs within two positions, global counts, top-20 with a
+    * total order (count desc, pair asc). Distance-2 pairs are what
+    * separate this from collocations_dice's adjacent bigrams — the
+    * context window is the embedding-training unit. Pair space is
+    * bounded by vocab² so the aggregate is tiny; the explode is linear
+    * in corpus length. The word array materializes as its own
+    * projection before the pair lambdas (the inlining trap rule).
+    */
+  def skipgramPairs(spark: SparkSession, dir: String): DataFrame = {
+    def pairsAt(d: Int): Column =
+      when(size(col("w")) >= d + 1,
+        transform(sequence(lit(1), size(col("w")) - d), i =>
+          concat_ws(" ",
+            least(element_at(col("w"), i), element_at(col("w"), i + d)),
+            greatest(element_at(col("w"), i), element_at(col("w"), i + d)))))
+        .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(split(col("text"), "\\s+").as("w"))
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  val skipgramPairsOracle: String = """
+    WITH d AS (
+      SELECT STRING_SPLIT_REGEX(text, '\s+') AS w FROM documents),
+    p AS (
+      SELECT UNNEST(
+        (CASE WHEN LEN(w) >= 2 THEN LIST_TRANSFORM(RANGE(1, LEN(w)),
+          i -> LEAST(w[i], w[i+1]) || ' ' || GREATEST(w[i], w[i+1]))
+          ELSE [] END)
+        || (CASE WHEN LEN(w) >= 3 THEN LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+          i -> LEAST(w[i], w[i+2]) || ' ' || GREATEST(w[i], w[i+2]))
+          ELSE [] END)) AS pair
+      FROM d)
+    SELECT pair, COUNT(*) AS cnt FROM p
+    GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""
+
   def defs: Map[String, QueryDef] = Map(
+    "simpson_diversity" ->
+      QueryDef.sql(simpsonDiversity, simpsonDiversityOracle),
+    "skipgram_pairs" -> QueryDef.sql(skipgramPairs, skipgramPairsOracle),
     "ttr_diversity" -> QueryDef.sql(ttrDiversity, ttrDiversityOracle),
     "hapax_ratio" -> QueryDef.sql(hapaxRatio, hapaxRatioOracle),
     "rare_ngram_mass" -> QueryDef.sql(rareNgramMass, rareNgramMassOracle),

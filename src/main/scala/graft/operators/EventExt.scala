@@ -131,7 +131,75 @@ object EventExt {
         * 1000000) // COUNT(*) AS conflict_ppm
     FROM cells"""
 
+  /** Page–Hinkley drift detector over the daily event-count series —
+    * the SEQUENTIAL changepoint monitor beside cusum_changepoint's
+    * retrospective split: mₜ = Σᵢ≤ₜ (xᵢ − x̄ᵢ) accumulates deviation
+    * from the RUNNING mean (each term against the mean as of its own
+    * step — the online form), and the PH statistic mₜ − min(m₁..ₜ)
+    * alarms when the series drifts up by more than λ = one average
+    * day's volume. All arithmetic exact in ×1e6 BIGINT units (running
+    * means are integer-floored ppm; both engines floor identically).
+    * Scale: the day frame is calendar-bounded (the declared window
+    * class); one scan aggregates to it.
+    */
+  def pageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day_ord"))
+      .groupBy(col("day_ord")).agg(count(lit(1)).as("cnt"))
+    val lam = daily.agg(
+      expr("(sum(cnt) * 1000000) div count(*)").as("lambda_x1e6"))
+    val byDay = Window.orderBy(col("day_ord").asc)
+    val cum = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(lam))
+      .withColumn("i", row_number().over(byDay).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(cum))
+      .withColumn("dev_x1e6",
+        col("cnt") * lit(1000000L)
+          - expr("(cum_cnt * 1000000) div i"))
+      .withColumn("m_x1e6", sum(col("dev_x1e6")).over(cum))
+      .withColumn("ph_x1e6",
+        col("m_x1e6") - min(col("m_x1e6")).over(cum))
+      .select(col("day_ord"), col("cnt"), col("m_x1e6"), col("ph_x1e6"),
+        (col("ph_x1e6") > col("lambda_x1e6")).as("alarm"))
+  }
+
+  val pageHinkleyOracle: String = """
+    WITH daily AS (
+      SELECT EPOCH_NS(ts) // 86400000000000 AS day_ord, COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    lam AS (
+      SELECT (CAST(SUM(cnt) AS BIGINT) * 1000000) // COUNT(*) AS lambda_x1e6
+      FROM daily),
+    seq AS (
+      SELECT day_ord, cnt,
+        CAST(ROW_NUMBER() OVER (ORDER BY day_ord ASC) AS BIGINT) AS i,
+        CAST(SUM(cnt) OVER (ORDER BY day_ord ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_cnt
+      FROM daily),
+    dev AS (
+      SELECT day_ord, cnt,
+        cnt * 1000000 - (cum_cnt * 1000000) // i AS dev_x1e6
+      FROM seq),
+    m AS (
+      SELECT day_ord, cnt,
+        CAST(SUM(dev_x1e6) OVER (ORDER BY day_ord ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS m_x1e6
+      FROM dev),
+    ph AS (
+      SELECT day_ord, cnt, m_x1e6,
+        m_x1e6 - CAST(MIN(m_x1e6) OVER (ORDER BY day_ord ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS ph_x1e6
+      FROM m)
+    SELECT day_ord, cnt, m_x1e6, ph_x1e6,
+      ph_x1e6 > (SELECT lambda_x1e6 FROM lam) AS alarm
+    FROM ph"""
+
   def defs: Map[String, QueryDef] = Map(
+    "page_hinkley" -> QueryDef.sql(pageHinkley, pageHinkleyOracle),
     "interarrival_stats" ->
       QueryDef.sql(interarrivalStats, interarrivalStatsOracle),
     "cdc_conflict_audit" ->

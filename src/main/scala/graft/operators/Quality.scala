@@ -193,6 +193,96 @@ object Quality {
     GROUP BY 1, 2, 3
     HAVING COUNT(*) < $KAnon"""
 
+  /** The account-balance generalization rungs: band width 10^g dollars
+    * for g = 0..4, then g = 5 suppresses the attribute entirely (one
+    * whole-domain band).
+    */
+  private val LadderRungs = 0 to 5
+
+  /** The k-anonymity PLANNER that turns [[kAnonymityAudit]]'s finding
+    * into an action: for every generalization rung of the balance
+    * quasi-identifier (band width 10^g, g = 5 = suppress), the
+    * residual-risk profile — group count, minimum group size, groups
+    * under k, and the share of customers already inside k-anonymous
+    * groups — plus the recommendation flag on the SMALLEST rung whose
+    * minimum group size clears k = 5. This is the table a data-release
+    * review reads to pick the least-destructive generalization.
+    * Scale: the quasi-id projection is checkpointed once and each of
+    * the six rungs is one map-side-combinable aggregate over it; the
+    * ladder output is 6 rows.
+    */
+  def generalizationLadder(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.functions.Iterate.checkpoint(
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("mktsegment"),
+          col("c_acctbal")))
+    val perRung = LadderRungs.map { g =>
+      val band =
+        if (g >= 5) lit(0L)
+        else floor(col("c_acctbal") / lit(math.pow(10.0, g))).cast("long")
+      base
+        .groupBy(col("nationkey"), col("mktsegment"), band.as("band"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          lit(g.toLong).as("rung"),
+          lit(if (g >= 5) 0L else math.pow(10.0, g).toLong)
+            .as("band_width_dollars"),
+          count(lit(1)).as("n_groups"),
+          min(col("n")).as("min_k"),
+          sum(when(col("n") < KAnon, 1L).otherwise(0L)).as("under_k_groups"),
+          expr(s"(sum(CASE WHEN n >= $KAnon THEN n ELSE 0 END) * 1000000) " +
+            "div sum(n)").as("anon_share_ppm"))
+    }.reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    perRung
+      .withColumn("k_ok", when(col("min_k") >= KAnon, 1L).otherwise(0L))
+      .withColumn("prior_ok",
+        coalesce(sum(col("k_ok")).over(
+          Window.orderBy(col("rung").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("recommended",
+        col("k_ok") === 1L && col("prior_ok") === 0L)
+      .select(col("rung"), col("band_width_dollars"), col("n_groups"),
+        col("min_k"), col("under_k_groups"), col("anon_share_ppm"),
+        col("recommended"))
+  }
+
+  val generalizationLadderOracle: String = {
+    val rungs = LadderRungs.map { g =>
+      val band = if (g >= 5) "CAST(0 AS BIGINT)"
+        else s"CAST(FLOOR(c_acctbal / ${math.pow(10.0, g).toLong}) AS BIGINT)"
+      s"""
+      SELECT CAST($g AS BIGINT) AS rung,
+        CAST(${if (g >= 5) 0L else math.pow(10.0, g).toLong} AS BIGINT)
+          AS band_width_dollars,
+        COUNT(*) AS n_groups,
+        CAST(MIN(n) AS BIGINT) AS min_k,
+        CAST(SUM(CASE WHEN n < $KAnon THEN 1 ELSE 0 END) AS BIGINT)
+          AS under_k_groups,
+        (CAST(SUM(CASE WHEN n >= $KAnon THEN n ELSE 0 END) AS BIGINT)
+          * 1000000) // CAST(SUM(n) AS BIGINT) AS anon_share_ppm
+      FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+          $band AS band, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2, 3)"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH ladder AS ($rungs),
+    flagged AS (
+      SELECT *,
+        CASE WHEN min_k >= $KAnon THEN 1 ELSE 0 END AS k_ok,
+        COALESCE(CAST(SUM(CASE WHEN min_k >= $KAnon THEN 1 ELSE 0 END)
+          OVER (ORDER BY rung ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          AS prior_ok
+      FROM ladder)
+    SELECT rung, band_width_dollars, n_groups, min_k, under_k_groups,
+      anon_share_ppm,
+      (k_ok = 1 AND prior_ok = 0) AS recommended
+    FROM flagged"""
+  }
+
   /** The erasure-request subject ids (user ≘ custkey, the identity the
     * as-of join already relies on).
     */
@@ -591,6 +681,8 @@ object Quality {
     "dp_noisy_counts" -> QueryDef.sql(dpNoisyCounts, dpNoisyCountsOracle),
     "dq_checks" -> QueryDef.sql(dqChecks, dqChecksOracle),
     "k_anonymity_audit" -> QueryDef.sql(kAnonymityAudit, kAnonymityAuditOracle),
+    "generalization_ladder" ->
+      QueryDef.sql(generalizationLadder, generalizationLadderOracle),
     "right_to_erasure" -> QueryDef.sql(rightToErasure, rightToErasureOracle),
     "benford_audit" -> QueryDef.sql(benfordAudit, benfordAuditOracle),
     "l_diversity_audit" -> QueryDef.sql(lDiversityAudit, lDiversityAuditOracle),

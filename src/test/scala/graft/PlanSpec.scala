@@ -446,11 +446,14 @@ class PlanSpec extends SparkSpec {
       "rrf_fusion" -> "ranks over two ≤20-row post-LIMIT top-k frames",
       "ndcg_eval" -> "rank over the ≤10-row post-LIMIT top-k frame",
       "map_eval" -> "rank over the ≤10-row post-LIMIT top-k frame",
+      "mrr_eval" -> "rank over the ≤10-row post-LIMIT top-k frame",
       "zipf_coverage" -> "rank over the ≤1000-row post-LIMIT vocabulary head",
       "user_concentration" -> "decile share over ≤10 aggregated rows",
       "group_kfold" -> "fold share over ≤k aggregated fold rows",
       "mix_quality_frontier" -> "frontier over |sources| aggregated rows",
-      "seasonal_anomaly" -> "median ranks over the calendar-bounded interior-day frame")
+      "seasonal_anomaly" -> "median ranks over the calendar-bounded interior-day frame",
+      "generalization_ladder" -> "prefix flag over the 6-row generalization ladder",
+      "page_hinkley" -> "cumulative PH fold over the calendar-bounded day frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val n = unpartitionedWindows(fn(spark, sfDir))

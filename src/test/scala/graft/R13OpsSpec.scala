@@ -211,6 +211,81 @@ class R13OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_writers") >= 1L)
   }
 
+  test("simpson_diversity: bounded in ppm, complements TTR (varies " +
+      "across sources)") {
+    val rows = operators.CorpusExt.simpsonDiversity(spark, sfDir).collect()
+    rows.foreach { r =>
+      val s = r.getAs[Long]("simpson_ppm")
+      assert(s >= 0L && s <= 1000000L)
+      assert(r.getAs[Long]("diversity_ppm") == 1000000L - s)
+    }
+    assert(rows.map(_.getAs[Long]("simpson_ppm")).distinct.length > 1,
+      "sources hammer the closed vocabulary unevenly; a constant " +
+        "Simpson index means a vacuous fold")
+  }
+
+  test("skipgram_pairs: 20 rows, ordered, pairs canonical, top count " +
+      "reconciles with a direct recount") {
+    val rows = operators.CorpusExt.skipgramPairs(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val Array(a, b) = r.getAs[String]("pair").split(" ")
+      assert(a <= b, "pairs must be canonically ordered")
+    }
+    val top = rows.head
+    val Array(x, y) = top.getAs[String]("pair").split(" ")
+    val w = Tables.documents(spark, sfDir)
+      .select(split(col("text"), "\\s+").as("w"))
+    val recount = w.select(explode(expr(
+      "concat(" +
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+        "i -> concat_ws(' ', least(w[i-1], w[i]), greatest(w[i-1], w[i]))) " +
+        "ELSE array() END, " +
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
+        "i -> concat_ws(' ', least(w[i-1], w[i+1]), greatest(w[i-1], w[i+1]))) " +
+        "ELSE array() END)")).as("p"))
+      .filter(col("p") === top.getAs[String]("pair")).count()
+    assert(top.getAs[Long]("cnt") == recount)
+    assert(x.nonEmpty && y.nonEmpty)
+  }
+
+  test("generalization_ladder: coarser rungs never shrink min_k, exactly " +
+      "one recommendation, suppress rung is k-anonymous") {
+    val rows = operators.Quality.generalizationLadder(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("rung"))
+    assert(rows.length == 6)
+    // bands nest (floor(x/10^(g+1)) == floor(floor(x/10^g)/10)), so
+    // widening can only merge groups: min_k monotone up, group count
+    // monotone down
+    val minKs = rows.map(_.getAs[Long]("min_k"))
+    assert(minKs.zip(minKs.tail).forall { case (a, b) => b >= a })
+    val groups = rows.map(_.getAs[Long]("n_groups"))
+    assert(groups.zip(groups.tail).forall { case (a, b) => b <= a })
+    // at most one rung carries the flag — the smallest k-clearing one
+    assert(rows.count(_.getAs[Boolean]("recommended")) <= 1)
+    assert(rows.map(_.getAs[Long]("anon_share_ppm")).distinct.length > 1,
+      "the ladder must actually move residual risk on this corpus")
+  }
+
+  test("page_hinkley: PH statistic is non-negative, zero at the first " +
+      "day, and the running-mean fold reconciles") {
+    val rows = operators.EventExt.pageHinkley(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("day_ord"))
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("ph_x1e6") >= 0L))
+    assert(rows.head.getAs[Long]("ph_x1e6") == 0L)
+    // driver-side recompute of the m fold
+    var cum = 0L; var m = 0L
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      cum += r.getAs[Long]("cnt")
+      m += r.getAs[Long]("cnt") * 1000000L - cum * 1000000L / (idx + 1)
+      assert(r.getAs[Long]("m_x1e6") == m,
+        s"m fold diverged at day index $idx")
+    }
+  }
+
   test("selectivity_qerror: q >= 1, actuals strictly shrink as the " +
       "threshold climbs the domain") {
     val rows = operators.Lakehouse.selectivityQerror(spark, sfDir)
