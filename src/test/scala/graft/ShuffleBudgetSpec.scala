@@ -572,4 +572,61 @@ class ShuffleBudgetSpec extends SparkSpec {
     operators.Multimodal.multimodalAudio(spark, sfDir))
   check("multimodal_audio_real", 0)(
     operators.Multimodal.multimodalAudioReal(spark, sfDir))
+
+  // ---- r13 additions ----
+  // jarque_bera: one exact 5-moment aggregate — a single combine.
+  check("jarque_bera", 1)(operators.Inference.jarqueBera(spark, sfDir))
+  // levene_bf: group-partitioned median rank + broadcast of k medians
+  // back onto the scan + the exact-moment aggregate chain.
+  check("levene_bf", 4)(operators.Inference.leveneBf(spark, sfDir))
+  // friedman_test: (day,type) counts, the completed grid's day windows,
+  // per-type rank sums, final fold — all at calendar scale after one
+  // corpus aggregate.
+  check("friedman_test", 6)(operators.Inference.friedmanTest(spark, sfDir))
+  // corpus tail stats: one or two word/shingle-keyed aggregates (+ the
+  // global-count checkpoint hiding its own exchange).
+  check("ttr_diversity", 1)(operators.CorpusExt.ttrDiversity(spark, sfDir))
+  check("simpson_diversity", 2)(
+    operators.CorpusExt.simpsonDiversity(spark, sfDir))
+  check("hapax_ratio", 2)(operators.CorpusExt.hapaxRatio(spark, sfDir))
+  check("rare_ngram_mass", 3)(operators.CorpusExt.rareNgramMass(spark, sfDir))
+  check("skipgram_pairs", 2)(operators.CorpusExt.skipgramPairs(spark, sfDir))
+  // pii_inventory: scan-speed regexp folds + one tiny source aggregate.
+  check("pii_inventory", 1)(operators.CorpusExt.piiInventory(spark, sfDir))
+  // interarrival: user-partitioned lag window + (type, minute) cells +
+  // cell-scale CDF windows.
+  check("interarrival_stats", 4)(
+    operators.EventExt.interarrivalStats(spark, sfDir))
+  // cdc_conflict_audit: (key, ts) cells + the countDistinct expand
+  // + the single-row fold.
+  check("cdc_conflict_audit", 3)(
+    operators.EventExt.cdcConflictAudit(spark, sfDir))
+  // page_hinkley: one day aggregate, then calendar-bounded windows.
+  check("page_hinkley", 3)(operators.EventExt.pageHinkley(spark, sfDir))
+  // phash sweep: the banded candidate join (band key IN the join key)
+  // + distinct + the single-row conditional fold.
+  check("multimodal_phash_sweep", 3)(
+    operators.Multimodal.phashHammingSweep(spark, sfDir))
+  check("multimodal_audio_clip", 1)(
+    operators.Multimodal.multimodalAudioClip(spark, sfDir))
+  // probe-frame ANN audits: broadcast probes, one rank window + folds.
+  check("hubness_audit", 3)(operators.Similarity.hubnessAudit(spark, sfDir))
+  check("knn_margin_audit", 2)(
+    operators.Similarity.knnMarginAudit(spark, sfDir))
+  // selectivity_qerror: histogram inside the checkpoint; visible are
+  // the threshold folds and the tiny est/act join.
+  check("selectivity_qerror", 4)(
+    operators.Lakehouse.selectivityQerror(spark, sfDir))
+  // generalization_ladder: six rung aggregates over the checkpointed
+  // quasi-id projection + the 6-row ladder window.
+  check("generalization_ladder", 14)(
+    operators.Quality.generalizationLadder(spark, sfDir))
+  // mrr_eval: the checkpointed tf/df frame feeds the top-k rank + the
+  // relevance fold (mapEval's budget shape).
+  check("mrr_eval", 4)(operators.Retrieval.mrrEval(spark, sfDir))
+  // bpe_compression_curve: training passes live in bpeMerges'
+  // checkpoints; visible are the merge-table pivot chain feeding the
+  // broadcast row plus the one corpus fold.
+  check("bpe_compression_curve", 4)(
+    operators.Tokenizer.bpeCompressionCurve(spark, sfDir))
 }
