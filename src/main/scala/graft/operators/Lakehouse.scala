@@ -913,7 +913,122 @@ object Lakehouse {
     FROM est JOIN act ON est.k = act.k"""
   }
 
+  /** The Spark CBO broadcast threshold this advisor reasons against
+    * (spark.sql.autoBroadcastJoinThreshold's default, 10 MB).
+    */
+  private val BroadcastThresholdBytes = 10L * 1024 * 1024
+
+  /** Candidate joins: (name, build table + its sized columns, probe
+    * table + its sized columns). Column lists are the BYTES model:
+    * 8 bytes per numeric/date, measured total length + 4 per string.
+    */
+  private val AdvisorJoins: Seq[(String, String, Seq[String], Seq[String],
+      String, Seq[String], Seq[String])] = Seq(
+    ("lineitem*part", "part",
+      Seq("p_partkey", "p_retailprice"), Seq("p_name", "p_type", "p_brand"),
+      "lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax"),
+      Seq("l_returnflag", "l_shipdate")),
+    ("lineitem*supplier", "supplier",
+      Seq("s_suppkey", "s_nationkey", "s_acctbal"), Seq("s_name"),
+      "lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax"),
+      Seq("l_returnflag", "l_shipdate")),
+    ("orders*customer", "customer",
+      Seq("c_custkey", "c_nationkey", "c_acctbal"),
+      Seq("c_name", "c_mktsegment"),
+      "orders",
+      Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_orderstatus", "o_orderdate", "o_orderpriority")),
+    // the deliberately-bad candidate (fact table as build side): small
+    // enough to broadcast at dev SFs, correctly rejected as the SF
+    // climbs — the row that proves the verdict column is a live
+    // threshold, not a constant
+    ("orders*lineitem", "lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax"),
+      Seq("l_returnflag", "l_shipdate"),
+      "orders",
+      Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_orderstatus", "o_orderdate", "o_orderpriority")))
+
+  /** Broadcast-plan advisor — the CBO decision table a 100 TB job
+    * review reads BEFORE submitting: for each candidate dimension join,
+    * the build side's estimated in-memory bytes (8 per numeric column,
+    * measured string mass + 4 per string — the same order-of-magnitude
+    * model Spark's statistics use), the broadcast-vs-shuffle verdict
+    * against the 10 MB default threshold, and the shuffle bytes the
+    * broadcast saves (both sides' mass stays un-exchanged). One tiny
+    * aggregate per table — the tables are only COUNTED, never joined;
+    * at any SF this costs three scans.
+    */
+  def broadcastPlanAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    def sized(table: String, nums: Seq[String], strs: Seq[String])
+        : DataFrame = {
+      val base = table match {
+        case "part" => graft.Tables.part(spark, dir)
+        case "supplier" => graft.Tables.supplier(spark, dir)
+        case "customer" => graft.Tables.customer(spark, dir)
+        case "orders" => graft.Tables.orders(spark, dir)
+        case "lineitem" => graft.Tables.lineitem(spark, dir)
+        case other => spark.read.parquet(s"$dir/$other.parquet")
+      }
+      val strMass =
+        if (strs.isEmpty) lit(0L)
+        else strs.map(c => sum(length(col(c).cast("string"))
+          .cast("bigint") + lit(4L))).reduceLeft(_ + _)
+      base.agg(count(lit(1)).as("rows"),
+        strMass.as("str_bytes"))
+        .select(col("rows"),
+          (col("rows") * lit(8L * nums.size) + col("str_bytes"))
+            .as("bytes_est"))
+    }
+    AdvisorJoins.map { case (name, bt, bn, bs, pt, pn, ps) =>
+      val build = sized(bt, bn, bs)
+        .select(col("rows").as("build_rows"),
+          col("bytes_est").as("build_bytes_est"))
+      val probe = sized(pt, pn, ps)
+        .select(col("rows").as("probe_rows"),
+          col("bytes_est").as("probe_bytes_est"))
+      build.crossJoin(broadcast(probe))
+        .select(lit(name).as("join_name"), lit(bt).as("build_side"),
+          col("build_rows"), col("build_bytes_est"),
+          col("probe_rows"), col("probe_bytes_est"),
+          when(col("build_bytes_est") <= BroadcastThresholdBytes,
+            lit("broadcast")).otherwise(lit("shuffle")).as("decision"),
+          when(col("build_bytes_est") <= BroadcastThresholdBytes,
+            col("build_bytes_est") + col("probe_bytes_est"))
+            .otherwise(0L).as("shuffle_bytes_avoided"))
+    }.reduce(_ unionByName _)
+  }
+
+  val broadcastPlanAdvisorOracle: String = {
+    def sizedSql(table: String, nums: Seq[String], strs: Seq[String]) = {
+      val strMass = if (strs.isEmpty) "CAST(0 AS BIGINT)"
+        else strs.map(c =>
+          s"CAST(SUM(LENGTH(CAST($c AS VARCHAR)) + 4) AS BIGINT)")
+          .mkString(" + ")
+      s"""SELECT COUNT(*) AS rows_, ($strMass
+        + COUNT(*) * ${8 * nums.size}) AS bytes_est FROM $table"""
+    }
+    AdvisorJoins.map { case (name, bt, bn, bs, pt, pn, ps) =>
+      s"""
+      SELECT '$name' AS join_name, '$bt' AS build_side,
+        b.rows_ AS build_rows, b.bytes_est AS build_bytes_est,
+        p.rows_ AS probe_rows, p.bytes_est AS probe_bytes_est,
+        CASE WHEN b.bytes_est <= $BroadcastThresholdBytes
+          THEN 'broadcast' ELSE 'shuffle' END AS decision,
+        CASE WHEN b.bytes_est <= $BroadcastThresholdBytes
+          THEN b.bytes_est + p.bytes_est ELSE 0 END AS shuffle_bytes_avoided
+      FROM (${sizedSql(bt, bn, bs)}) b CROSS JOIN (${sizedSql(pt, pn, ps)}) p"""
+    }.mkString("\n      UNION ALL ")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "broadcast_plan_advisor" ->
+      QueryDef.sql(broadcastPlanAdvisor, broadcastPlanAdvisorOracle),
     "selectivity_qerror" ->
       QueryDef.sql(selectivityQerror, selectivityQerrorOracle),
     "hilbert_layout" -> QueryDef.sql(hilbertLayout, hilbertLayoutOracle),

@@ -286,6 +286,28 @@ class R13OpsSpec extends SparkSpec {
     }
   }
 
+  test("broadcast_plan_advisor: bytes model reconciles, verdict follows " +
+      "the threshold, savings only on broadcast rows") {
+    val rows = operators.Lakehouse.broadcastPlanAdvisor(spark, sfDir)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val bc = r.getAs[String]("decision") == "broadcast"
+      assert(bc == (r.getAs[Long]("build_bytes_est") <= 10L * 1024 * 1024))
+      assert(r.getAs[Long]("shuffle_bytes_avoided") ==
+        (if (bc) r.getAs[Long]("build_bytes_est")
+          + r.getAs[Long]("probe_bytes_est") else 0L))
+    }
+    // bytes model recount for the smallest build side (supplier):
+    // 3 numeric cols x 8 + (len(s_name) + 4) per row
+    val sup = rows.find(_.getAs[String]("build_side") == "supplier").get
+    val d = Tables.supplier(spark, sfDir)
+      .agg(count(lit(1)), sum(length(col("s_name")) + 4)).collect()(0)
+    assert(sup.getAs[Long]("build_rows") == d.getLong(0))
+    assert(sup.getAs[Long]("build_bytes_est")
+      == d.getLong(0) * 24 + d.getLong(1))
+  }
+
   test("selectivity_qerror: q >= 1, actuals strictly shrink as the " +
       "threshold climbs the domain") {
     val rows = operators.Lakehouse.selectivityQerror(spark, sfDir)
