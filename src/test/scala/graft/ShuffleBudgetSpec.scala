@@ -629,4 +629,8 @@ class ShuffleBudgetSpec extends SparkSpec {
   // broadcast row plus the one corpus fold.
   check("bpe_compression_curve", 4)(
     operators.Tokenizer.bpeCompressionCurve(spark, sfDir))
+  // broadcast_plan_advisor: four (build, probe) single-row aggregates —
+  // tables are counted, never joined; every cross join is single-row.
+  check("broadcast_plan_advisor", 8)(
+    operators.Lakehouse.broadcastPlanAdvisor(spark, sfDir))
 }
