@@ -198,7 +198,87 @@ object EventExt {
       ph_x1e6 > (SELECT lambda_x1e6 FROM lam) AS alarm
     FROM ph"""
 
+  /** Tail risk (VaR + CVaR) of the event value per type — the
+    * alert-threshold table read beside anomaly_mad: VaR₉₅ is the exact
+    * nearest-rank p95 over unit-value cells (the bounded-cell CDF
+    * discipline — the value domain caps the cell count regardless of
+    * event volume), and CVaR is the exact-cents mean of everything in
+    * the selected tail (tail membership defined on the integer bucket,
+    * so both engines pick the identical set). An ops team pages on
+    * CVaR, not max: the mean of the bad tail is stable where the
+    * maximum is one outlier. One scan into cells; per-type windows run
+    * over the bounded cell frame.
+    */
+  def valueCvar(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("t"),
+        floor(col("value")).cast("bigint").as("v"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val cells = graft.functions.Iterate.checkpoint(
+      ev.groupBy(col("t"), col("v"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cell_cents")),
+      Some("(type, unit-value) cells — the value domain bounds them"))
+    val byV = Window.partitionBy(col("t")).orderBy(col("v").asc)
+    val byT = Window.partitionBy(col("t"))
+    val pos = ceil(lit(0.95) * col("n").cast("double")).cast("bigint")
+    cells
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("start", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(byT))
+      .withColumn("var_bucket",
+        max(when(col("start") < pos && pos <= col("cum"), col("v")))
+          .over(byT))
+      .groupBy(col("t"))
+      .agg(first(col("n")).as("n_events"),
+        first(col("var_bucket")).as("var95_bucket"),
+        sum(when(col("v") >= col("var_bucket"), col("cnt")).otherwise(0L))
+          .as("tail_n"),
+        sum(when(col("v") >= col("var_bucket"), col("cell_cents"))
+          .otherwise(0L)).as("tail_cents"))
+      .select(col("t").as("event_type"), col("n_events"),
+        col("var95_bucket"), col("tail_n"),
+        expr("tail_cents div tail_n").as("cvar_mean_cents"))
+  }
+
+  val valueCvarOracle: String = """
+    WITH ev AS (
+      SELECT event_type AS t,
+        CAST(FLOOR(value) AS BIGINT) AS v,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    cells AS (
+      SELECT t, v, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS cell_cents
+      FROM ev GROUP BY 1, 2),
+    r AS (
+      SELECT t, v, cnt, cell_cents,
+        CAST(SUM(cnt) OVER (PARTITION BY t ORDER BY v ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY t) AS BIGINT) AS n
+      FROM cells),
+    rr AS (
+      SELECT *, cum - cnt AS start,
+        CAST(CEIL(0.95 * CAST(n AS DOUBLE)) AS BIGINT) AS pos
+      FROM r),
+    vb AS (
+      SELECT *,
+        MAX(CASE WHEN start < pos AND pos <= cum THEN v END)
+          OVER (PARTITION BY t) AS var_bucket
+      FROM rr)
+    SELECT t AS event_type,
+      ANY_VALUE(n) AS n_events,
+      ANY_VALUE(var_bucket) AS var95_bucket,
+      CAST(SUM(CASE WHEN v >= var_bucket THEN cnt ELSE 0 END) AS BIGINT)
+        AS tail_n,
+      CAST(SUM(CASE WHEN v >= var_bucket THEN cell_cents ELSE 0 END)
+        AS BIGINT)
+        // CAST(SUM(CASE WHEN v >= var_bucket THEN cnt ELSE 0 END) AS BIGINT)
+        AS cvar_mean_cents
+    FROM vb GROUP BY t"""
+
   def defs: Map[String, QueryDef] = Map(
+    "value_cvar" -> QueryDef.sql(valueCvar, valueCvarOracle),
     "page_hinkley" -> QueryDef.sql(pageHinkley, pageHinkleyOracle),
     "interarrival_stats" ->
       QueryDef.sql(interarrivalStats, interarrivalStatsOracle),

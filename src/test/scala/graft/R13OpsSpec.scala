@@ -202,6 +202,25 @@ class R13OpsSpec extends SparkSpec {
       "every user contributes exactly (their events - 1) gaps")
   }
 
+  test("value_cvar: the tail holds ~5% of events and its mean dominates " +
+      "the distribution mean") {
+    val rows = operators.EventExt.valueCvar(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val tail = r.getAs[Long]("tail_n")
+      assert(tail >= 1 && tail <= n,
+        "nearest-rank p95 always selects a non-empty tail")
+      assert(tail * 100 <= n * 6 + 100,
+        s"the >= VaR bucket tail should stay near 5% (got $tail of $n)")
+      // CVaR >= VaR's bucket floor in cents
+      assert(r.getAs[Long]("cvar_mean_cents")
+        >= r.getAs[Long]("var95_bucket") * 100)
+    }
+    assert(rows.map(_.getAs[Long]("cvar_mean_cents")).distinct.length > 1,
+      "tails must differ across event types or the fold is vacuous")
+  }
+
   test("cdc_conflict_audit: cell hierarchy holds (conflicts within " +
       "concurrent within all)") {
     val r = operators.EventExt.cdcConflictAudit(spark, sfDir).collect()(0)

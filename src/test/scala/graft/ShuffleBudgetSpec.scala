@@ -633,4 +633,7 @@ class ShuffleBudgetSpec extends SparkSpec {
   // tables are counted, never joined; every cross join is single-row.
   check("broadcast_plan_advisor", 8)(
     operators.Lakehouse.broadcastPlanAdvisor(spark, sfDir))
+  // value_cvar: the corpus aggregates inside the cell checkpoint; the
+  // visible plan is the per-type cell windows + the per-type fold.
+  check("value_cvar", 2)(operators.EventExt.valueCvar(spark, sfDir))
 }
