@@ -203,7 +203,7 @@ class AmplificationSpec extends SparkSpec {
     "dedup_threshold_sweep", "dedup_minhash_lsh", "sessionize",
     "burst_detect",
     "multimodal_phash_sweep", "interarrival_stats", "cdc_conflict_audit",
-    "friedman_test", "pii_inventory")
+    "friedman_test", "pii_inventory", "value_cvar")
 
   private def smoke(names: Seq[String], lo: String, hi: String): Unit =
     names.foreach { name =>
