@@ -1392,44 +1392,99 @@ object Dedup {
     * spec can prove the anchoring property (an insertion far from a
     * chunk does not change it) on crafted documents.
     *
-    * Shape matters here: the first cut computed a `bounds` array column
-    * and indexed it from INSIDE a transform lambda — ProjectCollapse
-    * inlines the bounds expression (and the per-word md5 pass under it)
-    * into the lambda body, where it re-evaluates PER ITERATION:
-    * O(words² · chunks) hashing per row, 70× wall at sf0.1. This form
-    * is a single left fold whose lambdas touch only their own
-    * variables; the word and hash arrays appear exclusively as HOF
-    * CHILDREN (zip_with's inputs), which Spark evaluates once per row.
-    * A boundary word (hash ≡ 0 mod 4) closes its chunk; the trailing
-    * partial chunk flushes in the finish lambda.
+    * Shape matters here, twice over. The first cut indexed a `bounds`
+    * expression from INSIDE a transform lambda — ProjectCollapse inlines
+    * a once-referenced alias into the lambda body, where it re-evaluates
+    * PER ITERATION: O(words² · chunks) hashing per row, 70× wall at
+    * sf0.1. The second cut (a single left fold building the chunk list
+    * in its accumulator) dodged that but copied the immutable `done`
+    * array at every boundary — O(chunks² · chunk_bytes) per row, 8.3×
+    * on AmplificationSpec's 4× length axis (r13 verdict finding 2).
+    *
+    * This form is linear: boundary positions come from a zip_with whose
+    * lambda touches only its own variables (the hash array is a HOF
+    * CHILD, evaluated once per row), `bounds` is materialized as its own
+    * column and referenced only as HOF children of the cutting zip_with,
+    * and the lambda body touches `w` only as a row attribute — `w` is
+    * multi-referenced in the bounds projection and `cc_bounds` is
+    * multi-referenced here, so CollapseProject cannot inline either
+    * definition into the lambda. Each slice copies its own chunk exactly
+    * once: O(words) per row. A boundary word (hash ≡ 0 mod 4) ends its
+    * chunk inclusively; the final bound size(w) flushes the trailing
+    * partial chunk; empty-string chunks (empty doc, or a trailing
+    * boundary word duplicating the final bound) are filtered, matching
+    * both the fold-based predecessor and the DuckDB oracle.
+    *
+    * Do NOT `explode` this array column — use [[contentChunkRows]] for
+    * that: the explode's inferred generator filter gets the alias chain
+    * substituted into it by predicate pushdown, landing the words split
+    * inside the cutting lambda (see contentChunkRows' Scaladoc). The
+    * array form exists for per-document chunk-list consumers (the
+    * anchoring-property spec).
     */
   def contentChunks(df: DataFrame, wordsCol: String): DataFrame = {
-    val emptyArr = array().cast("array<string>")
-    val pairs = zip_with(col(wordsCol), TextOps.hashes(col(wordsCol)),
-      (x, h) => struct(x.as("w"), h.as("hv")))
-    val folded = aggregate(
-      pairs,
-      struct(emptyArr.as("done"), emptyArr.as("cur")),
-      (acc, p) => when(p.getField("hv") % 4 === 0,
-          struct(
-            concat(acc.getField("done"), array(concat_ws(" ",
-              concat(acc.getField("cur"), array(p.getField("w"))))))
-              .as("done"),
-            emptyArr.as("cur")))
-        .otherwise(struct(
-          acc.getField("done").as("done"),
-          concat(acc.getField("cur"), array(p.getField("w"))).as("cur"))),
-      acc => when(size(acc.getField("cur")) === 0, acc.getField("done"))
-        .otherwise(concat(acc.getField("done"),
-          array(concat_ws(" ", acc.getField("cur"))))))
-    df.withColumn("chunks", filter(folded, s => s =!= ""))
+    val w = col(wordsCol)
+    val nChunks = size(col("cc_bounds")) - 1
+    df.withColumn("cc_bounds", chunkBounds(w))
+      .withColumn("chunks",
+        filter(
+          zip_with(
+            slice(col("cc_bounds"), lit(1), nChunks),
+            slice(col("cc_bounds"), lit(2), nChunks),
+            (a, b) => concat_ws(" ", slice(w, a + 1, b - a))),
+          s => s =!= ""))
+      .drop("cc_bounds")
+  }
+
+  /** 0-based boundary positions [0, b₁, …, size(w)] of the
+    * content-defined chunking of a word array. For empty w,
+    * sequence(1, 0) descends to [1, 0] while hashes(w) is []; zip_with
+    * null-pads the short side, the `when` yields null on a null hash,
+    * and the isNotNull filter drops both phantom marks.
+    */
+  private def chunkBounds(w: Column): Column = {
+    val marks = zip_with(TextOps.hashes(w), sequence(lit(1), size(w)),
+      (h, i) => when(h % 4 === 0, i))
+    concat(array(lit(0)), filter(marks, m => m.isNotNull), array(size(w)))
+  }
+
+  /** Exploded form of [[contentChunks]] — one output row per NON-EMPTY
+    * chunk, as a `chunk` string column beside df's other columns. This
+    * is the form the corpus-scale operators consume, and the only one
+    * that is safe to EXPLODE: with the array form, the explode's
+    * inferred generator filter (`size(chunks) > 0`, InferFiltersFromGenerate)
+    * is pushed through the projection chain by alias SUBSTITUTION — no
+    * CollapseProject cheapness guard applies to predicate pushdown — which
+    * lands the words split INSIDE the per-chunk cutting lambda:
+    * O(chunks · words) per row, 8.9× on AmplificationSpec's length axis.
+    * Here the (start, end) pairs explode FIRST (every lambda in the
+    * bounds expression touches only its own variables) and the chunk
+    * string is cut at TOP LEVEL per exploded row; `w` below the Generate
+    * node is a plain attribute that alias substitution cannot cross, so
+    * no optimizer rewrite can put the split inside a per-iteration
+    * position. Each slice copies its own chunk exactly once: O(words)
+    * per document end to end.
+    */
+  def contentChunkRows(df: DataFrame, wordsCol: String): DataFrame = {
+    val w = col(wordsCol)
+    val nChunks = size(col("cc_bounds")) - 1
+    df.withColumn("cc_bounds", chunkBounds(w))
+      .select(col("*"), explode(
+        zip_with(
+          slice(col("cc_bounds"), lit(1), nChunks),
+          slice(col("cc_bounds"), lit(2), nChunks),
+          (a, b) => struct(a.as("s"), b.as("e")))).as("cc_se"))
+      .withColumn("chunk", concat_ws(" ",
+        slice(w, col("cc_se.s") + 1, col("cc_se.e") - col("cc_se.s"))))
+      .filter(col("chunk") =!= "")
+      .drop("cc_bounds", "cc_se")
   }
 
   def contentChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val perChunk = contentChunks(
+    val perChunk = contentChunkRows(
         Tables.documents(spark, dir)
           .select(col("doc_id"), TextOps.words(col("text")).as("w")), "w")
-      .select(explode(col("chunks")).as("chunk"))
+      .select(col("chunk"))
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("reps"))
       .withColumn("wlen", size(split(col("chunk"), " ")).cast("bigint"))
@@ -1487,10 +1542,10 @@ object Dedup {
     */
   def chunkSharingMatrix(spark: SparkSession, dir: String): DataFrame = {
     val chunks = graft.functions.PlanGuard.persist(
-      contentChunks(
+      contentChunkRows(
         Tables.documents(spark, dir)
           .select(col("source"), TextOps.words(col("text")).as("w")), "w")
-        .select(col("source"), explode(col("chunks")).as("chunk"))
+        .select(col("source"), col("chunk"))
         .distinct())
     val counts = chunks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"))

@@ -738,6 +738,13 @@ object Relational {
 
   /** TPC-H Q7-style: bilateral shipping volume between two nations by
     * ship year (cross-nation join constraint over two broadcast dims).
+    * The nation pair is NATION_3/NATION_8 — chosen so BOTH directions of
+    * the bilateral filter match rows at sf0.001/0.01/0.1 (sf0.001 has
+    * only 10 suppliers, covering nations {3,8,12,13,15,18,19,20,21,24}).
+    * The first cut used TPC-H's literal FRANCE/GERMANY, which matched
+    * nothing at any SF, so the oracle green only proved two empty sets
+    * equal (r13 verdict finding 1); NonVacuitySpec now rejects that
+    * class registry-wide.
     */
   def q7Volume(spark: SparkSession, dir: String): DataFrame = {
     val n1 = Tables.nation(spark, dir)
@@ -750,8 +757,8 @@ object Relational {
       .join(Tables.dimHint(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
-      .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY")
-        || (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8")
+        || (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("ship_year"))
       .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
@@ -767,8 +774,8 @@ object Relational {
     JOIN customer ON o_custkey = c_custkey
     JOIN nation n1 ON s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-       OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
     GROUP BY 1, 2, 3"""
 
   /** SCD2 dimension merge: apply an update set to the customer dimension,

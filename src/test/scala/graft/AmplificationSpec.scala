@@ -29,7 +29,10 @@ import graft.functions.TextOps
   * chunker shape (an array column's md5-pass defining expression
   * referenced inside a per-chunk lambda — re-evaluated per iteration
   * after ProjectCollapse inlines it) and asserting it IS flagged
-  * while the shipped fold-based chunker passes.
+  * while the shipped boundary-index chunker passes. (The intermediate
+  * fold-based chunker ALSO passed nominally but with zero margin —
+  * 8.3× under suite load, r13 — because its accumulator copied the
+  * done-array per boundary; the boundary-index form is linear.)
   *
   * Round discipline: every NEWLY-REGISTERED operator joins
   * `lengthChecked` or `rowChecked` (whichever axis its cost rides) in
@@ -105,6 +108,7 @@ class AmplificationSpec extends SparkSpec {
 
   private def assertSubQuadratic(name: String, tLo: Double, tHi: Double): Unit = {
     val ratio = tHi / math.max(tLo, ClampSec)
+    info(f"$name: $tLo%.2fs -> $tHi%.2fs ($ratio%.1fx across the 4x step)")
     assert(tHi < FloorSec || ratio <= FlagRatio,
       s"$name amplification blowup: ${tLo}s -> ${tHi}s " +
         f"($ratio%.1fx across a 4x amplification step; quadratic ~16x)")
@@ -157,15 +161,15 @@ class AmplificationSpec extends SparkSpec {
         f"($ratio%.1fx) — the harness would NOT have caught r12's bug")
   }
 
-  test("harness teeth: the shipped fold-based chunker passes the same " +
-      "length step") {
+  test("harness teeth: the shipped boundary-index chunker passes the " +
+      "same length step") {
     val tLo = time(() =>
-      operators.Dedup.contentChunks(chunkProbe(2), "w")
-        .select(explode(col("chunks"))).count())
+      operators.Dedup.contentChunkRows(chunkProbe(2), "w")
+        .select(col("chunk")).count())
     val tHi = time(() =>
-      operators.Dedup.contentChunks(chunkProbe(8), "w")
-        .select(explode(col("chunks"))).count())
-    assertSubQuadratic("contentChunks", tLo, tHi)
+      operators.Dedup.contentChunkRows(chunkProbe(8), "w")
+        .select(col("chunk")).count())
+    assertSubQuadratic("contentChunkRows", tLo, tHi)
   }
 
   // ---------------------------------------------------------------
