@@ -252,6 +252,15 @@ object CorpusExt {
     * Complements [[ttrDiversity]]: TTR counts the type inventory,
     * Simpson weighs its usage balance (a source can have all 31 types
     * and still hammer one of them). One word-keyed aggregate.
+    *
+    * Overflow headroom: Σn(n−1) grows as ≈T²/31 on the closed 31-word
+    * vocab, so a BIGINT fold would wrap silently (Spark) while DuckDB
+    * promotes to HUGEINT — a cross-engine divergence the small-SF
+    * oracle cannot see — once a source holds ~1.7e7 tokens (~10× the
+    * sf0.1 bench). The collision sum and the N(N−1) denominator are
+    * therefore folded in DECIMAL(38,0) (like jarqueBera's moment sums),
+    * good to T ≈ 1e16 tokens per source; `div` collapses the ratio
+    * back to the BIGINT ppm the output schema declares.
     */
   def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -261,9 +270,10 @@ object CorpusExt {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_types"),
         sum(col("n")).as("tokens"),
-        sum(col("n") * (col("n") - 1)).as("coll"))
+        sum((col("n") * (col("n") - 1)).cast("decimal(38,0)")).as("coll"))
       .select(col("source"), col("n_types"), col("tokens"),
-        expr("(coll * 1000000) div (tokens * (tokens - 1))")
+        expr("(coll * 1000000) div "
+          + "(CAST(tokens AS DECIMAL(38,0)) * (tokens - 1))")
           .as("simpson_ppm"))
       .withColumn("diversity_ppm", lit(1000000L) - col("simpson_ppm"))
 
@@ -274,11 +284,14 @@ object CorpusExt {
     c AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
     s AS (
       SELECT source, COUNT(*) AS n_types, CAST(SUM(n) AS BIGINT) AS tokens,
-        CAST(SUM(n * (n - 1)) AS BIGINT) AS coll
+        CAST(SUM(n * (n - 1)) AS HUGEINT) AS coll
       FROM c GROUP BY 1)
     SELECT source, n_types, tokens,
-      (coll * 1000000) // (tokens * (tokens - 1)) AS simpson_ppm,
-      1000000 - (coll * 1000000) // (tokens * (tokens - 1))
+      CAST((coll * 1000000)
+        // (CAST(tokens AS HUGEINT) * (tokens - 1)) AS BIGINT)
+        AS simpson_ppm,
+      CAST(1000000 - (coll * 1000000)
+        // (CAST(tokens AS HUGEINT) * (tokens - 1)) AS BIGINT)
         AS diversity_ppm
     FROM s"""
 

@@ -282,25 +282,22 @@ object Inference {
         grid.agg(countDistinct(col("d")).as("n_blocks"))))
     val k = col("k_treatments")
     val n = col("n_blocks")
-    val chi2 = (lit(3) * col("sum_r2_sq")
-      - lit(3) * n * n * k * (k + 1) * (k + 1)) * lit(1000000L)
     val crit = StatTests.Chi2Crit5PctX1e6.zipWithIndex.foldLeft(
       lit(null).cast("bigint")) { case (acc, (v, i)) =>
       when(k - 1 === (i + 1), lit(v)).otherwise(acc)
     }
     val ok = k > 1 && n > 0
+    // the statistic is built ONCE and referenced in both outputs —
+    // duplicating the div expression inline would let the two copies
+    // silently drift apart on a future edit
+    val chi2 = expr("(3 * sum_r2_sq * 1000000 "
+      + "- 3 * n_blocks * n_blocks * k_treatments * (k_treatments + 1) "
+      + "* (k_treatments + 1) * 1000000) "
+      + "div (n_blocks * k_treatments * (k_treatments + 1))")
     stat.select(n.as("n_blocks"), k.as("k_treatments"), col("sum_r2_sq"),
-      when(ok, expr("(3 * sum_r2_sq * 1000000 "
-        + "- 3 * n_blocks * n_blocks * k_treatments * (k_treatments + 1) "
-        + "* (k_treatments + 1) * 1000000) "
-        + "div (n_blocks * k_treatments * (k_treatments + 1))"))
-        .as("chi2_x1e6"),
+      when(ok, chi2).as("chi2_x1e6"),
       when(ok && crit.isNotNull && n >= 10,
-        when(expr("(3 * sum_r2_sq * 1000000 "
-          + "- 3 * n_blocks * n_blocks * k_treatments * (k_treatments + 1) "
-          + "* (k_treatments + 1) * 1000000) "
-          + "div (n_blocks * k_treatments * (k_treatments + 1))") > crit, 1L)
-          .otherwise(0L))
+        when(chi2 > crit, 1L).otherwise(0L))
         .otherwise(lit(null).cast("bigint")).as("reject_h0_5pct"))
   }
 

@@ -50,14 +50,22 @@ object ApiEnrich {
 
   /** Real HTTP transport (api.py:5-64 consume_crossref's GET shape):
     * one JDK HttpURLConnection per fetch against `baseUrl/<doi>`.
-    * 200 → Some(body); 404 → permanent miss (None); anything else
-    * (429/5xx) → IOException, i.e. transient — [[retrying]] backs off
-    * and re-fetches, which is where a Retry-After pause belongs (the
-    * response's hint is carried in the exception message for the
-    * caller's backoff policy). Selected by conf (see [[clientFactory]]);
-    * NEVER the default — this sandbox is zero-egress, so the stub
-    * remains the shipped transport and the spec drives this class
-    * against an in-process fixture to prove transport parity.
+    * 200 → Some(body); 429 and 5xx → IOException, i.e. transient —
+    * [[retrying]] backs off and re-fetches, which is where a
+    * Retry-After pause belongs (the response's hint is carried in the
+    * exception message for the caller's backoff policy); every other
+    * status (404, 403, 410, …) → permanent miss (None). That mirrors
+    * the reference's error handling (api.py:54-61 retries ONLY 429 and
+    * records any other HTTP error as a miss) — a persistently-denied
+    * key lands as a miss ROW in the enrich output instead of failing
+    * the whole task after retry exhaustion. We additionally class 5xx
+    * as transient (the Retry-After contract covers them); the
+    * reference's requests loop treats them as misses too, so this is
+    * strictly more resilient, never less. Selected by conf (see
+    * [[clientFactory]]); NEVER the default — this sandbox is
+    * zero-egress, so the stub remains the shipped transport and the
+    * spec drives this class against an in-process fixture to prove
+    * transport parity.
     */
   final class HttpMetadataClient(baseUrl: String,
       connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 10000)
@@ -73,11 +81,11 @@ object ApiEnrich {
           case 200 =>
             Some(new String(conn.getInputStream.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8))
-          case 404 => None
-          case code =>
+          case code if code == 429 || code >= 500 =>
             val hint = Option(conn.getHeaderField("Retry-After"))
               .map(s => s"; Retry-After=$s").getOrElse("")
             throw new java.io.IOException(s"HTTP $code for $doi$hint")
+          case _ => None
         }
       } finally conn.disconnect()
     }

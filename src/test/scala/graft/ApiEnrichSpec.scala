@@ -117,6 +117,40 @@ class ApiEnrichSpec extends SparkSpec {
     }
   }
 
+  test("http status classing matches the reference: only 429/5xx are " +
+      "transient; other 4xx are permanent misses (api.py:54-61)") {
+    // one-off server that answers with the status encoded in the path,
+    // counting hits so the no-retry property is observable
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/st", { exchange =>
+      val code = exchange.getRequestURI.getPath.stripPrefix("/st/").toInt
+      hits.merge(code.toString, 1, (a, b) => a + b)
+      if (code == 429 || code >= 500)
+        exchange.getResponseHeaders.set("Retry-After", "0")
+      exchange.sendResponseHeaders(code, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/st"
+      val client = new ApiEnrich.HttpMetadataClient(base)
+      // permanent-miss class: returns None on the FIRST response
+      for (code <- Seq(403, 404, 410)) {
+        assert(client.fetch(code.toString).isEmpty, s"$code should be a miss")
+        assert(hits.get(code.toString) == 1, s"$code must not be re-fetched")
+      }
+      // transient class: throws so retrying() owns the backoff
+      for (code <- Seq(429, 500, 503)) {
+        val e = intercept[java.io.IOException](client.fetch(code.toString))
+        assert(e.getMessage.contains(s"HTTP $code"))
+        assert(e.getMessage.contains("Retry-After"),
+          "the backoff hint must ride the exception message")
+      }
+    } finally server.stop(0)
+  }
+
   test("http transport surfaces 404 as a permanent miss, not a retry") {
     withFixture { base =>
       val client = new ApiEnrich.HttpMetadataClient(base)

@@ -31,8 +31,24 @@ def load(path):
 
 
 def spread(doc):
-    cal = [c for c in (doc.get("calibration") or []) if c > 0]
-    return (max(cal) / min(cal)) if cal else 1.0
+    """Spike-robust contention index of the probe timeline.
+
+    The dense calibration array (~20-25 probes per sweep since r13's
+    CalEvery=32) makes a raw max/min FAR more likely to trip on a single
+    transient spike — and 'contended' downgrades every regression to
+    WARN and exits 0, so one noisy probe out of twenty could silently
+    neutralize the mandatory bench gate in check.py. Use the p90/p10
+    ratio instead: a lone outlier lands outside both percentiles, while
+    genuine sustained contention (many slow probes) still clears 1.5.
+    With <5 probes the percentiles collapse toward max/min, which is the
+    old (correct for sparse arrays) behavior.
+    """
+    cal = sorted(c for c in (doc.get("calibration") or []) if c > 0)
+    if not cal:
+        return 1.0
+    lo = cal[int(0.10 * (len(cal) - 1))]
+    hi = cal[int(round(0.90 * (len(cal) - 1)))]
+    return hi / lo
 
 
 def cal_median(doc):
