@@ -666,9 +666,17 @@ object Analytics {
   /** Iterative k-core peeling over the part co-purchase graph: drop
     * nodes with degree < [[KCoreK]] for [[KCoreRounds]] rounds (removing
     * a weak node lowers its neighbors' degrees, hence iterating), then
-    * report each surviving node with its in-core degree — the "dense
+    * report EVERY base-graph node with its initial degree, whether it
+    * survived into the core, and its in-core degree — the "dense
     * co-purchase core" view that raw degree overstates (a degree-3 part
-    * whose partners all peel away is not core).
+    * whose partners all peel away is not core). The full-population
+    * report (not survivors-only) is deliberate: at sf0.1 the peel
+    * empties the core entirely — more orders spread pairs across 10×
+    * the parts, thinning every neighborhood below k — and a
+    * survivors-only frame would return 0 rows there, reducing the
+    * oracle match to two empty sets (the q7_volume vacuity class).
+    * "Core is empty" is itself a finding, and it's only checkable when
+    * the scored population ships with the verdict.
     *
     * Scale: pair generation is the linear per-order collect_set explode
     * (itemCofreq's prep); each round is then one map-side-combinable
@@ -681,7 +689,7 @@ object Analytics {
     def degrees(edges: DataFrame): DataFrame =
       edges.select(explode(array(col("lo"), col("hi"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    var edges = Tables.lineitem(spark, dir)
+    val base = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(localPairs("ps", "lo", "hi").as("p"))
@@ -690,6 +698,7 @@ object Analytics {
       .filter(col("cofreq") >= KCoreMinCofreq)
       .select(col("lo"), col("hi"))
       .transform(graft.functions.Iterate.checkpoint)
+    var edges = base
     for (r <- 1 to KCoreRounds) {
       // keep-set = state: broadcast under the [[stateHint]] node bound.
       val keep = stateHint(degrees(edges).filter(col("deg") >= KCoreK)
@@ -707,7 +716,13 @@ object Analytics {
       // checkpoint-invariant (hash-verified).
       if (r % 2 == 0) edges = edges.transform(graft.functions.Iterate.checkpoint)
     }
-    degrees(edges)
+    degrees(base)
+      .select(col("node"), col("deg").as("initial_deg"))
+      .join(stateHint(degrees(edges)
+        .select(col("node"), col("deg").as("core_deg0"))), Seq("node"), "left")
+      .select(col("node"), col("initial_deg"),
+        col("core_deg0").isNotNull.as("in_core"),
+        coalesce(col("core_deg0"), lit(0L)).as("core_deg"))
   }
 
   lazy val kcoreOracle: String = {
@@ -733,10 +748,20 @@ object Analytics {
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2)
         WHERE cofreq >= $KCoreMinCofreq),
-      $rounds
-    SELECT node, COUNT(*) AS deg
-    FROM (SELECT lo AS node FROM g$KCoreRounds UNION ALL SELECT hi FROM g$KCoreRounds)
-    GROUP BY 1"""
+      $rounds,
+      d0 AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT lo AS node FROM g0 UNION ALL SELECT hi FROM g0)
+        GROUP BY 1),
+      dcore AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT lo AS node FROM g$KCoreRounds
+              UNION ALL SELECT hi FROM g$KCoreRounds)
+        GROUP BY 1)
+    SELECT d0.node, d0.deg AS initial_deg,
+      (dcore.node IS NOT NULL) AS in_core,
+      CAST(COALESCE(dcore.deg, 0) AS BIGINT) AS core_deg
+    FROM d0 LEFT JOIN dcore ON d0.node = dcore.node"""
   }
 
   /** Synchronous label-propagation rounds for [[labelPropagation]]. */

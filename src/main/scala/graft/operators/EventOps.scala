@@ -1124,14 +1124,22 @@ object EventOps {
 
   /** Rate-burst detection: the event stream aggregates to the
     * (type, hour) grid ONCE (the only corpus shuffle), then each hour
-    * compares against its trailing [[BurstTrailing]] OBSERVED hours —
-    * a burst is >3× the trailing mean, tested in cross-multiplied
-    * integer form (`cnt·n > 3·sum`, no division) with at least
-    * [[BurstMinN]] hours of history. The rate-based complement of
-    * anomaly_mad (which scores VALUES): instrumentation storms and
-    * traffic spikes move counts, not magnitudes. The trailing window
-    * runs on the aggregated grid — |types|·|hours| rows at any corpus
-    * size.
+    * compares against its trailing [[BurstTrailing]] OBSERVED hours.
+    * The verdict is the integer ratio `burst_ppm = (cnt·trail_n·1e6)
+    * div (3·trail_sum)` — above 1 000 000 ⇔ the hour runs >3× its
+    * trailing mean (`cnt·n > 3·sum` in cross-multiplied form, no FP
+    * division) — and `is_burst` requires that plus ≥ [[BurstMinN]]
+    * hours of history. Output is the top-3 hours PER TYPE by that
+    * ratio (hottest first, hour asc on ties), each carrying its
+    * verdict — the "report the scored population with the flag, not
+    * flags only" discipline: the original flags-only form returned 0
+    * rows whenever the corpus held no 3× hour (true at sf0.001 AND
+    * sf0.1), so its oracle match proved two empty sets equal. The
+    * rate-based complement of anomaly_mad (which scores VALUES):
+    * instrumentation storms move counts, not magnitudes. The windows
+    * run on the aggregated grid — |types|·|hours| rows at any corpus
+    * size; the product folds in DECIMAL(38,0)/HUGEINT (cnt·24·1e6
+    * would wrap BIGINT past ~4e11 events/hour/type).
     */
   def burstDetect(spark: SparkSession, dir: String): DataFrame = {
     val grid = Tables.events(spark, dir)
@@ -1139,28 +1147,45 @@ object EventOps {
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
       .rowsBetween(-BurstTrailing, -1)
+    val rank = Window.partitionBy(col("event_type"))
+      .orderBy(col("burst_ppm").desc, col("hour_id").asc)
     grid
       .withColumn("trail_n", count(col("cnt")).over(w))
       .withColumn("trail_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
-      .filter(col("trail_n") >= BurstMinN
-        && col("cnt") * col("trail_n") > lit(3L) * col("trail_sum"))
+      .filter(col("trail_n") >= 1)
+      .withColumn("burst_ppm",
+        expr("(CAST(cnt AS DECIMAL(38,0)) * trail_n * 1000000) "
+          + "div (3 * trail_sum)"))
+      .withColumn("is_burst",
+        col("trail_n") >= BurstMinN && col("burst_ppm") > lit(1000000L))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= 3)
       .select(col("event_type"), col("hour_id"), col("cnt"),
-        col("trail_n"), col("trail_sum"))
+        col("trail_n"), col("trail_sum"), col("burst_ppm"), col("is_burst"))
   }
 
   val burstDetectOracle: String = s"""
-    SELECT event_type, hour_id, cnt, trail_n, trail_sum
+    SELECT event_type, hour_id, cnt, trail_n, trail_sum, burst_ppm,
+      (trail_n >= $BurstMinN AND burst_ppm > 1000000) AS is_burst
     FROM (
-      SELECT event_type, hour_id, cnt,
-        COUNT(cnt) OVER w AS trail_n,
-        CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS trail_sum
+      SELECT event_type, hour_id, cnt, trail_n, trail_sum,
+        CAST((CAST(cnt AS HUGEINT) * trail_n * 1000000)
+          // (3 * trail_sum) AS BIGINT) AS burst_ppm,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY (CAST(cnt AS HUGEINT) * trail_n * 1000000)
+            // (3 * trail_sum) DESC, hour_id ASC) AS rn
       FROM (
-        SELECT event_type, EPOCH_US(ts) // 3600000000 AS hour_id,
-          COUNT(*) AS cnt
-        FROM events GROUP BY 1, 2)
-      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
-        ROWS BETWEEN $BurstTrailing PRECEDING AND 1 PRECEDING))
-    WHERE trail_n >= $BurstMinN AND cnt * trail_n > 3 * trail_sum"""
+        SELECT event_type, hour_id, cnt,
+          COUNT(cnt) OVER w AS trail_n,
+          CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS trail_sum
+        FROM (
+          SELECT event_type, EPOCH_US(ts) // 3600000000 AS hour_id,
+            COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+          ROWS BETWEEN $BurstTrailing PRECEDING AND 1 PRECEDING))
+      WHERE trail_n >= 1)
+    WHERE rn <= 3"""
 
   /** Time-weighted average event value per user — the feature-store
     * aggregation for irregular samples (left-constant interpolation:

@@ -101,10 +101,19 @@ object RelationalExt {
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1, 2"""
 
-  /** TPC-H Q11 pattern: per-part traded value for one nation's suppliers,
-    * kept when above a fixed fraction of that nation's total — a scalar
-    * subquery HAVING. The threshold compare runs entirely in DECIMAL
-    * (value*1000 > total), never in doubles.
+  /** TPC-H Q11 pattern: per-part traded value for one nation's
+    * suppliers, reported as the top-20 by value with each part's exact
+    * share of the nation total in ppm. Q11's own fixed-fraction HAVING
+    * (`value·1000 > total`) is deliberately NOT the output gate: TPC-H
+    * scales that fraction by 1/SF precisely because a fixed fraction
+    * empties as data grows — and it did here (0 rows at sf0.1, where
+    * 14k parts each hold <0.1% of the total; the oracle match was
+    * proving two empty sets equal). Top-N + share is the SF-stable
+    * form of the same question ("which stock is important, and how
+    * important"), with the 1-per-mille verdict preserved as the
+    * `above_mille` flag. Value totals and the share division run
+    * entirely in DECIMAL/HUGEINT, never doubles; ties order by
+    * part_key asc (total order).
     */
   def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir)
@@ -118,8 +127,13 @@ object RelationalExt {
         .as("value_dec"))
     val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("value_dec") * lit(1000) > col("total_dec"))
-      .select(col("part_key"), col("value_dec").cast("double").as("value"))
+      .withColumn("share_ppm",
+        expr("(CAST(value_dec * 1000000 AS DECIMAL(38,6))) div total_dec"))
+      .withColumn("above_mille", col("value_dec") * lit(1000) > col("total_dec"))
+      .orderBy(col("value_dec").desc, col("part_key").asc)
+      .limit(20)
+      .select(col("part_key"), col("value_dec").cast("double").as("value"),
+        col("share_ppm"), col("above_mille"))
   }
 
   val q11ImportantStockOracle: String = """
@@ -129,10 +143,17 @@ object RelationalExt {
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_19'
-      GROUP BY 1)
-    SELECT part_key, CAST(value_dec AS DOUBLE) AS value
-    FROM per_part
-    WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM per_part)"""
+      GROUP BY 1),
+    tot AS (SELECT SUM(value_dec) AS total_dec FROM per_part)
+    SELECT part_key, CAST(value_dec AS DOUBLE) AS value,
+      -- scale-6 decimals ×1e6 are integer-valued, so both casts are
+      -- EXACT and this is floor(v·1e6/t) — the same truncated rational
+      -- Spark's decimal `div` computes
+      CAST((CAST(value_dec * 1000000 AS HUGEINT) * 1000000)
+        // CAST(total_dec * 1000000 AS HUGEINT) AS BIGINT) AS share_ppm,
+      value_dec * 1000 > total_dec AS above_mille
+    FROM per_part CROSS JOIN tot
+    ORDER BY value_dec DESC, part_key ASC LIMIT 20"""
 
   /** TPC-H Q16 pattern: supplier variety per (brand, type, size) slice,
     * excluding one brand, one type prefix, and "complaint" suppliers
@@ -166,11 +187,12 @@ object RelationalExt {
         WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
     GROUP BY 1, 2, 3"""
 
-  /** TPC-H Q20 pattern: suppliers in one nation whose PROMO-part volume
-    * exceeds 18% of their total shipped quantity in 1997 — a correlated
-    * threshold decorrelated to one conditional aggregate per supplier.
-    * The 18% compare is integer-exact: promo*100 > total*18 in DECIMAL
-    * (quantities are integer-valued).
+  /** TPC-H Q20 pattern: one nation's suppliers ranked by their
+    * PROMO-part share of total shipped quantity in 1997 — the
+    * correlated threshold decorrelated to one conditional aggregate per
+    * supplier, reported top-10 by exact share ppm with Q20's 18%
+    * verdict as a flag (integer-exact: promo·100 > total·18 in
+    * DECIMAL; quantities are integer-valued).
     */
   def q20PartPromo(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir)
@@ -190,16 +212,35 @@ object RelationalExt {
         Exact.decSum(when(col("is_promo"), col("l_quantity")).otherwise(lit(0.0)))
           .as("promo_qty_dec"),
         Exact.decSum(col("l_quantity")).as("total_qty_dec"))
-      .filter(col("promo_qty_dec") * lit(100) > col("total_qty_dec") * lit(18))
+      // Q20's own `share > 18%` HAVING is kept as the verdict FLAG, not
+      // the output gate: at sf0.001 the single qualifying supplier sat
+      // under 18% and the query returned 0 rows (its oracle match was
+      // proving two empty sets equal — the q7_volume class). Top-10 by
+      // exact promo-share ppm (supp_key asc on ties) is the SF-stable
+      // form of "which suppliers lean on promo parts, and how hard".
+      .withColumn("promo_share_ppm",
+        expr("(CAST(promo_qty_dec * 1000000 AS DECIMAL(38,6))) "
+          + "div total_qty_dec"))
+      .withColumn("above_18pct",
+        col("promo_qty_dec") * lit(100) > col("total_qty_dec") * lit(18))
+      .orderBy(col("promo_share_ppm").desc, col("supp_key").asc)
+      .limit(10)
       .select(col("supp_key"), col("s_name"),
         col("promo_qty_dec").cast("double").as("promo_qty"),
-        col("total_qty_dec").cast("double").as("total_qty"))
+        col("total_qty_dec").cast("double").as("total_qty"),
+        col("promo_share_ppm"), col("above_18pct"))
   }
 
   val q20PartPromoOracle: String = """
     SELECT supp_key, s_name,
       CAST(promo_qty_dec AS DOUBLE) AS promo_qty,
-      CAST(total_qty_dec AS DOUBLE) AS total_qty
+      CAST(total_qty_dec AS DOUBLE) AS total_qty,
+      -- scale-6 decimals ×1e6 are integer-valued: both casts exact,
+      -- floor(p·1e6/t) — Spark's decimal `div` semantics
+      CAST((CAST(promo_qty_dec * 1000000 AS HUGEINT) * 1000000)
+        // CAST(total_qty_dec * 1000000 AS HUGEINT) AS BIGINT)
+        AS promo_share_ppm,
+      promo_qty_dec * 100 > total_qty_dec * 18 AS above_18pct
     FROM (
       SELECT s.s_suppkey AS supp_key, s.s_name,
         SUM(CAST((CASE WHEN p.p_partkey IS NOT NULL THEN l.l_quantity ELSE 0.0 END)
@@ -213,7 +254,7 @@ object RelationalExt {
       WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
         AND l.l_shipdate < TIMESTAMP '1998-01-01'
       GROUP BY 1, 2)
-    WHERE promo_qty_dec * 100 > total_qty_dec * 18"""
+    ORDER BY promo_share_ppm DESC, supp_key ASC LIMIT 10"""
 
   /** Runtime bloom semi-join reduction — the 100 TB join-pruning
     * pattern made explicit: the FILTERED build side (urgent/high

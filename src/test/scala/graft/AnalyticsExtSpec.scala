@@ -15,10 +15,10 @@ class AnalyticsExtSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("unit_cost") > 0))
   }
 
-  test("q11_important_stock: every kept part exceeds 1/1000 of the total") {
-    val df = operators.RelationalExt.q11ImportantStock(spark, sfDir)
-    val values = df.collect().map(_.getAs[Double]("value"))
-    assert(values.nonEmpty)
+  test("q11_important_stock: top-20 by value, shares and the per-mille " +
+      "flag agree with an independent total") {
+    val rows = operators.RelationalExt.q11ImportantStock(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
     // recompute the nation total independently from raw lineitem
     val total = Tables.lineitem(spark, sfDir)
       .join(Tables.supplier(spark, sfDir)
@@ -27,7 +27,18 @@ class AnalyticsExtSpec extends SparkSpec {
         col("l_suppkey") === col("s_suppkey"))
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
       .collect()(0).getDouble(0)
-    values.foreach(v => assert(v * 1000 > total * (1 - 1e-9)))
+    val values = rows.map(_.getAs[Double]("value"))
+    assert(values.zip(values.tail).forall { case (a, b) => a >= b },
+      "top-20 must be ordered by value descending")
+    rows.foreach { r =>
+      val v = r.getAs[Double]("value")
+      val ppm = r.getAs[Long]("share_ppm")
+      assert(math.abs(ppm - v * 1e6 / total) <= 1.0,
+        s"share_ppm $ppm vs recomputed ${v * 1e6 / total}")
+      assert(r.getAs[Boolean]("above_mille") == (v * 1000 > total * (1 - 1e-9))
+        || math.abs(v * 1000 - total) < 1e-3 * total,
+        "per-mille verdict must match the recomputed total")
+    }
   }
 
   test("q16_supplier_cnt: counts bounded by total suppliers, filters hold") {
@@ -40,13 +51,14 @@ class AnalyticsExtSpec extends SparkSpec {
     }
   }
 
-  test("q20_part_promo: kept set equals an independent recomputation") {
-    // Recompute the kept-supplier set from raw tables with plain double
-    // sums (quantities are integer-valued, so sums < 2^53 are exact) — a
-    // flipped comparison or swapped factors in the operator would make
-    // the sets diverge even when the operator returns 0 rows here.
-    val got = operators.RelationalExt.q20PartPromo(spark, sfDir)
-      .collect().map(_.getAs[Long]("supp_key")).toSet
+  test("q20_part_promo: ranked shares and the 18% flag equal an " +
+      "independent recomputation") {
+    // Recompute every supplier's promo share from raw tables with plain
+    // double sums (quantities are integer-valued, so sums < 2^53 are
+    // exact) — a flipped comparison or swapped factors in the operator
+    // would make the rankings or flags diverge.
+    val rows = operators.RelationalExt.q20PartPromo(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
     val promoParts = Tables.part(spark, sfDir)
       .filter(col("p_type").like("PROMO%")).select(col("p_partkey"))
     val want = Tables.lineitem(spark, sfDir)
@@ -61,9 +73,20 @@ class AnalyticsExtSpec extends SparkSpec {
       .agg(
         sum(when(col("p_partkey").isNotNull, col("l_quantity")).otherwise(0.0)).as("promo"),
         sum(col("l_quantity")).as("tot"))
-      .filter(col("promo") * 100 > col("tot") * 18)
-      .collect().map(_.getAs[Long]("s_suppkey")).toSet
-    assert(got === want)
+      .collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        (r.getAs[Double]("promo"), r.getAs[Double]("tot"))).toMap
+    // top-10 by exact ppm desc, key asc — recomputed independently
+    val wantTop = want.toSeq
+      .map { case (k, (p, t)) => (k, math.floor(p * 1e6 / t).toLong, p, t) }
+      .sortBy { case (k, ppm, _, _) => (-ppm, k) }.take(10)
+    assert(rows.map(_.getAs[Long]("supp_key")).toSeq ==
+      wantTop.map(_._1), "ranked supplier order must match")
+    rows.foreach { r =>
+      val (p, t) = want(r.getAs[Long]("supp_key"))
+      assert(math.abs(r.getAs[Long]("promo_share_ppm") - p * 1e6 / t) <= 1.0)
+      assert(r.getAs[Boolean]("above_18pct") == (p * 100 > t * 18))
+    }
   }
 
   test("retention_cohorts: activity day never precedes cohort day") {
@@ -164,11 +187,20 @@ class AnalyticsExtSpec extends SparkSpec {
     }
     val wantDeg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
       .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
-    val got = operators.Analytics.kcore(spark, kcoreDir)
-      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
-    assert(got == wantDeg, "kcore must equal the reference peeling exactly")
-    val initialNodes = pairs.flatMap(e => Seq(e._1, e._2)).size
-    assert(got.nonEmpty && got.size < initialNodes,
+    val rows = operators.Analytics.kcore(spark, kcoreDir).collect()
+    val gotCore = rows.filter(_.getAs[Boolean]("in_core"))
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(gotCore == wantDeg, "kcore must equal the reference peeling exactly")
+    // the population report covers EVERY base-graph node with its
+    // initial degree, and peeled nodes carry (in_core=false, core_deg=0)
+    val wantDeg0 = pairs.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val gotDeg0 = rows.map(r =>
+      r.getAs[Long]("node") -> r.getAs[Long]("initial_deg")).toMap
+    assert(gotDeg0 == wantDeg0, "population must be the full base graph")
+    rows.filterNot(_.getAs[Boolean]("in_core"))
+      .foreach(r => assert(r.getAs[Long]("core_deg") == 0L))
+    assert(gotCore.nonEmpty && gotCore.size < gotDeg0.size,
       "the sf0.01 graph must actually peel — an identity run proves nothing")
   }
 

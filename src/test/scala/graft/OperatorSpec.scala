@@ -1901,11 +1901,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("burst_detect: every burst clears 3x its trailing mean with history") {
-    operators.EventOps.burstDetect(spark, sfDir).collect().foreach { r =>
-      val (n, s) = (r.getAs[Long]("trail_n"), r.getAs[Long]("trail_sum"))
-      assert(n >= 6L)
-      assert(r.getAs[Long]("cnt") * n > 3L * s)
+  test("burst_detect: top-3 hottest hours per type, ratio and verdict " +
+      "self-consistent") {
+    val rows = operators.EventOps.burstDetect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val ppms = rs.sortBy(_.getAs[Long]("hour_id"))
+        .map(_.getAs[Long]("burst_ppm"))
+      assert(rs.map(_.getAs[Long]("burst_ppm")).max == ppms.max)
+    }
+    rows.foreach { r =>
+      val (n, s, c) = (r.getAs[Long]("trail_n"), r.getAs[Long]("trail_sum"),
+        r.getAs[Long]("cnt"))
+      assert(n >= 1L && s >= n)
+      val ppm = r.getAs[Long]("burst_ppm")
+      assert(ppm == c * n * 1000000L / (3L * s),
+        s"burst_ppm $ppm != floor($c*$n*1e6/(3*$s))")
+      assert(r.getAs[Boolean]("is_burst") == (n >= 6L && ppm > 1000000L))
+      // the flag still encodes the original detector: >3x trailing mean
+      if (r.getAs[Boolean]("is_burst")) assert(c * n > 3L * s)
     }
   }
 

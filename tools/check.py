@@ -11,6 +11,12 @@ import duckdb, pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Queries whose CONTRACT is emptiness on clean input (none today — see
+# NonVacuitySpec's doc for the bar an entry must clear). A 0-row result
+# from anything else means the oracle match proves two empty sets equal
+# (the q7_volume class, vacuous for 13 rounds) and FAILS here.
+EMPTY_OK = set()
+
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -46,6 +52,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ: oracle={sorted(want.columns)} spark={sorted(got.columns)}"); n_fail += 1; continue
         if len(want) != len(got):
             print(f"FAIL {name}: rows differ: oracle={len(want)} spark={len(got)}"); n_fail += 1; continue
+        if len(want) == 0 and name not in EMPTY_OK:
+            print(f"FAIL {name}: vacuous (0 rows on both sides -- the match proves nothing)"); n_fail += 1; continue
         w, g = norm(want), norm(got)
         bad = None
         # The driver hashes stringified values, so int64 1 vs float64 1.0 is a
