@@ -583,7 +583,203 @@ object GraphExt {
     WHERE d.deg >= 3
     ORDER BY lcc_ppm DESC, d.node ASC LIMIT 20"""
 
+  /** Sampled betweenness centrality — Brandes' dependency accumulation
+    * (Brandes 2001, "A faster algorithm for betweenness centrality")
+    * from [[BetweennessSeeds]] deterministic source seeds over the
+    * STRONG collaboration graph, shortest paths bounded at
+    * [[BetweennessDepth]] hops. The one classic influence metric in the
+    * reference's ideas list (docs/neo4j_analytical_ideas.md §1/§5 —
+    * "key papers that have influenced a field", GDS ships betweenness
+    * beside nodeSimilarity) not covered by the endpoint measures:
+    * degree/pagerank/HITS score where influence LANDS, betweenness
+    * scores who BROKERS it (how much shortest-path traffic transits a
+    * node).
+    *
+    * Exact-on-seeds contract: this is not an approximation of the
+    * per-seed computation — each sampled source's dependency δₛ(v) is
+    * computed exactly (in 1e-9 fixed point) and the estimate is the sum
+    * over the seed sample, the standard Brandes–Pich sampling estimator
+    * left UN-rescaled so the output is a pure function of the declared
+    * seeds. Seeds are the top-[[BetweennessSeeds]] nodes by strong-edge
+    * weighted degree (weight DESC, key ASC — [[Analytics.pprSeeds]]'
+    * determinism rule).
+    *
+    * Algorithm, forward: level-synchronous BFS carrying σ (number of
+    * shortest paths from the seed — exact BIGINT, bounded by
+    * maxdeg^depth ≤ 128⁴ ≈ 2.7e8 under [[Analytics.MaxWedgeDegree]],
+    * which is what makes the hub cap part of this operator's declared
+    * semantics and not just a performance knob). Backward: δ(v) =
+    * Σ_{w: succ} (σᵥ/σ_w)(1+δ_w), folded per level in 1e9 fixed point —
+    * the ratio is materialized as (σᵥ·(1e9+δ_w)) div σ_w with the
+    * product in DECIMAL(38,0)/HUGEINT (BIGINT would wrap at
+    * σ·δ ≈ 2.7e20), so every cross-row sum is an integer and both
+    * engines agree bit-for-bit at any partitioning. Truncating div at
+    * each level makes δ a deterministic 1e-9-granular lower bound —
+    * identical truncation on both sides, so hash-comparable.
+    *
+    * Scale: the graph family's contract — edges shuffle once at
+    * construction, every per-round frame is (seeds × nodes)-sized state
+    * broadcast via [[Tables.stateHint]], 4 forward + 3 backward
+    * aggregates; the depth cap bounds the work per seed by |E| per
+    * round independent of graph size. Output: top-20 reached non-seed
+    * nodes by accumulated dependency (ties broken by key), with the
+    * count of seeds reaching each.
+    */
+  private val BetweennessSeeds = 5
+  private val BetweennessDepth = 4
+  private val BetweennessScale = 1000000000L
+
+  def betweennessSampled(spark: SparkSession, dir: String): DataFrame = {
+    // strongEdges' persist discipline (Analytics.scala): cache the raw
+    // strong pairs only while the hub cap's broadcast + probe both read
+    // them, then keep just the capped frame for the 7-round loop.
+    val raw = Analytics.collabPairs(spark, dir)
+      .filter(col("collab_count") >= Analytics.StrongEdgeThreshold)
+      .select(col("supp_a").as("lo"), col("supp_b").as("hi"),
+        col("collab_count").as("c"))
+      .transform(graft.functions.PlanGuard.persist(_))
+    val capped = Analytics.dropHubs(raw, Analytics.MaxWedgeDegree)
+      .transform(graft.functions.PlanGuard.persist(_))
+    capped.count()
+    raw.unpersist()
+    val edges = checkpoint(
+      capped.select(col("lo").as("src"), col("hi").as("dst"), col("c"))
+        .unionByName(
+          capped.select(col("hi").as("src"), col("lo").as("dst"), col("c"))))
+    capped.unpersist()
+    val seeds = edges
+      .groupBy(col("src").as("seed")).agg(sum(col("c")).as("w"))
+      .orderBy(col("w").desc, col("seed").asc).limit(BetweennessSeeds)
+      .select(col("seed"))
+    // forward: visited = (seed, node, dist, sigma), one row per reached
+    // node per seed; frontier = the newest level only
+    var vis = checkpoint(seeds.select(col("seed"), col("seed").as("node"),
+      lit(0).as("dist"), lit(1L).as("sigma")))
+    var frontier = vis
+    for (i <- 1 to BetweennessDepth) {
+      val fresh = edges
+        .join(stateHint(frontier
+          .select(col("seed"), col("node").as("src"), col("sigma"))),
+          Seq("src"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(stateHint(vis.select(col("seed"), col("node"))),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(i).as("dist"), col("sigma"))
+      frontier = checkpoint(fresh)
+      vis = checkpoint(vis.unionByName(frontier))
+    }
+    def level(d: Int): DataFrame = vis.filter(col("dist") === d)
+    // backward: δ per level, deepest first; dist-Depth nodes are leaves
+    // of the bounded DAG, δ = 0 by the cap's contract
+    var delta = level(BetweennessDepth)
+      .select(col("seed"), col("node"), lit(0L).as("delta"))
+    val perLevel = scala.collection.mutable.ArrayBuffer(delta)
+    for (d <- (BetweennessDepth - 1) to 1 by -1) {
+      val up = level(d + 1)
+        .join(delta, Seq("seed", "node"))
+        .select(col("seed"), col("node").as("dst"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val contrib = edges.select(col("src"), col("dst"))
+        .join(stateHint(up), Seq("dst"))
+        .join(stateHint(level(d).select(col("seed"), col("node").as("src"),
+          col("sigma").as("sigma_v"))), Seq("seed", "src"))
+        .select(col("seed"), col("src").as("node"),
+          expr(s"(CAST(sigma_v AS DECIMAL(38,0)) * ($BetweennessScale + "
+            + "delta_w)) div sigma_w").as("dc"))
+        .groupBy(col("seed"), col("node")).agg(sum(col("dc")).as("delta"))
+      delta = level(d).select(col("seed"), col("node"))
+        .join(stateHint(contrib), Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+      delta = checkpoint(delta)
+      perLevel += delta
+    }
+    perLevel.reduce(_ unionByName _)
+      .groupBy(col("node").as("supp_key"))
+      .agg(sum(col("delta")).as("bc_x1e9"), count(lit(1)).as("n_seeds"))
+      .orderBy(col("bc_x1e9").desc, col("supp_key").asc)
+      .limit(20)
+  }
+
+  val betweennessSampledOracle: String = {
+    // MATERIALIZED is load-bearing (the kcore/hits oracle rule): f_i
+    // references v_{i-1} twice (frontier join + NOT EXISTS) and v_i
+    // unions it again — plain CTEs inline, so v4 would expand to ~3⁴
+    // copies of the whole chain and the del CTEs multiply that by 7;
+    // DuckDB then re-opens lineitem.parquet hundreds of times and dies
+    // on fd exhaustion before it even mis-plans.
+    val forward = (1 to BetweennessDepth).map { i =>
+      s"""f$i AS MATERIALIZED (
+      SELECT v.seed, e.dst AS node, $i AS dist,
+        CAST(SUM(v.sigma) AS BIGINT) AS sigma
+      FROM edges e JOIN v${i - 1} v ON e.src = v.node AND v.dist = ${i - 1}
+      WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x
+                        WHERE x.seed = v.seed AND x.node = e.dst)
+      GROUP BY 1, 2),
+    v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM f$i)"""
+    }.mkString(",\n    ")
+    val vAll = s"v$BetweennessDepth"
+    val backward = ((BetweennessDepth - 1) to 1 by -1).map { d =>
+      s"""del$d AS MATERIALIZED (
+      SELECT v.seed, v.node,
+        CAST(COALESCE(SUM((CAST(v.sigma AS HUGEINT)
+          * ($BetweennessScale + dd.delta)) // w.sigma), 0) AS BIGINT)
+          AS delta
+      FROM (SELECT * FROM $vAll WHERE dist = $d) v
+      LEFT JOIN edges e ON e.src = v.node
+      LEFT JOIN (SELECT * FROM $vAll WHERE dist = ${d + 1}) w
+        ON w.seed = v.seed AND w.node = e.dst
+      LEFT JOIN del${d + 1} dd ON dd.seed = w.seed AND dd.node = w.node
+      GROUP BY 1, 2)"""
+    }.mkString(",\n    ")
+    val unions = ((BetweennessDepth - 1) to 1 by -1)
+      .map(d => s"SELECT seed, node, delta FROM del$d")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    p0 AS MATERIALIZED (
+      SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS c
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= ${Analytics.StrongEdgeThreshold}),
+    sdeg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT lo AS node FROM p0 UNION ALL SELECT hi FROM p0)
+      GROUP BY 1),
+    hubs AS MATERIALIZED (SELECT node FROM sdeg WHERE deg > ${Analytics.MaxWedgeDegree}),
+    s AS MATERIALIZED (
+      SELECT lo, hi, c FROM p0
+      WHERE lo NOT IN (SELECT node FROM hubs)
+        AND hi NOT IN (SELECT node FROM hubs)),
+    edges AS MATERIALIZED (
+      SELECT lo AS src, hi AS dst, c FROM s
+      UNION ALL SELECT hi, lo, c FROM s),
+    seeds AS MATERIALIZED (
+      SELECT src AS seed FROM edges GROUP BY 1
+      ORDER BY CAST(SUM(c) AS BIGINT) DESC, src ASC LIMIT $BetweennessSeeds),
+    v0 AS MATERIALIZED (
+      SELECT seed, seed AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+      FROM seeds),
+    $forward,
+    del$BetweennessDepth AS MATERIALIZED (
+      SELECT seed, node, CAST(0 AS BIGINT) AS delta
+      FROM $vAll WHERE dist = $BetweennessDepth),
+    $backward,
+    alldel AS (
+      SELECT seed, node, delta FROM del$BetweennessDepth
+      UNION ALL $unions)
+    SELECT node AS supp_key,
+      CAST(SUM(delta) AS BIGINT) AS bc_x1e9,
+      CAST(COUNT(*) AS BIGINT) AS n_seeds
+    FROM alldel GROUP BY 1
+    ORDER BY bc_x1e9 DESC, supp_key ASC LIMIT 20"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "betweenness_sampled" ->
+      QueryDef.sql(betweennessSampled, betweennessSampledOracle),
     "clustering_coefficient" ->
       QueryDef.sql(clusteringCoefficient, clusteringCoefficientOracle),
     "decayed_popularity" -> QueryDef.sql(decayedPopularity, decayedPopularityOracle),

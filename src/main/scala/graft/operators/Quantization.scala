@@ -37,6 +37,14 @@ object Quantization {
     * loop end to end (the [[Clustering]] reasoning at smaller k).
     */
   private val PqIters = 2
+  /** Lloyd rounds for the RESIDUAL codebooks ([[pqEncodeResidual]] /
+    * [[annIvfPqResidual]]): the residual field is near-zero-centered
+    * (the coarse quantizer absorbed the between-cell structure), so its
+    * 16 seed centroids start clumped and need more update rounds to
+    * spread than the raw corpus' do — undertrained residual codebooks
+    * are how IVFADC loses to raw-code ADC despite better MSE.
+    */
+  private val PqResIters = 3
   /** Fixed-point grid for centroid means (embeddings are O(1)). */
   private val Fp = 1.0e7
   /** ADC candidates kept per query before the exact re-rank. */
@@ -107,12 +115,15 @@ object Quantization {
   /** The trained per-subspace codebooks after [[PqIters]] Lloyd rounds —
     * shared by [[pqEncode]] and [[annIvfPq]].
     */
-  private[graft] def finalCodebook(e: DataFrame): DataFrame = {
+  private[graft] def finalCodebook(e: DataFrame): DataFrame =
+    finalCodebook(e, PqIters)
+
+  private[graft] def finalCodebook(e: DataFrame, iters: Int): DataFrame = {
     val subv = subvectors(e)
     var cb = seedCodebook(e).transform(
       graft.functions.Iterate.checkpoint(_,
         Some("seed rank over the KSub-row post-LIMIT TakeOrdered frame")))
-    for (_ <- 1 until PqIters)
+    for (_ <- 1 until iters)
       cb = update(assign(subv, cb)).transform(graft.functions.Iterate.checkpoint)
     cb
   }
@@ -136,13 +147,13 @@ object Quantization {
         (col("sq_err") / lit(Dim.toDouble)).as("recon_mse"))
   }
 
-  private def pqAssignSql(cb: String): String = s"""
+  private def pqAssignSql(cb: String, subRel: String = "pqsub"): String = s"""
       SELECT vec_id, sub, sv, code, d2 FROM (
         SELECT p.vec_id, p.sub, p.sv, c.code,
           ${Clustering.sqlD2("p.sv", "c.cv")} AS d2,
           ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.sub
             ORDER BY ${Clustering.sqlD2("p.sv", "c.cv")} ASC, c.code ASC) AS rn
-        FROM pqsub p JOIN $cb c ON p.sub = c.sub)
+        FROM $subRel p JOIN $cb c ON p.sub = c.sub)
       WHERE rn = 1"""
 
   private def pqCentSql(assignRel: String): String = s"""
@@ -160,27 +171,35 @@ object Quantization {
       GROUP BY 1, 2"""
 
   /** The unrolled PQ training as WITH-clause CTEs ending at
-    * [[pqFinalRel]] (names pq-prefixed so they compose with
-    * [[Clustering.kmeansCtes]] inside one WITH).
+    * [[pqFinalRelFor]] (names `$prefix`-prefixed so two trainings — raw
+    * and residual — compose with [[Clustering.kmeansCtes]] inside one
+    * WITH), trained on `srcRel(vec_id, embedding)`.
     */
-  private[graft] def pqCtes: String = {
-    val iters = (1 until PqIters).map { i =>
-      s"""pqas$i AS (${pqAssignSql(s"pqcb${i - 1}")}),
-    pqcb$i AS (${pqCentSql(s"pqas$i")})"""
+  private[graft] def pqCtesFor(prefix: String, srcRel: String,
+      nIters: Int = PqIters): String = {
+    val iters = (1 until nIters).map { i =>
+      s"""${prefix}as$i AS (${pqAssignSql(s"${prefix}cb${i - 1}", s"${prefix}sub")}),
+    ${prefix}cb$i AS (${pqCentSql(s"${prefix}as$i")})"""
     }.mkString(",\n    ")
-    s"""pqsub AS MATERIALIZED (
+    s"""${prefix}sub AS MATERIALIZED (
       SELECT vec_id, s AS sub,
         embedding[s * $SubDim + 1 : s * $SubDim + $SubDim] AS sv
       FROM (SELECT vec_id, embedding, UNNEST(RANGE(0, $NSub)) AS s
-            FROM embeddings)),
-    pqcb0 AS (
+            FROM $srcRel)),
+    ${prefix}cb0 AS (
       SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS cv FROM (
         SELECT sub, sv, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
-        FROM pqsub) WHERE rn <= $KSub),
+        FROM ${prefix}sub) WHERE rn <= $KSub),
     $iters"""
   }
 
-  private[graft] def pqFinalRel: String = s"pqcb${PqIters - 1}"
+  private[graft] def pqFinalRelFor(prefix: String,
+      nIters: Int = PqIters): String =
+    s"${prefix}cb${nIters - 1}"
+
+  private[graft] def pqCtes: String = pqCtesFor("pq", "embeddings")
+
+  private[graft] def pqFinalRel: String = pqFinalRelFor("pq")
 
   lazy val pqEncodeOracle: String = s"""
     WITH $pqCtes,
@@ -199,7 +218,8 @@ object Quantization {
     * query, then an exact cosine re-rank of just those to top-[[TopK]].
     * Codes are trained on raw vectors (not cell residuals) so the
     * codebook CTEs stay shared with [[pqEncode]]; the residual variant
-    * is the documented next refinement.
+    * — IVFADC as Jégou et al. 2011 actually ship it — is
+    * [[annIvfPqResidual]].
     *
     * Scale: probes read [[NProbe]] of k cells (k grows with the corpus
     * at fixed cell size); ADC joins narrow (neighbor, sub, code) rows
@@ -303,6 +323,196 @@ object Quantization {
       JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
     WHERE rank <= $TopK"""
 
+  /** Per-vector residuals against the trained coarse quantizer:
+    * r = v − centroid(cell(v)), each element computed as one double
+    * subtraction rounded back to float32 — a single IEEE op per
+    * dimension, bit-identical in both engines (the [[VectorOps]]
+    * determinism rule). The residual field has far less variance than
+    * the raw corpus (the coarse quantizer has already absorbed the
+    * between-cell spread), which is why codebooks trained on it spend
+    * their 38-bit code budget on what the cell id doesn't already say.
+    */
+  private def residualVectors(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = Clustering.finalCentroids(spark, dir)
+    Clustering.assign(e, cents)
+      .join(Tables.stateHint(cents), Seq("cid"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cv"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+          .as("embedding"))
+  }
+
+  /** Shared oracle prelude for the residual family: trained coarse
+    * centroids + the residual corpus as `rvec(vec_id, embedding)`.
+    */
+  private def residualCtes: String = s"""${Clustering.kmeansCtes},
+    cents AS MATERIALIZED (
+      SELECT cid, cv FROM ${Clustering.kmeansFinalRel}),
+    rvec AS MATERIALIZED (
+      SELECT a.vec_id,
+        LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+          i -> CAST(CAST(a.embedding[i] AS DOUBLE)
+            - CAST(c.cv[i] AS DOUBLE) AS FLOAT)) AS embedding
+      FROM (${Clustering.assignSql("cents")}) a
+      JOIN cents c USING (cid))"""
+
+  /** Residual PQ encode — IVFADC's storage layout (Jégou et al. 2011
+    * §III: quantize r = v − q_coarse(v), not v): the same [[NSub]]×
+    * [[KSub]] training loop as [[pqEncode]] but run on
+    * [[residualVectors]], so `recon_mse` here is the error of
+    * centroid + decode(code) against the ORIGINAL vector —
+    * ‖v − (c + r̂)‖² = ‖r − r̂‖² — directly comparable with
+    * [[pqEncode]]'s raw-codebook MSE at the identical code budget
+    * (QuantizationSpec pins residual strictly below raw). One extra
+    * broadcast join (cell → centroid) over the raw path; everything
+    * downstream is the same scan shape.
+    */
+  def pqEncodeResidual(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.functions.Iterate.checkpoint(residualVectors(spark, dir))
+    val coded = assign(subvectors(r), finalCodebook(r, PqResIters))
+    coded.groupBy(col("vec_id"))
+      .agg(
+        concat_ws("-",
+          transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+            s => s.getField("code").cast("string"))).as("codes"),
+        Exact.dsum(col("d2")).as("sq_err"))
+      .select(col("vec_id"), col("codes"),
+        (col("sq_err") / lit(Dim.toDouble)).as("recon_mse"))
+  }
+
+  lazy val pqEncodeResidualOracle: String = s"""
+    WITH $residualCtes,
+    ${pqCtesFor("rq", "rvec", PqResIters)},
+    rqfinal AS (${pqAssignSql(pqFinalRelFor("rq", PqResIters), "rqsub")})
+    SELECT vec_id,
+      STRING_AGG(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes,
+      ${Exact.sqlDsum("d2")} / CAST($Dim AS DOUBLE) AS recon_mse
+    FROM rqfinal GROUP BY vec_id"""
+
+  /** IVFADC proper — the residual-coded query path: coarse probes as in
+    * [[annIvfPq]], but candidates carry RESIDUAL codes and the query is
+    * residualized PER PROBED CELL (q − centroid(cell)) before its
+    * subvectors meet the codebook, so ADC approximates
+    * ‖(q − c) − r̂‖² = ‖q − (c + r̂)‖² — the true distance to the
+    * candidate's reconstruction, where the raw-code path's ADC ignores
+    * which cell a candidate sits in. Same IO shape: the only new work
+    * is [[NProbe]] residualizations per query (state-sized), and the
+    * exact re-rank is unchanged — so recall can only move through ADC
+    * ordering quality (QuantizationSpec pins it not-worse than
+    * [[annIvfPq]]'s against the brute-force truth).
+    */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = Clustering.finalCentroids(spark, dir)
+    val cells = Clustering.assign(e, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val r = graft.functions.Iterate.checkpoint(residualVectors(spark, dir))
+    val cb = finalCodebook(r, PqResIters)
+    val codes = assign(subvectors(r), cb)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2").asc, col("cid").asc)
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(Tables.stateHint(cents))
+      .withColumn("cd2", Clustering.d2(col("qe"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("cid"),
+        zip_with(col("qe"), col("cv"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+          .as("qr"))
+    val qsub = probes
+      .select(col("query_id"), col("cid"),
+        explode(sequence(lit(0), lit(NSub - 1))).as("sub"), col("qr"))
+      .select(col("query_id"), col("cid"), col("sub"),
+        slice(col("qr"), col("sub") * lit(SubDim) + lit(1), lit(SubDim))
+          .as("qsv"))
+    val adc = broadcast(probes.select(col("query_id"), col("cid")))
+      .join(cells, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("cid"), col("neighbor_id"))
+      .join(codes, Seq("neighbor_id"))
+      .join(Tables.stateHint(cb), Seq("sub", "code"))
+      .join(broadcast(qsub), Seq("query_id", "cid", "sub"))
+      .withColumn("d2", Clustering.d2(col("qsv"), col("cv")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(Exact.dsum(col("d2")).as("adc"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val cand = adc.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= AdcTopK)
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val qe = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ne = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(cand.join(broadcast(qe), Seq("query_id")))
+      .join(ne, Seq("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("qe"), col("nv")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        col("cosine"), col("rank"))
+  }
+
+  lazy val annIvfPqResidualOracle: String = s"""
+    WITH $residualCtes,
+    cells AS (
+      SELECT vec_id AS neighbor_id, cid FROM (${Clustering.assignSql("cents")})),
+    ${pqCtesFor("rq", "rvec", PqResIters)},
+    codes AS (
+      SELECT vec_id AS neighbor_id, sub, code
+      FROM (${pqAssignSql(pqFinalRelFor("rq", PqResIters), "rqsub")})),
+    probes AS MATERIALIZED (
+      SELECT query_id, cid, qr FROM (
+        SELECT e.vec_id AS query_id, c.cid,
+          LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+            i -> CAST(CAST(e.embedding[i] AS DOUBLE)
+              - CAST(c.cv[i] AS DOUBLE) AS FLOAT)) AS qr,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${Clustering.sqlD2("e.embedding", "c.cv")} ASC,
+              c.cid ASC) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < $NQueries) e
+        CROSS JOIN cents c)
+      WHERE rn <= $NProbe),
+    qsub AS (
+      SELECT query_id, cid, s AS sub,
+        qr[s * $SubDim + 1 : s * $SubDim + $SubDim] AS qsv
+      FROM (SELECT query_id, cid, qr, UNNEST(RANGE(0, $NSub)) AS s
+            FROM probes)),
+    adc AS (
+      SELECT p.query_id, cl.neighbor_id,
+        ${Exact.sqlDsum(Clustering.sqlD2("q.qsv", "cb.cv"))} AS adc
+      FROM (SELECT query_id, cid FROM probes) p
+      JOIN cells cl USING (cid)
+      JOIN codes co ON co.neighbor_id = cl.neighbor_id
+      JOIN ${pqFinalRelFor("rq", PqResIters)} cb
+        ON cb.sub = co.sub AND cb.code = co.code
+      JOIN qsub q ON q.query_id = p.query_id AND q.cid = cl.cid
+        AND q.sub = co.sub
+      WHERE cl.neighbor_id <> p.query_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, neighbor_id, adc FROM (
+        SELECT query_id, neighbor_id, adc,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc ASC, neighbor_id ASC) AS arn
+        FROM adc)
+      WHERE arn <= $AdcTopK)
+    SELECT query_id, neighbor_id, adc, cosine, rank FROM (
+      SELECT c.query_id, c.neighbor_id, c.adc,
+        ${VectorOps.sqlCosine("qe.embedding", "ne.embedding")} AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY c.query_id
+          ORDER BY ${VectorOps.sqlCosine("qe.embedding", "ne.embedding")} DESC,
+            c.neighbor_id ASC) AS rank
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+    WHERE rank <= $TopK"""
+
   /** IVF serving-load audit: per-cell inverted-list population, its
     * corpus share, and `load_ppm` — the cell's load relative to a
     * perfectly balanced codebook (1 000 000 = balanced; a cell at
@@ -340,7 +550,11 @@ object Quantization {
 
   def defs: Map[String, QueryDef] = Map(
     "pq_encode" -> QueryDef.sql(pqEncode, pqEncodeOracle),
+    "pq_encode_residual" ->
+      QueryDef.sql(pqEncodeResidual, pqEncodeResidualOracle),
     "ann_ivfpq" -> QueryDef.sql(annIvfPq, annIvfPqOracle),
+    "ann_ivfpq_residual" ->
+      QueryDef.sql(annIvfPqResidual, annIvfPqResidualOracle),
     "ivf_cell_stats" -> QueryDef.sql(ivfCellStats, ivfCellStatsOracle)
   )
 }

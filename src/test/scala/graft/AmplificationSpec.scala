@@ -66,6 +66,22 @@ class AmplificationSpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")))
       .drop("amp")
 
+  /** lineitem with k salted row copies: order, supplier, AND part keys
+    * all salted per copy, so the collaboration/co-purchase graphs become
+    * k DISCONNECTED copies of the base graph — node count, edge count,
+    * and BFS state all scale k× while per-copy structure (cofreq
+    * counts, degrees, seeds' reach) is preserved. An accidental
+    * all-pairs or cross-copy join blows up quadratically; the graph
+    * family's declared cost (rounds × one edge scan) stays linear.
+    */
+  private def lineitemRows(k: Int): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("*"), explode(sequence(lit(0), lit(k - 1))).as("amp"))
+      .withColumn("l_orderkey", col("l_orderkey") * k + col("amp"))
+      .withColumn("l_suppkey", col("l_suppkey") * k + col("amp"))
+      .withColumn("l_partkey", col("l_partkey") * k + col("amp"))
+      .drop("amp")
+
   /** events with k salted row copies (unique event_id, distinct users
     * per copy so session/user machinery scales in population).
     */
@@ -180,9 +196,11 @@ class AmplificationSpec extends SparkSpec {
   private lazy val lenDirLo = amplifiedDir("len4", Map("documents" -> docsLen(4)))
   private lazy val lenDirHi = amplifiedDir("len16", Map("documents" -> docsLen(16)))
   private lazy val rowDirLo = amplifiedDir("row4",
-    Map("documents" -> docsRows(4), "events" -> eventsRows(4)))
+    Map("documents" -> docsRows(4), "events" -> eventsRows(4),
+      "lineitem" -> lineitemRows(4)))
   private lazy val rowDirHi = amplifiedDir("row16",
-    Map("documents" -> docsRows(16), "events" -> eventsRows(16)))
+    Map("documents" -> docsRows(16), "events" -> eventsRows(16),
+      "lineitem" -> lineitemRows(16)))
 
   /** text-cost operators: per-document length is the axis.
     * r13 additions: the trigram-tail pair (hapax_ratio /
@@ -207,7 +225,14 @@ class AmplificationSpec extends SparkSpec {
     "dedup_threshold_sweep", "dedup_minhash_lsh", "sessionize",
     "burst_detect",
     "multimodal_phash_sweep", "interarrival_stats", "cdc_conflict_audit",
-    "friedman_test", "pii_inventory", "value_cvar")
+    "friedman_test", "pii_inventory", "value_cvar",
+    // r14: the Brandes loop over k disconnected graph copies — state
+    // and edges scale k×, the per-round edge scan must stay linear.
+    // (The residual-PQ pair is NOT enrolled, like the rest of the ann
+    // family: the coarse quantizer's k = corpus/100 scales assignment
+    // cost superlinearly BY DECLARED DESIGN — its scale story is the
+    // probe-IO shape, pinned in the plan/shuffle-budget specs.)
+    "betweenness_sampled")
 
   private def smoke(names: Seq[String], lo: String, hi: String): Unit =
     names.foreach { name =>

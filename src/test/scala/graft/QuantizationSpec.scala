@@ -46,6 +46,68 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("pq_encode_residual: strictly lower MSE than the raw codebooks " +
+      "at the same code budget, at every test SF (IVFADC's claim)") {
+    // Jégou et al. 2011 §III: quantizing r = v − q_coarse(v) spends the
+    // code budget on what the cell id doesn't already say. recon_mse is
+    // ‖v − (c + r̂)‖² /dim for the residual path and ‖v − v̂‖²/dim for
+    // the raw one — same units, same budget, directly comparable.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val raw = operators.Quantization.pqEncode(spark, dir)
+        .agg(avg(col("recon_mse"))).collect()(0).getDouble(0)
+      val res = operators.Quantization.pqEncodeResidual(spark, dir)
+        .agg(avg(col("recon_mse"))).collect()(0).getDouble(0)
+      assert(res < raw,
+        s"residual codebooks must beat raw at $sf: residual=$res raw=$raw")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("ann_ivfpq_residual: structure matches the raw path's contract " +
+      "(<= 3 ranked non-self neighbors per query, cosine-ordered)") {
+    val rows = operators.Quantization.annIvfPqResidual(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to rs.length), s"query $q ranks: ${ranks.toList}")
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      assert(rs.forall(_.getAs[Double]("adc") >= 0.0))
+    }
+  }
+
+  test("ann_ivfpq_residual: recall against the brute-force truth, " +
+      "aggregated across the three SFs, is not worse than the raw path") {
+    // Recall@3 against ann_topk's exact cosine truth (the
+    // ann_recall_audit measure). Per SF the probe set is 10 queries ×
+    // 3 truth slots, so a single borderline candidate moves recall by
+    // 1/30 — cliff noise, not code quality (and it moves ±2 with the
+    // Lloyd-round knob). The pin is therefore the 90-slot aggregate:
+    // residual codes must not lose to raw codes overall. Deterministic:
+    // fixed data, fixed seeds, integer hit counts.
+    def hits(dir: String,
+        path: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Int = {
+      val truth = operators.Similarity.annTopk(spark, dir)
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val n = truth.join(path(spark, dir)
+          .select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      spark.catalog.clearCache()
+      n.toInt
+    }
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"/root/testdata/$s")
+    val raw = sfs.map(hits(_, operators.Quantization.annIvfPq)).sum
+    val res = sfs.map(hits(_, operators.Quantization.annIvfPqResidual)).sum
+    assert(res >= raw,
+      s"residual-code recall regressed vs raw: $res < $raw of 90 slots")
+  }
+
   test("ivf_cell_stats: populations reconcile with the corpus and shares with 1e6 ppm") {
     val rows = operators.Quantization.ivfCellStats(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()

@@ -636,4 +636,20 @@ class ShuffleBudgetSpec extends SparkSpec {
   // value_cvar: the corpus aggregates inside the cell checkpoint; the
   // visible plan is the per-type cell windows + the per-type fold.
   check("value_cvar", 2)(operators.EventExt.valueCvar(spark, sfDir))
+  // betweenness_sampled: the edge construction and all 7 BFS/dependency
+  // rounds live inside their checkpoints (each round = one state-keyed
+  // fold, edges never reshuffled); the visible plan is the per-level
+  // delta unions + the final bc fold and TakeOrdered — state-sized.
+  check("betweenness_sampled", 8)(
+    operators.GraphExt.betweennessSampled(spark, sfDir))
+  // pq_encode_residual: residual construction + codebook training live
+  // in checkpoints; the visible plan is the (vec, sub) assign window +
+  // per-vector fold, like pq_encode.
+  check("pq_encode_residual", 4)(
+    operators.Quantization.pqEncodeResidual(spark, sfDir))
+  // ann_ivfpq_residual: same serving-path shape as ann_ivfpq — probe
+  // windows, ADC fold, candidate rank, re-rank — all query-keyed or
+  // broadcast; the corpus-scale joins ride broadcasts.
+  check("ann_ivfpq_residual", 10)(
+    operators.Quantization.annIvfPqResidual(spark, sfDir))
 }
