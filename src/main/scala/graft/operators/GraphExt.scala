@@ -629,10 +629,18 @@ object GraphExt {
   private val BetweennessDepth = 4
   private val BetweennessScale = 1000000000L
 
-  def betweennessSampled(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared substrate of the seeded-centrality family
+    * ([[betweennessSampled]], [[closenessSampled]]): the symmetrized
+    * strong hub-capped collab edges (checkpointed — the loops re-read
+    * them every round) and the top-[[BetweennessSeeds]] seeds by
+    * weighted degree (weight DESC, key ASC — [[Analytics.pprSeeds]]'
+    * determinism rule).
+    */
+  private def strongSeededGraph(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // strongEdges' persist discipline (Analytics.scala): cache the raw
     // strong pairs only while the hub cap's broadcast + probe both read
-    // them, then keep just the capped frame for the 7-round loop.
+    // them, then keep just the capped frame for the loop rounds.
     val raw = Analytics.collabPairs(spark, dir)
       .filter(col("collab_count") >= Analytics.StrongEdgeThreshold)
       .select(col("supp_a").as("lo"), col("supp_b").as("hi"),
@@ -651,6 +659,42 @@ object GraphExt {
       .groupBy(col("src").as("seed")).agg(sum(col("c")).as("w"))
       .orderBy(col("w").desc, col("seed").asc).limit(BetweennessSeeds)
       .select(col("seed"))
+    (edges, seeds)
+  }
+
+  /** Shared oracle prelude for the seeded-centrality family: the CTE
+    * chain ending at `edges(src, dst, c)` + `seeds(seed)` (every stage
+    * MATERIALIZED — each is referenced by several downstream CTEs and a
+    * plain CTE would inline the whole chain per reference).
+    */
+  private def strongSeededGraphSql: String = s"""e0 AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    p0 AS MATERIALIZED (
+      SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS c
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= ${Analytics.StrongEdgeThreshold}),
+    sdeg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT lo AS node FROM p0 UNION ALL SELECT hi FROM p0)
+      GROUP BY 1),
+    hubs AS MATERIALIZED (
+      SELECT node FROM sdeg WHERE deg > ${Analytics.MaxWedgeDegree}),
+    s AS MATERIALIZED (
+      SELECT lo, hi, c FROM p0
+      WHERE lo NOT IN (SELECT node FROM hubs)
+        AND hi NOT IN (SELECT node FROM hubs)),
+    edges AS MATERIALIZED (
+      SELECT lo AS src, hi AS dst, c FROM s
+      UNION ALL SELECT hi, lo, c FROM s),
+    seeds AS MATERIALIZED (
+      SELECT src AS seed FROM edges GROUP BY 1
+      ORDER BY CAST(SUM(c) AS BIGINT) DESC, src ASC
+      LIMIT $BetweennessSeeds)"""
+
+  def betweennessSampled(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, seeds) = strongSeededGraph(spark, dir)
     // forward: visited = (seed, node, dist, sigma), one row per reached
     // node per seed; frontier = the newest level only
     var vis = checkpoint(seeds.select(col("seed"), col("seed").as("node"),
@@ -737,28 +781,7 @@ object GraphExt {
       .map(d => s"SELECT seed, node, delta FROM del$d")
       .mkString("\n      UNION ALL ")
     s"""
-    WITH e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-    p0 AS MATERIALIZED (
-      SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS c
-      FROM e0 a JOIN e0 b
-        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      GROUP BY 1, 2
-      HAVING COUNT(*) >= ${Analytics.StrongEdgeThreshold}),
-    sdeg AS MATERIALIZED (
-      SELECT node, COUNT(*) AS deg
-      FROM (SELECT lo AS node FROM p0 UNION ALL SELECT hi FROM p0)
-      GROUP BY 1),
-    hubs AS MATERIALIZED (SELECT node FROM sdeg WHERE deg > ${Analytics.MaxWedgeDegree}),
-    s AS MATERIALIZED (
-      SELECT lo, hi, c FROM p0
-      WHERE lo NOT IN (SELECT node FROM hubs)
-        AND hi NOT IN (SELECT node FROM hubs)),
-    edges AS MATERIALIZED (
-      SELECT lo AS src, hi AS dst, c FROM s
-      UNION ALL SELECT hi, lo, c FROM s),
-    seeds AS MATERIALIZED (
-      SELECT src AS seed FROM edges GROUP BY 1
-      ORDER BY CAST(SUM(c) AS BIGINT) DESC, src ASC LIMIT $BetweennessSeeds),
+    WITH $strongSeededGraphSql,
     v0 AS MATERIALIZED (
       SELECT seed, seed AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
       FROM seeds),
@@ -777,9 +800,79 @@ object GraphExt {
     ORDER BY bc_x1e9 DESC, supp_key ASC LIMIT 20"""
   }
 
+  /** Sampled harmonic closeness — the ACCESS member of the seeded
+    * centrality family ([[betweennessSampled]] measures brokerage,
+    * degree/pagerank/HITS endpoint influence; closeness measures how
+    * quickly a node can be REACHED — neo4j GDS ships it beside
+    * betweenness, ideas §2's influence panel). Harmonic form (Marchiori
+    * & Latora 2000) because it is the one that stays well-defined under
+    * both the depth cap and disconnection: H(v) = Σ_{s: d(s,v) ≤ 4}
+    * 1/d(s,v) over the seed sample, folded as exact integer ppm
+    * (1 000 000 div d — order-free BIGINT sums, no FP anywhere).
+    *
+    * Rides [[strongSeededGraph]] and the same level-synchronous BFS as
+    * betweenness's forward pass, WITHOUT the σ bookkeeping (min-hop
+    * distance is all closeness needs): 4 rounds, edges never
+    * reshuffled, per-round state broadcast. Output: top-20 reached
+    * non-seed nodes by harmonic mass (ties → key asc) with the seed
+    * count and total distance — non-vacuous wherever the strong graph
+    * has one edge.
+    */
+  def closenessSampled(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, seeds) = strongSeededGraph(spark, dir)
+    var vis = checkpoint(seeds.select(col("seed"), col("seed").as("node"),
+      lit(0).as("dist")))
+    var frontier = vis
+    for (i <- 1 to BetweennessDepth) {
+      val fresh = edges.select(col("src"), col("dst"))
+        .join(stateHint(frontier
+          .select(col("seed"), col("node").as("src"))), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(stateHint(vis.select(col("seed"), col("node"))),
+          Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(i))
+      frontier = checkpoint(fresh)
+      vis = checkpoint(vis.unionByName(frontier))
+    }
+    vis.filter(col("dist") >= 1)
+      .groupBy(col("node").as("supp_key"))
+      .agg(count(lit(1)).as("n_seeds"),
+        sum(col("dist").cast("bigint")).as("sum_dist"),
+        sum(expr("1000000 div CAST(dist AS BIGINT)")).as("harmonic_x1e6"))
+      .orderBy(col("harmonic_x1e6").desc, col("supp_key").asc)
+      .limit(20)
+  }
+
+  val closenessSampledOracle: String = {
+    val rounds = (1 to BetweennessDepth).map { i =>
+      s"""c$i AS MATERIALIZED (
+      SELECT * FROM c${i - 1}
+      UNION ALL
+      SELECT seed, node, $i AS dist FROM (
+        SELECT DISTINCT v.seed, e.dst AS node
+        FROM edges e JOIN c${i - 1} v
+          ON e.src = v.node AND v.dist = ${i - 1}) f
+      WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} x
+                        WHERE x.seed = f.seed AND x.node = f.node))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $strongSeededGraphSql,
+    c0 AS MATERIALIZED (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+    $rounds
+    SELECT node AS supp_key,
+      COUNT(*) AS n_seeds,
+      CAST(SUM(dist) AS BIGINT) AS sum_dist,
+      CAST(SUM(1000000 // CAST(dist AS BIGINT)) AS BIGINT) AS harmonic_x1e6
+    FROM c$BetweennessDepth WHERE dist >= 1
+    GROUP BY 1
+    ORDER BY harmonic_x1e6 DESC, supp_key ASC LIMIT 20"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "betweenness_sampled" ->
       QueryDef.sql(betweennessSampled, betweennessSampledOracle),
+    "closeness_sampled" ->
+      QueryDef.sql(closenessSampled, closenessSampledOracle),
     "clustering_coefficient" ->
       QueryDef.sql(clusteringCoefficient, clusteringCoefficientOracle),
     "decayed_popularity" -> QueryDef.sql(decayedPopularity, decayedPopularityOracle),

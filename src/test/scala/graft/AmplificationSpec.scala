@@ -232,7 +232,7 @@ class AmplificationSpec extends SparkSpec {
     // family: the coarse quantizer's k = corpus/100 scales assignment
     // cost superlinearly BY DECLARED DESIGN — its scale story is the
     // probe-IO shape, pinned in the plan/shuffle-budget specs.)
-    "betweenness_sampled")
+    "betweenness_sampled", "closeness_sampled")
 
   private def smoke(names: Seq[String], lo: String, hi: String): Unit =
     names.foreach { name =>

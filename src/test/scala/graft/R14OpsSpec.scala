@@ -99,6 +99,65 @@ class R14OpsSpec extends SparkSpec {
       "no nonzero dependency at this SF — backward pass unexercised")
   }
 
+  test("closeness_sampled: equals a driver-side seeded harmonic-" +
+      "closeness BFS, and distance-1 mass dominates") {
+    // Same independent substrate as the Brandes test (sf0.1 — smaller
+    // SFs are near-cliques where every distance is 1 and the multi-hop
+    // harmonic arithmetic would be unexercised).
+    val dir = "/root/testdata/sf0.1"
+    val pairCounts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { g =>
+        val ss = g.map(_._2).distinct.sorted
+        for (i <- ss.indices; j <- (i + 1) until ss.length)
+          yield (ss(i), ss(j))
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= operators.Analytics.StrongEdgeThreshold)
+    val deg = pairCounts.keys.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    val hubs = deg.collect {
+      case (n, d) if d > operators.Analytics.MaxWedgeDegree => n
+    }.toSet
+    val adj = scala.collection.mutable.Map
+      .empty[Long, List[(Long, Long)]].withDefaultValue(Nil)
+    pairCounts.filter { case ((a, b), _) => !hubs(a) && !hubs(b) }
+      .foreach { case ((a, b), c) =>
+        adj(a) = (b, c) :: adj(a); adj(b) = (a, c) :: adj(b)
+      }
+    val wdeg = adj.map { case (n, ns) => n -> ns.map(_._2).sum }
+    val seeds = wdeg.toSeq.sortBy { case (n, w) => (-w, n) }.take(5).map(_._1)
+    val acc = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    for (s <- seeds) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Set(s)
+      for (d <- 1 to 4) {
+        val next = frontier.flatMap(adj(_).map(_._1))
+          .filterNot(dist.contains)
+        next.foreach(dist(_) = d)
+        frontier = next
+      }
+      dist.foreach { case (v, dd) =>
+        if (dd >= 1) {
+          val (n, sd, h) = acc(v)
+          acc(v) = (n + 1, sd + dd, h + 1000000L / dd)
+        }
+      }
+    }
+    val want = acc.toSeq.map { case (n, (ns, sd, h)) => (n, ns, sd, h) }
+      .sortBy { case (n, _, _, h) => (-h, n) }.take(20)
+    val got = operators.GraphExt.closenessSampled(spark, dir)
+      .collect().map(r => (r.getAs[Long]("supp_key"),
+        r.getAs[Long]("n_seeds"), r.getAs[Long]("sum_dist"),
+        r.getAs[Long]("harmonic_x1e6"))).toSeq
+    assert(got == want,
+      s"closeness mismatch:\n got=${got.take(5)}\nwant=${want.take(5)}")
+    // multi-hop arithmetic exercised: some reported node sits past hop 1
+    assert(want.exists { case (_, ns, sd, _) => sd > ns },
+      "every reported node at distance 1 — multi-hop path unexercised")
+  }
+
   test("betweenness_sampled: seeds never appear and n_seeds is bounded") {
     val rows = operators.GraphExt.betweennessSampled(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

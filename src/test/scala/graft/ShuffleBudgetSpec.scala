@@ -642,6 +642,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   // delta unions + the final bc fold and TakeOrdered — state-sized.
   check("betweenness_sampled", 8)(
     operators.GraphExt.betweennessSampled(spark, sfDir))
+  // closeness_sampled: betweenness's forward pass without the sigma
+  // bookkeeping — per-round distinct+anti-join folds in checkpoints,
+  // the visible plan is the harmonic fold + TakeOrdered.
+  check("closeness_sampled", 6)(
+    operators.GraphExt.closenessSampled(spark, sfDir))
   // pq_encode_residual: residual construction + codebook training live
   // in checkpoints; the visible plan is the (vec, sub) assign window +
   // per-vector fold, like pq_encode.
