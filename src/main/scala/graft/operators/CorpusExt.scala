@@ -337,7 +337,96 @@ object CorpusExt {
     SELECT pair, COUNT(*) AS cnt FROM p
     GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""
 
+  /** URL-level canonical dedup — the crawl-curation stage between exact
+    * and near dedup (RefinedWeb/CCNet curate BY URL before touching
+    * content: the same target fetched as http vs https, mixed-case
+    * host, tracking query, fragment, or trailing slash is ONE
+    * document). The corpus is synthetic, so URLs are INJECTED
+    * deterministically in six orthogonal raw variants (scheme by
+    * doc_id%2, host case by %3, trailing slash by %4, utm query by %2,
+    * fragment by %7, path = doc_id%50) and then canonicalized with the
+    * production rule chain — the canonicalizer is what is under test:
+    * strip fragment, strip utm-tracking query, strip scheme, lowercase
+    * the HOST ONLY (paths are case-significant per RFC 3986; the
+    * host-vs-path split is string surgery on the first '/'), strip
+    * trailing slashes. Per canonical target: doc count, distinct raw
+    * forms collapsed, and the smallest doc id as the kept
+    * representative (dedup_exact's keep-first rule). Top-20 by doc
+    * count (canonical asc on ties — total order).
+    *
+    * Scale: extraction + canonicalization are per-row regex/codegen —
+    * scan speed; the aggregate is keyed by canonical URL (cardinality ≈
+    * distinct targets, far below corpus rows), one shuffle.
+    */
+  def urlCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"), lit(" see "),
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, lit("Ex.IO")).otherwise(lit("ex.io")),
+      lit("/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=s"), (col("doc_id") % 5).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("dirty"))
+      .select(col("doc_id"),
+        regexp_extract(col("dirty"), "https?://[^ ]+", 0).as("url"))
+      .withColumn("no_scheme",
+        regexp_replace(regexp_replace(regexp_replace(col("url"),
+          "#.*$", ""), "\\?utm_.*$", ""), "^https?://", ""))
+      .withColumn("host0", substring_index(col("no_scheme"), "/", 1))
+      .withColumn("canon", regexp_replace(
+        concat(lower(col("host0")),
+          expr("substr(no_scheme, length(host0) + 1)")), "/+$", ""))
+      .groupBy(col("canon").as("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .orderBy(col("n_docs").desc, col("canonical_url").asc)
+      .limit(20)
+  }
+
+  val urlCanonicalDedupOracle: String = """
+    WITH d AS (
+      SELECT doc_id,
+        text || ' see '
+          || (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+          || '://'
+          || (CASE WHEN doc_id % 3 = 0 THEN 'Ex.IO' ELSE 'ex.io' END)
+          || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+          || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 2 = 0
+              THEN '?utm_source=s' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE '' END)
+          || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS dirty
+      FROM documents),
+    u AS (
+      SELECT doc_id, REGEXP_EXTRACT(dirty, 'https?://[^ ]+') AS url
+      FROM d),
+    n AS (
+      SELECT doc_id, url,
+        REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(url,
+          '#.*$', ''), '\?utm_.*$', ''), '^https?://', '') AS no_scheme
+      FROM u),
+    c AS (
+      SELECT doc_id, url,
+        REGEXP_REPLACE(
+          LOWER(SPLIT_PART(no_scheme, '/', 1))
+            || SUBSTR(no_scheme, LEN(SPLIT_PART(no_scheme, '/', 1)) + 1),
+          '/+$', '') AS canonical_url
+      FROM n)
+    SELECT canonical_url,
+      COUNT(*) AS n_docs,
+      CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+      CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM c GROUP BY 1
+    ORDER BY n_docs DESC, canonical_url ASC LIMIT 20"""
+
   def defs: Map[String, QueryDef] = Map(
+    "url_canonical_dedup" ->
+      QueryDef.sql(urlCanonicalDedup, urlCanonicalDedupOracle),
     "simpson_diversity" ->
       QueryDef.sql(simpsonDiversity, simpsonDiversityOracle),
     "skipgram_pairs" -> QueryDef.sql(skipgramPairs, skipgramPairsOracle),

@@ -232,7 +232,10 @@ class AmplificationSpec extends SparkSpec {
     // family: the coarse quantizer's k = corpus/100 scales assignment
     // cost superlinearly BY DECLARED DESIGN — its scale story is the
     // probe-IO shape, pinned in the plan/shuffle-budget specs.)
-    "betweenness_sampled", "closeness_sampled")
+    "betweenness_sampled", "closeness_sampled",
+    // r14: per-row canonicalization + one canonical-keyed fold — must
+    // stay linear as the doc population scales.
+    "url_canonical_dedup")
 
   private def smoke(names: Seq[String], lo: String, hi: String): Unit =
     names.foreach { name =>

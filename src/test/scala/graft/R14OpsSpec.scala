@@ -158,6 +158,35 @@ class R14OpsSpec extends SparkSpec {
       "every reported node at distance 1 — multi-hop path unexercised")
   }
 
+  test("url_canonical_dedup: equals a driver-side recomputation of the " +
+      "injection formula and genuinely collapses raw variants") {
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    def raw(id: Long): String =
+      (if (id % 2 == 0) "https" else "http") + "://" +
+        (if (id % 3 == 0) "Ex.IO" else "ex.io") + "/p/" + (id % 50) +
+        (if (id % 4 == 0) "/" else "") +
+        (if (id % 2 == 0) s"?utm_source=s${id % 5}" else "") +
+        (if (id % 7 == 0) "#sec" else "")
+    val want = ids.groupBy(_ % 50).toSeq.map { case (g, ds) =>
+      (s"ex.io/p/$g", ds.length.toLong,
+        ds.map(raw).distinct.length.toLong, ds.min)
+    }.sortBy { case (c, n, _, _) => (-n, c) }.take(20)
+    val got = operators.CorpusExt.urlCanonicalDedup(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("canonical_url"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_raw_forms"),
+        r.getAs[Long]("keep_doc_id"))).toSeq
+    assert(got == want,
+      s"canonical-dedup mismatch:\n got=${got.take(3)}\nwant=${want.take(3)}")
+    // the canonicalizer must be doing real work: multiple raw forms
+    // collapse into one target (scheme x case x slash x utm x fragment)
+    assert(got.exists(_._3 >= 4),
+      "no group collapses >= 4 raw variants — canonicalization vacuous")
+    got.foreach { case (c, _, _, _) =>
+      assert(c.matches("^ex\\.io/p/[0-9]+$"), s"non-canonical output: $c")
+    }
+  }
+
   test("betweenness_sampled: seeds never appear and n_seeds is bounded") {
     val rows = operators.GraphExt.betweennessSampled(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

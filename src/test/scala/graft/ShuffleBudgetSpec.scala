@@ -647,6 +647,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   // the visible plan is the harmonic fold + TakeOrdered.
   check("closeness_sampled", 6)(
     operators.GraphExt.closenessSampled(spark, sfDir))
+  // url_canonical_dedup: per-row regex canonicalization at scan speed;
+  // the COUNT DISTINCT(url) makes the canonical-keyed fold a standard
+  // two-phase distinct aggregate — (canon, url) partial then canon —
+  // so two exchanges, both on aggregated keys; top-20 is TakeOrdered.
+  check("url_canonical_dedup", 2)(
+    operators.CorpusExt.urlCanonicalDedup(spark, sfDir))
   // pq_encode_residual: residual construction + codebook training live
   // in checkpoints; the visible plan is the (vec, sub) assign window +
   // per-vector fold, like pq_encode.
