@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   * an idle box):
   *   - every query runs TWICE and reports the MIN — a contention spike
   *     must hit the same query in both passes to survive into the JSON;
+  *   - entries whose min-of-two lands under 1 s run a THIRD time and
+  *     report the MEDIAN of the three (sub-second protocol): at the
+  *     box's measured probe floor, min-of-two still let one spiked
+  *     pass fabricate 2-3× deltas on 0.2-0.5 s entries;
   *   - a fixed calibration probe (pure-CPU aggregate over spark.range,
   *     no I/O, constant work) runs before/between/after the two passes
   *     AND every 32 measured entries; the full probe timeline is
@@ -127,7 +131,10 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    def sweep(): Seq[(String, Double, Option[String])] = selected.map {
+    def sweep(subset: Option[Set[String]] = None)
+        : Seq[(String, Double, Option[String])] = selected
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .map {
       case (name, fn) =>
         maybeRestart()
         val t0 = System.nanoTime()
@@ -321,9 +328,33 @@ object Bench {
     val pass2 = sweep() ++ extraSweep()
     cals += calibrate()
 
+    // SUB-SECOND PROTOCOL (r14 verdict): at the measured probe floor
+    // (p90/p10 ≈ 1.9-2.3 on this shared box) min-of-two still produced
+    // false 2-3× deltas on 0.2-0.5 s entries every sweep (r14:
+    // enrich_join, ingest_orc/csv/jsonl — none of whose code changed).
+    // Registry entries whose min-of-two lands under 1 s get a THIRD
+    // measurement and report the MEDIAN of the three: a single spiked
+    // pass can no longer move the reported number in either direction,
+    // while a real regression (all three passes slow) still shows at
+    // full size. Multi-second entries keep min-of-two — their spike-to-
+    // signal ratio is small and a third pass would add minutes of sweep.
+    val fastNames = pass1.zip(pass2).collect {
+      case ((n, t1, e1), (_, t2, e2))
+          if e1.isEmpty && e2.isEmpty && math.min(t1, t2) < 1.0 => n
+    }.toSet
+    val pass3 = if (fastNames.isEmpty) Nil else sweep(Some(fastNames))
+    if (pass3.nonEmpty) cals += calibrate()
+    val third = pass3.map(r => r._1 -> r).toMap
+
     val results = pass1.zip(pass2).map { case ((name, t1, e1), (_, t2, e2)) =>
       val best = (if (e1.isEmpty) Seq(t1) else Nil) ++ (if (e2.isEmpty) Seq(t2) else Nil)
-      (name, if (best.isEmpty) -1.0 else best.min, if (best.isEmpty) e1.orElse(e2) else None)
+      third.get(name) match {
+        case Some((_, t3, None)) if best.size == 2 =>
+          (name, Seq(t1, t2, t3).sorted.apply(1), None)
+        case _ =>
+          (name, if (best.isEmpty) -1.0 else best.min,
+            if (best.isEmpty) e1.orElse(e2) else None)
+      }
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -337,13 +368,21 @@ object Bench {
     // per-query regressions stay diffable from artifacts alone.
     val restartField =
       restartEvery.map(n => s""","restart_every":$n""").getOrElse("")
+    // the artifact this run actually writes (also interpolated into the
+    // JSON's full_map pointer — a subset/restart run must not point a
+    // tail-truncated capture at BENCH_FULL_LATEST.json, which does not
+    // contain this run's map)
+    val defaultName =
+      if (only.isDefined) "BENCH_SUBSET_LATEST.json"
+      else if (restartEvery.isDefined) "BENCH_RESTART_LATEST.json"
+      else "BENCH_FULL_LATEST.json"
     // field order is load-bearing for the ROUND artifact: the driver
     // captures a bounded TAIL of this line, so the big queries map goes
     // first and every self-describing field — including the pointer to
     // the committed full map — goes last, where a tail capture keeps it
     // (r13 verdict: BENCH_r13.json held only a 2000-char tail and lost
     // the map; the pointer makes any truncated capture self-contained)
-    val json = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errs,"calibration":$cal$restartField,"full_map":"BENCH_FULL_LATEST.json","sf":"$sfDir"}"""
+    val json = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errs,"calibration":$cal$restartField,"full_map":"$defaultName","sf":"$sfDir"}"""
     println(json)
     // default path anchors to the repo ROOT (nearest ancestor holding
     // build.sbt), not the bare cwd — a runMain launched from a subdir
@@ -358,10 +397,8 @@ object Bench {
     // timings land in a sibling scratch file instead; restart-mode
     // sweeps are a different measurement protocol, so they default to
     // their own artifact and stay out of the full-map lineage too
-    val defaultName =
-      if (only.isDefined) "BENCH_SUBSET_LATEST.json"
-      else if (restartEvery.isDefined) "BENCH_RESTART_LATEST.json"
-      else "BENCH_FULL_LATEST.json"
+    // (defaultName computed above, before the JSON, so full_map and the
+    // written file always agree)
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Paths.get(_))
       // even an EXPLICIT out-path must not let a subset run — or a

@@ -636,7 +636,7 @@ object GraphExt {
     * weighted degree (weight DESC, key ASC — [[Analytics.pprSeeds]]'
     * determinism rule).
     */
-  private def strongSeededGraph(
+  private[graft] def strongSeededGraph(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // strongEdges' persist discipline (Analytics.scala): cache the raw
     // strong pairs only while the hub cap's broadcast + probe both read
@@ -740,6 +740,12 @@ object GraphExt {
       perLevel += delta
     }
     perLevel.reduce(_ unionByName _)
+      // the declared contract is NON-SEED nodes: a seed can enter
+      // another seed's BFS at dist>=1 (the per-seed anti-join only
+      // excludes it from its own), so the seed set is anti-joined out
+      // here — 5 rows, broadcast, mirrored in the oracle's NOT IN
+      .join(stateHint(seeds.select(col("seed").as("node"))),
+        Seq("node"), "left_anti")
       .groupBy(col("node").as("supp_key"))
       .agg(sum(col("delta")).as("bc_x1e9"), count(lit(1)).as("n_seeds"))
       .orderBy(col("bc_x1e9").desc, col("supp_key").asc)
@@ -796,7 +802,8 @@ object GraphExt {
     SELECT node AS supp_key,
       CAST(SUM(delta) AS BIGINT) AS bc_x1e9,
       CAST(COUNT(*) AS BIGINT) AS n_seeds
-    FROM alldel GROUP BY 1
+    FROM alldel WHERE node NOT IN (SELECT seed FROM seeds)
+    GROUP BY 1
     ORDER BY bc_x1e9 DESC, supp_key ASC LIMIT 20"""
   }
 
@@ -835,6 +842,10 @@ object GraphExt {
       vis = checkpoint(vis.unionByName(frontier))
     }
     vis.filter(col("dist") >= 1)
+      // same non-seed contract as betweennessSampled: seeds reached by
+      // OTHER seeds' BFS are anti-joined out (broadcast, 5 rows)
+      .join(stateHint(seeds.select(col("seed").as("node"))),
+        Seq("node"), "left_anti")
       .groupBy(col("node").as("supp_key"))
       .agg(count(lit(1)).as("n_seeds"),
         sum(col("dist").cast("bigint")).as("sum_dist"),
@@ -863,7 +874,8 @@ object GraphExt {
       COUNT(*) AS n_seeds,
       CAST(SUM(dist) AS BIGINT) AS sum_dist,
       CAST(SUM(1000000 // CAST(dist AS BIGINT)) AS BIGINT) AS harmonic_x1e6
-    FROM c$BetweennessDepth WHERE dist >= 1
+    FROM c$BetweennessDepth
+    WHERE dist >= 1 AND node NOT IN (SELECT seed FROM seeds)
     GROUP BY 1
     ORDER BY harmonic_x1e6 DESC, supp_key ASC LIMIT 20"""
   }

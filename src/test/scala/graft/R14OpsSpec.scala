@@ -190,7 +190,11 @@ class R14OpsSpec extends SparkSpec {
   test("betweenness_sampled: seeds never appear and n_seeds is bounded") {
     val rows = operators.GraphExt.betweennessSampled(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
+    val seedSet = operators.GraphExt.strongSeededGraph(spark, sfDir)._2
+      .collect().map(_.getAs[Long]("seed")).toSet
     rows.foreach { r =>
+      assert(!seedSet.contains(r.getAs[Long]("supp_key")),
+        s"seed ${r.getAs[Long]("supp_key")} leaked into the non-seed output")
       assert(r.getAs[Long]("bc_x1e9") >= 0L)
       val ns = r.getAs[Long]("n_seeds")
       assert(ns >= 1L && ns <= 5L)

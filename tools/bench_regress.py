@@ -15,6 +15,7 @@ contended sweep. Exit codes: 0 ok/warn-only, 1 real regressions on a
 quiet box, 2 queries disappeared from the map.
 """
 import json
+import math
 import sys
 
 THRESHOLD = 2.0   # flag a query past this ratio
@@ -46,8 +47,11 @@ def spread(doc):
     cal = sorted(c for c in (doc.get("calibration") or []) if c > 0)
     if not cal:
         return 1.0
-    lo = cal[int(0.10 * (len(cal) - 1))]
-    hi = cal[int(round(0.90 * (len(cal) - 1)))]
+    # one convention for both percentile indices: floor for the low,
+    # ceil for the high — symmetric, monotone in array length (the old
+    # floor/banker's-round mix biased lo toward min on small arrays)
+    lo = cal[math.floor(0.10 * (len(cal) - 1))]
+    hi = cal[math.ceil(0.90 * (len(cal) - 1))]
     return hi / lo
 
 
