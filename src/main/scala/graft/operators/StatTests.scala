@@ -590,26 +590,36 @@ object StatTests {
     * and the former ÷1e6-first integer fallback silently WRAPPED
     * (6·Σd² ≈ n³ > 2⁶³ right where the branch engaged). Degenerate
     * n < 2 reports NULL (ρ undefined), never a fake 0.
+    *
+    * Degradation contract (the SURVEY row's declared "bucketed rfm-cell
+    * approximation past that", now real instead of fail-loud): when the
+    * session's rank-cell budget `spark.graft.maxRankCells` sits below
+    * the exact path's [[SpearmanValueCells]] value cells — the proxy
+    * for "this corpus cannot afford the exact rank at the configured
+    * budget" — the query dispatches to the bucketed midrank form
+    * ([[spearmanCorrBucketed]]'s core at the budget's bucket count)
+    * instead of dying at [[graft.functions.Ranks]]' capPairs assert.
+    * The fallback keeps the (n, sum_d2, rho_ppm) schema but reports
+    * `sum_d2` NULL: under midrank ties ρ is the Pearson-on-midranks
+    * form and the 6Σd²/(n³−n) decomposition no longer holds, so a
+    * "Σd²" would be a fabricated number. R15OpsSpec pins both the
+    * engagement (cap 256 → no throw, NULL sum_d2, ρ equal to the
+    * 256-bucket core) and the default path's exactness.
     */
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
-    val width = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
-    // the (key, cents, n_lines) base materializes ONCE (three longs per
-    // order — the hilbert curve-key treatment): each axis' rank reads it
-    // for a histogram and a window, and chaining the ranks instead would
-    // re-execute the first rank's corpus sort inside the second's
-    // histogram — a doubled global sort at 100 TB
-    val joined = graft.functions.Iterate.checkpoint(
-      Tables.orders(spark, dir)
-        .select(col("o_orderkey").as("l_orderkey"),
-          floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint").as("cents"))
-        .join(width, Seq("l_orderkey")))
+    val cap = spark.conf.get("spark.graft.maxRankCells", "4096").toInt
+    if (cap < SpearmanValueCells)
+      return spearmanBucketedCore(spark, dir, cap)
+        .select(col("n"), lit(null).cast("bigint").as("sum_d2"),
+          col("rho_ppm"))
+    val joined = spearmanBase(spark, dir)
     val bounds = joined.agg(min(col("cents")).as("__cmin"),
       max(col("cents")).as("__cmax"))
     val ranksV = graft.functions.Ranks.withGlobalRank(
         joined.select(col("l_orderkey"), col("cents"))
           .crossJoin(broadcast(bounds)), "r_value",
-        expr("((cents - __cmin) * 1024) div (__cmax - __cmin + 1)"),
+        expr(s"((cents - __cmin) * $SpearmanValueCells) " +
+          "div (__cmax - __cmin + 1)"),
         Seq(col("cents").asc, col("l_orderkey").asc))
       .select(col("l_orderkey"), col("r_value"))
     val ranksW = graft.functions.Ranks.withGlobalRank(
@@ -661,6 +671,176 @@ object StatTests {
           - CAST(FLOOR((CAST(6 AS DOUBLE) * CAST(sum_d2 AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
               - CAST(n AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) END
+        AS rho_ppm
+    FROM f"""
+
+  /** The exact path's value-axis cell count — also the dispatch
+    * threshold for the bucketed fallback (see [[spearmanCorr]] doc).
+    */
+  private[graft] val SpearmanValueCells = 1024
+
+  /** The (orderkey, cents, n_lines) base both Spearman forms rank over,
+    * checkpointed ONCE (three longs per order — the hilbert curve-key
+    * treatment): each consumer reads it for a histogram plus a window
+    * or joint aggregate, and re-deriving it would re-run the lineitem
+    * width aggregate per consumer — a doubled corpus scan at 100 TB.
+    */
+  private def spearmanBase(spark: SparkSession, dir: String): DataFrame = {
+    val width = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    graft.functions.Iterate.checkpoint(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint").as("cents"))
+        .join(width, Seq("l_orderkey")))
+  }
+
+  /** Bucketed-midrank Spearman core shared by [[spearmanCorrBucketed]]
+    * (at the standard 1024 value buckets) and [[spearmanCorr]]'s
+    * past-the-cap fallback (at the configured budget). Semantics: every
+    * row takes its bucket's MIDRANK (the tie-averaged rank all members
+    * of the bucket share) and ρ is Pearson over the midranks — the
+    * standard tie-aware Spearman form, which at one-row-per-bucket
+    * degenerates to the exact statistic. Midranks are held in half-units
+    * (2·R = 2·base + count + 1, always an integer) so the whole pipeline
+    * stays integral until the single terminal DOUBLE ratio.
+    *
+    * Scale shape — the reason this form survives any corpus size: the
+    * corpus is read ONCE into the (value-bucket × width) JOINT histogram
+    * (≤ buckets·7 cells, map-side partial aggregate, metadata-scale
+    * shuffle); the per-axis histograms, midranks (triangular exclusive
+    * prefix — the [[graft.functions.Ranks]] discipline, no unpartitioned
+    * window) and all five moment sums then ride that bounded frame.
+    * There is NO row-level rank join and NO corpus sort anywhere —
+    * where the exact path pays two partitioned corpus sorts, this pays
+    * one groupBy. Moments accumulate in DECIMAL(38,0)/HUGEINT
+    * (c·x·y ≤ 4n³ and n·Sxy ≤ 4n⁴ — exact to n ≈ 2.2e9, the gini
+    * headroom discipline), and the only roundings are the terminal
+    * DECIMAL→DOUBLE casts + IEEE sqrt/divide, identical in both
+    * engines (the corpus_divergence parity precedent).
+    */
+  private def spearmanBucketedCore(
+      spark: SparkSession, dir: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    require(buckets >= 1, s"spearmanBucketedCore: buckets=$buckets")
+    val joined = spearmanBase(spark, dir)
+    val bounds = joined.agg(min(col("cents")).as("__cmin"),
+      max(col("cents")).as("__cmax"))
+    // the ONE corpus pass: joint (value-bucket, width) histogram —
+    // checkpointed because three consumers (two axis histograms + the
+    // moment aggregate) would otherwise re-run the corpus groupBy each
+    val joint = graft.functions.Iterate.checkpoint(
+      joined.crossJoin(broadcast(bounds))
+        .withColumn("vb",
+          expr(s"((cents - __cmin) * $buckets) div (__cmax - __cmin + 1)"))
+        .groupBy(col("vb"), col("n_lines").as("wb"))
+        .agg(count(lit(1)).as("c")))
+    // per-axis histograms and 2×-midranks via the triangular exclusive
+    // prefix (bounded: ≤ buckets² metadata pairs; no WindowExec with an
+    // empty partition spec)
+    def midranks(hist: DataFrame, k: String, cnt: String, out: String) = {
+      val lower = hist.select(col(k).as("__lo_k"), col(cnt).as("__lo_c"))
+      hist.join(lower, col("__lo_k") < col(k), "left")
+        .groupBy(col(k), col(cnt))
+        .agg(coalesce(sum(col("__lo_c")), lit(0L)).as("__base"))
+        .select(col(k),
+          (lit(2L) * col("__base") + col(cnt) + lit(1L)).as(out))
+    }
+    val hv = joint.groupBy(col("vb")).agg(sum(col("c")).as("cv"))
+    val hw = joint.groupBy(col("wb")).agg(sum(col("c")).as("cw"))
+    val mv = midranks(hv, "vb", "cv", "x2")
+    val mw = midranks(hw, "wb", "cw", "y2")
+    val cells = hv.agg(count(lit(1)).as("value_cells"))
+      .crossJoin(hw.agg(count(lit(1)).as("width_cells")))
+    val m = joint
+      .join(broadcast(mv), Seq("vb")).join(broadcast(mw), Seq("wb"))
+      .agg(sum(col("c")).as("n"),
+        sum(dec(col("c")) * dec(col("x2"))).as("sx"),
+        sum(dec(col("c")) * dec(col("y2"))).as("sy"),
+        sum(dec(col("c")) * dec(col("x2")) * dec(col("x2"))).as("sxx"),
+        sum(dec(col("c")) * dec(col("y2")) * dec(col("y2"))).as("syy"),
+        sum(dec(col("c")) * dec(col("x2")) * dec(col("y2"))).as("sxy"))
+    m.crossJoin(broadcast(cells))
+      .withColumn("num", dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", dec(col("n")) * col("syy") - col("sy") * col("sy"))
+      .select(col("n"), col("value_cells"), col("width_cells"),
+        when(col("n") < 2 || col("dx") <= 0 || col("dy") <= 0,
+            lit(null).cast("bigint"))
+          .otherwise(floor(col("num").cast("double")
+            / sqrt(col("dx").cast("double"))
+            / sqrt(col("dy").cast("double"))
+            * lit(1000000.0)).cast("bigint"))
+          .as("rho_ppm"))
+  }
+
+  /** Spearman via bucketed MIDRANKS — the registered face of the scale
+    * fallback [[spearmanCorr]] degrades to past its rank-cell budget
+    * (SURVEY §2 spearman row's "bucketed rfm-cell approximation past
+    * that", previously a declared-but-unregistered claim). 1024 value
+    * buckets from the broadcast [min, max] span × the natural ≤7-value
+    * width axis; see [[spearmanBucketedCore]] for the semantics and the
+    * one-corpus-pass shape. Reports the population (n), the realized
+    * cell counts on both axes (the approximation's resolution — a user
+    * reads value_cells ≪ 1024 as "the span is quantized, ρ is coarse"),
+    * and ρ in ppm. A degenerate axis (all orders one width) reports
+    * NULL, never a fake 0 — the [[spearmanCorr]] convention.
+    */
+  def spearmanCorrBucketed(spark: SparkSession, dir: String): DataFrame =
+    spearmanBucketedCore(spark, dir, SpearmanValueCells)
+
+  val spearmanCorrBucketedOracle: String = s"""
+    WITH width AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
+    j AS MATERIALIZED (
+      SELECT o.o_orderkey AS k,
+        CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents, w.n_lines
+      FROM orders o JOIN width w ON o.o_orderkey = w.l_orderkey),
+    b AS (SELECT MIN(cents) AS cmin, MAX(cents) AS cmax FROM j),
+    joint AS MATERIALIZED (
+      SELECT ((cents - cmin) * $SpearmanValueCells) // (cmax - cmin + 1)
+          AS vb,
+        n_lines AS wb, COUNT(*) AS c
+      FROM j CROSS JOIN b GROUP BY 1, 2),
+    hv AS MATERIALIZED (
+      SELECT vb, CAST(SUM(c) AS BIGINT) AS cv FROM joint GROUP BY 1),
+    hw AS MATERIALIZED (
+      SELECT wb, CAST(SUM(c) AS BIGINT) AS cw FROM joint GROUP BY 1),
+    mv AS (
+      SELECT vb, 2 * COALESCE(SUM(cv) OVER (ORDER BY vb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cv + 1
+        AS x2
+      FROM hv),
+    mw AS (
+      SELECT wb, 2 * COALESCE(SUM(cw) OVER (ORDER BY wb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cw + 1
+        AS y2
+      FROM hw),
+    m AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+        SUM(CAST(c AS HUGEINT) * CAST(x2 AS HUGEINT)) AS sx,
+        SUM(CAST(c AS HUGEINT) * CAST(y2 AS HUGEINT)) AS sy,
+        SUM(CAST(c AS HUGEINT) * CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT))
+          AS sxx,
+        SUM(CAST(c AS HUGEINT) * CAST(y2 AS HUGEINT) * CAST(y2 AS HUGEINT))
+          AS syy,
+        SUM(CAST(c AS HUGEINT) * CAST(x2 AS HUGEINT) * CAST(y2 AS HUGEINT))
+          AS sxy
+      FROM joint JOIN mv USING (vb) JOIN mw USING (wb)),
+    cells AS (
+      SELECT (SELECT COUNT(*) FROM hv) AS value_cells,
+        (SELECT COUNT(*) FROM hw) AS width_cells),
+    f AS (
+      SELECT n, value_cells, width_cells,
+        CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        CAST(n AS HUGEINT) * sxx - sx * sx AS dx,
+        CAST(n AS HUGEINT) * syy - sy * sy AS dy
+      FROM m CROSS JOIN cells)
+    SELECT n, value_cells, width_cells,
+      CASE WHEN n < 2 OR dx <= 0 OR dy <= 0 THEN NULL
+        ELSE CAST(FLOOR(CAST(num AS DOUBLE) / SQRT(CAST(dx AS DOUBLE))
+          / SQRT(CAST(dy AS DOUBLE)) * 1000000.0) AS BIGINT) END
         AS rho_ppm
     FROM f"""
 
@@ -1582,6 +1762,8 @@ object StatTests {
     "bootstrap_mean_ci" ->
       QueryDef.sql(bootstrapMeanCi, bootstrapMeanCiOracle),
     "spearman_corr" -> QueryDef.sql(spearmanCorr, spearmanCorrOracle),
+    "spearman_corr_bucketed" ->
+      QueryDef.sql(spearmanCorrBucketed, spearmanCorrBucketedOracle),
     "welch_ttest" -> QueryDef.sql(welchTtest, welchTtestOracle),
     "anova_oneway" -> QueryDef.sql(anovaOneway, anovaOnewayOracle),
     "kendall_tau_b" -> QueryDef.sql(kendallTauB, kendallTauBOracle),
