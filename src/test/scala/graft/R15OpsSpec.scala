@@ -165,6 +165,88 @@ class R15OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- unigram-LM tokenizer: independent driver-side reference ----
+
+  /** Plain-Scala reference of the whole unigram training loop (seed →
+    * hard-EM rounds → prune), same integer surrogate mechanics.
+    */
+  private def refUnigram(words: Map[String, Long])
+      : Seq[(String, Long)] = {
+    val P = 4; val Keep = 512; val Rounds = 2
+    val TfBits = 40; val TfSat = (1L << TfBits) - 1
+    def pruned(pieces: Map[String, Long], chars: Set[String])
+        : Map[String, Long] = {
+      val cs = chars.map(c => c -> pieces.getOrElse(c, 0L)).toMap
+      val multi = pieces.iterator.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, f) => (-f, p) }.take(Keep).toMap
+      cs ++ multi
+    }
+    val seedAll = words.toSeq.flatMap { case (w, c) =>
+      for (i <- w.indices; l <- 1 to P if i + l <= w.length)
+        yield w.substring(i, i + l) -> c
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val chars = seedAll.keySet.filter(_.length == 1)
+    def viterbi(w: String, vm: Map[String, Long]): Seq[String] = {
+      val dp = new Array[Long](w.length + 1)
+      dp(0) = TfSat * 8L
+      for (i <- 1 to w.length) {
+        val cands = (1 to math.min(P, i)).flatMap { l =>
+          vm.get(w.substring(i - l, i)).map { f =>
+            val core = dp(i - l) >> 3
+            val pnp = core >> TfBits
+            val ptf = TfSat - (core & TfSat)
+            (((pnp + 1) << TfBits) + (TfSat - math.min(ptf + f, TfSat))) * 8 + l
+          }
+        }
+        dp(i) = cands.min
+      }
+      var pos = w.length
+      val out = Seq.newBuilder[String]
+      while (pos > 0) {
+        val l = (dp(pos) & 7L).toInt
+        out += w.substring(pos - l, pos); pos -= l
+      }
+      out.result()
+    }
+    var vocab = pruned(seedAll, chars)
+    for (_ <- 1 to Rounds) {
+      val counts = words.toSeq.flatMap { case (w, c) =>
+        viterbi(w, vocab).map(_ -> c)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      vocab = pruned(counts, vocab.keySet.filter(_.length == 1))
+    }
+    vocab.toSeq.sortBy { case (p, f) => (-f, p) }.take(20)
+  }
+
+  test("unigram_train: equals a driver-side recomputation of the full " +
+      "seed → hard-EM → prune loop") {
+    val words = Tables.documents(spark, specDir)
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refUnigram(words)
+    val got = operators.Tokenizer.unigramTrain(spark, specDir)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("freq"))).toSeq
+    assert(got === expected)
+  }
+
+  test("tokenizer_compare: the 512-piece unigram vocabulary compresses " +
+      "strictly better than 3 BPE merges, and both are sane") {
+    val row = operators.Tokenizer.tokenizerCompare(spark, specDir)
+      .collect().head
+    val chars = row.getAs[Long]("n_char_syms")
+    val bpe = row.getAs[Long]("n_bpe_tokens")
+    val uni = row.getAs[Long]("n_unigram_tokens")
+    assert(chars > 0 && bpe > 0 && uni > 0)
+    // every tokenization is between ceil(chars/4) (all 4-char pieces)
+    // and chars (all singles)
+    assert(uni <= chars && uni >= (chars + 3) / 4)
+    assert(bpe <= chars)
+    assert(row.getAs[Long]("unigram_ppm") < row.getAs[Long]("bpe_ppm"))
+  }
+
   test("spearman_corr: default budget keeps the exact path (sum_d2 " +
       "defined)") {
     val row = operators.StatTests
