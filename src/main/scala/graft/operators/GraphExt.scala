@@ -880,7 +880,267 @@ object GraphExt {
     ORDER BY harmonic_x1e6 DESC, supp_key ASC LIMIT 20"""
   }
 
+  /** One-level Louvain refinement (Blondel et al. 2008 phase 1, one
+    * sweep) over [[Analytics.labelPropagation]]'s partition — the
+    * modularity-GAIN move pass LPA itself never makes (LPA chases
+    * neighbor-label mass, which optimizes nothing; Louvain moves a node
+    * only when Newman modularity strictly increases). Internals shared
+    * with [[louvainRefine]]; returns (LPA labels, refined labels,
+    * accepted moves) for the spec.
+    *
+    * The move rule is PARALLEL yet exactly non-decreasing — the usual
+    * distributed-Louvain hazard (two simultaneous movers interfering
+    * can LOWER Q) is excluded by construction rather than by damping:
+    * each node takes its best strictly-positive-gain target
+    * (gain DESC, target ASC), and a candidate is accepted only if it
+    * beats — under the total order (gain DESC, node ASC) — every
+    * conflicting candidate, where candidates conflict when they are
+    * ADJACENT or touch a COMMON community (source or target). Accepted
+    * movers are therefore pairwise non-adjacent and community-disjoint,
+    * so their ΔQ terms edit disjoint {in_c, deg_c} entries and the
+    * total modularity change is EXACTLY Σ gain_x4m2 / 4m² — an integer
+    * identity R15OpsSpec asserts, which is what makes the non-decrease
+    * a theorem instead of an empirical pin. Rejected-by-rejected
+    * candidates are dropped too (conservative, still non-decreasing).
+    *
+    * All gains are exact BIGINTs: gain·4m² = 4m(w_iT − w_iA) −
+    * 2k_i(Σ_T − Σ_A + k_i) with integer edge weights (headroom: |gain|
+    * ≤ 8m², exact to m ≈ 1e9 — the strong graph's total weight, tiny
+    * next to the corpus).
+    *
+    * Scale: one edge-list shuffle builds the labeled pair list (then
+    * checkpointed); strengths/community weights/candidates are
+    * node-scale aggregates with the label vector broadcast
+    * ([[stateHint]]); conflicts join candidates on shared-community
+    * keys and the strong edge list — never an unkeyed pair join.
+    */
+  private[graft] def louvainParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (strongPairs, labels0) = Analytics.lpaCore(spark, dir)
+    val comm = checkpoint(labels0)
+    val pairs = strongPairs
+      .select(col("supp_a"), col("supp_b"), col("collab_count").as("w"))
+    val jj = checkpoint(pairs
+      .join(stateHint(comm.select(col("supp_key").as("supp_a"),
+        col("community").as("ca"))), Seq("supp_a"))
+      .join(stateHint(comm.select(col("supp_key").as("supp_b"),
+        col("community").as("cb"))), Seq("supp_b")))
+    val mTot = jj.agg(sum(col("w")).as("m"))
+    val ed = jj.select(col("supp_a").as("node"), col("ca").as("a"),
+        col("cb").as("cnbr"), col("w"))
+      .unionByName(jj.select(col("supp_b").as("node"), col("cb").as("a"),
+        col("ca").as("cnbr"), col("w")))
+    // node strength k_i and own community (label-INDEPENDENT strength —
+    // reused by both modularity sums below)
+    val strength = checkpoint(ed.groupBy(col("node"))
+      .agg(sum(col("w")).as("k"), max(col("a")).as("a")))
+    val degC = checkpoint(strength.groupBy(col("a"))
+      .agg(sum(col("k")).as("deg_w")).select(col("a").as("c"), col("deg_w")))
+    val wnc = checkpoint(ed.groupBy(col("node"), col("cnbr"))
+      .agg(sum(col("w")).as("w_nc")))
+    val base = strength
+      .join(wnc.join(stateHint(strength.select(col("node"),
+          col("a").as("cnbr"))), Seq("node", "cnbr"))
+        .select(col("node"), col("w_nc").as("w_own")), Seq("node"), "left")
+      .select(col("node"), col("a"), col("k"),
+        coalesce(col("w_own"), lit(0L)).as("w_own"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node"))
+      .orderBy(col("gain_x4m2").desc, col("cnbr").asc)
+    val cand = checkpoint(base
+      .join(wnc, Seq("node"))
+      .filter(col("cnbr") =!= col("a"))
+      .join(stateHint(degC.select(col("c").as("cnbr"),
+        col("deg_w").as("deg_t"))), Seq("cnbr"))
+      .join(stateHint(degC.select(col("c").as("a"),
+        col("deg_w").as("deg_a"))), Seq("a"))
+      .crossJoin(broadcast(mTot))
+      .withColumn("gain_x4m2",
+        lit(4L) * col("m") * (col("w_nc") - col("w_own"))
+          - lit(2L) * col("k") * (col("deg_t") - col("deg_a") + col("k")))
+      .filter(col("gain_x4m2") > 0)
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("node"), col("a"), col("cnbr").as("t"), col("k"),
+        col("gain_x4m2")))
+    val byComm = cand.select(col("node"), col("gain_x4m2"),
+      explode(array(col("a"), col("t"))).as("cc"))
+    val commConf = byComm
+      .join(byComm.select(col("cc"), col("node").as("o_node"),
+        col("gain_x4m2").as("o_gain")), Seq("cc"))
+      .filter(col("o_node") =!= col("node"))
+      .select(col("node"), col("gain_x4m2"), col("o_node"), col("o_gain"))
+    val adjConf = pairs
+      .select(col("supp_a").as("node"), col("supp_b").as("o_node"))
+      .unionByName(pairs.select(col("supp_b").as("node"),
+        col("supp_a").as("o_node")))
+      .join(cand.select(col("node"), col("gain_x4m2")), Seq("node"))
+      .join(cand.select(col("node").as("o_node"),
+        col("gain_x4m2").as("o_gain")), Seq("o_node"))
+      .select(col("node"), col("gain_x4m2"), col("o_node"), col("o_gain"))
+    val rejected = commConf.unionByName(adjConf)
+      .filter(col("o_gain") > col("gain_x4m2")
+        || (col("o_gain") === col("gain_x4m2") && col("o_node") < col("node")))
+      .select(col("node")).distinct()
+    val accepted = checkpoint(cand.join(rejected, Seq("node"), "left_anti"))
+    val comm2 = checkpoint(comm
+      .join(stateHint(accepted.select(col("node").as("supp_key"), col("t"))),
+        Seq("supp_key"), "left")
+      .select(col("supp_key"),
+        coalesce(col("t"), col("community")).as("community")))
+    (pairs, comm, comm2, accepted)
+  }
+
+  /** The refinement verdict in one row: population and candidate/move
+    * counts, the exact summed gain, and both partitions' modularity —
+    * numerators in the shared 4m² units plus the floor'd ppm. With the
+    * strong graph near-locally-optimal under LPA, n_moves can
+    * legitimately be 0 (the row still reports the full scoreboard —
+    * never an empty result). See [[louvainParts]] for the move rule and
+    * the exactness argument; q_refined_num − q_lpa_num ≡ sum_gain_x4m2.
+    */
+  def louvainRefine(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, comm, comm2, accepted) = louvainParts(spark, dir)
+    val mTot = pairs.agg(sum(col("w")).as("m"))
+    val strength = pairs
+      .select(col("supp_a").as("node"), col("w"))
+      .unionByName(pairs.select(col("supp_b").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("k"))
+      .transform(checkpoint)
+    def qOf(labels: DataFrame): DataFrame = {
+      val jq = pairs
+        .join(stateHint(labels.select(col("supp_key").as("supp_a"),
+          col("community").as("ca"))), Seq("supp_a"))
+        .join(stateHint(labels.select(col("supp_key").as("supp_b"),
+          col("community").as("cb"))), Seq("supp_b"))
+      val inW = jq.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(sum(col("w")).as("in_w"))
+      val dC = strength
+        .join(stateHint(labels.select(col("supp_key").as("node"),
+          col("community").as("c"))), Seq("node"))
+        .groupBy(col("c")).agg(sum(col("k")).as("deg_w"))
+      dC.join(inW, Seq("c"), "left").crossJoin(broadcast(mTot))
+        .agg(count(lit(1)).as("n_comm"),
+          sum(lit(4L) * col("m") * coalesce(col("in_w"), lit(0L))
+            - col("deg_w") * col("deg_w")).as("q_num"))
+    }
+    comm.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(qOf(comm)
+        .select(col("n_comm").as("n_communities_lpa"),
+          col("q_num").as("q_lpa_num"))))
+      .crossJoin(broadcast(qOf(comm2)
+        .select(col("n_comm").as("n_communities_refined"),
+          col("q_num").as("q_refined_num"))))
+      .crossJoin(broadcast(accepted
+        .agg(count(lit(1)).as("n_moves"),
+          coalesce(sum(col("gain_x4m2")), lit(0L)).as("sum_gain_x4m2"))))
+      .crossJoin(broadcast(mTot
+        .select((lit(4L) * col("m") * col("m")).as("q_den"))))
+      .select(col("n_nodes"), col("n_communities_lpa"),
+        col("n_communities_refined"), col("n_moves"), col("sum_gain_x4m2"),
+        col("q_lpa_num"), col("q_refined_num"), col("q_den"),
+        floor(col("q_lpa_num").cast("double") * lit(1.0e6)
+          / col("q_den").cast("double")).cast("bigint").as("q_lpa_ppm"),
+        floor(col("q_refined_num").cast("double") * lit(1.0e6)
+          / col("q_den").cast("double")).cast("bigint").as("q_refined_ppm"))
+  }
+
+  val louvainRefineOracle: String = {
+    def qCtes(rel: String, s: String): String = s"""
+    inw$s AS (
+      SELECT x.community AS c, CAST(SUM(sp.w) AS BIGINT) AS in_w
+      FROM sp JOIN $rel x ON sp.supp_a = x.supp_key
+        JOIN $rel y ON sp.supp_b = y.supp_key
+      WHERE x.community = y.community GROUP BY 1),
+    degq$s AS (
+      SELECT l.community AS c, CAST(SUM(s.k) AS BIGINT) AS deg_w
+      FROM lvstr s JOIN $rel l ON s.node = l.supp_key GROUP BY 1),
+    q$s AS (
+      SELECT COUNT(*) AS n_comm,
+        CAST(SUM(4 * mt.m * COALESCE(i.in_w, 0) - d.deg_w * d.deg_w)
+          AS BIGINT) AS q_num
+      FROM degq$s d LEFT JOIN inw$s i ON d.c = i.c CROSS JOIN mt)"""
+    val gain = "4 * mt.m * (wn.w_nc - b.w_own) " +
+      "- 2 * b.k * (dt.deg_w - da.deg_w + b.k)"
+    s"""
+    WITH comm AS MATERIALIZED (${Analytics.labelPropagationOracle}),
+    sp AS MATERIALIZED (
+      WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS w
+      FROM e0 a JOIN e0 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= ${Analytics.StrongEdgeThreshold}),
+    jj AS MATERIALIZED (
+      SELECT sp.supp_a, sp.supp_b, sp.w, x.community AS ca, y.community AS cb
+      FROM sp JOIN comm x ON sp.supp_a = x.supp_key
+        JOIN comm y ON sp.supp_b = y.supp_key),
+    mt AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM jj),
+    ed AS MATERIALIZED (
+      SELECT supp_a AS node, ca AS a, cb AS cnbr, w FROM jj
+      UNION ALL SELECT supp_b, cb, ca, w FROM jj),
+    lvstr AS MATERIALIZED (
+      SELECT node, CAST(SUM(w) AS BIGINT) AS k, MAX(a) AS a
+      FROM ed GROUP BY 1),
+    degc AS MATERIALIZED (
+      SELECT a AS c, CAST(SUM(k) AS BIGINT) AS deg_w FROM lvstr GROUP BY 1),
+    wnc AS MATERIALIZED (
+      SELECT node, cnbr, CAST(SUM(w) AS BIGINT) AS w_nc
+      FROM ed GROUP BY 1, 2),
+    base AS MATERIALIZED (
+      SELECT s.node, s.a, s.k, COALESCE(o.w_nc, 0) AS w_own
+      FROM lvstr s LEFT JOIN wnc o ON o.node = s.node AND o.cnbr = s.a),
+    cand AS MATERIALIZED (
+      SELECT node, a, t, k, gain_x4m2 FROM (
+        SELECT b.node, b.a, wn.cnbr AS t, b.k, $gain AS gain_x4m2,
+          ROW_NUMBER() OVER (PARTITION BY b.node
+            ORDER BY ($gain) DESC, wn.cnbr ASC) AS rn
+        FROM base b
+        JOIN wnc wn ON wn.node = b.node AND wn.cnbr <> b.a
+        JOIN degc dt ON dt.c = wn.cnbr
+        JOIN degc da ON da.c = b.a
+        CROSS JOIN mt
+        WHERE $gain > 0)
+      WHERE rn = 1),
+    conf AS (
+      SELECT x.node, x.gain_x4m2, y.node AS o_node, y.gain_x4m2 AS o_gain
+      FROM (SELECT node, gain_x4m2, UNNEST([a, t]) AS cc FROM cand) x
+      JOIN (SELECT node, gain_x4m2, UNNEST([a, t]) AS cc FROM cand) y
+        ON x.cc = y.cc AND x.node <> y.node
+      UNION ALL
+      SELECT c1.node, c1.gain_x4m2, c2.node, c2.gain_x4m2
+      FROM (SELECT supp_a AS u, supp_b AS v FROM sp
+            UNION ALL SELECT supp_b, supp_a FROM sp) e
+      JOIN cand c1 ON c1.node = e.u JOIN cand c2 ON c2.node = e.v),
+    rejected AS (
+      SELECT DISTINCT node FROM conf
+      WHERE o_gain > gain_x4m2
+        OR (o_gain = gain_x4m2 AND o_node < node)),
+    accepted AS MATERIALIZED (
+      SELECT * FROM cand WHERE node NOT IN (SELECT node FROM rejected)),
+    comm2 AS MATERIALIZED (
+      SELECT c.supp_key, COALESCE(a.t, c.community) AS community
+      FROM comm c LEFT JOIN accepted a ON a.node = c.supp_key),
+    ${qCtes("comm", "1")},
+    ${qCtes("comm2", "2")},
+    mv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_moves,
+        CAST(COALESCE(SUM(gain_x4m2), 0) AS BIGINT) AS sum_gain_x4m2
+      FROM accepted)
+    SELECT (SELECT COUNT(*) FROM comm) AS n_nodes,
+      q1.n_comm AS n_communities_lpa,
+      q2.n_comm AS n_communities_refined,
+      mv.n_moves, mv.sum_gain_x4m2,
+      q1.q_num AS q_lpa_num, q2.q_num AS q_refined_num,
+      4 * mt.m * mt.m AS q_den,
+      CAST(FLOOR(CAST(q1.q_num AS DOUBLE) * 1.0e6
+        / CAST(4 * mt.m * mt.m AS DOUBLE)) AS BIGINT) AS q_lpa_ppm,
+      CAST(FLOOR(CAST(q2.q_num AS DOUBLE) * 1.0e6
+        / CAST(4 * mt.m * mt.m AS DOUBLE)) AS BIGINT) AS q_refined_ppm
+    FROM q1 CROSS JOIN q2 CROSS JOIN mv CROSS JOIN mt"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "louvain_refine" -> QueryDef.sql(louvainRefine, louvainRefineOracle),
     "betweenness_sampled" ->
       QueryDef.sql(betweennessSampled, betweennessSampledOracle),
     "closeness_sampled" ->

@@ -247,6 +247,62 @@ class R15OpsSpec extends SparkSpec {
     assert(row.getAs[Long]("unigram_ppm") < row.getAs[Long]("bpe_ppm"))
   }
 
+  test("louvain_refine: exact gain identity, modularity non-decrease, " +
+      "and the conflict-free move rule (sf0.1)") {
+    // sf0.1, not the spec default: the smaller strong graphs collapse
+    // to ONE LPA community, leaving no legal target to move to (the
+    // betweenness-spec rule) — at sf0.1 the partition has 2 communities
+    // and the refinement accepts a real move.
+    val dir = "/root/testdata/sf0.1"
+    val (pairs, comm, comm2, accepted) =
+      operators.GraphExt.louvainParts(spark, dir)
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val c1 = comm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c2 = comm2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val acc = accepted.collect().map(r => (r.getAs[Long]("node"),
+      r.getAs[Long]("a"), r.getAs[Long]("t"), r.getAs[Long]("gain_x4m2")))
+    assert(acc.nonEmpty, "sf0.1 must exercise a real accepted move")
+    // independent driver-side modularity numerator (Σ 4m·in_c − deg_c²)
+    def qnum(lab: Map[Long, Long]): BigInt = {
+      val m = es.map(_._3).sum
+      val in: Map[Long, Long] = es.filter(e => lab(e._1) == lab(e._2))
+        .groupBy(e => lab(e._1))
+        .map { case (c, g) => c -> g.map(_._3).sum }.toMap
+      val k: Map[Long, Long] = es
+        .flatMap(e => Seq(e._1 -> e._3, e._2 -> e._3))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }.toMap
+      val deg: Map[Long, Long] = k.toSeq.groupBy { case (n, _) => lab(n) }
+        .map { case (c, xs) => c -> xs.map(_._2).sum }.toMap
+      // NOTE the explicit vals: a block-position expression continued on
+      // a line STARTING with `-` is two statements under Scala semicolon
+      // inference (the block silently returns the unary-minus tail) —
+      // this exact bug shipped here once and made qnum ≡ −Σdeg²
+      deg.toSeq.map { case (c, d) =>
+        val gain = BigInt(4) * BigInt(m) * BigInt(in.getOrElse(c, 0L))
+        gain - BigInt(d) * BigInt(d)
+      }.sum
+    }
+    val q1 = qnum(c1); val q2 = qnum(c2)
+    val row = operators.GraphExt.louvainRefine(spark, dir).collect().head
+    assert(BigInt(row.getAs[Long]("q_lpa_num")) === q1)
+    assert(BigInt(row.getAs[Long]("q_refined_num")) === q2)
+    // THE theorem: disjoint movers ⇒ ΔQ·4m² ≡ Σ accepted gains, so
+    // strict-positive gains make non-decrease arithmetic, not luck
+    assert(q2 === q1 + acc.map(a => BigInt(a._4)).sum)
+    assert(acc.forall(_._4 > 0L))
+    assert(row.getAs[Long]("q_refined_ppm") >= row.getAs[Long]("q_lpa_ppm"))
+    // conflict-freedom the theorem rests on: accepted movers pairwise
+    // non-adjacent and community-disjoint
+    val accSet = acc.map(_._1).toSet
+    assert(!es.exists(e => accSet(e._1) && accSet(e._2)))
+    for (x <- acc; y <- acc if x._1 < y._1)
+      assert(Set(x._2, x._3).intersect(Set(y._2, y._3)).isEmpty)
+    // refined labels are the LPA labels with EXACTLY the accepted moves
+    assert(c1.keySet === c2.keySet)
+    acc.foreach { case (n, a, t, _) => assert(c1(n) === a && c2(n) === t) }
+    assert(c1.filter(kv => !accSet(kv._1)) === c2.filter(kv => !accSet(kv._1)))
+  }
+
   test("spearman_corr: default budget keeps the exact path (sum_d2 " +
       "defined)") {
     val row = operators.StatTests
