@@ -104,7 +104,7 @@ object Similarity {
     * its near-duplicate structure there), one literal shared by query
     * and oracle.
     */
-  private val SemDecontamThreshold = 0.3
+  private[graft] val SemDecontamThreshold = 0.3
 
   /** Semantic benchmark decontamination — the paraphrase-robust
     * companion to the shingle-based `decontaminate` (an eval item

@@ -27,9 +27,20 @@ object AnnIndex {
     * fold over the vector); ~2^6 partitions at the current plane count.
     */
   def materialize(embeddings: DataFrame, path: String): Unit =
+    write(embeddings, path, "overwrite")
+
+  /** Append a batch to an existing index (the rolling-corpus mode —
+    * [[graft.streaming.StreamingCuration]]'s per-micro-batch index
+    * maintenance); creates the index if absent. Same layout as
+    * [[materialize]], so probes are indifferent to how rows arrived.
+    */
+  def append(embeddings: DataFrame, path: String): Unit =
+    write(embeddings, path, "append")
+
+  private def write(embeddings: DataFrame, path: String, mode: String): Unit =
     embeddings
       .withColumn("bucket", Similarity.bucketColumn(col("embedding")))
-      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      .write.partitionBy("bucket").mode(mode).parquet(path)
 
   /** Probe a query batch against the on-disk index: top-k by exact
     * cosine over the multi-probe candidate union, self-matches

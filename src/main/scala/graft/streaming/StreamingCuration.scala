@@ -31,7 +31,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *      survivors probe the on-disk band index
   *      ([[CurationPipeline.probeLshIndex]] over the candidate-pruned
   *      corpus slice);
-  *   5. append survivors' rows, band keys, and content hashes.
+  *   4b. SEMANTIC dedup (embedded corpora only — batches carrying an
+  *      `embedding` column): survivors probe the standing
+  *      [[graft.sources.AnnIndex]] lake table per micro-batch and drop
+  *      at the engine's shared cosine floor; corpora without
+  *      embeddings skip the stage entirely;
+  *   5. append survivors' rows, band keys, content hashes — and, for
+  *      embedded corpora, their bucket-partitioned ANN index rows.
   *
   * Replay safety — two independent layers:
   *
@@ -66,10 +72,39 @@ object StreamingCuration {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Whether `path` holds at least one parquet part file (one hive
+    * partition level deep — the ann index's bucket=N layout). A merely
+    * EXISTING dir is not enough to probe: reading an empty dir fails
+    * schema inference, and an all-null-embedding batch can legally
+    * stage zero ann rows.
+    */
+  private def hasParquet(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsFor(spark, path)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      (s.isFile && s.getPath.getName.startsWith("part-"))
+        || (s.isDirectory && s.getPath.getName.contains("=")
+          && fs.listStatus(s.getPath).exists(f =>
+            f.isFile && f.getPath.getName.startsWith("part-"))))
+  }
+
   /** The narrow exact-dedup probe table that rides along with the
     * corpus: one `content_hash` column, appended batch-by-batch.
     */
   private def hashesPath(corpusPath: String): String = corpusPath + "_hashes"
+
+  /** The SEMANTIC probe table that rides along with the corpus when
+    * batches carry an `embedding` column: the
+    * [[graft.sources.AnnIndex]] lake layout (parquet partitioned by
+    * hyperplane bucket), appended batch-by-batch like the band index.
+    */
+  private def annIndexPath(corpusPath: String): String =
+    corpusPath + "_annindex"
+
+  /** The near-duplicate cosine floor shared with the batch-side
+    * semantic family (`semdedup_incremental` / `dedup_embedding` /
+    * `decontaminate_semantic` — one literal across the engine).
+    */
+  private val SemTau = graft.operators.Similarity.SemDecontamThreshold
 
   /** Batch-ledger layout (see the replay-safety note above): markers in
     * `<corpus>_ledger/`, staged outputs in `<corpus>_pending/b<id>/`.
@@ -132,17 +167,32 @@ object StreamingCuration {
       batchId: Long): Unit = {
     val (fs, srcP) = fsFor(spark, src)
     if (!fs.exists(srcP)) return
+    val entries = fs.listStatus(srcP).filter(s =>
+      (s.isFile && s.getPath.getName.startsWith("part-"))
+        || (s.isDirectory && s.getPath.getName.contains("=")))
+    // nothing to move → leave the live dir UNTOUCHED: an mkdirs here
+    // would create an empty live table that exists() then treats as a
+    // probe-able parquet dir (read fails on schema inference)
+    if (entries.isEmpty) return
     val (_, dstP) = fsFor(spark, dst)
     fs.mkdirs(dstP)
-    fs.listStatus(srcP).iterator
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .foreach { s =>
+    entries.iterator.foreach { s =>
+      if (s.isFile && s.getPath.getName.startsWith("part-")) {
         val to = new org.apache.hadoop.fs.Path(dstP,
           s"b$batchId-${s.getPath.getName}")
         if (fs.exists(to)) fs.delete(s.getPath, false): Unit
         else if (!fs.rename(s.getPath, to))
           throw new java.io.IOException(s"cannot publish ${s.getPath} -> $to")
+      } else if (s.isDirectory && s.getPath.getName.contains("=")) {
+        // one level of hive partition dirs (the ann index's bucket=N
+        // layout): publish each partition's files into the SAME
+        // partition under the live dir, preserving the layout the
+        // probe's static partition filter prunes on
+        publishDir(spark, s.getPath.toString,
+          new org.apache.hadoop.fs.Path(dstP, s.getPath.getName).toString,
+          batchId)
       }
+    }
   }
 
   /** How many committed markers the ledger retains behind the newest
@@ -169,6 +219,8 @@ object StreamingCuration {
     publishDir(spark, s"$pend/index", indexPath, batchId)
     failpoint(spark, "after-index-publish")
     publishDir(spark, s"$pend/hashes", hashesPath(corpusPath), batchId)
+    failpoint(spark, "after-hashes-publish")
+    publishDir(spark, s"$pend/annindex", annIndexPath(corpusPath), batchId)
     writeMarker(spark, corpusPath, s"committed-b$batchId", n)
     val (fs, pendP) = fsFor(spark, pend)
     fs.delete(pendP, true)
@@ -334,21 +386,62 @@ object StreamingCuration {
         }
       }
 
-    // 5. append survivors' rows, band keys, and content hashes; all
-    // three side tables are current for the next micro-batch.
-    val out = survivors.transform(graft.functions.PlanGuard.persist(_))
+    // 4b. SEMANTIC dedup — the embedding-layer twin of step 4, engaged
+    // only when the batch carries an `embedding` column (corpora
+    // without embeddings skip it entirely — the missing-probe-table
+    // degradation rule): near-dup survivors probe the standing
+    // [[graft.sources.AnnIndex]] lake table (multi-probe + exact
+    // cosine, the batch-side semdedup_incremental contract) and drop
+    // at the shared [[SemTau]] floor. NULL-embedding rows pass (no
+    // evidence is not a verdict). The probe reads only the probed
+    // bucket partitions — per-batch cost independent of index size,
+    // exactly like the band-index probe above.
+    val hasEmb = batch.columns.contains("embedding")
+    val hasAnn = hasEmb && hasParquet(spark, annIndexPath(corpusPath))
+    val semSurvivors =
+      if (!hasAnn) survivors
+      else {
+        val q = survivors.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        val semDups = graft.sources.AnnIndex
+          .probe(spark, annIndexPath(corpusPath), q, 1)
+          .filter(col("cosine") >= SemTau)
+          .select(col("query_id").as("doc_id")).distinct()
+        survivors.join(semDups, Seq("doc_id"), "left_anti")
+      }
+
+    // 5. append survivors' rows, band keys, content hashes — and, for
+    // embedded corpora, the survivors' ANN index rows — so all side
+    // tables are current for the next micro-batch.
+    //
+    // CHECKPOINT, not persist: the survivor lineage READS the live
+    // tables (hash anti-join, index probe, corpus verify slice), and
+    // Spark invalidates any cached plan that reads a path the moment
+    // that path is written — so in the direct (batch-id-less) branch
+    // the FIRST live append would evict a mere persist and every later
+    // side-table append would re-evaluate the batch against the
+    // already-updated tables and dedup it against ITSELF (observed:
+    // batch-2+ hash/ann appends wrote empty; the band index absorbed
+    // replays and masked it). The eager checkpoint materializes the
+    // rows with NO lineage, so nothing here can be invalidated.
+    val out = graft.functions.Iterate.checkpoint(semSurvivors)
     val n = out.count()
     // survivors ⊆ batchClean, so their band rows are a semi-join of
     // the already-banded frame — never a third banding pass
     def survivorBands = cleanBands
       .join(out.select(col("doc_id")), Seq("doc_id"), "left_semi")
     def survivorHashes = out.select(md5(col("text")).as("content_hash"))
+    def survivorAnn = out.filter(col("embedding").isNotNull)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
     try batchId match {
       case None =>
         if (n > 0) {
           out.write.mode("append").parquet(corpusPath)
           survivorBands.write.mode("append").parquet(indexPath)
           survivorHashes.write.mode("append").parquet(hashesPath(corpusPath))
+          if (hasEmb)
+            graft.sources.AnnIndex.append(survivorAnn,
+              annIndexPath(corpusPath))
         }
       case Some(id) =>
         // stage → mark staged → publish → mark committed (crash at any
@@ -358,11 +451,13 @@ object StreamingCuration {
           out.write.mode("overwrite").parquet(s"$pend/corpus")
           survivorBands.write.mode("overwrite").parquet(s"$pend/index")
           survivorHashes.write.mode("overwrite").parquet(s"$pend/hashes")
+          if (hasEmb)
+            graft.sources.AnnIndex.materialize(survivorAnn,
+              s"$pend/annindex")
         }
         writeMarker(spark, corpusPath, s"staged-b$id", n)
         publishStaged(spark, corpusPath, indexPath, id, n)
     } finally {
-      out.unpersist()
       batchClean.unpersist()
     }
     n

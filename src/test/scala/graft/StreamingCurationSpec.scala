@@ -91,6 +91,113 @@ class StreamingCurationSpec extends SparkSpec {
     assert(spark.read.parquet(corpusPath).count() == corpus2.count())
   }
 
+  test("streaming curation: semantic probe — survivors checked against " +
+      "the standing ANN index per micro-batch, batch ≡ stream parity") {
+    val out = Files.createTempDirectory("graft_streamsem").toString
+    val corpusPath = s"$out/corpus"
+    val indexPath = s"$out/index"
+    val annPath = corpusPath + "_annindex"
+    // embedded documents: the gopher-passing docs joined to their
+    // embeddings (vec_id = doc_id — the embedded-subset convention)
+    val docs = Tables.documents(spark, sfDir)
+    val embedded = docs.join(
+        operators.TextAnalysis.gopherRulesDf(docs)
+          .filter(col("pass")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("embedding"))
+      .orderBy(col("doc_id")).limit(40)
+    val schema = embedded.schema
+    val rows = embedded.collect()
+    def toDf(rs: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rs), schema)
+    val b1 = rows.take(30); val rest = rows.drop(30)
+
+    val n1 = StreamingCuration.ingestBatch(spark, toDf(b1.toSeq),
+      corpusPath, indexPath)
+    assert(n1 > 0)
+    // index maintenance: every (embedded) survivor is probe-able
+    val corpus1 = spark.read.parquet(corpusPath)
+    assert(spark.read.parquet(annPath).select("vec_id").distinct().count()
+      === corpus1.count())
+
+    // two held-out texts that are neither exact nor MinHash near-dups
+    // of anything ingested (the docRows-test discipline)
+    val pairedIds = operators.Dedup.minhashPairsDf(toDf(rows.toSeq))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val corpusTexts = corpus1.select("text").collect().map(_.getString(0)).toSet
+    val freshTexts = rest.filter(r => !pairedIds.contains(r.getLong(0))
+      && !corpusTexts.contains(r.getString(1)))
+    assert(freshTexts.length >= 2, "need two held-out fresh texts")
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val survEmb = corpus1.select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    // a SEMANTIC dup: fresh text, embedding copied from a survivor
+    // (cosine 1.0 — passes every lexical stage, only 4b can catch it)
+    val dupEmb = survEmb.head
+    // a semantically NOVEL doc: held-out embedding far from every
+    // survivor (margin under the 0.3 floor)
+    val novelEmb = rest.map(_.getSeq[Float](5))
+      .find(e => survEmb.forall(s => cos(e, s) < 0.25))
+    assert(novelEmb.isDefined,
+      "no held-out embedding under 0.25 cosine vs all survivors")
+    import org.apache.spark.sql.Row
+    val b2 = Seq(
+      Row(91001L, freshTexts(0).getString(1), "en", "srcY", 0L, dupEmb),
+      Row(91002L, freshTexts(1).getString(1), "en", "srcY", 0L,
+        novelEmb.get))
+
+    // batch ≡ stream PARITY, probed on the PRE-batch index snapshot:
+    // the batch-side AnnIndex.probe contract (R15OpsSpec pins it equal
+    // to recompute) must name exactly the docs the stream drops
+    val expectedDrops = sources.AnnIndex.probe(spark, annPath,
+        toDf(b2).select(col("doc_id").as("vec_id"), col("embedding")), 1)
+      .filter(col("cosine") >= 0.3)
+      .select("query_id").collect().map(_.getLong(0)).toSet
+    assert(expectedDrops === Set(91001L))
+
+    val n2 = StreamingCuration.ingestBatch(spark, toDf(b2),
+      corpusPath, indexPath)
+    assert(n2 === 1L, s"only the semantically novel doc survives, got $n2")
+    val ids2 = spark.read.parquet(corpusPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2.contains(91002L) && !ids2.contains(91001L))
+    // the survivor's embedding joined the index for the NEXT batch
+    assert(spark.read.parquet(annPath)
+      .filter(col("vec_id") === 91002L).count() === 1L)
+    // ALL side tables kept pace across batches (regression pin: the
+    // live corpus append used to evict the survivor cache — any plan
+    // reading a written path is invalidated — so batch-2+ hash/ann
+    // appends re-evaluated against the updated tables, deduped the
+    // batch against itself, and wrote EMPTY; the survivor frame is
+    // checkpointed lineage-free now)
+    val nLive = spark.read.parquet(corpusPath).count()
+    assert(spark.read.parquet(corpusPath + "_hashes").count() === nLive)
+    assert(spark.read.parquet(indexPath)
+      .select("doc_id").distinct().count() === nLive)
+    assert(spark.read.parquet(annPath).count() === nLive)
+
+    // flag parity: a batch WITHOUT the embedding column rides the
+    // unembedded pipeline untouched — no probe, no index append
+    val annCount = spark.read.parquet(annPath).count()
+    val b3 = Seq(StreamDoc(91003L, freshTexts(0).getString(1) + " zq extra",
+      "en", "srcZ", 0L))
+    import spark.implicits._
+    val n3 = StreamingCuration.ingestBatch(spark, b3.toDF(),
+      corpusPath, indexPath)
+    assert(spark.read.parquet(annPath).count() === annCount,
+      "an unembedded batch must not touch the ANN index")
+    assert(n3 <= 1L)
+  }
+
   test("streaming curation: candidate pruning is a distributed semi-join, never a driver-collected IN list") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_streamcur_p").toString
