@@ -136,17 +136,20 @@ object Dedup {
 
   lazy val minhashRecallAuditOracle: String = s"""
     WITH truth AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
-    lsh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshOracle) l),
-    ln AS (SELECT COUNT(*) AS n_lsh FROM lsh)
+    lsh AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ($dedupMinhashLshOracle) l)
     SELECT COUNT(*) AS n_truth,
       CAST(COUNT(l.doc_a) AS BIGINT) AS n_hits,
-      ln.n_lsh,
+      (SELECT COUNT(*) FROM lsh) AS n_lsh,
       (CAST(COUNT(l.doc_a) AS BIGINT) * 1000000) // GREATEST(COUNT(*), 1)
         AS recall_ppm
     FROM truth t
-    LEFT JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
-    CROSS JOIN ln
-    GROUP BY ln.n_lsh"""
+    LEFT JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b"""
+    // n_lsh as a SCALAR subquery, not a grouped cross join: the former
+    // GROUP BY ln.n_lsh emitted ZERO rows on an empty truth set while
+    // the Spark global aggregate emits its one summary row — a
+    // divergence only visible on a corpus with no exact-jaccard pairs
+    // (caught by the r15 generated-data validation run)
 
   val ngramJaccardOracle: String = s"""
     WITH s AS ($sqlShingled)
