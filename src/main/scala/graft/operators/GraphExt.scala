@@ -277,16 +277,20 @@ object GraphExt {
           / col("q_den").cast("double")).cast("bigint"))
   }
 
+  // comm/sp/j MATERIALIZED: comm is the whole 4-round LPA chain and j is
+  // referenced three times — un-materialized, DuckDB re-inlines the
+  // chain multiplicatively (at sf1 the spill filled the temp dir before
+  // the 21-minute mark; with MATERIALIZED the oracle is seconds)
   val graphModularityOracle: String = s"""
-    WITH comm AS (${Analytics.labelPropagationOracle}),
-    sp AS (
+    WITH comm AS MATERIALIZED (${Analytics.labelPropagationOracle}),
+    sp AS MATERIALIZED (
       WITH e0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
       SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS w
       FROM e0 a JOIN e0 b
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
       GROUP BY 1, 2
       HAVING COUNT(*) >= ${Analytics.StrongEdgeThreshold}),
-    j AS (
+    j AS MATERIALIZED (
       SELECT sp.supp_a, sp.supp_b, sp.w, x.community AS ca, y.community AS cb
       FROM sp JOIN comm x ON sp.supp_a = x.supp_key
         JOIN comm y ON sp.supp_b = y.supp_key),

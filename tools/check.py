@@ -39,7 +39,9 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    import time
     for name, sql in sorted(oracles.items()):
+        t0 = time.time()
         try:
             want = con.execute(sql).df()
         except Exception as e:
@@ -73,7 +75,8 @@ def main(sf_dir, out_dir):
         if bad:
             print(f"FAIL {name}: value mismatch col={bad[0]} oracle={bad[1]!r} spark={bad[2]!r}"); n_fail += 1
         else:
-            print(f"PASS {name} ({len(want)} rows)"); n_pass += 1
+            print(f"PASS {name} ({len(want)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
