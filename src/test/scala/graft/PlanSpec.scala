@@ -453,7 +453,8 @@ class PlanSpec extends SparkSpec {
       "mix_quality_frontier" -> "frontier over |sources| aggregated rows",
       "seasonal_anomaly" -> "median ranks over the calendar-bounded interior-day frame",
       "generalization_ladder" -> "prefix flag over the 6-row generalization ladder",
-      "page_hinkley" -> "cumulative PH fold over the calendar-bounded day frame")
+      "page_hinkley" -> "cumulative PH fold over the calendar-bounded day frame",
+      "unigram_train" -> "rank over the ≤20-row post-LIMIT piece-table head")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val n = unpartitionedWindows(fn(spark, sfDir))
