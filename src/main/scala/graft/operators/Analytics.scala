@@ -537,22 +537,41 @@ object Analytics {
       .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
     val tris = wedges.join(edges,
         col("a") === col("lo") && col("c") === col("hi"), "left_semi")
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("supp_key"))
+    val corners = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("supp_key"))
       .groupBy(col("supp_key"))
-      .agg(count(lit(1)).as("triangles"))
+      .agg(count(lit(1)).as("tri0"))
+    // report the POPULATION with the verdict (the kcore/burst_detect
+    // de-vacuation rule): every capped-strong-graph node with its
+    // degree and triangle credit, zeros included — at sf1 the
+    // co-occurrence graph thins until NO triangle survives the
+    // threshold, and a corners-only output hash-matched two empty sets
+    // (the q7_volume class, one decade later)
+    edges.select(col("lo").as("supp_key"))
+      .unionByName(edges.select(col("hi").as("supp_key")))
+      .groupBy(col("supp_key")).agg(count(lit(1)).as("strong_degree"))
+      .join(corners, Seq("supp_key"), "left")
+      .select(col("supp_key"), col("strong_degree"),
+        coalesce(col("tri0"), lit(0L)).as("triangles"))
   }
 
   lazy val triangleCountOracle: String = s"""
-    WITH edges AS ($sqlStrongEdges),
+    WITH edges AS MATERIALIZED ($sqlStrongEdges),
     tris AS (
       SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
       FROM edges e1 JOIN edges e2 ON e1.hi = e2.lo
       WHERE EXISTS (SELECT 1 FROM edges e3
                     WHERE e3.lo = e1.lo AND e3.hi = e2.hi)),
-    corners AS (
-      SELECT UNNEST([a, b, c]) AS supp_key FROM tris)
-    SELECT supp_key, COUNT(*) AS triangles
-    FROM corners GROUP BY 1"""
+    tcnt AS (
+      SELECT supp_key, CAST(COUNT(*) AS BIGINT) AS tri0
+      FROM (SELECT UNNEST([a, b, c]) AS supp_key FROM tris)
+      GROUP BY 1),
+    deg AS (
+      SELECT node AS supp_key, CAST(COUNT(*) AS BIGINT) AS strong_degree
+      FROM (SELECT lo AS node FROM edges UNION ALL SELECT hi FROM edges)
+      GROUP BY 1)
+    SELECT d.supp_key, d.strong_degree, COALESCE(t.tri0, 0) AS triangles
+    FROM deg d LEFT JOIN tcnt t ON d.supp_key = t.supp_key"""
 
   /** Neighbor-set Jaccard similarity for node pairs sharing at least one
     * neighbor in the strong collab graph — the Neo4j GDS nodeSimilarity

@@ -361,12 +361,16 @@ class AnalyticsExtSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("triangles")).sum
     assert(total % 3 === 0)
     val adj = strongAdjacency
+    // population-with-verdict contract: EVERY capped-graph node reports,
+    // zero-triangle nodes included (the sf1 de-vacuation)
     val want = adj.map { case (n, nbrs) =>
       val ns = nbrs.toSeq.sorted
-      (n, (for (i <- ns.indices; j <- (i + 1) until ns.length
-                if adj(ns(i)).contains(ns(j))) yield 1).size.toLong)
-    }.filter(_._2 > 0)
-    val got = rows.map(r => (r.getAs[Long]("supp_key"), r.getAs[Long]("triangles"))).toMap
+      (n, (nbrs.size.toLong,
+        (for (i <- ns.indices; j <- (i + 1) until ns.length
+              if adj(ns(i)).contains(ns(j))) yield 1).size.toLong))
+    }
+    val got = rows.map(r => (r.getAs[Long]("supp_key"),
+      (r.getAs[Long]("strong_degree"), r.getAs[Long]("triangles")))).toMap
     assert(got === want)
   }
 
