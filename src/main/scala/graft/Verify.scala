@@ -47,7 +47,11 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      // multiply-referenced CTEs get MATERIALIZED mechanically — the
+      // fence is value-neutral and without it DuckDB's re-inlining is
+      // multiplicative at big SFs (see OracleSql)
+      .map { case (k, v) => s"${q(k)}: ${q(OracleSql.materializeCtes(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
