@@ -174,6 +174,14 @@ object Quality {
     * (floor(acctbal/1000)) is the generalization step of the
     * Sweeney-style anonymization loop: rerun the audit per
     * generalization level until no risky groups remain.
+    *
+    * Population-with-verdict form (the r15 sf1 de-vacuation): the 20
+    * SMALLEST quasi-groups under a total order (size ASC then the
+    * quasi columns), each flagged `is_risky = size < KAnon` — at sf1
+    * the fixed-cardinality quasi space (25×5×11 cells) fills until no
+    * group sits under 5 and the old risky-rows-only output
+    * hash-matched two empty sets. The auditor reads the smallest
+    * groups either way; the verdict is the flag.
     */
   def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
@@ -182,16 +190,23 @@ object Quality {
         floor(col("c_acctbal") / lit(1000d)).as("bal_band"))
       .groupBy(col("nationkey"), col("mktsegment"), col("bal_band"))
       .agg(count(lit(1)).as("group_size"))
-      .filter(col("group_size") < KAnon)
+      .orderBy(col("group_size").asc, col("nationkey").asc,
+        col("mktsegment").asc, col("bal_band").asc)
+      .limit(20)
+      .withColumn("is_risky", col("group_size") < KAnon)
 
   val kAnonymityAuditOracle: String = s"""
-    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-      c_mktsegment AS mktsegment,
-      CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
-      COUNT(*) AS group_size
-    FROM customer
-    GROUP BY 1, 2, 3
-    HAVING COUNT(*) < $KAnon"""
+    SELECT nationkey, mktsegment, bal_band, group_size,
+      (group_size < $KAnon) AS is_risky
+    FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        c_mktsegment AS mktsegment,
+        CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM customer
+      GROUP BY 1, 2, 3)
+    ORDER BY group_size ASC, nationkey ASC, mktsegment ASC, bal_band ASC
+    LIMIT 20"""
 
   /** The account-balance generalization rungs: band width 10^g dollars
     * for g = 0..4, then g = 5 suppresses the attribute entirely (one

@@ -1947,11 +1947,19 @@ class OperatorSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Boolean]("within_bounds")))
   }
 
-  test("k_anonymity_audit: only sub-threshold groups are reported") {
+  test("k_anonymity_audit: the 20 smallest quasi-groups report with " +
+      "the sub-threshold flag exact") {
     val rows = operators.Quality.kAnonymityAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sizes = rows.map(_.getAs[Long]("group_size"))
+    sizes.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "ascending by group size")
+      case _ =>
+    }
     rows.foreach { r =>
-      val g = r.getAs[Long]("group_size")
-      assert(g >= 1L && g < 5L)
+      assert(r.getAs[Long]("group_size") >= 1L)
+      assert(r.getAs[Boolean]("is_risky")
+        === (r.getAs[Long]("group_size") < 5L))
     }
   }
 
