@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Inference.defs ++
       operators.CorpusExt.defs ++
       operators.EventExt.defs ++
+      operators.Scheduling.defs ++
       sources.Ingest.defs ++
       sources.ApiEnrich.defs
 

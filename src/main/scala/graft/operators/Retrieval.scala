@@ -294,6 +294,17 @@ object Retrieval {
     * one-row aggregate instead of an eager `docs.count()` job.
     */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    // Degradation contract (the spearmanCorr discipline — the last
+    // withGlobalRank rider without a registered fallback, r14 verdict
+    // item 3): when the session's rank-cell budget sits below the exact
+    // path's 1024 global value cells, dispatch to the bucketed
+    // histogram-CDF form instead of dying at Ranks' capPairs assert.
+    // The fallback keeps the exact schema (norm_bucket dropped).
+    val cap = spark.conf.get("spark.graft.maxRankCells", "4096").toInt
+    if (cap < QuantileNormalizeCells)
+      return quantileNormalizeBucketedCore(spark, dir, cap)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("norm_chars"))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     val tot = docs.agg(count(lit(1)).as("__n_total"))
@@ -343,6 +354,144 @@ object Retrieval {
       FROM d)
     SELECT t.doc_id, t.source, t.n_chars, g.g_chars AS norm_chars
     FROM tgt t JOIN global g ON t.g_target = g.gr"""
+
+  /** The exact path's global value-cell count — also the dispatch
+    * threshold for the bucketed fallback (see [[quantileNormalize]]).
+    */
+  private[graft] val QuantileNormalizeCells = 1024
+
+  /** Bucketed histogram-CDF core shared by [[quantileNormalizeBucketed]]
+    * (at the standard 1024 buckets) and [[quantileNormalize]]'s
+    * past-the-cap fallback (at the configured budget). Semantics:
+    * [[quantileNormalize]]'s contract with both rank lookups replaced
+    * by their bucketed forms — each doc takes its (source, bucket)
+    * MIDRANK as its within-source rank (tie-averaged over the bucket,
+    * half-unit integers, the spearmanCorrBucketed discipline), and the
+    * global inverse CDF resolves the target rank to the containing
+    * global bucket's SMALLEST observed value (a real corpus value, like
+    * the exact path — never an interpolated synthetic length).
+    * Degenerates toward the exact map as buckets approach the distinct
+    * value count, up to midrank-vs-row_number tie splitting.
+    *
+    * Scale shape — why this form survives any corpus size where the
+    * exact path fail-louds at the Ranks cell cap: ONE corpus aggregate
+    * into the (source × ≤buckets) cell grid (map-side combinable);
+    * midranks ride source-partitioned windows over that bounded grid
+    * (never an unpartitioned window — the global prefix is a
+    * triangular self-join over ≤buckets metadata rows); the doc-level
+    * pass joins the broadcast cell grid on (source, bucket) and the
+    * broadcast ≤buckets-row inverse-CDF table on a range predicate —
+    * each doc probes ≤buckets cells, no corpus sort, no row-level rank
+    * join anywhere. All ranks/counts BIGINT; the percent rank is the
+    * one double expression, IEEE-identical in both engines.
+    */
+  private def quantileNormalizeBucketedCore(
+      spark: SparkSession, dir: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"quantileNormalizeBucketedCore: buckets=$buckets")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val span = docs.agg(min(col("n_chars")).as("__gmin"),
+      max(col("n_chars")).as("__gmax"))
+    def binned = docs.crossJoin(broadcast(span))
+      .withColumn("vb",
+        expr(s"((n_chars - __gmin) * $buckets) div (__gmax - __gmin + 1)"))
+    // the ONE corpus aggregate: (source, bucket) cells with the bucket's
+    // observed minimum (the inverse CDF's value representative)
+    val cells = graft.functions.Iterate.checkpoint(
+      binned.groupBy(col("source"), col("vb"))
+        .agg(count(lit(1)).as("c"), min(col("n_chars")).as("vmin")),
+      Some("(source, bucket) length cells — bounded by sources × buckets"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("vb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val srcCells = cells
+      .withColumn("__base", coalesce(sum(col("c")).over(bySrc), lit(0L)))
+      .withColumn("n_s",
+        sum(col("c")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("vb"),
+        (lit(2L) * col("__base") + col("c") + lit(1L)).as("mid2"),
+        col("n_s"))
+    // global histogram + exclusive prefix: ≤buckets rows, triangular join
+    val ghist = cells.groupBy(col("vb").as("g_vb"))
+      .agg(sum(col("c")).as("cg"), min(col("vmin")).as("gvmin"))
+    val glow = ghist.select(col("g_vb").as("__lo_vb"), col("cg").as("__lo_c"))
+    val gpre = ghist.join(glow, col("__lo_vb") < col("g_vb"), "left")
+      .groupBy(col("g_vb"), col("cg"), col("gvmin"))
+      .agg(coalesce(sum(col("__lo_c")), lit(0L)).as("gbase"))
+    val tot = docs.agg(count(lit(1)).as("__n_total"))
+    binned
+      .join(broadcast(srcCells), Seq("source", "vb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pr",
+        when(col("n_s") === 1, lit(0.5))
+          .otherwise((col("mid2") - 2).cast("double")
+            / (lit(2L) * (col("n_s") - 1)).cast("double")))
+      .withColumn("g_target",
+        (floor(col("pr") * (col("__n_total") - 1).cast("double") + lit(0.5))
+          + lit(1L)).cast("bigint"))
+      .join(broadcast(gpre),
+        col("gbase") < col("g_target")
+          && col("g_target") <= col("gbase") + col("cg"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("gvmin").as("norm_chars"), col("g_vb").cast("bigint")
+          .as("norm_bucket"))
+  }
+
+  /** Quantile normalization via bucketed midranks + histogram inverse
+    * CDF — the registered face of the scale fallback
+    * [[quantileNormalize]] degrades to past its rank-cell budget (the
+    * last of the r14 verdict's three withGlobalRank riders to get one:
+    * spearman_corr_bucketed landed first, kendall_tau_b was already
+    * prefix-bucketed). 1024 global-span buckets; see
+    * [[quantileNormalizeBucketedCore]] for semantics and the
+    * one-corpus-aggregate shape. Reports each doc's normalized length
+    * (the containing global bucket's smallest observed value) plus the
+    * bucket id — a user reads coarse `norm_bucket` granularity as "the
+    * span is quantized, the calibration is coarse".
+    */
+  def quantileNormalizeBucketed(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalizeBucketedCore(spark, dir, QuantileNormalizeCells)
+
+  val quantileNormalizeBucketedOracle: String = s"""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    span AS (SELECT MIN(n_chars) AS gmin, MAX(n_chars) AS gmax FROM d),
+    binned AS MATERIALIZED (
+      SELECT doc_id, source, n_chars,
+        ((n_chars - gmin) * $QuantileNormalizeCells) // (gmax - gmin + 1)
+          AS vb
+      FROM d CROSS JOIN span),
+    cells AS MATERIALIZED (
+      SELECT source, vb, CAST(COUNT(*) AS BIGINT) AS c,
+        MIN(n_chars) AS vmin
+      FROM binned GROUP BY 1, 2),
+    srccells AS (
+      SELECT source, vb,
+        2 * COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY vb ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+          AS mid2,
+        SUM(c) OVER (PARTITION BY source) AS n_s
+      FROM cells),
+    ghist AS MATERIALIZED (
+      SELECT vb AS g_vb, CAST(SUM(c) AS BIGINT) AS cg, MIN(vmin) AS gvmin
+      FROM cells GROUP BY 1),
+    gpre AS (
+      SELECT g_vb, cg, gvmin,
+        COALESCE(SUM(cg) OVER (ORDER BY g_vb ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gbase
+      FROM ghist),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d),
+    tgt AS (
+      SELECT b.doc_id, b.source, b.n_chars,
+        CAST(FLOOR(
+          (CASE WHEN s.n_s = 1 THEN CAST(0.5 AS DOUBLE)
+            ELSE CAST(s.mid2 - 2 AS DOUBLE)
+              / CAST(2 * (s.n_s - 1) AS DOUBLE) END)
+          * CAST(n.n_total - 1 AS DOUBLE) + 0.5) + 1 AS BIGINT) AS g_target
+      FROM binned b JOIN srccells s ON b.source = s.source AND b.vb = s.vb
+      CROSS JOIN n)
+    SELECT t.doc_id, t.source, t.n_chars, g.gvmin AS norm_chars,
+      CAST(g.g_vb AS BIGINT) AS norm_bucket
+    FROM tgt t
+    JOIN gpre g ON g.gbase < t.g_target AND t.g_target <= g.gbase + g.cg"""
 
   /** Theil–Sen robust trend per nation over the monthly revenue series —
     * the median of pairwise slopes (up to 29% outlier breakdown vs OLS's
@@ -936,6 +1085,8 @@ object Retrieval {
     "ndcg_eval" -> QueryDef.sql(ndcgEval, ndcgEvalOracle),
     "retrieval_eval_pk" -> QueryDef.sql(retrievalEvalPk, retrievalEvalPkOracle),
     "quantile_normalize" -> QueryDef.sql(quantileNormalize, quantileNormalizeOracle),
+    "quantile_normalize_bucketed" -> QueryDef.sql(quantileNormalizeBucketed,
+      quantileNormalizeBucketedOracle),
     "theilsen_trend" -> QueryDef.sql(theilsenTrend, theilsenTrendOracle),
     "ols_trend" -> QueryDef.sql(olsTrend, olsTrendOracle),
     "map_eval" -> QueryDef.sql(mapEval, mapEvalOracle),

@@ -342,4 +342,105 @@ class PipelineSpec extends SparkSpec {
       "resumed manifest must recount the staged payload lines")
     assert(replay() == first, "replay after resume must be batch-identical")
   }
+
+  // ---- Scheduler: the clock-injected schedule/catchup surface ----
+
+  test("scheduler: catchup=true materializes every closed interval in " +
+      "logical order with Airflow backfill flags") {
+    import graft.pipeline.Scheduler
+    val runs = Scheduler.dueRuns(startDay = 10, intervalDays = 1,
+      nowDay = 15, catchup = true)
+    assert(runs.map(_.logicalDay) == Seq(10L, 11L, 12L, 13L, 14L))
+    runs.foreach { r =>
+      assert(r.intervalStartDay == r.logicalDay)
+      assert(r.intervalEndDay == r.logicalDay + 1)
+    }
+    // the interval containing `now` is OPEN and never runs
+    assert(!runs.exists(_.logicalDay == 15L))
+    // all but the latest closed interval are catch-up work
+    assert(runs.map(_.backfill) == Seq(true, true, true, true, false))
+  }
+
+  test("scheduler: catchup=false runs only the latest closed interval; " +
+      "multi-day intervals align to the start grid") {
+    import graft.pipeline.Scheduler
+    val latest = Scheduler.dueRuns(10, 1, 15, catchup = false)
+    assert(latest.map(_.logicalDay) == Seq(14L))
+    assert(!latest.head.backfill)
+    // weekly grid from day 0 at now=20: [0,7) and [7,14) closed,
+    // [14,21) still open
+    val weekly = Scheduler.dueRuns(0, 7, 20, catchup = true)
+    assert(weekly.map(r => (r.logicalDay, r.intervalEndDay, r.backfill))
+      == Seq((0L, 7L, true), (7L, 14L, false)))
+    // nothing closed yet -> nothing due
+    assert(Scheduler.dueRuns(10, 7, 16, catchup = true).isEmpty)
+  }
+
+  test("scheduler: ticks are ledger-idempotent, failed runs stay " +
+      "ledgered, and younger runs still execute") {
+    import graft.pipeline.{Orchestrator, Scheduler}
+    val executed = scala.collection.mutable.ArrayBuffer[Long]()
+    def tasksFor(r: Scheduler.ScheduledRun): Seq[Orchestrator.TaskDef] =
+      Seq(Orchestrator.TaskDef(name = "load", retries = 0)(() => {
+        executed += r.logicalDay
+        if (r.logicalDay == 11L) sys.error("transient lake outage")
+      }))
+    val (rep1, led1) = Scheduler.tick(10, 1, 13, catchup = true,
+      Set.empty, tasksFor)
+    assert(rep1.map(_._1.logicalDay) == Seq(10L, 11L, 12L))
+    assert(executed.toSeq == Seq(10L, 11L, 12L),
+      "a failed run must not stop younger runs")
+    assert(!rep1(1)._2.allSucceeded && rep1(2)._2.allSucceeded)
+    assert(led1 == Set(10L, 11L, 12L),
+      "failed runs are ledgered -- recovery is explicit, never a " +
+        "silent re-create")
+    // same clock again: nothing due
+    val (rep2, led2) = Scheduler.tick(10, 1, 13, catchup = true,
+      led1, tasksFor)
+    assert(rep2.isEmpty && led2 == led1)
+    // clock advances: only the newly closed interval runs
+    val (rep3, _) = Scheduler.tick(10, 1, 15, catchup = true,
+      led1, tasksFor)
+    assert(rep3.map(_._1.logicalDay) == Seq(13L, 14L))
+  }
+
+  test("schedule_backfill_plan: the registered plan agrees with " +
+      "Scheduler.dueRuns over the same lake horizon") {
+    import graft.pipeline.Scheduler
+    val plan = operators.Scheduling.scheduleBackfillPlan(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("run_seq"))
+    assert(plan.nonEmpty)
+    val dayIds = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions
+        .expr("ts div 86400000000000").as("d"))
+      .distinct().collect().map(_.getLong(0))
+    val (dmin, dmax) = (dayIds.min, dayIds.max)
+    val due = Scheduler.dueRuns(dmin, 1, dmax, catchup = true)
+    assert(plan.length == due.length)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    plan.zip(due).zipWithIndex.foreach { case ((row, run), i) =>
+      val d = java.time.LocalDate
+        .parse(row.getAs[String]("logical_date"), fmt).toEpochDay
+      assert(d == run.logicalDay)
+      assert(java.time.LocalDate
+        .parse(row.getAs[String]("interval_end"), fmt).toEpochDay
+        == run.intervalEndDay)
+      assert(row.getAs[Long]("run_seq") == i + 1)
+      // the plan's deploy-anchor flag is independent of the Scheduler's
+      // per-tick flag; recompute it from the horizon
+      assert(row.getAs[Boolean]("is_backfill")
+        == (run.intervalEndDay <= dmax - 7))
+    }
+    // observed volumes: every day with events reports its exact count,
+    // calendar gaps report zero (the grid is generated, not observed)
+    val byDay = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions
+        .expr("ts div 86400000000000").as("d"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plan.foreach { row =>
+      val d = java.time.LocalDate
+        .parse(row.getAs[String]("logical_date"), fmt).toEpochDay
+      assert(row.getAs[Long]("n_events") == byDay.getOrElse(d, 0L))
+    }
+  }
 }

@@ -310,4 +310,112 @@ class R15OpsSpec extends SparkSpec {
     assert(!row.isNullAt(row.fieldIndex("sum_d2")))
     assert(row.getAs[Long]("sum_d2") > 0L)
   }
+
+  // ---- quantile_normalize_bucketed: the last withGlobalRank rider ----
+
+  /** (doc_id, source, n_chars) collected once per suite run. */
+  private lazy val docRows: Seq[(Long, String, Long)] =
+    Tables.documents(spark, specDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+
+  /** Independent driver-side recomputation of the bucketed
+    * histogram-CDF map: same bucket formula, same half-unit midranks,
+    * same single double expression, same bucket-minimum inverse CDF.
+    * Returns doc_id -> (norm_chars, norm_bucket).
+    */
+  private def refQuantileNormalizeBucketed(
+      rows: Seq[(Long, String, Long)], buckets: Int)
+      : Map[Long, (Long, Long)] = {
+    val gmin = rows.map(_._3).min
+    val gmax = rows.map(_._3).max
+    def vb(x: Long): Long = ((x - gmin) * buckets) / (gmax - gmin + 1)
+    val n = rows.size.toLong
+    val gpre = {
+      var acc = 0L
+      rows.groupBy(r => vb(r._3)).toSeq.sortBy(_._1).map { case (b, g) =>
+        val e = (b, g.size.toLong, g.map(_._3).min, acc)
+        acc += g.size; e
+      }
+    }
+    val srcMid = rows.groupBy(_._2).flatMap { case (src, g) =>
+      val ns = g.size.toLong
+      var acc = 0L
+      g.groupBy(r => vb(r._3)).toSeq.sortBy(_._1).map { case (b, gg) =>
+        val c = gg.size.toLong
+        val m2 = 2 * acc + c + 1
+        acc += c
+        (src, b) -> (m2, ns)
+      }
+    }
+    rows.map { case (id, src, x) =>
+      val (m2, ns) = srcMid((src, vb(x)))
+      val pr = if (ns == 1) 0.5
+        else (m2 - 2).toDouble / (2 * (ns - 1)).toDouble
+      val gt = math.floor(pr * (n - 1).toDouble + 0.5).toLong + 1
+      val (b, _, vmin, _) = gpre
+        .find { case (_, c, _, base) => base < gt && gt <= base + c }
+        .getOrElse(sys.error(s"no global bucket covers target rank $gt"))
+      id -> (vmin, b)
+    }.toMap
+  }
+
+  test("quantile_normalize_bucketed: equals the driver-side " +
+      "recomputation at 1024 buckets") {
+    val got = operators.Retrieval.quantileNormalizeBucketed(spark, specDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("norm_chars"), r.getAs[Long]("norm_bucket"))))
+      .toMap
+    val want = refQuantileNormalizeBucketed(docRows, 1024)
+    assert(got.size == docRows.size, "one output row per doc")
+    assert(got == want)
+    // resolution sanity: the target buckets actually spread (the
+    // within-source percent-rank grid is |source|-coarse, so the
+    // realized target set is far smaller than the corpus)
+    assert(got.values.map(_._2).toSet.size > 20)
+  }
+
+  test("quantile_normalize_bucketed: tracks the exact map in " +
+      "global-CDF terms") {
+    val exact = operators.Retrieval.quantileNormalize(spark, specDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("norm_chars"))
+      .toMap
+    val bucketed = operators.Retrieval
+      .quantileNormalizeBucketed(spark, specDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("norm_chars"))
+      .toMap
+    val sortedVals = docRows.map(_._3).sorted
+    def cdf(v: Long): Double =
+      sortedVals.count(_ <= v).toDouble / sortedVals.size
+    val drifts = docRows.map(r =>
+      math.abs(cdf(bucketed(r._1)) - cdf(exact(r._1)))).sorted
+    // midrank-vs-row_number tie splitting plus within-bucket
+    // quantization; measured p95 = 0.018, max = 0.042 at sf0.01 — the
+    // pins leave margin without letting the two maps diverge as
+    // calibrators
+    assert(drifts(drifts.size * 95 / 100) <= 0.03,
+      s"p95 CDF drift ${drifts(drifts.size * 95 / 100)}")
+    assert(drifts.last <= 0.10, s"max CDF drift ${drifts.last}")
+  }
+
+  test("quantile_normalize: bucketed fallback ENGAGES past the " +
+      "rank-cell budget (no fail-loud), exact schema, budget's values") {
+    spark.conf.set("spark.graft.maxRankCells", "256")
+    try {
+      val out = operators.Retrieval.quantileNormalize(spark, specDir)
+      assert(out.columns.toSeq ==
+        Seq("doc_id", "source", "n_chars", "norm_chars"),
+        "the fallback must keep the exact path's schema")
+      val got = out.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("norm_chars"))
+        .toMap
+      val want = refQuantileNormalizeBucketed(docRows, 256)
+        .map { case (id, (v, _)) => id -> v }
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.maxRankCells")
+  }
 }

@@ -33,7 +33,19 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
+
+    def record(name, ok, err, spark_rows=None, oracle_rows=None):
+        results[name] = {
+            "rows_match": ok or (spark_rows is not None
+                                 and spark_rows == oracle_rows),
+            "schema_match": ok or (err or "").startswith("value mismatch"),
+            "hash_match": ok,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows,
+            "err": None if ok else err,
+        }
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -45,17 +57,26 @@ def main(sf_dir, out_dir):
         try:
             want = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1
+            record(name, False, f"oracle error: {e}"); continue
         try:
             got = pd.concat([pd.read_parquet(p) for p in sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))], ignore_index=True)
         except Exception as e:
-            print(f"FAIL {name}: spark result missing: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: spark result missing: {e}"); n_fail += 1
+            record(name, False, f"spark result missing: {e}",
+                   oracle_rows=len(want)); continue
         if sorted(want.columns) != sorted(got.columns):
-            print(f"FAIL {name}: columns differ: oracle={sorted(want.columns)} spark={sorted(got.columns)}"); n_fail += 1; continue
+            print(f"FAIL {name}: columns differ: oracle={sorted(want.columns)} spark={sorted(got.columns)}"); n_fail += 1
+            record(name, False, "columns differ",
+                   spark_rows=len(got), oracle_rows=len(want)); continue
         if len(want) != len(got):
-            print(f"FAIL {name}: rows differ: oracle={len(want)} spark={len(got)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows differ: oracle={len(want)} spark={len(got)}"); n_fail += 1
+            record(name, False, "rows differ",
+                   spark_rows=len(got), oracle_rows=len(want)); continue
         if len(want) == 0 and name not in EMPTY_OK:
-            print(f"FAIL {name}: vacuous (0 rows on both sides -- the match proves nothing)"); n_fail += 1; continue
+            print(f"FAIL {name}: vacuous (0 rows on both sides -- the match proves nothing)"); n_fail += 1
+            record(name, False, "vacuous (0 rows both sides)",
+                   spark_rows=0, oracle_rows=0); continue
         w, g = norm(want), norm(got)
         bad = None
         # The driver hashes stringified values, so int64 1 vs float64 1.0 is a
@@ -63,7 +84,9 @@ def main(sf_dir, out_dir):
         kind_bad = [c for c in w.columns if w[c].dtype.kind != g[c].dtype.kind]
         if kind_bad:
             c = kind_bad[0]
-            print(f"FAIL {name}: dtype kind differs col={c} oracle={w[c].dtype} spark={g[c].dtype}"); n_fail += 1; continue
+            print(f"FAIL {name}: dtype kind differs col={c} oracle={w[c].dtype} spark={g[c].dtype}"); n_fail += 1
+            record(name, False, f"dtype kind differs col={c}",
+                   spark_rows=len(got), oracle_rows=len(want)); continue
         for c in w.columns:
             wc, gc = w[c], g[c]
             if wc.dtype == "float64":
@@ -74,10 +97,18 @@ def main(sf_dir, out_dir):
                 i = int((~eq).idxmax()); bad = (c, wc.iloc[i], gc.iloc[i]); break
         if bad:
             print(f"FAIL {name}: value mismatch col={bad[0]} oracle={bad[1]!r} spark={bad[2]!r}"); n_fail += 1
+            record(name, False,
+                   f"value mismatch col={bad[0]} oracle={bad[1]!r} spark={bad[2]!r}",
+                   spark_rows=len(got), oracle_rows=len(want))
         else:
             print(f"PASS {name} ({len(want)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+            record(name, True, None, spark_rows=len(got), oracle_rows=len(want))
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 def bench_gate():
@@ -115,5 +146,9 @@ def bench_gate():
     return r.returncode
 
 if __name__ == "__main__":
-    rc = main(sys.argv[1], sys.argv[2])
+    # optional 3rd arg: write a driver-style per-query JSON artifact
+    # (the CORRECTNESS_r{N}.json shape) -- used to publish off-cycle
+    # sweeps like the sf1 decade audit.
+    rc = main(sys.argv[1], sys.argv[2],
+              json_out=sys.argv[3] if len(sys.argv) > 3 else None)
     sys.exit(rc or bench_gate())
