@@ -508,6 +508,109 @@ object Tokenizer {
           / col("n_char_syms").cast("double"))
   }
 
+  /** Greedy step length at `pos` (0-based chars consumed): the LONGEST
+    * vocabulary hit among the next 1..[[MaxPieceLen]] chars — the
+    * WordPiece inference rule (Schuster & Nakajima 2012; BERT's
+    * tokenizer), which never looks ahead. Single chars are always in
+    * the vocabulary, so the step is ≥ 1 and every word encodes.
+    */
+  private def greedyStepCol(word: Column, pos: Column): Column =
+    // ascending fold so the LONGEST candidate ends up outermost in the
+    // nested conditional — a descending fold would nest l=2 outermost
+    // and silently turn this into shortest-match
+    (2 to MaxPieceLen).foldLeft(lit(1)) { (shorter, l) =>
+      when(length(word) - pos >= l
+          && element_at(col("vm"), word.substr(pos + 1, lit(l))).isNotNull,
+        lit(l)).otherwise(shorter)
+    }
+
+  /** Token count of one word under greedy longest-match-first — the
+    * [[npCol]] counterpart without the DP: a bounded fold advancing
+    * (pos, n) one piece per step (≤ len steps; identity once consumed).
+    */
+  private def greedyNpCol(word: Column): Column =
+    when(length(word) === 0, lit(0L))
+      .otherwise(aggregate(sequence(lit(1), length(word)),
+        struct(lit(0).as("pos"), lit(0L).as("n")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          when(pos >= length(word), acc)
+            .otherwise(struct((pos + greedyStepCol(word, pos)).as("pos"),
+              (acc.getField("n") + 1L).as("n")))
+        },
+        acc => acc.getField("n")))
+
+  /** Encode the corpus with WordPiece GREEDY longest-match-first over
+    * the SAME trained unigram vocabulary — the third tokenizer family's
+    * inference rule beside BPE's merge replay and unigram's Viterbi,
+    * sharing the vocabulary so the comparison isolates the SEGMENTER:
+    * greedy never beats Viterbi on piece count (Viterbi minimizes it by
+    * construction — R15OpsSpec pins ≥ per document) but runs without
+    * backpointers, which is why serving-side tokenizers ship it. Same
+    * scale shape as [[unigramEncode]]: one corpus scan against the
+    * broadcast piece map, zero corpus shuffles.
+    */
+  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vm = vocabMap(unigramVocab(Tables.documents(spark, dir)))
+    Tables.documents(spark, dir)
+      .crossJoin(broadcast(vm))
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
+          .as("n_char_syms"),
+        aggregate(split(col("text"), "\\s+"), lit(0L), (acc, word) =>
+          acc + greedyNpCol(word)).as("n_wordpiece_tokens"))
+      .withColumn("compression",
+        col("n_wordpiece_tokens").cast("double")
+          / col("n_char_syms").cast("double"))
+  }
+
+  /** The greedy walk as a RECURSIVE CTE per distinct word (the uwk
+    * pattern — greedy is exactly the early-exit iteration shape the
+    * LIST_REDUCE hazard note forbids as a fold): (pos, n) advances one
+    * piece per recursion level, np is the final n. Requires `uw` and
+    * the trained vocabulary from [[sqlUnigramCtes]]; builds its own
+    * one-row piece map (`gmf`) so the chain composes without
+    * [[sqlEncodeCtes]]' per-word DP.
+    */
+  private def sqlGreedyCtes: String = {
+    // ascending fold for the same longest-first nesting as the engine
+    val step = (2 to MaxPieceLen).foldLeft("1") { (shorter, l) =>
+      s"""CASE WHEN LEN(word) - pos >= $l AND
+        map_extract(vm, SUBSTR(word, CAST(pos + 1 AS INT), $l))[1]
+          IS NOT NULL THEN $l ELSE $shorter END"""
+    }
+    s"""
+    gmf AS (SELECT MAP(LIST(piece ORDER BY piece), LIST(freq ORDER BY piece)) AS vm
+            FROM uv${UnigramRounds + 1}),
+    gwk AS (
+      SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
+      FROM uw
+      UNION ALL
+      SELECT word, pos + step, n + 1 FROM (
+        SELECT word, pos, n, $step AS step
+        FROM gwk CROSS JOIN gmf WHERE pos < LEN(word))),
+    gnp AS MATERIALIZED (
+      SELECT word, MAX(n) AS np FROM gwk GROUP BY 1),
+    gtok AS (
+      SELECT d.doc_id, CAST(SUM(COALESCE(n.np, 0)) AS BIGINT)
+          AS n_wordpiece_tokens
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS word
+            FROM documents) d
+      LEFT JOIN gnp n ON d.word = n.word
+      GROUP BY 1)"""
+  }
+
+  val wordpieceEncodeOracle: String = s"""
+    WITH RECURSIVE $sqlUnigramCtes, $sqlGreedyCtes
+    SELECT c.doc_id,
+      CAST(LENGTH(REGEXP_REPLACE(c.text, '\\s+', '', 'g')) AS BIGINT)
+        AS n_char_syms,
+      t.n_wordpiece_tokens,
+      CAST(t.n_wordpiece_tokens AS DOUBLE)
+        / CAST(LENGTH(REGEXP_REPLACE(c.text, '\\s+', '', 'g')) AS DOUBLE)
+        AS compression
+    FROM documents c JOIN gtok t ON c.doc_id = t.doc_id"""
+
   /** The two tokenizer families side by side on the SAME corpus: total
     * character-symbol baseline, total BPE tokens (after the learned
     * [[MergeRounds]] merges) and total unigram tokens (under the
@@ -524,10 +627,15 @@ object Tokenizer {
       sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
     val u = unigramEncode(spark, dir).agg(
       sum(col("n_unigram_tokens")).as("n_unigram_tokens"))
-    b.crossJoin(u).select(col("n_char_syms"), col("n_bpe_tokens"),
-      col("n_unigram_tokens"),
-      expr("(n_bpe_tokens * 1000000) div n_char_syms").as("bpe_ppm"),
-      expr("(n_unigram_tokens * 1000000) div n_char_syms").as("unigram_ppm"))
+    val w = wordpieceEncode(spark, dir).agg(
+      sum(col("n_wordpiece_tokens")).as("n_wordpiece_tokens"))
+    b.crossJoin(u).crossJoin(w)
+      .select(col("n_char_syms"), col("n_bpe_tokens"),
+        col("n_unigram_tokens"), col("n_wordpiece_tokens"),
+        expr("(n_bpe_tokens * 1000000) div n_char_syms").as("bpe_ppm"),
+        expr("(n_unigram_tokens * 1000000) div n_char_syms").as("unigram_ppm"),
+        expr("(n_wordpiece_tokens * 1000000) div n_char_syms")
+          .as("wordpiece_ppm"))
   }
 
   // --- Unigram oracle SQL (mirrors the Scala constants/mechanics;
@@ -670,7 +778,7 @@ object Tokenizer {
         s"MAX(CASE WHEN merge_rank = $i THEN rhs END) AS r$i").mkString(", ")
     s"""
     WITH RECURSIVE $sqlTrainingCtes,
-    $sqlUnigramCtes, $sqlEncodeCtes,
+    $sqlUnigramCtes, $sqlEncodeCtes, $sqlGreedyCtes,
     m AS (SELECT $pivots FROM ($unionAll)),
     bpe AS (
       SELECT CAST(SUM(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g'))) AS BIGINT)
@@ -681,11 +789,15 @@ object Tokenizer {
       FROM documents CROSS JOIN m),
     uni AS (
       SELECT CAST(SUM(n_unigram_tokens) AS BIGINT) AS n_unigram_tokens
-      FROM utok)
-    SELECT n_char_syms, n_bpe_tokens, n_unigram_tokens,
+      FROM utok),
+    wp AS (
+      SELECT CAST(SUM(n_wordpiece_tokens) AS BIGINT) AS n_wordpiece_tokens
+      FROM gtok)
+    SELECT n_char_syms, n_bpe_tokens, n_unigram_tokens, n_wordpiece_tokens,
       (n_bpe_tokens * 1000000) // n_char_syms AS bpe_ppm,
-      (n_unigram_tokens * 1000000) // n_char_syms AS unigram_ppm
-    FROM bpe CROSS JOIN uni"""
+      (n_unigram_tokens * 1000000) // n_char_syms AS unigram_ppm,
+      (n_wordpiece_tokens * 1000000) // n_char_syms AS wordpiece_ppm
+    FROM bpe CROSS JOIN uni CROSS JOIN wp"""
   }
 
 
@@ -696,6 +808,7 @@ object Tokenizer {
       QueryDef.sql(bpeCompressionCurve, bpeCompressionCurveOracle),
     "unigram_train" -> QueryDef.sql(unigramTrain, unigramTrainOracle),
     "unigram_encode" -> QueryDef.sql(unigramEncode, unigramEncodeOracle),
+    "wordpiece_encode" -> QueryDef.sql(wordpieceEncode, wordpieceEncodeOracle),
     "tokenizer_compare" ->
       QueryDef.sql(tokenizerCompare, tokenizerCompareOracle)
   )
