@@ -40,16 +40,27 @@ object Exact {
   def decSum(c: Column): Column =
     sum(c.cast(DecimalType(28, 6)))
 
-  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle.
+    *
+    * The decimal total goes to double THROUGH VARCHAR: DuckDB's direct
+    * DECIMAL→DOUBLE cast is two-step (double(unscaled int) ÷ 10^scale —
+    * two roundings), while Spark's BigDecimal.doubleValue is correctly
+    * rounded in one step, so once a group total crosses 2^53 micros
+    * (≈ 9.0e9 in value units) the two drift by one ulp — caught by the
+    * r15 sf1 decade sweep on q1_agg (three groups, ±3.8e-6 at 2e10).
+    * Decimal→varchar prints the exact digits and varchar→double parses
+    * correctly rounded, which matches Spark bit-for-bit at any total;
+    * the conversion runs once per GROUP, not per row.
+    */
   def sqlDsum(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
 
   /** Wide variant for sums of squares (32 integer digits). */
   def dsumWide(c: Column): Column =
     sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
 
   def sqlDsumWide(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
 
   /** SQL fragment mirroring [[davg]]. */
   def sqlDavg(expr: String): String =

@@ -663,4 +663,51 @@ class ShuffleBudgetSpec extends SparkSpec {
   // broadcast; the corpus-scale joins ride broadcasts.
   check("ann_ivfpq_residual", 10)(
     operators.Quantization.annIvfPqResidual(spark, sfDir))
+
+  // ---- round-15 operators (measured with graft.ShuffleCount) ----
+
+  // spearman_corr_bucketed: ONE corpus groupBy into the joint
+  // (value-bucket, width) histogram (checkpointed); visible are the two
+  // axis-histogram folds, the two triangular midrank joins (metadata
+  // pairs), the moment aggregate and the cells count — all bounded by
+  // buckets^2 rows regardless of corpus size.
+  check("spearman_corr_bucketed", 9)(
+    operators.StatTests.spearmanCorrBucketed(spark, sfDir))
+  // semdedup_incremental: the index side is bucketed once (checkpointed
+  // recompute of the AnnIndex pipeline); visible are the probe-set join
+  // fold and the per-query best-neighbor aggregate — batch-keyed.
+  check("semdedup_incremental", 3)(
+    operators.Similarity.semdedupIncremental(spark, sfDir))
+  // unigram_train: every EM round lands in a checkpoint (the kmeans
+  // discipline) and the top-20 is TakeOrdered — the visible plan
+  // carries ZERO exchanges.
+  check("unigram_train", 0)(operators.Tokenizer.unigramTrain(spark, sfDir))
+  // unigram_encode / wordpiece_encode: one corpus scan against the
+  // broadcast piece map; the single exchange is the vocabulary fold
+  // feeding the broadcast.
+  check("unigram_encode", 2)(operators.Tokenizer.unigramEncode(spark, sfDir))
+  check("wordpiece_encode", 2)(
+    operators.Tokenizer.wordpieceEncode(spark, sfDir))
+  // tokenizer_compare: the three encode totals' single-row aggregates
+  // plus bpe_encode's merge-table pivot chain — every cross join is a
+  // one-row broadcast.
+  check("tokenizer_compare", 8)(
+    operators.Tokenizer.tokenizerCompare(spark, sfDir))
+  // louvain_refine: LPA rounds live in checkpoints; visible are the
+  // community-weight folds, the gain join (edge-keyed, the one
+  // corpus-scale shuffle family), the conflict-resolution aggregate and
+  // the modularity folds for both partitions.
+  check("louvain_refine", 10)(operators.GraphExt.louvainRefine(spark, sfDir))
+  // quantile_normalize_bucketed: ONE corpus aggregate into the
+  // (source, bucket) cell checkpoint; visible are the source-partitioned
+  // midrank windows over that grid, the global-histogram fold + its
+  // triangular prefix join, and the total-count row — doc-level work
+  // rides two broadcast joins, never a corpus shuffle.
+  check("quantile_normalize_bucketed", 5)(
+    operators.Retrieval.quantileNormalizeBucketed(spark, sfDir))
+  // schedule_backfill_plan: the per-day aggregate (checkpointed) is the
+  // one event-scale fold; the calendar explode and volume join ride the
+  // broadcast span row.
+  check("schedule_backfill_plan", 2)(
+    operators.Scheduling.scheduleBackfillPlan(spark, sfDir))
 }
