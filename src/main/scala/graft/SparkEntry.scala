@@ -31,6 +31,7 @@ object SparkEntry {
       operators.StatTests.defs ++
       operators.Inference.defs ++
       operators.CorpusExt.defs ++
+      operators.Toxicity.defs ++
       operators.EventExt.defs ++
       operators.Scheduling.defs ++
       sources.Ingest.defs ++

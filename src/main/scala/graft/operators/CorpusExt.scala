@@ -171,9 +171,15 @@ object CorpusExt {
     * the governance table that decides whether a source needs the scrub
     * pass at all). The corpus is synthetic, so PII is INJECTED
     * deterministically (pii_scrub's email/URL on every doc, a phone on
-    * doc_id % 3 = 0, an IPv4 on doc_id % 5 = 0) and then detected with
-    * the production regexes — the detectors are what is under test.
-    * Counts are per-row regexp_count folds: scan speed, one tiny
+    * doc_id % 3 = 0, an IPv4 on doc_id % 5 = 0, and — the r15 directive
+    * 8 extension — [[PiiShapes]]' VALIDATED classes: Luhn-checked card
+    * numbers on % 7 = 0 with checksum-broken decoys on % 11 = 0, and
+    * structurally valid national-ID shapes on % 13 = 0 with rule-
+    * breaking decoys on % 17 = 0) and then detected with the production
+    * logic — the detectors are what is under test, and the `*_rejected`
+    * columns prove the validators actually reject (a decoy surfacing in
+    * a valid count is a detector bug this table would show at any SF).
+    * Counts are per-row regexp/HOF folds: scan speed, one tiny
     * source-keyed aggregate.
     */
   def piiInventory(spark: SparkSession, dir: String): DataFrame = {
@@ -187,7 +193,8 @@ object CorpusExt {
       when(col("doc_id") % 5 === 0,
         concat(lit(" ip: 192.168."), (col("doc_id") % 256).cast("string"),
           lit("."), (col("doc_id") % 100).cast("string")))
-        .otherwise(lit("")))
+        .otherwise(lit("")),
+      PiiShapes.injection(col("doc_id")))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), dirty.as("dirty"))
       .select(col("source"),
@@ -200,16 +207,29 @@ object CorpusExt {
           .cast("bigint").as("phones"),
         regexp_count(col("dirty"),
           lit("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"))
-          .cast("bigint").as("ips"))
+          .cast("bigint").as("ips"),
+        size(PiiShapes.validCards(col("dirty"))).cast("bigint").as("cards"),
+        (size(PiiShapes.cardShapes(col("dirty")))
+          - size(PiiShapes.validCards(col("dirty")))).cast("bigint")
+          .as("cards_rejected"),
+        size(PiiShapes.validNids(col("dirty"))).cast("bigint").as("nids"),
+        (size(PiiShapes.nidShapes(col("dirty")))
+          - size(PiiShapes.validNids(col("dirty")))).cast("bigint")
+          .as("nids_rejected"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("emails")).as("emails"), sum(col("urls")).as("urls"),
-        sum(col("phones")).as("phones"), sum(col("ips")).as("ips"))
+        sum(col("phones")).as("phones"), sum(col("ips")).as("ips"),
+        sum(col("cards")).as("cards"),
+        sum(col("cards_rejected")).as("cards_rejected"),
+        sum(col("nids")).as("nids"),
+        sum(col("nids_rejected")).as("nids_rejected"))
       .withColumn("pii_per_doc_ppm",
-        expr("((emails + urls + phones + ips) * 1000000) div n_docs"))
+        expr("((emails + urls + phones + ips + cards + nids) * 1000000)"
+          + " div n_docs"))
   }
 
-  val piiInventoryOracle: String = """
+  val piiInventoryOracle: String = s"""
     WITH d AS (
       SELECT source,
         text || ' contact: user' || CAST(doc_id AS VARCHAR)
@@ -221,27 +241,49 @@ object CorpusExt {
           || (CASE WHEN doc_id % 5 = 0
               THEN ' ip: 192.168.' || CAST(doc_id % 256 AS VARCHAR)
                 || '.' || CAST(doc_id % 100 AS VARCHAR)
-              ELSE '' END) AS dirty
+              ELSE '' END)
+          || ${PiiShapes.SqlInjection} AS dirty
       FROM documents),
     c AS (
       SELECT source,
         CAST(LEN(REGEXP_EXTRACT_ALL(dirty,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
           AS emails,
         CAST(LEN(REGEXP_EXTRACT_ALL(dirty, 'https?://[^ ]+')) AS BIGINT)
           AS urls,
         CAST(LEN(REGEXP_EXTRACT_ALL(dirty,
-          '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS phones,
+          '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS phones,
         CAST(LEN(REGEXP_EXTRACT_ALL(dirty,
-          '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS ips
+          '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS ips,
+        CAST(LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(dirty,
+          '${PiiShapes.SqlCardPattern}'),
+          cc -> ${PiiShapes.sqlLuhnValid("cc", "ii")})) AS BIGINT) AS cards,
+        CAST(LEN(REGEXP_EXTRACT_ALL(dirty, '${PiiShapes.SqlCardPattern}'))
+          - LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(dirty,
+            '${PiiShapes.SqlCardPattern}'),
+            cr -> ${PiiShapes.sqlLuhnValid("cr", "ir")})) AS BIGINT)
+          AS cards_rejected,
+        CAST(LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(dirty,
+          '${PiiShapes.SqlNidPattern}'),
+          nn -> ${PiiShapes.sqlNidValid("nn")})) AS BIGINT) AS nids,
+        CAST(LEN(REGEXP_EXTRACT_ALL(dirty, '${PiiShapes.SqlNidPattern}'))
+          - LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(dirty,
+            '${PiiShapes.SqlNidPattern}'),
+            nr -> ${PiiShapes.sqlNidValid("nr")})) AS BIGINT)
+          AS nids_rejected
       FROM d)
     SELECT source, COUNT(*) AS n_docs,
       CAST(SUM(emails) AS BIGINT) AS emails,
       CAST(SUM(urls) AS BIGINT) AS urls,
       CAST(SUM(phones) AS BIGINT) AS phones,
       CAST(SUM(ips) AS BIGINT) AS ips,
+      CAST(SUM(cards) AS BIGINT) AS cards,
+      CAST(SUM(cards_rejected) AS BIGINT) AS cards_rejected,
+      CAST(SUM(nids) AS BIGINT) AS nids,
+      CAST(SUM(nids_rejected) AS BIGINT) AS nids_rejected,
       ((CAST(SUM(emails) AS BIGINT) + CAST(SUM(urls) AS BIGINT)
-        + CAST(SUM(phones) AS BIGINT) + CAST(SUM(ips) AS BIGINT)) * 1000000)
+        + CAST(SUM(phones) AS BIGINT) + CAST(SUM(ips) AS BIGINT)
+        + CAST(SUM(cards) AS BIGINT) + CAST(SUM(nids) AS BIGINT)) * 1000000)
         // COUNT(*) AS pii_per_doc_ppm
     FROM c GROUP BY source"""
 

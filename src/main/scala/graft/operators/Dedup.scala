@@ -512,6 +512,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .repartition(graft.functions.Iterate.statePartitions(spark))
       .transform(graft.functions.Iterate.checkpoint)
+    if (spark.conf.get("spark.graft.ccAlgorithm", "minlabel") == "star")
+      starComponents(spark, pairs)
+    else minLabelComponents(spark, pairs)
+  }
+
+  /** Min-label propagation over a (doc_a, doc_b) pair frame — exact
+    * min-reachable-id labels in O(eccentricity) rounds, two jobs per
+    * round (the label checkpoint + the convergence join-count). Right
+    * for near-dup graphs, whose clusters have tiny diameter; for
+    * web-scale template CHAINS (diameter past the round cap) it
+    * dispatches to [[starComponents]] — the degradation contract
+    * (result-identical, not approximate: both forms yield exactly
+    * min-reachable-id) instead of the old fail-loud, with the cap
+    * conf-escaped via `spark.graft.ccMaxRounds`.
+    */
+  private[graft] def minLabelComponents(
+      spark: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .transform(graft.functions.Iterate.checkpoint)
@@ -520,7 +537,7 @@ object Dedup {
       .transform(graft.functions.Iterate.checkpoint)
     var changed = 1L
     var rounds = 0
-    val maxRounds = 50
+    val maxRounds = spark.conf.get("spark.graft.ccMaxRounds", "50").toInt
     while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = edges
         .join(labels, col("doc_b") === col("node"))
@@ -534,16 +551,121 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    // Fail LOUD on non-convergence: a silently-truncated propagation
-    // would emit wrong component labels (and wrong dedup_apply output)
-    // for any near-dup chain longer than the round cap.
-    require(changed == 0,
-      s"connected components did not converge in $maxRounds rounds — " +
-        "graph eccentricity exceeds the cap; raise maxRounds")
+    if (changed != 0) {
+      // Past-cap dispatch (r15 verdict directive 2): the graph's
+      // eccentricity exceeds the round budget — O(diameter) propagation
+      // is the wrong algorithm for this graph, not a reason to die.
+      // Loud, because the cost model changes (per-round work shifts
+      // from label joins to star re-orientations).
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected components did not converge in $maxRounds min-label " +
+          "rounds — dispatching to the alternating large-star/small-star " +
+          "form (O(log n) rounds, identical labels)")
+      return starComponents(spark, pairs)
+    }
     labels.select(
       col("node").as("doc_id"),
       col("label").as("component"),
       (col("node") === col("label")).as("is_canonical"))
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond") over a
+    * (doc_a, doc_b) pair frame — the web-scale form: label-for-label
+    * identical to [[minLabelComponents]] (both converge to
+    * min-reachable-id per component) but in O(log² n) rounds worst case
+    * (O(log n) observed; the paper proves O(log n) for its two-phase
+    * variant), so a 100 TB dup graph with million-hop template chains
+    * finishes in ~dozens of rounds where min-label propagation would
+    * need a round per hop.
+    *
+    * Each round is two edge re-orientations:
+    *   - large-star: every node attaches its LARGER neighbors to the
+    *     minimum of its closed neighborhood;
+    *   - small-star: edges orient (larger → smaller); every node
+    *     re-points its smaller neighbors (and itself) at that minimum.
+    * Both are one map-side-combinable min-aggregate plus one join on the
+    * state frame — no corpus access, no unpartitioned anything.
+    *
+    * The convergence check RIDES THE ROUND'S OWN MATERIALIZATION
+    * (r15 verdict: no per-round driver count()): an `observe()` metric
+    * pair (edge count + order-independent bit_xor of xxhash64(u, v))
+    * is collected by the same job that checkpoints the round's edge
+    * set; the loop stops when two consecutive rounds publish identical
+    * signatures (a fixed point of a deterministic transform; collision
+    * probability 2⁻⁶⁴). The 60-round cap is a fail-loud backstop ≈
+    * log₂(any feasible node count), not a tuning knob.
+    */
+  private[graft] def starComponents(
+      spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val ck = (df: DataFrame) => graft.functions.Iterate.checkpoint(df)
+    val nodes = ck(pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node"))).distinct())
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val m = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val j = or.join(m, Seq("u"))
+      j.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(j.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+    var prev: Option[(Long, Long)] = None
+    var converged = false
+    var rounds = 0
+    val maxRounds = 60
+    while (!converged && rounds < maxRounds) {
+      val obs = new org.apache.spark.sql.Observation()
+      val next = ck(smallStar(largeStar(edges))
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("sig")))
+      // the checkpoint above IS the round's action (Dataset.checkpoint
+      // runs under withAction, which publishes observed metrics), so the
+      // future is already complete; the bounded wait + direct-agg
+      // fallback only fire if a Spark version stops publishing metrics
+      // for the checkpoint action — never a hang, never a silent skip
+      val metrics =
+        try scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration(30, "s"))
+          .getValuesMap[Any](Seq("n", "sig"))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            next.agg(count(lit(1)).as("n"),
+              coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("sig"))
+              .head().getValuesMap[Any](Seq("n", "sig"))
+        }
+      val sigNow = (metrics("n").asInstanceOf[Long],
+        metrics("sig").asInstanceOf[Long])
+      converged = prev.contains(sigNow)
+      prev = Some(sigNow)
+      edges = next
+      rounds += 1
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $maxRounds rounds — " +
+        "impossible for any feasible graph (the bound is logarithmic); " +
+        "this indicates a non-deterministic edge source")
+    val parents = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("label"))
+    nodes.join(parents, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("label"), col("node")).as("component"),
+        (coalesce(col("label"), col("node")) === col("node")).as("is_canonical"))
   }
 
   val dedupComponentsOracle: String = s"""
@@ -1619,6 +1741,15 @@ object Dedup {
     // final rows are deterministic and identical to `decontaminate`'s.
     "decontaminate_bloom" -> QueryDef.sql(decontaminateBloom, decontaminateOracle),
     "dedup_components" -> QueryDef.sql(dedupComponents, dedupComponentsOracle),
+    // the star form is registered as its own oracle-checked face (same
+    // min-reachable-id contract, same oracle) so the scale path is
+    // continuously verified, not just spec-compared to min-label
+    "dedup_components_star" -> QueryDef.sql(
+      (spark, dir) => starComponents(spark,
+        dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+          .repartition(graft.functions.Iterate.statePartitions(spark))
+          .transform(graft.functions.Iterate.checkpoint)),
+      dedupComponentsOracle),
     "dedup_keep_best" -> QueryDef.sql(dedupKeepBest, dedupKeepBestOracle),
     "dedup_mix_shift" -> QueryDef.sql(dedupMixShift, dedupMixShiftOracle),
     "dup_cluster_sizes" -> QueryDef.sql(dupClusterSizes, dupClusterSizesOracle),

@@ -1048,8 +1048,173 @@ object GraphExt {
           / col("q_den").cast("double")).cast("bigint").as("q_refined_ppm"))
   }
 
-  val louvainRefineOracle: String = {
-    def qCtes(rel: String, s: String): String = s"""
+  /** Number of super-graph contraction levels [[louvainMultilevel]]
+    * runs after the one-level sweep — FIXED (not until-converged) so
+    * the DuckDB oracle can unroll the identical computation; a level
+    * past convergence is a no-op in both engines (no positive-gain
+    * candidate exists), and the output's `converged` flag (last level
+    * accepted zero moves) makes an under-provisioned unroll VISIBLE in
+    * the hash-compared row rather than silently truncating — the spec
+    * pins converged=true at every SF.
+    */
+  private val LouvainLevels = 3
+
+  /** Exact modularity numerator (4m² units) + community count of a
+    * labeling over the strong pair graph — the qOf pattern from
+    * [[louvainRefine]] shared with the multilevel form. `strength` is
+    * the node-strength frame (node, k) computed once from the pairs.
+    */
+  private def qNumOf(pairs: DataFrame, strength: DataFrame,
+      labels: DataFrame, mTot: DataFrame): DataFrame = {
+    val jq = pairs
+      .join(stateHint(labels.select(col("supp_key").as("supp_a"),
+        col("community").as("ca"))), Seq("supp_a"))
+      .join(stateHint(labels.select(col("supp_key").as("supp_b"),
+        col("community").as("cb"))), Seq("supp_b"))
+    val inW = jq.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(sum(col("w")).as("in_w"))
+    val dC = strength
+      .join(stateHint(labels.select(col("supp_key").as("node"),
+        col("community").as("c"))), Seq("node"))
+      .groupBy(col("c")).agg(sum(col("k")).as("deg_w"))
+    dC.join(inW, Seq("c"), "left").crossJoin(broadcast(mTot))
+      .agg(count(lit(1)).as("n_comm"),
+        sum(lit(4L) * col("m") * coalesce(col("in_w"), lit(0L))
+          - col("deg_w") * col("deg_w")).as("q_num"))
+  }
+
+  /** Full multi-level Louvain (Blondel et al. 2008, both phases):
+    * [[louvainParts]]' conflict-free one-level sweep, then
+    * [[LouvainLevels]] rounds of phase 2 — aggregate the current
+    * communities into a SUPER-GRAPH (inter-community edge weights +
+    * intra-community self-weights) and re-run the same parallel
+    * positive-gain move pass over super-nodes, which moves WHOLE
+    * communities at once (the escape hatch node-local sweeps lack).
+    *
+    * The super-level gain algebra collapses beautifully because each
+    * super-node starts in its own singleton community: moving super-node
+    * u into neighbor v's community changes modularity by exactly
+    * gain·4m² = 4m·w_uv − 2·k_u·k_v, with k the super-strength
+    * (incident inter weight + 2× self weight — intra edges count twice
+    * in a community's degree mass) and m the ORIGINAL graph's total
+    * weight, invariant across levels. The gain is symmetric in (u, v),
+    * so a u↔v swap pair always conflicts via their shared edge and the
+    * (gain DESC, node ASC) total order keeps exactly one — the same
+    * conflict-freedom construction as level 0, hence the same theorem:
+    * accepted movers edit disjoint {in_c, deg_c} entries and
+    * q_final_num − q_l0_num ≡ Σ accepted gain_x4m2 over all levels, an
+    * exact BIGINT identity the spec asserts.
+    *
+    * Scale: each contraction SHRINKS the graph (nodes = communities),
+    * so level cost is monotonically decreasing; every join is on the
+    * community-keyed state frames with [[stateHint]] broadcasts, the
+    * original pair list shuffles once per level for the re-labeling
+    * aggregate, and the per-level move tally is a one-row aggregate.
+    */
+  def louvainMultilevel(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs0, comm, comm2, _) = louvainParts(spark, dir)
+    val pairs = checkpoint(pairs0)
+    val mTot = pairs.agg(sum(col("w")).as("m"))
+    val strength = pairs
+      .select(col("supp_a").as("node"), col("w"))
+      .unionByName(pairs.select(col("supp_b").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("k"))
+      .transform(checkpoint)
+    var labels = comm2
+    val perLevel = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (_ <- 1 to LouvainLevels) {
+      val j = pairs
+        .join(stateHint(labels.select(col("supp_key").as("supp_a"),
+          col("community").as("ca"))), Seq("supp_a"))
+        .join(stateHint(labels.select(col("supp_key").as("supp_b"),
+          col("community").as("cb"))), Seq("supp_b"))
+      val inter = checkpoint(j.filter(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("cu"),
+          greatest(col("ca"), col("cb")).as("cv"), col("w"))
+        .groupBy(col("cu"), col("cv")).agg(sum(col("w")).as("w")))
+      val selfW = j.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(sum(col("w")).as("s"))
+      val kk = checkpoint(inter.select(col("cu").as("c"), col("w"))
+        .unionByName(inter.select(col("cv").as("c"), col("w")))
+        .unionByName(selfW.select(col("c"), (col("s") * 2).as("w")))
+        .groupBy(col("c")).agg(sum(col("w")).as("k")))
+      val cd = inter
+        .join(stateHint(kk.select(col("c").as("cu"), col("k").as("ku"))),
+          Seq("cu"))
+        .join(stateHint(kk.select(col("c").as("cv"), col("k").as("kv"))),
+          Seq("cv"))
+        .crossJoin(broadcast(mTot))
+        .withColumn("gain_x4m2",
+          lit(4L) * col("m") * col("w") - lit(2L) * col("ku") * col("kv"))
+        .filter(col("gain_x4m2") > 0)
+      val candBoth = cd
+        .select(col("cu").as("node"), col("cv").as("t"), col("gain_x4m2"))
+        .unionByName(
+          cd.select(col("cv").as("node"), col("cu").as("t"), col("gain_x4m2")))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("gain_x4m2").desc, col("t").asc)
+      val cand = checkpoint(candBoth
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .select(col("node"), col("t"), col("gain_x4m2")))
+      val byComm = cand.select(col("node"), col("gain_x4m2"),
+        explode(array(col("node"), col("t"))).as("cc"))
+      val commConf = byComm
+        .join(byComm.select(col("cc"), col("node").as("o_node"),
+          col("gain_x4m2").as("o_gain")), Seq("cc"))
+        .filter(col("o_node") =!= col("node"))
+        .select(col("node"), col("gain_x4m2"), col("o_node"), col("o_gain"))
+      val adjConf = inter
+        .select(col("cu").as("node"), col("cv").as("o_node"))
+        .unionByName(inter.select(col("cv").as("node"), col("cu").as("o_node")))
+        .join(cand.select(col("node"), col("gain_x4m2")), Seq("node"))
+        .join(cand.select(col("node").as("o_node"),
+          col("gain_x4m2").as("o_gain")), Seq("o_node"))
+        .select(col("node"), col("gain_x4m2"), col("o_node"), col("o_gain"))
+      val rejected = commConf.unionByName(adjConf)
+        .filter(col("o_gain") > col("gain_x4m2")
+          || (col("o_gain") === col("gain_x4m2")
+            && col("o_node") < col("node")))
+        .select(col("node")).distinct()
+      val accepted = checkpoint(cand.join(rejected, Seq("node"), "left_anti"))
+      val st = accepted.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("gain_x4m2")), lit(0L)).as("g")).head()
+      perLevel += ((st.getAs[Long]("n"), st.getAs[Long]("g")))
+      labels = checkpoint(labels
+        .join(stateHint(accepted.select(col("node").as("community"),
+          col("t"))), Seq("community"), "left")
+        .select(col("supp_key"),
+          coalesce(col("t"), col("community")).as("community")))
+    }
+    val moveCols = perLevel.zipWithIndex.map { case ((n, _), i) =>
+      lit(n).as(s"n_moves_l${i + 1}")
+    }
+    val sumGain = perLevel.map(_._2).sum
+    comm.agg(count(lit(1)).as("n_nodes"))
+      .select(col("n_nodes") +: moveCols.toSeq: _*)
+      .withColumn("sum_gain_levels", lit(sumGain))
+      .withColumn("converged", lit(perLevel.last._1 == 0L))
+      .crossJoin(broadcast(qNumOf(pairs, strength, comm2, mTot)
+        .select(col("q_num").as("q_l0_num"))))
+      .crossJoin(broadcast(qNumOf(pairs, strength, labels, mTot)
+        .select(col("n_comm").as("n_communities_final"),
+          col("q_num").as("q_final_num"))))
+      .crossJoin(broadcast(mTot
+        .select((lit(4L) * col("m") * col("m")).as("q_den"))))
+      .select(col("n_nodes"), col("n_moves_l1"), col("n_moves_l2"),
+        col("n_moves_l3"), col("sum_gain_levels"), col("converged"),
+        col("n_communities_final"), col("q_l0_num"), col("q_final_num"),
+        col("q_den"),
+        floor(col("q_final_num").cast("double") * lit(1.0e6)
+          / col("q_den").cast("double")).cast("bigint").as("q_final_ppm"))
+  }
+
+  /** Modularity CTE triple (in-weight, community degree, q numerator)
+    * over labeling CTE `rel` — shared by [[louvainRefineOracle]] and
+    * [[louvainMultilevelOracle]]; requires the base CTEs `sp`, `lvstr`,
+    * `mt` in scope.
+    */
+  private def louvainQCtes(rel: String, s: String): String = s"""
     inw$s AS (
       SELECT x.community AS c, CAST(SUM(sp.w) AS BIGINT) AS in_w
       FROM sp JOIN $rel x ON sp.supp_a = x.supp_key
@@ -1063,6 +1228,9 @@ object GraphExt {
         CAST(SUM(4 * mt.m * COALESCE(i.in_w, 0) - d.deg_w * d.deg_w)
           AS BIGINT) AS q_num
       FROM degq$s d LEFT JOIN inw$s i ON d.c = i.c CROSS JOIN mt)"""
+
+  val louvainRefineOracle: String = {
+    def qCtes(rel: String, s: String): String = louvainQCtes(rel, s)
     val gain = "4 * mt.m * (wn.w_nc - b.w_own) " +
       "- 2 * b.k * (dt.deg_w - da.deg_w + b.k)"
     s"""

@@ -301,10 +301,24 @@ object Retrieval {
     // histogram-CDF form instead of dying at Ranks' capPairs assert.
     // The fallback keeps the exact schema (norm_bucket dropped).
     val cap = spark.conf.get("spark.graft.maxRankCells", "4096").toInt
-    if (cap < QuantileNormalizeCells)
-      return quantileNormalizeBucketedCore(spark, dir, cap)
+    if (cap < QuantileNormalizeCells) {
+      // Loud, because the registered quantile_normalize oracle is the
+      // EXACT SQL: a correctness gate run under a lowered cap would fail
+      // the hash compare with no hint that this (contractual) fallback,
+      // not a bug, produced the drift. The bucket count is floored at
+      // QuantileNormalizeMinBuckets — a cap between 1 and ~|sources|
+      // would degenerate every doc to near-identical norm_chars with no
+      // signal that the calibration is meaningless.
+      val buckets = math.max(cap, QuantileNormalizeMinBuckets)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"quantile_normalize: rank-cell budget $cap < exact path's " +
+          s"$QuantileNormalizeCells cells — dispatching to the bucketed " +
+          s"approximate form ($buckets buckets); results will NOT match " +
+          "the exact-rank oracle")
+      return quantileNormalizeBucketedCore(spark, dir, buckets)
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("norm_chars"))
+    }
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     val tot = docs.agg(count(lit(1)).as("__n_total"))
@@ -359,6 +373,14 @@ object Retrieval {
     * threshold for the bucketed fallback (see [[quantileNormalize]]).
     */
   private[graft] val QuantileNormalizeCells = 1024
+
+  /** Floor for the fallback's bucket count: below ~16 buckets the
+    * histogram CDF has fewer cells than typical source counts and every
+    * doc collapses to a handful of norm_chars values — a meaningless
+    * calibration that would LOOK like a result. The fallback clamps up
+    * to this rather than honoring a degenerate cap verbatim.
+    */
+  private[graft] val QuantileNormalizeMinBuckets = 16
 
   /** Bucketed histogram-CDF core shared by [[quantileNormalizeBucketed]]
     * (at the standard 1024 buckets) and [[quantileNormalize]]'s

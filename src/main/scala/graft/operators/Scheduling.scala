@@ -47,8 +47,15 @@ object Scheduling {
       max(col("day_id")).as("__dmax"))
     def dayStr(day: org.apache.spark.sql.Column) =
       date_format(timestamp_seconds(day * 86400L), "yyyy-MM-dd")
+    // Guard the calendar: Spark's sequence(a, b) DESCENDS when b < a
+    // (sequence(1, 0) = [1, 0]), so a single-day lake (dmin == dmax,
+    // only an OPEN interval) would emit two spurious runs where the
+    // interval-must-close contract — and the oracle's RANGE(dmin, dmax),
+    // which is empty for dmin == dmax — requires zero.
     span
-      .select(explode(expr("sequence(__dmin, __dmax - 1)")).as("day_id"),
+      .select(explode(expr(
+          """CASE WHEN __dmax > __dmin THEN sequence(__dmin, __dmax - 1)
+             ELSE CAST(array() AS array<bigint>) END""")).as("day_id"),
         col("__dmin"), col("__dmax"))
       .join(broadcast(daily), Seq("day_id"), "left")
       .select(

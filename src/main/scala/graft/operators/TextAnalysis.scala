@@ -318,36 +318,72 @@ object TextAnalysis {
     FROM g JOIN per_src USING (source)
     WHERE n_docs >= 2"""
 
-  /** PII scrubbing — redact emails and URLs before training (the
-    * compliance pass every corpus gets). The lake text is synthetic and
-    * clean, so the operator first derives a PII-bearing column the way
-    * a crawl would carry one (deterministic contact+link suffix), then
-    * applies the redaction rules; the rules are the operator. Simple
-    * character-class regexes keep Java and RE2 semantics aligned.
+  /** PII scrubbing — redact emails, URLs, and [[PiiShapes]]' VALIDATED
+    * classes (Luhn-checked card numbers → `[CARD]`, structurally valid
+    * national-ID shapes → `[NID]`) before training (the compliance pass
+    * every corpus gets). The lake text is synthetic and clean, so the
+    * operator first derives a PII-bearing column the way a crawl would
+    * carry one (deterministic contact+link suffix plus PiiShapes'
+    * valid-and-decoy injections), then applies the redaction rules; the
+    * rules are the operator. The validated classes redact by
+    * extract → validate → exact-string replace, so a checksum-broken
+    * decoy passes through UNREDACTED — the validator, not the shape
+    * regex, gates the redaction (over-redaction is itself a defect: it
+    * destroys order ids and citation numerals). Simple character-class
+    * regexes keep Java and RE2 semantics aligned; the folds are codegen
+    * HOFs over the per-row candidate list (never a UDF).
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     val dirty = concat(col("text"),
       lit(" contact: user"), col("doc_id").cast("string"),
-      lit("@example.com via https://ex.io/p/"), col("doc_id").cast("string"))
+      lit("@example.com via https://ex.io/p/"), col("doc_id").cast("string"),
+      PiiShapes.injection(col("doc_id")))
     Tables.documents(spark, dir)
       .select(col("doc_id"), dirty.as("dirty"))
+      // validated-class redaction first (exact-string replace of each
+      // validated candidate), then the shape-regex classes
+      .withColumn("s1",
+        aggregate(PiiShapes.validCards(col("dirty")), col("dirty"),
+          (acc, c) => replace(acc, c, lit("[CARD]"))))
+      .withColumn("s2",
+        aggregate(PiiShapes.validNids(col("dirty")), col("s1"),
+          (acc, c) => replace(acc, c, lit("[NID]"))))
       .select(
         col("doc_id"),
         regexp_replace(
-          regexp_replace(col("dirty"),
-            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-          "https?://[^ ]+", "[URL]").as("scrubbed"))
+          regexp_replace(col("s2"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+            lit("[EMAIL]")),
+          lit("https?://[^ ]+"), lit("[URL]")).as("scrubbed"))
   }
 
-  val piiScrubOracle: String = """
+  val piiScrubOracle: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+        text || ' contact: user' || CAST(doc_id AS VARCHAR)
+             || '@example.com via https://ex.io/p/' || CAST(doc_id AS VARCHAR)
+             || ${PiiShapes.SqlInjection} AS dirty
+      FROM documents),
+    v AS (
+      SELECT doc_id, dirty,
+        LIST_FILTER(REGEXP_EXTRACT_ALL(dirty, '${PiiShapes.SqlCardPattern}'),
+          cc -> ${PiiShapes.sqlLuhnValid("cc", "ii")}) AS cards,
+        LIST_FILTER(REGEXP_EXTRACT_ALL(dirty, '${PiiShapes.SqlNidPattern}'),
+          nn -> ${PiiShapes.sqlNidValid("nn")}) AS nids
+      FROM d),
+    r AS (
+      SELECT doc_id,
+        LIST_REDUCE(LIST_PREPEND(
+          LIST_REDUCE(LIST_PREPEND(dirty, cards),
+            (acc, c) -> REPLACE(acc, c, '[CARD]')), nids),
+          (acc2, c2) -> REPLACE(acc2, c2, '[NID]')) AS s2
+      FROM v)
     SELECT doc_id,
       REGEXP_REPLACE(
-        REGEXP_REPLACE(
-          text || ' contact: user' || CAST(doc_id AS VARCHAR)
-               || '@example.com via https://ex.io/p/' || CAST(doc_id AS VARCHAR),
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        REGEXP_REPLACE(s2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         'https?://[^ ]+', '[URL]', 'g') AS scrubbed
-    FROM documents"""
+    FROM r"""
 
   /** Fixed-window document chunking with overlap — the step that turns
     * documents into training/embedding units: 64-word windows every 48

@@ -36,11 +36,17 @@ def norm(df):
 def main(sf_dir, out_dir, json_out=None):
     results = {}
 
-    def record(name, ok, err, spark_rows=None, oracle_rows=None):
+    def record(name, ok, err, spark_rows=None, oracle_rows=None,
+               schema_ok=None):
+        # schema_ok is tracked EXPLICITLY by the caller (True once the
+        # column-name check passed), not inferred from the error prefix:
+        # 'rows differ' / 'vacuous' / 'spark result missing' failures
+        # used to publish schema_match=False even when columns matched,
+        # misclassifying them as schema breaks in the CORRECTNESS json.
         results[name] = {
             "rows_match": ok or (spark_rows is not None
                                  and spark_rows == oracle_rows),
-            "schema_match": ok or (err or "").startswith("value mismatch"),
+            "schema_match": ok or bool(schema_ok),
             "hash_match": ok,
             "spark_rows": spark_rows, "oracle_rows": oracle_rows,
             "err": None if ok else err,
@@ -71,12 +77,12 @@ def main(sf_dir, out_dir, json_out=None):
                    spark_rows=len(got), oracle_rows=len(want)); continue
         if len(want) != len(got):
             print(f"FAIL {name}: rows differ: oracle={len(want)} spark={len(got)}"); n_fail += 1
-            record(name, False, "rows differ",
-                   spark_rows=len(got), oracle_rows=len(want)); continue
+            record(name, False, "rows differ", spark_rows=len(got),
+                   oracle_rows=len(want), schema_ok=True); continue
         if len(want) == 0 and name not in EMPTY_OK:
             print(f"FAIL {name}: vacuous (0 rows on both sides -- the match proves nothing)"); n_fail += 1
             record(name, False, "vacuous (0 rows both sides)",
-                   spark_rows=0, oracle_rows=0); continue
+                   spark_rows=0, oracle_rows=0, schema_ok=True); continue
         w, g = norm(want), norm(got)
         bad = None
         # The driver hashes stringified values, so int64 1 vs float64 1.0 is a
@@ -99,7 +105,7 @@ def main(sf_dir, out_dir, json_out=None):
             print(f"FAIL {name}: value mismatch col={bad[0]} oracle={bad[1]!r} spark={bad[2]!r}"); n_fail += 1
             record(name, False,
                    f"value mismatch col={bad[0]} oracle={bad[1]!r} spark={bad[2]!r}",
-                   spark_rows=len(got), oracle_rows=len(want))
+                   spark_rows=len(got), oracle_rows=len(want), schema_ok=True)
         else:
             print(f"PASS {name} ({len(want)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
