@@ -125,6 +125,7 @@ object Bench {
       "stream_bench_histogram", "stream_bench_heavyhitters",
       "stream_bench_novelty", "stream_bench_dauwords", "stream_bench_bounce",
       "stream_bench_cdc", "stream_bench_drift",
+      "stream_bench_attribution_outer",
       "curation_pipeline_e2e", "stream_curation_e2e",
       "ann_index_probe_e2e")
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet ++ extraNames)
@@ -275,6 +276,11 @@ object Bench {
           .writeStream.format("memory").queryName(uniq)
           .outputMode("append").start(), uniq)
       }),
+      ("stream_bench_attribution_outer", (uniq: String) => drain(
+        streaming.EventStreams.attributionOuter(
+            streaming.EventStreams.eventsStream(spark, sfDir))
+          .writeStream.format("memory").queryName(uniq)
+          .outputMode("append").start(), uniq)),
       ("stream_bench_cdc", { (_: String) =>
         val sp = spark
         import sp.implicits._

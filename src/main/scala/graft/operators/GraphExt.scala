@@ -1113,6 +1113,18 @@ object GraphExt {
     */
   def louvainMultilevel(spark: SparkSession, dir: String): DataFrame = {
     val (pairs0, comm, comm2, _) = louvainParts(spark, dir)
+    louvainMultilevelCore(spark, pairs0, comm, comm2)
+  }
+
+  /** [[louvainMultilevel]] over an arbitrary weighted pair graph
+    * (supp_a, supp_b, w) and initial labelings — the form the spec
+    * drives with a constructed graph whose optimum NEEDS whole-community
+    * moves (the lake's strong graph is already LPA-optimal, so the
+    * registered face legitimately reports zero moves there; the spec is
+    * where the contraction machinery is proven live).
+    */
+  private[graft] def louvainMultilevelCore(spark: SparkSession,
+      pairs0: DataFrame, comm: DataFrame, comm2: DataFrame): DataFrame = {
     val pairs = checkpoint(pairs0)
     val mTot = pairs.agg(sum(col("w")).as("m"))
     val strength = pairs
@@ -1311,8 +1323,100 @@ object GraphExt {
     FROM q1 CROSS JOIN q2 CROSS JOIN mv CROSS JOIN mt"""
   }
 
+  /** One super-graph contraction + conflict-free singleton-community
+    * move pass, DuckDB spelling — level `l` reads labeling CTE
+    * `lab{l-1}` (level 1 reads `comm2`) and emits `lab$l`. Mirrors
+    * [[louvainMultilevel]]'s loop body term for term.
+    */
+  private def louvainLevelCtes(l: Int): String = {
+    val prev = if (l == 1) "comm2" else s"lab${l - 1}"
+    s"""inter$l AS MATERIALIZED (
+      SELECT LEAST(x.community, y.community) AS cu,
+        GREATEST(x.community, y.community) AS cv,
+        CAST(SUM(sp.w) AS BIGINT) AS w
+      FROM sp JOIN $prev x ON sp.supp_a = x.supp_key
+        JOIN $prev y ON sp.supp_b = y.supp_key
+      WHERE x.community <> y.community GROUP BY 1, 2),
+    selfw$l AS (
+      SELECT x.community AS c, CAST(SUM(sp.w) AS BIGINT) AS s
+      FROM sp JOIN $prev x ON sp.supp_a = x.supp_key
+        JOIN $prev y ON sp.supp_b = y.supp_key
+      WHERE x.community = y.community GROUP BY 1),
+    kk$l AS MATERIALIZED (
+      SELECT c, CAST(SUM(w) AS BIGINT) AS k FROM (
+        SELECT cu AS c, w FROM inter$l
+        UNION ALL SELECT cv, w FROM inter$l
+        UNION ALL SELECT c, 2 * s FROM selfw$l) u
+      GROUP BY 1),
+    cd$l AS MATERIALIZED (
+      SELECT i.cu, i.cv,
+        4 * mt.m * i.w - 2 * ku.k * kv.k AS gain_x4m2
+      FROM inter$l i JOIN kk$l ku ON ku.c = i.cu
+        JOIN kk$l kv ON kv.c = i.cv CROSS JOIN mt
+      WHERE 4 * mt.m * i.w - 2 * ku.k * kv.k > 0),
+    cand$l AS MATERIALIZED (
+      SELECT node, t, gain_x4m2 FROM (
+        SELECT node, t, gain_x4m2, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY gain_x4m2 DESC, t ASC) AS rn
+        FROM (SELECT cu AS node, cv AS t, gain_x4m2 FROM cd$l
+              UNION ALL SELECT cv, cu, gain_x4m2 FROM cd$l) cb) rk
+      WHERE rn = 1),
+    conf$l AS (
+      SELECT x.node, x.gain_x4m2, y.node AS o_node, y.gain_x4m2 AS o_gain
+      FROM (SELECT node, gain_x4m2, UNNEST([node, t]) AS cc FROM cand$l) x
+      JOIN (SELECT node, gain_x4m2, UNNEST([node, t]) AS cc FROM cand$l) y
+        ON x.cc = y.cc AND x.node <> y.node
+      UNION ALL
+      SELECT c1.node, c1.gain_x4m2, c2.node, c2.gain_x4m2
+      FROM (SELECT cu AS u, cv AS v FROM inter$l
+            UNION ALL SELECT cv, cu FROM inter$l) e
+      JOIN cand$l c1 ON c1.node = e.u JOIN cand$l c2 ON c2.node = e.v),
+    acc$l AS MATERIALIZED (
+      SELECT * FROM cand$l WHERE node NOT IN (
+        SELECT node FROM conf$l
+        WHERE o_gain > gain_x4m2
+          OR (o_gain = gain_x4m2 AND o_node < node))),
+    lab$l AS MATERIALIZED (
+      SELECT p.supp_key, COALESCE(a.t, p.community) AS community
+      FROM $prev p LEFT JOIN acc$l a ON a.node = p.community)"""
+  }
+
+  lazy val louvainMultilevelOracle: String = {
+    // louvainRefineOracle's base CTE chain (comm .. comm2), then the
+    // unrolled levels and the two modularity passes
+    val qStart = louvainRefineOracle.indexOf(louvainQCtes("comm", "1"))
+    require(qStart > 0, "louvainMultilevelOracle: base-CTE marker missing")
+    val base = louvainRefineOracle
+      .substring(louvainRefineOracle.indexOf("WITH ") + 5, qStart)
+      .trim.stripSuffix(",")
+    val levels = (1 to LouvainLevels).map(louvainLevelCtes).mkString(",\n    ")
+    val moveSums = (1 to LouvainLevels)
+      .map(l => s"(SELECT CAST(COALESCE(SUM(gain_x4m2), 0) AS BIGINT) " +
+        s"FROM acc$l)").mkString(" + ")
+    s"""
+    WITH $base,
+    $levels,
+    ${louvainQCtes("comm2", "0")},
+    ${louvainQCtes(s"lab$LouvainLevels", "f")}
+    SELECT (SELECT COUNT(*) FROM comm) AS n_nodes,
+      ${(1 to LouvainLevels).map(l =>
+        s"(SELECT CAST(COUNT(*) AS BIGINT) FROM acc$l) AS n_moves_l$l")
+        .mkString(",\n      ")},
+      $moveSums AS sum_gain_levels,
+      (SELECT COUNT(*) FROM acc$LouvainLevels) = 0 AS converged,
+      qf.n_comm AS n_communities_final,
+      q0.q_num AS q_l0_num,
+      qf.q_num AS q_final_num,
+      4 * mt.m * mt.m AS q_den,
+      CAST(FLOOR(CAST(qf.q_num AS DOUBLE) * 1.0e6
+        / CAST(4 * mt.m * mt.m AS DOUBLE)) AS BIGINT) AS q_final_ppm
+    FROM q0 CROSS JOIN qf CROSS JOIN mt"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "louvain_refine" -> QueryDef.sql(louvainRefine, louvainRefineOracle),
+    "louvain_multilevel" ->
+      QueryDef.sql(louvainMultilevel, louvainMultilevelOracle),
     "betweenness_sampled" ->
       QueryDef.sql(betweennessSampled, betweennessSampledOracle),
     "closeness_sampled" ->

