@@ -20,11 +20,19 @@ object Verify {
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump (dev loop); the oracle
     // json is restricted to match so check.py only compares the subset.
     val only = QueryDef.subsetFilter(SparkEntry.queries.keySet)
+    // Single-file outputs are tidy at the driver's sf0.01, but
+    // coalesce(1) COLLAPSES a narrow plan into one task — at sf10 the
+    // whole query runs single-threaded behind it. Big-SF sweeps set
+    // SPARK_GRAFT_NO_COALESCE=1; check.py globs *.parquet either way.
+    val keepParts = sys.env.contains("SPARK_GRAFT_NO_COALESCE")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir)
+        (if (keepParts) out else out.coalesce(1)).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -52,6 +52,18 @@ class ShuffleBudgetSpec extends SparkSpec {
   // gopher_rules is a pure per-row rule projection — scan speed, ZERO
   // shuffles at any SF.
   check("gopher_rules", 0)(operators.TextAnalysis.gopherRules(spark, sfDir))
+  // badwords_flag: the lexicon gate is one regexp_count against a
+  // constant alternation — scan speed, ZERO shuffles; the lexicon never
+  // becomes a join side.
+  check("badwords_flag", 0)(operators.Toxicity.badwordsFlag(spark, sfDir))
+  // badwords_source_report: the doc_id-keyed join of the two scan-speed
+  // projections (two exchanges at real scale — not pinned to the AQE
+  // broadcast that may elide one here) + the per-source aggregate.
+  check("badwords_source_report", 3)(
+    operators.Toxicity.badwordsSourceReport(spark, sfDir))
+  // pii_scrub with the validated classes stays a pure per-row
+  // extract-validate-replace projection — still ZERO shuffles.
+  check("pii_scrub", 0)(operators.TextAnalysis.piiScrub(spark, sfDir))
   // mix_rebalance: the corpus never shuffles — one tiny per-source count
   // aggregate and its single-row total twin broadcast back onto a
   // scan-speed filter. Budget = exactly those two small aggregates.
