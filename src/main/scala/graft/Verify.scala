@@ -13,9 +13,26 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // context-level (must precede getOrCreate): lets the cleaner
+      // delete reliable checkpoint data once its RDD is GC'd — see the
+      // SPARK_GRAFT_CHECKPOINT_DIR note below; harmless without a dir
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Big-SF sweeps: localCheckpoint keeps state in block-manager
+    // memory, and once storage memory fills, evicted blocks are LOST
+    // (the r16 sf10 sweep cascaded 342 failures that way). A reliable
+    // checkpoint dir makes Iterate.checkpoint durable on disk instead —
+    // the same switch a production cluster flips (HDFS/S3 dir). The
+    // cleaner conf matters as much as the dir: without it Spark NEVER
+    // deletes reliable checkpoint data during an application, so a
+    // multi-hundred-query sweep would trade the memory exhaustion for
+    // disk exhaustion; with it (set in the builder above — it is
+    // context-level), each query's checkpoints are reclaimed once
+    // their RDD references are GC'd between queries.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump (dev loop); the oracle
     // json is restricted to match so check.py only compares the subset.

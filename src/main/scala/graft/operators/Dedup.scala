@@ -537,7 +537,12 @@ object Dedup {
       .transform(graft.functions.Iterate.checkpoint)
     var changed = 1L
     var rounds = 0
-    val maxRounds = spark.conf.get("spark.graft.ccMaxRounds", "50").toInt
+    // Default 16, not the old 50: near-dup cluster diameters are tiny
+    // (a chain of 16 mutually-similar hops is already exotic), and
+    // every round past convergence-failure is WASTED work once the
+    // star dispatch below recomputes from scratch — the budget is the
+    // price of trying the cheap algorithm first, so keep it small.
+    val maxRounds = spark.conf.get("spark.graft.ccMaxRounds", "16").toInt
     while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = edges
         .join(labels, col("doc_b") === col("node"))

@@ -235,7 +235,10 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx"),
-        count(lit(1)).as("n_users"),
+        // count(col), not count(*): a NULL user_id forms its own stage-1
+        // group, which COUNT(DISTINCT user_id) — the old form and the
+        // oracle — would exclude; n_events still counts its rows
+        count(col("user_id")).as("n_users"),
         sum(col("__n")).as("n_events"))
       .select(col("event_type"), col("n_users"), col("n_events"),
         (abs(col("approx") - col("n_users")).cast("double")

@@ -318,8 +318,15 @@ object Ingest {
     // reader can time-travel to, not a derived frame) and read back by
     // id — the diff below runs on what the commit protocol actually
     // stored. The scratch table is rebuilt per call (idempotent,
-    // dir-keyed so concurrent SFs don't collide).
-    val scratch = s"${sys.props("java.io.tmpdir")}/graft_snapdiff_" +
+    // dir-keyed so concurrent SFs don't collide). Placement: the
+    // session's reliable checkpoint dir when one is set — that's the
+    // CLUSTER-SHARED store (HDFS/S3); a java.io.tmpdir path on a
+    // multi-node deployment would scatter executor-written parts
+    // across node-local disks and read back partial snapshots — with
+    // the driver-local tmpdir as the local-mode fallback.
+    val scratchBase = spark.sparkContext.getCheckpointDir
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val scratch = s"$scratchBase/graft_snapdiff_" +
       java.lang.Integer.toHexString(dir.hashCode)
     val fs = new org.apache.hadoop.fs.Path(scratch)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -106,37 +106,52 @@ object SnapshotTable {
   }
 
   /** Finish any marker whose staged data was never renamed (the crash
-    * window), and delete staged dirs of dead losers (id already
-    * committed by someone else's marker, staging left behind). Safe to
-    * call concurrently with readers: renames only install COMPLETE
-    * staged data under the final name.
+    * window). Safe to call concurrently with readers AND writers:
+    * renames only install COMPLETE staged data under the final name
+    * (staging is always fully written before its marker exists), a
+    * marker caught mid-claim (created but content not yet written) is
+    * resolved from the staging dir's name pattern, and — deliberately —
+    * recover() never deletes ANYTHING: a dead loser's staging dir is
+    * indistinguishable from a live loser's IN-FLIGHT parquet write, so
+    * orphan cleanup belongs to [[expire]] (explicit maintenance), not
+    * to every read's hot path.
     */
   def recover(spark: SparkSession, path: String): Unit = {
     val (fs, _) = fsFor(spark, path)
-    val ids = committedIds(spark, path)
-    ids.foreach { id =>
+    committedIds(spark, path).foreach { id =>
       val finalDir = new org.apache.hadoop.fs.Path(snapDir(path, id))
       if (!fs.exists(finalDir)) {
-        val staged = new org.apache.hadoop.fs.Path(
-          readMarker(fs, markerPath(path, id)))
-        require(fs.exists(staged),
-          s"snapshot $id of $path: marker committed but neither final nor " +
-            s"staged data exists at $staged — storage loss, refusing to guess")
-        if (!fs.rename(staged, finalDir))
-          throw new java.io.IOException(
-            s"cannot finish commit $id: rename $staged -> $finalDir failed")
-      }
-    }
-    // dead losers: a staging dir for an id that is already committed and
-    // is NOT the marker's recorded staging (that one was just renamed)
-    val sd = new org.apache.hadoop.fs.Path(s"$path/snapshots")
-    if (fs.exists(sd)) {
-      val committed = ids.toSet
-      fs.listStatus(sd).toSeq.foreach { st =>
-        val n = st.getPath.getName
-        val i = n.indexOf(".staging-")
-        if (i > 1 && committed.contains(n.substring(1, i).toLong))
-          fs.delete(st.getPath, true): Unit
+        val recorded = readMarker(fs, markerPath(path, id))
+        val staged = Some(new org.apache.hadoop.fs.Path(
+            if (recorded.nonEmpty) recorded else "/nonexistent"))
+          .filter(p => recorded.nonEmpty && fs.exists(p))
+          .orElse {
+            // marker caught between create and content write (or its
+            // content only partially visible): the staging dir —
+            // written BEFORE the marker — is findable by name pattern
+            val sd = new org.apache.hadoop.fs.Path(s"$path/snapshots")
+            val prefix = s"${snapName(id)}.staging-"
+            if (!fs.exists(sd)) None
+            else fs.listStatus(sd).toSeq
+              .map(_.getPath).find(_.getName.startsWith(prefix))
+          }
+        staged match {
+          case Some(st) if fs.exists(st) =>
+            // a concurrent recover/claim may land the same rename first;
+            // final-dir-exists afterwards means SOMEONE finished it
+            if (!fs.rename(st, finalDir) && !fs.exists(finalDir))
+              throw new java.io.IOException(
+                s"cannot finish commit $id: rename $st -> $finalDir failed")
+          case _ =>
+            // in-flight claim by a live writer resolves momentarily;
+            // give one beat before declaring storage loss
+            if (!fs.exists(finalDir))
+              throw new IllegalStateException(
+                s"snapshot $id of $path: marker committed but neither " +
+                  "final nor staged data exists — storage loss (or a " +
+                  "writer died mid-claim with its staging removed); " +
+                  "refusing to guess")
+        }
       }
     }
   }
@@ -200,7 +215,12 @@ object SnapshotTable {
       throw new CommitConflict(next)
     }
     val finalDir = new org.apache.hadoop.fs.Path(snapDir(path, next))
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), finalDir))
+    // a concurrent reader's recover() may finish OUR rename between the
+    // marker landing and this line — rename failure with the final dir
+    // present is success, not an error (misreporting it as failure
+    // would push a retrying caller into committing the same data twice)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), finalDir)
+        && !fs.exists(finalDir))
       throw new java.io.IOException(
         s"commit $next claimed but rename to $finalDir failed — " +
           "recover() will finish it")
@@ -240,17 +260,33 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Retention: keep the newest `keep` snapshots, delete older data AND
-    * markers. Head derivation (max marker) survives because expiry only
-    * ever removes a PREFIX of ids.
+  /** Retention: keep the newest `keep` snapshots, delete older markers
+    * AND data, plus orphaned staging dirs of expired ids (dead losers —
+    * cleaned here, in explicit maintenance, never in recover()'s hot
+    * path where an in-flight loser write would be indistinguishable).
+    * Delete order is MARKER FIRST: a crash between the two deletes then
+    * leaves only a harmless orphan data dir, whereas data-first would
+    * leave a marker whose data is gone — which recover() must treat as
+    * storage loss, bricking the table. Head derivation (max marker)
+    * survives because expiry only removes a prefix of ids.
     */
   def expire(spark: SparkSession, path: String, keep: Int): Unit = {
     require(keep >= 1, s"must retain at least the head (keep=$keep)")
     val ids = snapshots(spark, path)
     val (fs, _) = fsFor(spark, path)
-    ids.dropRight(keep).foreach { id =>
-      fs.delete(new org.apache.hadoop.fs.Path(snapDir(path, id)), true)
-      fs.delete(new org.apache.hadoop.fs.Path(markerPath(path, id)), false): Unit
+    val expired = ids.dropRight(keep)
+    expired.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(markerPath(path, id)), false)
+      fs.delete(new org.apache.hadoop.fs.Path(snapDir(path, id)), true): Unit
+    }
+    val sd = new org.apache.hadoop.fs.Path(s"$path/snapshots")
+    if (fs.exists(sd)) {
+      val gone = expired.map(snapName).toSet
+      fs.listStatus(sd).toSeq.map(_.getPath).foreach { p =>
+        val i = p.getName.indexOf(".staging-")
+        if (i > 0 && gone.contains(p.getName.substring(0, i)))
+          fs.delete(p, true): Unit
+      }
     }
   }
 }
