@@ -305,8 +305,17 @@ object StatTests {
       // then FIXED-POINTED (×100 → BIGINT) so every cross-row quantity
       // (total weight, allocations, remainders) is integer — a Σ of raw
       // double weights would be aggregation-order-dependent.
+      // The n·Σx² product rides DECIMAL(38,0) (spearman's discipline):
+      // at sf10 a 2M-row stratum of squared cents puts n_h·sx2 ≈ 2e20
+      // past BIGINT — the r16 decade sweep caught the overflow at
+      // exactly one decade past the sf1 audit's ~2e18. Both engines
+      // convert the integer difference to double in ONE correctly-
+      // rounded step (decimal(38,0) / HUGEINT), so sqrt sees the same
+      // value.
       .withColumn("wfx",
-        floor(sqrt((col("n_h") * col("sx2") - col("sx") * col("sx"))
+        floor(sqrt((col("n_h").cast("decimal(38,0)")
+            * col("sx2").cast("decimal(38,0)")
+            - col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
           .cast("double")) * lit(100.0) + lit(0.5)).cast("bigint"))
     val tot = moments.agg(sum(col("wfx")).as("wt"))
     val alloc = moments.crossJoin(broadcast(tot))
@@ -331,7 +340,8 @@ object StatTests {
       FROM events GROUP BY 1),
     wts AS (
       SELECT event_type, n_h,
-        CAST(FLOOR(SQRT(CAST(n_h * sx2 - sx * sx AS DOUBLE)) * 100.0 + 0.5)
+        CAST(FLOOR(SQRT(CAST(CAST(n_h AS HUGEINT) * sx2
+          - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * 100.0 + 0.5)
           AS BIGINT) AS wfx
       FROM m),
     t AS (SELECT CAST(SUM(wfx) AS BIGINT) AS wt FROM wts),
