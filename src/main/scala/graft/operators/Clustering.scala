@@ -68,20 +68,29 @@ object Clustering {
     * Package-private so specs exercise the operator's own assignment
     * rather than re-implementing it.
     */
-  private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cid").asc)
+  private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame =
     // The centroid table is k-dimension state (k = corpus/100 here), but
     // its rows carry a dim-wide vector (~8·dim B, not 32 B) — the
     // stateHint ceiling lands nearer 10⁶-10⁷ centroids on default
     // executors; past that, spark.graft.broadcastState=false flips the
     // assignment to a shuffle join.
+    //
+    // The argmin is a struct-MIN AGGREGATE, not a row_number window
+    // (same (d2 ASC, cid ASC) total order — the struct compares d2
+    // first, cid second; embedding rides behind the deciding fields):
+    // the window form had to SHUFFLE all |vecs|·k candidate rows —
+    // each ~0.5 KB with both vectors aboard, ~200 GB at sf10's
+    // 200k vecs × 2000 derived centroids — to sort per vec, where the
+    // aggregate's map-side partial combine collapses each vec's k
+    // candidates to one row BEFORE the exchange, shuffling |vecs| rows
+    // at any k. The r16 sf10 sweep measured the difference: ~50 min →
+    // minutes for the Lloyd family.
     e.crossJoin(graft.Tables.stateHint(cents))
       .withColumn("d2", d2(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"), col("d2"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"), col("embedding"))).as("__m"))
+      .select(col("vec_id"), col("__m.embedding").as("embedding"),
+        col("__m.cid").as("cid"), col("__m.d2").as("d2"))
 
   /** Recompute float32 centroids as fixed-point per-dimension means. */
   private def update(assigned: DataFrame): DataFrame =

@@ -82,18 +82,19 @@ object Quantization {
           lit(SubDim)).as("cv"))
 
   /** Assign every (vec, sub) to its nearest sub-centroid (ties → smaller
-    * code). The codebook is 128 broadcast rows; the argmin window
-    * partitions by (vec_id, sub) — no global sort anywhere.
+    * code). The codebook is broadcast; the argmin is a struct-min
+    * aggregate (same (d2 ASC, code ASC) order as the old row_number
+    * window, sv riding behind the deciding fields) so the per-(vec,sub)
+    * candidate fan-out collapses map-side before any exchange — the
+    * [[Clustering.assign]] scale shape.
     */
-  private def assign(subv: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2").asc, col("code").asc)
+  private def assign(subv: DataFrame, cb: DataFrame): DataFrame =
     subv.join(Tables.stateHint(cb), Seq("sub"))
       .withColumn("d2", Clustering.d2(col("sv"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("sv"), col("code"), col("d2"))
-  }
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"), col("sv"))).as("__m"))
+      .select(col("vec_id"), col("sub"), col("__m.sv").as("sv"),
+        col("__m.code").as("code"), col("__m.d2").as("d2"))
 
   /** Recompute float32 sub-centroids as fixed-point per-dimension means
     * ([[Clustering]]'s update, keyed (sub, code)).
