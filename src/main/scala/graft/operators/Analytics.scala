@@ -532,6 +532,10 @@ object Analytics {
     */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val edges = strongEdges(spark, dir)
+    // Wedge shape MEASURED, kept as the self-equi-join (r16): the
+    // per-middle collect+explode form was tried and was ~1.3× slower —
+    // see nodeSimilarity's note (interpreted HOF array copies at the
+    // 128-neighbor hub cap lose to the codegen'd streaming join).
     val wedges = edges.as("e1")
       .join(edges.as("e2"), col("e1.hi") === col("e2.lo"))
       .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
@@ -592,6 +596,13 @@ object Analytics {
     val und = edges.select(col("lo").as("u"), col("hi").as("v"))
       .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // Wedge shape MEASURED, kept as the self-equi-join (r16): the
+    // collabPairs collect+explode form was tried and was 1.5× SLOWER
+    // here — at the hub cap's ≤ 128 neighbors per center the nested
+    // transform/slice local-pairs expression does O(deg²) interpreted
+    // array copies per grouped row (HOFs don't whole-stage-codegen),
+    // while the join streams the same wedge rows through codegen.
+    // Local pairs only win at small per-group cardinality (orders' k≤7).
     und.as("l").join(und.as("r"),
         col("l.v") === col("r.v") && col("l.u") < col("r.u"))
       .groupBy(col("l.u").as("node_a"), col("r.u").as("node_b"))
@@ -825,16 +836,19 @@ object Analytics {
       .transform(graft.functions.Iterate.checkpoint)
     var lab = nodes.withColumn("label", col("node"))
     for (i <- 1 to LpaRounds) {
-      val wArg = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
-        .orderBy(col("s").desc, col("label").asc)
+      // argmax as a struct-MIN aggregate instead of a row_number window
+      // (the Lloyd-assignment r16 shape): min(struct(−s, label)) orders
+      // by (s DESC, label ASC) — the window's exact total order, so the
+      // chosen label is identical — but the per-(node,label) candidates
+      // collapse map-side before the exchange and the per-node sort
+      // disappears (weights are integer counts, so −s is exact).
       lab = edges
         .join(stateHint(lab.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("s"))
-        .select(col("dst").as("node"), col("label"), col("s"))
-        .withColumn("rn", row_number().over(wArg))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("s")).as("ns"), col("label"))).as("__m"))
+        .select(col("node"), col("__m.label").as("label"))
       if (i % 2 == 0 && i < LpaRounds)
         lab = lab.transform(graft.functions.Iterate.checkpoint)
     }
@@ -969,16 +983,26 @@ object Analytics {
     val seeds = outW.orderBy(col("out_w").desc, col("src").asc)
       .limit(PprSeedCount)
       .select(col("src").as("node"), lit(0).as("dist"))
-    var dist = seeds.transform(graft.functions.Iterate.checkpoint)
+    // Frontier BFS instead of re-aggregating the full min-dist state
+    // every round: a node's min hop distance IS the level at which BFS
+    // first reaches it, so each round only expands the LAST level and
+    // anti-joins the (lazy) union of checkpointed levels — the old form
+    // re-shuffled the whole accumulated dist table per round to recompute
+    // mins it already knew (guide §2.3/§2.4: shuffle only the new rows).
+    // Levels are disjoint by the anti-join; their union is exactly the
+    // old min-dist table, so the histogram is bit-identical.
+    val levels = scala.collection.mutable.ArrayBuffer(
+      seeds.transform(graft.functions.Iterate.checkpoint))
     for (i <- 1 to 4) {
-      val expanded = edges
-        .join(stateHint(dist.withColumnRenamed("node", "src")), Seq("src"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(expanded)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      if (i % 2 == 0 && i < 4)
-        dist = dist.transform(graft.functions.Iterate.checkpoint)
+      val vis = levels.reduce(_ unionByName _).select(col("node"))
+      val fresh = edges
+        .join(stateHint(levels.last.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(stateHint(vis), Seq("node"), "left_anti")
+        .withColumn("dist", lit(i))
+      levels += fresh.transform(graft.functions.Iterate.checkpoint)
     }
+    val dist = levels.reduce(_ unionByName _)
     val reached = dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
     val unreached = nodes.join(dist.select(col("node")), Seq("node"), "left_anti")
       .agg(count(lit(1)).as("n_nodes"))

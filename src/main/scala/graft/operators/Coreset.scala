@@ -154,43 +154,54 @@ object Coreset {
     * amplification, one shuffle); iterations never touch the corpus.
     */
   def pcaPowerIteration(spark: SparkSession, dir: String): DataFrame = {
-    val gram = graft.functions.Iterate.checkpoint(
-      Tables.embeddings(spark, dir)
-        .select(explode(expr(
-          s"""flatten(transform(embedding, (x, i) ->
-             |  transform(embedding, (y, j) -> struct(i AS i, j AS j,
-             |    cast(floor(cast(x as double) * cast(y as double) * $GramFx)
-             |      as bigint) AS c))))""".stripMargin)).as("p"))
-        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-        .agg(sum(col("p.c")).as("g"))
-        .repartition(graft.functions.Iterate.statePartitions(spark)))
-    var v = spark.range(Dim).select(col("id").cast("int").as("j"),
-      lit(1.0).as("vj"))
-    var lastScalar: DataFrame = null
-    for (r <- 1 to PowerRounds) {
-      val w = gram.join(broadcast(v), Seq("j"))
-        .select(col("i"),
-          floor(col("g").cast("double") * col("vj") * lit(MatFx))
-            .cast("bigint").as("t"))
-        .groupBy(col("i")).agg(sum(col("t")).cast("double").as("wd"))
-      // cadence-3 checkpoint: the mat-vec plans are d-row tiny, so an
-      // eager materialization every round is pure job-submission
-      // overhead (measured 6.5 → ~4 s at sf0.1); every third round
-      // still bounds lineage depth
-      val mat =
-        if (r % 3 == 0 || r == PowerRounds) graft.functions.Iterate.checkpoint(w)
-        else w
-      lastScalar = mat.orderBy(abs(col("wd")).desc, col("i").asc).limit(1)
-        .select(col("wd").as("piv"))
-      v = mat.crossJoin(broadcast(lastScalar))
-        .select(col("i").as("j"), (col("wd") / col("piv")).as("vj"))
+    val gram = Tables.embeddings(spark, dir)
+      .select(explode(expr(
+        s"""flatten(transform(embedding, (x, i) ->
+           |  transform(embedding, (y, j) -> struct(i AS i, j AS j,
+           |    cast(floor(cast(x as double) * cast(y as double) * $GramFx)
+           |      as bigint) AS c))))""".stripMargin)).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.c")).as("g"))
+    // The Gram is Dim² = 4096 BIGINT cells at ANY corpus size —
+    // dimension-bounded state, not data-bounded — so the mat-vec rounds
+    // run driver-side on the collected matrix (the AnnIndex/Coreset
+    // bounded-collect discipline). The distributed form spent ~20
+    // job submissions iterating a 4096-row frame (guide §1.2: fix the
+    // algorithm's pass count before anything else); the corpus-scale
+    // work — the one explode-aggregate pass — is unchanged. Every
+    // arithmetic step below mirrors the former Spark expressions op for
+    // op (same IEEE order: (g.toDouble · vj) · MatFx, floor, exact
+    // BIGINT row sums; pivot by |wd| DESC, i ASC; one division), so the
+    // result is bit-identical to the unrolled-CTE oracle.
+    val cells = gram.collect() // bounded: Dim × Dim rows
+    import spark.implicits._
+    if (cells.isEmpty)
+      return Seq.empty[(Long, Double, Double)]
+        .toDF("dim_idx", "component", "lambda_est")
+    val G = Array.ofDim[Long](Dim, Dim)
+    cells.foreach(r => G(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Long]("g"))
+    var v = Array.fill(Dim)(1.0)
+    var piv = 0.0
+    for (_ <- 1 to PowerRounds) {
+      val wd = Array.tabulate(Dim) { i =>
+        var s = 0L
+        var j = 0
+        while (j < Dim) {
+          s += math.floor(G(i)(j).toDouble * v(j) * MatFx).toLong
+          j += 1
+        }
+        s.toDouble
+      }
+      var best = 0
+      for (i <- 1 until Dim) if (math.abs(wd(i)) > math.abs(wd(best))) best = i
+      piv = wd(best)
+      v = wd.map(_ / piv)
     }
-    v.crossJoin(broadcast(lastScalar))
-      .select(col("j").cast("long").as("dim_idx"),
-        (floor(col("vj") * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6))
-          .as("component"),
-        (floor(col("piv") / lit(MatFx) / lit(GramFx) * lit(1.0e4) + lit(0.5))
-          .cast("double") / lit(1.0e4)).as("lambda_est"))
+    spark.createDataFrame(v.zipWithIndex.map { case (vj, j) =>
+      (j.toLong,
+        math.floor(vj * 1.0e6 + 0.5) / 1.0e6,
+        math.floor(piv / MatFx / GramFx * 1.0e4 + 0.5) / 1.0e4)
+    }.toSeq).toDF("dim_idx", "component", "lambda_est")
   }
 
   /** Per-element fixed point for the scatter moments (the [[GramFx]]

@@ -699,14 +699,19 @@ object GraphExt {
 
   def betweennessSampled(spark: SparkSession, dir: String): DataFrame = {
     val (edges, seeds) = strongSeededGraph(spark, dir)
-    // forward: visited = (seed, node, dist, sigma), one row per reached
-    // node per seed; frontier = the newest level only
-    var vis = checkpoint(seeds.select(col("seed"), col("seed").as("node"),
-      lit(0).as("dist"), lit(1L).as("sigma")))
-    var frontier = vis
+    // forward: one checkpointed frame PER LEVEL; the visited set is a
+    // lazy union of those (each a truncated-lineage scan), never
+    // re-materialized — the old per-round checkpoint(vis ∪ frontier)
+    // paid an extra eager job per level to rewrite rows already
+    // checkpointed in the levels themselves (guide §2.4: the union
+    // carries no new data, so materializing it buys nothing)
+    val levels = scala.collection.mutable.ArrayBuffer(
+      checkpoint(seeds.select(col("seed"), col("seed").as("node"),
+        lit(0).as("dist"), lit(1L).as("sigma"))))
     for (i <- 1 to BetweennessDepth) {
+      val vis = levels.reduce(_ unionByName _)
       val fresh = edges
-        .join(stateHint(frontier
+        .join(stateHint(levels.last
           .select(col("seed"), col("node").as("src"), col("sigma"))),
           Seq("src"))
         .groupBy(col("seed"), col("dst").as("node"))
@@ -714,10 +719,12 @@ object GraphExt {
         .join(stateHint(vis.select(col("seed"), col("node"))),
           Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(i).as("dist"), col("sigma"))
-      frontier = checkpoint(fresh)
-      vis = checkpoint(vis.unionByName(frontier))
+      levels += checkpoint(fresh)
     }
-    def level(d: Int): DataFrame = vis.filter(col("dist") === d)
+    // level(d) IS the round-d frontier (levels are disjoint by the
+    // anti-join), so the backward pass reads each level's own frame
+    // instead of filtering the full visited union
+    def level(d: Int): DataFrame = levels(d)
     // backward: δ per level, deepest first; dist-Depth nodes are leaves
     // of the bounded DAG, δ = 0 by the cap's contract
     var delta = level(BetweennessDepth)
@@ -831,21 +838,23 @@ object GraphExt {
     */
   def closenessSampled(spark: SparkSession, dir: String): DataFrame = {
     val (edges, seeds) = strongSeededGraph(spark, dir)
-    var vis = checkpoint(seeds.select(col("seed"), col("seed").as("node"),
-      lit(0).as("dist")))
-    var frontier = vis
+    // betweennessSampled's per-level checkpoint discipline: the visited
+    // set stays a lazy union of the checkpointed levels
+    val levels = scala.collection.mutable.ArrayBuffer(
+      checkpoint(seeds.select(col("seed"), col("seed").as("node"),
+        lit(0).as("dist"))))
     for (i <- 1 to BetweennessDepth) {
+      val vis = levels.reduce(_ unionByName _)
       val fresh = edges.select(col("src"), col("dst"))
-        .join(stateHint(frontier
+        .join(stateHint(levels.last
           .select(col("seed"), col("node").as("src"))), Seq("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(stateHint(vis.select(col("seed"), col("node"))),
           Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(i))
-      frontier = checkpoint(fresh)
-      vis = checkpoint(vis.unionByName(frontier))
+      levels += checkpoint(fresh)
     }
-    vis.filter(col("dist") >= 1)
+    levels.reduce(_ unionByName _).filter(col("dist") >= 1)
       // same non-seed contract as betweennessSampled: seeds reached by
       // OTHER seeds' BFS are anti-joined out (broadcast, 5 rows)
       .join(stateHint(seeds.select(col("seed").as("node"))),
@@ -948,9 +957,12 @@ object GraphExt {
         .select(col("node"), col("w_nc").as("w_own")), Seq("node"), "left")
       .select(col("node"), col("a"), col("k"),
         coalesce(col("w_own"), lit(0L)).as("w_own"))
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node"))
-      .orderBy(col("gain_x4m2").desc, col("cnbr").asc)
+    // best positive-gain target as a struct-MIN aggregate, not a
+    // row_number window (the Lloyd/LPA r16 shape): min(struct(−gain,
+    // cnbr, …)) is the window's (gain DESC, cnbr ASC) total order —
+    // (node, cnbr) is unique by wnc's grouping, so the riding fields
+    // (a, k, gain) never decide — and the candidates collapse map-side
+    // instead of sorting per node behind an extra exchange.
     val cand = checkpoint(base
       .join(wnc, Seq("node"))
       .filter(col("cnbr") =!= col("a"))
@@ -963,9 +975,11 @@ object GraphExt {
         lit(4L) * col("m") * (col("w_nc") - col("w_own"))
           - lit(2L) * col("k") * (col("deg_t") - col("deg_a") + col("k")))
       .filter(col("gain_x4m2") > 0)
-      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-      .select(col("node"), col("a"), col("cnbr").as("t"), col("k"),
-        col("gain_x4m2")))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("gain_x4m2")).as("ng"), col("cnbr"), col("a"),
+        col("k"), col("gain_x4m2").as("g"))).as("__m"))
+      .select(col("node"), col("__m.a").as("a"), col("__m.cnbr").as("t"),
+        col("__m.k").as("k"), col("__m.g").as("gain_x4m2")))
     val byComm = cand.select(col("node"), col("gain_x4m2"),
       explode(array(col("a"), col("t"))).as("cc"))
     val commConf = byComm
@@ -1163,12 +1177,15 @@ object GraphExt {
         .select(col("cu").as("node"), col("cv").as("t"), col("gain_x4m2"))
         .unionByName(
           cd.select(col("cv").as("node"), col("cu").as("t"), col("gain_x4m2")))
-      val wBest = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node"))
-        .orderBy(col("gain_x4m2").desc, col("t").asc)
+      // struct-MIN argmax (louvainParts' r16 shape): same (gain DESC,
+      // t ASC) total order, map-side collapse instead of a window sort;
+      // (node, t) is unique by inter's (cu, cv) grouping.
       val cand = checkpoint(candBoth
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-        .select(col("node"), col("t"), col("gain_x4m2")))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("gain_x4m2")).as("ng"), col("t"),
+          col("gain_x4m2").as("g"))).as("__m"))
+        .select(col("node"), col("__m.t").as("t"),
+          col("__m.g").as("gain_x4m2")))
       val byComm = cand.select(col("node"), col("gain_x4m2"),
         explode(array(col("node"), col("t"))).as("cc"))
       val commConf = byComm

@@ -645,40 +645,57 @@ object Similarity {
         .withColumn("prank", row_number().over(wPool))
         .filter(col("prank") <= MmrPool)
         .select(col("query_id"), col("cand_id"), col("ce"), col("cos_q")))
-    val pairs = checkpoint(
-      pool.select(col("query_id"), col("cand_id").as("a_id"), col("ce").as("ae"))
-        .join(pool.select(col("query_id"), col("cand_id").as("b_id"),
-          col("ce").as("be")), Seq("query_id"))
-        .filter(col("a_id") =!= col("b_id"))
-        .select(col("query_id"), col("a_id"), col("b_id"),
-          VectorOps.cosine(col("ae"), col("be")).as("cos_ab")))
-    val base = pool.select(col("query_id"), col("cand_id"), col("cos_q"))
-    def pick(rem: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("mmr").desc, col("cand_id").asc)
-      rem.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("query_id"), col("cand_id"), col("mmr"))
+    // The greedy state is CONSTANT-bounded: 10 probe queries ×
+    // [[MmrPool]] candidates (≤ 200 pool rows, ≤ 10·20·19 pair rows) at
+    // any corpus size — only the pool construction above touches the
+    // corpus. The [[MmrK]] selection rounds therefore run driver-side
+    // on the collected Spark-computed cosines (the kcenter/AnnIndex
+    // bounded-collect discipline): the old unrolled-DataFrame loop paid
+    // ~4 stages per round iterating ≤ 200-row frames (guide §1.2 —
+    // remove passes before tuning them). Cosines come from the SAME
+    // [[VectorOps.cosine]] fold, and the greedy update is the same
+    // λ·cos_q − γ·max_sim double arithmetic with the same (mmr DESC,
+    // cand ASC) tie order, so the selection is bit-identical.
+    val pairRows = pool
+      .select(col("query_id"), col("cand_id").as("a_id"), col("ce").as("ae"))
+      .join(pool.select(col("query_id"), col("cand_id").as("b_id"),
+        col("ce").as("be")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        VectorOps.cosine(col("ae"), col("be")).as("cos_ab"))
+      .collect() // bounded: queries × MmrPool × (MmrPool − 1)
+    val baseRows = pool.select(col("query_id"), col("cand_id"), col("cos_q"))
+      .collect() // bounded: queries × MmrPool
+    val simAb = pairRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))
+      -> r.getDouble(3)).toMap
+    val byQuery = baseRows.groupBy(_.getLong(0))
+    val out = byQuery.keys.toSeq.sorted.flatMap { qid =>
+      val cands = byQuery(qid)
+        .map(r => r.getLong(1) -> r.getDouble(2)).sortBy(_._1)
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      (1 to MmrK).flatMap { round =>
+        val rem = cands.filterNot(c => selected.contains(c._1))
+        if (rem.isEmpty) None
+        else {
+          val scored = rem.map { case (cid, cosQ) =>
+            val mmr =
+              if (round == 1) MmrLambda * cosQ
+              else {
+                val maxSim = selected
+                  .map(b => simAb.getOrElse((qid, cid, b), 0.0)).max
+                MmrLambda * cosQ - MmrGamma * maxSim
+              }
+            (cid, mmr)
+          }
+          val (cid, mmr) = scored.minBy { case (c, m) => (-m, c) }
+          selected += cid
+          Some((qid, round, cid,
+            math.floor(mmr * 1.0e8 + 0.5) / 1.0e8))
+        }
+      }
     }
-    var sel = pick(base.withColumn("mmr", lit(MmrLambda) * col("cos_q")))
-      .withColumn("round", lit(1))
-    for (k <- 2 to MmrK) {
-      val ms = pairs
-        .join(sel.select(col("query_id"), col("cand_id").as("b_id")),
-          Seq("query_id", "b_id"))
-        .groupBy(col("query_id"), col("a_id"))
-        .agg(max(col("cos_ab")).as("max_sim"))
-        .withColumnRenamed("a_id", "cand_id")
-      val rem = base
-        .join(sel.select(col("query_id"), col("cand_id")),
-          Seq("query_id", "cand_id"), "left_anti")
-        .join(ms, Seq("query_id", "cand_id"), "left")
-        .withColumn("mmr", lit(MmrLambda) * col("cos_q")
-          - lit(MmrGamma) * coalesce(col("max_sim"), lit(0.0)))
-      sel = sel.unionByName(pick(rem).withColumn("round", lit(k)))
-    }
-    sel.select(col("query_id"), col("round"), col("cand_id").as("neighbor_id"),
-      (floor(col("mmr") * lit(1.0e8) + lit(0.5)).cast("double") / lit(1.0e8))
-        .as("mmr_score"))
+    import spark.implicits._
+    out.toDF("query_id", "round", "neighbor_id", "mmr_score")
   }
 
   lazy val mmrRerankOracle: String = {

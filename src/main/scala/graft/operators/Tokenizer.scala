@@ -245,17 +245,31 @@ object Tokenizer {
       max(when(col("merge_rank") === i, col("lhs"))).as(s"l$i"),
       max(when(col("merge_rank") === i, col("rhs"))).as(s"r$i")))
     val mrow = bpeMerges(spark, dir).agg(pivots.head, pivots.tail: _*)
-    def tokensAfter(k: Int): Column =
-      aggregate(split(col("text"), "\\s+"), lit(0L), (acc, word) =>
-        acc + size(split(
-          (1 to k).foldLeft(
-            array_join(regexp_extract_all(word, lit("."), lit(0)), " ")) {
-            (sym, i) => mergeFold(sym, col(s"l$i"), col(s"r$i"))
-          }, " ")).cast("long"))
-    val row = Tables.documents(spark, dir)
-      .crossJoin(broadcast(mrow))
-      .agg(sum(tokensAfter(0)).as("n_0"),
-        (1 to MergeRounds).map(k => sum(tokensAfter(k)).as(s"n_$k")): _*)
+    // The curve's sums factor through the DISTINCT-word vocabulary:
+    // n_k = Σ_words cnt(word) · |enc_k(word)|, and enc_k = fold(enc_{k-1})
+    // — so each distinct word is folded ONCE per merge level (3 folds)
+    // instead of the per-OCCURRENCE, per-PREFIX 0+1+2+3 = 6 folds the
+    // doc-scan form paid (guide §1.2 / §2.3: aggregate to the small
+    // domain before the expensive per-row work — the Heaps-law
+    // vocabulary is sublinear in the corpus). Each intermediate symbol
+    // column is referenced twice (its own count + the next level's
+    // input), which keeps CollapseProject from inlining the fold into
+    // the lambda (the lm_score/hapax materialization rule). All counts
+    // are exact BIGINTs, so regrouping by word cannot move a bit.
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val base = vocab.crossJoin(broadcast(mrow))
+      .withColumn("sym0",
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "))
+    val leveled = (1 to MergeRounds).foldLeft(base) { (df, i) =>
+      df.withColumn(s"sym$i",
+        mergeFold(col(s"sym${i - 1}"), col(s"l$i"), col(s"r$i")))
+    }
+    def nK(k: Int): Column =
+      sum(col("cnt") * size(split(col(s"sym$k"), " ")).cast("long"))
+    val row = leveled.agg(nK(0).as("n_0"),
+      (1 to MergeRounds).map(k => nK(k).as(s"n_$k")): _*)
     val stackArgs = (0 to MergeRounds)
       .map(k => s"CAST($k AS BIGINT), n_$k").mkString(", ")
     row.select(

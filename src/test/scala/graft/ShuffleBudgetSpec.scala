@@ -638,8 +638,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   check("mrr_eval", 4)(operators.Retrieval.mrrEval(spark, sfDir))
   // bpe_compression_curve: training passes live in bpeMerges'
   // checkpoints; visible are the merge-table pivot chain feeding the
-  // broadcast row plus the one corpus fold.
-  check("bpe_compression_curve", 4)(
+  // broadcast row, the distinct-word vocabulary aggregate (r16: the
+  // curve folds each DISTINCT word once per level instead of every
+  // occurrence once per level-prefix — one extra narrow (word, cnt)
+  // exchange, both sides map-side combined, bought a 4× wall-time
+  // drop), and the final one-row fold.
+  check("bpe_compression_curve", 5)(
     operators.Tokenizer.bpeCompressionCurve(spark, sfDir))
   // broadcast_plan_advisor: four (build, probe) single-row aggregates —
   // tables are counted, never joined; every cross join is single-row.
