@@ -335,14 +335,22 @@ object Quantization {
     */
   private def residualVectors(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val cents = Clustering.finalCentroids(spark, dir)
+    residualVectorsWith(e, Clustering.finalCentroids(spark, dir))
+  }
+
+  /** [[residualVectors]] against already-trained coarse centroids —
+    * [[annIvfPqResidual]] passes the cents it already trained for its
+    * cell lists instead of re-running the Lloyd checkpoint chain (the
+    * training is deterministic, so the residuals are identical; the old
+    * double call trained the SAME quantizer twice per query).
+    */
+  private def residualVectorsWith(e: DataFrame, cents: DataFrame): DataFrame =
     Clustering.assign(e, cents)
       .join(Tables.stateHint(cents), Seq("cid"))
       .select(col("vec_id"),
         zip_with(col("embedding"), col("cv"),
           (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
           .as("embedding"))
-  }
 
   /** Shared oracle prelude for the residual family: trained coarse
     * centroids + the residual corpus as `rvec(vec_id, embedding)`.
@@ -408,7 +416,7 @@ object Quantization {
     val cents = Clustering.finalCentroids(spark, dir)
     val cells = Clustering.assign(e, cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
-    val r = graft.functions.Iterate.checkpoint(residualVectors(spark, dir))
+    val r = graft.functions.Iterate.checkpoint(residualVectorsWith(e, cents))
     val cb = finalCodebook(r, PqResIters)
     val codes = assign(subvectors(r), cb)
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))

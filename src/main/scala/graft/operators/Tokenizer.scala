@@ -508,9 +508,17 @@ object Tokenizer {
     * instead joins per-distinct-word np — same values, the engine path
     * is the one that must scale).
     */
-  def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
-    val vm = vocabMap(unigramVocab(Tables.documents(spark, dir)))
-    Tables.documents(spark, dir)
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame =
+    unigramEncodeWith(Tables.documents(spark, dir),
+      vocabMap(unigramVocab(Tables.documents(spark, dir))))
+
+  /** [[unigramEncode]] against an already-trained piece map —
+    * [[tokenizerCompare]] shares ONE training across the unigram and
+    * wordpiece encodes instead of running the hard-EM chain twice.
+    */
+  private def unigramEncodeWith(documents: DataFrame, vm: DataFrame)
+      : DataFrame =
+    documents
       .crossJoin(broadcast(vm))
       .select(col("doc_id"),
         length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
@@ -520,7 +528,6 @@ object Tokenizer {
       .withColumn("compression",
         col("n_unigram_tokens").cast("double")
           / col("n_char_syms").cast("double"))
-  }
 
   /** Greedy step length at `pos` (0-based chars consumed): the LONGEST
     * vocabulary hit among the next 1..[[MaxPieceLen]] chars — the
@@ -564,9 +571,16 @@ object Tokenizer {
     * scale shape as [[unigramEncode]]: one corpus scan against the
     * broadcast piece map, zero corpus shuffles.
     */
-  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
-    val vm = vocabMap(unigramVocab(Tables.documents(spark, dir)))
-    Tables.documents(spark, dir)
+  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame =
+    wordpieceEncodeWith(Tables.documents(spark, dir),
+      vocabMap(unigramVocab(Tables.documents(spark, dir))))
+
+  /** [[wordpieceEncode]] against an already-trained piece map (see
+    * [[unigramEncodeWith]]).
+    */
+  private def wordpieceEncodeWith(documents: DataFrame, vm: DataFrame)
+      : DataFrame =
+    documents
       .crossJoin(broadcast(vm))
       .select(col("doc_id"),
         length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
@@ -576,7 +590,6 @@ object Tokenizer {
       .withColumn("compression",
         col("n_wordpiece_tokens").cast("double")
           / col("n_char_syms").cast("double"))
-  }
 
   /** The greedy walk as a RECURSIVE CTE per distinct word (the uwk
     * pattern — greedy is exactly the early-exit iteration shape the
@@ -636,12 +649,18 @@ object Tokenizer {
     * comparison is for).
     */
   def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    // ONE unigram training shared by the Viterbi and greedy encodes
+    // (guide §1.2 — don't compute things twice): the hard-EM chain is
+    // deterministic, so the shared vocab is the one each encode would
+    // have trained itself.
+    val docs = Tables.documents(spark, dir)
+    val vm = vocabMap(unigramVocab(docs))
     val b = bpeEncode(spark, dir).agg(
       sum(col("n_char_syms")).as("n_char_syms"),
       sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
-    val u = unigramEncode(spark, dir).agg(
+    val u = unigramEncodeWith(docs, vm).agg(
       sum(col("n_unigram_tokens")).as("n_unigram_tokens"))
-    val w = wordpieceEncode(spark, dir).agg(
+    val w = wordpieceEncodeWith(docs, vm).agg(
       sum(col("n_wordpiece_tokens")).as("n_wordpiece_tokens"))
     b.crossJoin(u).crossJoin(w)
       .select(col("n_char_syms"), col("n_bpe_tokens"),
