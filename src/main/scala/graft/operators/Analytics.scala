@@ -387,9 +387,17 @@ object Analytics {
     val seeds = outW
       .orderBy(col("out_w").desc, col("src").asc).limit(PprSeedCount)
       .select(col("src").as("node"), lit(1.0 / PprSeedCount).as("seed"))
-    var pr = nodes.join(broadcast(seeds), Seq("node"), "left")
-      .select(col("node"), coalesce(col("seed"), lit(0.0)).as("pr"))
+    // The teleport vector is loop-INVARIANT: materialize (node, seed)
+    // once and read it per round, instead of re-broadcasting the 5-row
+    // seed frame inside every iteration (10 BroadcastExchange builds
+    // whose payload never changes — guide §2.4's loop-invariant rule,
+    // the same reason norm joins outW before the loop). coalesce is
+    // folded in here, so the per-round expression 0.15·seed is
+    // bit-identical to the old 0.15·coalesce(seed, 0).
+    val nodesSeed = nodes.join(broadcast(seeds), Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed"), lit(0.0)).as("seed"))
       .transform(graft.functions.Iterate.checkpoint)
+    var pr = nodesSeed.select(col("node"), col("seed").as("pr"))
     for (i <- 1 to 10) {
       val contrib = norm
         .join(stateHint(pr.withColumnRenamed("node", "src")), Seq("src"))
@@ -398,11 +406,10 @@ object Analytics {
             .cast("bigint").as("c"))
         .groupBy(col("node"))
         .agg((sum(col("c")).cast("double") / lit(1.0e14)).as("inflow"))
-      pr = nodes
+      pr = nodesSeed
         .join(stateHint(contrib), Seq("node"), "left")
-        .join(broadcast(seeds), Seq("node"), "left")
         .select(col("node"),
-          (lit(0.15) * coalesce(col("seed"), lit(0.0))
+          (lit(0.15) * col("seed")
             + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
       // pagerank's cadence-2 checkpoint rule, same rationale.
       if (i % 2 == 0 && i < 10) pr = pr.transform(graft.functions.Iterate.checkpoint)

@@ -410,8 +410,12 @@ object GraphExt {
     val seeds = deg.orderBy(col("deg").desc, col("node").asc).limit(5)
       .select(col("node").as("seed"))
       .crossJoin(spark.range(WalksPerSeed).select(col("id").as("walk_id")))
-    var frontier = seeds.select(col("seed"), col("walk_id"),
-      lit(0L).as("step"), col("seed").as("node"))
+    // each step's frontier is checkpointed (walks·seeds-bounded rows):
+    // un-materialized, step t's plan chains t broadcast joins and the
+    // final union re-evaluates every prefix — O(steps²) tiny joins in
+    // one job (guide §2.4's loop-lineage rule at walk scale)
+    var frontier = checkpoint(seeds.select(col("seed"), col("walk_id"),
+      lit(0L).as("step"), col("seed").as("node")))
     var walks = frontier
     for (t <- 1 to WalkSteps) {
       val withDeg = frontier.join(stateHint(deg), Seq("node"))
@@ -420,12 +424,12 @@ object GraphExt {
             col("node").cast("string"), lit("|"), lit(t), lit("|"),
             col("walk_id").cast("string"), lit("|"), col("seed").cast("string")))
             % col("deg") + 1)
-      frontier = adjRanked
+      frontier = checkpoint(adjRanked
         .join(stateHint(withDeg.select(col("node"), col("seed"), col("walk_id"),
           col("pick"))), Seq("node"))
         .filter(col("rank") === col("pick"))
         .select(col("seed"), col("walk_id"), lit(t.toLong).as("step"),
-          col("nbr").as("node"))
+          col("nbr").as("node")))
       walks = walks.unionByName(frontier)
     }
     walks
