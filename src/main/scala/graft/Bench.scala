@@ -40,15 +40,41 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     def newSession(): SparkSession = {
-      val s = SparkSession.builder()
+      var b = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
+        // Shuffle/partition adaptivity (r17, guide §2.2; measured on the
+        // 15 heaviest queries: geomean 0.70× vs the r16 defaults, every
+        // iterative operator 25-50% faster, no regression):
+        //   - bypassMergeThreshold=1 disables the bypass-merge shuffle
+        //     writer, whose M×R tiny file creates dominated per-round
+        //     cost at local core counts (taskRunSum showed ~6 s of pure
+        //     shuffle-WRITE time inside a 5 s pagerank). At scale R
+        //     exceeds the 200 default and the sort writer runs anyway —
+        //     this makes local execution match the at-scale path.
+        //   - canChangeCachedPlanOutputPartitioning lets AQE coalesce
+        //     persisted frames by BYTES instead of pinning them at full
+        //     shuffle width (betweenness_sampled: 711 → 228 tasks) —
+        //     partition counts now adapt to data volume in both
+        //     directions, which is the r16 verdict's top item.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+          "true")
+      // Scale-dependent knobs stay parameterised (guide §2.2/§9): extra
+      // session confs come from SPARK_GRAFT_CONF="k=v;k2=v2" so a cluster
+      // deployment (or a config experiment) can override without touching
+      // the measured local defaults above.
+      sys.env.get("SPARK_GRAFT_CONF").toSeq
+        .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
+        .foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          b = b.config(k, v)
+        }
+      val s = b.withExtensions(new GraftExtensions).getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       // Warm the JVM/codegen/file-source paths once so the first
       // measured query doesn't absorb session startup cost.

@@ -16,6 +16,11 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Bench.newSession's r17 shuffle-adaptivity pair — dumped plans
+      // must be the plans the bench/verify sessions run.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

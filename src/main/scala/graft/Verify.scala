@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Bench.newSession's r17 shuffle-adaptivity pair, mirrored here so
+      // the verified plans are the measured plans (see Bench.scala).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // context-level (must precede getOrCreate): lets the cleaner
       // delete reliable checkpoint data once its RDD is GC'd — see the
       // SPARK_GRAFT_CHECKPOINT_DIR note below; harmless without a dir

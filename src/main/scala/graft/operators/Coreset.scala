@@ -152,6 +152,12 @@ object Coreset {
     *
     * Scale: the d²-row explode is the honest Gram cost (64× row
     * amplification, one shuffle); iterations never touch the corpus.
+    *
+    * NOTE (r16 ADVICE): the mat-vec rounds run driver-side on the
+    * collected Dim²-bounded Gram, so constructing this DataFrame
+    * EXECUTES the corpus-side Gram job eagerly — plan-only tooling
+    * (explain, PlanDump) pays that execution; the returned plan is the
+    * final LocalTableScan.
     */
   def pcaPowerIteration(spark: SparkSession, dir: String): DataFrame = {
     val gram = Tables.embeddings(spark, dir)

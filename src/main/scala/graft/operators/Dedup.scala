@@ -56,7 +56,29 @@ object Dedup {
     * silently exploding — this operator is the blocked ground-truth
     * AUDIT; [[dedupMinhashLsh]] is the production-scale path.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared shingled-corpus projection: (doc_id, source, n_chars,
+    * sorted 3-shingles, shingle count). Computed ONCE and persisted by
+    * callers that feed several branches from it — [[ngramJaccard]]'s
+    * blocked pair join reads it from both sides, and
+    * [[minhashRecallAudit]] additionally reuses the SAME materialization
+    * for the LSH branch's verify step (r16 deferred item: the audit used
+    * to shingle the corpus twice, once per branch).
+    */
+  private[graft] def shingledDocs(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.sortedShingles3(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardFrom(spark, graft.functions.PlanGuard.persist(
+      shingledDocs(Tables.documents(spark, dir))))
+
+  /** [[ngramJaccard]] over an already-persisted [[shingledDocs]] frame —
+    * the audit passes its shared materialization in.
+    */
+  private[graft] def ngramJaccardFrom(
+      spark: SparkSession, shingled: DataFrame): DataFrame = {
     // Blocked pair join with a COMPILED sorted-merge intersection count:
     // shingle sets are sorted once per doc (cached — both join sides read
     // the same materialization), then each candidate pair costs one O(n)
@@ -72,12 +94,7 @@ object Dedup {
     // the left side to adjacent buckets is a superset of |Δn_chars| ≤ 32,
     // so the exact filter keeps identical results while the candidate count
     // stays linear-ish in docs-per-(source, length-band).
-    val s = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        TextOps.sortedShingles3(col("text")).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .withColumn("bucket", floor(col("n_chars") / 33))
-      .transform(graft.functions.PlanGuard.persist(_))
+    val s = shingled.withColumn("bucket", floor(col("n_chars") / 33))
     val a = s.select(col("doc_id").as("doc_a"), col("source"),
         col("n_chars").as("ca"), col("sh").as("sha"), col("sz").as("sza"),
         explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
@@ -123,8 +140,15 @@ object Dedup {
     * hash-verified operators; the audit join is pair-set-sized.
     */
   def minhashRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val lsh = dedupMinhashLsh(spark, dir)
+    // ONE shingle materialization for both branches (guide §1.2 — don't
+    // compute twice): the ground-truth blocked join and the LSH branch's
+    // verify step read the same persisted [[shingledDocs]] frame; only
+    // the minhash-signature pass still reads raw text.
+    val docs = Tables.documents(spark, dir)
+    val shingled = graft.functions.PlanGuard.persist(shingledDocs(docs))
+    val truth = ngramJaccardFrom(spark, shingled)
+      .select(col("doc_a"), col("doc_b"))
+    val lsh = minhashPairsWithShingles(docs, shingled)
       .select(col("doc_a"), col("doc_b"), lit(true).as("hit"))
     val lshN = lsh.agg(count(lit(1)).as("n_lsh"))
     truth.join(lsh, Seq("doc_a", "doc_b"), "left")
@@ -261,23 +285,33 @@ object Dedup {
   /** [[dedupMinhashLsh]] over an arbitrary documents frame (staged-data
     * form; same band→candidate→verify shape).
     */
-  private[graft] def minhashPairsDf(documents: DataFrame): DataFrame = {
-    // eager checkpoint, NOT persist: both frames are read twice inside
-    // this one plan, but a persist() here would outlive the call — the
-    // rolling ingestion (StreamingCuration.ingestBatch) builds a fresh
-    // pairs frame EVERY micro-batch, and CacheManager holds persisted
-    // plans by strong reference, so a long-running stream would
-    // accumulate cached frames without bound. Checkpoint blocks are
-    // GC-freed once the returned frame is unreachable.
+  private[graft] def minhashPairsDf(documents: DataFrame): DataFrame =
+    // eager checkpoint, NOT persist: the verify frame is read twice
+    // inside this one plan, but a persist() here would outlive the call
+    // — the rolling ingestion (StreamingCuration.ingestBatch) builds a
+    // fresh pairs frame EVERY micro-batch, and CacheManager holds
+    // persisted plans by strong reference, so a long-running stream
+    // would accumulate cached frames without bound. Checkpoint blocks
+    // are GC-freed once the returned frame is unreachable.
+    minhashPairsWithShingles(documents,
+      graft.functions.Iterate.checkpoint(documents
+        .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
+        .withColumn("sz", size(col("sh")))))
+
+  /** [[minhashPairsDf]] with the verify-step shingles supplied by the
+    * caller (an already-materialized (doc_id, sh, sz, ...) frame) — the
+    * recall audit shares [[ngramJaccard]]'s persisted [[shingledDocs]]
+    * here instead of shingling the corpus a second time.
+    */
+  private def minhashPairsWithShingles(
+      documents: DataFrame, shingles: DataFrame): DataFrame = {
     val bands = graft.functions.Iterate.checkpoint(lshBandsDf(documents))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band_key") === col("b.band_key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val docs = graft.functions.Iterate.checkpoint(documents
-      .select(col("doc_id"), TextOps.sortedShingles3(col("text")).as("sh"))
-      .withColumn("sz", size(col("sh"))))
+    val docs = shingles.select(col("doc_id"), col("sh"), col("sz"))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
         col("sz").as("sza")), Seq("doc_a"))

@@ -624,6 +624,11 @@ object Similarity {
     * once and the [[MmrK]] greedy rounds (unrolled, like kmeans) touch
     * only those bounded frames. Ties broken (mmr DESC, cand ASC) in
     * both engines; round-1 mmr is λ·cos with an empty penalty term.
+    *
+    * NOTE (r16 ADVICE): the greedy rounds run driver-side on bounded
+    * collects, so constructing this DataFrame EXECUTES the pool/pairs
+    * Spark jobs eagerly — plan-only tooling (explain, PlanDump) pays
+    * that execution; the returned plan is the final LocalRelation.
     */
   private val MmrLambda = 0.7
   private val MmrGamma = 0.3
@@ -687,7 +692,19 @@ object Similarity {
               }
             (cid, mmr)
           }
-          val (cid, mmr) = scored.minBy { case (c, m) => (-m, c) }
+          // (mmr DESC, cand ASC) under SPARK's ordering, not Scala's
+          // tuple order (r16 ADVICE): normalize −0.0 to +0.0 (Spark and
+          // DuckDB treat signed zeros equal; Scala's TotalOrdering does
+          // not) and compare with java.lang.Double.compare, whose
+          // NaN-greatest rule matches both engines' DESC-first-NaN —
+          // zero-norm embeddings yield NaN cosines, and the old negated
+          // minBy sorted those LAST instead of first. Identical to the
+          // previous selection for every finite non-±0-tied score.
+          def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+          val (cid, mmr) = scored.reduceLeft { (best, c) =>
+            val cmp = java.lang.Double.compare(norm(c._2), norm(best._2))
+            if (cmp > 0 || (cmp == 0 && c._1 < best._1)) c else best
+          }
           selected += cid
           Some((qid, round, cid,
             math.floor(mmr * 1.0e8 + 0.5) / 1.0e8))

@@ -245,12 +245,15 @@ class ShuffleBudgetSpec extends SparkSpec {
   // with the spend RANGE, hence no unpartitioned cumulative) + the
   // one-row total fold. Many exchanges, all over AGGREGATED cells.
   check("rfm_segmentation", 23)(operators.EventOps.rfmSegmentation(spark, sfDir))
-  // mmr_rerank: the corpus-wide pool construction (broadcast queries +
-  // per-query top-k window) lives in the checkpoint jobs; the greedy
-  // rounds' exchanges (anti joins, per-candidate max-sim aggregates,
-  // pick windows) all run over k-bounded frames — ≤ pool·|queries|
-  // rows each, never corpus-sized. Measured 11; +1 AQE headroom.
-  check("mmr_rerank", 12)(operators.Similarity.mmrRerank(spark, sfDir))
+  // mmr_rerank (r16 rewrite): the corpus-wide pool construction and the
+  // bounded pairwise cosines execute inside collect() when the frame is
+  // CONSTRUCTED (see the operator's NOTE), and the greedy rounds run
+  // driver-side — the returned plan is a LocalRelation with ZERO
+  // exchanges. This check guards that the driver-side form never
+  // regresses into the old 642-exchange unrolled loop; the corpus-side
+  // pool pipeline is exercised (and thus still measured) by the same
+  // construction.
+  check("mmr_rerank", 0)(operators.Similarity.mmrRerank(spark, sfDir))
   // dataset_card: the (split, source) matrix aggregate feeds two
   // branches (the card rows + the per-split total fold), each with its
   // own exchange over ALREADY-AGGREGATED |splits|·|sources| rows, plus

@@ -19,6 +19,12 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Bench.newSession's r17 shuffle-adaptivity pair (see Bench.scala):
+      // tests exercise the same writer/coalescing paths the bench runs,
+      // and the sort-writer path cuts the suite's own shuffle-file churn.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
